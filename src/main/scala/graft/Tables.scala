@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry: one loader per driver-generated parquet table.
+  *
+  * All operators take `DataFrame`s, never paths, so Catalyst sees a
+  * single plan per query (scan → transform), letting filter pushdown
+  * and column pruning reach the parquet reader.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Reader configs the test tables need:
+    *  - `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    *    reader rejects; `nanosAsLong` surfaces it as epoch-nanos
+    *    LongType — exact integer time arithmetic, no precision loss.
+    *  - NTZ inference off so naive parquet timestamps land as plain
+    *    TimestampType (session tz is pinned UTC everywhere).
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    configure(spark).read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics block (SURVEY.md §2 C).
+  *
+  * The reference's DB layer answers plain relational queries over its
+  * star schema (run × data × station × source dims); this block is the
+  * engine's general OLAP surface, exercised TPC-H-style on the test
+  * tables.
+  *
+  * Scale notes: dimension joins carry explicit `broadcast` hints so a
+  * 100 TB fact scan never shuffles for a KB-sized dim; aggregates are
+  * declarative groupBys (map-side partial agg for free); final
+  * `orderBy` on small result sets only.
+  */
+object Relational {
+
+  /** C1: pricing summary — groupBy two low-cardinality flags, wide agg.
+    * One shuffle on (returnflag, linestatus); partial agg upstream.
+    */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** C2: shipping priority — selective filters on both sides of the
+    * join reach the parquet scans (pushdown), then two shuffles:
+    * customer⋈orders (customer is small → broadcast) and
+    * orders⋈lineitem on orderkey.
+    */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cut = lit("1998-06-15").cast("timestamp")
+    broadcast(customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** C3: local-supplier volume — 5-way join; region/nation/supplier/
+    * customer are all dimension-sized → broadcast; the only big-table
+    * shuffle is orders⋈lineitem.
+    */
+  def q5LocalSupplier(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** C4: top-k rows per group — rank window partitioned by the group
+    * key (single shuffle on the partition key, no global sort).
+    * Deterministic tie-break on the id column.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                   tieBreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tieBreak))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Timeseries / ETL core (SURVEY.md §2 A) — the reference's heart,
+  * re-expressed as declarative window/agg plans.
+  *
+  * Every operator partitions its window by the series key (station /
+  * user), the natural shard key at 100 TB: Spark shuffles once on the
+  * key and each executor handles whole series locally. No operator
+  * collects to the driver.
+  */
+object Timeseries {
+
+  /** A1: cumulative → per-interval values.
+    * Reference: `get_per_time_slot_values`, wrf_data_pusher.py:63-65
+    * (`prcp[1:] - prcp[:-1]` along the time axis).
+    * `lag` over (key, time); first row of each series drops, exactly
+    * like the numpy diff losing index 0.
+    */
+  def intervalDiff(df: DataFrame, key: String, time: String, id: String,
+                   value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    df.withColumn("delta", col(value) - lag(col(value), 1).over(w))
+      .filter(col("delta").isNotNull)
+  }
+
+  /** A2: UTC → Sri Lanka local (+5:30), minute-floored string.
+    * Reference: `datetime_utc_to_lk`, wrf_data_pusher.py:75-76 and the
+    * `'%Y-%m-%d %H:%M:00'` format at wrf_data_pusher.py:268.
+    */
+  def tzShiftLk(df: DataFrame, tsNanos: String): DataFrame =
+    df.withColumn("lk_time",
+      date_format(
+        timestamp_micros(expr(s"$tsNanos div 1000 + 19800000000")),
+        "yyyy-MM-dd HH:mm:00"))
+
+  /** Epoch-second bucket from an epoch-nanos long column — `div` is
+    * exact long floor-division end to end (engine-portable; a double
+    * roundtrip would lose ns precision above 2^53). */
+  def bucketFromNanos(tsNanosCol: String, widthSec: Long = 900L): Column =
+    expr(s"(($tsNanosCol div 1000000000) div $widthSec) * $widthSec")
+
+  /** A3: resample to fixed buckets, summing values per key.
+    * Reference: `extract_obs_rain_15_min_ts` (db_adapter.curw_sim.common)
+    * used at gen_active_stations_rfields.py:205.
+    * Epoch-floor bucketing keeps the groupBy a plain hash agg with
+    * map-side partial aggregation; no window needed.
+    */
+  def resample(df: DataFrame, key: String, bucket: Column,
+               value: String): DataFrame =
+    df.groupBy(col(key), bucket.as("bucket"))
+      .agg(sum(col(value)).as("value"))
+
+  /** A4: latest run per series — the newest reading per key.
+    * Reference: `Timeseries.get_latest_timeseries` (rows at max fgt),
+    * used at gen_active_stations_rfields.py:196.
+    * row_number desc with id tie-break keeps it deterministic.
+    */
+  def latestRun(df: DataFrame, key: String, time: String,
+                id: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time).desc, col(id).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A5: upsert last-write-wins — one surviving row per business key,
+    * newest version wins.
+    * Reference: `insert_formatted_data(ts_data, True)` upsert,
+    * wrf_data_pusher.py:127.
+    */
+  def upsertDedup(df: DataFrame, keys: Seq[String], version: String,
+                  id: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(version).desc, col(id).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A6: ensemble mean — mean across sources at each (key, bucket).
+    * Reference: row-wise mean over WRF systems A/C/E/SE,
+    * gen_hybrid_mean_wrf_rfields.py:205.
+    * The reference pivots then means across columns; groupBy-avg is the
+    * shuffle-minimal equivalent (one hash agg, no pivot materialized).
+    */
+  def ensembleMean(df: DataFrame, key: String, bucket: Column,
+                   value: String): DataFrame =
+    df.groupBy(col(key), bucket.as("bucket"))
+      .agg(avg(col(value)).as("mean_value"), count(lit(1)).as("n_sources"))
+
+  /** A7: hybrid obs+fcst — align two series on (key, bucket), prefer
+    * the observation where present.
+    * Reference: fcst outer-join then obs left-join + dropna,
+    * gen_active_stations_rfields.py:200-214.
+    * Full-outer on the bucketed key; both sides pre-aggregated so the
+    * join keys are unique (no row explosion).
+    */
+  def hybridObsFcst(obs: DataFrame, fcst: DataFrame, key: String): DataFrame = {
+    val o = obs.withColumnRenamed("value", "obs_value")
+    val f = fcst.withColumnRenamed("value", "fcst_value")
+    o.join(f, Seq(key, "bucket"), "full_outer")
+      .withColumn("hybrid_value", coalesce(col("obs_value"), col("fcst_value")))
+  }
+
+  /** A8: active series — keys with any activity within `days` of the
+    * dataset's latest timestamp.
+    * Reference: `getActiveRainfallObsStations` ("active within last
+    * week"), gen_active_stations_rfields.py:102-131.
+    * Global max via scalar agg (tiny) cross-joined as a literal-like
+    * broadcast; then a groupBy — one shuffle on the key.
+    */
+  def activeKeys(df: DataFrame, key: String, tsNanos: String,
+                 days: Int = 7): DataFrame = {
+    val horizon = days.toLong * 86400L * 1000000000L
+    val maxTs = df.agg(max(col(tsNanos)).as("max_ts"))
+    df.join(broadcast(maxTs))
+      .filter(col(tsNanos) >= col("max_ts") - lit(horizon))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("recent_events"),
+        expr(s"max($tsNanos) div 1000000000").as("last_seen_s"))
+  }
+
+  /** A9: station registry — one stable station per rounded grid key.
+    * Reference: `wrf_{lat}_{lon}` station naming + add-if-absent,
+    * wrf_data_pusher.py:211-228. Deterministic content-derived id
+    * (md5 of the key) instead of an auto-increment — idempotent across
+    * re-runs and executors, which is what upsert-once semantics need
+    * at scale.
+    */
+  def stationRegistry(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val name = concat_ws("_", lit("st") +: keyCols.map(c => col(c).cast("string")): _*)
+    df.select(keyCols.map(col): _*).distinct()
+      .withColumn("station_name", name)
+      .withColumn("station_id", md5(name))
+  }
+
+  /** A10: deterministic timeseries id from the metadata tuple.
+    * Reference: `Timeseries.generate_timeseries_id(tms_meta)` hashing
+    * (sim_tag, station, source, variable, unit), wrf_data_pusher.py:237.
+    */
+  def tmsId(df: DataFrame, metaCols: Seq[String]): DataFrame =
+    df.withColumn("tms_id",
+      md5(concat_ws(":", metaCols.map(c => col(c).cast("string")): _*)))
+
+  /** A11: fgt watermark — newest generation time per series.
+    * Reference: `update_latest_fgt`, wrf_data_pusher.py:103-116.
+    */
+  def fgtWatermark(df: DataFrame, key: String, fgt: String): DataFrame =
+    df.groupBy(col(key)).agg(max(col(fgt)).as("latest_fgt"))
+
+  /** A12: gap fill — forward-fill the last known value along each
+    * series (the inverse convenience of the reference's dropna after
+    * outer-joining misaligned time axes,
+    * gen_active_stations_rfields.py:200-214).
+    * `last(ignoreNulls)` over an unbounded-preceding window.
+    */
+  def gapFillForward(df: DataFrame, key: String, time: String, id: String,
+                     value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("filled", last(col(value), ignoreNulls = true).over(w))
+  }
+}
