@@ -1,13 +1,463 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract: the full operator catalog (SURVEY.md §2), one
+  * `queries` entry per operator and a DuckDB `oracleSql` mirror for
+  * every SQL-expressible one (rows-only entries — LSH banding,
+  * simhash, multimodal decode — have no mirror by design).
+  *
+  * Cross-engine exactness rules (SURVEY §5) used throughout:
+  *  - money/value sums run in DECIMAL (exact, order-independent),
+  *    cast to double only at the end; averages are sum/count with a
+  *    single final double division;
+  *  - float-accumulation outputs (cosine) are rounded at 6 dp on both
+  *    sides before any threshold/rank compare;
+  *  - every window/top-k has a deterministic id tie-break;
+  *  - both sides key timestamps as epoch-MICROS longs: `events.ts` is
+  *    parquet TIMESTAMP(NANOS), which Spark reads as an epoch-nanos
+  *    long (`nanosAsLong`) but DuckDB reads at µs precision — so Spark
+  *    floors to µs (`ts div 1000`) and DuckDB uses `epoch_us`, the
+  *    highest resolution both engines hold exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  // ---- shared wiring helpers -------------------------------------------
+
+  /** events with an epoch-micros time column — µs is the highest
+    * resolution BOTH engines hold exactly (DuckDB reads parquet
+    * TIMESTAMP(NANOS) at µs), so all keys/orderings run on ts_us. */
+  private def evt(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  /** evt + the 2-dp value mirrored into an exact decimal. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    evt(s, d).withColumn("value_dec", col("value").cast("decimal(14,2)"))
+
+  private def bucket15 = Timeseries.bucketEpochSec("ts_us", 900L, 1000000L)
+
+  /** 15-min resample of one event_type's series, exact decimal sums. */
+  private def resampled(s: SparkSession, d: String, eventType: String): DataFrame =
+    Timeseries.resample(ev(s, d).filter(col("event_type") === eventType),
+      "user_id", bucket15, "value_dec")
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame  = Tables.embeddings(s, d)
+
+  private val annIsQuery: Column = col("vec_id") % 50 === 0
+
+  // ---- the catalog ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A: timeseries / ETL core ---
+    "ts_interval_diff" -> ((s, d) =>
+      Timeseries.intervalDiff(ev(s, d), "user_id", "ts_us", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("delta"))),
+
+    "ts_tz_shift" -> ((s, d) =>
+      Timeseries.tzShiftLk(evt(s, d), "ts_us")
+        .select(col("event_id"), col("lk_time"))),
+
+    "ts_resample_15min" -> ((s, d) =>
+      Timeseries.resample(ev(s, d), "user_id", bucket15, "value_dec")
+        .select(col("user_id"), col("bucket"), col("value").cast("double").as("value"))),
+
+    "ts_latest_run" -> ((s, d) =>
+      Timeseries.latestRun(evt(s, d), "user_id", "ts_us", "event_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))),
+
+    "ts_upsert_dedup" -> ((s, d) =>
+      Timeseries.upsertDedup(evt(s, d), Seq("user_id", "event_type"), "ts_us", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"), col("value"))),
+
+    "ts_ensemble_mean" -> ((s, d) =>
+      Timeseries.ensembleMean(ev(s, d), "user_id", "event_type", bucket15, "value_dec")),
+
+    "ts_hybrid_obs_fcst" -> ((s, d) =>
+      Timeseries.hybridObsFcst(resampled(s, d, "click"), resampled(s, d, "view"), "user_id")
+        .select(col("user_id"), col("bucket"),
+          col("obs_value").cast("double").as("obs_value"),
+          col("fcst_value").cast("double").as("fcst_value"),
+          col("hybrid_value").cast("double").as("hybrid_value"))),
+
+    "ts_active_stations" -> ((s, d) =>
+      Timeseries.activeKeys(evt(s, d), "user_id", "ts_us", 7, 1000000L)),
+
+    "ts_station_registry" -> ((s, d) =>
+      Timeseries.stationRegistry(
+        Grid.deriveGrid(Tables.events(s, d), "user_id"), Seq("lat", "lon"), "wrf")),
+
+    "ts_tms_id" -> ((s, d) =>
+      Timeseries.tmsId(
+        Tables.events(s, d).select(col("user_id"), col("event_type")).distinct()
+          .withColumn("sim_tag", lit("evt0"))
+          .withColumn("source", lit("graft_v1"))
+          .withColumn("unit", lit("count")),
+        Seq("sim_tag", "user_id", "source", "event_type", "unit"))
+        .select(col("user_id"), col("event_type"), col("tms_id"))),
+
+    "ts_fgt_watermark" -> ((s, d) =>
+      Timeseries.fgtWatermark(evt(s, d), "user_id", "ts_us")),
+
+    "ts_gap_fill" -> ((s, d) =>
+      Timeseries.gapFillForward(
+        evt(s, d).withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value"))),
+        "user_id", "ts_us", "event_id", "v")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("filled"))),
+
+    // --- B: grid / rfield ---
+    "grid_rfield_flatten" -> ((s, d) =>
+      Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec")),
+
+    "grid_bbox_filter" -> ((s, d) =>
+      Grid.bboxFilter(
+        Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec"),
+        79.0, 79.3, 6.5, 7.5)),
+
+    "grid_nearest_station" -> ((s, d) => {
+      val grid = Grid.deriveGrid(Tables.events(s, d), "user_id")
+      val stations = grid.filter(col("user_id") % 13 === 0)
+        .select(concat(lit("obs_"), col("user_id").cast("string")).as("station_id"),
+          (col("lat") + lit(0.07)).as("s_lat"),
+          (col("lon") + lit(0.11)).as("s_lon"))
+        .distinct()
+      Grid.nearestGridPoint(stations, grid)
+    }),
+
+    // --- C: relational analytics ---
+    "q1_pricing_summary" -> ((s, d) =>
+      Relational.q1PricingSummary(Tables.lineitem(s, d))),
+
+    "q3_shipping_priority" -> ((s, d) =>
+      Relational.q3ShippingPriority(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    "q5_local_supplier" -> ((s, d) =>
+      Relational.q5LocalSupplier(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    "q_topk_per_group" -> ((s, d) =>
+      Relational.topKPerGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_totalprice", "o_orderkey", 3)),
+
+    // --- D: deduplication ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),  // rows-only
+
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
+
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),    // rows-only
+
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
+
+    // --- E: similarity search ---
+    "ann_bruteforce_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
+        .withColumn("rank", col("rank").cast("bigint"))),
+
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
+
+    // --- F: text analysis ---
+    "text_lang_id" -> ((s, d) => {
+      val out = TextAnalysis.langId(docs(s, d))
+      val hitCols = TextAnalysis.stopwords.map { case (l, _) =>
+        col(s"hits_$l").cast("bigint").as(s"hits_$l") }
+      out.select(Seq(col("doc_id")) ++ hitCols :+ col("pred_lang"): _*)
+    }),
+
+    "text_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d))
+        .select(col("doc_id"), col("n_chars_c").cast("bigint").as("n_chars_c"),
+          col("wc").cast("bigint").as("wc"),
+          col("stop_hits").cast("bigint").as("stop_hits"),
+          col("digit_chars").cast("bigint").as("digit_chars"),
+          col("punct_chars").cast("bigint").as("punct_chars"), col("score"))),
+
+    "text_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(docs(s, d))
+        .select(col("doc_id"), col("ws_tokens").cast("bigint").as("ws_tokens"),
+          col("bpe_tokens").cast("bigint").as("bpe_tokens"))),
+
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+
+    // --- G: multimodal ---
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d)))  // rows-only
+  )
+
+  // ---- DuckDB mirrors ---------------------------------------------------
+
+  /** shared SQL fragments (kept textually identical across queries so
+    * the mirrors stay in lockstep with the Spark expressions). */
+  private val B = "(epoch_us(ts) // 1000000 // 900) * 900"  // 15-min bucket
+  private val TOKS =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+  private val LAT = "6.0 + (user_id % 10) * 0.25"
+  private val LON = "79.0 + ((user_id // 10) % 15) * 0.25"
+  private val EP  = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val DISC1 = "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+  private val TAX1  = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+  private val COS =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_interval_diff" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |       value - lag(value) OVER w AS delta
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |QUALIFY lag(event_id) OVER w IS NOT NULL""".stripMargin,
+
+    "ts_tz_shift" ->
+      s"""SELECT event_id,
+         |  strftime(make_timestamp(epoch_us(ts) + 19800000000),
+         |           '%Y-%m-%d %H:%M:00') AS lk_time
+         |FROM events""".stripMargin,
+
+    "ts_resample_15min" ->
+      s"""SELECT user_id, $B AS bucket,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_latest_run" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+         |FROM events
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "ts_upsert_dedup" ->
+      s"""SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+         |FROM events
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY user_id, event_type
+         |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "ts_ensemble_mean" ->
+      s"""WITH per AS (
+         |  SELECT user_id, event_type, $B AS bucket,
+         |         sum(CAST(value AS DECIMAL(14,2))) AS source_sum
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT user_id, bucket,
+         |       CAST(sum(source_sum) AS DOUBLE) / count(*) AS mean_value,
+         |       count(*) AS n_sources
+         |FROM per GROUP BY 1, 2""".stripMargin,
+
+    "ts_hybrid_obs_fcst" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, $B AS bucket, sum(CAST(value AS DECIMAL(14,2))) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |fcst AS (
+         |  SELECT user_id, $B AS bucket, sum(CAST(value AS DECIMAL(14,2))) AS v
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT obs.user_id, obs.bucket,
+         |       CAST(obs.v AS DOUBLE) AS obs_value,
+         |       CAST(fcst.v AS DOUBLE) AS fcst_value,
+         |       CAST(coalesce(obs.v, fcst.v) AS DOUBLE) AS hybrid_value
+         |FROM obs JOIN fcst
+         |  ON obs.user_id = fcst.user_id AND obs.bucket = fcst.bucket""".stripMargin,
+
+    "ts_active_stations" ->
+      s"""SELECT user_id, count(*) AS recent_events,
+         |       max(epoch_us(ts)) // 1000000 AS last_seen_s
+         |FROM events, (SELECT max(epoch_us(ts)) AS max_ts FROM events) m
+         |WHERE epoch_us(ts) >= m.max_ts - 604800000000
+         |GROUP BY user_id""".stripMargin,
+
+    "ts_station_registry" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT printf('%.6f', $LAT) AS lat_key,
+         |                  printf('%.6f', $LON) AS lon_key
+         |  FROM events)
+         |SELECT lat_key, lon_key,
+         |       'wrf_' || lat_key || '_' || lon_key AS station_name,
+         |       md5('wrf_' || lat_key || '_' || lon_key) AS station_id
+         |FROM g""".stripMargin,
+
+    "ts_tms_id" ->
+      s"""SELECT DISTINCT user_id, event_type,
+         |  md5(concat_ws(':', 'evt0', CAST(user_id AS VARCHAR), 'graft_v1',
+         |                event_type, 'count')) AS tms_id
+         |FROM events""".stripMargin,
+
+    "ts_fgt_watermark" ->
+      "SELECT user_id, max(epoch_us(ts)) AS latest_fgt FROM events GROUP BY user_id",
+
+    "ts_gap_fill" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+         |             IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM events""".stripMargin,
+
+    "grid_rfield_flatten" ->
+      s"""SELECT $LON AS lon, $LAT AS lat,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY lon, lat""".stripMargin,
+
+    "grid_bbox_filter" ->
+      s"""SELECT * FROM (
+         |  SELECT $LON AS lon, $LAT AS lat,
+         |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
+         |  FROM events GROUP BY 1, 2)
+         |WHERE lon >= 79.0 AND lon <= 79.3 AND lat >= 6.5 AND lat <= 7.5
+         |ORDER BY lon, lat""".stripMargin,
+
+    "grid_nearest_station" ->
+      s"""WITH st AS (
+         |  SELECT DISTINCT 'obs_' || CAST(user_id AS VARCHAR) AS station_id,
+         |         $LAT + 0.07 AS s_lat, $LON + 0.11 AS s_lon
+         |  FROM events WHERE user_id % 13 = 0),
+         |g AS (SELECT DISTINCT $LAT AS g_lat, $LON AS g_lon FROM events),
+         |x AS (
+         |  SELECT station_id, s_lat, s_lon, g_lat, g_lon,
+         |    round((s_lat - g_lat) * (s_lat - g_lat) +
+         |          (s_lon - g_lon) * (s_lon - g_lon), 12) AS d2
+         |  FROM st CROSS JOIN g)
+         |SELECT * FROM x
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY station_id ORDER BY d2, g_lon, g_lat) = 1""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum($EP) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($EP * $DISC1) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(sum($EP * $DISC1 * $TAX1), 6) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(sum($EP) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum($EP * $DISC1) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(sum($EP * $DISC1) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_topk_per_group" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice
+         |FROM orders
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         |       count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |       inter / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($COS, 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.45""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, round($COS, 6) AS cos_sim,
+         |         row_number() OVER (
+         |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
+         |  FROM e a JOIN e b ON b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS hits_en,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS hits_de,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS hits_es,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS hits_fr,
+         |  len(list_filter(toks, x -> x IN ('de','shi','le','bu','wo'))) AS hits_zh
+         |FROM t)
+         |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+         |  CASE
+         |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang
+         |FROM h""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents)
+         |SELECT doc_id, n_chars_c, wc, stop_hits, digit_chars, punct_chars,
+         |  0.3 * least(1.0, wc / 120.0) +
+         |  0.3 * (stop_hits / wc) +
+         |  0.2 * (1.0 - digit_chars / n_chars_c) +
+         |  0.2 * (1.0 - punct_chars / n_chars_c) AS score
+         |FROM b""".stripMargin,
+
+    "text_token_count" ->
+      s"""SELECT doc_id, len($TOKS) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint
+         |FROM documents""".stripMargin
+  )
 }

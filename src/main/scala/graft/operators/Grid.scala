@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grid / rfield spatial block (SURVEY.md §2 B).
+  *
+  * The reference flattens WRF precipitation grids into rfield text files
+  * — `(lon, lat, value)` rows sorted by (lon, lat) — cuts bounding-box
+  * sub-regions, and maps observation stations to their nearest d03 grid
+  * point (MDPA). The test tables carry no geo columns, so `deriveGrid`
+  * assigns each `events.user_id` a deterministic d03-like grid cell
+  * (10×15 lattice at 0.25° spacing over Sri Lanka's extent); every grid
+  * operator then runs on that derived grid exactly as it would on a
+  * real one.
+  *
+  * Scale: rfield aggregation is a single hash groupBy on the cell key
+  * (map-side partial agg); the bbox cut is a pushdown-able range
+  * predicate; nearest-station is a broadcast cross-join (stations are
+  * KB-sized — the grid streams, never shuffles).
+  */
+object Grid {
+
+  /** Deterministic synthetic lat/lon per series key: 10 lat rows ×
+    * 15 lon cols at 0.25° starting (6.0N, 79.0E) — the d03 domain
+    * shape (`gen_rfields.py:177-186` iterates lat×lon vectors the same
+    * way). Exact binary doubles (k*0.25 sums of powers of two), so
+    * cross-engine equality is bit-exact.
+    */
+  def deriveGrid(df: DataFrame, key: String): DataFrame =
+    df.withColumn("lat", lit(6.0) + (col(key) % 10).cast("double") * lit(0.25))
+      .withColumn("lon", lit(79.0) + ((col(key) / 10).cast("long") % 15).cast("double") * lit(0.25))
+
+  /** B1: rfield flatten — grid → (lon, lat, value) sorted by lon, lat.
+    * Reference: `gen_rfields.py:177-186` (np.ascontiguousarray over
+    * lon-major traversal, one value per cell).
+    */
+  def rfieldFlatten(grid: DataFrame, value: String): DataFrame =
+    grid.groupBy(col("lon"), col("lat"))
+      .agg(round(sum(col(value)), 4).as("value"))
+      .orderBy(col("lon"), col("lat"))
+
+  /** B2: bounding-box cut — the Kelani-basin sub-region extraction.
+    * Reference: `gen_rfields.py:188-194` (lon/lat min/max extent
+    * filter). A plain range predicate: partition-prunable and
+    * pushdown-able when the grid is stored partitioned by region.
+    */
+  def bboxFilter(rfield: DataFrame, lonMin: Double, lonMax: Double,
+                 latMin: Double, latMax: Double): DataFrame =
+    rfield.filter(
+      col("lon") >= lonMin && col("lon") <= lonMax &&
+      col("lat") >= latMin && col("lat") <= latMax)
+
+  /** B3: nearest grid point per station (MDPA — minimum distance point
+    * association). Reference:
+    * `get_obs_to_d03_grid_mappings_for_rainfall`,
+    * gen_active_stations_rfields.py:137-151.
+    *
+    * Stations (small) are cross-joined against grid cells with a
+    * broadcast hint on the GRID side when it is the dimension, or on
+    * stations when the grid is the 100 TB fact — here stations is the
+    * small side so the grid streams through a broadcast of stations…
+    * argmin via row_number with deterministic (d2, lon, lat) tie-break.
+    */
+  def nearestGridPoint(stations: DataFrame, grid: DataFrame): DataFrame = {
+    val g = grid.select(col("lat").as("g_lat"), col("lon").as("g_lon")).distinct()
+    val d2 = (col("s_lat") - col("g_lat")) * (col("s_lat") - col("g_lat")) +
+             (col("s_lon") - col("g_lon")) * (col("s_lon") - col("g_lon"))
+    val w = Window.partitionBy(col("station_id"))
+      .orderBy(col("d2"), col("g_lon"), col("g_lat"))
+    // d2 rounded at 12 dp: optimizers may reassociate the constant
+    // parts of the coordinate arithmetic differently per engine (1-ulp
+    // jitter); rounding before the argmin keeps value AND rank order
+    // engine-portable (ties broken by (g_lon, g_lat) anyway).
+    stations.crossJoin(broadcast(g))
+      .withColumn("d2", round(d2, 12))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2 G).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata — the
+  * lakehouse-native layout for image/audio/video at 100 TB (payload
+  * bytes travel inside parquet row groups; no tiny-file problem, and
+  * column pruning means metadata-only queries never touch the bytes).
+  *
+  * Decoding runs batched inside `mapPartitions` over a typed Dataset —
+  * the Scala analogue of a Pandas-batch UDF: the partition iterator is
+  * chunked so a real codec would amortize per-batch setup (model load,
+  * JNI handle) across [[Codec.batchSize]] payloads. The actual
+  * image/audio codecs are NOT in this container, so [[Codec.decode]]
+  * is a clearly-marked deterministic stub; everything around it —
+  * schema, encoders, batching, partition flow — is the real plumbing
+  * a production codec would drop into.
+  */
+object Multimodal {
+
+  /** Typed decode result — the metadata face of an opaque payload. */
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
+                             width: Int, height: Int, frames: Int)
+
+  object Codec {
+    val batchSize = 64
+
+    /** STUB — deterministic fake decode. A real implementation would
+      * hand the batch to an image/audio/video library here (the
+      * integration point a production build replaces); those libs are
+      * absent in this container, so metadata is derived purely from
+      * the payload bytes (stable hash + length), keeping the operator
+      * deterministic and testable.
+      */
+    def decode(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaMeta] =
+      batch.map { case (id, kind, bytes) =>
+        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+        val w = 64 + math.floorMod(h, 1856)          // 64..1919
+        val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
+        val frames = kind match {
+          case "video" => 1 + math.floorMod(h >> 22, 240)
+          case "audio" => 1 + math.floorMod(h >> 22, 48000)
+          case _       => 1
+        }
+        MediaMeta(id, kind, bytes.length, w, hgt, frames)
+      }
+  }
+
+  /** G1: attach an opaque binary payload (here: utf-8 bytes of `text`,
+    * standing in for real media) + a modality tag, then batch-decode to
+    * typed metadata. Pure narrow transformation — no shuffle; at scale
+    * this is one codegen'd scan stage feeding the batched decoder. */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads: Dataset[(Long, String, Array[Byte])] = docs
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+    payloads
+      .mapPartitions(_.grouped(Codec.batchSize).flatMap(b => Codec.decode(b.toSeq)))
+      .toDF()
+  }
+}

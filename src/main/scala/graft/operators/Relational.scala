@@ -15,31 +15,51 @@ import org.apache.spark.sql.functions._
   * 100 TB fact scan never shuffles for a KB-sized dim; aggregates are
   * declarative groupBys (map-side partial agg for free); final
   * `orderBy` on small result sets only.
+  *
+  * Exactness note (SURVEY §5): money aggregates run in DECIMAL — the
+  * inputs are 2-dp values, so decimal sums are exact and
+  * order-independent, unlike double sums whose low bits depend on
+  * partition/combine order. One cast to double at the very end gives
+  * bit-identical results in any engine (and makes top-k cutoffs like
+  * Q3's LIMIT 10 deterministic cross-engine).
   */
 object Relational {
 
+  /** 2-dp money column → exact decimal. */
+  private def dec2(c: String): Column = col(c).cast("decimal(12,2)")
+  /** rate column (discount/tax, 2-dp in [0,1]) → exact decimal. */
+  private def rate(c: String): Column = col(c).cast("decimal(6,4)")
+  private def oneMinus(c: String): Column = lit(1).cast("decimal(6,4)") - rate(c)
+  private def onePlus(c: String): Column  = lit(1).cast("decimal(6,4)") + rate(c)
+
   /** C1: pricing summary — groupBy two low-cardinality flags, wide agg.
     * One shuffle on (returnflag, linestatus); partial agg upstream.
+    * Averages are sum/count on the exact decimal sum (a single double
+    * division at the end), not avg() over doubles.
     */
   def q1PricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-        avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_extendedprice")).as("avg_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec2("l_extendedprice") * oneMinus("l_discount")).cast("double").as("sum_disc_price"),
+        // scale-10 decimal sum: unscaled value can exceed 2^53, where
+        // decimal→double double-rounds differently per engine; rounding
+        // to 6 dp first keeps the cast a single exact IEEE division.
+        round(sum(dec2("l_extendedprice") * oneMinus("l_discount") * onePlus("l_tax")), 6).cast("double").as("sum_charge"),
+        (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** C2: shipping priority — selective filters on both sides of the
     * join reach the parquet scans (pushdown), then two shuffles:
     * customer⋈orders (customer is small → broadcast) and
-    * orders⋈lineitem on orderkey.
+    * orders⋈lineitem on orderkey. Exact decimal revenue makes the
+    * top-10 cutoff deterministic.
     */
   def q3ShippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val cut = lit("1998-06-15").cast("timestamp")
@@ -47,10 +67,9 @@ object Relational {
       .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
       .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
-
   }
 
   /** C3: local-supplier volume — 5-way join; region/nation/supplier/
@@ -68,7 +87,7 @@ object Relational {
       .join(broadcast(region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** C4: top-k rows per group — rank window partitioned by the group

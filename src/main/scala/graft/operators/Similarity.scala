@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity-search block (SURVEY.md §2 E + D5) over the
+  * `embeddings` table (`vec_id`, `embedding array<float>`, `label`).
+  *
+  * Scale posture: the query set is always the broadcast side — the
+  * 100 TB candidate corpus streams through one scan, never shuffles
+  * for the join. Brute force is the exactness baseline; the LSH
+  * variant turns ANN into an equi-join on a hyperplane-sign bucket so
+  * candidate generation is a shuffle on the bucket key (skew-safe:
+  * 2^P buckets, P chosen so buckets ≫ executors).
+  */
+object Similarity {
+
+  /** Precompute the double vector + squared norm once per row —
+    * amortized across every pair the row participates in. */
+  def prepared(emb: DataFrame): DataFrame =
+    emb.withColumn("v", toDoubleVec(col("embedding")))
+      .withColumn("n2", norm2(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("n2"))
+
+  private def cosTo(a: String, b: String): Column =
+    cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
+
+  /** D5: all pairs with cosine ≥ tau (rounded at 6 dp before the
+    * threshold — see SURVEY §5). Self-join candidate generation is
+    * quadratic by nature at the exactness baseline; the scale path for
+    * near-dup-by-embedding is [[lshTopK]]'s bucketing. */
+  def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
+    val p = prepared(emb)
+    p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosTo("a", "b"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** E1: exact cosine top-k per query vector (brute force baseline).
+    * Queries (small) broadcast; candidates stream. Deterministic rank:
+    * (cos desc, candidate id). */
+  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val p = prepared(emb)
+    val q = p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    p.as("c").join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: P sign bits, plane p's component
+    * for dimension d is ±1 derived from xxhash64(p, d) parity —
+    * deterministic, no stored plane matrix, recomputed identically on
+    * every executor (nothing to broadcast). */
+  def hyperplaneBucket(vs: String, planes: Int): Column =
+    expr(
+      s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+         |  acc + CASE WHEN aggregate(sequence(0, size($vs) - 1), cast(0 as double), (s, d) ->
+         |                    s + element_at($vs, d + 1) *
+         |                        (CASE WHEN (xxhash64(p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)) > 0
+         |            THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)""".stripMargin)
+
+  /** E2: LSH-bucketed ANN top-k (rows-only; spec-verified recall vs
+    * E1). Bucket equi-join replaces the all-pairs join: only
+    * same-bucket candidates are scored. With P planes collisions keep
+    * ~cos-similar vectors together (probability 1 − θ/π per plane). */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 8): DataFrame = {
+    val p = prepared(emb).withColumn("bucket", hyperplaneBucket("v", planes))
+    val q = p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    p.as("c").join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+}

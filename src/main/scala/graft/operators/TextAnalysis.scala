@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis block (SURVEY.md §2 F) on the `documents` table.
+  *
+  * Every operator is per-row expression work — embarrassingly parallel,
+  * no shuffle at all: at 100 TB these run as a single mapper stage
+  * fused into the scan by whole-stage codegen. Outputs are integers,
+  * strings, or single-op double ratios, so DuckDB oracle results match
+  * bit-exactly (same expression shape both sides, see SURVEY §5).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists for the n-gram/stopword-hit language
+    * heuristic. Tie-break is the fixed list order below (first wins). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** F1: language-ID — stopword-hit counts per language, argmax with
+    * deterministic list-order tie-break (chained CASE, not greatest(),
+    * so the oracle mirrors it trivially). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withHits = stopwords.foldLeft(docs.withColumn("toks", toks)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
+    }
+    // First-match-wins CASE chain: a language wins when its hits are >=
+    // every other language's hits; earlier list position breaks ties.
+    val langs = stopwords.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, elsePart) =>
+      val geAll = langs.filter(_ != lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(lang)).otherwise(elsePart)
+    }
+    withHits
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id")) ++
+        stopwords.map { case (l, _) => col(s"hits_$l") } :+ col("pred_lang"): _*)
+  }
+
+  /** F2: quality score — length / stopword / digit / punctuation
+    * signals combined into one [0,1] score. Exact expression order is
+    * part of the contract (oracle mirrors it verbatim). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val enStop = stopwords.head._2
+    docs
+      .withColumn("n_chars_c", length(col("text")))
+      .withColumn("wc", size(toks))
+      .withColumn("stop_hits", stopwordHits(toks, enStop))
+      .withColumn("digit_chars", length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("punct_chars", length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?,;:]", "")))
+      .withColumn("score",
+        lit(0.3) * least(lit(1.0), col("wc") / lit(120.0)) +
+        lit(0.3) * (col("stop_hits") / col("wc")) +
+        lit(0.2) * (lit(1.0) - col("digit_chars") / col("n_chars_c")) +
+        lit(0.2) * (lit(1.0) - col("punct_chars") / col("n_chars_c")))
+      .select("doc_id", "n_chars_c", "wc", "stop_hits", "digit_chars",
+        "punct_chars", "score")
+  }
+
+  /** F3: token counting — whitespace tokens vs a BPE-ish lexer count
+    * (letter runs / digit runs / single non-alnum marks, the classic
+    * pre-tokenizer shape). regexp_count keeps it codegen'd. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(tokens(col("text"))))
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")))
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+
+  /** F4: content fingerprint — md5 over the whitespace-normalized
+    * lowercase token stream: stable under case / spacing / punctuation
+    * jitter, the content-defined identity a 100 TB dedup ledger keys
+    * on (cheap exact-dup prefilter ahead of D2/D3). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
+}

@@ -23,25 +23,33 @@ object Timeseries {
   def intervalDiff(df: DataFrame, key: String, time: String, id: String,
                    value: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    // Drop only the FIRST row per series (no predecessor), detected via
+    // lag over the always-present id column — a null *measurement* mid-
+    // series yields a null delta but keeps its row, unlike numpy diff
+    // which would only ever lose index 0.
     df.withColumn("delta", col(value) - lag(col(value), 1).over(w))
-      .filter(col("delta").isNotNull)
+      .withColumn("prev_row_id", lag(col(id), 1).over(w))
+      .filter(col("prev_row_id").isNotNull)
+      .drop("prev_row_id")
   }
 
   /** A2: UTC → Sri Lanka local (+5:30), minute-floored string.
     * Reference: `datetime_utc_to_lk`, wrf_data_pusher.py:75-76 and the
     * `'%Y-%m-%d %H:%M:00'` format at wrf_data_pusher.py:268.
     */
-  def tzShiftLk(df: DataFrame, tsNanos: String): DataFrame =
+  def tzShiftLk(df: DataFrame, tsMicros: String): DataFrame =
     df.withColumn("lk_time",
       date_format(
-        timestamp_micros(expr(s"$tsNanos div 1000 + 19800000000")),
+        timestamp_micros(expr(s"$tsMicros + 19800000000")),
         "yyyy-MM-dd HH:mm:00"))
 
-  /** Epoch-second bucket from an epoch-nanos long column — `div` is
+  /** Epoch-second bucket from an integer epoch-tick column — `div` is
     * exact long floor-division end to end (engine-portable; a double
-    * roundtrip would lose ns precision above 2^53). */
-  def bucketFromNanos(tsNanosCol: String, widthSec: Long = 900L): Column =
-    expr(s"(($tsNanosCol div 1000000000) div $widthSec) * $widthSec")
+    * roundtrip would lose precision above 2^53). `ticksPerSec` adapts
+    * to the stored resolution (1e9 for nanos, 1e6 for micros). */
+  def bucketEpochSec(tsCol: String, widthSec: Long = 900L,
+                     ticksPerSec: Long = 1000000L): Column =
+    expr(s"((($tsCol) div $ticksPerSec) div $widthSec) * $widthSec")
 
   /** A3: resample to fixed buckets, summing values per key.
     * Reference: `extract_obs_rain_15_min_ts` (db_adapter.curw_sim.common)
@@ -77,28 +85,36 @@ object Timeseries {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** A6: ensemble mean — mean across sources at each (key, bucket).
-    * Reference: row-wise mean over WRF systems A/C/E/SE,
+  /** A6: ensemble mean — resample each source's series to the bucket
+    * grid, then row-wise mean across sources at each (key, bucket).
+    * Reference: row-wise mean over the WRF system columns A/C/E/SE,
     * gen_hybrid_mean_wrf_rfields.py:205.
-    * The reference pivots then means across columns; groupBy-avg is the
-    * shuffle-minimal equivalent (one hash agg, no pivot materialized).
+    * The reference pivots then means across columns; two stacked hash
+    * aggs are the shuffle-minimal equivalent (no pivot materialized,
+    * partial agg on both levels). The mean is written sum/count rather
+    * than avg() so a decimal-typed value column stays exact until the
+    * single final double division (cross-engine exactness, SURVEY §5).
     */
-  def ensembleMean(df: DataFrame, key: String, bucket: Column,
+  def ensembleMean(df: DataFrame, key: String, source: String, bucket: Column,
                    value: String): DataFrame =
-    df.groupBy(col(key), bucket.as("bucket"))
-      .agg(avg(col(value)).as("mean_value"), count(lit(1)).as("n_sources"))
+    df.groupBy(col(key), col(source), bucket.as("bucket"))
+      .agg(sum(col(value)).as("source_sum"))
+      .groupBy(col(key), col("bucket"))
+      .agg((sum(col("source_sum")).cast("double") / count(lit(1))).as("mean_value"),
+        count(lit(1)).as("n_sources"))
 
   /** A7: hybrid obs+fcst — align two series on (key, bucket), prefer
     * the observation where present.
-    * Reference: fcst outer-join then obs left-join + dropna,
-    * gen_active_stations_rfields.py:200-214.
-    * Full-outer on the bucketed key; both sides pre-aggregated so the
-    * join keys are unique (no row explosion).
+    * Reference: fcst outer-join then obs left-join + dropna — only
+    * timestamps where BOTH obs and fcst exist survive,
+    * gen_active_stations_rfields.py:200-214. Inner join on the bucketed
+    * key mirrors that overlap-only semantic; both sides pre-aggregated
+    * so the join keys are unique (no row explosion).
     */
   def hybridObsFcst(obs: DataFrame, fcst: DataFrame, key: String): DataFrame = {
     val o = obs.withColumnRenamed("value", "obs_value")
     val f = fcst.withColumnRenamed("value", "fcst_value")
-    o.join(f, Seq(key, "bucket"), "full_outer")
+    o.join(f, Seq(key, "bucket"), "inner")
       .withColumn("hybrid_value", coalesce(col("obs_value"), col("fcst_value")))
   }
 
@@ -109,27 +125,32 @@ object Timeseries {
     * Global max via scalar agg (tiny) cross-joined as a literal-like
     * broadcast; then a groupBy — one shuffle on the key.
     */
-  def activeKeys(df: DataFrame, key: String, tsNanos: String,
-                 days: Int = 7): DataFrame = {
-    val horizon = days.toLong * 86400L * 1000000000L
-    val maxTs = df.agg(max(col(tsNanos)).as("max_ts"))
+  def activeKeys(df: DataFrame, key: String, tsCol: String,
+                 days: Int = 7, ticksPerSec: Long = 1000000L): DataFrame = {
+    val horizon = days.toLong * 86400L * ticksPerSec
+    val maxTs = df.agg(max(col(tsCol)).as("max_ts"))
     df.join(broadcast(maxTs))
-      .filter(col(tsNanos) >= col("max_ts") - lit(horizon))
+      .filter(col(tsCol) >= col("max_ts") - lit(horizon))
       .groupBy(col(key))
       .agg(count(lit(1)).as("recent_events"),
-        expr(s"max($tsNanos) div 1000000000").as("last_seen_s"))
+        expr(s"max($tsCol) div $ticksPerSec").as("last_seen_s"))
   }
 
   /** A9: station registry — one stable station per rounded grid key.
     * Reference: `wrf_{lat}_{lon}` station naming + add-if-absent,
-    * wrf_data_pusher.py:211-228. Deterministic content-derived id
+    * wrf_data_pusher.py:211-228, where lat/lon are formatted '%.6f'
+    * (wrf_data_pusher.py:211-213) so float jitter across files can't
+    * mint duplicate stations. Deterministic content-derived id
     * (md5 of the key) instead of an auto-increment — idempotent across
     * re-runs and executors, which is what upsert-once semantics need
     * at scale.
     */
-  def stationRegistry(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val name = concat_ws("_", lit("st") +: keyCols.map(c => col(c).cast("string")): _*)
-    df.select(keyCols.map(col): _*).distinct()
+  def stationRegistry(df: DataFrame, keyCols: Seq[String],
+                      prefix: String = "st"): DataFrame = {
+    // '%.6f' normalization exactly as the reference keys grid points.
+    val keyed = keyCols.map(c => format_string("%.6f", col(c)).as(s"${c}_key"))
+    val name = concat_ws("_", lit(prefix) +: keyCols.map(c => col(s"${c}_key")): _*)
+    df.select(keyed: _*).distinct()
       .withColumn("station_name", name)
       .withColumn("station_id", md5(name))
   }

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Dev tool only — NOT part of the graft library (the engine is pure
+Scala/Spark; this script just pre-validates oracle SQL the same way the
+driver does: run Verify first, then compare each parquet result with
+the DuckDB result of the corresponding oracle_sql.json entry, sorting
+columns by name and rows by all columns before comparing values).
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes a bit: timestamps → ns, ints → int64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def cmp(name, spark_df, duck_df):
+    s, d = norm(spark_df), norm(duck_df)
+    if list(s.columns) != list(d.columns):
+        return f"SCHEMA columns spark={list(s.columns)} duck={list(d.columns)}"
+    if len(s) != len(d):
+        return f"ROWS spark={len(s)} duck={len(d)}"
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            aa, bb = a.astype(float), b.astype(float)
+            bad = ~((aa == bb) | (aa.isna() & bb.isna()))
+            if bad.any():
+                i = bad.idxmax()
+                mx = (aa - bb).abs().max()
+                return f"VALUES col={c} row={i} spark={aa[i]!r} duck={bb[i]!r} maxabs={mx}"
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                bad = a.astype(str) != b.astype(str)
+                i = bad.idxmax()
+                return f"VALUES col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"NO SPARK OUTPUT: {e}"
+            continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            results[name] = f"ORACLE SQL ERROR: {e}"
+            continue
+        err = cmp(name, spark_df, duck_df)
+        results[name] = err or f"OK ({len(spark_df)} rows)"
+    # rows-only queries: present in output dir but not in oracle
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = len(pd.read_parquet(p))
+                results[name] = f"ROWS-ONLY ({n} rows)" + ("" if n > 0 else "  ** EMPTY **")
+            except Exception as e:
+                results[name] = f"ROWS-ONLY READ ERROR: {e}"
+    fails = 0
+    for name, r in sorted(results.items()):
+        flag = " " if r.startswith(("OK", "ROWS-ONLY")) else "!"
+        if flag == "!":
+            fails += 1
+        print(f"{flag} {name}: {r}")
+    print(f"\n{len(results) - fails}/{len(results)} pass")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
