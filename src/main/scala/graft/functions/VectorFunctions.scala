@@ -1,29 +1,32 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over `array<float>` embedding columns.
   *
-  * All built-in higher-order functions (`transform`/`zip_with`/
-  * `aggregate`) — codegen'd, no UDF, no driver round-trip. Sums run
-  * sequentially over the array, so the float→double accumulation order
-  * is deterministic and matches a sequential oracle implementation to
-  * the last ulp (outputs are still rounded at 6 dp before any
-  * threshold compare, see SURVEY §5).
+  * The hot path (pairwise dot products) runs on [[VecExprs.DotProduct]],
+  * a custom codegen expression: built-in higher-order functions
+  * (`aggregate`/`zip_with`) are CodegenFallback — interpreted per row
+  * with closure + intermediate-array cost — which dominates all-pairs
+  * similarity. The codegen loop accumulates sequentially left-to-right,
+  * so results stay bit-identical to both the HOF formulation and
+  * DuckDB's `list_dot_product` (outputs still rounded at 6 dp before
+  * any threshold compare, see SURVEY §5).
+  *
+  * Callers must [[VecExprs.register]] on the session first (operators
+  * do this; it's idempotent).
   */
 object VectorFunctions {
 
-  /** float[] → double[] (all accumulation in double). */
-  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+  /** float[] → double[] via built-in element cast (codegen'd, exact). */
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
+
+  /** Σ xᵢyᵢ — codegen'd dot product of two double vectors. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Σ xᵢ² — squared L2 norm. */
-  def norm2(v: Column): Column =
-    aggregate(v, lit(0.0), (s, x) => s + x * x)
-
-  /** Σ xᵢyᵢ — dot product of two equal-length double vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  def norm2(v: Column): Column = dot(v, v)
 
   /** cosine from a precomputed dot and squared norms — written as
     * dot/(√n2a·√n2b) in exactly this operand order (mirrored in the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,25 +28,38 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Per-row distinct 3-gram shingle hashes (codegen'd
+    * [[graft.functions.VecExprs.Grams3Hashes]]) — the signature input
+    * every dedup flavor shares. Joining on the 64-bit hash instead of
+    * the gram string shrinks the shuffle ~5× and makes the join key a
+    * fixed-width long (collision odds over a corpus of G distinct
+    * grams ≈ G²/2⁶⁵ — negligible at any real G). Caller must
+    * VecExprs.register first. */
+  private def gramHashes(text: Column): Column =
+    call_function("graft_grams3h", tokens(text))
+
   /** D3: exact n-gram Jaccard over word 3-gram shingle sets.
     * Shingle-explode equi-join generates candidates (docs sharing ≥1
     * gram); Jaccard = |A∩B| / (|A|+|B|−|A∩B|) computed from exact
     * counts, threshold applied after. Counts are integers, the final
-    * division is one double op — cross-engine exact. */
+    * division is one double op — cross-engine exact. Set sizes come
+    * free per row (`size(ghs)`) — no extra groupBy. */
   def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
-    val g = docs
-      .select(col("doc_id"), explode(grams3(tokens(col("text")))).as("gram"))
-      .distinct()
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    graft.functions.VecExprs.register(docs.sparkSession)
+    // cache(): the exploded gram table feeds BOTH sides of the
+    // candidate self-join — without it each branch re-scans and
+    // re-shingles the corpus (and projection collapse re-evaluates the
+    // shingle chain per exploded row). At scale this is the materialize-
+    // the-signature-table step of every dedup pipeline.
+    val g = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+      .cache()
     val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_grams")).as("n_a"), first(col("b.n_grams")).as("n_b"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_grams", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_grams", "n_b"), "doc_b")
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
@@ -67,21 +80,24 @@ object Dedup {
     * concentrate in small buckets.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes == 32, "registered signature variant is 32-slot")
     val rowsPerBand = numHashes / bands
-    val g = docs
-      .select(col("doc_id"), explode(grams3(tokens(col("text")))).as("gram"))
-      .distinct()
-    val sigs = g
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(i, col("gram")))).as(Seq("i", "h")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("minh"))
-    val buckets = sigs
-      .withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("bit_xor(xxhash64(i, minh))").as("bucket"))
     require(rowsPerBand > 0, s"numHashes=$numHashes must be >= bands=$bands")
+    graft.functions.VecExprs.register(docs.sparkSession)
+    // Whole signature per row in one codegen'd pass — no explode/groupBy
+    // shuffle for signature construction at all; docs with no grams
+    // (<3 tokens) are excluded, as with the exploded formulation.
+    val sigs = docs
+      .select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
+    // Band bucket = hash of the band's signature slice (+ band index so
+    // identical slices in different bands can't collide).
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+      .cache() // both sides of the self-join read this (see ngramJaccard)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -99,13 +115,13 @@ object Dedup {
     * on (band, band_val).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    // Majority-bit simhash over the token-hash multiset, one codegen'd
+    // pass per row (the HOF spelling — aggregate over 64 filter()s —
+    // is CodegenFallback and allocates 64 arrays per doc).
     val withSim = docs
       .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) ->
-          |  acc + CASE WHEN 2 * size(filter(hs, h -> (h >> j) & 1 = 1)) > size(hs)
-          |            THEN shiftleft(cast(1 as bigint), j)
-          |            ELSE cast(0 as bigint) END)""".stripMargin))
+      .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select(col("doc_id"), col("simhash"))
     val banded = withSim.select(col("doc_id"), col("simhash"),
       posexplode(expr(

@@ -20,10 +20,12 @@ object Similarity {
 
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
-  def prepared(emb: DataFrame): DataFrame =
+  def prepared(emb: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(emb.sparkSession)
     emb.withColumn("v", toDoubleVec(col("embedding")))
       .withColumn("n2", norm2(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("n2"))
+  }
 
   private def cosTo(a: String, b: String): Column =
     cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
@@ -60,14 +62,13 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: P sign bits, plane p's component
     * for dimension d is ±1 derived from xxhash64(p, d) parity —
     * deterministic, no stored plane matrix, recomputed identically on
-    * every executor (nothing to broadcast). */
-  def hyperplaneBucket(vs: String, planes: Int): Column =
-    expr(
-      s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
-         |  acc + CASE WHEN aggregate(sequence(0, size($vs) - 1), cast(0 as double), (s, d) ->
-         |                    s + element_at($vs, d + 1) *
-         |                        (CASE WHEN (xxhash64(p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)) > 0
-         |            THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)""".stripMargin)
+    * every executor (nothing to broadcast). Codegen'd
+    * [[graft.functions.VecExprs.HyperplaneBucket]] (the HOF spelling of
+    * the same formula is CodegenFallback — interpreted, ~50× slower). */
+  def hyperplaneBucket(vs: String, planes: Int): Column = {
+    require(planes == 8, "registered variant is 8-plane")
+    call_function("graft_hyperplane8", col(vs))
+  }
 
   /** E2: LSH-bucketed ANN top-k (rows-only; spec-verified recall vs
     * E1). Bucket equi-join replaces the all-pairs join: only
