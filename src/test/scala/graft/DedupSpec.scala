@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog!"),  // exact after normalize, not byte-exact
+    (4L, "completely different content about spark engines and data"),
+    (5L, "the quick brown fox jumps over the lazy dog")    // byte-exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("D1 exact groups byte-identical texts, keeps min doc_id") {
+    val out = Dedup.exact(docs)
+    assert(out.count() === 4) // 1&5 merge; 3 differs byte-wise
+    val merged = out.filter(col("n_docs") === 2).select("keep_id").as[Long].head()
+    assert(merged === 1L)
+  }
+
+  test("D3 ngramJaccard finds the near-dup pair with correct set math") {
+    val out = Dedup.ngramJaccard(docs, 0.5)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+      .collect().toSeq.map(_.toSeq)
+    // docs 1,3,5 normalize to identical 7 grams (9 tokens); doc 2 shares 6 of 8 distinct
+    val pairs = out.map(r => (r(0), r(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 5L)) && pairs.contains((3L, 5L)))
+    val p13 = out.find(r => r(0) == 1L && r(1) == 3L).get
+    assert(p13(2) === 7L && p13(3) === 7L && p13(4) === 7L && p13(5) === 1.0)
+  }
+
+  test("D2 minhashLsh candidates ⊇ true high-jaccard pairs (identical docs always collide)") {
+    val cands = Dedup.minhashLsh(docs).as[(Long, Long)].collect().toSet
+    // identical shingle sets → identical signatures → all bands collide
+    assert(cands.contains((1L, 3L)) && cands.contains((1L, 5L)) && cands.contains((3L, 5L)))
+    // the unrelated doc 4 shares no grams: its minhash slots differ from
+    // doc 1's with overwhelming probability across all 8 bands
+    assert(!cands.contains((1L, 4L)))
+  }
+
+  test("D4 simhashPairs: identical token streams → hamming 0; reflexive pairs excluded") {
+    val out = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect().toSeq.map(_.toSeq)
+    val p = out.map(r => ((r(0), r(1)), r(2))).toMap
+    assert(p(((1L, 3L))) === 0L && p(((1L, 5L))) === 0L)
+    assert(out.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
+  }
+
+  test("D5 embeddingCosine flags only pairs above the threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.9f, 0.1f), "x"),   // cos ≈ 0.9939
+      (3L, Array(0.0f, 1.0f), "x")    // orthogonal to 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingCosine(emb, 0.95).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("survivors removes every doc named as the larger id of a pair") {
+    val pairs = Seq((1L, 3L), (1L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.survivors(docs, pairs).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 4L))
+  }
+}

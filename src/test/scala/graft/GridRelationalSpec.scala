@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Grid, Relational}
+
+class GridRelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("B1/B2 rfieldFlatten aggregates per cell sorted by (lon, lat); bbox cuts the extent") {
+    val grid = Seq((0L, 1.0), (0L, 2.0), (10L, 5.0)).toDF("user_id", "v")
+    val derived = Grid.deriveGrid(grid, "user_id")
+    val flat = Grid.rfieldFlatten(derived, "v").collect().toSeq.map(_.toSeq)
+    // user 0 → (lat 6.0, lon 79.0) sum 3.0 ; user 10 → (lat 6.0, lon 79.25)
+    assert(flat === Seq(Seq(79.0, 6.0, 3.0), Seq(79.25, 6.0, 5.0)))
+    val cut = Grid.bboxFilter(Grid.rfieldFlatten(derived, "v"), 79.0, 79.1, 5.0, 7.0)
+    assert(cut.count() === 1)
+  }
+
+  test("B3 nearestGridPoint picks the argmin cell with deterministic tie-break") {
+    val stations = Seq(("s1", 6.1, 79.1), ("s2", 6.9, 79.9))
+      .toDF("station_id", "s_lat", "s_lon")
+    val grid = Seq((6.0, 79.0), (6.25, 79.25), (7.0, 80.0)).toDF("lat", "lon")
+    val out = Grid.nearestGridPoint(stations, grid)
+      .orderBy("station_id").select("station_id", "g_lat", "g_lon")
+      .collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq("s1", 6.0, 79.0), Seq("s2", 7.0, 80.0)))
+  }
+
+  test("C4 topKPerGroup returns k rows per group ordered desc with tie-break") {
+    val df = Seq(("g1", 10.0, 1L), ("g1", 30.0, 2L), ("g1", 30.0, 3L), ("g1", 5.0, 4L),
+                 ("g2", 1.0, 5L)).toDF("g", "x", "id")
+    val out = Relational.topKPerGroup(df, "g", "x", "id", 2)
+      .orderBy("g", "id").select("id").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 3L, 5L))
+  }
+
+  test("C1 q1 on sf0.001 matches aggregate invariants") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.q1PricingSummary(li)
+    val total = out.agg(sum("count_order")).as[Long].head()
+    val filtered = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total === filtered)
+    // avg_qty is exactly sum_qty / count per group
+    val bad = out.filter(abs(col("avg_qty") - col("sum_qty") / col("count_order")) > lit(1e-9)).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, collapses punctuation runs, drops empties") {
+    val out = Seq("  Hello,  WORLD!! 42 ").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(out === Seq("hello", "world", "42"))
+  }
+
+  test("grams3 emits n-2 shingles, empty below 3 tokens") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.grams3(TextFunctions.tokens(col("text"))).as("g"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("F1 langId picks the max-hit language with list-order tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy plugh")  // zero hits everywhere → first list entry wins
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).orderBy("doc_id")
+      .select("pred_lang").as[String].collect()
+    assert(out.toSeq === Seq("en", "de", "en"))
+  }
+
+  test("F2 qualityScore components and formula") {
+    val df = Seq((1L, "the fox is 42.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df).head()
+    assert(r.getAs[Int]("n_chars_c") === 14)
+    assert(r.getAs[Int]("wc") === 4)          // the fox is 42
+    assert(r.getAs[Int]("stop_hits") === 2)   // the, is
+    assert(r.getAs[Int]("digit_chars") === 2)
+    assert(r.getAs[Int]("punct_chars") === 1)
+    val score = 0.3 * math.min(1.0, 4 / 120.0) + 0.3 * (2.0 / 4) +
+      0.2 * (1.0 - 2.0 / 14) + 0.2 * (1.0 - 1.0 / 14)
+    assert(math.abs(r.getAs[Double]("score") - score) < 1e-12)
+  }
+
+  test("F3 tokenCount: whitespace vs BPE-ish lexer") {
+    val df = Seq((1L, "don't stop 123abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(df).head()
+    assert(r.getAs[Int]("ws_tokens") === 4)  // don t stop 123abc
+    // don | ' | t | stop | 123 | abc
+    assert(r.getAs[Int]("bpe_tokens") === 6)
+  }
+
+  test("F4 fingerprint is invariant to case/punctuation/spacing jitter") {
+    val df = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df).orderBy("doc_id")
+      .select("fingerprint").as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Timeseries
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, time, id, value) — two series; series "a" has a null value mid-way
+  private def ts = Seq(
+    ("a", 10L, 1L, Some(5.0)), ("a", 20L, 2L, Some(8.0)),
+    ("a", 30L, 3L, None),      ("a", 40L, 4L, Some(9.0)),
+    ("b", 10L, 5L, Some(1.0)), ("b", 25L, 6L, Some(4.0))
+  ).toDF("k", "t", "id", "v")
+
+  test("A1 intervalDiff drops exactly the first row per series, keeps null measurements") {
+    val out = Timeseries.intervalDiff(ts, "k", "t", "id", "v")
+      .orderBy("k", "t").select("k", "t", "delta").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(
+      Seq("a", 20L, 3.0), Seq("a", 30L, null), Seq("a", 40L, null),
+      Seq("b", 25L, 3.0)))
+  }
+
+  test("A2 tzShiftLk adds +5:30 and floors to the minute") {
+    // 2020-01-01 00:00:59 UTC in micros → 05:30:00 LK string
+    val us = 1577836859000000L
+    val out = Timeseries.tzShiftLk(Seq(us).toDF("ts_us"), "ts_us")
+      .select("lk_time").as[String].head()
+    assert(out === "2020-01-01 05:30:00")
+  }
+
+  test("A3 resample sums per (key, bucket)") {
+    val df = Seq(("a", 100L, 1.0), ("a", 800L, 2.0), ("a", 950L, 4.0), ("b", 100L, 8.0))
+      .toDF("k", "t", "v")
+    val out = Timeseries.resample(df, "k", Timeseries.bucketEpochSec("t", 900L, 1L), "v")
+      .orderBy("k", "bucket").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq("a", 0L, 3.0), Seq("a", 900L, 4.0), Seq("b", 0L, 8.0)))
+  }
+
+  test("A4 latestRun keeps the newest row per key with id tie-break") {
+    val df = Seq(("a", 10L, 1L, 1.0), ("a", 20L, 2L, 2.0), ("a", 20L, 3L, 3.0))
+      .toDF("k", "t", "id", "v")
+    val out = Timeseries.latestRun(df, "k", "t", "id").select("id").as[Long].collect()
+    assert(out.toSeq === Seq(3L))
+  }
+
+  test("A5 upsertDedup last-write-wins per business key") {
+    val df = Seq(("a", "x", 10L, 1L, 1.0), ("a", "x", 20L, 2L, 2.0), ("a", "y", 5L, 3L, 3.0))
+      .toDF("k", "kind", "ver", "id", "v")
+    val out = Timeseries.upsertDedup(df, Seq("k", "kind"), "ver", "id")
+      .orderBy("kind").select("id").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 3L))
+  }
+
+  test("A6 ensembleMean averages across sources per bucket") {
+    val df = Seq(("st1", "A", 0L, 2.0), ("st1", "B", 0L, 4.0), ("st1", "A", 1000L, 6.0))
+      .toDF("k", "src", "t", "v")
+    val out = Timeseries.ensembleMean(df, "k", "src", Timeseries.bucketEpochSec("t", 900L, 1L), "v")
+      .orderBy("bucket").select("mean_value", "n_sources").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(3.0, 2L), Seq(6.0, 1L)))
+  }
+
+  test("A7 hybridObsFcst keeps only overlapping buckets, prefers obs") {
+    val obs  = Seq(("a", 0L, 1.0), ("a", 900L, 2.0)).toDF("k", "bucket", "value")
+    val fcst = Seq(("a", 900L, 9.0), ("a", 1800L, 8.0)).toDF("k", "bucket", "value")
+    val out = Timeseries.hybridObsFcst(obs, fcst, "k")
+      .select("bucket", "hybrid_value").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(900L, 2.0)))
+  }
+
+  test("A8 activeKeys filters to keys active within the horizon") {
+    val day = 86400L
+    val df = Seq(("old", 0L), ("new", 10L * day), ("edge", 3L * day + 1))
+      .toDF("k", "t")
+    val out = Timeseries.activeKeys(df, "k", "t", days = 7, ticksPerSec = 1L)
+      .select("k").as[String].collect().toSet
+    assert(out === Set("new", "edge"))
+  }
+
+  test("A9 stationRegistry keys on 6-dp-rounded coords (float jitter collapses)") {
+    val df = Seq((6.50000004, 79.25), (6.5, 79.25)).toDF("lat", "lon")
+    val out = Timeseries.stationRegistry(df, Seq("lat", "lon"), "wrf")
+    assert(out.count() === 1)
+    assert(out.select("station_name").as[String].head() === "wrf_6.500000_79.250000")
+  }
+
+  test("A10 tmsId is deterministic in the metadata tuple") {
+    val df = Seq(("s1", "stA", "src", "rain", "mm")).toDF("sim", "st", "src", "vr", "un")
+    val cols = Seq("sim", "st", "src", "vr", "un")
+    val a = Timeseries.tmsId(df, cols).select("tms_id").as[String].head()
+    val b = Timeseries.tmsId(df, cols).select("tms_id").as[String].head()
+    assert(a === b && a.length === 32)
+  }
+
+  test("A11 fgtWatermark is max per key") {
+    val df = Seq(("a", 1L), ("a", 9L), ("b", 4L)).toDF("k", "fgt")
+    val out = Timeseries.fgtWatermark(df, "k", "fgt")
+      .orderBy("k").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq("a", 9L), Seq("b", 4L)))
+  }
+
+  test("A12 gapFillForward carries the last non-null forward, leading nulls stay") {
+    val df = Seq(("a", 1L, 1L, None), ("a", 2L, 2L, Some(5.0)),
+                 ("a", 3L, 3L, None), ("a", 4L, 4L, Some(7.0)))
+      .toDF("k", "t", "id", "v")
+    val out = Timeseries.gapFillForward(df, "k", "t", "id", "v")
+      .orderBy("t").select("filled").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(null), Seq(5.0), Seq(5.0), Seq(7.0)))
+  }
+}

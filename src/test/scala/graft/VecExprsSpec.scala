@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecExprs
+import graft.operators.Multimodal
+
+class VecExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = { super.beforeAll(); VecExprs.register(spark) }
+
+  test("graft_dot matches sequential accumulation exactly") {
+    val out = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").select(call_function("graft_dot", col("a"), col("b")))
+      .as[Double].head()
+    assert(out === 32.0)
+  }
+
+  test("graft_dot on empty arrays is 0, null array is null") {
+    val df = Seq((Some(Array.empty[Double]), Some(Array.empty[Double])),
+                 (None, Some(Array(1.0)))).toDF("a", "b")
+    val out = df.select(call_function("graft_dot", col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) === 0.0)
+    assert(out(1) === null)
+  }
+
+  test("graft_simhash64: all-identical hashes give the hash itself; empty gives 0") {
+    val df = Seq(Seq(5L, 5L, 5L), Seq.empty[Long]).toDF("hs")
+    val out = df.select(call_function("graft_simhash64", col("hs"))).as[Long].collect()
+    assert(out(0) === 5L)
+    assert(out(1) === 0L)
+  }
+
+  test("graft_minhash32: monotone — superset's slot minima ≤ subset's") {
+    val df = Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L, 5L)).toDF("hs")
+    val sigs = df.select(call_function("graft_minhash32", col("hs"))).as[Seq[Long]].collect()
+    assert(sigs(0).size === 32 && sigs(1).size === 32)
+    sigs(0).zip(sigs(1)).foreach { case (a, b) => assert(b <= a) }
+  }
+
+  test("graft_grams3h equals distinct count of 3-gram strings") {
+    val df = Seq("a b c d a b c d", "x y").toDF("text")
+      .select(call_function("graft_grams3h",
+        graft.functions.TextFunctions.tokens(col("text"))).as("g"))
+    val out = df.as[Seq[Long]].collect()
+    // 8 tokens → 6 grams; "a b c"/"b c d" repeat → 4 distinct (abc, bcd, cda, dab)
+    assert(out(0).size === 4)
+    assert(out(0) === out(0).sorted)
+    assert(out(1) === Seq.empty)
+  }
+
+  test("graft_hyperplane8 buckets colinear vectors together, stays in [0, 255]") {
+    val df = Seq(Array(1.0, 2.0, 3.0), Array(2.0, 4.0, 6.0), Array(-1.0, -2.0, -3.0))
+      .toDF("v").select(call_function("graft_hyperplane8", col("v"))).as[Long]
+    val out = df.collect()
+    assert(out(0) === out(1))            // same direction → same signs
+    assert(out.forall(b => b >= 0 && b < 256))
+  }
+
+  test("G1 decodeMeta is deterministic and batch-invariant") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val a = Multimodal.decodeMeta(docs).orderBy("doc_id").collect()
+    val b = Multimodal.decodeMeta(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64))
+  }
+}
