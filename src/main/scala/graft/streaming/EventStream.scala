@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming flavor of the ETL core — the always-on version
+  * of the reference's cron-driven batch loop (crontab.txt runs the
+  * pusher every 15 min; a stream with 15-min event-time windows is the
+  * native Spark expression of the same contract).
+  *
+  * All transforms are `DataFrame => DataFrame` so they apply
+  * identically to `readStream` sources and batch frames (tested with
+  * MemoryStream; production wires `spark.readStream.format(...)`).
+  *
+  * Scale posture: watermark + windowed aggregation keeps state bounded
+  * (late data beyond the watermark is dropped, state for closed
+  * windows evicted); state is sharded by (key, window) — the same
+  * station-key sharding as the batch A-ops.
+  */
+object EventStream {
+
+  /** A3-as-a-stream: per-key 15-min windowed sums with event-time
+    * watermark. Append-mode-compatible (emits only closed windows). */
+  def windowedSums(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, window: String = "15 minutes",
+                   watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(sum(col(valueCol)).as("value"), count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"), col("value"), col("n_events"))
+
+  /** A11-as-a-stream: running max event time per key (the fgt
+    * watermark ledger). Update-mode output. */
+  def runningWatermark(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events.groupBy(col(keyCol)).agg(max(col(tsCol)).as("latest_fgt"))
+}

@@ -1,0 +1,33 @@
+package graft
+
+// Forked-JVM drive of the streaming surface with a real `rate` source
+// (sbt console's REPL classloader breaks Spark codegen on java.sql
+// types, so the interactive drive runs here instead):
+//   sbt "Test/runMain graft.StreamDrive"
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+object StreamDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    val ev = rate
+      .withColumn("station", concat(lit("s"), (col("value") % 3).cast("string")))
+      .withColumn("v", lit(1.0))
+    val q = EventStream.windowedSums(ev, "timestamp", "station", "v",
+        "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("drive_sums")
+      .outputMode("complete").start()
+    Thread.sleep(5000); q.processAllAvailable()
+    val rows = spark.table("drive_sums").orderBy("station", "bucket_start")
+    println(s"STREAM ROWS=${rows.count()}")
+    rows.show(10, truncate = false)
+    q.stop(); spark.stop()
+  }
+}
