@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: dumps the formatted physical plan of every
+  * SparkEntry query (or the ones named as args) — the review loop for
+  * pushdown / broadcast / shuffle hygiene documented in PERF.md.
+  *
+  *   sbt "runMain graft.Explain [query ...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    wanted.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query '$name' — available: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      }
+    }
+    spark.stop()
+  }
+}
