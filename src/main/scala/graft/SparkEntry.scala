@@ -70,6 +70,15 @@ object SparkEntry {
       Timeseries.resample(ev(s, d), "user_id", bucket15, "value_dec")
         .select(col("user_id"), col("bucket"), col("value").cast("double").as("value"))),
 
+    // salted two-phase flavor of the same aggregation (skew path);
+    // same oracle semantics as a plain groupBy — that's the point.
+    "ts_resample_salted" -> ((s, d) =>
+      Skew.saltedSumCount(
+        ev(s, d).withColumn("bucket", bucket15),
+        Seq("user_id", "bucket"), "value_dec", saltBy = "event_id")
+        .select(col("user_id"), col("bucket"),
+          col("value").cast("double").as("value"), col("n"))),
+
     "ts_latest_run" -> ((s, d) =>
       Timeseries.latestRun(evt(s, d), "user_id", "ts_us", "event_id")
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))),
@@ -163,6 +172,10 @@ object SparkEntry {
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.survivors(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
@@ -230,6 +243,12 @@ object SparkEntry {
     "ts_resample_15min" ->
       s"""SELECT user_id, $B AS bucket,
          |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_resample_salted" ->
+      s"""SELECT user_id, $B AS bucket,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value,
+         |  count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_latest_run" ->
@@ -400,6 +419,26 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE inter / (sa.n + sb.n - inter) >= 0.2)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

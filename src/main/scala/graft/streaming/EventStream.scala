@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming flavor of the ETL core — the always-on version
   * of the reference's cron-driven batch loop (crontab.txt runs the
@@ -35,4 +36,39 @@ object EventStream {
     * watermark ledger). Update-mode output. */
   def runningWatermark(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
     events.groupBy(col(keyCol)).agg(max(col(tsCol)).as("latest_fgt"))
+
+  /** One cumulative reading (the shape RAINNC arrives in). */
+  final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
+  /** One per-interval delta (what the reference pushes to the DB). */
+  final case class IntervalDelta(station: String, ts: java.sql.Timestamp, delta: Double)
+
+  /** A1-as-a-stream: cumulative → per-interval deltas with CUSTOM
+    * per-key state (`flatMapGroupsWithState`) — the last cumulative
+    * value per station survives across micro-batches, so the first
+    * event of batch N diffs correctly against the last of batch N-1
+    * (a windowed agg can't express this: the diff needs the previous
+    * ROW, not a window).
+    *
+    * State is one double per station — bounded by station count, the
+    * same shard key as batch A1. Within a batch, events are ordered by
+    * event time before diffing (micro-batch iterators carry no order
+    * guarantee).
+    */
+  def streamingIntervalDiff(events: Dataset[CumulReading]): Dataset[IntervalDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.station)
+      .flatMapGroupsWithState[Double, IntervalDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (station, readings, state: GroupState[Double]) =>
+          val ordered = readings.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption
+          val out = ordered.flatMap { r =>
+            val d = last.map(prev => IntervalDelta(station, r.ts, r.value - prev))
+            last = Some(r.value)
+            d
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

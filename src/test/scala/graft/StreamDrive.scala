@@ -28,6 +28,24 @@ object StreamDrive {
     val rows = spark.table("drive_sums").orderBy("station", "bucket_start")
     println(s"STREAM ROWS=${rows.count()}")
     rows.show(10, truncate = false)
-    q.stop(); spark.stop()
+    q.stop()
+
+    // Stateful cumulative→incremental over a live rate source: value
+    // increments globally, so per station (value % 3) the cumulative
+    // stream is value itself and every delta must be exactly 3.
+    import spark.implicits._
+    import graft.streaming.EventStream.CumulReading
+    val cum = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .select(concat(lit("s"), (col("value") % 3).cast("string")).as("station"),
+        col("timestamp").as("ts"), col("value").cast("double").as("value"))
+      .as[CumulReading]
+    val q2 = EventStream.streamingIntervalDiff(cum)
+      .writeStream.format("memory").queryName("drive_diffs")
+      .outputMode("append").start()
+    Thread.sleep(5000); q2.processAllAvailable()
+    val d = spark.table("drive_diffs")
+    println(s"DIFF ROWS=${d.count()} DISTINCT DELTAS=" +
+      d.select("delta").distinct().collect().map(_.getDouble(0)).sorted.mkString(","))
+    q2.stop(); spark.stop()
   }
 }
