@@ -117,6 +117,18 @@ object SparkEntry {
     "ts_fgt_watermark" -> ((s, d) =>
       Timeseries.fgtWatermark(evt(s, d), "user_id", "ts_us")),
 
+    "ts_asof_join" -> ((s, d) => {
+      // each click joined to the latest view at-or-before it, per user
+      val e = evt(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us").as("v_ts"))
+        .agg(max(col("value")).as("rv"))
+      Timeseries.asofJoinLatest(clicks, views, "user_id", "ts_us", "v_ts", "rv")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("asof_value"))
+    }),
+
     "ts_gap_fill" -> ((s, d) =>
       Timeseries.gapFillForward(
         evt(s, d).withColumn("v",
@@ -208,7 +220,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
 
     // --- G: multimodal ---
-    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d)))  // rows-only
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
+
+    "mm_frame_sample" -> ((s, d) =>                                      // rows-only
+      Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
+
+    "mm_feature_extract" -> ((s, d) =>                                   // rows-only
+      Multimodal.featureExtract(docs(s, d)))
   )
 
   // ---- DuckDB mirrors ---------------------------------------------------
@@ -313,6 +331,17 @@ object SparkEntry {
 
     "ts_fgt_watermark" ->
       "SELECT user_id, max(epoch_us(ts)) AS latest_fgt FROM events GROUP BY user_id",
+
+    "ts_asof_join" ->
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type = 'click'),
+         |r AS (
+         |  SELECT user_id, epoch_us(ts) AS v_ts, max(value) AS rv
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT l.user_id, l.event_id, l.ts_us, r.rv AS asof_value
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts_us >= r.v_ts""".stripMargin,
 
     "ts_gap_fill" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,

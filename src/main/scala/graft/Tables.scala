@@ -29,6 +29,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     configure(spark).read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register every table as a temp view so the engine's full SQL
+    * surface (`spark.sql("SELECT … FROM lineitem …")`) works over the
+    * dataset directory. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

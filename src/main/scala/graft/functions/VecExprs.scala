@@ -284,22 +284,26 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** Name → builder for every graft SQL function (single source of
+    * truth for both registration paths). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot"         -> (args => DotProduct(args(0), args(1))),
+    "graft_simhash64"   -> (args => SimHash64(args(0))),
+    "graft_minhash32"   -> (args => MinHashSig(args(0), 32)),
+    "graft_hyperplane8" -> (args => HyperplaneBucket(args(0), 8)),
+    "graft_grams3h"     -> (args => Grams3Hashes(args(0))))
+
   /** Register the expressions as SQL temp functions on the session's
     * registry (idempotent; survives only the session, so every operator
     * entry point calls this — cheap map insert after the first time).
     * Going through the registry keeps us on public-ish API: `expr(...)`
-    * resolves the name at analysis, no internal Column constructors. */
+    * resolves the name at analysis, no internal Column constructors.
+    * Sessions built with `spark.sql.extensions=graft.GraftExtensions`
+    * get the same functions without this call. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      args => DotProduct(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      args => SimHash64(args(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash32",
-      args => MinHashSig(args(0), 32), "built-in")
-    reg.createOrReplaceTempFunction("graft_hyperplane8",
-      args => HyperplaneBucket(args(0), 8), "built-in")
-    reg.createOrReplaceTempFunction("graft_grams3h",
-      args => Grams3Hashes(args(0)), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

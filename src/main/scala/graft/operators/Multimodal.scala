@@ -49,6 +49,39 @@ object Multimodal {
       }
   }
 
+  /** G2: frame sampling — every `step`-th frame index of each video
+    * payload, exploded to one row per sampled frame with its timestamp
+    * offset at `fps`. The Generate (explode) is a narrow op: frames
+    * fan out inside the scan stage, no shuffle; a real pipeline hands
+    * (doc_id, frame_idx) to the batched decoder for pixel extraction. */
+  def frameSample(decoded: DataFrame, step: Int = 30, fps: Double = 24.0): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .select(col("doc_id"), col("frames"),
+        explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+      .withColumn("t_offset_s", col("frame_idx") / lit(fps))
+
+  /** G3: feature extraction — payload bytes → fixed-width float
+    * vector. The vector here is a deterministic hash projection (the
+    * model inference is STUBBED like [[Codec.decode]] — no ML runtime
+    * in this container); the Spark plumbing is the real part: binary
+    * in, `array<float>` out, batched per partition, schema ready for
+    * the E-block ANN operators. */
+  def featureExtract(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(Codec.batchSize).flatMap(_.map { case (id, bytes) =>
+        val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 7)
+        val v = Array.tabulate(dim) { d =>
+          val h = scala.util.hashing.MurmurHash3.productHash((h0, d))
+          (h.toFloat / Int.MaxValue.toFloat)
+        }
+        (id, v)
+      }))
+      .toDF("doc_id", "embedding")
+  }
+
   /** G1: attach an opaque binary payload (here: utf-8 bytes of `text`,
     * standing in for real media) + a modality tag, then batch-decode to
     * typed metadata. Pure narrow transformation — no shuffle; at scale

@@ -169,6 +169,43 @@ object Timeseries {
   def fgtWatermark(df: DataFrame, key: String, fgt: String): DataFrame =
     df.groupBy(col(key)).agg(max(col(fgt)).as("latest_fgt"))
 
+  /** A13: as-of join — for each left row, the latest right value with
+    * right time ≤ left time, per key (the temporal-alignment primitive
+    * behind the reference's obs↔fcst matching when time axes differ;
+    * DuckDB expresses it natively as ASOF LEFT JOIN, which is the
+    * oracle).
+    *
+    * Spark has no asof join; the scalable formulation is the
+    * union-sort trick: tag right rows, union with left, one window
+    * sorted by (time, right-first) per key, forward-fill the right
+    * value — exactly one shuffle on the key and one sort, no range
+    * join blow-up, no per-row search. Right must be unique per
+    * (key, rt) (pre-aggregate if not) so the match is deterministic.
+    * Left columns ride along; right rows are filtered back out.
+    */
+  def asofJoinLatest(left: DataFrame, right: DataFrame, key: String,
+                     lt: String, rt: String, rightValue: String): DataFrame = {
+    val rvType = right.schema(rightValue).dataType
+    val leftCols = left.columns.toSeq.filterNot(_ == key)
+    val l2 = left
+      .withColumn("_t", col(lt))
+      .withColumn("_rv", lit(null).cast(rvType))
+      .withColumn("_isr", lit(0))
+    val r2 = leftCols.foldLeft(
+      right.select(col(key), col(rt).as("_t"), col(rightValue).as("_rv"))
+        .withColumn("_isr", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = (Seq(key, "_t", "_rv", "_isr") ++ leftCols).map(col)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.select(cols: _*).unionByName(r2.select(cols: _*))
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_isr") === 0)
+      .drop("_t", "_rv", "_isr")
+  }
+
   /** A12: gap fill — forward-fill the last known value along each
     * series (the inverse convenience of the reference's dropna after
     * outer-joining misaligned time axes,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Timeseries}
+
+class AsofSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A13 asofJoinLatest: latest right ≤ left time, equal-time matches, null before first") {
+    val left = Seq(("u1", 5L, 1L), ("u1", 10L, 2L), ("u1", 20L, 3L), ("u2", 7L, 4L))
+      .toDF("k", "t", "id")
+    val right = Seq(("u1", 10L, 100.0), ("u1", 15L, 150.0)).toDF("k", "rt", "rv")
+    val out = Timeseries.asofJoinLatest(left, right, "k", "t", "rt", "rv")
+      .orderBy("id").select("id", "asof_value").collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(out === Seq(
+      (1L, null),     // t=5: no right yet
+      (2L, 100.0),    // t=10: equal-time right matches (<=)
+      (3L, 150.0),    // t=20: latest of {10,15}
+      (4L, null)))    // u2 has no right rows at all
+  }
+
+  test("A13 preserves left row count (no fan-out, no loss)") {
+    val left = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val right = left.groupBy(col("user_id"), col("t").as("rt")).agg(count(lit(1)).as("rv"))
+    val joined = Timeseries.asofJoinLatest(left, right, "user_id", "t", "rt", "rv")
+    assert(joined.count() === left.count())
+  }
+
+  test("G2 frameSample explodes every step-th frame of videos only") {
+    val meta = Seq((1L, "video", 10, 100, 100, 70), (2L, "image", 5, 64, 64, 1))
+      .toDF("doc_id", "kind", "n_bytes", "width", "height", "frames")
+    val out = Multimodal.frameSample(meta, step = 30, fps = 24.0)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 30, 60))
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(out.last.getAs[Double]("t_offset_s") === 2.5)
+  }
+
+  test("G3 featureExtract emits deterministic fixed-width float vectors") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val a = Multimodal.featureExtract(docs).orderBy("doc_id").collect()
+    val b = Multimodal.featureExtract(docs.repartition(5)).orderBy("doc_id").collect()
+    assert(a.length === 50)
+    assert(a.head.getAs[Seq[Float]]("embedding").size === 16)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("SQL surface: registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey""".stripMargin).as[Long].head()
+    assert(n > 0)
+    assert(spark.sql("SELECT * FROM documents LIMIT 1").columns.contains("text"))
+  }
+}
