@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Skew, Timeseries}
+import graft.functions.TextFunctions
+
+/** Property tests: operators vs naive in-memory reference
+  * implementations on randomized inputs (fixed seeds via scalacheck's
+  * deterministic default). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded deterministic samples (scalatestplus bridge isn't in the
+    * offline cache, so sampling replaces forAll; 5 cases per property
+    * — Spark jobs are slow, so few-but-large beats many-small). */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(sys.error("gen failed")))
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(ga.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(sys.error("gen failed")),
+        gb.apply(Gen.Parameters.default, Seed(1042L + i)).getOrElse(sys.error("gen failed")))
+    }
+
+  private val series = for {
+    n <- Gen.choose(5, 40)
+    keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    ts <- Gen.listOfN(n, Gen.choose(0L, 20L))
+    vs <- Gen.listOfN(n, Gen.choose(-50, 50).map(_.toDouble))
+  } yield keys.lazyZip(ts).lazyZip(vs).toList.zipWithIndex
+    .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+
+  test("A1 intervalDiff equals per-key sequential diff (random series)") {
+    forAll(series) { rows =>
+      val df = rows.toDF("k", "t", "id", "v")
+      val got = Timeseries.intervalDiff(df, "k", "t", "id", "v")
+        .select("k", "id", "delta").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        sorted.zip(sorted.drop(1)).map { case (p, c) => (c._1, c._3, c._4 - p._4) }
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("A13 asofJoinLatest equals brute-force latest-at-or-before (random series)") {
+    forAll(series, series) { (l, r) =>
+      val left = l.toDF("k", "t", "id", "v").select("k", "t", "id")
+      // make right unique per (k, t): max v wins, mirroring the query wiring
+      val rightRows = r.groupBy(x => (x._1, x._2)).map { case ((k, t), g) =>
+        (k, t, g.map(_._4).max) }.toList
+      val right = rightRows.toDF("k", "rt", "rv")
+      val got = Timeseries.asofJoinLatest(left, right, "k", "t", "rt", "rv")
+        .select("k", "id", "asof_value").collect()
+        .map(x => (x.getString(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+      val want = l.map { case (k, t, id, _) =>
+        val cand = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+        (k, id, if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("salted aggregation equals plain aggregation for any salt count") {
+    forAll(series, Gen.choose(1, 32)) { (rows, salts) =>
+      val df = rows.toDF("k", "t", "id", "v")
+      val got = Skew.saltedSumCount(df, Seq("k"), "v", "id", salts)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        (k, g.map(_._4).sum, g.size.toLong) }.toSet
+      assert(got === want)
+    }
+  }
+
+  private val texts = Gen.listOfN(8, for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield ws.mkString(" "))
+
+  test("graft_grams3h count equals naive distinct 3-gram count (random token streams)") {
+    graft.functions.VecExprs.register(spark)
+    forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          size(call_function("graft_grams3h", TextFunctions.tokens(col("text")))).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val want = if (toks.size < 3) 0 else toks.sliding(3).map(_.mkString(" ")).toSet.size
+        assert(got(i.toLong) === want, s"text '$t'")
+      }
+    }
+  }
+
+  test("minhash signature similarity estimates Jaccard (statistical, fixed sets)") {
+    graft.functions.VecExprs.register(spark)
+    // two sets with known overlap: J = 50/150 = 1/3
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (51 to 150).map(i => s"tok$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+      .select(col("id"), call_function("graft_minhash32",
+        expr("transform(toks, t -> xxhash64(t))")).as("sig"))
+    val Array(s1, s2) = df.orderBy("id").as[(Long, Seq[Long])].collect().map(_._2)
+    val agree = s1.zip(s2).count { case (x, y) => x == y } / 32.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.2) // 32 slots: crude but unbiased
+  }
+}
