@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the warmup + timed phases compile >100 distinct codegen stages;
+      // the default 100-entry codegen class cache would evict warmup's
+      // classes and make every timed query pay Janino recompilation
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -26,8 +26,23 @@ object Tables {
     spark
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    configure(spark).read.parquet(s"$sfDir/$name.parquet")
+  /** Resolved-DataFrame cache: repeated loads of the same table reuse
+    * the analyzed relation (file listing + parquet footer/schema read
+    * happen once per (session, dir, table) instead of once per query —
+    * a fixed cost that multiplies across a 36-query catalog). Weak
+    * session keys so stopped sessions don't pin plans. */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate((sfDir, name),
+      configure(spark).read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Register every table as a temp view so the engine's full SQL
     * surface (`spark.sql("SELECT … FROM lineitem …")`) works over the
