@@ -234,7 +234,7 @@ object VecExprs {
     * two-step seed-42 hash chain the SQL builtin computes for two int
     * args: hashInt(d, hashInt(p, 42))) — deterministic, no stored plane
     * matrix, recomputed identically on every executor. */
-  case class HyperplaneBucket(child: Expression, planes: Int)
+  case class HyperplaneBucket(child: Expression, planes: Int, table: Int = 0)
       extends UnaryExpression {
     // input contract: child is array<double> (the embedding vector)
     override def dataType: DataType = LongType
@@ -245,7 +245,7 @@ object VecExprs {
       val n = v.numElements()
       var bucket = 0L; var p = 0
       while (p < planes) {
-        val seedP = XXH64.hashInt(p, 42L)
+        val seedP = XXH64.hashInt(table * planes + p, 42L)
         var s = 0.0; var d = 0
         while (d < n) {
           val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
@@ -268,7 +268,7 @@ object VecExprs {
            |int $n = $a.numElements();
            |long $bucket = 0L;
            |for (int $p = 0; $p < $planes; $p++) {
-           |  long $seedP = $xxh.hashInt($p, 42L);
+           |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
            |  double $s = 0.0;
            |  for (int $d = 0; $d < $n; $d++) {
            |    $s += $a.getDouble($d) *
@@ -284,6 +284,12 @@ object VecExprs {
       copy(child = c)
   }
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
   /** Name → builder for every graft SQL function (single source of
     * truth for both registration paths). */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -291,6 +297,10 @@ object VecExprs {
     "graft_simhash64"   -> (args => SimHash64(args(0))),
     "graft_minhash32"   -> (args => MinHashSig(args(0), 32)),
     "graft_hyperplane8" -> (args => HyperplaneBucket(args(0), 8)),
+    // 3-arg variant: (vector, planes literal, table-index literal) —
+    // each table draws an independent plane set (OR-construction)
+    "graft_hyperplane_t" -> (args =>
+      HyperplaneBucket(args(0), intLit(args(1), "planes"), intLit(args(2), "table"))),
     "graft_grams3h"     -> (args => Grams3Hashes(args(0))))
 
   /** Register the expressions as SQL temp functions on the session's

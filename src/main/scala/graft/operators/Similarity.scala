@@ -73,18 +73,36 @@ object Similarity {
   /** E2: LSH-bucketed ANN top-k (rows-only; spec-verified recall vs
     * E1). Bucket equi-join replaces the all-pairs join: only
     * same-bucket candidates are scored. With P planes collisions keep
-    * ~cos-similar vectors together (probability 1 − θ/π per plane). */
-  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 8): DataFrame = {
-    val p = prepared(emb).withColumn("bucket", hyperplaneBucket("v", planes))
+    * ~cos-similar vectors together (probability (1 − θ/π)^P per
+    * table); `tables` independent plane sets OR-combined recover the
+    * recall a single table loses — candidates are the UNION of
+    * same-bucket matches across tables (the standard multi-table LSH
+    * construction), deduped before ranking. Still an equi-join on
+    * (table, bucket): shuffle volume ∝ T × corpus, never O(n²), and
+    * the bucket key space (T × 2^P) is far above any executor count —
+    * skew-safe. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
+              tables: Int = 8): DataFrame = {
+    val p0 = prepared(emb)
+    val bucketArr = array((0 until tables).map(t =>
+      call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
+    val p = p0.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(bucketArr).as(Seq("t", "bucket")))
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("n2").as("q_n2"), col("bucket"))
+        col("n2").as("q_n2"), col("t"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    p.as("c").join(broadcast(q), Seq("bucket"))
+    p.as("c").join(broadcast(q), Seq("t", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
+      // score BEFORE deduping: a pair colliding in several tables costs
+      // ≤T redundant dot products (map-side, codegen'd), but the dedup
+      // then runs on three scalar columns — a hash aggregate — instead
+      // of shuffling array payloads through a sort-based aggregate
+      .select(col("q_id"), col("vec_id"),
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6)
+          .as("cos_sim"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))

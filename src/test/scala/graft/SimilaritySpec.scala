@@ -28,6 +28,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out - math.rint(expected * 1e6) / 1e6) < 1e-9)
   }
 
+  test("E2 multi-table OR-construction recall ≥ single-table, measured on real embeddings") {
+    val emb2 = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    def recallAt5(tables: Int): Double = {
+      val truth = Similarity.bruteForceTopK(emb2, isQ, 5)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val got = Similarity.lshTopK(emb2, isQ, 5, planes = 4, tables = tables)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r1 = recallAt5(1); val r8 = recallAt5(8)
+    info(f"recall@5: 1 table = $r1%.2f, 8 tables = $r8%.2f")
+    assert(r8 >= r1)
+    assert(r8 > 0.3) // 8×4-bit tables on 500 vecs must recover a solid fraction
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
