@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Grid, Timeseries}
+import graft.sinks.{JdbcUpsert, RfieldSink}
+import graft.sources.{NetCdfClassic, NetCdfClassicWriter}
+
+/** End-to-end demo of the reference pipeline on graft — everything
+  * `wrf_data_pusher.py` + `gen_rfields.py` do per forecast run, as one
+  * Spark job:
+  *
+  *   netCDF grids → per-interval rainfall → LK-time series keyed by
+  *   registered station + deterministic tms id → upsert statements +
+  *   per-timestep rfield files + fgt watermark.
+  *
+  *   sbt "runMain graft.Pipeline <ncDir> <outDir>"
+  *
+  * With no args, generates a synthetic 2-system WRF run (via
+  * [[NetCdfClassicWriter]]) into a temp dir first, then processes it —
+  * a self-contained smoke of source → operators → sinks.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (ncDir, outDir) = args match {
+      case Array(a, b) => (a, b)
+      case _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
+        (generateSyntheticRun(d.toString), s"$d/out")
+    }
+    run(spark, ncDir, outDir)
+    spark.stop()
+  }
+
+  /** Two WRF systems × 25 steps × 4×6 grid of cumulative rainfall. */
+  def generateSyntheticRun(dir: String): String = {
+    val lats = Array.tabulate(4)(i => 6.0f + 0.25f * i)
+    val lons = Array.tabulate(6)(i => 79.0f + 0.25f * i)
+    val times = Array.tabulate(25)(t => 15.0f * t)
+    for (sys <- Seq("A", "C")) {
+      val base = if (sys == "A") 1.0f else 2.0f
+      val values = Array.tabulate(25 * 4 * 6) { i =>
+        val t = i / 24; base * t * ((i % 24) % 5)  // cumulative, per-cell slope
+      }
+      NetCdfClassicWriter.writeWrfGrid(s"$dir/d03_RAINNC_$sys.nc",
+        lats, lons, times, "2020-01-01 00:00:00", "RAINNC", values)
+    }
+    dir
+  }
+
+  def run(spark: SparkSession, ncDir: String, outDir: String): Unit = {
+    val paths = new java.io.File(ncDir).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.toString).toSeq
+    require(paths.nonEmpty, s"no .nc files in $ncDir")
+
+    // 1. read all systems' grids (system tag from the file name)
+    val grid = NetCdfClassic.readGrid(spark, paths)
+      .withColumn("system", regexp_extract(col("path"), "RAINNC_([A-Z]+)", 1))
+
+    // 2. cumulative → per-interval (A1), per (system, cell) series
+    val keyed = grid.withColumn("cell",
+      concat_ws("_", col("system"),
+        format_string("%.6f", col("lat")), format_string("%.6f", col("lon"))))
+    val rain = Timeseries.intervalDiff(
+        keyed, "cell", "epoch_s", "t_idx", "value")
+      .withColumn("ts_us", col("epoch_s") * lit(1000000L))
+
+    // 3. station registry (A9) + deterministic tms id (A10) + LK time (A2)
+    val stations = Timeseries.stationRegistry(grid, Seq("lat", "lon"), "wrf")
+    val series = Timeseries.tzShiftLk(rain, "ts_us")
+      .withColumn("sim_tag", lit("evening_18:00"))
+      .withColumn("source", concat(lit("wrf_"), col("system")))
+      .withColumn("variable", lit("Precipitation"))
+      .withColumn("unit", lit("mm"))
+    val withId = Timeseries.tmsId(series,
+      Seq("sim_tag", "cell", "source", "variable", "unit"))
+
+    // 4. sinks: per-timestep rfield files (ensemble mean across systems
+    //    per cell, gen_*_mean_rfields.py flavor) + DB upsert statement
+    val rfield = rain
+      .groupBy(col("epoch_s").as("t"), col("lon"), col("lat"))
+      .agg(round(avg("delta"), 4).as("value"))
+    RfieldSink.write(rfield, s"$outDir/rfields", "t")
+
+    val upsertSql = JdbcUpsert.MySqlDialect.sql("curw_fcst.data",
+      Seq("id", "time", "fgt", "value"), Seq("id", "time"))
+
+    // 5. fgt watermark per series (A11)
+    val wm = Timeseries.fgtWatermark(withId, "tms_id", "ts_us")
+
+    println(s"PIPELINE stations=${stations.count()} series_rows=${withId.count()} " +
+      s"watermarks=${wm.count()}")
+    println(s"PIPELINE upsert: $upsertSql")
+    println(s"PIPELINE rfields at $outDir/rfields")
+  }
+}
