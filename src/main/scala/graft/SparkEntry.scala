@@ -168,6 +168,14 @@ object SparkEntry {
         Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    "q14_promo_revenue" -> ((s, d) =>
+      Relational.q14PromoRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+
+    "ts_cumsum" -> ((s, d) =>
+      Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("cum_value").cast("double").as("cum_value"))),
+
     "q_topk_per_group" -> ((s, d) =>
       Relational.topKPerGroup(
         Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
@@ -218,6 +226,8 @@ object SparkEntry {
           col("bpe_tokens").cast("bigint").as("bpe_tokens"))),
 
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+
+    "text_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))),
 
     // --- G: multimodal ---
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
@@ -419,6 +429,22 @@ object SparkEntry {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+         |           THEN $EP * $DISC1 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |       / CAST(sum($EP * $DISC1) AS DOUBLE) AS promo_revenue_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'""".stripMargin,
+
+    "ts_cumsum" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS cum_value
+         |FROM events""".stripMargin,
+
     "q_topk_per_group" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice
          |FROM orders
@@ -526,6 +552,26 @@ object SparkEntry {
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "text_corpus_stats" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source, length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, source,
+         |    CAST(0.3 * least(1.0, wc / 120.0) +
+         |         0.3 * (stop_hits / wc) +
+         |         0.2 * (1.0 - digit_chars / n_chars_c) +
+         |         0.2 * (1.0 - punct_chars / n_chars_c) AS DECIMAL(10,6)) AS score_d
+         |  FROM b)
+         |SELECT lang, source, count(*) AS n_docs,
+         |       CAST(sum(score_d) AS DOUBLE) / count(*) AS avg_quality
+         |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

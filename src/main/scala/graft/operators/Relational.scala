@@ -90,6 +90,25 @@ object Relational {
       .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** C5: promo revenue share — TPC-H Q14 flavor: lineitem⋈part with a
+    * conditional aggregate. Part is dimension-sized → broadcast; the
+    * two decimal sums collapse to one scalar row, divided once in
+    * double at the end (exactness, SURVEY §5).
+    */
+  def q14PromoRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = dec2("l_extendedprice") * oneMinus("l_discount")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), revenue)
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("promo"),
+        sum(revenue).as("total"))
+      .select((lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
+        .as("promo_revenue_pct"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

@@ -81,6 +81,20 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")))
       .select("doc_id", "ws_tokens", "bpe_tokens")
 
+  /** F5: corpus statistics — per (lang, source) doc counts and mean
+    * quality. The double score is cast to decimal(10,6) per row before
+    * summation (bit-identical per row cross-engine since the formula
+    * is mirrored; decimal sum is then order-independent), one double
+    * division at the end — the SURVEY §5 pattern for aggregating
+    * derived doubles. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("score").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+          .as("avg_quality"))
+
   /** F4: content fingerprint — md5 over the whitespace-normalized
     * lowercase token stream: stable under case / spacing / punctuation
     * jitter, the content-defined identity a 100 TB dedup ledger keys

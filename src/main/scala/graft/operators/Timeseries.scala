@@ -169,6 +169,18 @@ object Timeseries {
   def fgtWatermark(df: DataFrame, key: String, fgt: String): DataFrame =
     df.groupBy(col(key)).agg(max(col(fgt)).as("latest_fgt"))
 
+  /** A14: running cumulative sum per series — the inverse of
+    * [[intervalDiff]] (reconstructs the RAINNC-style cumulative curve
+    * from per-interval values; the reference round-trips between the
+    * two representations). Decimal-typed values keep the running sum
+    * exact and engine-portable. */
+  def cumulative(df: DataFrame, key: String, time: String, id: String,
+                 value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_value", sum(col(value)).over(w))
+  }
+
   /** A13: as-of join — for each left row, the latest right value with
     * right time ≤ left time, per key (the temporal-alignment primitive
     * behind the reference's obs↔fcst matching when time axes differ;

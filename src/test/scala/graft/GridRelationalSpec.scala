@@ -34,6 +34,23 @@ class GridRelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2L, 3L, 5L))
   }
 
+  test("C5 q14 promo share is a percentage in (0, 100) on sf0.001") {
+    val pct = Relational.q14PromoRevenue(
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+      .as[Double].head()
+    assert(pct > 0.0 && pct < 100.0)
+  }
+
+  test("A14 cumulative is the exact inverse of A1 intervalDiff") {
+    val df = Seq(("a", 1L, 1L, 3.0), ("a", 2L, 2L, 4.0), ("a", 3L, 3L, 10.0))
+      .toDF("k", "t", "id", "v")
+    val cum = graft.operators.Timeseries.cumulative(df, "k", "t", "id", "v")
+      .withColumnRenamed("cum_value", "cv")
+    val back = graft.operators.Timeseries.intervalDiff(cum, "k", "t", "id", "cv")
+      .orderBy("t").select("delta").as[Double].collect()
+    assert(back.toSeq === Seq(4.0, 10.0)) // diffs of cumsum = original values
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)
