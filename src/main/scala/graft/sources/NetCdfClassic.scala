@@ -72,36 +72,53 @@ object NetCdfClassic {
       * (numeric types widened; NC_CHAR unsupported here). */
     def readDoubles(name: String): (Seq[Int], Array[Double]) = {
       val v = variable(name)
-      val shp = shape(v)
-      val n = shp.map(_.toLong).product
-      require(n <= Int.MaxValue, s"$name too large for a single read")
-      val out = new Array[Double](n.toInt)
+      if (isRecordVar(v)) readRecords(name, 0, numRecs)
+      else {
+        val shp = shape(v)
+        val n = shp.map(_.toLong).product
+        require(n <= Int.MaxValue, s"$name too large for a single read")
+        val out = new Array[Double](n.toInt)
+        readAt(v, v.begin, n.toInt, out, 0)
+        (shp, out)
+      }
+    }
+
+    /** Read records [r0, r1) of a record variable — the seekable unit
+      * that makes classic netCDF intra-file parallel: each split task
+      * reads only its record slabs. Returned shape has (r1-r0) as the
+      * leading dimension. */
+    def readRecords(name: String, r0: Int, r1: Int): (Seq[Int], Array[Double]) = {
+      val v = variable(name)
+      require(isRecordVar(v), s"$name is not a record variable")
+      require(r0 >= 0 && r1 <= numRecs && r0 <= r1, s"bad record range [$r0,$r1)")
+      val tail = shape(v).drop(1)
+      val perRec = tail.product
+      val out = new Array[Double]((r1 - r0) * perRec)
+      var r = r0
+      while (r < r1) {
+        readAt(v, v.begin + r.toLong * recSize, perRec, out, (r - r0) * perRec)
+        r += 1
+      }
+      ((r1 - r0) +: tail, out)
+    }
+
+    private def readAt(v: NcVar, offset: Long, count: Int,
+                       out: Array[Double], outPos: Int): Unit = {
       val ts = typeSize(v.ncType)
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      def readAt(offset: Long, count: Int, outPos: Int): Unit = {
-        var i = 0
-        while (i < count) {
-          val p = (offset + i.toLong * ts).toInt
-          out(outPos + i) = v.ncType match {
-            case 1 => bytes(p).toDouble                    // NC_BYTE
-            case 3 => buf.getShort(p).toDouble             // NC_SHORT
-            case 4 => buf.getInt(p).toDouble               // NC_INT
-            case 5 => buf.getFloat(p).toDouble             // NC_FLOAT
-            case 6 => buf.getDouble(p)                     // NC_DOUBLE
-            case t => throw new UnsupportedOperationException(s"nc_type $t")
-          }
-          i += 1
+      var i = 0
+      while (i < count) {
+        val p = (offset + i.toLong * ts).toInt
+        out(outPos + i) = v.ncType match {
+          case 1 => bytes(p).toDouble                    // NC_BYTE
+          case 3 => buf.getShort(p).toDouble             // NC_SHORT
+          case 4 => buf.getInt(p).toDouble               // NC_INT
+          case 5 => buf.getFloat(p).toDouble             // NC_FLOAT
+          case 6 => buf.getDouble(p)                     // NC_DOUBLE
+          case t => throw new UnsupportedOperationException(s"nc_type $t")
         }
+        i += 1
       }
-      if (isRecordVar(v)) {
-        val perRec = shp.drop(1).product
-        var r = 0
-        while (r < numRecs) {
-          readAt(v.begin + r.toLong * recSize, perRec, r * perRec)
-          r += 1
-        }
-      } else readAt(v.begin, n.toInt, 0)
-      (shp, out)
     }
   }
 
@@ -180,6 +197,26 @@ object NetCdfClassic {
 
   def open(path: String): NcFile = parse(Files.readAllBytes(Paths.get(path)))
 
+  /** Read just numRecs from the 8-byte prefix — split enumeration must
+    * not pull whole files. */
+  def peekNumRecs(path: String): Int = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    try {
+      val buf = ByteBuffer.allocate(8)
+      var read = 0
+      while (read < 8) {
+        val n = ch.read(buf)
+        require(n > 0, s"$path: truncated header")
+        read += n
+      }
+      buf.flip()
+      require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
+        s"$path: not a netCDF classic file (bad magic)")
+      buf.get()
+      buf.getInt()
+    } finally ch.close()
+  }
+
   /** Parse a time-axis unit string of the reference's XTIME form —
     * `"<unit> since <yyyy-MM-dd HH:mm:ss>"` (wrf_data_pusher.py:174-176
     * splits on `'since '`) — into (secondsPerUnit, baseEpochSeconds). */
@@ -203,16 +240,21 @@ object NetCdfClassic {
     *
     * Mirrors the reference's per-file extraction (wrf_data_pusher.py:
     * 178-190: `lats = XLAT[0,:,0]`, `lons = XLONG[0,0,:]`,
-    * `RAINNC[t,y,x]`, `XTIME[t]`), but fanned out over the cluster:
-    * the file list is parallelized and each task parses its files
-    * locally — no driver-side I/O, linear scale-out in file count.
+    * `RAINNC[t,y,x]`, `XTIME[t]`), fanned out over the cluster in TWO
+    * dimensions: across files AND across record (time-step) ranges
+    * within each file — classic netCDF's fixed record stride makes any
+    * [r0, r1) slab independently readable, so a handful of large files
+    * still saturates every core (splits enumerated executor-side from
+    * each header; tiny descriptors reshuffled to spread them).
     * Coordinate variables may be 1-D vectors or (time, y, x) grids
     * (both occur in WRF output); 3-D coords use the t=0 slice exactly
     * as the reference does.
     */
   def readGrid(spark: SparkSession, paths: Seq[String],
                valueVar: String = "RAINNC", latVar: String = "XLAT",
-               lonVar: String = "XLONG", timeVar: String = "XTIME"): DataFrame = {
+               lonVar: String = "XLONG", timeVar: String = "XTIME",
+               recordsPerSplit: Int = 24): DataFrame = {
+    require(recordsPerSplit > 0, "recordsPerSplit must be positive")
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("t_idx", IntegerType, nullable = false),
@@ -220,29 +262,48 @@ object NetCdfClassic {
       StructField("lat", DoubleType, nullable = false),
       StructField("lon", DoubleType, nullable = false),
       StructField("value", DoubleType, nullable = false)))
-    val rdd = spark.sparkContext
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val splits = spark.sparkContext
       .parallelize(paths, math.min(paths.size, 1024).max(1))
       .flatMap { path =>
-        val nc = open(path)
-        val (vShape, values) = nc.readDoubles(valueVar)
-        require(vShape.size == 3, s"$valueVar must be (time, y, x), got $vShape")
-        val Seq(nt, ny, nx) = vShape
-        def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
-          val (shp, raw) = nc.readDoubles(name)
-          if (shp.size == 1) raw
-          else (0 until take).map(i => raw(pick(i))).toArray // t=0 slice of (t,y,x)
-        }
-        val lats = axis(latVar, ny, y => y * nx)      // XLAT[0, :, 0]
-        val lons = axis(lonVar, nx, x => x)           // XLONG[0, 0, :]
-        val (_, times) = nc.readDoubles(timeVar)
-        val tv = nc.variable(timeVar)
-        val unitStr = tv.attr("description").orElse(tv.attr("units"))
-          .map(_.values.asInstanceOf[String])
-        val (secsPer, base) = unitStr.map(parseTimeUnits).getOrElse((1L, 0L))
-        for { t <- 0 until nt; y <- 0 until ny; x <- 0 until nx } yield Row(
-          path, t, base + (times(t) * secsPer).toLong,
-          lats(y), lons(x), values((t * ny + y) * nx + x))
+        val n = peekNumRecs(path)
+        (0 until n by recordsPerSplit).map(r0 =>
+          (path, r0, math.min(r0 + recordsPerSplit, n)))
       }
+    val spread = splits.repartition(
+      math.max(defaultPar, math.min(splits.count().toInt, 4096)).max(1))
+    val rdd = spread.flatMap { case (path, r0, r1) =>
+      val nc = open(path)
+      val (vShape, values) = nc.readRecords(valueVar, r0, r1)
+      require(vShape.size == 3, s"$valueVar must be (time, y, x), got $vShape")
+      val Seq(_, ny, nx) = vShape
+      def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
+        val v = nc.variable(name)
+        val (shp, raw) =
+          if (v.dimIds.headOption.exists(i => nc.dims(i).length == 0))
+            nc.readRecords(name, 0, 1)
+          else nc.readDoubles(name)
+        if (shp.size == 1) raw
+        else (0 until take).map(i => raw(pick(i))).toArray // t=0 slice of (t,y,x)
+      }
+      val lats = axis(latVar, ny, y => y * nx)      // XLAT[0, :, 0]
+      val lons = axis(lonVar, nx, x => x)           // XLONG[0, 0, :]
+      val (_, times) = nc.readRecords(timeVar, r0, r1)
+      val tv = nc.variable(timeVar)
+      val unitStr = tv.attr("description").orElse(tv.attr("units"))
+        .map(_.values.asInstanceOf[String])
+      val (secsPer, base) = unitStr.map(parseTimeUnits).getOrElse((1L, 0L))
+      // lazy iterator — never materializes a split's row set at once
+      Iterator.range(r0, r1).flatMap { t =>
+        val epoch = base + (times(t - r0) * secsPer).toLong
+        Iterator.range(0, ny).flatMap { y =>
+          Iterator.range(0, nx).map { x =>
+            Row(path, t, epoch, lats(y), lons(x),
+              values(((t - r0) * ny + y) * nx + x))
+          }
+        }
+      }
+    }
     spark.createDataFrame(rdd, schema)
   }
 }
