@@ -204,6 +204,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
+
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
       val out = TextAnalysis.langId(docs(s, d))

@@ -59,6 +59,56 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
+  /** E3: IVF (inverted-file) ANN top-k — the FAISS-style coarse
+    * quantizer as dataframes. Centroids are a deterministic sample of
+    * the corpus (smallest xxhash64(vec_id) — no training iteration, a
+    * k-means|| refinement drops in where the sample is today);
+    * every vector is assigned to its nearest centroid (broadcast
+    * centroid table, argmin via codegen dot), queries probe the
+    * `nprobe` nearest centroid lists, candidates come from ONE
+    * equi-join on the centroid id. At 100 TB: the inverted lists are
+    * the corpus partitioned by centroid_id — probing reads only
+    * nprobe/nlist of the data, and the join shuffle key space (nlist)
+    * is sized ≫ executor count.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val p = prepared(emb)
+    val centroids = p
+      .withColumn("hsel", xxhash64(col("vec_id")))
+      .orderBy(col("hsel")).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
+    // nearest (by cosine) centroid per vector — broadcast argmin
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = p.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
+    // queries probe their nprobe nearest centroids
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val probes = p.filter(isQuery).crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("c_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.as("c").join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucket id: P sign bits, plane p's component
     * for dimension d is ±1 derived from xxhash64(p, d) parity —
     * deterministic, no stored plane matrix, recomputed identically on

@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > 0.3) // 8×4-bit tables on 500 vecs must recover a solid fraction
   }
 
+  test("E3 ivfTopK recall scales with nprobe; exhaustive probing equals brute force") {
+    val emb2 = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val truth = Similarity.bruteForceTopK(emb2, isQ, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb2, isQ, 5, nlist = 16, nprobe = nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r16 = recall(16)
+    info(f"IVF recall@5: nprobe 1 = $r1%.2f, 4 = $r4%.2f, 16 = $r16%.2f")
+    assert(r4 >= r1)
+    assert(r16 === 1.0) // probing every list IS brute force
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
