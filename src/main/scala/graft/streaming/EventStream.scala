@@ -37,6 +37,16 @@ object EventStream {
   def runningWatermark(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
     events.groupBy(col(keyCol)).agg(max(col(tsCol)).as("latest_fgt"))
 
+  /** A5-as-a-stream: drop duplicate (key, event-time) arrivals —
+    * at-least-once sources (the reference's cron retries re-push the
+    * same readings) become exactly-once downstream. State is bounded
+    * by the watermark: dedup entries older than it are evicted. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
+
   /** One cumulative reading (the shape RAINNC arrives in). */
   final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
   /** One per-interval delta (what the reference pushes to the DB). */

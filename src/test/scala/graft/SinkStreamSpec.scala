@@ -63,6 +63,22 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 3.0, 2L), Seq("s1", 4.0, 1L), Seq("s2", 8.0, 1L)))
   }
 
+  test("EventStream.dedupStream drops re-pushed (key, time) duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "station", "value")
+    val q = EventStream.dedupStream(df, "ts", Seq("station"))
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    mem.addData((t(0), "s1", 1.0), (t(0), "s1", 1.0))        // dup within batch
+    q.processAllAvailable()
+    mem.addData((t(0), "s1", 1.0), (t(5), "s1", 2.0))        // dup across batches
+    q.processAllAvailable()
+    val out = spark.table("dedup_s").collect()
+    q.stop()
+    assert(out.length === 2) // one row per distinct (station, ts)
+  }
+
   test("EventStream.runningWatermark tracks max event time per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

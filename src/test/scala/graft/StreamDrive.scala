@@ -46,6 +46,25 @@ object StreamDrive {
     val d = spark.table("drive_diffs")
     println(s"DIFF ROWS=${d.count()} DISTINCT DELTAS=" +
       d.select("delta").distinct().collect().map(_.getDouble(0)).sorted.mkString(","))
-    q2.stop(); spark.stop()
+    q2.stop()
+
+    // Dedup: two identical rate sources unioned = every event arrives
+    // twice; the watermarked dedup must emit each (station, ts, value)
+    // exactly once.
+    def rateEvents() = spark.readStream.format("rate")
+      .option("rowsPerSecond", "20").load()
+      .select(concat(lit("s"), (col("value") % 2).cast("string")).as("station"),
+        col("timestamp").as("ts"), col("value"))
+    val doubled = rateEvents().union(rateEvents())
+    val q3 = EventStream.dedupStream(doubled, "ts", Seq("station", "value"))
+      .writeStream.format("memory").queryName("drive_dedup")
+      .outputMode("append").start()
+    Thread.sleep(5000); q3.processAllAvailable()
+    val dd = spark.table("drive_dedup")
+    val total = dd.count()
+    val distinctRows = dd.distinct().count()
+    println(s"DEDUP ROWS=$total DISTINCT=$distinctRows " +
+      (if (total == distinctRows) "NO-DUPES" else "DUPES-LEAKED"))
+    q3.stop(); spark.stop()
   }
 }
