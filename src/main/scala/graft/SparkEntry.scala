@@ -247,8 +247,11 @@ object SparkEntry {
   /** shared SQL fragments (kept textually identical across queries so
     * the mirrors stay in lockstep with the Spark expressions). */
   private val B = "(epoch_us(ts) // 1000000 // 900) * 900"  // 15-min bucket
+  // list_filter drops the [''] that string_split returns on an
+  // all-punctuation text — Spark's tokens() yields [] there, and wc=0
+  // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
-    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
   private val LAT = "6.0 + (user_id % 10) * 0.25"
   private val LON = "79.0 + ((user_id // 10) % 15) * 0.25"
   private val EP  = "CAST(l_extendedprice AS DECIMAL(12,2))"

@@ -23,25 +23,38 @@ object Tables {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // timestamp semantics (tzShiftLk's date_format, the relational
+    // queries' timestamp literals) assume UTC; pin it here — the one
+    // hook every library entry point passes through — instead of
+    // relying on each main() to remember
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
   /** Resolved-DataFrame cache: repeated loads of the same table reuse
     * the analyzed relation (file listing + parquet footer/schema read
     * happen once per (session, dir, table) instead of once per query —
-    * a fixed cost that multiplies across a 36-query catalog). Weak
-    * session keys so stopped sessions don't pin plans. */
+    * a fixed cost that multiplies across a 40-query catalog).
+    * A cached DataFrame strongly references its SparkSession, so weak
+    * KEYS alone could never evict (the key stays reachable through its
+    * own entry's value); the values are SoftReferences instead — under
+    * heap pressure the GC clears them, which also unpins the session. */
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+      scala.collection.concurrent.TrieMap[(String, String),
+        java.lang.ref.SoftReference[DataFrame]]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
       cache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate((sfDir, name),
-      configure(spark).read.parquet(s"$sfDir/$name.parquet"))
+    val key = (sfDir, name)
+    perSession.get(key).flatMap(r => Option(r.get())).getOrElse {
+      val df = configure(spark).read.parquet(s"$sfDir/$name.parquet")
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Register every table as a temp view so the engine's full SQL

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Normalize + tokenize: lowercase, every non-alphanumeric run → one
-    * space, trim, split on single space. Produces no empty tokens
-    * (runs are collapsed by the regex before the split).
-    * DuckDB mirror:
-    * `string_split(trim(regexp_replace(lower(t),'[^a-z0-9]+',' ','g')),' ')`.
+    * space, trim, split on single space, drop empties (split of an
+    * empty normalized string yields one empty token).
+    * DuckDB mirror: `list_filter(string_split(trim(regexp_replace(
+    * lower(t),'[^a-z0-9]+',' ','g')),' '), x -> len(x) > 0)` — the
+    * filter matters: without it an all-punctuation text is [''] (wc 1)
+    * in DuckDB vs [] (wc 0) here.
     */
   def tokens(text: Column): Column = {
     val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))

@@ -81,8 +81,10 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes == 32, "registered signature variant is 32-slot")
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing slots would " +
+        "silently drop out of every bucket)")
     val rowsPerBand = numHashes / bands
-    require(rowsPerBand > 0, s"numHashes=$numHashes must be >= bands=$bands")
     graft.functions.VecExprs.register(docs.sparkSession)
     // Whole signature per row in one codegen'd pass — no explode/groupBy
     // shuffle for signature construction at all; docs with no grams

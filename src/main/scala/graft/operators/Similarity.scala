@@ -109,17 +109,6 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
-  /** Random-hyperplane LSH bucket id: P sign bits, plane p's component
-    * for dimension d is ±1 derived from xxhash64(p, d) parity —
-    * deterministic, no stored plane matrix, recomputed identically on
-    * every executor (nothing to broadcast). Codegen'd
-    * [[graft.functions.VecExprs.HyperplaneBucket]] (the HOF spelling of
-    * the same formula is CodegenFallback — interpreted, ~50× slower). */
-  def hyperplaneBucket(vs: String, planes: Int): Column = {
-    require(planes == 8, "registered variant is 8-plane")
-    call_function("graft_hyperplane8", col(vs))
-  }
-
   /** E2: LSH-bucketed ANN top-k (rows-only; spec-verified recall vs
     * E1). Bucket equi-join replaces the all-pairs join: only
     * same-bucket candidates are scored. With P planes collisions keep
@@ -136,11 +125,13 @@ object Similarity {
     val p0 = prepared(emb)
     val bucketArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
+    // isQuery is applied to the FULL prepared frame (label included) so
+    // label-based predicates work here exactly as in E1/E3
     val p = p0.select(col("vec_id"), col("v"), col("n2"),
       posexplode(bucketArr).as(Seq("t", "bucket")))
-    val q = p.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("n2").as("q_n2"), col("t"), col("bucket"))
+    val q = p0.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"),
+        posexplode(bucketArr).as(Seq("t", "bucket")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     p.as("c").join(broadcast(q), Seq("t", "bucket"))

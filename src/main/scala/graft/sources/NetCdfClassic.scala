@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.file.{Files, Paths}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
@@ -17,16 +18,23 @@ import org.apache.spark.sql.types._
   * Implements the public classic-format spec: big-endian header
   * (dims / global attrs / var metadata with data offsets), fixed-size
   * variables stored contiguously row-major, record variables
-  * interleaved per unlimited-dim record. No external library — the
-  * container has no netCDF jars, and the format is simple enough that
-  * a dependency would cost more than these ~200 lines.
+  * interleaved per unlimited-dim record, the streaming numrecs
+  * sentinel (0xFFFFFFFF → record count derived from file size). No
+  * external library — the container has no netCDF jars, and the format
+  * is simple enough that a dependency would cost more than these
+  * ~250 lines.
+  *
+  * Data access is abstracted behind a `fetch(offset, len)` function:
+  * [[parse]] serves from an in-memory byte array, [[withSeekable]]
+  * from positioned `FileChannel` reads — so a record-range split task
+  * reads ONLY the header and its own record slabs, never the whole
+  * file.
   *
   * Scale posture: one WRF output file is ~10 MB; a forecast archive is
-  * millions of them. [[readGrid]] distributes the FILE LIST, not the
-  * bytes — each executor parses its files locally (classic netCDF is
-  * not splittable mid-file, and per-file parallelism is the natural
-  * grain), emitting `(path, time, lat, lon, value)` rows. Downstream
-  * operators (A1 intervalDiff etc.) then shard by station key.
+  * millions of them. [[readGrid]] distributes in two dimensions —
+  * across files AND record ranges within each file — emitting
+  * `(path, time, lat, lon, value)` rows. Downstream operators
+  * (A1 intervalDiff etc.) then shard by station key.
   */
 object NetCdfClassic {
 
@@ -43,16 +51,17 @@ object NetCdfClassic {
                          ncType: Int, vsize: Long, begin: Long) {
     def attr(n: String): Option[NcAttr] = attrs.find(_.name == n)
   }
-  final case class NcFile(version: Int, numRecs: Int, dims: Seq[NcDim],
-                          gattrs: Seq[NcAttr], vars: Seq[NcVar],
-                          bytes: Array[Byte]) {
+
+  /** Parsed file handle. `fetch(offset, len)` returns a big-endian
+    * buffer positioned at 0 over exactly that byte range; `totalSize`
+    * is the file length (resolves the streaming numrecs sentinel). */
+  final class NcFile(val version: Int, rawNumRecs: Int, val dims: Seq[NcDim],
+                     val gattrs: Seq[NcAttr], val vars: Seq[NcVar],
+                     fetch: (Long, Int) => ByteBuffer, totalSize: Long) {
+
     def variable(n: String): NcVar = vars.find(_.name == n)
       .getOrElse(throw new NoSuchElementException(
         s"variable '$n' not in ${vars.map(_.name).mkString(",")}"))
-
-    /** Dimension lengths of a variable, record dim resolved to numRecs. */
-    def shape(v: NcVar): Seq[Int] =
-      v.dimIds.map(i => if (dims(i).isRecord) numRecs else dims(i).length)
 
     private def isRecordVar(v: NcVar): Boolean =
       v.dimIds.headOption.exists(i => dims(i).isRecord)
@@ -64,9 +73,24 @@ object NetCdfClassic {
       val rvs = vars.filter(isRecordVar)
       if (rvs.size == 1) {
         val v = rvs.head
-        typeSize(v.ncType).toLong * shape(v).drop(1).product.toLong
+        typeSize(v.ncType).toLong *
+          v.dimIds.drop(1).map(i => dims(i).length.toLong).product
       } else rvs.map(_.vsize).sum
     }
+
+    /** Record count; the classic spec's STREAMING sentinel (numrecs =
+      * 0xFFFFFFFF) is resolved from the bytes actually present. */
+    lazy val numRecs: Int =
+      if (rawNumRecs != -1) rawNumRecs
+      else {
+        val rvs = vars.filter(isRecordVar)
+        if (rvs.isEmpty || recSize == 0) 0
+        else ((totalSize - rvs.map(_.begin).min) / recSize).toInt
+      }
+
+    /** Dimension lengths of a variable, record dim resolved to numRecs. */
+    def shape(v: NcVar): Seq[Int] =
+      v.dimIds.map(i => if (dims(i).isRecord) numRecs else dims(i).length)
 
     /** Read a variable fully as a flat row-major Double array
       * (numeric types widened; NC_CHAR unsupported here). */
@@ -85,8 +109,8 @@ object NetCdfClassic {
 
     /** Read records [r0, r1) of a record variable — the seekable unit
       * that makes classic netCDF intra-file parallel: each split task
-      * reads only its record slabs. Returned shape has (r1-r0) as the
-      * leading dimension. */
+      * fetches only its record slabs. Returned shape has (r1-r0) as
+      * the leading dimension. */
     def readRecords(name: String, r0: Int, r1: Int): (Seq[Int], Array[Double]) = {
       val v = variable(name)
       require(isRecordVar(v), s"$name is not a record variable")
@@ -94,23 +118,39 @@ object NetCdfClassic {
       val tail = shape(v).drop(1)
       val perRec = tail.product
       val out = new Array[Double]((r1 - r0) * perRec)
-      var r = r0
-      while (r < r1) {
-        readAt(v, v.begin + r.toLong * recSize, perRec, out, (r - r0) * perRec)
-        r += 1
+      if (r1 > r0) {
+        // ONE ranged fetch spanning all requested records (1 syscall on
+        // the seekable path); the span includes the other record vars'
+        // interleaved slabs, which callers typically read next anyway
+        val ts = typeSize(v.ncType)
+        val slabBytes = perRec * ts
+        val spanLen = (r1 - 1 - r0).toLong * recSize + slabBytes
+        require(spanLen <= Int.MaxValue, s"record range [$r0,$r1) too large")
+        val buf = fetch(v.begin + r0.toLong * recSize, spanLen.toInt)
+        var r = r0
+        while (r < r1) {
+          decode(v, buf, ((r - r0).toLong * recSize).toInt, perRec,
+            out, (r - r0) * perRec)
+          r += 1
+        }
       }
       ((r1 - r0) +: tail, out)
     }
 
+    /** One contiguous slab: fetch exactly count elements at offset. */
     private def readAt(v: NcVar, offset: Long, count: Int,
+                       out: Array[Double], outPos: Int): Unit =
+      decode(v, fetch(offset, count * typeSize(v.ncType)), 0, count, out, outPos)
+
+    /** Decode `count` elements starting at `base` bytes into `buf`. */
+    private def decode(v: NcVar, buf: ByteBuffer, base: Int, count: Int,
                        out: Array[Double], outPos: Int): Unit = {
       val ts = typeSize(v.ncType)
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       var i = 0
       while (i < count) {
-        val p = (offset + i.toLong * ts).toInt
+        val p = base + i * ts
         out(outPos + i) = v.ncType match {
-          case 1 => bytes(p).toDouble                    // NC_BYTE
+          case 1 => buf.get(p).toDouble                  // NC_BYTE
           case 3 => buf.getShort(p).toDouble             // NC_SHORT
           case 4 => buf.getInt(p).toDouble               // NC_INT
           case 5 => buf.getFloat(p).toDouble             // NC_FLOAT
@@ -127,10 +167,13 @@ object NetCdfClassic {
     case other => throw new UnsupportedOperationException(s"nc_type $other")
   }
 
-  def parse(bytes: Array[Byte]): NcFile = {
-    require(bytes.length >= 8,
-      s"not a netCDF classic file (${bytes.length} bytes, need at least magic + numrecs)")
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+  /** Header fields parsed from a prefix buffer (throws
+    * BufferUnderflowException / IndexOutOfBoundsException when the
+    * prefix is too short — callers grow and retry). */
+  private def parseMeta(buf: ByteBuffer):
+      (Int, Int, Seq[NcDim], Seq[NcAttr], Seq[NcVar]) = {
+    require(buf.limit() >= 8,
+      s"not a netCDF classic file (${buf.limit()} bytes, need at least magic + numrecs)")
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a netCDF classic file (bad magic)")
     val version = buf.get().toInt
@@ -190,36 +233,58 @@ object NetCdfClassic {
       NcVar(name, dimIds, attrs, ncType, vsize, begin)
     }
 
-    NcFile(version, numRecs, dims, gattrs, vars, bytes)
+    (version, numRecs, dims, gattrs, vars)
   }
 
   private def pad4(n: Int): Int = (4 - (n % 4)) % 4
 
+  /** In-memory parse (whole file in a byte array). */
+  def parse(bytes: Array[Byte]): NcFile = {
+    val (v, nr, d, g, vs) = parseMeta(ByteBuffer.wrap(bytes))
+    new NcFile(v, nr, d, g, vs,
+      (off, len) => ByteBuffer.wrap(bytes, off.toInt, len).slice(),
+      bytes.length.toLong)
+  }
+
   def open(path: String): NcFile = parse(Files.readAllBytes(Paths.get(path)))
 
-  /** Read just numRecs from the 8-byte prefix — split enumeration must
-    * not pull whole files. */
-  def peekNumRecs(path: String): Int = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+  /** Seekable access: parse the header from a growing prefix, serve
+    * data via positioned channel reads — a record-range split task
+    * touches only header + its slabs, not the whole file. */
+  def withSeekable[T](path: String)(f: NcFile => T): T = {
+    val ch = FileChannel.open(Paths.get(path))
     try {
-      val buf = ByteBuffer.allocate(8)
-      var read = 0
-      while (read < 8) {
-        val n = ch.read(buf)
-        require(n > 0, s"$path: truncated header")
-        read += n
+      val size = ch.size()
+      def readRange(off: Long, len: Int): ByteBuffer = {
+        val b = ByteBuffer.allocate(len)
+        var pos = off
+        while (b.hasRemaining) {
+          val n = ch.read(b, pos)
+          require(n > 0, s"$path: unexpected EOF at $pos")
+          pos += n
+        }
+        b.flip(); b
       }
-      buf.flip()
-      require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
-        s"$path: not a netCDF classic file (bad magic)")
-      buf.get()
-      buf.getInt()
+      var prefix = math.min(size, 8192L).toInt
+      var meta: (Int, Int, Seq[NcDim], Seq[NcAttr], Seq[NcVar]) = null
+      while (meta == null) {
+        try meta = parseMeta(readRange(0L, prefix))
+        catch {
+          case e @ (_: java.nio.BufferUnderflowException |
+                    _: IndexOutOfBoundsException) =>
+            if (prefix >= size) throw new IllegalArgumentException(
+              s"$path: truncated header", e)
+            prefix = math.min(size, prefix.toLong * 4).toInt
+        }
+      }
+      val (v, nr, d, g, vs) = meta
+      f(new NcFile(v, nr, d, g, vs, readRange, size))
     } finally ch.close()
   }
 
   /** Parse a time-axis unit string of the reference's XTIME form —
-    * `"<unit> since <yyyy-MM-dd HH:mm:ss>"` (wrf_data_pusher.py:174-176
-    * splits on `'since '`) — into (secondsPerUnit, baseEpochSeconds). */
+    * `"<unit> since <timestamp>"` (wrf_data_pusher.py:174-176 splits
+    * on `'since '`) — into (secondsPerUnit, baseEpochSeconds). */
   def parseTimeUnits(desc: String): (Long, Long) = {
     val Array(unit, base) = desc.split(" since ", 2)
     val secs = unit.trim.toLowerCase match {
@@ -229,9 +294,11 @@ object NetCdfClassic {
     }
     val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss]")
     val parsed = fmt.parse(base.trim.take(19))
+    // date-only units ("days since 2020-01-01") carry no time-of-day —
+    // LocalDateTime.from would throw; start-of-day is the convention
     val ldt = if (parsed.isSupported(java.time.temporal.ChronoField.HOUR_OF_DAY))
       LocalDateTime.from(parsed)
-    else LocalDateTime.from(parsed).withHour(0)
+    else java.time.LocalDate.from(parsed).atStartOfDay()
     (secs, ldt.toEpochSecond(java.time.ZoneOffset.UTC))
   }
 
@@ -243,12 +310,13 @@ object NetCdfClassic {
     * `RAINNC[t,y,x]`, `XTIME[t]`), fanned out over the cluster in TWO
     * dimensions: across files AND across record (time-step) ranges
     * within each file — classic netCDF's fixed record stride makes any
-    * [r0, r1) slab independently readable, so a handful of large files
-    * still saturates every core (splits enumerated executor-side from
-    * each header; tiny descriptors reshuffled to spread them).
-    * Coordinate variables may be 1-D vectors or (time, y, x) grids
-    * (both occur in WRF output); 3-D coords use the t=0 slice exactly
-    * as the reference does.
+    * [r0, r1) slab independently readable via positioned reads, so a
+    * handful of large files still saturates every core and a split
+    * task's I/O is proportional to ITS slab, not the file. Split
+    * descriptors are enumerated executor-side from header-only reads
+    * and reshuffled to spread them. Coordinate variables may be 1-D
+    * vectors or (time, y, x) grids (both occur in WRF output); 3-D
+    * coords use the t=0 slice exactly as the reference does.
     */
   def readGrid(spark: SparkSession, paths: Seq[String],
                valueVar: String = "RAINNC", latVar: String = "XLAT",
@@ -266,42 +334,51 @@ object NetCdfClassic {
     val splits = spark.sparkContext
       .parallelize(paths, math.min(paths.size, 1024).max(1))
       .flatMap { path =>
-        val n = peekNumRecs(path)
+        val n = withSeekable(path)(_.numRecs) // header-only read
         (0 until n by recordsPerSplit).map(r0 =>
           (path, r0, math.min(r0 + recordsPerSplit, n)))
       }
-    val spread = splits.repartition(
-      math.max(defaultPar, math.min(splits.count().toInt, 4096)).max(1))
-    val rdd = spread.flatMap { case (path, r0, r1) =>
-      val nc = open(path)
-      val (vShape, values) = nc.readRecords(valueVar, r0, r1)
-      require(vShape.size == 3, s"$valueVar must be (time, y, x), got $vShape")
-      val Seq(_, ny, nx) = vShape
-      def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
-        val v = nc.variable(name)
-        val (shp, raw) =
-          if (v.dimIds.headOption.exists(i => nc.dims(i).length == 0))
-            nc.readRecords(name, 0, 1)
-          else nc.readDoubles(name)
-        if (shp.size == 1) raw
-        else (0 until take).map(i => raw(pick(i))).toArray // t=0 slice of (t,y,x)
-      }
-      val lats = axis(latVar, ny, y => y * nx)      // XLAT[0, :, 0]
-      val lons = axis(lonVar, nx, x => x)           // XLONG[0, 0, :]
-      val (_, times) = nc.readRecords(timeVar, r0, r1)
-      val tv = nc.variable(timeVar)
-      val unitStr = tv.attr("description").orElse(tv.attr("units"))
-        .map(_.values.asInstanceOf[String])
-      val (secsPer, base) = unitStr.map(parseTimeUnits).getOrElse((1L, 0L))
-      // lazy iterator — never materializes a split's row set at once
-      Iterator.range(r0, r1).flatMap { t =>
-        val epoch = base + (times(t - r0) * secsPer).toLong
-        Iterator.range(0, ny).flatMap { y =>
-          Iterator.range(0, nx).map { x =>
-            Row(path, t, epoch, lats(y), lons(x),
-              values(((t - r0) * ny + y) * nx + x))
-          }
+      .repartition(defaultPar * 2) // tiny descriptors; spread evenly
+    val rdd = splits.flatMap { case (path, r0, r1) =>
+      withSeekable(path) { nc =>
+        val (vShape, values) = nc.readRecords(valueVar, r0, r1)
+        require(vShape.size == 3, s"$valueVar must be (time, y, x), got $vShape")
+        val Seq(_, ny, nx) = vShape
+        def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
+          val v = nc.variable(name)
+          val (shp, raw) =
+            if (v.dimIds.headOption.exists(i => nc.dims(i).length == 0))
+              nc.readRecords(name, 0, 1)
+            else nc.readDoubles(name)
+          if (shp.size == 1) raw
+          else (0 until take).map(i => raw(pick(i))).toArray // t=0 slice of (t,y,x)
         }
+        val lats = axis(latVar, ny, y => y * nx)      // XLAT[0, :, 0]
+        val lons = axis(lonVar, nx, x => x)           // XLONG[0, 0, :]
+        val (_, times) = nc.readRecords(timeVar, r0, r1)
+        val tv = nc.variable(timeVar)
+        val unitStr = tv.attr("description").orElse(tv.attr("units"))
+          .map(_.values.asInstanceOf[String])
+        val (secsPer, base) = unitStr.map(parseTimeUnits).getOrElse((1L, 0L))
+        // materialized per split (the iterator must not outlive the
+        // channel closed by withSeekable); a split is bounded rows
+        val rows = Seq.newBuilder[Row]
+        var t = r0
+        while (t < r1) {
+          val epoch = base + (times(t - r0) * secsPer).toLong
+          var y = 0
+          while (y < ny) {
+            var x = 0
+            while (x < nx) {
+              rows += Row(path, t, epoch, lats(y), lons(x),
+                values(((t - r0) * ny + y) * nx + x))
+              x += 1
+            }
+            y += 1
+          }
+          t += 1
+        }
+        rows.result()
       }
     }
     spark.createDataFrame(rdd, schema)
