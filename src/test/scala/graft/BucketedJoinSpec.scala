@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Demonstrates the SURVEY §4 bucketing claim: two tables bucketed on
+  * the join key join WITHOUT a shuffle — the physical plan has no
+  * Exchange above either scan. This is the co-location strategy for
+  * repeated big-big joins at 100 TB (bucket once at write time, every
+  * subsequent join on that key is shuffle-free). */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero exchanges; unbucketed join shuffles") {
+    // external tables via explicit path (warehouse.dir is static conf)
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+
+    orders.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/orders_b")
+      .mode("overwrite").saveAsTable("orders_b")
+    lineitem.write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/lineitem_b")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    // hint("merge") pins SortMergeJoin on both variants: otherwise the
+    // small test tables get broadcast and both plans trivially lack a
+    // key exchange, proving nothing
+    val bucketed = spark.table("orders_b").hint("merge")
+      .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+    val plan = bucketed.queryExecution.executedPlan.toString
+
+    // the JOIN itself is exchange-free: the only Exchange in the plan
+    // is the aggregation's (on o_orderpriority), never on the join key
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(c => c.startsWith("o_orderkey") || c.startsWith("l_orderkey")),
+      s"join key should not be shuffled, got exchanges on: $exchanges\n$plan")
+
+    // same join on the raw (unbucketed) tables DOES shuffle the key
+    val raw = orders.hint("merge")
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+    val rawPlan = raw.queryExecution.executedPlan.toString
+    val rawHasKeyExchange = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(rawPlan).exists(m =>
+        m.group(1).startsWith("o_orderkey") || m.group(1).startsWith("l_orderkey"))
+    assert(rawHasKeyExchange, "control: unbucketed join should shuffle the key")
+
+    // and results agree
+    val a = bucketed.orderBy("o_orderpriority").collect().toSeq.map(_.toSeq)
+    val b = raw.orderBy("o_orderpriority").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
