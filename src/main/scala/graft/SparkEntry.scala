@@ -117,6 +117,11 @@ object SparkEntry {
     "ts_fgt_watermark" -> ((s, d) =>
       Timeseries.fgtWatermark(evt(s, d), "user_id", "ts_us")),
 
+    "ts_sessionize" -> ((s, d) =>
+      Timeseries.sessionize(evt(s, d), "user_id", "ts_us", "event_id",
+        gapTicks = 3600L * 1000000L) // 1-hour inactivity gap
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("session_id"))),
+
     "ts_asof_join" -> ((s, d) => {
       // each click joined to the latest view at-or-before it, per user
       val e = evt(s, d)
@@ -195,6 +200,9 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))
         .select(col("doc_id"), col("lang"), col("source"))),
+
+    "dedup_corpus_sim" -> ((s, d) =>                                  // rows-only
+      Dedup.corpusSimilarity(docs(s, d), "source")),
 
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
@@ -347,6 +355,18 @@ object SparkEntry {
 
     "ts_fgt_watermark" ->
       "SELECT user_id, max(epoch_us(ts)) AS latest_fgt FROM events GROUP BY user_id",
+
+    "ts_sessionize" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  sum(CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - prev_ts > 3600000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |FROM (
+         |  SELECT user_id, event_id, ts,
+         |    lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+         |  FROM events)""".stripMargin,
 
     "ts_asof_join" ->
       s"""WITH l AS (

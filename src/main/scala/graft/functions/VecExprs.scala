@@ -301,7 +301,9 @@ object VecExprs {
     // each table draws an independent plane set (OR-construction)
     "graft_hyperplane_t" -> (args =>
       HyperplaneBucket(args(0), intLit(args(1), "planes"), intLit(args(2), "table"))),
-    "graft_grams3h"     -> (args => Grams3Hashes(args(0))))
+    "graft_grams3h"     -> (args => Grams3Hashes(args(0))),
+    "graft_minhash_merge32" -> (args =>
+      AggExprs.MinHashMerge(args(0), 32).toAggregateExpression()))
 
   /** Register the expressions as SQL temp functions on the session's
     * registry (idempotent; survives only the session, so every operator

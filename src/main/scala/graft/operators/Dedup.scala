@@ -144,6 +144,32 @@ object Dedup {
   def embeddingCosine(emb: DataFrame, tau: Double): DataFrame =
     Similarity.cosinePairs(emb, tau)
 
+  /** D7: corpus-level similarity — one merged minhash signature per
+    * group (source/shard/snapshot) via the [[graft.functions.AggExprs
+    * .MinHashMerge]] custom aggregate, then estimated Jaccard between
+    * every group pair as the fraction of agreeing slots. Detects
+    * wholesale near-duplication BETWEEN corpora with one aggregation
+    * pass + a tiny groups² self-join — no pairwise document work at
+    * all, the cheapest first look before committing to D2/D3 at
+    * 100 TB. */
+  def corpusSimilarity(docs: DataFrame, groupCol: String): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    val sigs = docs
+      .select(col(groupCol), gramHashes(col("text")).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .select(col(groupCol), call_function("graft_minhash32", col("ghs")).as("sig"))
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_minhash_merge32", col("sig")).as("corpus_sig"),
+        count(lit(1)).as("n_docs"))
+    sigs.as("a").join(sigs.as("b"),
+        col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("group_a"), col(s"b.$groupCol").as("group_b"),
+        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"),
+        (size(filter(zip_with(col("a.corpus_sig"), col("b.corpus_sig"),
+          (x, y) => x === y), b => b)).cast("double") / lit(32.0))
+          .as("est_jaccard"))
+  }
+
   /** Keep-one view over any pair list: survivors are docs never named
     * as the larger id of a duplicate pair (min-id canonicalization). */
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =

@@ -169,6 +169,23 @@ object Timeseries {
   def fgtWatermark(df: DataFrame, key: String, fgt: String): DataFrame =
     df.groupBy(col(key)).agg(max(col(fgt)).as("latest_fgt"))
 
+  /** A15: sessionize — split each key's event stream into sessions at
+    * inactivity gaps > `gapTicks`: flag rows whose gap from the
+    * previous event exceeds the threshold, running-sum the flags.
+    * Two stacked windows on the same (key, time) ordering — one
+    * shuffle, one sort. Session ids are 1-based per key. */
+  def sessionize(df: DataFrame, key: String, time: String, id: String,
+                 gapTicks: Long): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    val cum = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_new_session",
+        when(col(time) - lag(col(time), 1).over(order) > gapTicks, 1)
+          .otherwise(when(lag(col(time), 1).over(order).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("_new_session")).over(cum))
+      .drop("_new_session")
+  }
+
   /** A14: running cumulative sum per series — the inverse of
     * [[intervalDiff]] (reconstructs the RAINNC-style cumulative curve
     * from per-interval values; the reference round-trips between the
