@@ -17,18 +17,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the warmup + timed phases compile >100 distinct codegen stages;
-      // the default 100-entry codegen class cache would evict warmup's
-      // classes and make every timed query pay Janino recompilation
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // larger codegen class cache: the warmup + timed phases compile
+    // >100 distinct stages and the default 100-entry cache would make
+    // every timed query pay Janino recompilation
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+      extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
 
     def runAll(dir: String, record: Boolean): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Grid, Timeseries}
+import graft.operators.Timeseries
 import graft.sinks.{JdbcUpsert, RfieldSink}
 import graft.sources.{NetCdfClassic, NetCdfClassicWriter}
 
@@ -23,13 +23,8 @@ import graft.sources.{NetCdfClassic, NetCdfClassicWriter}
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), shufflePartitions = "8")
 
     val (ncDir, outDir) = args match {
       case Array(a, b) => (a, b)

@@ -33,7 +33,7 @@ object Grid {
     // (a double-divide-then-cast truncates toward zero for negatives
     // and loses exactness above 2^53)
     df.withColumn("lat", lit(6.0) + (col(key) % 10).cast("double") * lit(0.25))
-      .withColumn("lon", lit(79.0) + (expr(s"($key div 10) % 15")).cast("double") * lit(0.25))
+      .withColumn("lon", lit(79.0) + (expr(s"(`$key` div 10) % 15")).cast("double") * lit(0.25))
 
   /** B1: rfield flatten — grid → (lon, lat, value) sorted by lon, lat.
     * Reference: `gen_rfields.py:177-186` (np.ascontiguousarray over

@@ -78,23 +78,20 @@ object Similarity {
       .withColumn("hsel", xxhash64(col("vec_id")))
       .orderBy(col("hsel")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
-    // nearest (by cosine) centroid per vector — broadcast argmin
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = p.crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // top-n centroids by cosine per vector — broadcast cross + rank
+    def nearestCentroids(vectors: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      vectors.crossJoin(broadcast(centroids))
+        .withColumn("c_sim",
+          cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+    }
+    val assigned = nearestCentroids(p, 1)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
-    // queries probe their nprobe nearest centroids
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val probes = p.filter(isQuery).crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
+    // queries probe their nprobe nearest centroid lists
+    val probes = nearestCentroids(p.filter(isQuery), nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("n2").as("q_n2"), col("c_id"))
     val wRank = Window.partitionBy(col("q_id"))

@@ -179,9 +179,9 @@ object Timeseries {
     val order = Window.partitionBy(col(key)).orderBy(col(time), col(id))
     val cum = Window.partitionBy(col(key)).orderBy(col(time), col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(time), 1).over(order)
     df.withColumn("_new_session",
-        when(col(time) - lag(col(time), 1).over(order) > gapTicks, 1)
-          .otherwise(when(lag(col(time), 1).over(order).isNull, 1).otherwise(0)))
+        when(prev.isNull || col(time) - prev > gapTicks, 1).otherwise(0))
       .withColumn("session_id", sum(col("_new_session")).over(cum))
       .drop("_new_session")
   }
