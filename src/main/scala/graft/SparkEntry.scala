@@ -142,13 +142,18 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"), col("filled"))),
 
     // --- B: grid / rfield ---
+    // value: decimal sum cast to double at the edge — the oracle emits
+    // DOUBLE and the driver hashes typed values (decimal(25,2) != double
+    // even when numerically equal).
     "grid_rfield_flatten" -> ((s, d) =>
-      Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec")),
+      Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec")
+        .withColumn("value", col("value").cast("double"))),
 
     "grid_bbox_filter" -> ((s, d) =>
       Grid.bboxFilter(
         Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec"),
-        79.0, 79.3, 6.5, 7.5)),
+        79.0, 79.3, 6.5, 7.5)
+        .withColumn("value", col("value").cast("double"))),
 
     "grid_nearest_station" -> ((s, d) => {
       val grid = Grid.deriveGrid(Tables.events(s, d), "user_id")
@@ -246,8 +251,15 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) =>                                      // rows-only
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
-    "mm_feature_extract" -> ((s, d) =>                                   // rows-only
-      Multimodal.featureExtract(docs(s, d)))
+    // rows-only; the raw array<float> vector is projected to a
+    // deterministic digest because the driver harness canonicalizes by
+    // sorting every column — numpy arrays aren't sortable/hashable there.
+    "mm_feature_extract" -> ((s, d) =>
+      Multimodal.featureExtract(docs(s, d))
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          xxhash64(array_join(
+            transform(col("embedding"), x => round(x.cast("double"), 6).cast("string")),
+            ",")).as("vec_digest")))
   )
 
   // ---- DuckDB mirrors ---------------------------------------------------
@@ -358,10 +370,10 @@ object SparkEntry {
 
     "ts_sessionize" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         |  sum(CASE WHEN prev_ts IS NULL
+         |  CAST(sum(CASE WHEN prev_ts IS NULL
          |           OR epoch_us(ts) - prev_ts > 3600000000 THEN 1 ELSE 0 END)
          |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |FROM (
          |  SELECT user_id, event_id, ts,
          |    lag(epoch_us(ts)) OVER (

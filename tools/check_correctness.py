@@ -80,13 +80,19 @@ def main():
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracle:
             try:
-                n = len(pd.read_parquet(p))
-                results[name] = f"ROWS-ONLY ({n} rows)" + ("" if n > 0 else "  ** EMPTY **")
+                # mimic the driver: canonicalize (sort by all columns) so
+                # un-sortable outputs (raw arrays) fail here, not there
+                df = norm(pd.read_parquet(p))
+                n = len(df)
+                if n > 0:
+                    results[name] = f"ROWS-ONLY ({n} rows)"
+                else:
+                    results[name] = "ROWS-ONLY EMPTY (0 rows)"
             except Exception as e:
-                results[name] = f"ROWS-ONLY READ ERROR: {e}"
+                results[name] = f"ROWS-ONLY READ/SORT ERROR: {e}"
     fails = 0
     for name, r in sorted(results.items()):
-        flag = " " if r.startswith(("OK", "ROWS-ONLY")) else "!"
+        flag = " " if r.startswith(("OK", "ROWS-ONLY (")) else "!"
         if flag == "!":
             fails += 1
         print(f"{flag} {name}: {r}")
