@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.sql.{Connection, PreparedStatement}
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Batched JDBC upsert sink — the Spark-side equivalent of the
@@ -16,8 +17,59 @@ import org.apache.spark.sql.{DataFrame, Row}
   * count (repartition upstream to match the DB's write concurrency).
   * Statement construction is pure and unit-tested; the container has
   * no database, so the connection factory is injected.
+  *
+  * Fault tolerance mirrors the reference's push/retry/ledger contract
+  * (`wrf_data_pusher.py:119-140` wraps every push in try/except,
+  * retries, and accumulates an email-able error ledger instead of
+  * aborting the run): each JDBC batch is retried with exponential
+  * backoff and, if it still fails, lands in an accumulator-backed
+  * ledger while the remaining batches keep flowing. The accumulators
+  * are Spark's own cross-executor channel, so at 1000 executors the
+  * ledger still materializes on the driver without any side I/O.
   */
 object JdbcUpsert {
+
+  /** Bounded-retry policy with exponential backoff. `maxAttempts = 1`
+    * means no retry. */
+  final case class RetryPolicy(maxAttempts: Int = 3, initialBackoffMs: Long = 200,
+                               backoffFactor: Double = 2.0) {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    def backoffMs(attempt: Int): Long =
+      (initialBackoffMs * math.pow(backoffFactor, (attempt - 1).toDouble)).toLong
+  }
+
+  /** One ledger entry: a batch (or a whole partition, batch = -1 when
+    * the connection itself never came up) that failed after
+    * `attempts` tries. Serializable — travels executor → driver via a
+    * CollectionAccumulator. */
+  final case class PushError(partition: Int, batch: Int, rows: Long,
+                             attempts: Int, message: String)
+
+  /** Driver-side summary of one upsert action: rows that reached the
+    * database, rows that exhausted retries, and the error ledger (the
+    * reference emails this; callers here decide — log, alert, replay). */
+  final case class UpsertResult(rowsWritten: Long, rowsFailed: Long,
+                                errors: Seq[PushError]) {
+    def ok: Boolean = rowsFailed == 0L && errors.isEmpty
+  }
+
+  /** Run `op` up to `policy.maxAttempts` times; Left((attempts, lastError))
+    * after exhaustion. Pure apart from `sleep` (injected for tests). */
+  def withRetry[A](policy: RetryPolicy, sleep: Long => Unit = Thread.sleep)
+                  (op: => A): Either[(Int, Throwable), A] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < policy.maxAttempts) {
+      attempt += 1
+      try return Right(op)
+      catch {
+        case e: Exception =>
+          last = e
+          if (attempt < policy.maxAttempts) sleep(policy.backoffMs(attempt))
+      }
+    }
+    Left((attempt, last))
+  }
 
   sealed trait Dialect {
     /** Upsert statement with `?` placeholders for `columns`. */
@@ -66,25 +118,85 @@ object JdbcUpsert {
     total
   }
 
+  /** Like [[writeBatches]], but each batch is buffered, retried per
+    * [[RetryPolicy]] (the JDBC batch state is undefined after a failed
+    * `executeBatch`, so every attempt clears and re-binds the batch),
+    * and on exhaustion reported via `onError` instead of thrown — the
+    * remaining batches keep going, matching the reference's
+    * accumulate-errors-and-continue push loop.
+    * Returns (rowsWritten, rowsFailed). */
+  def writeBatchesRetrying(rows: Iterator[Row], stmt: PreparedStatement,
+                           numCols: Int, batchSize: Int, policy: RetryPolicy,
+                           onError: PushError => Unit,
+                           partitionId: Int = -1,
+                           sleep: Long => Unit = Thread.sleep): (Long, Long) = {
+    var written = 0L; var failed = 0L; var batchIdx = 0
+    rows.grouped(batchSize).foreach { batch =>
+      def bindAndExec(): Unit = {
+        stmt.clearBatch()
+        batch.foreach { row =>
+          var i = 0
+          while (i < numCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+          stmt.addBatch()
+        }
+        stmt.executeBatch()
+      }
+      withRetry(policy, sleep)(bindAndExec()) match {
+        case Right(_) => written += batch.size
+        case Left((attempts, e)) =>
+          failed += batch.size
+          onError(PushError(partitionId, batchIdx, batch.size, attempts,
+            String.valueOf(e)))
+      }
+      batchIdx += 1
+    }
+    (written, failed)
+  }
+
   /** Upsert a DataFrame into `table`. `connect` runs on executors —
     * pass a serializable factory (driver class + URL + credentials),
-    * never a Connection. */
+    * never a Connection.
+    *
+    * Connections and batches are retried per `policy`; batches that
+    * exhaust retries land in the returned ledger (like the reference's
+    * email ledger) without failing the job. A partition whose
+    * connection never opens ledgers all its rows under batch = -1.
+    */
   def upsert(df: DataFrame, table: String, keyColumns: Seq[String],
              connect: () => Connection, dialect: Dialect = MySqlDialect,
-             batchSize: Int = 1000): Unit = {
+             batchSize: Int = 1000, policy: RetryPolicy = RetryPolicy(),
+             sleep: Long => Unit = Thread.sleep): UpsertResult = {
     val columns = df.columns.toSeq
     val statement = dialect.sql(table, columns, keyColumns)
     val n = columns.size
+    val sc = df.sparkSession.sparkContext
+    val written = sc.longAccumulator("graft.jdbc.rows_written")
+    val failedRows = sc.longAccumulator("graft.jdbc.rows_failed")
+    val ledger = sc.collectionAccumulator[PushError]("graft.jdbc.error_ledger")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
-        val conn = connect()
-        try {
-          conn.setAutoCommit(false)
-          val stmt = conn.prepareStatement(statement)
-          try { writeBatches(rows, stmt, n, batchSize); conn.commit() }
-          finally stmt.close()
-        } finally conn.close()
+        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(-1)
+        withRetry(policy, sleep)(connect()) match {
+          case Left((attempts, e)) =>
+            // connection never came up: ledger the whole partition
+            val nRows = rows.size.toLong
+            failedRows.add(nRows)
+            ledger.add(PushError(pid, -1, nRows, attempts, String.valueOf(e)))
+          case Right(conn) =>
+            try {
+              conn.setAutoCommit(false)
+              val stmt = conn.prepareStatement(statement)
+              try {
+                val (ok, bad) = writeBatchesRetrying(rows, stmt, n, batchSize,
+                  policy, ledger.add, pid, sleep)
+                conn.commit()
+                written.add(ok); failedRows.add(bad)
+              } finally stmt.close()
+            } finally conn.close()
+        }
       }
     }
+    import scala.jdk.CollectionConverters._
+    UpsertResult(written.value, failedRows.value, ledger.value.asScala.toSeq)
   }
 }

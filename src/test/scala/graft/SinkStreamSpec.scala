@@ -12,6 +12,50 @@ import org.apache.spark.sql.functions._
 import graft.sinks.JdbcUpsert
 import graft.streaming.EventStream
 
+/** In-JVM fake database for upsert round-trips: a serializable-by-name
+  * connection factory (local-mode executors share the JVM, so the
+  * static counters observe executor-side behavior) whose connections /
+  * batches fail a configurable number of times before recovering. */
+object FakeDb {
+  import java.util.concurrent.atomic.AtomicInteger
+  val connectFails  = new AtomicInteger(0)
+  val executeFails  = new AtomicInteger(0)
+  val commits       = new AtomicInteger(0)
+
+  def reset(connectFailures: Int = 0, executeBatchFailures: Int = 0): Unit = {
+    connectFails.set(connectFailures)
+    executeFails.set(executeBatchFailures)
+    commits.set(0)
+  }
+
+  private def stmt(): PreparedStatement =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "executeBatch" =>
+            if (executeFails.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              throw new java.sql.SQLTransientException("flaky batch")
+            Array.empty[Int]
+          case _ => null
+        }
+      }).asInstanceOf[PreparedStatement]
+
+  def connect(): java.sql.Connection = {
+    if (connectFails.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.sql.SQLNonTransientConnectionException("db unreachable")
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => stmt()
+          case "commit"           => commits.incrementAndGet(); null
+          case _ => null
+        }
+      }).asInstanceOf[java.sql.Connection]
+  }
+}
+
 class SinkStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -45,6 +89,84 @@ class SinkStreamSpec extends SparkSpec {
     assert(calls.count(_ == "executeBatch") === 2) // full batch + tail flush
     assert(calls.count(_ == "addBatch") === 3)
     assert(calls.take(3) === Seq("set(1,1)", "set(2,a)", "addBatch"))
+  }
+
+  /** Recording PreparedStatement whose executeBatch fails the first
+    * `failures` calls (then succeeds) — the transient-DB stand-in. */
+  private def flakyStmt(failures: Int, calls: ArrayBuffer[String]): PreparedStatement = {
+    var remaining = failures
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject"  => calls += s"set(${args(0)},${args(1)})"; null
+          case "addBatch"   => calls += "addBatch"; null
+          case "clearBatch" => calls += "clearBatch"; null
+          case "executeBatch" =>
+            if (remaining > 0) { remaining -= 1; calls += "executeBatch:FAIL"
+              throw new java.sql.SQLTransientException("connection reset") }
+            calls += "executeBatch"; Array.empty[Int]
+          case _ => null
+        }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  test("writeBatchesRetrying: transient executeBatch failure succeeds on retry") {
+    val calls = ArrayBuffer[String]()
+    val stmt = flakyStmt(failures = 1, calls)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
+    val errors = ArrayBuffer[JdbcUpsert.PushError]()
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+      JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, sleep = _ => ())
+    assert(ok === 3 && bad === 0 && errors.isEmpty)
+    // first batch: fail, re-bind (clearBatch + 2 addBatch), succeed; tail batch once
+    assert(calls.count(_ == "executeBatch:FAIL") === 1)
+    assert(calls.count(_ == "executeBatch") === 2)
+    assert(calls.count(_ == "clearBatch") === 3) // one per attempt (2 + 1)
+    assert(calls.count(_ == "addBatch") === 5)   // batch1 bound twice + tail once
+  }
+
+  test("writeBatchesRetrying: permanent failure lands in ledger, later batches still write") {
+    val calls = ArrayBuffer[String]()
+    val stmt = flakyStmt(failures = 3, calls) // exhausts maxAttempts=3 on batch 0
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
+    val errors = ArrayBuffer[JdbcUpsert.PushError]()
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+      JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, partitionId = 7, sleep = _ => ())
+    assert(ok === 1 && bad === 2) // batch 0 (2 rows) failed; tail batch (1 row) written
+    assert(errors.map(e => (e.partition, e.batch, e.rows, e.attempts)) ===
+      Seq((7, 0, 2L, 3)))
+    assert(errors.head.message.contains("connection reset"))
+  }
+
+  test("upsert: accumulator ledger surfaces executor-side failures without killing the job") {
+    FakeDb.reset(executeBatchFailures = 100) // every batch fails permanently
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v").repartition(2)
+    val res = JdbcUpsert.upsert(df, "t", Seq("id"), FakeDb.connect _,
+      batchSize = 2, policy = JdbcUpsert.RetryPolicy(maxAttempts = 2), sleep = _ => ())
+    assert(!res.ok)
+    assert(res.rowsWritten === 0 && res.rowsFailed === 4)
+    assert(res.errors.map(_.attempts).forall(_ === 2))
+    assert(res.errors.map(_.rows).sum === 4)
+  }
+
+  test("upsert: transient flake is retried to a clean result") {
+    FakeDb.reset(executeBatchFailures = 1) // one global flake, then healthy
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1)
+    val res = JdbcUpsert.upsert(df, "t", Seq("id"), FakeDb.connect _,
+      batchSize = 2, policy = JdbcUpsert.RetryPolicy(maxAttempts = 3), sleep = _ => ())
+    assert(res.ok)
+    assert(res.rowsWritten === 4 && res.rowsFailed === 0 && res.errors.isEmpty)
+    assert(FakeDb.commits.get() >= 1)
+  }
+
+  test("upsert: unreachable database ledgers whole partitions under batch -1") {
+    FakeDb.reset(connectFailures = 100)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+    val res = JdbcUpsert.upsert(df, "t", Seq("id"), FakeDb.connect _,
+      policy = JdbcUpsert.RetryPolicy(maxAttempts = 2), sleep = _ => ())
+    assert(res.rowsWritten === 0 && res.rowsFailed === 3)
+    assert(res.errors.map(e => (e.batch, e.rows, e.attempts)) === Seq((-1, 3L, 2)))
   }
 
   test("EventStream.windowedSums aggregates 15-min windows with watermark (MemoryStream)") {
