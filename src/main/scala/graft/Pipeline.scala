@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.Timeseries
@@ -15,42 +15,61 @@ import graft.sources.{NetCdfClassic, NetCdfClassicWriter}
   *   registered station + deterministic tms id → upsert statements +
   *   per-timestep rfield files + fgt watermark.
   *
-  *   sbt "runMain graft.Pipeline <ncDir> <outDir>"
+  * Config-driven like the reference (`wrf_data_pusher.py:283-310` runs
+  * one process per system from the `config/` JSONs; here all systems of a
+  * run are ONE job — the per-system frames union into a single plan,
+  * so stage boundaries amortize across systems instead of re-running
+  * per process):
+  *
+  *   sbt "runMain graft.Pipeline --config path/to/run.json"
+  *   sbt "runMain graft.Pipeline <ncDir> <outDir>"        # defaults
+  *   sbt "runMain graft.Pipeline <ny> <nx> <nt>"          # synthetic
   *
   * With no args, generates a synthetic 2-system WRF run (via
   * [[NetCdfClassicWriter]]) into a temp dir first, then processes it —
   * a self-contained smoke of source → operators → sinks.
   */
 object Pipeline {
+
+  /** Driver-side summary: totals plus per-system series counts (the
+    * reference prints "-- {system} --" blocks; this is the queryable
+    * version of the same accounting). */
+  final case class PipelineResult(stations: Long, seriesRows: Long,
+                                  watermarks: Long, perSystem: Map[String, Long])
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), shufflePartitions = "8")
 
-    val (ncDir, outDir) = args match {
-      case Array(a, b) => (a, b)
+    val cfg = args match {
+      case Array("--config", path) => PipelineConfig.fromJson(path)
+      case Array(a, b) => PipelineConfig(ncDir = a, outDir = b)
       case Array(ny, nx, nt) => // synthetic run at a given grid size
         val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
-        (generateSyntheticRun(d.toString, ny.toInt, nx.toInt, nt.toInt), s"$d/out")
+        generateSyntheticRun(d.toString, ny.toInt, nx.toInt, nt.toInt)
+        PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
       case _ =>
         val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
-        (generateSyntheticRun(d.toString), s"$d/out")
+        generateSyntheticRun(d.toString)
+        PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
     }
     val t0 = System.nanoTime()
-    run(spark, ncDir, outDir)
+    run(spark, cfg)
     println(f"PIPELINE wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }
 
-  /** Two WRF systems × nt steps × ny×nx grid of cumulative rainfall
+  /** WRF systems × nt steps × ny×nx grid of cumulative rainfall
     * (defaults sized for a quick smoke; 100×100×240 ≈ the reference's
     * real d03 grid per run). */
   def generateSyntheticRun(dir: String, ny: Int = 4, nx: Int = 6,
-                           nt: Int = 25): String = {
+                           nt: Int = 25,
+                           systems: Seq[String] = Seq("A", "C")): String = {
     val lats = Array.tabulate(ny)(i => 5.0f + 0.03f * i)
     val lons = Array.tabulate(nx)(i => 79.0f + 0.03f * i)
     val times = Array.tabulate(nt)(t => 15.0f * t)
-    for (sys <- Seq("A", "C")) {
-      val base = if (sys == "A") 1.0f else 2.0f
+    for ((sys, k) <- systems.zipWithIndex) {
+      val base = 1.0f + k
       val cell = ny * nx
       val values = Array.tabulate(nt * cell) { i =>
         val t = i / cell; base * t * ((i % cell) % 5)  // cumulative, per-cell slope
@@ -61,14 +80,24 @@ object Pipeline {
     dir
   }
 
-  def run(spark: SparkSession, ncDir: String, outDir: String): Unit = {
-    val paths = new java.io.File(ncDir).listFiles()
-      .filter(_.getName.endsWith(".nc")).map(_.toString).toSeq
-    require(paths.nonEmpty, s"no .nc files in $ncDir")
+  /** Legacy two-arg entry — defaults config over a flat ncDir. */
+  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult =
+    run(spark, PipelineConfig(ncDir = ncDir, outDir = outDir))
 
-    // 1. read all systems' grids (system tag from the file name)
+  def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
+    val paths = cfg.systems.map(cfg.ncPath)
+    val missing = paths.filterNot(p => new java.io.File(p).exists())
+    require(missing.isEmpty, s"missing netCDF inputs: ${missing.mkString(", ")}")
+
+    // 1. read all systems' grids in one scan; tag each row with its
+    //    system by matching the path (verbatim — readGrid echoes the
+    //    strings it was given) back to the config entry
+    val pathToSystem = cfg.systems.zip(paths)
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, (s, p)) => when(col("path") === p, lit(s)).otherwise(acc)
+      }
     val grid = NetCdfClassic.readGrid(spark, paths)
-      .withColumn("system", regexp_extract(col("path"), "RAINNC_([A-Z]+)", 1))
+      .withColumn("system", pathToSystem)
 
     // 2. cumulative → per-interval (A1), per (system, cell) series
     val keyed = grid.withColumn("cell",
@@ -88,10 +117,11 @@ object Pipeline {
     //    not the raw grid, so no second netCDF parse
     val stations = Timeseries.stationRegistry(rain, Seq("lat", "lon"), "wrf")
     val series = Timeseries.tzShiftLk(rain, "ts_us")
-      .withColumn("sim_tag", lit("evening_18:00"))
-      .withColumn("source", concat(lit("wrf_"), col("system")))
-      .withColumn("variable", lit("Precipitation"))
-      .withColumn("unit", lit("mm"))
+      .withColumn("sim_tag", lit(cfg.simTag))
+      .withColumn("source",
+        concat(lit(cfg.model), lit("_"), col("system")))
+      .withColumn("variable", lit(cfg.variable))
+      .withColumn("unit", lit(cfg.unit))
     val withId = Timeseries.tmsId(series,
       Seq("sim_tag", "cell", "source", "variable", "unit"))
 
@@ -112,12 +142,21 @@ object Pipeline {
       println(f"PIPELINE stage $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.1fs")
       r
     }
-    timed("rfields")(RfieldSink.write(rfield, s"$outDir/rfields", "t"))
+    timed("rfields")(RfieldSink.write(rfield, s"${cfg.outDir}/rfields", "t"))
     val nStations = timed("stations")(stations.count())
-    val nSeries = timed("series")(withId.count())
+    // one aggregation gives total + per-system accounting in a pass
+    val perSystem = timed("series") {
+      withId.groupBy("system").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val nSeries = perSystem.values.sum
     val nWm = timed("watermarks")(wm.count())
+    rain.unpersist()
     println(s"PIPELINE stations=$nStations series_rows=$nSeries watermarks=$nWm")
+    cfg.systems.foreach(s =>
+      println(s"PIPELINE system $s: series_rows=${perSystem.getOrElse(s, 0L)}"))
     println(s"PIPELINE upsert: $upsertSql")
-    println(s"PIPELINE rfields at $outDir/rfields")
+    println(s"PIPELINE rfields at ${cfg.outDir}/rfields")
+    PipelineResult(nStations, nSeries, nWm, perSystem)
   }
 }

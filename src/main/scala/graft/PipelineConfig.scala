@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Run configuration for [[Pipeline]] — the Spark-side mirror of the
+  * reference's per-model JSON configs (`config/wrf_config.json`,
+  * `wrf_data_pusher.py:358-380`: model, version, sim_tag,
+  * `wrf_systems: "A,C,E,SE"`, variable, unit, unit_type, and the
+  * netCDF directory layout). One config = one forecast run over all
+  * of that model's WRF systems, processed as a single Spark job.
+  *
+  * @param filePattern per-system netCDF name, `{system}` substituted
+  *                    (the reference nests per-system directories —
+  *                    `…/output/wrf/{system}/d03_RAINNC.nc`; the flat
+  *                    default matches this repo's synthetic runs).
+  */
+final case class PipelineConfig(
+    ncDir: String,
+    outDir: String,
+    model: String = "WRF",
+    version: String = "4.1.2",
+    simTag: String = "evening_18:00",
+    systems: Seq[String] = Seq("A", "C"),
+    variable: String = "Precipitation",
+    unit: String = "mm",
+    unitType: String = "Accumulative",
+    filePattern: String = "d03_RAINNC_{system}.nc") {
+
+  require(systems.nonEmpty, "config needs at least one wrf system")
+
+  /** reference: `source_name = "{model}_{system}"` (wrf_data_pusher.py:287). */
+  def sourceName(system: String): String = s"${model}_$system"
+
+  def ncPath(system: String): String =
+    s"$ncDir/${filePattern.replace("{system}", system)}"
+}
+
+object PipelineConfig {
+
+  /** Parse a reference-shaped JSON config. Accepted keys (all optional
+    * except nc_dir/out_dir): model, version, sim_tag, variable, unit,
+    * unit_type, file_pattern, and `wrf_systems` as either a JSON array
+    * or the reference's comma-joined string ("A,C,E,SE"). Unknown keys
+    * (db hosts, ssh keys…) are ignored — they configure the shells
+    * around the compute, not the compute. */
+  def fromJson(path: String): PipelineConfig = {
+    val node = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
+    def str(k: String, default: => String): String =
+      if (node.hasNonNull(k)) node.get(k).asText() else default
+    val systems =
+      if (node.hasNonNull("wrf_systems")) {
+        val n = node.get("wrf_systems")
+        if (n.isArray) {
+          val it = n.elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        } else n.asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      } else Seq("A", "C")
+    PipelineConfig(
+      ncDir = str("nc_dir", sys.error(s"$path: nc_dir is required")),
+      outDir = str("out_dir", sys.error(s"$path: out_dir is required")),
+      model = str("model", "WRF"),
+      version = str("version", "4.1.2"),
+      simTag = str("sim_tag", "evening_18:00"),
+      systems = systems,
+      variable = str("variable", "Precipitation"),
+      unit = str("unit", "mm"),
+      unitType = str("unit_type", "Accumulative"),
+      filePattern = str("file_pattern", "d03_RAINNC_{system}.nc"))
+  }
+}
