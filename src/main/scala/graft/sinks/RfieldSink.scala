@@ -1,5 +1,9 @@
 package graft.sinks
 
+import java.time.{LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,4 +34,99 @@ object RfieldSink {
       .option("sep", " ")
       .mode("overwrite")
       .csv(outDir)
+
+  /** UTC epoch-seconds → the reference's LK-time file-name stamp
+    * (`datetime_utc_to_lk(...).strftime('%Y-%m-%d_%H-%M')`, +05:30). */
+  def lkStamp(epochS: Long): String =
+    LocalDateTime.ofEpochSecond(epochS + 19800L, 0, ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm"))
+
+  /** The reference's exact file contract (`gen_rfields.py:198-219`):
+    * one shared `xy.csv` (lon,lat of every grid cell, sorted by
+    * (lon, lat), no header) written ONCE, plus a value-only
+    * `{model}_{system}_{version}_{LK timestamp}.txt` per timestep whose
+    * line i is the value of xy.csv's line-i cell, then the whole
+    * directory zipped into `{outDir}.zip` — the bundle the reference
+    * ships per system.
+    *
+    * Distributed where it matters: values are shuffled once on the
+    * timestep and written sorted by Spark (one task per timestep, the
+    * same shape as [[write]] — 100 TB of timesteps just means more
+    * parallel tasks). Only the O(#timesteps) file renames, the
+    * O(#cells) xy.csv, and the zip run on the driver — the zip is
+    * inherently a single-stream artifact (it exists to be scp'd), not
+    * a data-path operation.
+    *
+    * The value-only format is positional, so every timestep must cover
+    * every cell exactly once; this is checked and a gap fails fast
+    * rather than silently misaligning every later line. */
+  def writePackaged(rfield: DataFrame, outDir: String, timeCol: String,
+                    model: String, system: String, version: String,
+                    valueCol: String = "value", zip: Boolean = true,
+                    tsName: Long => String = lkStamp): Unit = {
+    val spark = rfield.sparkSession
+    val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val out = new Path(outDir)
+    fs.delete(out, true); fs.mkdirs(out)
+
+    // shared coordinate file: the grid is O(cells) — bounded by the
+    // model domain, not the data volume — so a single sorted file is
+    // the contract AND cheap
+    val cells = rfield.select(col("lon"), col("lat")).distinct()
+      .orderBy(col("lon"), col("lat"))
+    val cellRows = cells.collect()
+    val xy = fs.create(new Path(out, "xy.csv"))
+    try cellRows.foreach(r => xy.write(s"${r.get(0)},${r.get(1)}\n".getBytes("UTF-8")))
+    finally xy.close()
+
+    // positional-format safety: every timestep must be a full grid
+    val nCells = cellRows.length.toLong
+    val bad = rfield.groupBy(col(timeCol)).count()
+      .filter(col("count") =!= nCells).limit(5).collect()
+    require(bad.isEmpty,
+      s"rfield has timesteps not covering all $nCells cells " +
+        s"(value-only files would misalign): ${bad.mkString(", ")}")
+
+    // per-timestep value files: shuffle once on t, Spark sorts within
+    // the single task per timestep, one file per t=… directory
+    val staging = new Path(out, "_staging")
+    rfield
+      .select(col(timeCol), col("lon"), col("lat"),
+        round(col(valueCol).cast("double"), 3).as("value"))
+      .repartition(col(timeCol))
+      .sortWithinPartitions(col(timeCol), col("lon"), col("lat"))
+      .select(col(timeCol), col("value")) // narrow projection above the sort keeps order
+      .write.partitionBy(timeCol).mode("overwrite").csv(staging.toString)
+
+    // rename t=<epoch>/part-* → {model}_{system}_{version}_{stamp}.txt
+    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+      val t = d.getPath.getName.stripPrefix(s"$timeCol=").toLong
+      val part = fs.listStatus(d.getPath)
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      require(part.length == 1, s"expected 1 file for $timeCol=$t, got ${part.length}")
+      fs.rename(part.head,
+        new Path(out, s"${model}_${system}_${version}_${tsName(t)}.txt"))
+    }
+    fs.delete(staging, true)
+
+    if (zip) zipDirectory(fs, out, new Path(s"$outDir.zip"))
+  }
+
+  /** `zip_folder` equivalent (gen_rfields.py:219 via shutil): flat zip
+    * of a directory's files, driver-side single stream. */
+  def zipDirectory(fs: FileSystem, dir: Path, zipPath: Path): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(fs.create(zipPath, true))
+    try {
+      fs.listStatus(dir).filter(_.isFile).sortBy(_.getPath.getName).foreach { f =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(f.getPath.getName))
+        val in = fs.open(f.getPath)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) zos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
 }
