@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,15 +23,33 @@ import org.apache.spark.sql.types._
   */
 object VecExprs {
 
+  /** Analysis-time input check for the loops below, which read raw
+    * `ArrayData` slots: an `array<float>` fed to a getDouble-loop would
+    * silently read wrong bytes, so misuse must fail in the analyzer,
+    * not produce garbage. (Spark's `ExpectsInputTypes` mixin is
+    * private[sql]; this is the same contract spelled by hand.) */
+  private[functions] def expectArrays(fn: String,
+      args: (Expression, DataType)*): TypeCheckResult =
+    args.zipWithIndex.collectFirst {
+      case ((e, elem), i) if (e.dataType match {
+            case ArrayType(et, _) => et != elem // nullability-insensitive
+            case _                => true
+          }) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} requires array<${elem.simpleString}>, " +
+            s"got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   /** Σ aᵢ·bᵢ over two array<double> columns — sequential left-to-right
     * accumulation, the same summation order as `aggregate(zip_with(..))`
     * and DuckDB's `list_dot_product`, so results are bit-identical to
     * both. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
-    // input contract: both children are array<double> (cast upstream)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, left -> DoubleType, right -> DoubleType)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -63,9 +82,10 @@ object VecExprs {
     * loop: per hash, increment 64 counters. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
-    // input contract: child is array<long> (token/shingle hashes)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> LongType)
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -112,9 +132,10 @@ object VecExprs {
     * collides with in practice). */
   case class MinHashSig(child: Expression, k: Int)
       extends UnaryExpression {
-    // input contract: child is array<long> (token/shingle hashes)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_sig"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> LongType)
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -173,9 +194,10 @@ object VecExprs {
     * chain after projection collapse, making it O(grams × tokenize). */
   case class Grams3Hashes(child: Expression)
       extends UnaryExpression {
-    // input contract: child is array<string> (non-null tokens)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_grams3h"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> StringType)
 
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -236,9 +258,10 @@ object VecExprs {
     * matrix, recomputed identically on every executor. */
   case class HyperplaneBucket(child: Expression, planes: Int, table: Int = 0)
       extends UnaryExpression {
-    // input contract: child is array<double> (the embedding vector)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_bucket"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> DoubleType)
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]

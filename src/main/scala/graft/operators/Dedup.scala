@@ -21,6 +21,26 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Cached signature tables, one live slot per operator: a repeat
+    * invocation (Bench's warmup+timed loop, a long-lived session)
+    * unpersists the previous call's cache instead of accumulating
+    * blocks until memory pressure. Unpersist only ever costs a
+    * recompute, never correctness. */
+  private val liveCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedAs(key: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = liveCaches.put(key, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    cached
+  }
+
+  /** Drop every cache this object holds (end-of-job cleanup). */
+  def releaseCaches(): Unit = {
+    liveCaches.values.forEach(df => df.unpersist(false))
+    liveCaches.clear()
+  }
+
   /** D1: exact dedup — group by content hash, keep the lowest doc_id
     * (the canonical survivor), count members. Singleton groups kept so
     * the output doubles as the canonical-id mapping. */
@@ -46,14 +66,14 @@ object Dedup {
     * free per row (`size(ghs)`) — no extra groupBy. */
   def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
-    // cache(): the exploded gram table feeds BOTH sides of the
+    // cachedAs(): the exploded gram table feeds BOTH sides of the
     // candidate self-join — without it each branch re-scans and
     // re-shingles the corpus (and projection collapse re-evaluates the
     // shingle chain per exploded row). At scale this is the materialize-
     // the-signature-table step of every dedup pipeline.
-    val g = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
-      .cache()
+    val g = cachedAs("ngramJaccard",
+      docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+        .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
     val inter = g.as("a").join(g.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -95,11 +115,11 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
     // Band bucket = hash of the band's signature slice (+ band index so
     // identical slices in different bands can't collide).
-    val buckets = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bucket")))
-      .cache() // both sides of the self-join read this (see ngramJaccard)
+    val buckets = cachedAs("minhashLsh", // both join sides read this (see ngramJaccard)
+      sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket"))))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -110,13 +130,17 @@ object Dedup {
   /** D4: SimHash near-dup pairs (rows-only).
     *
     * 64-bit simhash per doc: bit j is set when the majority of token
-    * hashes have bit j set. Candidate pairs must share one of four
-    * 16-bit bands (pigeonhole: hamming ≤ 3 ⟹ ≥1 identical band);
-    * exact hamming ≤ maxHamming verified on candidates via
+    * hashes have bit j set. The 64 bits are cut into `maxHamming + 1`
+    * bands (pigeonhole: hamming ≤ maxHamming ⟹ at least one band is
+    * identical, so banding never drops a true pair); exact
+    * hamming ≤ maxHamming is then verified on candidates via
     * bit_count(xor). Entirely per-row expression work + one equi-join
-    * on (band, band_val).
+    * on (band, band_val). More bands (higher maxHamming) = shorter
+    * bands = more candidates — recall stays exact, cost grows.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming out of range for a 64-bit simhash")
     graft.functions.VecExprs.register(docs.sparkSession)
     // Majority-bit simhash over the token-hash multiset, one codegen'd
     // pass per row (the HOF spelling — aggregate over 64 filter()s —
@@ -125,10 +149,17 @@ object Dedup {
       .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
       .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select(col("doc_id"), col("simhash"))
+    // bands+1 boundaries over [0, 64); widths differ by ≤1 bit when
+    // bands doesn't divide 64 — pigeonhole only needs a partition
+    val bands = maxHamming + 1
+    val bounds = (0 to bands).map(b => b * 64 / bands)
+    val bandVals = (0 until bands).map { b =>
+      val lo = bounds(b); val w = bounds(b + 1) - bounds(b)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
     val banded = withSim.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, 16 * b) & cast(65535 as bigint))"))
-        .as(Seq("band", "band_val")))
+      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -30,11 +30,26 @@ object Similarity {
   private def cosTo(a: String, b: String): Column =
     cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
 
+  /** Ceiling for the quadratic exactness baselines below: past this
+    * corpus size an all-pairs/nested-loop plan is a cluster-melter, so
+    * the guard trips with a pointer to the bucketed scale paths instead
+    * of silently scheduling O(n²) work. The count is one cheap
+    * column-pruned scan — noise next to the quadratic job it gates. */
+  val quadraticRowCeiling: Long = 1L << 20
+
+  private def guardQuadratic(emb: DataFrame, op: String, scalePath: String): Unit = {
+    val n = emb.count()
+    require(n <= quadraticRowCeiling,
+      s"$op is the O(n²) exactness baseline and got n=$n rows " +
+        s"(ceiling ${quadraticRowCeiling}); use $scalePath at this scale")
+  }
+
   /** D5: all pairs with cosine ≥ tau (rounded at 6 dp before the
     * threshold — see SURVEY §5). Self-join candidate generation is
-    * quadratic by nature at the exactness baseline; the scale path for
-    * near-dup-by-embedding is [[lshTopK]]'s bucketing. */
+    * quadratic by nature at the exactness baseline — size-guarded; the
+    * scale path for near-dup-by-embedding is [[lshTopK]]'s bucketing. */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
+    guardQuadratic(emb, "cosinePairs", "Similarity.lshTopK (E2) bucketing")
     val p = prepared(emb)
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -44,8 +59,10 @@ object Similarity {
 
   /** E1: exact cosine top-k per query vector (brute force baseline).
     * Queries (small) broadcast; candidates stream. Deterministic rank:
-    * (cos desc, candidate id). */
+    * (cos desc, candidate id). Size-guarded: queries × corpus is
+    * quadratic when the query set is the corpus. */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    guardQuadratic(emb, "bruteForceTopK", "Similarity.lshTopK (E2) / ivfTopK (E3)")
     val p = prepared(emb)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))

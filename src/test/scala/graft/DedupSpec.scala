@@ -49,6 +49,25 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
   }
 
+  test("D4 banding derived from maxHamming: candidates ⊇ exhaustive pairs at any bound") {
+    import graft.functions.TextFunctions.tokens
+    graft.functions.VecExprs.register(spark)
+    // ground truth: exhaustive all-pairs hamming over the spec corpus
+    val sims = docs
+      .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
+      .withColumn("simhash", call_function("graft_simhash64", col("hs")))
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    for (maxH <- Seq(0, 3, 5, 9)) {
+      val truth = (for {
+        (a, sa) <- sims; (b, sb) <- sims if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(docs, maxH)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === truth, s"maxHamming=$maxH") // pigeonhole: banding loses nothing
+    }
+  }
+
   test("D5 embeddingCosine flags only pairs above the threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "x"),

@@ -20,6 +20,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 3L)) // cos: .994, .707, 0 (vec 4 also 0 but id-later)
   }
 
+  test("quadratic baselines trip their size guard past the row ceiling") {
+    // count() is all the guard needs — schema never reaches prepared()
+    val big = spark.range(Similarity.quadraticRowCeiling + 1).toDF("vec_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(big, 0.9)
+    }
+    assert(e1.getMessage.contains("lshTopK"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, col("vec_id") === 0, 5)
+    }
+    assert(e2.getMessage.contains("O(n²)"))
+  }
+
   test("E1 cosine values match a hand computation at 6 dp") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 1)
       .select("cos_sim").as[Double].head()

@@ -16,6 +16,25 @@ class VecExprsSpec extends SparkSpec {
     assert(out === 32.0)
   }
 
+  test("wrong element type fails at analysis, not silently reads wrong bytes") {
+    // the public SQL surface: graft_dot over array<float> must be an
+    // analysis error (the codegen loop reads 8-byte slots)
+    val floats = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      floats.select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<double>"))
+    val strs = Seq(Seq("a", "b")).toDF("s")
+    val e2 = intercept[Exception] {
+      strs.select(call_function("graft_simhash64", col("s"))).collect()
+    }
+    assert(e2.getMessage.contains("array<bigint>"))
+    // and the documented casts still pass analysis
+    val ok = floats.select(call_function("graft_dot",
+      col("a").cast("array<double>"), col("b").cast("array<double>"))).as[Double].head()
+    assert(ok === (1.0f.toDouble * 3.0f.toDouble + 2.0f.toDouble * 4.0f.toDouble))
+  }
+
   test("graft_dot on empty arrays is 0, null array is null") {
     val df = Seq((Some(Array.empty[Double]), Some(Array.empty[Double])),
                  (None, Some(Array(1.0)))).toDF("a", "b")
