@@ -13,15 +13,25 @@ import org.apache.spark.sql.SparkSession
   *    codegen/shuffle paths first, so timings reflect steady-state
   *    throughput — the quantity that extrapolates to a long-running
   *    cluster — not single-shot JVM warmup.
+  *  - Per-query MEDIAN over SPARK_GRAFT_BENCH_REPS (default 3) timed
+  *    repetitions: this box has a documented noisy neighbor with
+  *    ±2-3× load bursts, and a median absorbs a burst that lands on
+  *    one rep instead of poisoning the round's number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // larger codegen class cache: the warmup + timed phases compile
     // >100 distinct stages and the default 100-entry cache would make
     // every timed query pay Janino recompilation
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
+
+    def clearCaches(): Unit = {
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+    }
 
     def runAll(dir: String, record: Boolean): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
@@ -37,13 +47,20 @@ object Bench {
       sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001"))
     if (warmupDir != sfDir && new java.io.File(warmupDir).isDirectory)
       runAll(warmupDir, record = false)
-    spark.sharedState.cacheManager.clearCache() // warmup must not donate caches
 
-    val results = runAll(sfDir, record = true)
+    val runs = (1 to reps).map { _ =>
+      clearCaches() // no rep donates caches to the next
+      runAll(sfDir, record = true)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val results = SparkEntry.queries.keys
+      .map(name => name -> median(runs.map(_(name)))).toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -86,6 +86,11 @@ object Pipeline {
 
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
     val paths = cfg.systems.map(cfg.ncPath)
+    if (cfg.waitReadyMs > 0L) { // is_netcdf_ready.sh semantics
+      val gate = graft.sources.ArrivalGate.awaitReady(paths, cfg.waitReadyMs)
+      require(gate.ready,
+        s"inputs not complete after ${gate.waitedMs}ms: ${gate.notReady.mkString(", ")}")
+    }
     val missing = paths.filterNot(p => new java.io.File(p).exists())
     require(missing.isEmpty, s"missing netCDF inputs: ${missing.mkString(", ")}")
 

@@ -15,6 +15,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                    (the reference nests per-system directories —
   *                    `…/output/wrf/{system}/d03_RAINNC.nc`; the flat
   *                    default matches this repo's synthetic runs).
+  * @param waitReadyMs when > 0, gate the run on all inputs being
+  *                    complete (header-committed bytes present) for up
+  *                    to this long — `is_netcdf_ready.sh` semantics.
   */
 final case class PipelineConfig(
     ncDir: String,
@@ -26,7 +29,8 @@ final case class PipelineConfig(
     variable: String = "Precipitation",
     unit: String = "mm",
     unitType: String = "Accumulative",
-    filePattern: String = "d03_RAINNC_{system}.nc") {
+    filePattern: String = "d03_RAINNC_{system}.nc",
+    waitReadyMs: Long = 0L) {
 
   require(systems.nonEmpty, "config needs at least one wrf system")
 
@@ -69,6 +73,8 @@ object PipelineConfig {
       variable = str("variable", "Precipitation"),
       unit = str("unit", "mm"),
       unitType = str("unit_type", "Accumulative"),
-      filePattern = str("file_pattern", "d03_RAINNC_{system}.nc"))
+      filePattern = str("file_pattern", "d03_RAINNC_{system}.nc"),
+      waitReadyMs =
+        if (node.hasNonNull("wait_ready_ms")) node.get("wait_ready_ms").asLong() else 0L)
   }
 }

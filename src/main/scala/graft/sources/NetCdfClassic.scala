@@ -92,6 +92,28 @@ object NetCdfClassic {
     def shape(v: NcVar): Seq[Int] =
       v.dimIds.map(i => if (dims(i).isRecord) numRecs else dims(i).length)
 
+    /** Bytes the header commits the file to contain: end of the fixed
+      * section, plus numRecs full records when the count is declared. */
+    lazy val expectedSize: Long = {
+      val rvs = vars.filter(isRecordVar)
+      val fixedEnd = vars.filterNot(isRecordVar)
+        .map(v => v.begin + v.vsize).maxOption.getOrElse(0L)
+      if (rvs.isEmpty || rawNumRecs == -1) fixedEnd
+      else math.max(fixedEnd, rvs.map(_.begin).min + rawNumRecs.toLong * recSize)
+    }
+
+    /** Arrival-readiness check (the compute content of the reference's
+      * `is_netcdf_ready.sh`, which polls an upload dir before pushing):
+      * a mid-upload file is shorter than its header's commitment. With
+      * the STREAMING numrecs sentinel the total is open-ended, so ready
+      * means "whole records only" — no torn trailing record. */
+    def isComplete: Boolean =
+      if (rawNumRecs == -1) {
+        val rvs = vars.filter(isRecordVar)
+        rvs.isEmpty || recSize == 0L ||
+          (totalSize - rvs.map(_.begin).min) % recSize == 0L
+      } else totalSize >= expectedSize
+
     /** Read a variable fully as a flat row-major Double array
       * (numeric types widened; NC_CHAR unsupported here). */
     def readDoubles(name: String): (Seq[Int], Array[Double]) = {
@@ -251,6 +273,15 @@ object NetCdfClassic {
   /** Seekable access: parse the header from a growing prefix, serve
     * data via positioned channel reads — a record-range split task
     * touches only header + its slabs, not the whole file. */
+  /** True when `path` exists, parses, and holds every byte its header
+    * commits to — the per-file predicate behind [[ArrivalGate]]. A
+    * missing file, truncated header, or short data section is simply
+    * "not ready yet", not an error: that's the normal state of an
+    * in-flight upload. */
+  def isReady(path: String): Boolean =
+    try withSeekable(path)(_.isComplete)
+    catch { case _: Exception => false }
+
   def withSeekable[T](path: String)(f: NcFile => T): T = {
     val ch = FileChannel.open(Paths.get(path))
     try {
