@@ -148,6 +148,18 @@ object Pipeline {
       r
     }
     timed("rfields")(RfieldSink.write(rfield, s"${cfg.outDir}/rfields", "t"))
+    if (cfg.packagedRfields) timed("rfield_pkg") {
+      // the reference's per-system bundles: each system's own diffs
+      // (one row per cell per step — the agg is shape-normalization)
+      cfg.systems.foreach { sysName =>
+        RfieldSink.writePackaged(
+          rain.filter(col("system") === sysName)
+            .groupBy(col("epoch_s").as("t"), col("lon"), col("lat"))
+            .agg(round(sum("delta"), 4).as("value")),
+          s"${cfg.outDir}/rfields_packaged/$sysName", "t",
+          cfg.model, sysName, cfg.version)
+      }
+    }
     val nStations = timed("stations")(stations.count())
     // one aggregation gives total + per-system accounting in a pass
     val perSystem = timed("series") {

@@ -18,6 +18,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * @param waitReadyMs when > 0, gate the run on all inputs being
   *                    complete (header-committed bytes present) for up
   *                    to this long — `is_netcdf_ready.sh` semantics.
+  * @param packagedRfields also emit the reference's per-system file
+  *                        contract (xy.csv + value-only files + zip,
+  *                        `gen_rfields.py:198-219`) next to the
+  *                        ensemble-mean rfields.
   */
 final case class PipelineConfig(
     ncDir: String,
@@ -30,7 +34,8 @@ final case class PipelineConfig(
     unit: String = "mm",
     unitType: String = "Accumulative",
     filePattern: String = "d03_RAINNC_{system}.nc",
-    waitReadyMs: Long = 0L) {
+    waitReadyMs: Long = 0L,
+    packagedRfields: Boolean = false) {
 
   require(systems.nonEmpty, "config needs at least one wrf system")
 
@@ -75,6 +80,8 @@ object PipelineConfig {
       unitType = str("unit_type", "Accumulative"),
       filePattern = str("file_pattern", "d03_RAINNC_{system}.nc"),
       waitReadyMs =
-        if (node.hasNonNull("wait_ready_ms")) node.get("wait_ready_ms").asLong() else 0L)
+        if (node.hasNonNull("wait_ready_ms")) node.get("wait_ready_ms").asLong() else 0L,
+      packagedRfields =
+        node.hasNonNull("packaged_rfields") && node.get("packaged_rfields").asBoolean())
   }
 }

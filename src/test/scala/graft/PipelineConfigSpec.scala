@@ -38,7 +38,7 @@ class PipelineConfigSpec extends SparkSpec {
     val systems = Seq("A", "C", "E", "SE")
     Pipeline.generateSyntheticRun(dir, ny = 3, nx = 4, nt = 6, systems = systems)
     val cfg = PipelineConfig(ncDir = dir, outDir = s"$dir/out",
-      simTag = "gfs_d0_18", systems = systems)
+      simTag = "gfs_d0_18", systems = systems, packagedRfields = true)
     val res = Pipeline.run(spark, cfg)
     assert(res.perSystem.keySet === systems.toSet)
     // every system contributes the same shape: (nt-1) diffs × ny×nx cells
@@ -47,5 +47,13 @@ class PipelineConfigSpec extends SparkSpec {
     assert(res.stations === 12L)            // registry unions identical grids
     assert(res.watermarks === 4L * 12L)     // one fgt per (system, cell) series
     assert(new java.io.File(s"$dir/out/rfields").exists())
+    // per-system reference bundles: shared xy.csv + 5 value files + zip
+    for (sysName <- systems) {
+      val home = s"$dir/out/rfields_packaged/$sysName"
+      assert(Files.readAllLines(java.nio.file.Paths.get(home, "xy.csv")).size === 12)
+      val txts = new java.io.File(home).list().count(_.endsWith(".txt"))
+      assert(txts === 5) // nt-1 diff steps
+      assert(new java.io.File(s"$home.zip").exists())
+    }
   }
 }
