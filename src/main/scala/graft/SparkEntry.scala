@@ -54,6 +54,13 @@ object SparkEntry {
 
   private val annIsQuery: Column = col("vec_id") % 50 === 0
 
+  /** F6 mixing rates: downsample dominant en hard, fr lightly, keep
+    * 90% of everything else. Thresholds are generated from these by
+    * [[Corpus.hexThreshold]] for BOTH engines (see sampleCaseSql). */
+  private val SampleRates = Map("en" -> 0.25, "fr" -> 0.5)
+  private val SampleDefaultRate = 0.9
+  private val PackBudget = 512
+
   // ---- the catalog ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -209,6 +216,9 @@ object SparkEntry {
     "dedup_corpus_sim" -> ((s, d) =>                                  // rows-only
       Dedup.corpusSimilarity(docs(s, d), "source")),
 
+    "dedup_cluster" -> ((s, d) =>
+      Dedup.clusters(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))),
+
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
@@ -245,6 +255,16 @@ object SparkEntry {
 
     "text_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))),
 
+    "text_top_tokens" -> ((s, d) => Corpus.topTokens(docs(s, d), "lang", 10)),
+
+    // --- F6/F7: corpus preparation (training-batch shaping) ---
+    "corpus_sample_stratified" -> ((s, d) =>
+      Corpus.sampleStratified(docs(s, d), "lang", SampleRates, SampleDefaultRate)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "corpus_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(docs(s, d), "lang", PackBudget)),
+
     // --- G: multimodal ---
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
 
@@ -272,6 +292,15 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+  /** F6 per-stratum thresholds as a CASE, generated from the SAME
+    * rate map + hexThreshold the Spark side uses — the two engines
+    * compare the md5 coin against byte-identical literals. */
+  private def sampleCaseSql: String =
+    "CASE lang " +
+      SampleRates.map { case (l, r) =>
+        s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'" }.mkString(" ") +
+      s" ELSE '${Corpus.hexThreshold(SampleDefaultRate)}' END"
+
   private val LAT = "6.0 + (user_id % 10) * 0.25"
   private val LON = "79.0 + ((user_id // 10) % 15) * 0.25"
   private val EP  = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -533,6 +562,40 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
 
+    // transitive closure of the D3 pair list via recursive min-label
+    // reachability — DuckDB's WITH RECURSIVE plays the role of the
+    // Spark side's propagation loop
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE inter / (sa.n + sb.n - inter) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |         FROM walk GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id))
+         |         AS cluster_size
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT * FROM (
@@ -591,6 +654,38 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "text_top_tokens" ->
+      s"""WITH toks AS (SELECT lang, $TOKS AS t FROM documents),
+         |tok AS (SELECT lang, unnest(t) AS token FROM toks),
+         |counts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+         |SELECT lang, token, cnt, rnk FROM (
+         |  SELECT lang, token, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+         |      AS rnk
+         |  FROM counts)
+         |WHERE rnk <= 10""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8)
+         |      < $sampleCaseSql""".stripMargin,
+
+    "corpus_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, ws_tokens,
+         |    CAST(coalesce(sum(ws_tokens) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, lang, ws_tokens,
+         |       tok_offset // $PackBudget AS seq_id,
+         |       tok_offset % $PackBudget AS seq_offset
+         |FROM c""".stripMargin,
 
     "text_corpus_stats" ->
       s"""WITH b AS (

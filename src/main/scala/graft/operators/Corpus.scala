@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation block (SURVEY.md §2 F6–F8) — the operations a
+  * training-data pipeline runs AFTER dedup/quality filtering to turn a
+  * cleaned corpus into training batches: rebalance strata, pack
+  * documents into fixed token budgets, and inspect the token
+  * distribution.
+  *
+  * Scale posture: sampling is a pure per-row filter fused into the
+  * scan (zero shuffle); packing is one window per stratum (shuffle key
+  * = stratum — the same key the data is naturally sharded by);
+  * top-tokens is explode → partial-agg groupBy where the map-side
+  * combine collapses the token blow-up before the exchange, and the
+  * rank window gets `WindowGroupLimit` pushdown below it.
+  */
+object Corpus {
+
+  /** F6: deterministic stratified sampling — corpus mixing / rebalance
+    * (downsample over-represented languages or sources) with a
+    * reproducible, engine-portable coin: keep a row iff the first 8 hex
+    * chars of `md5(doc_id ":" stratum)` sort below the stratum's
+    * threshold `floor(rate·2³²)` in `%08x`. Lexicographic compare of
+    * equal-length lowercase hex equals numeric compare, and md5 is
+    * identical everywhere — so the SAME rows survive in Spark, DuckDB,
+    * or any engine with md5, independent of partitioning and cluster
+    * size. No RNG state, no `sample()` nondeterminism.
+    *
+    * Mirrors the reference's per-system config-driven selection of what
+    * to push (the `config/` JSON files) generalized to rate-based mixing.
+    */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val coin = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col(strataCol))), 1, 8)
+    val threshold = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, lit(hexThreshold(rate)))
+    }.otherwise(lit(hexThreshold(defaultRate)))
+    docs.filter(coin < threshold)
+  }
+
+  /** `floor(rate·2³²)` as 8 lowercase hex chars; rate ≥ 1 maps to "g"
+    * (sorts above every hex digit — keep all). Shared with the oracle
+    * SQL generator so both engines compare against identical literals. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0, s"sampling rate $rate < 0")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** F7: sequence packing — concatenate-and-chunk each stratum's
+    * document stream into fixed `budgetTokens` training sequences:
+    * documents ordered by doc_id within a stratum, each assigned the
+    * sequence its first token lands in (`seq_id = offset ÷ budget`)
+    * plus its offset inside that sequence. This is the standard
+    * "pack by offset" batching layout; the exclusive running sum is
+    * one window per stratum, so the shuffle key is the stratum and
+    * packing parallelizes across strata (at 100 TB: repartition by
+    * stratum, sort within partitions — no global sort).
+    */
+  def packSequences(docs: DataFrame, strataCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val w = Window.partitionBy(strataCol).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(strataCol),
+        size(tokens(col("text"))).cast("bigint").as("ws_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col(strataCol), col("ws_tokens"),
+        (col("tok_offset") / budgetTokens).cast("bigint").as("seq_id"),
+        (col("tok_offset") % budgetTokens).as("seq_offset"))
+  }
+
+  /** F8: token frequency top-k per stratum — the corpus-inspection
+    * counterpart of F1/F5 (vocabulary skew, boilerplate detection).
+    * Explode → groupBy(stratum, token) with map-side partial
+    * aggregation (the exchange carries one row per distinct (stratum,
+    * token), not per occurrence) → rank window with deterministic
+    * (count desc, token asc) tie-break; Spark plans a
+    * `WindowGroupLimit` below the exchange for the rank filter.
+    */
+  def topTokens(docs: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val counts = docs
+      .select(col(strataCol), explode(tokens(col("text"))).as("token"))
+      .groupBy(col(strataCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(strataCol).orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -206,4 +206,60 @@ object Dedup {
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** D8: duplicate clustering — connected components over a candidate
+    * pair list, labeling every document with the smallest doc_id in
+    * its component (the canonical representative) plus the component
+    * size. Pairwise dedup (D2–D5) says "a~b"; clustering turns that
+    * into the transitive keep-one groups an actual corpus clean needs
+    * (a~b, b~c ⟹ {a,b,c} is one cluster even when a,c never pair).
+    *
+    * Implementation: min-label propagation to a fixpoint — each round
+    * every node takes the min of its own label and its neighbors'
+    * labels (one equi-join + groupBy on node id per round, shuffle key
+    * = node id). Rounds needed = component diameter; near-dup clusters
+    * are shallow (dozens of rounds covers pathological chains —
+    * `maxIter` guards and THROWS rather than return a half-merged
+    * labeling). The iteration runs only on nodes that appear in a pair
+    * — the corpus-sized singleton majority joins once at the end.
+    * `localCheckpoint` truncates the per-round lineage so the plan
+    * stays O(1) deep instead of O(rounds). At 100 TB the same loop
+    * holds (this is the textbook large-scale CC shape; alternating
+    * star contraction halves round count if diameter ever bites).
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — component " +
+          "diameter exceeds the bound; raise maxIter")
+    docs.as("d").join(labels.as("lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
 }

@@ -84,4 +84,34 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.survivors(docs, pairs).select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 4L))
   }
+
+  test("D8 clusters computes transitive components, labels singletons, sizes") {
+    // chain 1-2, 2-3 plus isolated pair 5-6: transitivity must merge
+    // {1,2,3} even though (1,3) never pairs directly
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ds, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out === Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (4L, 1L),                       // singleton clusters to itself
+      5L -> (5L, 2L), 6L -> (5L, 2L)))
+  }
+
+  test("D8 clusters merges a long chain past several propagation rounds") {
+    // a path graph 1-2-…-9: min label needs 8 hops to reach the end
+    val n = 9L
+    val ds = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ds, pairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(out === (1L to n).map(i => (i, 1L)).toSet)
+    // and the guard trips when maxIter can't cover the diameter
+    assertThrows[IllegalStateException](Dedup.clusters(ds, pairs, maxIter = 2).count())
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
