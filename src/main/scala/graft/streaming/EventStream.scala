@@ -47,6 +47,26 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
 
+  /** A15-as-a-stream: sessionization with the native
+    * `session_window` — events gapped less than `gap` apart merge into
+    * one growing session per key; a session closes (and is emitted,
+    * append mode) once the watermark passes its end. This is the
+    * streaming dual of the batch lag/cumsum sessionizer: state is one
+    * open session per active key (bounded), merged incrementally
+    * instead of re-windowed per batch.
+    */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** One cumulative reading (the shape RAINNC arrives in). */
   final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
   /** One per-interval delta (what the reference pushes to the DB). */

@@ -201,6 +201,30 @@ class SinkStreamSpec extends SparkSpec {
     assert(out.length === 2) // one row per distinct (station, ts)
   }
 
+  test("EventStream.sessionize merges gap-close events, splits at inactivity (session_window)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "station")
+    val q = EventStream.sessionize(df, "ts", "station", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    // s1: 0,5 chain into one session (gap<10), 30 starts a new one —
+    // and the 5-min event arrives in a LATER batch: the open session
+    // must extend across the micro-batch boundary
+    mem.addData((t(0), "s1"), (t(30), "s1"), (t(2), "s2"))
+    q.processAllAvailable()
+    mem.addData((t(5), "s1"))
+    q.processAllAvailable()
+    val out = spark.table("sess").orderBy("station", "session_start")
+      .select("station", "session_start", "session_end", "n_events")
+      .collect().toSeq.map(_.toSeq)
+    q.stop()
+    assert(out === Seq(
+      Seq("s1", t(0), t(15), 2L),   // 0 and 5 merged; end = last + gap
+      Seq("s1", t(30), t(40), 1L),
+      Seq("s2", t(2), t(12), 1L)))
+  }
+
   test("EventStream.runningWatermark tracks max event time per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
