@@ -219,6 +219,9 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))),
 
+    "dedup_contamination" -> ((s, d) =>
+      Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0, minShared = 3)),
+
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
@@ -259,6 +262,8 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))),
 
     "text_top_tokens" -> ((s, d) => Corpus.topTokens(docs(s, d), "lang", 10)),
+
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
 
     // --- F6/F7: corpus preparation (training-batch shaping) ---
     "corpus_sample_stratified" -> ((s, d) =>
@@ -564,6 +569,34 @@ object SparkEntry {
          |  WHERE inter / (sa.n + sb.n - inter) >= 0.2)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+
+    "dedup_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
+         |FROM c JOIN b ON c.gram = b.gram
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(t) - 2, 0) AS BIGINT) AS total_grams,
+         |    CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT)
+         |      AS distinct_grams
+         |  FROM t)
+         |SELECT doc_id, total_grams, distinct_grams,
+         |  CASE WHEN total_grams > 0
+         |       THEN round(1.0 - distinct_grams / CAST(total_grams AS DOUBLE), 6)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM g""".stripMargin,
 
     // transitive closure of the D3 pair list via recursive min-label
     // reachability — DuckDB's WITH RECURSIVE plays the role of the

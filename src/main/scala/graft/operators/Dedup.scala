@@ -207,6 +207,31 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** D9: benchmark decontamination — the train/eval hygiene pass every
+    * LLM data pipeline runs before training: flag corpus documents
+    * sharing at least `minShared` distinct word 3-grams with any
+    * single benchmark (eval-set) document, reporting each offending
+    * (corpus doc, benchmark doc, overlap) pair.
+    *
+    * Scale posture: the benchmark side is small by nature (eval sets
+    * are thousands of docs, the corpus is billions) — its exploded
+    * gram table broadcasts, the corpus gram stream equi-joins on the
+    * 64-bit gram hash without shuffling, and the count aggregation
+    * groups on (corpus doc, bench doc) with map-side partials.
+    */
+  def contamination(docs: DataFrame, isBenchmark: Column,
+                    minShared: Int): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    val g = docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+      explode(gramHashes(col("text"))).as("gh"))
+    val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
+    val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
+    corpus.join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** D8: duplicate clustering — connected components over a candidate
     * pair list, labeling every document with the smallest doc_id in
     * its component (the canonical representative) plus the component

@@ -101,4 +101,27 @@ object TextAnalysis {
     * on (cheap exact-dup prefilter ahead of D2/D3). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
+
+  /** F9: intra-document repetition — the repeated-n-gram quality
+    * signal (boilerplate, keyword stuffing, degenerate generations):
+    * `rep_ratio = 1 − distinct_grams / total_grams` over word
+    * 3-grams. Pure per-row expression work fused into the scan (the
+    * distinct-gram count is one codegen'd `Grams3Hashes` pass; the
+    * total is arithmetic on the token count) — zero shuffle, like
+    * F1–F4. The single double division rounds at 6 dp (SURVEY §5).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - 2, lit(0)).cast("bigint")
+          .as("total_grams"),
+        size(call_function("graft_grams3h", tokens(col("text"))))
+          .cast("bigint").as("distinct_grams"))
+      .withColumn("rep_ratio",
+        when(col("total_grams") > 0,
+          round(lit(1.0) - col("distinct_grams").cast("double")
+            / col("total_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -114,4 +114,17 @@ class DedupSpec extends SparkSpec {
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("D9 contamination flags corpus docs sharing ≥ minShared grams with a bench doc") {
+    // doc 3 is the benchmark; docs 1 and 5 share all 7 of its grams,
+    // doc 2 shares 6 (only the final gram carries the cat/dog suffix),
+    // doc 4 shares none
+    val out = Dedup.contamination(docs, col("doc_id") === 3, minShared = 7)
+      .select("doc_id", "bench_id", "shared_grams")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L, 7L), (5L, 3L, 7L)))
+    val loose = Dedup.contamination(docs, col("doc_id") === 3, minShared = 5)
+      .select("doc_id", "shared_grams").as[(Long, Long)].collect().toSet
+    assert(loose === Set((1L, 7L), (2L, 6L), (5L, 7L))) // doc 2 caught at 5
+  }
 }

@@ -61,4 +61,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
+      (2L, "one two three four"),     // 2 grams, both distinct
+      (3L, "too short")               // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).orderBy("doc_id")
+      .select("total_grams", "distinct_grams", "rep_ratio")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) === ((7L, 3L, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6)))
+    assert(out(1) === ((2L, 2L, 0.0)))
+    assert(out(2) === ((0L, 0L, 0.0)))
+  }
 }
