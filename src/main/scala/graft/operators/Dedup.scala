@@ -239,18 +239,21 @@ object Dedup {
     * into the transitive keep-one groups an actual corpus clean needs
     * (a~b, b~c ⟹ {a,b,c} is one cluster even when a,c never pair).
     *
-    * Implementation: min-label propagation to a fixpoint — each round
-    * every node takes the min of its own label and its neighbors'
-    * labels (one equi-join + groupBy on node id per round, shuffle key
-    * = node id). Rounds needed = component diameter; near-dup clusters
-    * are shallow (dozens of rounds covers pathological chains —
-    * `maxIter` guards and THROWS rather than return a half-merged
-    * labeling). The iteration runs only on nodes that appear in a pair
-    * — the corpus-sized singleton majority joins once at the end.
-    * `localCheckpoint` truncates the per-round lineage so the plan
-    * stays O(1) deep instead of O(rounds). At 100 TB the same loop
-    * holds (this is the textbook large-scale CC shape; alternating
-    * star contraction halves round count if diameter ever bites).
+    * Implementation: min-label propagation with pointer jumping —
+    * each round every node takes the min of its own label and its
+    * neighbors' labels (one equi-join + groupBy on node id, shuffle
+    * key = node id), then compresses one hop through its label's own
+    * label (a second self-join). The compression halves remaining
+    * path lengths, so rounds needed = O(log diameter), not
+    * O(diameter) (`maxIter` still guards and THROWS rather than
+    * return a half-merged labeling). Convergence is read from one
+    * cheap aggregate: labels only ever DECREASE, so an unchanged
+    * label sum ⟺ a fixpoint — no per-round anti-join. The iteration
+    * runs only on nodes that appear in a pair — the corpus-sized
+    * singleton majority joins once at the end. `localCheckpoint`
+    * truncates the per-round lineage so the plan stays O(1) deep
+    * instead of O(rounds). At 100 TB the same loop holds (this is
+    * the textbook large-scale CC shape).
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -259,21 +262,34 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    // decimal sum: overflow-safe for any id domain
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first() match {
+        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO // empty graph
+        case r => r.getDecimal(0)
+      }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.as("l")
+      val prop = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      val next = prop.as("p")
+        .join(prop.select(col("doc_id").as("hop_id"),
+            col("cluster_id").as("hop_lbl")),
+          col("p.cluster_id") === col("hop_id"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.cluster_id"), coalesce(col("hop_lbl"), col("p.cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
