@@ -99,6 +99,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val graphs = for {
+    nNodes <- Gen.choose(2, 30)
+    nEdges <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(nEdges,
+      Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+  } yield (nNodes.toLong, edges.filter(e => e._1 != e._2).map(e =>
+    (math.min(e._1, e._2), math.max(e._1, e._2))).distinct)
+
+  test("D8 clusters equals union-find components (random graphs)") {
+    forAll(graphs) { case (n, edges) =>
+      val docs = (0L until n).toDF("doc_id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusters(docs, pairs)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: naive union-find with path compression
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = (0 until n.toInt).map(find)
+      val minOf = roots.distinct.map(r => r ->
+        (0 until n.toInt).filter(i => roots(i) == r).min).toMap
+      val sizeOf = roots.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = (0 until n.toInt).map(i =>
+        (i.toLong, minOf(roots(i)).toLong, sizeOf(roots(i)))).toSet
+      assert(got === want, s"n=$n edges=$edges")
+    }
+  }
+
+  test("F7 packSequences conserves tokens and bounds offsets (random docs)") {
+    forAll(texts, Gen.choose(1, 20)) { (ts, budget) =>
+      val df = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, if (i % 2 == 0) "en" else "es") }.toDF("doc_id", "text", "lang")
+      val out = graft.operators.Corpus.packSequences(df, "lang", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.length === ts.size) // every doc packed exactly once
+      out.foreach { case (_, _, _, seqId, off) =>
+        assert(off >= 0 && off < budget && seqId >= 0)
+      }
+      // per stratum: doc at position p starts at the sum of its predecessors
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        var cum = 0L
+        sorted.foreach { case (_, _, wsTokens, seqId, off) =>
+          assert(seqId === cum / budget)
+          assert(off === cum % budget)
+          cum += wsTokens
+        }
+      }
+    }
+  }
+
   test("minhash signature similarity estimates Jaccard (statistical, fixed sets)") {
     graft.functions.VecExprs.register(spark)
     // two sets with known overlap: J = 50/150 = 1/3
