@@ -279,6 +279,14 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) =>                                      // rows-only
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
+    // rows-only; payload projected to a digest (binary column kept out
+    // of the harness canonicalization, like mm_feature_extract)
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(docs(s, d))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          col("dst_w"), col("dst_h"), col("n_bytes"),
+          xxhash64(col("payload")).as("payload_digest"))),
+
     // rows-only; the raw array<float> vector is projected to a
     // deterministic digest because the driver harness canonicalizes by
     // sorting every column — numpy arrays aren't sortable/hashable there.

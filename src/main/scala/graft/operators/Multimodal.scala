@@ -82,6 +82,47 @@ object Multimodal {
       .toDF("doc_id", "embedding")
   }
 
+  /** Typed resize result — dims + the (stub-)rescaled payload. */
+  final case class Resized(doc_id: Long, src_w: Int, src_h: Int,
+                           dst_w: Int, dst_h: Int, n_bytes: Int,
+                           payload: Array[Byte])
+
+  /** G4: resize — fit every image payload inside (maxW, maxH)
+    * preserving aspect ratio, never upscaling. Decode and rescale run
+    * in the SAME batched partition pass (the realistic layout: one
+    * codec handle per batch does both), so the payload bytes are read
+    * once. The pixel scaler is a STUB like [[Codec.decode]] (byte
+    * subsample proportional to the area change — deterministic,
+    * size-realistic); the schema, the fused decode+transform batch
+    * pass, and the binary-in/binary-out flow are the production
+    * plumbing. Narrow op: no shuffle, payload bytes never leave their
+    * partition.
+    */
+  def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .filter(col("kind") === "image")
+      .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(Codec.batchSize).flatMap { batch =>
+        val metas = Codec.decode(batch.toSeq)
+        metas.zip(batch).map { case (m, (id, _, bytes)) =>
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+          val dw = math.max(1, math.floor(m.width * scale).toInt)
+          val dh = math.max(1, math.floor(m.height * scale).toInt)
+          val outLen = math.max(1, math.ceil(bytes.length.toDouble *
+            (dw.toLong * dh) / (m.width.toLong * m.height)).toInt)
+          Resized(id, m.width, m.height, dw, dh, outLen, bytes.take(outLen))
+        }
+      })
+      .toDF()
+  }
+
   /** G1: attach an opaque binary payload (here: utf-8 bytes of `text`,
     * standing in for real media) + a modality tag, then batch-decode to
     * typed metadata. Pure narrow transformation — no shuffle; at scale

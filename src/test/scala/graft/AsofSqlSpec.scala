@@ -47,6 +47,38 @@ class AsofSqlSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("G4 resize fits within bounds, keeps aspect ratio, never upscales") {
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val out = Multimodal.resize(docs, maxW = 224, maxH = 224).collect()
+    assert(out.nonEmpty) // ~1/3 of docs are tagged image
+    out.foreach { r =>
+      val (sw, sh) = (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))
+      val (dw, dh) = (r.getAs[Int]("dst_w"), r.getAs[Int]("dst_h"))
+      assert(dw <= 224 && dh <= 224)
+      assert(dw <= sw && dh <= sh) // no upscaling
+      // aspect preserved up to integer truncation (relative: the
+      // smaller scaled edge can be single digits, where floor() costs
+      // up to ~1/edge of the ratio)
+      assert(math.abs((dw.toDouble / dh) / (sw.toDouble / sh) - 1.0) < 0.2,
+        s"aspect drift: $sw x $sh -> $dw x $dh")
+      assert(r.getAs[Array[Byte]]("payload").length === r.getAs[Int]("n_bytes"))
+    }
+    // already-small payloads pass through at native size
+    val small = out.filter(r => r.getAs[Int]("src_w") <= 224 && r.getAs[Int]("src_h") <= 224)
+    small.foreach { r =>
+      assert(r.getAs[Int]("dst_w") === r.getAs[Int]("src_w"))
+      assert(r.getAs[Int]("dst_h") === r.getAs[Int]("src_h"))
+    }
+    // deterministic and partition-invariant, like G1/G3 (payload
+    // compared as a Seq — Array[Byte] equality is referential)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("src_w"), r.getAs[Int]("src_h"),
+        r.getAs[Int]("dst_w"), r.getAs[Int]("dst_h"),
+        r.getAs[Array[Byte]]("payload").toSeq)
+    val b = Multimodal.resize(docs.repartition(7), 224, 224).collect()
+    assert(out.map(key).sortBy(_._1).toSeq === b.map(key).sortBy(_._1).toSeq)
+  }
+
   test("SQL surface: registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     val n = spark.sql(
