@@ -61,6 +61,10 @@ object SparkEntry {
   private val SampleDefaultRate = 0.9
   private val PackBudget = 512
 
+  /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
+    * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
+  private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
+
   // ---- the catalog ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,6 +277,12 @@ object SparkEntry {
     "corpus_pack_sequences" -> ((s, d) =>
       Corpus.packSequences(docs(s, d), "lang", PackBudget)),
 
+    "corpus_mix_plan" -> ((s, d) =>
+      Corpus.mixPlan(docs(s, d), "lang", MixShares)),
+
+    "text_compression_ratio" -> ((s, d) =>                            // rows-only
+      TextAnalysis.compressionRatio(docs(s, d))),
+
     // --- G: multimodal ---
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
 
@@ -316,6 +326,13 @@ object SparkEntry {
       SampleRates.map { case (l, r) =>
         s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'" }.mkString(" ") +
       s" ELSE '${Corpus.hexThreshold(SampleDefaultRate)}' END"
+
+  /** F6b target shares as a CASE over the SAME map the Spark wiring
+    * uses (cast to DOUBLE — DuckDB numeric literals are DECIMAL). */
+  private def mixCaseSql: String =
+    "CAST(CASE lang " +
+      MixShares.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ") +
+      " ELSE 0.0 END AS DOUBLE)"
 
   private val LAT = "6.0 + (user_id % 10) * 0.25"
   private val LON = "79.0 + ((user_id // 10) % 15) * 0.25"
@@ -742,6 +759,18 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8)
          |      < $sampleCaseSql""".stripMargin,
+
+    "corpus_mix_plan" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs, $mixCaseSql AS share
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT min(n_docs / share) AS t_total
+         |      FROM counts WHERE share > 0)
+         |SELECT lang, n_docs, round(share, 6) AS share,
+         |  CASE WHEN share > 0
+         |       THEN round(share * t_total / n_docs, 6)
+         |       ELSE 0.0 END AS rate
+         |FROM counts CROSS JOIN t""".stripMargin,
 
     "corpus_pack_sequences" ->
       s"""WITH t AS (

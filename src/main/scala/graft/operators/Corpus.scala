@@ -54,6 +54,40 @@ object Corpus {
     if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
+  /** F6b: mixing plan — given target mixture shares per stratum,
+    * compute the per-stratum DOWN-sampling rates that achieve them:
+    * the largest total T with `share_s · T ≤ n_s` for every stratum is
+    * `T = min_s(n_s / share_s)` (no stratum can be upsampled), giving
+    * `rate_s = share_s · T / n_s`. The output feeds
+    * [[sampleStratified]] directly — plan, then sample, is the
+    * two-step corpus-mixing loop.
+    *
+    * One tiny aggregation (strata-count groups) + a broadcast scalar
+    * min — O(strata) rows of output regardless of corpus size. Strata
+    * missing from `targetShares` get rate 0 (excluded from the mix);
+    * shares need not sum to 1 (only ratios matter).
+    */
+  def mixPlan(docs: DataFrame, strataCol: String,
+              targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "targetShares must be non-empty with positive shares")
+    val share = targetShares.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (s, w)) => acc.when(col(strataCol) === s, lit(w))
+    }.otherwise(lit(0.0))
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", share)
+    // T = min over included strata of n_s / share_s, as a broadcast scalar
+    val t = counts.filter(col("share") > 0)
+      .select(min(col("n_docs") / col("share")).as("t_total"))
+    counts.crossJoin(broadcast(t))
+      .select(col(strataCol), col("n_docs"),
+        round(col("share"), 6).as("share"),
+        when(col("share") > 0,
+          round(col("share") * col("t_total") / col("n_docs"), 6))
+          .otherwise(lit(0.0)).as("rate"))
+  }
+
   /** F7: sequence packing — concatenate-and-chunk each stratum's
     * document stream into fixed `budgetTokens` training sequences:
     * documents ordered by doc_id within a stratum, each assigned the

@@ -102,6 +102,37 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
 
+  /** F10: compression-ratio quality signal (rows-only) — deflate size
+    * over raw size per document: highly repetitive/boilerplate text
+    * compresses far below prose, making this the cheap complement to
+    * [[repetition]]'s exact gram ratio. zlib is not expressible in
+    * built-in expressions OR the DuckDB oracle, so this is the one
+    * justified `mapPartitions` in the F-block: the `Deflater` is
+    * allocated once per partition (the amortize-setup batching
+    * pattern, like the multimodal codecs) and the level is pinned so
+    * output is deterministic. Narrow op — no shuffle.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio = if (bytes.isEmpty) 1.0
+            else math.rint(compressed.toDouble / bytes.length * 1e6) / 1e6
+          (id, bytes.length.toLong, compressed, ratio)
+        }
+      }.toDF("doc_id", "n_bytes", "compressed_bytes", "comp_ratio")
+  }
+
   /** F9: intra-document repetition — the repeated-n-gram quality
     * signal (boilerplate, keyword stuffing, degenerate generations):
     * `rep_ratio = 1 − distinct_grams / total_grams` over word

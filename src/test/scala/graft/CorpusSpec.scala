@@ -40,6 +40,27 @@ class CorpusSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Corpus.hexThreshold(-0.1))
   }
 
+  test("F6b mixPlan computes down-sampling rates that hit the target shares") {
+    // counts: en 3, es 2. target 50/50 → binding stratum is es
+    // (2/0.5 = 4 < 3/0.5 = 6): T = 4, rate_en = 0.5*4/3, rate_es = 1
+    val out = Corpus.mixPlan(docs, "lang", Map("en" -> 0.5, "es" -> 0.5))
+      .select("lang", "n_docs", "rate")
+      .as[(String, Long, Double)].collect().toMap2
+    assert(out("es") === ((2L, 1.0)))         // binding stratum keeps all
+    assert(out("en") === ((3L, 0.666667)))    // rounded at 6 dp
+    // expected post-sample counts hit the target ratio: 3·⅔ ≈ 2 = es
+    assert(math.abs(out("en")._1 * out("en")._2 - 2.0) < 1e-4)
+    // excluded stratum → rate 0
+    val excl = Corpus.mixPlan(docs, "lang", Map("es" -> 1.0))
+      .select("lang", "rate").as[(String, Double)].collect().toMap
+    assert(excl("en") === 0.0 && excl("es") === 1.0)
+  }
+
+  private implicit class ToMap2(rows: Array[(String, Long, Double)]) {
+    def toMap2: Map[String, (Long, Double)] =
+      rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   test("F7 packSequences assigns contiguous budget-sized sequences per stratum") {
     val out = Corpus.packSequences(docs, "lang", budgetTokens = 5)
       .select("doc_id", "lang", "ws_tokens", "seq_id", "seq_offset")

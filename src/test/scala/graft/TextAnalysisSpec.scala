@@ -62,6 +62,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("F10 compressionRatio: repetitive text compresses below varied text, deterministic") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over one lazy dog near a riverbank"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df).orderBy("doc_id")
+      .select("doc_id", "n_bytes", "compressed_bytes", "comp_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0)._4 < out(1)._4)  // repetition compresses harder
+    assert(out(2)._2 === 0L && out(2)._4 === 1.0) // empty: ratio pinned to 1
+    assert(out(0)._2 === 59L) // 12×"spam" + 11 spaces
+    // partition-invariant (Deflater state is per-partition but reset per row)
+    val b = TextAnalysis.compressionRatio(df.repartition(3)).orderBy("doc_id")
+      .select("doc_id", "n_bytes", "compressed_bytes", "comp_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
