@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+
+/** End-to-end demo of the TRAINING-DATA side of the library — the
+  * clean-dedup-mix-pack chain a corpus goes through before training,
+  * composed entirely from catalog operators:
+  *
+  *   quality gate (F2 score + F9 repetition + F10 compression) →
+  *   exact dedup (F4 fingerprints) → near-dup clustering (D3 pairs →
+  *   D8 components, keep cluster representatives) → benchmark
+  *   decontamination (D9) → mixing plan + deterministic stratified
+  *   sample (F6b → F6) → sequence packing (F7).
+  *
+  *   sbt "runMain graft.CorpusPipeline [sfDir]"
+  *
+  * Prints one funnel line per stage (docs surviving) and the final
+  * packed-sequence count. The only driver-side data movement is the
+  * O(strata)-row mixing plan — everything else stays distributed, so
+  * the same chain runs unchanged on a 100 TB corpus.
+  */
+object CorpusPipeline {
+
+  final case class Funnel(input: Long, quality: Long, exactDedup: Long,
+                          nearDedup: Long, decontaminated: Long,
+                          sampled: Long, sequences: Long)
+
+  def run(spark: SparkSession, sfDir: String,
+          targetShares: Map[String, Double] = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3),
+          packBudget: Int = 512): Funnel = {
+    val docs = Tables.documents(spark, sfDir)
+    val input = docs.count()
+
+    // 1. quality gate: prose-like score, low gram repetition, and a
+    //    deflate ratio that rules out degenerate/boilerplate text
+    val scored = TextAnalysis.qualityScore(docs).select("doc_id", "score")
+      .join(TextAnalysis.repetition(docs).select("doc_id", "rep_ratio"), "doc_id")
+      .join(TextAnalysis.compressionRatio(docs).select("doc_id", "comp_ratio"), "doc_id")
+    val quality = docs.join(
+      scored.filter(col("score") >= 0.0 && col("rep_ratio") <= 0.5 &&
+        col("comp_ratio") >= 0.2).select("doc_id"), "doc_id")
+    val nQuality = quality.count()
+
+    // 2. exact dedup on content fingerprints: keep the min doc_id per
+    //    normalized content (F4 → the D1 keep-one rule)
+    val keepExact = TextAnalysis.fingerprint(quality)
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(keepExact, "doc_id")
+    val nExact = exact.count()
+
+    // 3. near-dup clustering: D3 candidate pairs → D8 components; the
+    //    cluster representative (doc_id == cluster_id) survives
+    val clusters = Dedup.clusters(exact, Dedup.ngramJaccard(exact, 0.2))
+    val near = exact.join(
+      clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
+    val nNear = near.count()
+
+    // 4. decontamination: drop anything sharing ≥5 grams with the
+    //    benchmark slice (here: every 97th doc plays the eval set)
+    val contaminated = Dedup.contamination(near, col("doc_id") % 97 === 0, 5)
+      .select("doc_id").distinct()
+    val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 97 =!= 0) // the eval slice itself never trains
+    val nClean = clean.count()
+
+    // 5. mix: plan the rates (O(strata) rows — the one legitimate
+    //    collect), then the deterministic md5-coin sample
+    val plan = Corpus.mixPlan(clean, "lang", targetShares)
+      .select("lang", "rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sampled = Corpus.sampleStratified(clean, "lang",
+      plan.filter(_._2 > 0), defaultRate = 0.0)
+    val nSampled = sampled.count()
+
+    // 6. pack into fixed token budgets per stratum
+    val packed = Corpus.packSequences(sampled, "lang", packBudget)
+    val nSeqs = packed.select("lang", "seq_id").distinct().count()
+
+    Funnel(input, nQuality, nExact, nNear, nClean, nSampled, nSeqs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val f = run(spark, sfDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"CORPUS input=${f.input} quality=${f.quality} " +
+      f"exact=${f.exactDedup} near=${f.nearDedup} clean=${f.decontaminated} " +
+      f"sampled=${f.sampled} sequences=${f.sequences} wall=$secs%.1fs")
+    spark.stop()
+  }
+}
