@@ -162,6 +162,27 @@ object JdbcUpsert {
     * email ledger) without failing the job. A partition whose
     * connection never opens ledgers all its rows under batch = -1.
     */
+  /** The reference's always-on push loop as a stream sink: every
+    * micro-batch lands via [[upsert]] (same retry + ledger contract),
+    * and the per-batch [[UpsertResult]] is handed to `onResult` — the
+    * driver-side hook where a production deployment acks, alerts on a
+    * non-empty ledger, or emits metrics (the streaming analogue of the
+    * reference's per-run email ledger). Pair with update-mode
+    * aggregations (e.g. `EventStream.runningWatermark` — the
+    * `update_latest_fgt` contract) so only changed keys re-push each
+    * batch. The caller sets trigger/checkpoint and calls `.start()`.
+    */
+  def upsertStream(stream: DataFrame, table: String, keyColumns: Seq[String],
+                   connect: () => Connection, dialect: Dialect = MySqlDialect,
+                   batchSize: Int = 1000, policy: RetryPolicy = RetryPolicy(),
+                   onResult: (Long, UpsertResult) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        onResult(batchId,
+          upsert(df, table, keyColumns, connect, dialect, batchSize, policy))
+      }
+
   def upsert(df: DataFrame, table: String, keyColumns: Seq[String],
              connect: () => Connection, dialect: Dialect = MySqlDialect,
              batchSize: Int = 1000, policy: RetryPolicy = RetryPolicy(),

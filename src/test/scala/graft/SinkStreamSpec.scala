@@ -225,6 +225,30 @@ class SinkStreamSpec extends SparkSpec {
       Seq("s2", t(2), t(12), 1L)))
   }
 
+  test("upsertStream pushes each micro-batch through upsert with per-batch results") {
+    implicit val sqlCtx = spark.sqlContext
+    FakeDb.reset()
+    val results = ArrayBuffer[(Long, JdbcUpsert.UpsertResult)]()
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "station")
+    // A11-as-a-stream feeding the reference's update_latest_fgt upsert
+    val q = JdbcUpsert.upsertStream(
+        EventStream.runningWatermark(df, "ts", "station"),
+        "fgt_watermark", Seq("station"), FakeDb.connect _,
+        onResult = (id, r) => results.synchronized { results += ((id, r)) })
+      .start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    mem.addData((t(0), "s1"), (t(10), "s2"))
+    q.processAllAvailable()
+    mem.addData((t(45), "s1")) // s1's watermark advances → re-upserts
+    q.processAllAvailable()
+    q.stop()
+    val rs = results.synchronized(results.toList)
+    assert(rs.nonEmpty && rs.forall(_._2.ok))
+    assert(rs.map(_._2.rowsWritten).sum >= 3) // 2 first batch + ≥1 update
+    assert(FakeDb.commits.get() > 0)          // commits happened executor-side
+  }
+
   test("EventStream.runningWatermark tracks max event time per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
