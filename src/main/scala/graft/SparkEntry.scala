@@ -152,6 +152,17 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "v")
         .select(col("user_id"), col("event_id"), col("ts_us"), col("filled"))),
 
+    "ts_interp_linear" -> ((s, d) =>
+      Timeseries.interpLinear(
+        evt(s, d).withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value"))),
+        "user_id", "ts_us", "event_id", "v")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("interp"))),
+
+    "ts_zscore_outliers" -> ((s, d) =>
+      Timeseries.zscoreOutliers(ev(s, d), "user_id", "ts_us", "event_id",
+        "value", "value_dec", tau = 3.0)),
+
     // --- B: grid / rfield ---
     // value: decimal sum cast to double at the edge — the oracle emits
     // DOUBLE and the driver hashes typed values (decimal(25,2) != double
@@ -460,6 +471,53 @@ object SparkEntry {
          |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM events""".stripMargin,
+
+    "ts_interp_linear" ->
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+         |  FROM events)
+         |SELECT user_id, event_id, ts_us,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pt IS NULL AND nt IS NULL THEN NULL
+         |       WHEN pt IS NULL THEN nv
+         |       WHEN nt IS NULL THEN pv
+         |       WHEN nt = pt THEN pv
+         |       ELSE round(pv + (nv - pv) * ((ts_us - pt) / (nt - pt)), 6)
+         |  END AS interp
+         |FROM (
+         |  SELECT user_id, event_id, ts_us, v,
+         |    last_value(v IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER wb AS pt,
+         |    first_value(v IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER wf AS nt
+         |  FROM b
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin,
+
+    "ts_zscore_outliers" ->
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         |    CAST(value AS DECIMAL(14,2)) AS vd
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, ts_us, value,
+         |    CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w AS mean,
+         |    CAST(sum(vd * vd) OVER w AS DOUBLE) / count(*) OVER w
+         |      - (CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w)
+         |        * (CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w) AS variance
+         |  FROM b WINDOW w AS (PARTITION BY user_id)),
+         |z AS (
+         |  SELECT user_id, event_id, ts_us, value,
+         |    CASE WHEN variance > 0
+         |         THEN round((value - mean) / sqrt(variance), 6)
+         |         ELSE 0.0 END AS z
+         |  FROM m)
+         |SELECT * FROM z WHERE abs(z) >= 3""".stripMargin,
 
     "grid_rfield_flatten" ->
       s"""SELECT $LON AS lon, $LAT AS lat,

@@ -251,4 +251,63 @@ object Timeseries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("filled", last(col(value), ignoreNulls = true).over(w))
   }
+
+  /** A16: z-score outlier QC — flag readings more than `tau` standard
+    * deviations from their series mean (the sensor-spike screen an
+    * obs-rainfall ingest runs before trusting a gauge). Moments come
+    * from EXACT decimal sums over one per-series window (sum, sum of
+    * squares, count — order-independent, cross-engine identical),
+    * converted to double for the final mean/variance/σ arithmetic;
+    * the z division is guarded on `variance > 0` so constant series
+    * flag nothing (NaN would compare as largest in Spark). One
+    * shuffle on the series key; the window carries three partial
+    * aggregates, no second pass.
+    */
+  def zscoreOutliers(df: DataFrame, key: String, time: String, id: String,
+                     valueRaw: String, valueDec: String,
+                     tau: Double): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    val n = count(lit(1)).over(w).cast("double")
+    val sumD = sum(col(valueDec)).over(w).cast("double")
+    val sumSqD = sum(col(valueDec) * col(valueDec)).over(w).cast("double")
+    val mean = sumD / n
+    val variance = sumSqD / n - mean * mean
+    df.withColumn("z",
+        when(variance > 0,
+          round((col(valueRaw) - mean) / sqrt(variance), 6))
+          .otherwise(lit(0.0)))
+      .filter(abs(col("z")) >= tau)
+      .select(col(key), col(id), col(time), col(valueRaw), col("z"))
+  }
+
+  /** A17: linear gap interpolation — null readings take the
+    * time-weighted value between the nearest known neighbors on each
+    * side (`prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`), the
+    * standard upgrade over A12's step-function forward fill for
+    * continuous signals. Edges degrade gracefully: only a previous
+    * neighbor → forward fill, only a next → backfill, neither → null.
+    * Two frames over ONE per-series sort (unbounded-preceding last +
+    * unbounded-following first, both ignoreNulls) — still a single
+    * shuffle on the series key.
+    */
+  def interpLinear(df: DataFrame, key: String, time: String, id: String,
+                   value: String): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownT = when(col(value).isNotNull, col(time))
+    val pv = last(col(value), ignoreNulls = true).over(back)
+    val pt = last(knownT, ignoreNulls = true).over(back)
+    val nv = first(col(value), ignoreNulls = true).over(fwd)
+    val nt = first(knownT, ignoreNulls = true).over(fwd)
+    df.withColumn("interp",
+      when(col(value).isNotNull, col(value))
+        .when(pt.isNull && nt.isNull, lit(null).cast("double"))
+        .when(pt.isNull, nv)
+        .when(nt.isNull, pv)
+        // duplicate timestamps can pin both neighbors to the same
+        // instant — 0/0 would be NaN, which Spark orders LARGEST
+        .when(nt === pt, pv)
+        .otherwise(round(pv + (nv - pv) * ((col(time) - pt) / (nt - pt)), 6)))
+  }
 }

@@ -107,4 +107,35 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("t").select("filled").collect().toSeq.map(_.toSeq)
     assert(out === Seq(Seq(null), Seq(5.0), Seq(5.0), Seq(7.0)))
   }
+
+  test("A17 interpLinear time-weights interior gaps, back/forward-fills edges") {
+    val df = Seq(
+      ("a", 0L, 1L, None),             // leading null → backfill to 1.0
+      ("a", 10L, 2L, Some(1.0)),
+      ("a", 20L, 3L, None),            // 1 + 3·(10/30) = 2.0
+      ("a", 30L, 4L, None),            // 1 + 3·(20/30) = 3.0
+      ("a", 40L, 5L, Some(4.0)),
+      ("a", 50L, 6L, None)             // trailing null → forward fill 4.0
+    ).toDF("k", "t", "id", "v")
+    val out = Timeseries.interpLinear(df, "k", "t", "id", "v")
+      .orderBy("t").select("interp").as[Option[Double]].collect().toSeq
+    assert(out === Seq(Some(1.0), Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(4.0)))
+    // an all-null series stays null
+    val empty = Timeseries.interpLinear(
+      Seq(("b", 1L, 1L, Option.empty[Double])).toDF("k", "t", "id", "v"),
+      "k", "t", "id", "v").select("interp").as[Option[Double]].head()
+    assert(empty === None)
+  }
+
+  test("A16 zscoreOutliers flags only the spike, constant series flag nothing") {
+    val base = (1 to 10).map(i => ("a", i.toLong, i.toLong, 0.0)) :+
+      (("a", 11L, 11L, 100.0))                    // z ≈ 3.16
+    val flat = (1 to 5).map(i => ("c", i.toLong, i.toLong, 2.0)) // σ = 0
+    val df = (base ++ flat).toDF("k", "t", "id", "v")
+      .withColumn("vd", col("v").cast("decimal(14,2)"))
+    val out = Timeseries.zscoreOutliers(df, "k", "t", "id", "v", "vd", 3.0)
+      .select("id", "z").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(11L))
+    assert(math.abs(out.head._2 - 3.162278) < 1e-6)
+  }
 }
