@@ -163,6 +163,12 @@ object SparkEntry {
       Timeseries.zscoreOutliers(ev(s, d), "user_id", "ts_us", "event_id",
         "value", "value_dec", tau = 3.0)),
 
+    "ts_rolling_stats" -> ((s, d) =>
+      Timeseries.rollingStats(ev(s, d), "user_id", "ts_us", "event_id",
+        "value_dec", k = 4)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("roll_sum"), col("roll_n"), col("roll_mean"))),
+
     // --- B: grid / rfield ---
     // value: decimal sum cast to double at the edge — the oracle emits
     // DOUBLE and the driver hashes typed values (decimal(25,2) != double
@@ -176,6 +182,20 @@ object SparkEntry {
         Grid.rfieldFlatten(Grid.deriveGrid(ev(s, d), "user_id"), "value_dec"),
         79.0, 79.3, 6.5, 7.5)
         .withColumn("value", col("value").cast("double"))),
+
+    "grid_idw" -> ((s, d) => {
+      import s.implicits._
+      val mesh = (for { j <- 0 until 5; i <- 0 until 8 }
+        yield (79.0 + i * 0.5, 6.0 + j * 0.5)).toDF("lon", "lat")
+      val stations = ev(s, d).groupBy(col("user_id"))
+        .agg((sum(col("value_dec")).cast("double") / count(lit(1)))
+          .as("s_val"))
+        .select(
+          (lit(79.0) + expr("(user_id div 10) % 15").cast("double") * 0.25).as("s_lon"),
+          (lit(6.0) + (col("user_id") % 10).cast("double") * 0.25).as("s_lat"),
+          col("s_val"))
+      Grid.idw(mesh, stations)
+    }),
 
     "grid_nearest_station" -> ((s, d) => {
       val grid = Grid.deriveGrid(Tables.events(s, d), "user_id")
@@ -523,6 +543,39 @@ object SparkEntry {
       s"""SELECT $LON AS lon, $LAT AS lat,
          |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
          |FROM events GROUP BY 1, 2 ORDER BY lon, lat""".stripMargin,
+
+    "ts_rolling_stats" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS roll_sum,
+         |  count(*) OVER w AS roll_n,
+         |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+         |        / count(*) OVER w, 6) AS roll_mean
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "grid_idw" ->
+      s"""WITH mesh AS (
+         |  SELECT CAST(79.0 AS DOUBLE) + i * CAST(0.5 AS DOUBLE) AS lon,
+         |         CAST(6.0 AS DOUBLE) + j * CAST(0.5 AS DOUBLE) AS lat
+         |  FROM (SELECT unnest(range(8)) AS i), (SELECT unnest(range(5)) AS j)),
+         |stations AS (
+         |  SELECT CAST($LON AS DOUBLE) AS s_lon, CAST($LAT AS DOUBLE) AS s_lat,
+         |         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+         |           AS s_val
+         |  FROM events GROUP BY user_id),
+         |terms AS (
+         |  SELECT lon, lat,
+         |    CAST(round((1.0 / greatest((lat - s_lat) * (lat - s_lat)
+         |        + (lon - s_lon) * (lon - s_lon), 1e-9)) * s_val, 12)
+         |      AS DECIMAL(30,12)) AS wv,
+         |    CAST(round(1.0 / greatest((lat - s_lat) * (lat - s_lat)
+         |        + (lon - s_lon) * (lon - s_lon), 1e-9), 12)
+         |      AS DECIMAL(30,12)) AS w
+         |  FROM mesh CROSS JOIN stations)
+         |SELECT lon, lat,
+         |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS idw_value
+         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "grid_bbox_filter" ->
       s"""SELECT * FROM (

@@ -82,4 +82,33 @@ object Grid {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** B4: inverse-distance-weighted interpolation — station values
+    * spread onto a target mesh, `idw = Σ wᵢ·vᵢ / Σ wᵢ` with
+    * `wᵢ = 1/d²` (the classic continuous upgrade over B3's
+    * winner-take-all nearest mapping; this is how a gauge network
+    * becomes a rainfall surface).
+    *
+    * Stations broadcast (gauge networks are KB–MB); the mesh streams
+    * through one broadcast join and a groupBy on the cell key with
+    * map-side partial aggregation — exchange volume O(cells), never
+    * O(cells × stations). Cross-engine exactness: each term is
+    * rounded at 12 dp (no double can sit exactly on a .5×10⁻¹²
+    * boundary — 10⁻¹² is not dyadic) and summed as DECIMAL, so the
+    * per-cell sums are order-independent; one double division + 6 dp
+    * round at the end. The d² floor keeps a station sitting exactly
+    * on a mesh point from producing an infinite weight — it then
+    * simply dominates the cell, which is the right limit behavior.
+    */
+  def idw(mesh: DataFrame, stations: DataFrame): DataFrame = {
+    val d2 = (col("lat") - col("s_lat")) * (col("lat") - col("s_lat")) +
+             (col("lon") - col("s_lon")) * (col("lon") - col("s_lon"))
+    val w = lit(1.0) / greatest(d2, lit(1e-9))
+    mesh.crossJoin(broadcast(stations))
+      .withColumn("wv", round(w * col("s_val"), 12).cast("decimal(30,12)"))
+      .withColumn("w", round(w, 12).cast("decimal(30,12)"))
+      .groupBy(col("lon"), col("lat"))
+      .agg(round(sum(col("wv")).cast("double") / sum(col("w")).cast("double"), 6)
+        .as("idw_value"))
+  }
 }

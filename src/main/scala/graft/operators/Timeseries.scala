@@ -280,6 +280,23 @@ object Timeseries {
       .select(col(key), col(id), col(time), col(valueRaw), col("z"))
   }
 
+  /** A18: rolling statistics — trailing `k`-row sum/count/mean per
+    * series (the moving-average smoother every rainfall dashboard
+    * plots next to the raw gauge). The sum runs in DECIMAL inside the
+    * frame (exact at any k), one double division per row for the
+    * mean. Single shuffle on the series key; the frame is
+    * rows-bounded so state per key is O(k), not O(series).
+    */
+  def rollingStats(df: DataFrame, key: String, time: String, id: String,
+                   valueDec: String, k: Int): DataFrame = {
+    require(k > 0, s"window k=$k must be positive")
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn("roll_sum", sum(col(valueDec)).over(w).cast("double"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_mean", round(col("roll_sum") / col("roll_n"), 6))
+  }
+
   /** A17: linear gap interpolation — null readings take the
     * time-weighted value between the nearest known neighbors on each
     * side (`prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`), the

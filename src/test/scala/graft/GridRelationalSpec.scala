@@ -26,6 +26,20 @@ class GridRelationalSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 6.0, 79.0), Seq("s2", 7.0, 80.0)))
   }
 
+  test("B4 idw recovers a station's value at its own location, blends in between") {
+    import spark.implicits._
+    val stations = Seq((0.0, 0.0, 10.0), (1.0, 0.0, 20.0))
+      .toDF("s_lon", "s_lat", "s_val")
+    val mesh = Seq((0.0, 0.0), (0.5, 0.0), (1.0, 0.0)).toDF("lon", "lat")
+    val out = graft.operators.Grid.idw(mesh, stations)
+      .orderBy("lon").select("idw_value").as[Double].collect().toSeq
+    // at a station: its (floored-d²) weight dwarfs the other's → its value
+    assert(math.abs(out.head - 10.0) < 1e-6)
+    assert(math.abs(out.last - 20.0) < 1e-6)
+    // midpoint: equal weights → plain mean
+    assert(math.abs(out(1) - 15.0) < 1e-6)
+  }
+
   test("C4 topKPerGroup returns k rows per group ordered desc with tie-break") {
     val df = Seq(("g1", 10.0, 1L), ("g1", 30.0, 2L), ("g1", 30.0, 3L), ("g1", 5.0, 4L),
                  ("g2", 1.0, 5L)).toDF("g", "x", "id")

@@ -127,6 +127,18 @@ class TimeseriesSpec extends SparkSpec {
     assert(empty === None)
   }
 
+  test("A18 rollingStats computes trailing k-row sum/count/mean") {
+    val df = (1 to 6).map(i => ("a", i.toLong, i.toLong, i.toDouble))
+      .toDF("k", "t", "id", "v")
+      .withColumn("vd", col("v").cast("decimal(14,2)"))
+    val out = Timeseries.rollingStats(df, "k", "t", "id", "vd", k = 3)
+      .orderBy("t").select("roll_sum", "roll_n", "roll_mean")
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1.0, 1L, 1.0), (3.0, 2L, 1.5), (6.0, 3L, 2.0),
+      (9.0, 3L, 3.0), (12.0, 3L, 4.0), (15.0, 3L, 5.0)))
+  }
+
   test("A16 zscoreOutliers flags only the spike, constant series flag nothing") {
     val base = (1 to 10).map(i => ("a", i.toLong, i.toLong, 0.0)) :+
       (("a", 11L, 11L, 100.0))                    // z ≈ 3.16
