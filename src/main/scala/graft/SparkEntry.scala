@@ -169,6 +169,10 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("roll_sum"), col("roll_n"), col("roll_mean"))),
 
+    "ts_ewma" -> ((s, d) =>                                           // rows-only
+      Timeseries.ewma(evt(s, d), "user_id", "ts_us", "event_id",
+        "value", alpha = 0.3)),
+
     // --- B: grid / rfield ---
     // value: decimal sum cast to double at the edge — the oracle emits
     // DOUBLE and the driver hashes typed values (decimal(25,2) != double

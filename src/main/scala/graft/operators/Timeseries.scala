@@ -297,6 +297,37 @@ object Timeseries {
       .withColumn("roll_mean", round(col("roll_sum") / col("roll_n"), 6))
   }
 
+  /** A19: exponentially-weighted moving average (rows-only — the
+    * recurrence `e_t = α·v_t + (1−α)·e_{t−1}` depends on its own
+    * previous OUTPUT, which no window frame expresses). Implemented on
+    * the typed `KeyValueGroupedDataset` API: one `flatMapGroups` pass
+    * per series, sorted in memory per group — the batch sibling of
+    * [[graft.streaming.EventStream.streamingIntervalDiff]]'s
+    * `flatMapGroupsWithState`. State is O(series length) transiently
+    * per group; series that outgrow an executor belong on the
+    * streaming flavor, which carries one double across micro-batches.
+    * Shuffle key = series key, same as every A-op.
+    */
+  def ewma(df: DataFrame, key: String, time: String, id: String,
+           value: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("long"), col(time).cast("long"),
+        col(id).cast("long"), col(value).cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        var prev = Option.empty[Double]
+        it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, t, rid, v) =>
+          val e = prev.fold(v)(p => alpha * v + (1.0 - alpha) * p)
+          prev = Some(e)
+          (k, t, rid, v, math.rint(e * 1e6) / 1e6)
+        }
+      }
+      .toDF(key, time, id, value, "ewma")
+  }
+
   /** A17: linear gap interpolation — null readings take the
     * time-weighted value between the nearest known neighbors on each
     * side (`prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`), the

@@ -139,6 +139,18 @@ class TimeseriesSpec extends SparkSpec {
       (9.0, 3L, 3.0), (12.0, 3L, 4.0), (15.0, 3L, 5.0)))
   }
 
+  test("A19 ewma matches the hand recurrence, partition-invariant") {
+    val dfn = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 10.0),
+                  (2L, 1L, 1L, 5.0)).toDF("k", "t", "id", "v")
+    val out = Timeseries.ewma(dfn, "k", "t", "id", "v", alpha = 0.3)
+      .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    // e1=10; e2=.3·20+.7·10=13; e3=.3·10+.7·13=12.1; b: 5
+    assert(out === Seq(10.0, 13.0, 12.1, 5.0))
+    val rep = Timeseries.ewma(dfn.repartition(5), "k", "t", "id", "v", 0.3)
+      .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    assert(rep === out)
+  }
+
   test("A16 zscoreOutliers flags only the spike, constant series flag nothing") {
     val base = (1 to 10).map(i => ("a", i.toLong, i.toLong, 0.0)) :+
       (("a", 11L, 11L, 100.0))                    // z ≈ 3.16
