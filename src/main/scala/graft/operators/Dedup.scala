@@ -74,6 +74,14 @@ object Dedup {
     val g = cachedAs("ngramJaccard",
       docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
         .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
+    jaccardOverGrams(g, tau)
+  }
+
+  /** Candidate equi-join + exact Jaccard over an exploded gram table
+    * `(doc_id, n_grams, gh)` — shared by the cached in-memory flow
+    * (ngramJaccard) and the bucketed materialized flow
+    * ([[ngramJaccardFromTable]]). */
+  private def jaccardOverGrams(g: DataFrame, tau: Double): DataFrame = {
     val inter = g.as("a").join(g.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -84,6 +92,29 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
   }
+
+  /** Materialize the exploded gram table BUCKETED on the gram hash —
+    * the deploy-time version of ngramJaccard's cache. At 100 TB the
+    * signature table is written once (one shuffle into `buckets`
+    * files per partition-set) and every subsequent candidate
+    * self-join — today's run, tomorrow's incremental — reads the
+    * co-located buckets with ZERO exchange on the join key
+    * (proved plan-level in the spec, like BucketedJoinSpec). */
+  def writeSignatureTable(docs: DataFrame, table: String, path: String,
+                          buckets: Int = 64): Unit = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+      .write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** D3 over a materialized signature table: identical semantics to
+    * [[ngramJaccard]], but the candidate self-join reads the bucketed
+    * table — no re-shingling, no shuffle on `gh`. */
+  def ngramJaccardFromTable(spark: org.apache.spark.sql.SparkSession,
+                            table: String, tau: Double): DataFrame =
+    jaccardOverGrams(spark.table(table).hint("merge"), tau)
 
   /** D2: MinHash + LSH candidate pairs (rows-only — banding is not
     * SQL-expressible for the DuckDB oracle; verified by spec against

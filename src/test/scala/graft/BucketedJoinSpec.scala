@@ -58,4 +58,26 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("materialized signature table: same Jaccard pairs, no exchange on the gram key") {
+    import graft.operators.Dedup
+    val wh = Files.createTempDirectory("graft_sig").toString
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    Dedup.writeSignatureTable(docs, "grams_b", s"$wh/grams_b", buckets = 8)
+
+    val fromTable = Dedup.ngramJaccardFromTable(spark, "grams_b", 0.2)
+    val plan = fromTable.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(_.startsWith("gh")),
+      s"gram key should be co-located by bucketing, got exchanges on: $exchanges")
+
+    // identical pair set and Jaccard values vs the in-memory flow
+    val a = fromTable.orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val b = Dedup.ngramJaccard(docs, 0.2)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+
+    spark.sql("DROP TABLE IF EXISTS grams_b")
+  }
 }
