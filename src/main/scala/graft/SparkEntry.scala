@@ -187,6 +187,10 @@ object SparkEntry {
         79.0, 79.3, 6.5, 7.5)
         .withColumn("value", col("value").cast("double"))),
 
+    "grid_regrid" -> ((s, d) =>
+      Grid.regrid(Grid.deriveGrid(ev(s, d), "user_id"), 0.5, "value_dec")
+        .withColumn("value", col("value").cast("double"))),
+
     "grid_idw" -> ((s, d) => {
       import s.implicits._
       val mesh = (for { j <- 0 until 5; i <- 0 until 8 }
@@ -557,6 +561,13 @@ object SparkEntry {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "grid_regrid" ->
+      s"""SELECT floor(CAST($LON AS DOUBLE) / 0.5) * 0.5 AS lon_c,
+         |       floor(CAST($LAT AS DOUBLE) / 0.5) * 0.5 AS lat_c,
+         |       CAST(round(sum(CAST(value AS DECIMAL(14,2))), 4) AS DOUBLE)
+         |         AS value
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "grid_idw" ->
       s"""WITH mesh AS (

@@ -116,6 +116,34 @@ object Dedup {
                             table: String, tau: Double): DataFrame =
     jaccardOverGrams(spark.table(table).hint("merge"), tau)
 
+  /** Incremental dedup — the arrival-time flow: candidate pairs
+    * between a NEW document batch and the materialized corpus
+    * signature table, without touching corpus text. The batch's grams
+    * (small) shuffle into the table's bucketing; the corpus side reads
+    * its co-located buckets in place — per-batch cost is
+    * O(batch × bucket density), independent of corpus size. Pairs come
+    * back as (corpus doc_a, new doc_b); new-vs-new pairs within the
+    * batch are [[ngramJaccard]] on the batch alone, and appending the
+    * batch's grams to the table makes the next increment see it.
+    */
+  def incrementalJaccard(spark: org.apache.spark.sql.SparkSession,
+                         table: String, newDocs: DataFrame,
+                         tau: Double): DataFrame = {
+    graft.functions.VecExprs.register(spark)
+    val newG = newDocs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    val inter = spark.table(table).hint("merge").as("a")
+      .join(newG.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_grams")).as("n_a"), first(col("b.n_grams")).as("n_b"))
+    inter
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
   /** D2: MinHash + LSH candidate pairs (rows-only — banding is not
     * SQL-expressible for the DuckDB oracle; verified by spec against
     * the exact-Jaccard ground truth instead).

@@ -83,6 +83,19 @@ object Grid {
       .drop("rn")
   }
 
+  /** B5: regrid / coarsen — aggregate fine cells into `factor`-degree
+    * blocks (0.25° d03 → 0.5° display tiles, or any downstream model
+    * resolution). Block key = `floor(coord/factor)·factor`, exact for
+    * dyadic factors over dyadic grids, so cross-engine bit-equal; one
+    * hash groupBy on the block key with map-side partial aggregation —
+    * the same shape as B1 at 1/(factor/spacing)² the output cells.
+    */
+  def regrid(grid: DataFrame, factor: Double, value: String): DataFrame =
+    grid.groupBy(
+        (floor(col("lon") / factor) * factor).as("lon_c"),
+        (floor(col("lat") / factor) * factor).as("lat_c"))
+      .agg(round(sum(col(value)), 4).as("value"))
+
   /** B4: inverse-distance-weighted interpolation — station values
     * spread onto a target mesh, `idw = Σ wᵢ·vᵢ / Σ wᵢ` with
     * `wᵢ = 1/d²` (the classic continuous upgrade over B3's

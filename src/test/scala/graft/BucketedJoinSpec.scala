@@ -62,7 +62,7 @@ class BucketedJoinSpec extends SparkSpec {
   test("materialized signature table: same Jaccard pairs, no exchange on the gram key") {
     import graft.operators.Dedup
     val wh = Files.createTempDirectory("graft_sig").toString
-    val docs = Tables.documents(spark, sfDir).limit(200)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
     Dedup.writeSignatureTable(docs, "grams_b", s"$wh/grams_b", buckets = 8)
 
     val fromTable = Dedup.ngramJaccardFromTable(spark, "grams_b", 0.2)
@@ -77,6 +77,20 @@ class BucketedJoinSpec extends SparkSpec {
     val b = Dedup.ngramJaccard(docs, 0.2)
       .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
     assert(a === b)
+
+    // incremental flow: a new batch vs the materialized corpus equals
+    // the full recompute restricted to (corpus, new) cross pairs
+    // tau low enough that shared-shingle pairs straddle the batch
+    // boundary in this slice (exact near-dup plants may not)
+    val all = Tables.documents(spark, sfDir).filter(col("doc_id") < 260)
+    val newBatch = all.filter(col("doc_id") >= 200)
+    val inc = Dedup.incrementalJaccard(spark, "grams_b", newBatch, 0.02)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val fullCross = Dedup.ngramJaccard(all, 0.02)
+      .filter(col("doc_a") < 200 && col("doc_b") >= 200)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(inc === fullCross)
+    assert(inc.nonEmpty, "expected at least one cross-batch candidate at tau=0.02")
 
     spark.sql("DROP TABLE IF EXISTS grams_b")
   }

@@ -26,6 +26,17 @@ class GridRelationalSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 6.0, 79.0), Seq("s2", 7.0, 80.0)))
   }
 
+  test("B5 regrid coarsens 0.25° cells into 0.5° blocks conserving the sum") {
+    import spark.implicits._
+    val fine = Seq((79.0, 6.0, 1.0), (79.25, 6.25, 2.0),   // same 0.5° block
+                   (79.5, 6.0, 4.0), (79.75, 6.25, 8.0))   // next block east
+      .toDF("lon", "lat", "v").withColumn("vd", col("v").cast("decimal(14,2)"))
+    val out = graft.operators.Grid.regrid(fine, 0.5, "vd")
+      .orderBy("lon_c").collect().map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getDecimal(2).doubleValue())).toSeq
+    assert(out === Seq((79.0, 6.0, 3.0), (79.5, 6.0, 12.0)))
+  }
+
   test("B4 idw recovers a station's value at its own location, blends in between") {
     import spark.implicits._
     val stations = Seq((0.0, 0.0, 10.0), (1.0, 0.0, 20.0))
