@@ -72,6 +72,35 @@ object EventStream {
   /** One per-interval delta (what the reference pushes to the DB). */
   final case class IntervalDelta(station: String, ts: java.sql.Timestamp, delta: Double)
 
+  /** One smoothed reading (A19's output shape as a stream). */
+  final case class Smoothed(station: String, ts: java.sql.Timestamp,
+                            value: Double, ewma: Double)
+
+  /** A19-as-a-stream: exponential smoothing with the previous EWMA
+    * value carried across micro-batches in per-key state (one double
+    * per station — the same bounded-state contract as
+    * [[streamingIntervalDiff]]). Within a batch events are event-time
+    * ordered before applying the recurrence.
+    */
+  def streamingEwma(events: Dataset[CumulReading], alpha: Double)
+      : Dataset[Smoothed] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.station)
+      .flatMapGroupsWithState[Double, Smoothed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (station, readings, state: GroupState[Double]) =>
+          var prev = state.getOption
+          val out = readings.toSeq.sortBy(_.ts.getTime).map { r =>
+            val e = prev.fold(r.value)(p => alpha * r.value + (1.0 - alpha) * p)
+            prev = Some(e)
+            Smoothed(station, r.ts, r.value, math.rint(e * 1e6) / 1e6)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** A1-as-a-stream: cumulative → per-interval deltas with CUSTOM
     * per-key state (`flatMapGroupsWithState`) — the last cumulative
     * value per station survives across micro-batches, so the first

@@ -225,6 +225,23 @@ class SinkStreamSpec extends SparkSpec {
       Seq("s2", t(2), t(12), 1L)))
   }
 
+  test("streamingEwma carries the running average across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.CumulReading]
+    val q = EventStream.streamingEwma(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_s").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    mem.addData(EventStream.CumulReading("s1", t(0), 10.0),
+                EventStream.CumulReading("s1", t(1), 20.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.CumulReading("s1", t(2), 20.0)) // uses e=15 from batch 1
+    q.processAllAvailable()
+    val out = spark.table("ewma_s").orderBy("ts")
+      .select("ewma").as[Double].collect().toSeq
+    q.stop()
+    assert(out === Seq(10.0, 15.0, 17.5)) // .5·20+.5·15 across the batch boundary
+  }
+
   test("upsertStream pushes each micro-batch through upsert with per-batch results") {
     implicit val sqlCtx = spark.sqlContext
     FakeDb.reset()
