@@ -80,9 +80,22 @@ object Pipeline {
     dir
   }
 
-  /** Legacy two-arg entry — defaults config over a flat ncDir. */
-  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult =
-    run(spark, PipelineConfig(ncDir = ncDir, outDir = outDir))
+  /** Legacy two-arg entry — DISCOVERS the systems present in ncDir by
+    * matching the default file pattern (the pre-config behavior: a
+    * directory with A/C/E files processes all three; a directory whose
+    * files don't match the pattern fails loud instead of silently
+    * processing the default subset). */
+  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult = {
+    val base = PipelineConfig(ncDir = ncDir, outDir = outDir)
+    val rx = java.util.regex.Pattern.quote(base.filePattern)
+      .replace("{system}", "\\E(.+)\\Q").r
+    val found = Option(new java.io.File(ncDir).list()).getOrElse(Array.empty)
+      .flatMap { n => n match { case rx(s) => Some(s); case _ => None } }
+      .toSeq.sorted
+    require(found.nonEmpty,
+      s"no files matching '${base.filePattern}' in $ncDir")
+    run(spark, base.copy(systems = found))
+  }
 
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
     val paths = cfg.systems.map(cfg.ncPath)

@@ -37,11 +37,15 @@ object Corpus {
   def sampleStratified(docs: DataFrame, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double = 1.0): DataFrame = {
+    // NULL strata sample at the default rate — without the coalesce
+    // the concat (and so the coin) is NULL and the filter silently
+    // drops every null-stratum row even at defaultRate = 1.0
+    val stratum = coalesce(col(strataCol), lit(""))
     val coin = substring(
-      md5(concat(col("doc_id").cast("string"), lit(":"), col(strataCol))), 1, 8)
+      md5(concat(col("doc_id").cast("string"), lit(":"), stratum)), 1, 8)
     val threshold = rates.foldLeft(when(lit(false), lit(""))) {
-      case (acc, (stratum, rate)) =>
-        acc.when(col(strataCol) === stratum, lit(hexThreshold(rate)))
+      case (acc, (s, rate)) =>
+        acc.when(stratum === s, lit(hexThreshold(rate)))
     }.otherwise(lit(hexThreshold(defaultRate)))
     docs.filter(coin < threshold)
   }

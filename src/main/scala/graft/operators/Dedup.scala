@@ -281,8 +281,12 @@ object Dedup {
   def contamination(docs: DataFrame, isBenchmark: Column,
                     minShared: Int): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
-    val g = docs.select(col("doc_id"), isBenchmark.as("is_bench"),
-      explode(gramHashes(col("text"))).as("gh"))
+    // cachedAs(): both filter branches read the exploded gram table —
+    // uncached, each branch would re-scan and re-shingle the corpus
+    // (the same both-branches pattern as ngramJaccard)
+    val g = cachedAs("contamination",
+      docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+        explode(gramHashes(col("text"))).as("gh")))
     val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
     corpus.join(broadcast(bench), Seq("gh"))
@@ -347,6 +351,10 @@ object Dedup {
             .as("cluster_id"))
         .localCheckpoint()
       val s = labelSum(next)
+      // next is materialized — the previous round's checkpoint blocks
+      // are dead weight now; keep at most 2 label copies pinned, not
+      // O(rounds)
+      labels.unpersist(false)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -98,15 +98,21 @@ object Multimodal {
     * plumbing. Narrow op: no shuffle, payload bytes never leave their
     * partition.
     */
-  def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Shared payload prelude: modality tag + opaque binary payload —
+    * ONE definition so decode and resize can never classify the same
+    * doc differently. */
+  private def payloads(docs: DataFrame): DataFrame =
     docs
       .withColumn("kind",
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")))
-      .filter(col("kind") === "image")
       .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
+
+  def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    payloads(docs)
+      .filter(col("kind") === "image")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.grouped(Codec.batchSize).flatMap { batch =>
         val metas = Codec.decode(batch.toSeq)
@@ -130,13 +136,9 @@ object Multimodal {
   def decodeMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val payloads: Dataset[(Long, String, Array[Byte])] = docs
-      .withColumn("kind",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")))
-      .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, String, Array[Byte])]
-    payloads
+    val typed: Dataset[(Long, String, Array[Byte])] =
+      payloads(docs).as[(Long, String, Array[Byte])]
+    typed
       .mapPartitions(_.grouped(Codec.batchSize).flatMap(b => Codec.decode(b.toSeq)))
       .toDF()
   }

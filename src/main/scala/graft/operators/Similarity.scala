@@ -57,12 +57,23 @@ object Similarity {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** Pair-count ceiling for E1: the guarded quantity is the SCORED
+    * PAIR count (queries × corpus — the actual nested-loop cost), not
+    * the corpus size; a hundred queries over a huge corpus is a fine
+    * broadcast-join plan and passes. */
+  val pairCeiling: Long = 1L << 32
+
   /** E1: exact cosine top-k per query vector (brute force baseline).
     * Queries (small) broadcast; candidates stream. Deterministic rank:
-    * (cos desc, candidate id). Size-guarded: queries × corpus is
-    * quadratic when the query set is the corpus. */
+    * (cos desc, candidate id). Guarded on queries × corpus — the real
+    * cost of the nested loop (two cheap column-pruned counts up
+    * front, noise next to the scoring job they gate). */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    guardQuadratic(emb, "bruteForceTopK", "Similarity.lshTopK (E2) / ivfTopK (E3)")
+    val n = emb.count()
+    val nQ = emb.filter(isQuery).count()
+    require(nQ * n <= pairCeiling,
+      s"bruteForceTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
+        "use Similarity.lshTopK (E2) / ivfTopK (E3) at this scale")
     val p = prepared(emb)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))

@@ -118,6 +118,11 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        // native zlib memory is invisible to the JVM heap — release it
+        // at task end, not at finalization (mapPartitions' iterator is
+        // lazy, so a try/finally around `it.map` would end() too early)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")

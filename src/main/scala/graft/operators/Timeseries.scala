@@ -313,11 +313,14 @@ object Timeseries {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(key).cast("long"), col(time).cast("long"),
+    // key travels as its string form so ANY atomic key type works
+    // (the pipeline's station keys are strings; a long cast would
+    // null them and kill the non-nullable encoder)
+    df.select(col(key).cast("string"), col(time).cast("long"),
         col(id).cast("long"), col(value).cast("double"))
-      .as[(Long, Long, Long, Double)]
+      .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long, Double)]) =>
         var prev = Option.empty[Double]
         it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, t, rid, v) =>
           val e = prev.fold(v)(p => alpha * v + (1.0 - alpha) * p)

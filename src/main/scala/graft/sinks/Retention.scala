@@ -18,7 +18,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object Retention {
 
   final case class FlushReport(examined: Long, deleted: Seq[String],
-                               freedBytes: Long, dryRun: Boolean)
+                               freedBytes: Long, dryRun: Boolean,
+                               failed: Seq[String] = Nil)
 
   /** Delete files under `dir` ending in `suffix` whose mtime is older
     * than `maxAgeMs` before `now`. `dryRun = true` reports what WOULD
@@ -32,18 +33,24 @@ object Retention {
     var examined = 0L
     var freed = 0L
     val deleted = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[String]
     val it = fs.listFiles(new Path(dir), true)
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(suffix)) {
         examined += 1
         if (f.getModificationTime < cutoff) {
-          if (!dryRun) fs.delete(f.getPath, false)
-          deleted += f.getPath.toUri.getPath
-          freed += f.getLen
+          // Hadoop FS returns false (no throw) on e.g. permission
+          // denial — only count bytes that actually went away, or the
+          // runaway-growth alert this report feeds never fires
+          if (dryRun || fs.delete(f.getPath, false)) {
+            deleted += f.getPath.toUri.getPath
+            freed += f.getLen
+          } else failed += f.getPath.toUri.getPath
         }
       }
     }
-    FlushReport(examined, deleted.result().sorted, freed, dryRun)
+    FlushReport(examined, deleted.result().sorted, freed, dryRun,
+      failed.result().sorted)
   }
 }

@@ -104,8 +104,12 @@ object RfieldSink {
       val part = fs.listStatus(d.getPath)
         .map(_.getPath).filter(_.getName.startsWith("part-"))
       require(part.length == 1, s"expected 1 file for $timeCol=$t, got ${part.length}")
-      fs.rename(part.head,
-        new Path(out, s"${model}_${system}_${version}_${tsName(t)}.txt"))
+      val dest = new Path(out, s"${model}_${system}_${version}_${tsName(t)}.txt")
+      // rename returns false (no throw) when dest exists — e.g. two
+      // timesteps inside one LK minute collapsing to one file name;
+      // failing loud beats shipping a bundle with a step missing
+      require(fs.rename(part.head, dest),
+        s"rename to $dest failed (name collision from sub-minute timesteps?)")
     }
     fs.delete(staging, true)
 

@@ -33,6 +33,18 @@ class PipelineConfigSpec extends SparkSpec {
     assert(cfg.model === "WRF" && cfg.unit === "mm")
   }
 
+  test("legacy ncDir entry discovers every system present, not just the defaults") {
+    val dir = Files.createTempDirectory("graft_disc").toString
+    Pipeline.generateSyntheticRun(dir, ny = 2, nx = 2, nt = 3,
+      systems = Seq("A", "C", "E"))
+    val res = Pipeline.run(spark, dir, s"$dir/out")
+    assert(res.perSystem.keySet === Set("A", "C", "E")) // E not silently dropped
+    // and a directory with nothing matching the pattern fails loud
+    val empty = Files.createTempDirectory("graft_disc_empty").toString
+    val e = intercept[IllegalArgumentException](Pipeline.run(spark, empty, s"$empty/out"))
+    assert(e.getMessage.contains("no files matching"))
+  }
+
   test("one config-driven invocation processes all systems; per-system counts sum to total") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val systems = Seq("A", "C", "E", "SE")

@@ -26,6 +26,7 @@ class RetentionSpec extends SparkSpec {
     assert(r.examined === 3) // the .txt never counts
     assert(r.deleted === Seq(old1, old2).sorted)
     assert(r.freedBytes === 2L)
+    assert(r.failed.isEmpty)
     assert(!Files.exists(Paths.get(old1)) && !Files.exists(Paths.get(old2)))
     assert(Files.exists(Paths.get(fresh)))
     assert(Files.exists(Paths.get(dir, "old_but_not_nc.txt"))) // suffix-scoped

@@ -27,10 +27,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosinePairs(big, 0.9)
     }
     assert(e1.getMessage.contains("lshTopK"))
+    // E1 guards the scored-pair count: all-rows-as-queries trips …
     val e2 = intercept[IllegalArgumentException] {
-      Similarity.bruteForceTopK(big, col("vec_id") === 0, 5)
+      Similarity.bruteForceTopK(big, lit(true), 5)
     }
-    assert(e2.getMessage.contains("O(n²)"))
+    assert(e2.getMessage.contains("ivfTopK"))
+    // … but a small query set over the same huge corpus passes the
+    // guard (the broadcast-join plan is fine; it then fails on the
+    // missing embedding column, proving the guard was cleared)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.bruteForceTopK(big, col("vec_id") < 10, 5)
+    }
   }
 
   test("E1 cosine values match a hand computation at 6 dp") {
