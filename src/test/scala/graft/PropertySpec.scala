@@ -157,6 +157,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("D9 contamination equals brute-force shared-distinct-gram counts (random docs)") {
+    forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.contamination(df, col("doc_id") % 3 === 0, minShared = 1)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      def grams(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.size < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (tb, ib) <- ts.zipWithIndex if ib % 3 == 0
+        (tc, ic) <- ts.zipWithIndex if ic % 3 != 0
+        shared = (grams(tb) & grams(tc)).size if shared >= 1
+      } yield ((ic.toLong, ib.toLong), shared.toLong)).toMap
+      assert(got === want)
+    }
+  }
+
   test("minhash signature similarity estimates Jaccard (statistical, fixed sets)") {
     graft.functions.VecExprs.register(spark)
     // two sets with known overlap: J = 50/150 = 1/3
