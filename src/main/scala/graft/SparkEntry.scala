@@ -231,6 +231,10 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) =>
       Relational.q14PromoRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
 
+    "q18_large_orders" -> ((s, d) =>
+      Relational.q18LargeOrders(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), 140)),
+
     "ts_cumsum" -> ((s, d) =>
       Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -869,6 +873,17 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING total_qty > 140)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |       CAST(total_qty AS DOUBLE) AS total_qty
+         |FROM orders
+         |JOIN big      ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "text_top_tokens" ->
       s"""WITH toks AS (SELECT lang, $TOKS AS t FROM documents),

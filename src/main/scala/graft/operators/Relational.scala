@@ -109,6 +109,27 @@ object Relational {
         .as("promo_revenue_pct"))
   }
 
+  /** C6: TPC-H Q18 flavor (large-volume customers) — orders whose
+    * lineitem quantity sum clears a threshold, joined back to the
+    * customer. The having-filtered aggregate runs FIRST (partial agg
+    * on l_orderkey, one exchange, threshold filter collapses it to a
+    * tiny key list), so the orders/customer joins see only qualifying
+    * keys — at 100 TB the big-table work is one aggregation pass, and
+    * AQE broadcasts the surviving key list into the join. Quantity
+    * sums are exact DECIMAL, cast to double at the edge.
+    */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Int): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec2("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty").cast("double").as("total_qty"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

@@ -76,6 +76,21 @@ class GridRelationalSpec extends SparkSpec {
     assert(back.toSeq === Seq(4.0, 10.0)) // diffs of cumsum = original values
   }
 
+  test("C6 q18 keeps exactly the orders whose lineitem qty clears the threshold") {
+    import graft.operators.Relational
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.q18LargeOrders(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir), li, 140)
+    val keys = out.select("o_orderkey").as[Long].collect().toSet
+    val want = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("q"))
+      .filter(col("q") > 140)
+      .select(col("l_orderkey").cast("long")).as[Long].collect().toSet
+    assert(keys === want && keys.nonEmpty)
+    // every qualifying order appears exactly once (customer join is 1:1)
+    assert(out.count() === keys.size)
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)
