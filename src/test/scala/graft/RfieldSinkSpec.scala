@@ -60,6 +60,20 @@ class RfieldSinkSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("writePackaged fails loud when two timesteps collapse to one file name") {
+    // epochs 0 and 30 both stamp to LK 1970-01-01_05-30; the second
+    // rename returns false (dest exists) and must throw, not silently
+    // ship a bundle with a step missing
+    val rf = (for {
+      t <- Seq(0L, 30L); (lon, lat) <- Seq((79.0, 6.0), (79.5, 6.0))
+    } yield (t, lon, lat, 1.0)).toDF("t", "lon", "lat", "value")
+    val dir = Files.createTempDirectory("rfield_dup").toString + "/d03"
+    val e = intercept[IllegalArgumentException] {
+      RfieldSink.writePackaged(rf, dir, "t", "WRF", "A", "4.0")
+    }
+    assert(e.getMessage.contains("rename"))
+  }
+
   test("writePackaged rejects a timestep with missing cells (would misalign)") {
     val rf = Seq(
       (0L, 79.0, 6.0, 1.0), (0L, 79.5, 6.0, 2.0),
