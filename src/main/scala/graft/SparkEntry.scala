@@ -283,6 +283,9 @@ object SparkEntry {
     "ann_centroid_update" -> ((s, d) =>
       Similarity.centroidUpdate(emb(s, d), nlist = 16)),
 
+    "ann_pq_topk" -> ((s, d) =>                                       // rows-only
+      Similarity.pqTopK(emb(s, d), annIsQuery, 5)),
+
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
       val out = TextAnalysis.langId(docs(s, d))

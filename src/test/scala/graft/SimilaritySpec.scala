@@ -99,6 +99,30 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (_, _, _, m) => assert(m >= 0.0 && m <= 1.0) }
   }
 
+  test("E5 pqTopK recall vs brute force, improving with code length (real embeddings)") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val truth = Similarity.bruteForceTopK(real, isQ, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(m: Int, ks: Int): Double = {
+      val got = Similarity.pqTopK(real, isQ, 5, m, ks)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r8 = recall(8, 16); val r16 = recall(16, 32)
+    info(f"PQ recall@5: m=8/ks=16 = $r8%.2f, m=16/ks=32 = $r16%.2f")
+    assert(r8 >= 0.4)   // measured 0.52 with the ADC-shortlist + rerank
+    assert(r16 > r8)    // longer codes + bigger codebooks buy recall
+    // reranked similarities are EXACT cosines — identical to E1's for
+    // any overlapping (query, neighbor) pair
+    val bf = Similarity.bruteForceTopK(real, isQ, 5)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.pqTopK(real, isQ, 5, 8, 16)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) => bf.get((q, n)).foreach(e => assert(e === c)) }
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
