@@ -123,8 +123,11 @@ object Relational {
     val big = lineitem.groupBy(col("l_orderkey"))
       .agg(sum(dec2("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > minQty)
-    orders.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+    // broadcast the SMALL side — the threshold-filtered order list —
+    // into the customer join; customer itself scales with SF and must
+    // never be the hinted build side
+    broadcast(orders.join(big, col("o_orderkey") === col("l_orderkey")))
+      .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("total_qty").cast("double").as("total_qty"))

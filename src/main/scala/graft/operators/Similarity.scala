@@ -205,8 +205,25 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, isQuery: Column, k: Int,
              m: Int = 8, ks: Int = 16, rerank: Int = 8): DataFrame = {
+    // same scored-pair guard as E1: ADC scoring still visits every
+    // (query, candidate) pair — PQ shrinks the per-pair cost and the
+    // index size, not the pair space (compose with E3's list probing
+    // for the sub-linear IVFPQ variant)
+    val n = emb.count()
+    val nQ = emb.filter(isQuery).count()
+    require(nQ * n <= pairCeiling,
+      s"pqTopK would ADC-score $nQ × $n pairs (ceiling $pairCeiling); " +
+        "compose with ivfTopK-style list probing at this scale")
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m (the standard PQ " +
+        "precondition — a remainder would silently drop trailing dims)")
     val p0 = prepared(emb)
-    val p = p0.withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
+    // zero vectors have no direction: excluding them beats NaN codes
+    // (NaN orders LARGEST in Spark and would poison the rankings)
+    val p = p0.filter(col("n2") > 0)
+      .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
       .select(col("vec_id"), col("u"))
     val subLen = (size(col("u")) / m).cast("int")
     def subvectors(df: DataFrame): DataFrame =
@@ -220,13 +237,16 @@ object Similarity {
         row_number().over(Window.orderBy(col("hsel"))).cast("int") - 1)
     val codebook = subvectors(sampled.select(col("c_idx").as("vec_id"), col("u")))
       .select(col("vec_id").as("c_idx"), col("j"), col("sub").as("c_sub"))
+    // squared L2 between a subvector and a codebook entry — ONE
+    // definition shared by encoding and the query LUT (diverging
+    // copies would silently break the ADC ranking)
+    def subDist(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
     // encode: nearest codebook entry per (vector, subspace)
     val dEnc = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d2"), col("c_idx"))
     val codes = subvectors(p).join(broadcast(codebook), Seq("j"))
-      .withColumn("d2",
-        dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("sub"), col("c_sub")))
+      .withColumn("d2", subDist(col("sub"), col("c_sub")))
       .withColumn("rn", row_number().over(dEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("j"), col("c_idx").as("code"))
@@ -235,8 +255,7 @@ object Similarity {
     val lut = subvectors(p.join(qIds, Seq("vec_id")))
       .join(broadcast(codebook), Seq("j"))
       .select(col("vec_id").as("q_id"), col("j"), col("c_idx"),
-        (dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
+        subDist(col("sub"), col("c_sub")).as("pd"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("vec_id"))
     // ADC shortlist: overfetch k·rerank candidates on compressed codes…

@@ -113,6 +113,9 @@ class SimilaritySpec extends SparkSpec {
     info(f"PQ recall@5: m=8/ks=16 = $r8%.2f, m=16/ks=32 = $r16%.2f")
     assert(r8 >= 0.4)   // measured 0.52 with the ADC-shortlist + rerank
     assert(r16 > r8)    // longer codes + bigger codebooks buy recall
+    // the standard PQ precondition fails loud: 64 dims don't split into 7
+    val e = intercept[IllegalArgumentException](Similarity.pqTopK(real, isQ, 5, m = 7))
+    assert(e.getMessage.contains("multiple of m"))
     // reranked similarities are EXACT cosines — identical to E1's for
     // any overlapping (query, neighbor) pair
     val bf = Similarity.bruteForceTopK(real, isQ, 5)
