@@ -286,6 +286,9 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) =>                                       // rows-only
       Similarity.pqTopK(emb(s, d), annIsQuery, 5)),
 
+    "ann_ivfpq_topk" -> ((s, d) =>                                    // rows-only
+      Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5)),
+
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
       val out = TextAnalysis.langId(docs(s, d))

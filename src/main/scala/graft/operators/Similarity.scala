@@ -99,23 +99,32 @@ object Similarity {
     * nprobe/nlist of the data, and the join shuffle key space (nlist)
     * is sized ≫ executor count.
     */
+  /** Deterministic coarse-quantizer centroids (smallest xxhash64
+    * sample — shared by E3's probing and E6's IVFPQ composition). */
+  private def coarseCentroids(p: DataFrame, nlist: Int): DataFrame =
+    p.withColumn("hsel", xxhash64(col("vec_id")))
+      .orderBy(col("hsel")).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
+
+  /** Top-n coarse centroids by cosine per vector — broadcast cross +
+    * rank (the assignment/probing kernel of E3 and E6). */
+  private def nearestCoarse(vectors: DataFrame, centroids: DataFrame,
+                            n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val p = prepared(emb)
-    val centroids = p
-      .withColumn("hsel", xxhash64(col("vec_id")))
-      .orderBy(col("hsel")).limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
-    // top-n centroids by cosine per vector — broadcast cross + rank
-    def nearestCentroids(vectors: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("c_id"))
-      vectors.crossJoin(broadcast(centroids))
-        .withColumn("c_sim",
-          cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n)
-    }
+    val centroids = coarseCentroids(p, nlist)
+    def nearestCentroids(vectors: DataFrame, n: Int): DataFrame =
+      nearestCoarse(vectors, centroids, n)
     val assigned = nearestCentroids(p, 1)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
     // queries probe their nprobe nearest centroid lists
@@ -207,13 +216,46 @@ object Similarity {
              m: Int = 8, ks: Int = 16, rerank: Int = 8): DataFrame = {
     // same scored-pair guard as E1: ADC scoring still visits every
     // (query, candidate) pair — PQ shrinks the per-pair cost and the
-    // index size, not the pair space (compose with E3's list probing
-    // for the sub-linear IVFPQ variant)
+    // index size, not the pair space ([[ivfpqTopK]] is the sub-linear
+    // composition with E3's list probing)
     val n = emb.count()
     val nQ = emb.filter(isQuery).count()
     require(nQ * n <= pairCeiling,
       s"pqTopK would ADC-score $nQ × $n pairs (ceiling $pairCeiling); " +
-        "compose with ivfTopK-style list probing at this scale")
+        "use ivfpqTopK (E6) at this scale")
+    pqCore(emb, isQuery, k, m, ks, rerank, candidates = None)
+  }
+
+  /** E6: IVFPQ — the flagship FAISS composition: E3's coarse
+    * quantizer restricts candidates to the query's `nprobe` probed
+    * inverted lists, and E5's compressed codes + asymmetric-distance
+    * lookup score ONLY those candidates (ADC work ∝ nprobe/nlist of
+    * the corpus, each candidate costing m table adds), with the exact
+    * rerank of the shortlist on top. Sub-linear scan AND compressed
+    * index — no scored-pair guard needed.
+    */
+  def ivfpqTopK(emb: DataFrame, isQuery: Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ks: Int = 16, rerank: Int = 8): DataFrame = {
+    val p = prepared(emb)
+    val centroids = coarseCentroids(p, nlist)
+    val assigned = nearestCoarse(p, centroids, 1)
+      .select(col("vec_id"), col("c_id"))
+    val probes = nearestCoarse(p.filter(isQuery), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    pqCore(emb, isQuery, k, m, ks, rerank, candidates = Some(candidates))
+  }
+
+  /** Shared PQ machinery: codebook build, corpus encoding, per-query
+    * ADC lookup table, shortlist, exact rerank. `candidates` (q_id,
+    * vec_id) restricts ADC scoring to given pairs (the IVFPQ path);
+    * None scores all query × corpus pairs (guarded in [[pqTopK]]). */
+  private def pqCore(emb: DataFrame, isQuery: Column, k: Int,
+                     m: Int, ks: Int, rerank: Int,
+                     candidates: Option[DataFrame]): DataFrame = {
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0,
@@ -258,9 +300,20 @@ object Similarity {
         subDist(col("sub"), col("c_sub")).as("pd"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("vec_id"))
+    // ADC scoring base: all pairs (codes × per-query LUT), or — on
+    // the IVFPQ path — only the probed-list candidate pairs, each
+    // expanding to its m code rows before the LUT lookup
+    val scoredRows = candidates match {
+      case None =>
+        codes.join(broadcast(lut),
+          codes("j") === lut("j") && codes("code") === lut("c_idx"))
+      case Some(cand) =>
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(lut.withColumnRenamed("c_idx", "code")),
+            Seq("q_id", "j", "code"))
+    }
     // ADC shortlist: overfetch k·rerank candidates on compressed codes…
-    val shortlist = codes.join(broadcast(lut),
-        codes("j") === lut("j") && codes("code") === lut("c_idx"))
+    val shortlist = scoredRows
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adc"))
       .filter(col("q_id") =!= col("vec_id"))

@@ -126,6 +126,25 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (q, n, c) => bf.get((q, n)).foreach(e => assert(e === c)) }
   }
 
+  test("E6 ivfpq: probing every list recovers plain PQ; fewer probes trade recall") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // nprobe = nlist visits every candidate — identical result to E5
+    val full = ids(Similarity.ivfpqTopK(real, isQ, 5, nlist = 16, nprobe = 16))
+    val pq = ids(Similarity.pqTopK(real, isQ, 5))
+    assert(full === pq)
+    // restricted probing returns a subset-quality result that still
+    // overlaps the exhaustive PQ answer
+    val probed = ids(Similarity.ivfpqTopK(real, isQ, 5, nlist = 16, nprobe = 4))
+    val truth = ids(Similarity.bruteForceTopK(real, isQ, 5))
+    val rFull = (truth & full).size.toDouble / truth.size
+    val rProbed = (truth & probed).size.toDouble / truth.size
+    info(f"IVFPQ recall@5: nprobe=16 $rFull%.2f, nprobe=4 $rProbed%.2f")
+    assert(rProbed > 0.2 && rProbed <= rFull)
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
