@@ -169,7 +169,7 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("roll_sum"), col("roll_n"), col("roll_mean"))),
 
-    "ts_ewma" -> ((s, d) =>                                           // rows-only
+    "ts_ewma" -> ((s, d) =>
       Timeseries.ewma(evt(s, d), "user_id", "ts_us", "event_id",
         "value", alpha = 0.3)),
 
@@ -536,6 +536,32 @@ object SparkEntry {
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |         wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin,
+
+    // A19: the recurrence e_t = α·v_t + (1−α)·e_{t−1} as list_reduce
+    // over each row's time-ordered prefix list — the same left-to-right
+    // double ops as the Spark mapPartitions loop, so values are
+    // bit-identical. α and 1−α go through explicit DOUBLE casts (DuckDB
+    // numeric literals are DECIMAL; the subtraction must be the same
+    // IEEE op Spark runs), and the 6-dp rounding is the shared
+    // floor(e·1e6 + 0.5)/1e6 formula.
+    "ts_ewma" ->
+      s"""WITH b AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         |         epoch_us(ts) AS ts_us, event_id,
+         |         CAST(value AS DOUBLE) AS value
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, ts_us, event_id, value,
+         |    array_agg(value) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+         |  FROM b)
+         |SELECT user_id, ts_us, event_id, value,
+         |  floor(list_reduce(vs, (acc, x) ->
+         |          CAST(0.3 AS DOUBLE) * x +
+         |          (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc)
+         |        * 1e6 + 0.5) / 1e6 AS ewma
+         |FROM p""".stripMargin,
 
     "ts_zscore_outliers" ->
       s"""WITH b AS (

@@ -297,35 +297,47 @@ object Timeseries {
       .withColumn("roll_mean", round(col("roll_sum") / col("roll_n"), 6))
   }
 
-  /** A19: exponentially-weighted moving average (rows-only — the
-    * recurrence `e_t = α·v_t + (1−α)·e_{t−1}` depends on its own
-    * previous OUTPUT, which no window frame expresses). Implemented on
-    * the typed `KeyValueGroupedDataset` API: one `flatMapGroups` pass
-    * per series, sorted in memory per group — the batch sibling of
-    * [[graft.streaming.EventStream.streamingIntervalDiff]]'s
-    * `flatMapGroupsWithState`. State is O(series length) transiently
-    * per group; series that outgrow an executor belong on the
-    * streaming flavor, which carries one double across micro-batches.
-    * Shuffle key = series key, same as every A-op.
+  /** A19: exponentially-weighted moving average — the recurrence
+    * `e_t = α·v_t + (1−α)·e_{t−1}` depends on its own previous OUTPUT,
+    * which no window frame expresses, so it runs as one streaming
+    * `mapPartitions` pass: repartition on the series key co-locates
+    * each series, `sortWithinPartitions` orders it with Spark's
+    * spill-safe external sort, and the recurrence then carries ONE
+    * double of state per open series — an arbitrarily long series can
+    * never blow an executor heap (unlike a per-group `toSeq`). The
+    * streaming sibling is
+    * [[graft.streaming.EventStream.streamingEwma]], which carries the
+    * same double across micro-batches. Shuffle key = series key, same
+    * as every A-op.
+    *
+    * The 6-dp output rounding is `floor(e·1e6 + 0.5)/1e6` — plain IEEE
+    * double ops that any engine reproduces bit-identically (the oracle
+    * spells the recurrence as `list_reduce` over the per-row prefix
+    * list and rounds with the same formula).
     */
   def ewma(df: DataFrame, key: String, time: String, id: String,
            value: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    val beta = 1.0 - alpha
     // key travels as its string form so ANY atomic key type works
     // (the pipeline's station keys are strings; a long cast would
     // null them and kill the non-nullable encoder)
-    df.select(col(key).cast("string"), col(time).cast("long"),
-        col(id).cast("long"), col(value).cast("double"))
+    df.select(col(key).cast("string").as(key), col(time).cast("long").as(time),
+        col(id).cast("long").as(id), col(value).cast("double").as(value))
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(id))
       .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long, Double)]) =>
-        var prev = Option.empty[Double]
-        it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, t, rid, v) =>
-          val e = prev.fold(v)(p => alpha * v + (1.0 - alpha) * p)
-          prev = Some(e)
-          (k, t, rid, v, math.rint(e * 1e6) / 1e6)
+      .mapPartitions { it =>
+        // keys arrive contiguous and time-ordered; one double of state
+        var cur: String = null
+        var started = false
+        var prev = 0.0
+        it.map { case (k, t, rid, v) =>
+          if (!started || k != cur) { cur = k; started = true; prev = v }
+          else prev = alpha * v + beta * prev
+          (k, t, rid, v, math.floor(prev * 1e6 + 0.5) / 1e6)
         }
       }
       .toDF(key, time, id, value, "ewma")

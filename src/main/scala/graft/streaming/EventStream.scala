@@ -94,7 +94,9 @@ object EventStream {
           val out = readings.toSeq.sortBy(_.ts.getTime).map { r =>
             val e = prev.fold(r.value)(p => alpha * r.value + (1.0 - alpha) * p)
             prev = Some(e)
-            Smoothed(station, r.ts, r.value, math.rint(e * 1e6) / 1e6)
+            // same floor-based 6-dp rounding as the batch flavor
+            // (Timeseries.ewma) so the two paths emit identical values
+            Smoothed(station, r.ts, r.value, math.floor(e * 1e6 + 0.5) / 1e6)
           }
           prev.foreach(state.update)
           out.iterator
