@@ -109,6 +109,18 @@ object SparkEntry {
           col("fcst_value").cast("double").as("fcst_value"),
           col("hybrid_value").cast("double").as("hybrid_value"))),
 
+    // daily buckets: the four-system overlap the dropna keeps is real
+    // at test scale (a 15-min grid leaves zero full rows)
+    "ts_hybrid_wide" -> ((s, d) =>
+      Timeseries.hybridWide(ev(s, d), "user_id", "event_type",
+        Timeseries.bucketEpochSec("ts_us", 86400L, 1000000L),
+        "value_dec", Seq("click", "view", "purchase", "signup"))
+        .select(col("user_id"), col("bucket"),
+          col("click").cast("double").as("obs_value"),
+          col("view").cast("double").as("fcst_view"),
+          col("purchase").cast("double").as("fcst_purchase"),
+          col("signup").cast("double").as("fcst_signup"))),
+
     "ts_active_stations" -> ((s, d) =>
       Timeseries.activeKeys(evt(s, d), "user_id", "ts_us", 7, 1000000L)),
 
@@ -452,6 +464,23 @@ object SparkEntry {
          |       CAST(coalesce(obs.v, fcst.v) AS DOUBLE) AS hybrid_value
          |FROM obs JOIN fcst
          |  ON obs.user_id = fcst.user_id AND obs.bucket = fcst.bucket""".stripMargin,
+
+    // A6b/A7b: the pivoted per-system layout; sum over an empty CASE
+    // set is NULL in both engines, and the outer WHERE is the dropna
+    "ts_hybrid_wide" ->
+      s"""SELECT * FROM (
+         |  SELECT user_id, (epoch_us(ts) // 1000000 // 86400) * 86400 AS bucket,
+         |    CAST(sum(CASE WHEN event_type = 'click'
+         |             THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS obs_value,
+         |    CAST(sum(CASE WHEN event_type = 'view'
+         |             THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS fcst_view,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS fcst_purchase,
+         |    CAST(sum(CASE WHEN event_type = 'signup'
+         |             THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS fcst_signup
+         |  FROM events GROUP BY 1, 2)
+         |WHERE obs_value IS NOT NULL AND fcst_view IS NOT NULL
+         |  AND fcst_purchase IS NOT NULL AND fcst_signup IS NOT NULL""".stripMargin,
 
     "ts_active_stations" ->
       s"""SELECT user_id, count(*) AS recent_events,

@@ -118,6 +118,33 @@ object Timeseries {
       .withColumn("hybrid_value", coalesce(col("obs_value"), col("fcst_value")))
   }
 
+  /** A6b/A7b: WIDE hybrid — one column per source system, side by
+    * side at each (key, bucket), keeping only rows where EVERY listed
+    * system reported.
+    * Reference: `gen_hybrid_wrf_rfields.py:194-216` — the per-grid-point
+    * loop outer-merges each WRF system's series on `time` into its own
+    * column (A, C, E, SE side by side, obs next to them) and then
+    * `df.dropna()` keeps only the timestamps all systems cover. The
+    * row-wise mean flavor is [[ensembleMean]]; this is the layout a
+    * user reproducing the reference's hybrid CSVs needs.
+    *
+    * One hash aggregation with an explicit-values pivot — Catalyst
+    * rewrites it to per-system conditional aggregates in a single
+    * groupBy (no second pivot job because the values are given), so
+    * the plan is one shuffle on (key, bucket) with map-side partials,
+    * identical in shape to [[resample]]. The dropna filter runs on the
+    * aggregated frame (tiny relative to the input).
+    */
+  def hybridWide(df: DataFrame, key: String, source: String, bucket: Column,
+                 value: String, systems: Seq[String]): DataFrame = {
+    require(systems.nonEmpty, "hybridWide needs at least one system column")
+    val wide = df.filter(col(source).isin(systems: _*))
+      .groupBy(col(key), bucket.as("bucket"))
+      .pivot(source, systems)
+      .agg(sum(col(value)))
+    systems.foldLeft(wide)((d, s) => d.filter(col(s).isNotNull))
+  }
+
   /** A8: active series — keys with any activity within `days` of the
     * dataset's latest timestamp.
     * Reference: `getActiveRainfallObsStations` ("active within last

@@ -68,6 +68,19 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Seq(Seq(900L, 2.0)))
   }
 
+  test("A6b hybridWide pivots one column per system and drops partial rows") {
+    val df = Seq(
+      ("st1", "obs", 0L, 2.0), ("st1", "A", 0L, 4.0), ("st1", "A", 100L, 1.0),
+      ("st1", "obs", 1000L, 6.0),                 // bucket 900: obs only → dropped
+      ("st2", "A", 0L, 9.0))                      // no obs → dropped
+      .toDF("k", "src", "t", "v")
+    val out = Timeseries.hybridWide(df, "k", "src",
+      Timeseries.bucketEpochSec("t", 900L, 1L), "v", Seq("obs", "A"))
+      .orderBy("k", "bucket").collect().toSeq.map(_.toSeq)
+    // only (st1, bucket 0) has BOTH systems; A sums its two readings
+    assert(out === Seq(Seq("st1", 0L, 2.0, 5.0)))
+  }
+
   test("A8 activeKeys filters to keys active within the horizon") {
     val day = 86400L
     val df = Seq(("old", 0L), ("new", 10L * day), ("edge", 3L * day + 1))
