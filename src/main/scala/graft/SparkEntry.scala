@@ -264,6 +264,13 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
 
+    // D3 with the hot-gram df cap ON — the 100 TB-safe flavor (bounded
+    // per-key join fan-out); maxDf=5 actually bites on this corpus
+    // (its df tail reaches 7), so the oracle exercises the capped
+    // denominators, not just the uncapped fast path.
+    "dedup_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d), 0.2, maxDf = 5L)),
+
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),    // rows-only
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
@@ -280,6 +287,11 @@ object SparkEntry {
 
     "dedup_contamination" -> ((s, d) =>
       Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0, minShared = 3)),
+
+    // D9 with the same df cap — shared INFORMATIVE grams only
+    "dedup_contamination_capped" -> ((s, d) =>
+      Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0,
+        minShared = 3, maxDf = 5L)),
 
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
@@ -766,6 +778,30 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
 
+    // D3 capped: grams with df > 5 leave both the join and the
+    // denominators (sizes recomputed over kept grams)
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
+         |g AS (SELECT g0.doc_id, g0.gram
+         |      FROM g0 JOIN dfs USING (gram) WHERE df <= 5),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |       inter / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
+
     "dedup_survivors" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |g AS (
@@ -793,6 +829,24 @@ object SparkEntry {
          |    unnest(list_transform(range(1, len(t) - 1),
          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
          |  FROM toks),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
+         |FROM c JOIN b ON c.gram = b.gram
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // D9 capped: df computed over ALL docs (bench + corpus), hot grams
+    // dropped from both sides before the join — mirrors the Scala path
+    "dedup_contamination_capped" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
+         |g AS (SELECT g0.doc_id, g0.gram
+         |      FROM g0 JOIN dfs USING (gram) WHERE df <= 5),
          |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
          |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
          |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams

@@ -58,22 +58,65 @@ object Dedup {
   private def gramHashes(text: Column): Column =
     call_function("graft_grams3h", tokens(text))
 
+  /** Gram document frequency — how many documents contain each 3-gram
+    * hash. The tuning probe for [[ngramJaccard]]'s `maxDf` cap (pick a
+    * threshold off this distribution's tail before a 100 TB run). One
+    * aggregation with map-side partials; exchange volume = distinct
+    * grams, not corpus rows. */
+  def gramDocFrequencies(docs: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(gramHashes(col("text"))).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+  }
+
+  /** The hot-gram cap that makes the candidate self-join safe at
+    * 100 TB: drop every gram whose document frequency exceeds `maxDf`
+    * and recompute each doc's set size over the KEPT grams.
+    *
+    * Why: one boilerplate 3-gram in 10⁶ documents puts ~10¹² candidate
+    * pairs in a single join key — the classic dedup scale-killer, and a
+    * gram that common carries ~zero Jaccard signal anyway. Dropping it
+    * from BOTH the join and the denominators keeps the result an exact
+    * Jaccard — over the informative (df ≤ maxDf) gram subspace; with
+    * `maxDf = Long.MaxValue` this is the identity and the plan is
+    * untouched. The hot-gram list is tiny by Zipf (the df aggregate's
+    * own output bounds it at distinct-grams/maxDf), so it broadcasts
+    * and the drop is an exchange-free broadcast anti-join. Per-key
+    * join fan-out is then ≤ maxDf² pairs by construction. */
+  private def capGramDf(g: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) g
+    else {
+      val hot = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("gh")
+      val kept = g.join(broadcast(hot), Seq("gh"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      kept.drop("n_grams").join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
+    }
+
   /** D3: exact n-gram Jaccard over word 3-gram shingle sets.
     * Shingle-explode equi-join generates candidates (docs sharing ≥1
     * gram); Jaccard = |A∩B| / (|A|+|B|−|A∩B|) computed from exact
     * counts, threshold applied after. Counts are integers, the final
     * division is one double op — cross-engine exact. Set sizes come
-    * free per row (`size(ghs)`) — no extra groupBy. */
-  def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
+    * free per row (`size(ghs)`) — no extra groupBy.
+    *
+    * `maxDf` (default off) applies the [[capGramDf]] hot-gram cap —
+    * the setting that bounds per-key join fan-out at corpus scale. */
+  def ngramJaccard(docs: DataFrame, tau: Double,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
     // cachedAs(): the exploded gram table feeds BOTH sides of the
     // candidate self-join — without it each branch re-scans and
     // re-shingles the corpus (and projection collapse re-evaluates the
     // shingle chain per exploded row). At scale this is the materialize-
-    // the-signature-table step of every dedup pipeline.
-    val g = cachedAs("ngramJaccard",
+    // the-signature-table step of every dedup pipeline. The raw table
+    // is cached FIRST so the cap's df aggregate and anti-join don't
+    // re-shingle, then the capped result is cached for the self-join.
+    val raw = cachedAs("ngramJaccard_raw",
       docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
         .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
+    val g = cachedAs("ngramJaccard", capGramDf(raw, maxDf))
     jaccardOverGrams(g, tau)
   }
 
@@ -100,12 +143,30 @@ object Dedup {
     * self-join — today's run, tomorrow's incremental — reads the
     * co-located buckets with ZERO exchange on the join key
     * (proved plan-level in the spec, like BucketedJoinSpec). */
+  /** With a finite `maxDf`, the hot-gram cap is applied BEFORE the
+    * write (the signature table is born capped, so every later join —
+    * including tomorrow's increments — inherits the per-key bound),
+    * and the dropped gram hashes land in a side table `<table>_hot`
+    * (at `<path>_hot`) that [[incrementalJaccard]] uses to cap new
+    * batches symmetrically. */
   def writeSignatureTable(docs: DataFrame, table: String, path: String,
-                          buckets: Int = 64): Unit = {
+                          buckets: Int = 64,
+                          maxDf: Long = Long.MaxValue): Unit = {
     graft.functions.VecExprs.register(docs.sparkSession)
-    docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
-      .write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
+    val g = if (maxDf == Long.MaxValue) raw else {
+      val spark = docs.sparkSession
+      raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("gh")
+        .write.format("parquet").option("path", s"${path}_hot")
+        .mode("overwrite").saveAsTable(s"${table}_hot")
+      val kept = raw.join(broadcast(spark.table(s"${table}_hot")), Seq("gh"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      kept.drop("n_grams").join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
+    }
+    g.write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
       .option("path", path).mode("overwrite").saveAsTable(table)
   }
 
@@ -125,13 +186,26 @@ object Dedup {
     * back as (corpus doc_a, new doc_b); new-vs-new pairs within the
     * batch are [[ngramJaccard]] on the batch alone, and appending the
     * batch's grams to the table makes the next increment see it.
+    *
+    * `hotTable`: when the signature table was written with a `maxDf`
+    * cap, pass its `<table>_hot` side table so the batch's grams are
+    * capped symmetrically (same gram subspace, same denominators) —
+    * otherwise a boilerplate gram the table dropped would silently
+    * deflate the batch side's Jaccard.
     */
   def incrementalJaccard(spark: org.apache.spark.sql.SparkSession,
                          table: String, newDocs: DataFrame,
-                         tau: Double): DataFrame = {
+                         tau: Double,
+                         hotTable: Option[String] = None): DataFrame = {
     graft.functions.VecExprs.register(spark)
-    val newG = newDocs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+    val newRaw = newDocs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    val newG = hotTable.fold(newRaw) { h =>
+      val kept = newRaw.join(broadcast(spark.table(h)), Seq("gh"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      kept.drop("n_grams").join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
+    }
     val inter = spark.table(table).hint("merge").as("a")
       .join(newG.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -157,8 +231,18 @@ object Dedup {
     * are candidates. The self-join is an equi-join on the bucket: at
     * 100 TB the shuffle key is the band bucket and true near-dups
     * concentrate in small buckets.
+    *
+    * `maxBucket` caps the (band, bucket) group size — a bucket with
+    * more members than that is a degenerate boilerplate cluster whose
+    * pair fan-out (size²) would dominate the join; dropping the whole
+    * bucket bounds per-key fan-out at maxBucket² while the docs in it
+    * remain discoverable through their OTHER bands (and wholesale
+    * identical docs through D1). Same broadcast-anti-join shape as the
+    * gram-df cap; the default is generous enough to be the identity at
+    * test scale and still a hard bound at 100 TB.
     */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                 maxBucket: Long = 1024L): DataFrame = {
     require(numHashes == 32, "registered signature variant is 32-slot")
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would " +
@@ -174,11 +258,19 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
     // Band bucket = hash of the band's signature slice (+ band index so
     // identical slices in different bands can't collide).
-    val buckets = cachedAs("minhashLsh", // both join sides read this (see ngramJaccard)
+    val raw = cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
       sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "bucket"))))
+    val buckets =
+      if (maxBucket == Long.MaxValue) raw
+      else {
+        val hot = raw.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+          .select("band", "bucket")
+        raw.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -277,16 +369,31 @@ object Dedup {
     * gram table broadcasts, the corpus gram stream equi-joins on the
     * 64-bit gram hash without shuffling, and the count aggregation
     * groups on (corpus doc, bench doc) with map-side partials.
+    *
+    * `maxDf` drops grams above that document frequency from BOTH sides
+    * before the join (the [[capGramDf]] rationale: one boilerplate gram
+    * shared by a bench doc and 10⁶ corpus docs explodes the join output
+    * 10⁶-fold while signalling nothing). `shared_grams` then counts
+    * shared INFORMATIVE grams — document the threshold next to the
+    * `minShared` policy it feeds.
     */
   def contamination(docs: DataFrame, isBenchmark: Column,
-                    minShared: Int): DataFrame = {
+                    minShared: Int,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
     // cachedAs(): both filter branches read the exploded gram table —
     // uncached, each branch would re-scan and re-shingle the corpus
     // (the same both-branches pattern as ngramJaccard)
-    val g = cachedAs("contamination",
+    val raw = cachedAs("contamination",
       docs.select(col("doc_id"), isBenchmark.as("is_bench"),
         explode(gramHashes(col("text"))).as("gh")))
+    val g =
+      if (maxDf == Long.MaxValue) raw
+      else {
+        val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("gh")
+        raw.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
     val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
     corpus.join(broadcast(bench), Seq("gh"))

@@ -94,4 +94,60 @@ class BucketedJoinSpec extends SparkSpec {
 
     spark.sql("DROP TABLE IF EXISTS grams_b")
   }
+
+  test("capped signature table: born df-capped, increments capped symmetrically") {
+    import graft.operators.Dedup
+    val wh = Files.createTempDirectory("graft_sig_cap").toString
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    Dedup.writeSignatureTable(docs, "grams_c", s"$wh/grams_c",
+      buckets = 8, maxDf = 3)
+
+    // the table itself respects the cap (no gram key above df=3), and
+    // the hot side table holds exactly the dropped hashes
+    val tableMaxDf = spark.table("grams_c").groupBy("gh")
+      .agg(count(lit(1)).as("df")).agg(max(col("df"))).as[Long].head()
+    assert(tableMaxDf <= 3L)
+    val hotCount = spark.table("grams_c_hot").count()
+    assert(hotCount > 0, "cap should have dropped at least one gram in this slice")
+
+    // reading the capped table ≡ the in-memory capped flow
+    val a = Dedup.ngramJaccardFromTable(spark, "grams_c", 0.2)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val b = Dedup.ngramJaccard(docs, 0.2, maxDf = 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+
+    // incremental batch with the hot table ≡ an independent
+    // reimplementation over the SAME frozen gram subspace (the cap is
+    // a write-time contract: the stored hot list governs later
+    // batches, not a df recomputed over corpus+batch)
+    val all = Tables.documents(spark, sfDir).filter(col("doc_id") < 260)
+    val newBatch = all.filter(col("doc_id") >= 200)
+    val inc = Dedup.incrementalJaccard(spark, "grams_c", newBatch, 0.02,
+      hotTable = Some("grams_c_hot"))
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    import graft.functions.TextFunctions.tokens
+    graft.functions.VecExprs.register(spark)
+    val gAll = all
+      .select(col("doc_id"),
+        explode(call_function("graft_grams3h", tokens(col("text")))).as("gh"))
+      .join(spark.table("grams_c_hot"), Seq("gh"), "left_anti")
+    val sizes = gAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val expected = gAll.as("a")
+      .join(gAll.as("b"), col("a.gh") === col("b.gh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.02)
+      .filter(col("doc_a") < 200 && col("doc_b") >= 200)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(inc === expected)
+
+    spark.sql("DROP TABLE IF EXISTS grams_c")
+    spark.sql("DROP TABLE IF EXISTS grams_c_hot")
+  }
 }

@@ -68,6 +68,64 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("D3 hot-gram df cap: candidate count collapses O(n²)→O(n), identity at ∞") {
+    // 60 docs all sharing one boilerplate sentence (its grams have
+    // df = 60 — the scale-killer key), in 30 identical-tail pairs
+    // (tail grams have df = 2 — the true near-dup signal)
+    val boiler = "shared boilerplate header sentence always present in every document"
+    val hot = (0L until 60L)
+      .map(i => (i, s"$boiler tail${i / 2} alpha${i / 2} beta${i / 2} gamma${i / 2}"))
+      .toDF("doc_id", "text")
+    // uncapped at tau=0: every pair shares a boilerplate gram → full n²
+    assert(Dedup.ngramJaccard(hot, 0.0).count() === 60L * 59 / 2)
+    // capped: boilerplate grams (df=60 > 10) leave the join; only the
+    // 30 tail-sharing pairs remain — O(n) candidates
+    val capped = Dedup.ngramJaccard(hot, 0.0, maxDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === (0L until 30L).map(i => (2 * i, 2 * i + 1)).toSet)
+    // per-key bound: after the cap no surviving gram exceeds df=10, so
+    // a single join key can fan out at most 10²/2 pairs by construction
+    val dfs = Dedup.gramDocFrequencies(hot)
+    assert(dfs.agg(max(col("df"))).as[Long].head() === 60L)
+    assert(dfs.filter(col("df") > 10).count() > 0) // the cap had work to do
+    // capped partners are textually identical → jaccard exactly 1.0
+    assert(Dedup.ngramJaccard(hot, 0.0, maxDf = 10)
+      .select("jaccard").as[Double].collect().forall(_ === 1.0))
+    // a cap larger than any df is the identity (same rows as default)
+    val a = Dedup.ngramJaccard(docs, 0.2).orderBy("doc_a", "doc_b")
+      .collect().toSeq.map(_.toSeq)
+    val b = Dedup.ngramJaccard(docs, 0.2, maxDf = 1000000L)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+  }
+
+  test("D2 bucket-size cap drops degenerate boilerplate buckets, keeps small ones") {
+    val mega = (1L to 40L).map(i =>
+      (i, "identical boilerplate text repeated wholesale across the corpus"))
+    val near = Seq(
+      (100L, "a distinct sentence about spark dataframes and shuffle plans"),
+      (101L, "a distinct sentence about spark dataframes and shuffle plans"))
+    val corpus = (mega ++ near).toDF("doc_id", "text")
+    // default cap (1024) is the identity here: 40-doc bucket → C(40,2)
+    assert(Dedup.minhashLsh(corpus).count() === 40L * 39 / 2 + 1)
+    // cap 10: the 40-member buckets drop in every band; the 2-member
+    // bucket of the true near-dup pair survives
+    val capped = Dedup.minhashLsh(corpus, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
+  test("D9 df cap drops boilerplate grams from both sides of the join") {
+    // all grams shared with bench doc 3 have df ≥ 3 → cap 2 empties the
+    // result; cap 10 (above the corpus max df) equals the uncapped run
+    assert(Dedup.contamination(docs, col("doc_id") === 3, 1, maxDf = 2).count() === 0)
+    val a = Dedup.contamination(docs, col("doc_id") === 3, 5)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val b = Dedup.contamination(docs, col("doc_id") === 3, 5, maxDf = 10)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+  }
+
   test("D5 embeddingCosine flags only pairs above the threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "x"),
