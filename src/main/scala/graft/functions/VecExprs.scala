@@ -307,6 +307,196 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** Top-n nearest centroids of an array<double> vector — the
+    * assignment/probing kernel of IVF (E3/E6), as ONE codegen'd
+    * argmax fused into the scan. The centroid matrix rides in the
+    * plan as a reference object (rows pre-unit-normalized by the
+    * caller, so ranking by raw dot ≡ ranking by cosine); the result
+    * is the centroid INDICES ordered by dot desc with index-asc
+    * tie-break (later equal-valued centroids never displace earlier
+    * ones in the insertion).
+    *
+    * Why an expression: the dataframe spelling — explode ×nlist
+    * candidates, `row_number().over(Window.partitionBy(vec_id))` —
+    * exchanges the inflated row set on vec_id; this computes the same
+    * argmax map-side with zero shuffle and O(n) scratch. */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    require(n > 0, s"top-n count n=$n must be positive")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_cents"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> DoubleType)
+
+    private val k = math.min(n, centroids.length)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val bi = new Array[Int](k); val bv = new Array[Double](k)
+      var filled = 0; var c = 0
+      while (c < centroids.length) {
+        val row = centroids(c)
+        val d = math.min(v.numElements(), row.length)
+        var s = 0.0; var i = 0
+        while (i < d) { s += v.getDouble(i) * row(i); i += 1 }
+        var pos = filled
+        while (pos > 0 && s > bv(pos - 1)) pos -= 1
+        if (pos < k) {
+          val last = math.min(filled, k - 1)
+          var m = last
+          while (m > pos) { bv(m) = bv(m - 1); bi(m) = bi(m - 1); m -= 1 }
+          bv(pos) = s; bi(pos) = c
+          if (filled < k) filled += 1
+        }
+        c += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(bi, filled))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cm = ctx.addReferenceObj("centroids", centroids, "double[][]")
+        val bi = ctx.freshName("bi"); val bv = ctx.freshName("bv")
+        val filled = ctx.freshName("filled"); val c = ctx.freshName("c")
+        val row = ctx.freshName("row"); val d = ctx.freshName("d")
+        val s = ctx.freshName("s"); val i = ctx.freshName("i")
+        val pos = ctx.freshName("pos"); val last = ctx.freshName("last")
+        val m = ctx.freshName("m")
+        s"""
+           |int[] $bi = new int[$k];
+           |double[] $bv = new double[$k];
+           |int $filled = 0;
+           |for (int $c = 0; $c < $cm.length; $c++) {
+           |  double[] $row = $cm[$c];
+           |  int $d = java.lang.Math.min($a.numElements(), $row.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $d; $i++) { $s += $a.getDouble($i) * $row[$i]; }
+           |  int $pos = $filled;
+           |  while ($pos > 0 && $s > $bv[$pos - 1]) { $pos--; }
+           |  if ($pos < $k) {
+           |    int $last = java.lang.Math.min($filled, $k - 1);
+           |    for (int $m = $last; $m > $pos; $m--) {
+           |      $bv[$m] = $bv[$m - 1]; $bi[$m] = $bi[$m - 1];
+           |    }
+           |    $bv[$pos] = $s; $bi[$pos] = $c;
+           |    if ($filled < $k) $filled++;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($bi, $filled));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+  }
+
+  /** PQ encoding of a unit array<double> vector: for each of the `m`
+    * subspaces, the index of the nearest codebook entry by squared L2
+    * (first-wins on ties, matching `ORDER BY d2, c_idx` row_number
+    * semantics). `codebook(j)(c)` is entry c of subspace j; subvector
+    * j is elements [j·subLen, (j+1)·subLen). d² is computed as
+    * dot(a,a) + dot(b,b) − 2·dot(a,b) with three sequential
+    * accumulators — the same op order as the dataframe `subDist`, so
+    * distances are bit-identical to the query-side lookup table.
+    *
+    * Replaces the round-3 encode (subvector explode → ×m·ks codebook
+    * join → window argmin — an exchange of m·ks ≈ 128 rows per corpus
+    * vector keyed by vec_id) with one fused map-side pass: zero
+    * shuffle, the whole PQ index is `corpus scan → project`. */
+  case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+      "codebook must have ≥1 entry per subspace")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> DoubleType)
+
+    private val m = codebook.length
+    private val subLen = codebook(0)(0).length
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val entries = codebook(j)
+        val base = j * subLen
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < entries.length) {
+          val e = entries(c)
+          var aa = 0.0; var bb = 0.0; var ab = 0.0; var i = 0
+          while (i < subLen && base + i < v.numElements()) {
+            val x = v.getDouble(base + i); val y = e(i)
+            aa += x * x; bb += y * y; ab += x * y
+            i += 1
+          }
+          val d2 = aa + bb - 2.0 * ab
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cb = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val entries = ctx.freshName("entries"); val base = ctx.freshName("base")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val c = ctx.freshName("c"); val e = ctx.freshName("e")
+        val aa = ctx.freshName("aa"); val bb = ctx.freshName("bb")
+        val ab = ctx.freshName("ab"); val i = ctx.freshName("i")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val d2 = ctx.freshName("d2")
+        s"""
+           |int[] $out = new int[$m];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  double[][] $entries = $cb[$j];
+           |  int $base = $j * $subLen;
+           |  int $best = 0;
+           |  double $bestD = Double.POSITIVE_INFINITY;
+           |  for (int $c = 0; $c < $entries.length; $c++) {
+           |    double[] $e = $entries[$c];
+           |    double $aa = 0.0, $bb = 0.0, $ab = 0.0;
+           |    for (int $i = 0; $i < $subLen && $base + $i < $a.numElements(); $i++) {
+           |      double $x = $a.getDouble($base + $i);
+           |      double $y = $e[$i];
+           |      $aa += $x * $x; $bb += $y * $y; $ab += $x * $y;
+           |    }
+           |    double $d2 = $aa + $bb - 2.0 * $ab;
+           |    if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+           |  }
+           |  $out[$j] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** Register a matrix-capturing function under `name` (replacing any
+    * previous registration — these carry per-invocation state the SQL
+    * literal syntax can't, so each operator call re-registers its own
+    * matrix right before building the plan). */
+  def registerNearestCentroids(spark: SparkSession, name: String,
+                               centroids: Array[Array[Double]], n: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, args => NearestCentroids(args(0), centroids, n), "built-in")
+
+  def registerPqEncode(spark: SparkSession, name: String,
+                       codebook: Array[Array[Array[Double]]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, args => PqEncode(args(0), codebook), "built-in")
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

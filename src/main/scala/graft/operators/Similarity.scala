@@ -99,38 +99,128 @@ object Similarity {
     * nprobe/nlist of the data, and the join shuffle key space (nlist)
     * is sized ≫ executor count.
     */
-  /** Deterministic coarse-quantizer centroids (smallest xxhash64
-    * sample — shared by E3's probing and E6's IVFPQ composition). */
-  private def coarseCentroids(p: DataFrame, nlist: Int): DataFrame =
-    p.withColumn("hsel", xxhash64(col("vec_id")))
+  /** Deterministic coarse-quantizer centroids, collected and
+    * unit-normalized on the driver (smallest-xxhash64 sample — shared
+    * by E3's probing and E6's IVFPQ composition; a k-means train
+    * replaces the sample via [[trainCentroids]]). The collect is
+    * bounded metadata, not data: nlist × dim doubles — the same
+    * "coarse quantizer lives in memory" posture as FAISS, and the
+    * price of the zero-shuffle assignment below. Unit-normalizing
+    * here lets the assignment rank by raw dot (≡ cosine). */
+  private def collectCentroids(p: DataFrame, nlist: Int): Array[Array[Double]] =
+    normalizeRows(p.withColumn("hsel", xxhash64(col("vec_id")))
       .orderBy(col("hsel")).limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray))
 
-  /** Top-n coarse centroids by cosine per vector — broadcast cross +
-    * rank (the assignment/probing kernel of E3 and E6). */
-  private def nearestCoarse(vectors: DataFrame, centroids: DataFrame,
-                            n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
+  private def normalizeRows(rows: Array[Array[Double]]): Array[Array[Double]] =
+    rows.map { v =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      if (n2 > 0) { val n = math.sqrt(n2); v.map(_ / n) } else v
+    }
+
+  /** IVF assignment: every vector labeled with the index of its
+    * nearest coarse centroid — the index-BUILD step of E3/E6, exposed
+    * so the plan is auditable: one codegen'd argmax
+    * ([[graft.functions.VecExprs.NearestCentroids]]) over the
+    * plan-referenced centroid matrix, fused into the scan. The round-3
+    * spelling exploded ×nlist candidate rows and ran
+    * `row_number().over(Window.partitionBy(vec_id))` — a full exchange
+    * of the inflated set; this has NO exchange at all (spec-proved in
+    * SimilaritySpec). */
+  def ivfAssign(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val p = prepared(emb)
+    ivfAssignPrepared(p, collectCentroids(p, nlist))
+  }
+
+  private def ivfAssignPrepared(p: DataFrame,
+                                cents: Array[Array[Double]]): DataFrame = {
+    graft.functions.VecExprs.registerNearestCentroids(
+      p.sparkSession, "graft_coarse_assign", cents, 1)
+    p.withColumn("c_id",
+      element_at(call_function("graft_coarse_assign", col("v")), 1))
+  }
+
+  /** Query-side probe list: each query paired with its `nprobe`
+    * nearest centroid indices (same expression, n=nprobe, exploded —
+    * queries are few, so the explode is trivially small). */
+  private def probeList(p: DataFrame, isQuery: Column,
+                        cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    graft.functions.VecExprs.registerNearestCentroids(
+      p.sparkSession, "graft_coarse_probe", cents, nprobe)
+    p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"),
+        explode(call_function("graft_coarse_probe", col("v"))).as("c_id"))
+  }
+
+  /** Spherical k-means (Lloyd) training of the coarse quantizer to
+    * convergence — the driver loop [[centroidUpdate]]'s scaladoc
+    * names, now feeding E3/E6 in place of the raw hash sample. Per
+    * round: zero-shuffle assignment ([[ivfAssignPrepared]]), ONE
+    * (c_id, dim) sum aggregation — nlist × dim groups with map-side
+    * partials, exchange volume O(groups) not O(corpus) — a bounded
+    * collect of those group sums, and driver-side re-normalization
+    * (spherical k-means: cosine assignment wants unit centroids, and
+    * the normalized member SUM equals the normalized mean). Empty
+    * clusters keep their previous centroid. Stops at `maxIter` or
+    * when the largest per-centroid movement drops below `tol`. The
+    * corpus frame is cached across rounds and released after.
+    */
+  def trainCentroids(emb: DataFrame, nlist: Int = 16, maxIter: Int = 10,
+                     tol: Double = 1e-4): Array[Array[Double]] = {
+    val p = prepared(emb)
+    trainCentroidsPrepared(p, collectCentroids(p, nlist), maxIter, tol)
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i) - b(i); s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  private def trainCentroidsPrepared(p: DataFrame, seed: Array[Array[Double]],
+                                     maxIter: Int, tol: Double): Array[Array[Double]] = {
+    if (seed.isEmpty) return seed
+    val pc = p.cache()
+    try {
+      var cents = seed
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val sums = ivfAssignPrepared(pc, cents)
+          .select(col("c_id"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("c_id"), col("d")).agg(sum(col("x")).as("sx"))
+          .collect()
+        val acc = Array.ofDim[Double](cents.length, cents.head.length)
+        sums.foreach { r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+        val next = cents.zipWithIndex.map { case (old, c) =>
+          val norm = normalizeRows(Array(acc(c))).head
+          // an empty (or all-zero) cluster keeps its previous centroid
+          if (norm.exists(_ != 0.0)) norm else old
+        }
+        moved = cents.zip(next).map { case (a, b) => l2(a, b) }.max
+        cents = next
+        iter += 1
+      }
+      cents
+    } finally pc.unpersist(false)
   }
 
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 5): DataFrame = {
     val p = prepared(emb)
-    val centroids = coarseCentroids(p, nlist)
-    def nearestCentroids(vectors: DataFrame, n: Int): DataFrame =
-      nearestCoarse(vectors, centroids, n)
-    val assigned = nearestCentroids(p, 1)
+    val cents0 = collectCentroids(p, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    val assigned = ivfAssignPrepared(p, cents)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
     // queries probe their nprobe nearest centroid lists
-    val probes = nearestCentroids(p.filter(isQuery), nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("n2").as("q_n2"), col("c_id"))
+    val probes = probeList(p, isQuery, cents, nprobe)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.as("c").join(broadcast(probes), Seq("c_id"))
@@ -213,7 +303,8 @@ object Similarity {
     * nprobe lists) yields IVFPQ — both halves are in this file.
     */
   def pqTopK(emb: DataFrame, isQuery: Column, k: Int,
-             m: Int = 8, ks: Int = 16, rerank: Int = 8): DataFrame = {
+             m: Int = 8, ks: Int = 16, rerank: Int = 8,
+             trainIters: Int = 5): DataFrame = {
     // same scored-pair guard as E1: ADC scoring still visits every
     // (query, candidate) pair — PQ shrinks the per-pair cost and the
     // index size, not the pair space ([[ivfpqTopK]] is the sub-linear
@@ -223,7 +314,7 @@ object Similarity {
     require(nQ * n <= pairCeiling,
       s"pqTopK would ADC-score $nQ × $n pairs (ceiling $pairCeiling); " +
         "use ivfpqTopK (E6) at this scale")
-    pqCore(emb, isQuery, k, m, ks, rerank, candidates = None)
+    pqCore(emb, isQuery, k, m, ks, rerank, trainIters, candidates = None)
   }
 
   /** E6: IVFPQ — the flagship FAISS composition: E3's coarse
@@ -236,17 +327,108 @@ object Similarity {
     */
   def ivfpqTopK(emb: DataFrame, isQuery: Column, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ks: Int = 16, rerank: Int = 8): DataFrame = {
+                m: Int = 8, ks: Int = 16, rerank: Int = 8,
+                trainIters: Int = 5): DataFrame = {
     val p = prepared(emb)
-    val centroids = coarseCentroids(p, nlist)
-    val assigned = nearestCoarse(p, centroids, 1)
+    val cents0 = collectCentroids(p, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    val assigned = ivfAssignPrepared(p, cents)
       .select(col("vec_id"), col("c_id"))
-    val probes = nearestCoarse(p.filter(isQuery), centroids, nprobe)
-      .select(col("vec_id").as("q_id"), col("c_id"))
+    val probes = probeList(p, isQuery, cents, nprobe)
+      .select(col("q_id"), col("c_id"))
     val candidates = assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"))
-    pqCore(emb, isQuery, k, m, ks, rerank, candidates = Some(candidates))
+    pqCore(emb, isQuery, k, m, ks, rerank, trainIters, candidates = Some(candidates))
+  }
+
+  /** Unit-normalized vector frame (vec_id, u). Zero vectors have no
+    * direction: excluding them beats NaN codes (NaN orders LARGEST in
+    * Spark and would poison the rankings). */
+  private def unitFrame(p0: DataFrame): DataFrame =
+    p0.filter(col("n2") > 0)
+      .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
+      .select(col("vec_id"), col("u"))
+
+  /** Per-subspace codebook from the deterministic sample, collected on
+    * the driver (bounded: ks unit vectors) — entry c of subspace j is
+    * sample row c's j-th slice. [[trainPqCodebook]] replaces the
+    * sample with k-means-refined entries. */
+  private def pqCodebookMat(p: DataFrame, m: Int, ks: Int,
+                            subLenI: Int): Array[Array[Array[Double]]] = {
+    val rows = p.withColumn("hsel", xxhash64(col("vec_id")))
+      .orderBy(col("hsel")).limit(ks)
+      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m)(j => rows.map(_.slice(j * subLenI, (j + 1) * subLenI)))
+  }
+
+  /** Encode: nearest codebook entry per (vector, subspace) in one
+    * fused map-side pass over the plan-referenced codebook
+    * ([[graft.functions.VecExprs.PqEncode]]) — the round-3 explode →
+    * ×m·ks join → window-argmin exchanged m·ks ≈ 128 rows per corpus
+    * vector on vec_id; this encodes with ZERO shuffle (spec-proved in
+    * SimilaritySpec). */
+  private def encodeCodes(p: DataFrame,
+                          cbMat: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.VecExprs.registerPqEncode(p.sparkSession, "graft_pq_enc", cbMat)
+    p.select(col("vec_id"),
+      posexplode(call_function("graft_pq_enc", col("u"))).as(Seq("j", "code")))
+  }
+
+  /** Per-subspace L2 k-means refinement of the PQ codebook, all `m`
+    * subspaces per round in ONE pass: assignment is the zero-shuffle
+    * [[graft.functions.VecExprs.PqEncode]] expression (codes ride
+    * along as an array; `element_at(codes, j+1)` pairs each exploded
+    * subvector with its code — no join), the update aggregates on
+    * (j, code, dim) — m × ks × subLen groups, map-side partials — and
+    * collects those bounded group stats. Entries with no members keep
+    * their previous value; stops at `maxIter` or movement < `tol`. */
+  private def trainPqCodebook(p: DataFrame, seed: Array[Array[Array[Double]]],
+                              m: Int, maxIter: Int,
+                              tol: Double = 1e-4): Array[Array[Array[Double]]] = {
+    val subLenC = (size(col("u")) / m).cast("int")
+    val pc = p.cache()
+    try {
+      var cb = seed
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        graft.functions.VecExprs.registerPqEncode(pc.sparkSession, "graft_pq_train", cb)
+        val stats = pc
+          .withColumn("codes", call_function("graft_pq_train", col("u")))
+          .select(col("codes"),
+            posexplode(transform(sequence(lit(0), lit(m - 1)),
+              j => slice(col("u"), j * subLenC + 1, subLenC))).as(Seq("j", "sub")))
+          .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+            posexplode(col("sub")).as(Seq("d", "x")))
+          .groupBy(col("j"), col("code"), col("d"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getDouble(3) / r.getLong(4)
+        }
+        moved = (for { j <- cb.indices; c <- cb(j).indices }
+          yield l2(cb(j)(c), next(j)(c))).max
+        cb = next
+        iter += 1
+      }
+      cb
+    } finally pc.unpersist(false)
+  }
+
+  /** The PQ index-BUILD step alone — corpus codes (vec_id, j, code) —
+    * exposed as the deploy-time "write the compressed index" job and
+    * for plan audits (its physical plan has no Exchange at all). */
+  def pqCodes(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    val p = unitFrame(prepared(emb))
+    encodeCodes(p, pqCodebookMat(p, m, ks, dim / m))
   }
 
   /** Shared PQ machinery: codebook build, corpus encoding, per-query
@@ -254,7 +436,7 @@ object Similarity {
     * vec_id) restricts ADC scoring to given pairs (the IVFPQ path);
     * None scores all query × corpus pairs (guarded in [[pqTopK]]). */
   private def pqCore(emb: DataFrame, isQuery: Column, k: Int,
-                     m: Int, ks: Int, rerank: Int,
+                     m: Int, ks: Int, rerank: Int, trainIters: Int,
                      candidates: Option[DataFrame]): DataFrame = {
     val dim = emb.select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
@@ -262,36 +444,26 @@ object Similarity {
       s"dim=$dim must be a positive multiple of m=$m (the standard PQ " +
         "precondition — a remainder would silently drop trailing dims)")
     val p0 = prepared(emb)
-    // zero vectors have no direction: excluding them beats NaN codes
-    // (NaN orders LARGEST in Spark and would poison the rankings)
-    val p = p0.filter(col("n2") > 0)
-      .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
-      .select(col("vec_id"), col("u"))
+    val p = unitFrame(p0)
+    val spark = emb.sparkSession
     val subLen = (size(col("u")) / m).cast("int")
     def subvectors(df: DataFrame): DataFrame =
       df.select(col("vec_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("u"), j * subLen + 1, subLen))).as(Seq("j", "sub")))
-    // per-subspace codebook from the deterministic sample (tiny)
-    val sampled = p.withColumn("hsel", xxhash64(col("vec_id")))
-      .orderBy(col("hsel")).limit(ks)
-      .withColumn("c_idx",
-        row_number().over(Window.orderBy(col("hsel"))).cast("int") - 1)
-    val codebook = subvectors(sampled.select(col("c_idx").as("vec_id"), col("u")))
-      .select(col("vec_id").as("c_idx"), col("j"), col("sub").as("c_sub"))
-    // squared L2 between a subvector and a codebook entry — ONE
-    // definition shared by encoding and the query LUT (diverging
-    // copies would silently break the ADC ranking)
+    val cbMat0 = pqCodebookMat(p, m, ks, dim / m)
+    val cbMat = if (trainIters > 0)
+      trainPqCodebook(p, cbMat0, m, trainIters) else cbMat0
+    import spark.implicits._
+    val codebook = (for { j <- 0 until m; c <- cbMat(j).indices }
+      yield (c, j, cbMat(j)(c).toSeq)).toDF("c_idx", "j", "c_sub")
+    // squared L2 between a subvector and a codebook entry, for the
+    // query-side LUT — dot(a,a) + dot(b,b) − 2·dot(a,b), the SAME op
+    // order as the encode expression's accumulators (bit-identical
+    // distances on both sides of the ADC)
     def subDist(a: Column, b: Column): Column =
       dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
-    // encode: nearest codebook entry per (vector, subspace)
-    val dEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2"), col("c_idx"))
-    val codes = subvectors(p).join(broadcast(codebook), Seq("j"))
-      .withColumn("d2", subDist(col("sub"), col("c_sub")))
-      .withColumn("rn", row_number().over(dEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("c_idx").as("code"))
+    val codes = encodeCodes(p, cbMat)
     // per-query asymmetric lookup table: exact subvector→centroid dists
     val qIds = p0.filter(isQuery).select(col("vec_id"))
     val lut = subvectors(p.join(qIds, Seq("vec_id")))

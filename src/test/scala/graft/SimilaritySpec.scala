@@ -111,8 +111,9 @@ class SimilaritySpec extends SparkSpec {
     }
     val r8 = recall(8, 16); val r16 = recall(16, 32)
     info(f"PQ recall@5: m=8/ks=16 = $r8%.2f, m=16/ks=32 = $r16%.2f")
-    assert(r8 >= 0.4)   // measured 0.52 with the ADC-shortlist + rerank
+    assert(r8 >= 0.4)   // 0.52 sampled → 0.68 with the trained codebook
     assert(r16 > r8)    // longer codes + bigger codebooks buy recall
+    assert(r16 >= 0.9)  // trained m=16/ks=32 codebook (measured 0.92)
     // the standard PQ precondition fails loud: 64 dims don't split into 7
     val e = intercept[IllegalArgumentException](Similarity.pqTopK(real, isQ, 5, m = 7))
     assert(e.getMessage.contains("multiple of m"))
@@ -143,6 +144,41 @@ class SimilaritySpec extends SparkSpec {
     val rProbed = (truth & probed).size.toDouble / truth.size
     info(f"IVFPQ recall@5: nprobe=16 $rFull%.2f, nprobe=4 $rProbed%.2f")
     assert(rProbed > 0.2 && rProbed <= rFull)
+  }
+
+  test("training the quantizers never hurts recall vs the raw hash sample") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val truth = ids(Similarity.bruteForceTopK(real, isQ, 5))
+    def rec(df: org.apache.spark.sql.DataFrame) =
+      (truth & ids(df)).size.toDouble / truth.size
+    val ivfRaw = rec(Similarity.ivfTopK(real, isQ, 5, 16, 4, trainIters = 0))
+    val ivfTrn = rec(Similarity.ivfTopK(real, isQ, 5, 16, 4, trainIters = 8))
+    val pqRaw = rec(Similarity.pqTopK(real, isQ, 5, trainIters = 0))
+    val pqTrn = rec(Similarity.pqTopK(real, isQ, 5, trainIters = 8))
+    info(f"IVF@nprobe4 raw=$ivfRaw%.2f trained=$ivfTrn%.2f; " +
+      f"PQ m8/ks16 raw=$pqRaw%.2f trained=$pqTrn%.2f")
+    assert(ivfTrn >= ivfRaw)
+    assert(pqTrn > pqRaw) // Lloyd refinement must buy PQ recall here
+  }
+
+  test("index-build plans are exchange-free (assignment and encode fused into the scan)") {
+    val real = Tables.embeddings(spark, sfDir)
+    // IVF assignment: one codegen'd argmax over the plan-referenced
+    // centroid matrix — scan → project, not explode → window
+    val assignPlan = Similarity.ivfAssign(real, nlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"IVF assignment must not shuffle:\n$assignPlan")
+    assert(!assignPlan.contains("Window"),
+      "IVF assignment must not rank via a window")
+    // PQ encode: the whole compressed index is scan → project → explode
+    val codesPlan = Similarity.pqCodes(real, m = 8, ks = 16)
+      .queryExecution.executedPlan.toString
+    assert(!codesPlan.contains("Exchange"),
+      s"PQ encode must not shuffle:\n$codesPlan")
   }
 
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
