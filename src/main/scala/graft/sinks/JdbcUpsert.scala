@@ -153,6 +153,60 @@ object JdbcUpsert {
     (written, failed)
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Reference-style run report for an [[UpsertResult]] — the
+    * formatted alert body the reference builds from its
+    * `email_content` ledger and prints/mails at run end
+    * (`wrf_data_pusher.py:33,59,138`; every gen_* job closes with
+    * `"{now} ::: … ::: Email Content {json} ::: Config Data {json}"`,
+    * e.g. gen_rfields.py:505). Each ledger entry becomes one keyed
+    * message in the Email Content map; run totals ride in the header
+    * line. `now` is injected so tests (and replayed reports) are
+    * deterministic. */
+  def formatReport(job: String, result: UpsertResult,
+                   now: java.time.Instant,
+                   config: Map[String, String] = Map.empty): String = {
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(now)
+    val content = result.errors.map { e =>
+      val where = if (e.batch < 0) s"partition ${e.partition} connection"
+                  else s"partition ${e.partition} batch ${e.batch}"
+      jsonStr(s"$where (${e.rows} rows, ${e.attempts} attempts)") +
+        ": " + jsonStr(e.message)
+    }.mkString("{", ", ", "}")
+    val cfg = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ": " + jsonStr(v) }
+      .mkString("{", ", ", "}")
+    s"$ts ::: $job rows_written=${result.rowsWritten} " +
+      s"rows_failed=${result.rowsFailed} ok=${result.ok}\n" +
+      s"::: Email Content $content\n::: Config Data $cfg"
+  }
+
+  /** Ready-made `onResult` hook for [[upsertStream]]: formats the
+    * report and hands it to `send` ONLY when the batch's ledger is
+    * non-empty — the reference likewise only has something to mail
+    * when `email_content` accumulated entries. `send` is the
+    * deployment's transport (log line, webhook, SMTP gateway); the
+    * container has none, so it stays injected. */
+  def alertingOnResult(job: String, send: String => Unit,
+                       clock: () => java.time.Instant = () => java.time.Instant.now(),
+                       config: Map[String, String] = Map.empty)
+      : (Long, UpsertResult) => Unit =
+    (batchId, result) =>
+      if (!result.ok)
+        send(formatReport(s"$job batch=$batchId", result, clock(), config))
+
   /** Upsert a DataFrame into `table`. `connect` runs on executors —
     * pass a serializable factory (driver class + URL + credentials),
     * never a Connection.

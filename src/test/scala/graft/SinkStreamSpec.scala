@@ -242,6 +242,36 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(10.0, 15.0, 17.5)) // .5·20+.5·15 across the batch boundary
   }
 
+  test("formatReport renders the reference-style Email Content report for a mixed run") {
+    import graft.sinks.JdbcUpsert
+    val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
+      errors = Seq(
+        JdbcUpsert.PushError(3, 2, 10, 3, "java.sql.SQLException: \"boom\""),
+        JdbcUpsert.PushError(7, -1, 5, 3, "connect refused")))
+    val now = java.time.Instant.parse("2026-08-12T10:00:00Z")
+    val report = JdbcUpsert.formatReport("wrf_push", result, now,
+      config = Map("table" -> "curw_fcst.data"))
+    assert(report ===
+      "2026-08-12 10:00:00 ::: wrf_push rows_written=90 rows_failed=15 ok=false\n" +
+      "::: Email Content {\"partition 3 batch 2 (10 rows, 3 attempts)\": " +
+      "\"java.sql.SQLException: \\\"boom\\\"\", " +
+      "\"partition 7 connection (5 rows, 3 attempts)\": \"connect refused\"}\n" +
+      "::: Config Data {\"table\": \"curw_fcst.data\"}")
+  }
+
+  test("alertingOnResult sends only when a batch has ledger entries") {
+    import graft.sinks.JdbcUpsert
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hook = JdbcUpsert.alertingOnResult("push", sent.append(_),
+      clock = () => java.time.Instant.parse("2026-08-12T10:00:00Z"))
+    hook(0L, JdbcUpsert.UpsertResult(100, 0, Nil))              // clean → silent
+    hook(1L, JdbcUpsert.UpsertResult(90, 10,
+      Seq(JdbcUpsert.PushError(0, 1, 10, 2, "x"))))             // dirty → alert
+    assert(sent.size === 1)
+    assert(sent.head.startsWith("2026-08-12 10:00:00 ::: push batch=1 "))
+    assert(sent.head.contains("rows_failed=10"))
+  }
+
   test("upsertStream pushes each micro-batch through upsert with per-batch results") {
     implicit val sqlCtx = spark.sqlContext
     FakeDb.reset()
