@@ -424,8 +424,18 @@ object Dedup {
     * truncates the per-round lineage so the plan stays O(1) deep
     * instead of O(rounds). At 100 TB the same loop holds (this is
     * the textbook large-scale CC shape).
+    *
+    * `saltBuckets > 1` runs the per-round neighbor-min through
+    * [[Skew.saltedMin]]'s two-phase shape (salt on `dst`): hash-agg
+    * partials already collapse each map task's rows per `src`, but a
+    * mega-component hub whose adjacency dominates single partitions
+    * (dedup pair lists are exactly where such hubs appear) gets its
+    * first-phase spread over `saltBuckets` reducers. min is
+    * reassociation-safe, so the labeling is identical either way
+    * (spec-checked).
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
+               saltBuckets: Int = 1): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -442,8 +452,14 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val adjacency = edges.join(labels, edges("dst") === labels("doc_id"))
+      val nbrMin =
+        if (saltBuckets <= 1)
+          adjacency.groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+        else
+          Skew.saltedMin(adjacency.select(col("src"), col("dst"), col("cluster_id")),
+            Seq("src"), "cluster_id", saltBy = "dst", salts = saltBuckets,
+            out = "nbr_min")
       val prop = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
         .select(col("l.doc_id").as("doc_id"),

@@ -35,4 +35,21 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_psum")).as("value"), sum(col("_pcnt")).as("n"))
   }
+
+  /** Salted min per key set — the same two-phase shape for the other
+    * decomposable aggregate the engine leans on (D8's per-round
+    * min-label propagation: a mega-component's hub node funnels its
+    * whole adjacency through one reducer; salting spreads it over
+    * `salts` sub-keys first). Identical result to
+    * `df.groupBy(keys).agg(min(valueCol))` — min is reassociation-safe
+    * unconditionally. */
+  def saltedMin(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBy: String, salts: Int = 16,
+                out: String = "min_value"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.groupBy((keys.map(col) :+ saltCol(col(saltBy), salts).as("_salt")): _*)
+      .agg(min(col(valueCol)).as("_pmin"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_pmin")).as(out))
+  }
 }

@@ -169,6 +169,36 @@ class DedupSpec extends SparkSpec {
     assertThrows[IllegalStateException](Dedup.clusters(ds, pairs, maxIter = 2).count())
   }
 
+  test("D8 salted min-label round: identical labeling, hub spread over salt sub-keys") {
+    // star graph: node 1 is the hub of a 30-leaf component (the shape
+    // whose adjacency funnels through one reducer unsalted)
+    val n = 30L
+    val ds = (1L to n + 1).toDF("doc_id")
+    val pairs = (2L to n + 1).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val plain = Dedup.clusters(ds, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val salted = Dedup.clusters(ds, pairs, saltBuckets = 4)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(salted === plain)
+    // plan shape: phase 1 exchanges on (src, _salt) — the hot key is
+    // split across salt sub-keys before the final combine on src
+    import graft.operators.Skew
+    val adjacency = Seq((1L, 2L, 2L), (1L, 3L, 3L)).toDF("src", "dst", "cluster_id")
+    val saltedPlan = Skew.saltedMin(adjacency, Seq("src"), "cluster_id",
+      saltBy = "dst", salts = 4, out = "nbr_min")
+      .queryExecution.executedPlan.toString
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+), ([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(saltedPlan)
+      .map(m => (m.group(1).takeWhile(_ != '#'), m.group(2).takeWhile(_ != '#'))).toList
+    // Catalyst renames the salt alias to _groupingexpression in the
+    // physical plan; either spelling proves the two-key phase-1 split
+    assert(keys.exists(t => t._1 == "src" &&
+        (t._2 == "_salt" || t._2 == "_groupingexpression")),
+      s"phase-1 exchange should partition on (src, salt):\n$saltedPlan")
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
