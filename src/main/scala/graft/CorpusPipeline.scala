@@ -28,9 +28,15 @@ object CorpusPipeline {
                           nearDedup: Long, decontaminated: Long,
                           sampled: Long, sequences: Long)
 
+  /** `maxDf` feeds the hot-gram cap of the near-dup and
+    * decontamination stages (the 100 TB-safe default — a boilerplate
+    * gram shared corpus-wide cannot blow the candidate joins;
+    * `Long.MaxValue` restores uncapped exact grams). Tune it off
+    * `Dedup.gramDocFrequencies`' tail. */
   def run(spark: SparkSession, sfDir: String,
           targetShares: Map[String, Double] = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3),
-          packBudget: Int = 512): Funnel = {
+          packBudget: Int = 512,
+          maxDf: Long = 1000L): Funnel = {
     val docs = Tables.documents(spark, sfDir)
     val input = docs.count()
 
@@ -54,14 +60,15 @@ object CorpusPipeline {
 
     // 3. near-dup clustering: D3 candidate pairs → D8 components; the
     //    cluster representative (doc_id == cluster_id) survives
-    val clusters = Dedup.clusters(exact, Dedup.ngramJaccard(exact, 0.2))
+    val clusters = Dedup.clusters(exact, Dedup.ngramJaccard(exact, 0.2, maxDf))
     val near = exact.join(
       clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
     val nNear = near.count()
 
     // 4. decontamination: drop anything sharing ≥5 grams with the
     //    benchmark slice (here: every 97th doc plays the eval set)
-    val contaminated = Dedup.contamination(near, col("doc_id") % 97 === 0, 5)
+    val contaminated = Dedup.contamination(near, col("doc_id") % 97 === 0, 5,
+        maxDf)
       .select("doc_id").distinct()
     val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 97 =!= 0) // the eval slice itself never trains
