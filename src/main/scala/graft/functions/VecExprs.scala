@@ -429,7 +429,9 @@ object VecExprs {
         while (c < entries.length) {
           val e = entries(c)
           var aa = 0.0; var bb = 0.0; var ab = 0.0; var i = 0
-          while (i < subLen && base + i < v.numElements()) {
+          // bound by the entry too: a ragged corpus (shorter sampled
+          // row → short codebook entry) degrades instead of throwing
+          while (i < subLen && base + i < v.numElements() && i < e.length) {
             val x = v.getDouble(base + i); val y = e(i)
             aa += x * x; bb += y * y; ab += x * y
             i += 1
@@ -465,7 +467,8 @@ object VecExprs {
            |  for (int $c = 0; $c < $entries.length; $c++) {
            |    double[] $e = $entries[$c];
            |    double $aa = 0.0, $bb = 0.0, $ab = 0.0;
-           |    for (int $i = 0; $i < $subLen && $base + $i < $a.numElements(); $i++) {
+           |    for (int $i = 0; $i < $subLen && $base + $i < $a.numElements()
+           |         && $i < $e.length; $i++) {
            |      double $x = $a.getDouble($base + $i);
            |      double $y = $e[$i];
            |      $aa += $x * $x; $bb += $y * $y; $ab += $x * $y;
@@ -483,19 +486,37 @@ object VecExprs {
       copy(child = c)
   }
 
-  /** Register a matrix-capturing function under `name` (replacing any
-    * previous registration — these carry per-invocation state the SQL
-    * literal syntax can't, so each operator call re-registers its own
-    * matrix right before building the plan). */
-  def registerNearestCentroids(spark: SparkSession, name: String,
-                               centroids: Array[Array[Double]], n: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, args => NearestCentroids(args(0), centroids, n), "built-in")
+  private val fnCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  def registerPqEncode(spark: SparkSession, name: String,
-                       codebook: Array[Array[Array[Double]]]): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, args => PqEncode(args(0), codebook), "built-in")
+  /** Matrix-capturing functions carry per-invocation state the SQL
+    * literal syntax can't, so they go through a UNIQUELY-named
+    * throwaway registration: registered, used by `build` (Dataset
+    * analysis is eager — the expression is resolved into the plan
+    * before this returns), then dropped. A fixed name would let two
+    * concurrent operator calls on one session silently capture each
+    * other's matrices; unique names + scoped drop close the race and
+    * keep the registry from accumulating entries. */
+  def withTempFunction[A](spark: SparkSession, base: String,
+                          builder: Seq[Expression] => Expression)
+                         (build: String => A): A = {
+    val name = s"${base}_${fnCounter.incrementAndGet()}"
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(name, builder, "built-in")
+    try build(name)
+    finally reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+  }
+
+  def withNearestCentroids[A](spark: SparkSession,
+                              centroids: Array[Array[Double]], n: Int)
+                             (build: String => A): A =
+    withTempFunction(spark, "graft_nearest_cents",
+      args => NearestCentroids(args(0), centroids, n))(build)
+
+  def withPqEncode[A](spark: SparkSession,
+                      codebook: Array[Array[Array[Double]]])
+                     (build: String => A): A =
+    withTempFunction(spark, "graft_pq_encode",
+      args => PqEncode(args(0), codebook))(build)
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

@@ -83,16 +83,26 @@ object Dedup {
     * own output bounds it at distinct-grams/maxDf), so it broadcasts
     * and the drop is an exchange-free broadcast anti-join. Per-key
     * join fan-out is then ≤ maxDf² pairs by construction. */
+  /** The grams whose document frequency exceeds the cap (tiny by
+    * Zipf — bounded by distinct-grams/maxDf). */
+  private def hotGrams(g: DataFrame, maxDf: Long): DataFrame =
+    g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gh")
+
+  /** Drop a hot-gram list from an exploded `(doc_id, n_grams, gh)`
+    * table and recompute each doc's set size over the kept grams —
+    * the one shared spelling of the cap (in-memory flow, bucketed
+    * write, incremental batches). */
+  private def dropHotAndResize(g: DataFrame, hot: DataFrame): DataFrame = {
+    val kept = g.join(broadcast(hot), Seq("gh"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    kept.drop("n_grams").join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
+  }
+
   private def capGramDf(g: DataFrame, maxDf: Long): DataFrame =
     if (maxDf == Long.MaxValue) g
-    else {
-      val hot = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("gh")
-      val kept = g.join(broadcast(hot), Seq("gh"), "left_anti")
-      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-      kept.drop("n_grams").join(sizes, Seq("doc_id"))
-        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
-    }
+    else dropHotAndResize(g, hotGrams(g, maxDf))
 
   /** D3: exact n-gram Jaccard over word 3-gram shingle sets.
     * Shingle-explode equi-join generates candidates (docs sharing ≥1
@@ -155,19 +165,23 @@ object Dedup {
     graft.functions.VecExprs.register(docs.sparkSession)
     val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
-    val g = if (maxDf == Long.MaxValue) raw else {
-      val spark = docs.sparkSession
-      raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("gh")
-        .write.format("parquet").option("path", s"${path}_hot")
-        .mode("overwrite").saveAsTable(s"${table}_hot")
-      val kept = raw.join(broadcast(spark.table(s"${table}_hot")), Seq("gh"), "left_anti")
-      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-      kept.drop("n_grams").join(sizes, Seq("doc_id"))
-        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
+    def writeMain(g: DataFrame): Unit =
+      g.write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
+        .option("path", path).mode("overwrite").saveAsTable(table)
+    if (maxDf == Long.MaxValue) writeMain(raw)
+    else {
+      // cache the shingled table: the hot-table write, the sizes
+      // aggregate, and the anti-join otherwise each re-tokenize and
+      // re-shingle the whole corpus (three full passes at 100 TB)
+      val cached = raw.cache()
+      try {
+        hotGrams(cached, maxDf)
+          .write.format("parquet").option("path", s"${path}_hot")
+          .mode("overwrite").saveAsTable(s"${table}_hot")
+        writeMain(dropHotAndResize(cached,
+          docs.sparkSession.table(s"${table}_hot")))
+      } finally cached.unpersist(false)
     }
-    g.write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
-      .option("path", path).mode("overwrite").saveAsTable(table)
   }
 
   /** D3 over a materialized signature table: identical semantics to
@@ -200,12 +214,7 @@ object Dedup {
     graft.functions.VecExprs.register(spark)
     val newRaw = newDocs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
-    val newG = hotTable.fold(newRaw) { h =>
-      val kept = newRaw.join(broadcast(spark.table(h)), Seq("gh"), "left_anti")
-      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-      kept.drop("n_grams").join(sizes, Seq("doc_id"))
-        .select(col("doc_id"), col("n_kept").as("n_grams"), col("gh"))
-    }
+    val newG = hotTable.fold(newRaw)(h => dropHotAndResize(newRaw, spark.table(h)))
     val inter = spark.table(table).hint("merge").as("a")
       .join(newG.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -233,13 +242,16 @@ object Dedup {
     * concentrate in small buckets.
     *
     * `maxBucket` caps the (band, bucket) group size — a bucket with
-    * more members than that is a degenerate boilerplate cluster whose
-    * pair fan-out (size²) would dominate the join; dropping the whole
-    * bucket bounds per-key fan-out at maxBucket² while the docs in it
-    * remain discoverable through their OTHER bands (and wholesale
-    * identical docs through D1). Same broadcast-anti-join shape as the
-    * gram-df cap; the default is generous enough to be the identity at
-    * test scale and still a hard bound at 100 TB.
+    * more members than that is a boilerplate mega-cluster whose pair
+    * fan-out (size²) would dominate the join. Such a bucket is NOT
+    * dropped (its members often share every band, so no other band
+    * would rediscover them): it collapses to a STAR — each member
+    * paired with the bucket's min doc_id — so per-bucket output is
+    * O(size), connectivity survives for D8's transitive clustering
+    * (the component still merges through the hub), and only the
+    * size² full pair enumeration is given up. Kept buckets self-join
+    * exactly as before; the default cap is the identity at test scale
+    * and a hard per-key bound at 100 TB.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                  maxBucket: Long = 1024L): DataFrame = {
@@ -263,19 +275,28 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "bucket"))))
-    val buckets =
-      if (maxBucket == Long.MaxValue) raw
+    val (buckets, hotStar) =
+      if (maxBucket == Long.MaxValue) (raw, None)
       else {
         val hot = raw.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
           .select("band", "bucket")
-        raw.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        val kept = raw.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        // hot buckets → star candidates around the min member (doc_a
+        // is the min, so doc_a < doc_b holds by construction)
+        val members = raw.join(broadcast(hot), Seq("band", "bucket"))
+        val star = members
+          .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_a"))
+          .join(members, Seq("band", "bucket"))
+          .filter(col("doc_id") =!= col("doc_a"))
+          .select(col("doc_a"), col("doc_id").as("doc_b"))
+        (kept, Some(star))
       }
-    buckets.as("a").join(buckets.as("b"),
+    val keptPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    hotStar.fold(keptPairs)(keptPairs.unionByName(_)).distinct()
   }
 
   /** D4: SimHash near-dup pairs (rows-only).

@@ -135,25 +135,23 @@ object Similarity {
   }
 
   private def ivfAssignPrepared(p: DataFrame,
-                                cents: Array[Array[Double]]): DataFrame = {
-    graft.functions.VecExprs.registerNearestCentroids(
-      p.sparkSession, "graft_coarse_assign", cents, 1)
-    p.withColumn("c_id",
-      element_at(call_function("graft_coarse_assign", col("v")), 1))
-  }
+                                cents: Array[Array[Double]]): DataFrame =
+    graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, 1) {
+      fn => p.withColumn("c_id", element_at(call_function(fn, col("v")), 1))
+    }
 
   /** Query-side probe list: each query paired with its `nprobe`
     * nearest centroid indices (same expression, n=nprobe, exploded —
     * queries are few, so the explode is trivially small). */
   private def probeList(p: DataFrame, isQuery: Column,
-                        cents: Array[Array[Double]], nprobe: Int): DataFrame = {
-    graft.functions.VecExprs.registerNearestCentroids(
-      p.sparkSession, "graft_coarse_probe", cents, nprobe)
-    p.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("n2").as("q_n2"),
-        explode(call_function("graft_coarse_probe", col("v"))).as("c_id"))
-  }
+                        cents: Array[Array[Double]], nprobe: Int): DataFrame =
+    graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, nprobe) {
+      fn =>
+        p.filter(isQuery)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+            col("n2").as("q_n2"),
+            explode(call_function(fn, col("v"))).as("c_id"))
+    }
 
   /** Spherical k-means (Lloyd) training of the coarse quantizer to
     * convergence — the driver loop [[centroidUpdate]]'s scaladoc
@@ -195,8 +193,14 @@ object Similarity {
           .select(col("c_id"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy(col("c_id"), col("d")).agg(sum(col("x")).as("sx"))
           .collect()
-        val acc = Array.ofDim[Double](cents.length, cents.head.length)
-        sums.foreach { r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+        val width = cents.head.length
+        val acc = Array.ofDim[Double](cents.length, width)
+        // a ragged corpus (vector longer than the sampled centroids)
+        // contributes its in-range dims instead of throwing
+        sums.foreach { r =>
+          val d = r.getInt(1)
+          if (d < width) acc(r.getInt(0))(d) = r.getDouble(2)
+        }
         val next = cents.zipWithIndex.map { case (old, c) =>
           val norm = normalizeRows(Array(acc(c))).head
           // an empty (or all-zero) cluster keeps its previous centroid
@@ -370,11 +374,11 @@ object Similarity {
     * vector on vec_id; this encodes with ZERO shuffle (spec-proved in
     * SimilaritySpec). */
   private def encodeCodes(p: DataFrame,
-                          cbMat: Array[Array[Array[Double]]]): DataFrame = {
-    graft.functions.VecExprs.registerPqEncode(p.sparkSession, "graft_pq_enc", cbMat)
-    p.select(col("vec_id"),
-      posexplode(call_function("graft_pq_enc", col("u"))).as(Seq("j", "code")))
-  }
+                          cbMat: Array[Array[Array[Double]]]): DataFrame =
+    graft.functions.VecExprs.withPqEncode(p.sparkSession, cbMat) { fn =>
+      p.select(col("vec_id"),
+        posexplode(call_function(fn, col("u"))).as(Seq("j", "code")))
+    }
 
   /** Per-subspace L2 k-means refinement of the PQ codebook, all `m`
     * subspaces per round in ONE pass: assignment is the zero-shuffle
@@ -394,17 +398,18 @@ object Similarity {
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
-        graft.functions.VecExprs.registerPqEncode(pc.sparkSession, "graft_pq_train", cb)
-        val stats = pc
-          .withColumn("codes", call_function("graft_pq_train", col("u")))
-          .select(col("codes"),
-            posexplode(transform(sequence(lit(0), lit(m - 1)),
-              j => slice(col("u"), j * subLenC + 1, subLenC))).as(Seq("j", "sub")))
-          .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
-            posexplode(col("sub")).as(Seq("d", "x")))
-          .groupBy(col("j"), col("code"), col("d"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-          .collect()
+        val stats = graft.functions.VecExprs.withPqEncode(pc.sparkSession, cb) {
+          fn =>
+            pc.withColumn("codes", call_function(fn, col("u")))
+              .select(col("codes"),
+                posexplode(transform(sequence(lit(0), lit(m - 1)),
+                  j => slice(col("u"), j * subLenC + 1, subLenC))).as(Seq("j", "sub")))
+              .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+                posexplode(col("sub")).as(Seq("d", "x")))
+              .groupBy(col("j"), col("code"), col("d"))
+              .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+              .collect()
+        }
         val next = cb.map(_.map(_.clone()))
         stats.foreach { r =>
           next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =

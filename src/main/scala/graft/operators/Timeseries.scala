@@ -142,7 +142,10 @@ object Timeseries {
       .groupBy(col(key), bucket.as("bucket"))
       .pivot(source, systems)
       .agg(sum(col(value)))
-    systems.foldLeft(wide)((d, s) => d.filter(col(s).isNotNull))
+    // pivot names columns with the raw system VALUE — backtick it so a
+    // dotted label ("wrf.A") resolves as one column, not a struct path
+    systems.foldLeft(wide)((d, s) =>
+      d.filter(col(s"`${s.replace("`", "``")}`").isNotNull))
   }
 
   /** A8: active series — keys with any activity within `days` of the

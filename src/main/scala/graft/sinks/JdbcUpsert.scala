@@ -153,16 +153,7 @@ object JdbcUpsert {
     (written, failed)
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.Jsons.str(s)
 
   /** Reference-style run report for an [[UpsertResult]] — the
     * formatted alert body the reference builds from its

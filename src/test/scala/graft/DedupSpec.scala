@@ -99,7 +99,7 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("D2 bucket-size cap drops degenerate boilerplate buckets, keeps small ones") {
+  test("D2 bucket-size cap collapses mega-buckets to star candidates, keeps small ones") {
     val mega = (1L to 40L).map(i =>
       (i, "identical boilerplate text repeated wholesale across the corpus"))
     val near = Seq(
@@ -108,11 +108,14 @@ class DedupSpec extends SparkSpec {
     val corpus = (mega ++ near).toDF("doc_id", "text")
     // default cap (1024) is the identity here: 40-doc bucket → C(40,2)
     assert(Dedup.minhashLsh(corpus).count() === 40L * 39 / 2 + 1)
-    // cap 10: the 40-member buckets drop in every band; the 2-member
-    // bucket of the true near-dup pair survives
+    // cap 10: the 40-member bucket (same in every band — no other band
+    // would rediscover it) collapses to a STAR around its min member:
+    // O(size) candidates, connectivity preserved for D8; the 2-member
+    // bucket of the true near-dup pair is untouched
     val capped = Dedup.minhashLsh(corpus, maxBucket = 10)
       .as[(Long, Long)].collect().toSet
-    assert(capped === Set((100L, 101L)))
+    assert(capped ===
+      ((2L to 40L).map(i => (1L, i)).toSet + ((100L, 101L))))
   }
 
   test("D9 df cap drops boilerplate grams from both sides of the join") {
