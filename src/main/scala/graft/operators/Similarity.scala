@@ -214,6 +214,56 @@ object Similarity {
     } finally pc.unpersist(false)
   }
 
+  /** Deploy-time IVF index: the corpus written PARTITIONED BY LIST
+    * (`lists/c_id=<i>/…`) next to its trained centroid matrix
+    * (`centroids/`). [[ivfTopKFromIndex]] then reads ONLY the probed
+    * lists' directories — Spark's partition pruning is the
+    * storage-layer realization of IVF's "scan nprobe/nlist of the
+    * data" (the in-memory flavor still scans the corpus once to
+    * assign; the index pays that scan at WRITE time, once). */
+  def writeIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
+                    trainIters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val p = prepared(emb)
+    val cents0 = collectCentroids(p, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("c_id", "c_v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssignPrepared(p, cents)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Query a written IVF index: probe the stored quantizer, then read
+    * ONLY the probed partitions (the scan's PartitionFilters carry
+    * `c_id IN (probed)` — spec-proved, with the input file set
+    * restricted to the probed directories). `queries` is any frame
+    * with (vec_id, embedding) — the external query set of a real
+    * deployment. The probed-id collect is bounded by nlist. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int,
+                       nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("c_id")
+      .select("c_v").collect().map(_.getSeq[Double](0).toArray)
+    val probes = probeList(prepared(queries), lit(true), cents, nprobe)
+    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("c_id").isin(probedIds: _*))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    lists.as("c").join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {

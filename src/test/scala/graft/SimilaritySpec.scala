@@ -181,6 +181,28 @@ class SimilaritySpec extends SparkSpec {
       s"PQ encode must not shuffle:\n$codesPlan")
   }
 
+  test("IVF index on disk: probing prunes to the probed lists, results match in-memory") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(real, path, nlist = 16, trainIters = 5)
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, path,
+      real.filter(isQ), 5, nprobe = 4)
+    // the list scan is partition-pruned: PartitionFilters carry c_id,
+    // and every file read lives under a probed c_id= directory
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"expected a c_id partition filter on the lists scan:\n$plan")
+    val probedDirs = fromIdx.select("n_id").inputFiles
+      .filter(_.contains("/lists/"))
+    assert(probedDirs.nonEmpty && probedDirs.forall(_.contains("c_id=")))
+    // same training, same probing → identical rows to the in-memory E3
+    val a = fromIdx.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.ivfTopK(real, isQ, 5, 16, 4, trainIters = 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
