@@ -227,6 +227,34 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Append a document batch's grams to the materialized signature
+    * table (the arrival-time flow's state update: after this, the
+    * next [[incrementalJaccard]] — or the next micro-batch of
+    * [[graft.streaming.EventStream.streamingDedup]] — sees these
+    * docs). The write reuses the table's own bucket spec so appended
+    * files stay co-located on the gram hash; `hotTable` applies the
+    * same frozen df cap the table was born with. */
+  def appendToSignatureTable(docs: DataFrame, table: String,
+                             hotTable: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.VecExprs.register(spark)
+    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    val writer = g.write.format("parquet").mode("append")
+    spec match {
+      case Some(bs) =>
+        val bucketed = writer.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        (if (bs.sortColumnNames.nonEmpty)
+           bucketed.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+         else bucketed).saveAsTable(table)
+      case None => writer.saveAsTable(table)
+    }
+  }
+
   /** D2: MinHash + LSH candidate pairs (rows-only — banding is not
     * SQL-expressible for the DuckDB oracle; verified by spec against
     * the exact-Jaccard ground truth instead).

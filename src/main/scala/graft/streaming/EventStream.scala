@@ -67,6 +67,36 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** D3-as-a-stream: arrival-time near-dup detection. Each micro-batch
+    * of documents is checked against the MATERIALIZED corpus signature
+    * table via [[graft.operators.Dedup.incrementalJaccard]] (the
+    * bucketed equi-join — per-batch cost O(batch × bucket density),
+    * independent of corpus size), plus within-batch pairs; the batch's
+    * own grams are then APPENDED to the table (bucket-compatible
+    * write) so the next micro-batch sees today's arrivals. `onPairs`
+    * receives each batch's pair frame — the caller quarantines,
+    * ledgers, or drops. Pass the `<table>_hot` side table when the
+    * signature table was written with a df cap.
+    *
+    * This is the streaming dual of the batch dedup: the signature
+    * table is the state store, already sharded on the gram hash, so
+    * state never lives in executor memory and a restart resumes from
+    * the table as-is.
+    */
+  def streamingDedup(docs: DataFrame, table: String, tau: Double,
+                     hotTable: Option[String] = None,
+                     onPairs: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        val vsCorpus = Dedup.incrementalJaccard(spark, table, batch, tau, hotTable)
+        val withinBatch = Dedup.ngramJaccard(batch, tau)
+        onPairs(batchId, vsCorpus.unionByName(withinBatch))
+        Dedup.appendToSignatureTable(batch, table, hotTable)
+      }
+
   /** One cumulative reading (the shape RAINNC arrives in). */
   final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
   /** One per-interval delta (what the reference pushes to the DB). */

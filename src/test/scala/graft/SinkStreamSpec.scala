@@ -242,6 +242,61 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(10.0, 15.0, 17.5)) // .5·20+.5·15 across the batch boundary
   }
 
+  test("streamingDedup checks arrivals against the corpus table, appends them bucket-compatibly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val all = Tables.documents(spark, sfDir)
+    Dedup.writeSignatureTable(all.filter(col("doc_id") < 200),
+      "grams_s", s"$wh/grams_s", buckets = 4)
+    val baseGrams = spark.table("grams_s").count()
+
+    def slice(lo: Long, hi: Long) =
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi).select("doc_id", "text")
+    def expectedFor(batch: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalJaccard(spark, "grams_s", batch, 0.02)
+        .unionByName(Dedup.ngramJaccard(batch, 0.02))
+        .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingDedup(stream, "grams_s", 0.02, None,
+      (id, pairs) =>
+        got(id) = pairs.orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq))
+      .start()
+    // batch 0: vs the seed corpus (expected computed BEFORE the append)
+    val b0 = slice(200, 230)
+    val exp0 = expectedFor(b0)
+    mem.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    assert(got(0L) === exp0)
+    // the append ran in the stream's cloned session — refresh this
+    // session's relation cache before reading the table
+    spark.catalog.refreshTable("grams_s")
+    val afterB0 = spark.table("grams_s").count()
+    assert(afterB0 > baseGrams) // batch 0's grams are now corpus state
+    // batch 1: its expectation is computed against the POST-append
+    // table — equality proves batch 1 sees batch 0's documents
+    val b1 = slice(230, 260)
+    val exp1 = expectedFor(b1)
+    mem.addData(b1.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    spark.catalog.refreshTable("grams_s")
+    assert(got(1L) === exp1)
+    assert(got(0L).nonEmpty && got(1L).nonEmpty)
+    // appends preserved co-location: the candidate self-join over the
+    // grown table still has no exchange on the gram key
+    val plan = Dedup.ngramJaccardFromTable(spark, "grams_s", 0.2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(_.startsWith("gh")),
+      s"appends must keep the gram key co-located, got: $exchanges")
+    spark.sql("DROP TABLE IF EXISTS grams_s")
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
