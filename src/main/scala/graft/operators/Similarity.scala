@@ -264,6 +264,100 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Full IVFPQ index on disk — the FAISS index file re-expressed as
+    * a parquet layout: `lists/c_id=<i>/` holds each coarse list's
+    * members WITH their PQ codes and full vectors (codes drive the
+    * ADC scan, vectors serve the exact rerank without a second
+    * source), `centroids/` and `codebook/` hold both trained
+    * quantizers. Codes are computed inline on the assignment frame
+    * (unit-normalize → PqEncode), so the whole write is one corpus
+    * scan + the partitioned shuffle. */
+  def writeIvfPqIndex(emb: DataFrame, path: String,
+                      nlist: Int = 16, m: Int = 8, ks: Int = 16,
+                      trainIters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    val p = prepared(emb)
+    val cents0 = collectCentroids(p, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    val pu = unitFrame(p)
+    val cbMat0 = pqCodebookMat(pu, m, ks, dim / m)
+    val cbMat = if (trainIters > 0)
+      trainPqCodebook(pu, cbMat0, m, trainIters) else cbMat0
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("c_id", "c_v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for { j <- 0 until m; c <- cbMat(j).indices }
+      yield (c, j, cbMat(j)(c).toSeq)).toDF("c_idx", "j", "c_sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    graft.functions.VecExprs.withPqEncode(spark, cbMat) { fn =>
+      ivfAssignPrepared(p, cents)
+        .filter(col("n2") > 0) // zero vectors have no direction (see unitFrame)
+        .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
+        .withColumn("codes", call_function(fn, col("u")))
+        .select(col("vec_id"), col("label"), col("v"), col("n2"),
+          col("codes"), col("c_id"))
+        .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+    }
+  }
+
+  /** Query a written IVFPQ index: probe the stored coarse quantizer,
+    * read ONLY the probed partitions, ADC-score their stored codes
+    * against a per-query lookup table from the stored codebook, and
+    * exact-rerank the shortlist from the vectors stored in the same
+    * pruned lists — the standard serve path, no access to the
+    * original corpus table at all. */
+  def ivfpqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, k: Int, nprobe: Int = 4,
+                         rerank: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("c_id")
+      .select("c_v").collect().map(_.getSeq[Double](0).toArray)
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val m = codebook.agg(max(col("j"))).as[Int].head() + 1
+    val q0 = prepared(queries)
+    val qu = unitFrame(q0)
+    val probes = probeList(q0, lit(true), cents, nprobe)
+    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("c_id").isin(probedIds: _*))
+    // per-query LUT from the STORED codebook (same subDist spelling as
+    // the encode expression — bit-identical ADC)
+    val subLen = (size(col("u")) / m).cast("int")
+    val qSubs = qu.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("u"), j * subLen + 1, subLen))).as(Seq("j", "sub")))
+    val lut = qSubs.join(broadcast(codebook), Seq("j"))
+      .select(col("vec_id").as("q_id"), col("j"), col("c_idx").as("code"),
+        (dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = lists.join(broadcast(probes.select("q_id", "c_id")), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("pd")).as("adc"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= k * rerank)
+      .select(col("q_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    shortlist
+      .join(q0.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2")), Seq("q_id"))
+      .join(lists.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("v")), col("q_n2"), col("n2")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {

@@ -203,6 +203,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("IVFPQ index on disk: codes + vectors served from pruned lists match in-memory E6") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(real, path, nlist = 16, m = 8, ks = 16,
+      trainIters = 5)
+    val fromIdx = Similarity.ivfpqTopKFromIndex(spark, path,
+      real.filter(isQ), 5, nprobe = 4)
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      "expected a c_id partition filter on the lists scan")
+    // the candidate/rerank side reads only pruned index partitions
+    // (the one non-index input is the external query frame itself)
+    val listFiles = fromIdx.inputFiles.filter(_.contains("/lists/"))
+    assert(listFiles.nonEmpty && listFiles.forall(_.contains("c_id=")))
+    val a = fromIdx.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.ivfpqTopK(real, isQ, 5, nlist = 16, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+  }
+
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 4)
       .select("n_id", "cos_sim").as[(Long, Double)].collect().toMap
