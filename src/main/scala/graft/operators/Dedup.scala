@@ -130,6 +130,23 @@ object Dedup {
     jaccardOverGrams(g, tau)
   }
 
+  /** D3 over a batch with a FROZEN hot-gram list (a signature table's
+    * `<table>_hot` side table) instead of a batch-local df threshold:
+    * the within-batch flavor [[graft.streaming.EventStream
+    * .streamingDedup]] needs so batch-vs-batch pairs live in the SAME
+    * capped gram subspace (same denominators) as the batch-vs-corpus
+    * pairs from [[incrementalJaccard]] — a batch-local cap would
+    * disagree with the table's frozen one and skew the union's
+    * Jaccards. */
+  def ngramJaccardWithHotList(docs: DataFrame, tau: Double,
+                              hot: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    val g = cachedAs("ngramJaccardHot", dropHotAndResize(raw, hot))
+    jaccardOverGrams(g, tau)
+  }
+
   /** Candidate equi-join + exact Jaccard over an exploded gram table
     * `(doc_id, n_grams, gh)` — shared by the cached in-memory flow
     * (ngramJaccard) and the bucketed materialized flow

@@ -30,6 +30,17 @@ object Similarity {
   private def cosTo(a: String, b: String): Column =
     cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
 
+  /** [[prepared]] for an EXTERNAL query frame — needs only
+    * (vec_id, embedding), no `label` (the index serve paths promise
+    * exactly that contract; `prepared` would throw on the missing
+    * column). */
+  private def preparedQueries(queries: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(queries.sparkSession)
+    queries.withColumn("v", toDoubleVec(col("embedding")))
+      .withColumn("n2", norm2(col("v")))
+      .select(col("vec_id"), col("v"), col("n2"))
+  }
+
   /** Ceiling for the quadratic exactness baselines below: past this
     * corpus size an all-pairs/nested-loop plan is a cluster-melter, so
     * the guard trips with a pointer to the bucketed scale paths instead
@@ -248,7 +259,7 @@ object Similarity {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids").orderBy("c_id")
       .select("c_v").collect().map(_.getSeq[Double](0).toArray)
-    val probes = probeList(prepared(queries), lit(true), cents, nprobe)
+    val probes = probeList(preparedQueries(queries), lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("c_id").isin(probedIds: _*))
@@ -320,7 +331,7 @@ object Similarity {
       .select("c_v").collect().map(_.getSeq[Double](0).toArray)
     val codebook = spark.read.parquet(s"$path/codebook")
     val m = codebook.agg(max(col("j"))).as[Int].head() + 1
-    val q0 = prepared(queries)
+    val q0 = preparedQueries(queries)
     val qu = unitFrame(q0)
     val probes = probeList(q0, lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq

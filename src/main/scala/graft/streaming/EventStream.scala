@@ -92,7 +92,11 @@ object EventStream {
         val spark = batch.sparkSession
         import graft.operators.Dedup
         val vsCorpus = Dedup.incrementalJaccard(spark, table, batch, tau, hotTable)
-        val withinBatch = Dedup.ngramJaccard(batch, tau)
+        // within-batch pairs must live in the same capped gram
+        // subspace as the vs-corpus pairs — apply the table's frozen
+        // hot list, never a batch-local threshold
+        val withinBatch = hotTable.fold(Dedup.ngramJaccard(batch, tau))(h =>
+          Dedup.ngramJaccardWithHotList(batch, tau, spark.table(h)))
         onPairs(batchId, vsCorpus.unionByName(withinBatch))
         Dedup.appendToSignatureTable(batch, table, hotTable)
       }

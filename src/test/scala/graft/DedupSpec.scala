@@ -97,6 +97,16 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.ngramJaccard(docs, 0.2, maxDf = 1000000L)
       .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
     assert(a === b)
+    // the frozen-hot-list flavor (streamingDedup's within-batch path)
+    // is pairwise identical to the df-threshold cap when the list IS
+    // the over-threshold grams — same subspace, same denominators
+    val frozenHot = Dedup.gramDocFrequencies(hot)
+      .filter(col("df") > 10).select("gh")
+    val viaList = Dedup.ngramJaccardWithHotList(hot, 0.0, frozenHot)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val viaCap = Dedup.ngramJaccard(hot, 0.0, maxDf = 10)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(viaList === viaCap)
   }
 
   test("D2 bucket-size cap collapses mega-buckets to star candidates, keeps small ones") {

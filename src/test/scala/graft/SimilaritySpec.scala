@@ -186,8 +186,10 @@ class SimilaritySpec extends SparkSpec {
     val isQ = col("vec_id") % 50 === 0
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     Similarity.writeIvfIndex(real, path, nlist = 16, trainIters = 5)
+    // query frame carries ONLY (vec_id, embedding) — the documented
+    // external-query contract (no label column)
     val fromIdx = Similarity.ivfTopKFromIndex(spark, path,
-      real.filter(isQ), 5, nprobe = 4)
+      real.filter(isQ).select("vec_id", "embedding"), 5, nprobe = 4)
     // the list scan is partition-pruned: PartitionFilters carry c_id,
     // and every file read lives under a probed c_id= directory
     val plan = fromIdx.queryExecution.executedPlan.toString
@@ -209,8 +211,9 @@ class SimilaritySpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     Similarity.writeIvfPqIndex(real, path, nlist = 16, m = 8, ks = 16,
       trainIters = 5)
+    // label-free external query frame, as with the IVF index spec
     val fromIdx = Similarity.ivfpqTopKFromIndex(spark, path,
-      real.filter(isQ), 5, nprobe = 4)
+      real.filter(isQ).select("vec_id", "embedding"), 5, nprobe = 4)
     val plan = fromIdx.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
       "expected a c_id partition filter on the lists scan")
