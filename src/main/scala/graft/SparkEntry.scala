@@ -301,6 +301,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 
+    "ann_lsh_multiprobe" -> ((s, d) =>                                // rows-only
+      Similarity.lshTopK(emb(s, d), annIsQuery, 5, probes = 2)),
+
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 

@@ -307,6 +307,116 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** Multi-probe bucket sequence for [[HyperplaneBucket]]'s hash
+    * family (Lv et al., "Multi-Probe LSH", VLDB 2007): the exact
+    * bucket first, then `nprobes` single-bit perturbations ordered by
+    * INCREASING hyperplane margin |⟨v, r_p⟩| — the planes the vector
+    * sits closest to are the ones a true near-neighbor most likely
+    * landed on the other side of. Probing these buckets on the QUERY
+    * side recovers recall without more tables (no growth of the
+    * corpus-side index — the whole point of multi-probe).
+    *
+    * Must stay plane-for-plane identical to [[HyperplaneBucket]]
+    * (same seed chain, same sign rule) or query probes and corpus
+    * buckets silently diverge — the margin loop below recomputes
+    * exactly its ⟨v, r_p⟩.
+    */
+  case class HyperplaneProbes(child: Expression, planes: Int,
+                              table: Int, nprobes: Int)
+      extends UnaryExpression {
+    require(nprobes >= 0 && nprobes <= planes,
+      s"nprobes=$nprobes must be within [0, planes=$planes]")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_probes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> DoubleType)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val margin = new Array[Double](planes)
+      val order = new Array[Int](planes)
+      var bucket = 0L; var p = 0
+      while (p < planes) {
+        val seedP = XXH64.hashInt(table * planes + p, 42L)
+        var s = 0.0; var d = 0
+        while (d < n) {
+          val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
+          s += v.getDouble(d) * sign
+          d += 1
+        }
+        if (s > 0) bucket |= (1L << p)
+        margin(p) = math.abs(s); order(p) = p
+        p += 1
+      }
+      // insertion sort of the plane indices by margin asc (index-asc
+      // tie-break) — planes is single digits, no allocation pressure
+      var i = 1
+      while (i < planes) {
+        val m = margin(order(i)); val o = order(i); var j = i - 1
+        while (j >= 0 && (margin(order(j)) > m ||
+            (margin(order(j)) == m && order(j) > o))) {
+          order(j + 1) = order(j); j -= 1
+        }
+        order(j + 1) = o
+        i += 1
+      }
+      val out = new Array[Long](nprobes + 1)
+      out(0) = bucket
+      var q = 0
+      while (q < nprobes) { out(q + 1) = bucket ^ (1L << order(q)); q += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+        val p = ctx.freshName("p"); val d = ctx.freshName("d")
+        val s = ctx.freshName("s"); val seedP = ctx.freshName("seedP")
+        val margin = ctx.freshName("margin"); val order = ctx.freshName("order")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val m = ctx.freshName("m"); val o = ctx.freshName("o")
+        val out = ctx.freshName("out"); val q = ctx.freshName("q")
+        val xxh = classOf[XXH64].getName
+        val gad = classOf[GenericArrayData].getName
+        s"""
+           |int $n = $a.numElements();
+           |long $bucket = 0L;
+           |double[] $margin = new double[$planes];
+           |int[] $order = new int[$planes];
+           |for (int $p = 0; $p < $planes; $p++) {
+           |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
+           |  double $s = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $s += $a.getDouble($d) *
+           |      ((($xxh.hashInt($d, $seedP)) & 1L) == 1L ? 1.0 : -1.0);
+           |  }
+           |  if ($s > 0) $bucket |= (1L << $p);
+           |  $margin[$p] = Math.abs($s);
+           |  $order[$p] = $p;
+           |}
+           |for (int $i = 1; $i < $planes; $i++) {
+           |  double $m = $margin[$order[$i]]; int $o = $order[$i];
+           |  int $j = $i - 1;
+           |  while ($j >= 0 && ($margin[$order[$j]] > $m ||
+           |      ($margin[$order[$j]] == $m && $order[$j] > $o))) {
+           |    $order[$j + 1] = $order[$j]; $j--;
+           |  }
+           |  $order[$j + 1] = $o;
+           |}
+           |long[] $out = new long[${nprobes + 1}];
+           |$out[0] = $bucket;
+           |for (int $q = 0; $q < $nprobes; $q++) {
+           |  $out[$q + 1] = $bucket ^ (1L << $order[$q]);
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneProbes =
+      copy(child = c)
+  }
+
   /** Top-n nearest centroids of an array<double> vector — the
     * assignment/probing kernel of IVF (E3/E6), as ONE codegen'd
     * argmax fused into the scan. The centroid matrix rides in the
@@ -535,6 +645,12 @@ object VecExprs {
     // each table draws an independent plane set (OR-construction)
     "graft_hyperplane_t" -> (args =>
       HyperplaneBucket(args(0), intLit(args(1), "planes"), intLit(args(2), "table"))),
+    // 4-arg probe variant: (vector, planes, table, nprobes literals) →
+    // exact bucket + nprobes lowest-margin single-bit flips (query side
+    // of multi-probe LSH; must pair with graft_hyperplane_t's buckets)
+    "graft_hyperplane_probes" -> (args =>
+      HyperplaneProbes(args(0), intLit(args(1), "planes"),
+        intLit(args(2), "table"), intLit(args(3), "nprobes"))),
     "graft_grams3h"     -> (args => Grams3Hashes(args(0))),
     "graft_minhash_merge32" -> (args =>
       AggExprs.MinHashMerge(args(0), 32).toAggregateExpression()))

@@ -679,8 +679,15 @@ object Similarity {
     * (table, bucket): shuffle volume ∝ T × corpus, never O(n²), and
     * the bucket key space (T × 2^P) is far above any executor count —
     * skew-safe. */
+  /** `probes` turns on multi-probe LSH (Lv et al. 2007): each query
+    * additionally visits, per table, the `probes` buckets reached by
+    * flipping its lowest-margin hyperplane bits — the buckets a true
+    * near-neighbor most plausibly fell into. Recall rises WITHOUT
+    * growing the corpus-side index or the shuffle: only the broadcast
+    * query side fans out ×(probes+1) (at probes=0 the probe array is
+    * exactly the one true bucket, bit-identical to plain LSH). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8, probes: Int = 0): DataFrame = {
     val p0 = prepared(emb)
     val bucketArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
@@ -688,9 +695,17 @@ object Similarity {
     // label-based predicates work here exactly as in E1/E3
     val p = p0.select(col("vec_id"), col("v"), col("n2"),
       posexplode(bucketArr).as(Seq("t", "bucket")))
+    // per-table probe sequences (exact bucket + lowest-margin flips),
+    // then one bucket row per (table, probe) — the corpus side above
+    // stays on the single exact bucket
+    val qProbeArr = array((0 until tables).map(t =>
+      call_function("graft_hyperplane_probes",
+        col("v"), lit(planes), lit(t), lit(probes))): _*)
     val q = p0.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"),
-        posexplode(bucketArr).as(Seq("t", "bucket")))
+        posexplode(qProbeArr).as(Seq("t", "probe_buckets")))
+      .select(col("q_id"), col("q_v"), col("q_n2"), col("t"),
+        explode(col("probe_buckets")).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     p.as("c").join(broadcast(q), Seq("t", "bucket"))

@@ -64,6 +64,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > 0.3) // 8×4-bit tables on 500 vecs must recover a solid fraction
   }
 
+  test("E2 multi-probe recall ≥ plain at equal tables; probes=0 is bit-identical") {
+    val emb2 = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val truth = Similarity.bruteForceTopK(emb2, isQ, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallAt5(probes: Int): Double = {
+      val got = Similarity.lshTopK(emb2, isQ, 5, planes = 4, tables = 8,
+          probes = probes)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r0 = recallAt5(0); val r2 = recallAt5(2); val r4 = recallAt5(4)
+    info(f"recall@5: probes 0 = $r0%.2f, 2 = $r2%.2f, 4 = $r4%.2f")
+    // candidate sets only ever GROW with probes → recall is monotone
+    assert(r2 >= r0 && r4 >= r2)
+    // flipping every plane visits all neighbors-at-1 of every table's
+    // bucket — on these embeddings that must improve on plain LSH
+    assert(r4 > r0)
+    // probes=0 emits exactly the one true bucket per table — the same
+    // rows as the plain spelling
+    val plain = Similarity.lshTopK(emb2, isQ, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val p0 = Similarity.lshTopK(emb2, isQ, 5, probes = 0)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(p0 === plain)
+  }
+
   test("E3 ivfTopK recall scales with nprobe; exhaustive probing equals brute force") {
     val emb2 = Tables.embeddings(spark, sfDir)
     val isQ = col("vec_id") % 50 === 0
