@@ -275,6 +275,9 @@ object SparkEntry {
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
+    "dedup_embedding_lsh" -> ((s, d) =>                               // rows-only
+      Similarity.cosinePairsLsh(emb(s, d), 0.45)),
+
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))
         .select(col("doc_id"), col("lang"), col("source"))),

@@ -18,6 +18,24 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** One live cache slot per operator (same lifecycle as
+    * [[graft.operators.Dedup]]'s: a repeat invocation unpersists the
+    * previous call's blocks instead of accumulating them). */
+  private val liveCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedAs(key: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = liveCaches.put(key, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    cached
+  }
+
+  /** Drop every cache this object holds (end-of-job cleanup). */
+  def releaseCaches(): Unit = {
+    liveCaches.values.forEach(df => df.unpersist(false))
+    liveCaches.clear()
+  }
+
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
   def prepared(emb: DataFrame): DataFrame = {
@@ -65,6 +83,65 @@ object Similarity {
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosTo("a", "b"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** D5's 100 TB path: near-dup pairs by embedding with LSH-bucketed
+    * candidate generation — the equi-join-on-bucket shape of
+    * [[graft.operators.Dedup.minhashLsh]] applied to the embedding
+    * space, replacing [[cosinePairs]]'s guarded all-pairs join.
+    * Candidates are pairs sharing a hyperplane bucket in ANY of the
+    * `tables` tables (OR-construction recall); every candidate is then
+    * EXACTLY verified (cosine ≥ tau) — so precision is 1.0 and only
+    * recall is approximate, the standard trade. `planes` sizes the
+    * bucket key space (2^planes per table): raise it at scale so
+    * buckets ≫ executors. `maxBucket` star-collapses a boilerplate
+    * mega-bucket (all-zero / constant embeddings) around its min
+    * member — per-bucket output O(size), connectivity preserved for
+    * D8 clustering, exactly D2's escape hatch. */
+  def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 4,
+                     tables: Int = 8, maxBucket: Long = 4096L): DataFrame = {
+    val p0 = prepared(emb)
+    // the exploded bucket table feeds the hot-bucket aggregate, the
+    // anti-join, the star branch, AND both self-join sides — cache it
+    // (slot lifecycle, see cachedAs) so the corpus isn't re-hashed
+    // once per branch; ids-only, so the cached footprint is narrow
+    val raw = cachedAs("cosinePairsLsh",
+      p0.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*))
+          .as(Seq("t", "bucket"))))
+    val (buckets, hotStar) =
+      if (maxBucket == Long.MaxValue) (raw, None)
+      else {
+        val hot = raw.groupBy(col("t"), col("bucket"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+          .select("t", "bucket")
+        val kept = raw.join(broadcast(hot), Seq("t", "bucket"), "left_anti")
+        val members = raw.join(broadcast(hot), Seq("t", "bucket"))
+        val star = members
+          .groupBy(col("t"), col("bucket")).agg(min(col("vec_id")).as("a_id"))
+          .join(members, Seq("t", "bucket"))
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("vec_id").as("b_id"))
+        (kept, Some(star))
+      }
+    val keptPairs = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    val cand = hotStar.fold(keptPairs)(keptPairs.unionByName(_))
+      .dropDuplicates("a_id", "b_id")
+    // exact verification on candidates only — same score spelling and
+    // 6 dp round as cosinePairs, so surviving pairs are bit-identical
+    cand
+      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(cosineFromParts(dot(col("a_v"), col("b_v")),
+          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
   }
 
@@ -247,6 +324,64 @@ object Similarity {
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
   }
 
+  /** The stored coarse quantizer, back as the in-memory matrix every
+    * assignment/probing kernel takes (bounded: nlist × dim doubles). */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("c_id")
+      .select("c_v").collect().map(_.getSeq[Double](0).toArray)
+
+  /** The stored PQ codebook, back as the [m][ks][subLen] matrix
+    * [[graft.functions.VecExprs.PqEncode]] takes (bounded: m × ks
+    * unit subvectors). */
+  private def readCodebookMat(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select("j", "c_idx", "c_sub").collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ks = rows.iterator.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
+  /** Incremental IVF index maintenance — the ANN dual of
+    * [[graft.operators.Dedup.appendToSignatureTable]]: a new vector
+    * batch is assigned with the STORED coarse quantizer (never
+    * retrained — the existing lists' geometry is frozen, so old and
+    * new members rank identically at serve time) and appended into
+    * the same `c_id=` partition layout; the next
+    * [[ivfTopKFromIndex]] sees the arrivals with no index rebuild.
+    * Re-train + full rewrite ([[writeIvfIndex]]) stays the periodic
+    * compaction job when drift accumulates. */
+  def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = readCentroids(spark, path)
+    ivfAssignPrepared(prepared(emb), cents)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
+      .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
+  }
+
+  /** Incremental IVFPQ index maintenance: assign with the stored
+    * coarse quantizer AND encode with the stored codebook (both
+    * frozen — codes stay comparable with the lists' existing codes
+    * under the same ADC tables), append into the partition layout.
+    * Zero vectors are excluded exactly as at write time. */
+  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = readCentroids(spark, path)
+    val cbMat = readCodebookMat(spark, path)
+    graft.functions.VecExprs.withPqEncode(spark, cbMat) { fn =>
+      ivfAssignPrepared(prepared(emb), cents)
+        .filter(col("n2") > 0)
+        .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
+        .withColumn("codes", call_function(fn, col("u")))
+        .select(col("vec_id"), col("label"), col("v"), col("n2"),
+          col("codes"), col("c_id"))
+        .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
+    }
+  }
+
   /** Query a written IVF index: probe the stored quantizer, then read
     * ONLY the probed partitions (the scan's PartitionFilters carry
     * `c_id IN (probed)` — spec-proved, with the input file set
@@ -257,8 +392,7 @@ object Similarity {
                        queries: DataFrame, k: Int,
                        nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("c_id")
-      .select("c_v").collect().map(_.getSeq[Double](0).toArray)
+    val cents = readCentroids(spark, path)
     val probes = probeList(preparedQueries(queries), lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
     val lists = spark.read.parquet(s"$path/lists")
@@ -327,8 +461,7 @@ object Similarity {
                          queries: DataFrame, k: Int, nprobe: Int = 4,
                          rerank: Int = 8): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("c_id")
-      .select("c_v").collect().map(_.getSeq[Double](0).toArray)
+    val cents = readCentroids(spark, path)
     val codebook = spark.read.parquet(s"$path/codebook")
     val m = codebook.agg(max(col("j"))).as[Int].head() + 1
     val q0 = preparedQueries(queries)

@@ -64,6 +64,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > 0.3) // 8×4-bit tables on 500 vecs must recover a solid fraction
   }
 
+  test("D5 LSH pair path: every pair exact-verified (precision 1), star cap keeps precision") {
+    val real = Tables.embeddings(spark, sfDir)
+    val full = Similarity.cosinePairs(real, 0.45)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Similarity.cosinePairsLsh(real, 0.45)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    // candidates are exact-verified with the same rounded score, so
+    // the LSH result is a SUBSET of the quadratic baseline, values and
+    // all — only recall is approximate
+    assert(lsh.subsetOf(full))
+    val recall = if (full.isEmpty) 1.0 else lsh.size.toDouble / full.size
+    info(f"D5 LSH recall vs exact: $recall%.2f (${lsh.size}/${full.size} pairs)")
+    assert(recall > 0.3)
+    // maxBucket=1 makes every bucket hot → star candidates only; the
+    // exact verification still holds (subset property survives)
+    val star = Similarity.cosinePairsLsh(real, 0.45, maxBucket = 1)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(star.subsetOf(full))
+  }
+
   test("E2 multi-probe recall ≥ plain at equal tables; probes=0 is bit-identical") {
     val emb2 = Tables.embeddings(spark, sfDir)
     val isQ = col("vec_id") % 50 === 0
@@ -252,6 +275,51 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.ivfpqTopK(real, isQ, 5, nlist = 16, nprobe = 4)
       .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
     assert(a === b)
+  }
+
+  test("IVF index append: frozen-quantizer placement — planted twins found at nprobe=1") {
+    val real = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val isQ = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfIndex(real, path, nlist = 16, trainIters = 5)
+    // identical twins under new ids: appended with the STORED quantizer
+    // they must land in exactly the list nprobe=1 probes for the
+    // original — a misplacement would make the twin invisible here
+    val twins = real.filter(isQ)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.appendToIvfIndex(twins, path)
+    assert(spark.read.parquet(s"$path/lists").count() ===
+      real.count() + twins.count())
+    val hits = Similarity.ivfTopKFromIndex(spark, path,
+        real.filter(isQ).select("vec_id", "embedding"), 1, nprobe = 1)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty)
+    // top hit from the single probed list is an exact duplicate (the
+    // twin, or a natural exact-dup — both encode to the same list)
+    hits.foreach { case (q, _, c) => assert(c === 1.0, s"query $q") }
+  }
+
+  test("IVFPQ index append: stored-codebook codes stay comparable — twins at rank 1") {
+    val real = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val isQ = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPqIndex(real, path, nlist = 16, m = 8, ks = 16,
+      trainIters = 5)
+    val twins = real.filter(isQ)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.appendToIvfPqIndex(twins, path)
+    assert(spark.read.parquet(s"$path/lists").count() ===
+      real.count() + twins.count())
+    // twin codes equal the query's own codes, so ADC(query, twin) is
+    // the minimum achievable — the shortlist keeps it and exact rerank
+    // puts an exact duplicate at the top
+    val hits = Similarity.ivfpqTopKFromIndex(spark, path,
+        real.filter(isQ).select("vec_id", "embedding"), 1, nprobe = 1)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, _, c) => assert(c === 1.0, s"query $q") }
   }
 
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
