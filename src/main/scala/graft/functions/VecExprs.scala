@@ -250,12 +250,65 @@ object VecExprs {
       copy(child = c)
   }
 
-  /** Random-hyperplane LSH bucket over an array<double> vector: bit p
-    * of the result is the sign of ⟨v, r_p⟩ where plane r_p's component
-    * for dimension d is ±1 from the parity of xxhash64(p, d) (the same
-    * two-step seed-42 hash chain the SQL builtin computes for two int
-    * args: hashInt(d, hashInt(p, 42))) — deterministic, no stored plane
-    * matrix, recomputed identically on every executor. */
+  /** THE plane loop of the hyperplane LSH family — bucket bit p is the
+    * sign of ⟨v, r_p⟩ where plane r_p's component for dimension d is
+    * ±1 from the parity of xxhash64(d, xxhash64(p, 42)). ONE spelling
+    * (this eval helper + [[hyperplaneLoopJava]] for codegen) shared by
+    * [[HyperplaneBucket]] and [[HyperplaneProbes]]: the query-side
+    * probes and the corpus-side buckets silently diverge if the seed
+    * chain or sign rule ever drifts between them, so neither
+    * expression carries its own copy. `margins` (nullable) receives
+    * |⟨v, r_p⟩| per plane when the caller needs probe ordering. */
+  private[functions] def hyperplaneBucketOf(v: ArrayData, planes: Int,
+      table: Int, margins: Array[Double]): Long = {
+    val n = v.numElements()
+    var bucket = 0L; var p = 0
+    while (p < planes) {
+      val seedP = XXH64.hashInt(table * planes + p, 42L)
+      var s = 0.0; var d = 0
+      while (d < n) {
+        val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
+        s += v.getDouble(d) * sign
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      if (margins != null) margins(p) = math.abs(s)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Codegen twin of [[hyperplaneBucketOf]]: emits the plane loop into
+    * `bucket` (declared by the snippet); `margin` names a pre-declared
+    * double[planes] to fill, or None to skip margin tracking (the
+    * corpus hot path allocates nothing). */
+  private def hyperplaneLoopJava(ctx: CodegenContext, a: String,
+      planes: Int, table: Int, bucket: String,
+      margin: Option[String]): String = {
+    val n = ctx.freshName("n"); val p = ctx.freshName("p")
+    val d = ctx.freshName("d"); val s = ctx.freshName("s")
+    val seedP = ctx.freshName("seedP")
+    val xxh = classOf[XXH64].getName
+    val marginLine = margin.fold("")(m => s"$m[$p] = Math.abs($s);")
+    s"""
+       |int $n = $a.numElements();
+       |long $bucket = 0L;
+       |for (int $p = 0; $p < $planes; $p++) {
+       |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
+       |  double $s = 0.0;
+       |  for (int $d = 0; $d < $n; $d++) {
+       |    $s += $a.getDouble($d) *
+       |      ((($xxh.hashInt($d, $seedP)) & 1L) == 1L ? 1.0 : -1.0);
+       |  }
+       |  if ($s > 0) $bucket |= (1L << $p);
+       |  $marginLine
+       |}
+     """.stripMargin
+  }
+
+  /** Random-hyperplane LSH bucket over an array<double> vector — the
+    * sign-bit pattern of [[hyperplaneBucketOf]]'s planes: deterministic,
+    * no stored plane matrix, recomputed identically on every executor. */
   case class HyperplaneBucket(child: Expression, planes: Int, table: Int = 0)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -263,42 +316,14 @@ object VecExprs {
     override def checkInputDataTypes(): TypeCheckResult =
       expectArrays(prettyName, child -> DoubleType)
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
-      var bucket = 0L; var p = 0
-      while (p < planes) {
-        val seedP = XXH64.hashInt(table * planes + p, 42L)
-        var s = 0.0; var d = 0
-        while (d < n) {
-          val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
-          s += v.getDouble(d) * sign
-          d += 1
-        }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneBucketOf(input.asInstanceOf[ArrayData], planes, table, null)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
-        val p = ctx.freshName("p"); val d = ctx.freshName("d")
-        val s = ctx.freshName("s"); val seedP = ctx.freshName("seedP")
-        val xxh = classOf[XXH64].getName
+        val bucket = ctx.freshName("bucket")
         s"""
-           |int $n = $a.numElements();
-           |long $bucket = 0L;
-           |for (int $p = 0; $p < $planes; $p++) {
-           |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
-           |  double $s = 0.0;
-           |  for (int $d = 0; $d < $n; $d++) {
-           |    $s += $a.getDouble($d) *
-           |      ((($xxh.hashInt($d, $seedP)) & 1L) == 1L ? 1.0 : -1.0);
-           |  }
-           |  if ($s > 0) $bucket |= (1L << $p);
-           |}
+           |${hyperplaneLoopJava(ctx, a, planes, table, bucket, None)}
            |${ev.value} = $bucket;
          """.stripMargin
       })
@@ -316,10 +341,10 @@ object VecExprs {
     * side recovers recall without more tables (no growth of the
     * corpus-side index — the whole point of multi-probe).
     *
-    * Must stay plane-for-plane identical to [[HyperplaneBucket]]
-    * (same seed chain, same sign rule) or query probes and corpus
-    * buckets silently diverge — the margin loop below recomputes
-    * exactly its ⟨v, r_p⟩.
+    * Plane-for-plane identity with [[HyperplaneBucket]] is structural:
+    * both run the ONE shared loop ([[hyperplaneBucketOf]] /
+    * [[hyperplaneLoopJava]]), so the seed chain and sign rule cannot
+    * drift between the corpus buckets and the query probes.
     */
   case class HyperplaneProbes(child: Expression, planes: Int,
                               table: Int, nprobes: Int)
@@ -333,22 +358,9 @@ object VecExprs {
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
       val margin = new Array[Double](planes)
-      val order = new Array[Int](planes)
-      var bucket = 0L; var p = 0
-      while (p < planes) {
-        val seedP = XXH64.hashInt(table * planes + p, 42L)
-        var s = 0.0; var d = 0
-        while (d < n) {
-          val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
-          s += v.getDouble(d) * sign
-          d += 1
-        }
-        if (s > 0) bucket |= (1L << p)
-        margin(p) = math.abs(s); order(p) = p
-        p += 1
-      }
+      val order = Array.tabulate(planes)(identity)
+      val bucket = hyperplaneBucketOf(v, planes, table, margin)
       // insertion sort of the plane indices by margin asc (index-asc
       // tie-break) — planes is single digits, no allocation pressure
       var i = 1
@@ -370,31 +382,18 @@ object VecExprs {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
-        val p = ctx.freshName("p"); val d = ctx.freshName("d")
-        val s = ctx.freshName("s"); val seedP = ctx.freshName("seedP")
+        val bucket = ctx.freshName("bucket")
         val margin = ctx.freshName("margin"); val order = ctx.freshName("order")
         val i = ctx.freshName("i"); val j = ctx.freshName("j")
         val m = ctx.freshName("m"); val o = ctx.freshName("o")
         val out = ctx.freshName("out"); val q = ctx.freshName("q")
-        val xxh = classOf[XXH64].getName
+        val p2 = ctx.freshName("p")
         val gad = classOf[GenericArrayData].getName
         s"""
-           |int $n = $a.numElements();
-           |long $bucket = 0L;
            |double[] $margin = new double[$planes];
            |int[] $order = new int[$planes];
-           |for (int $p = 0; $p < $planes; $p++) {
-           |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
-           |  double $s = 0.0;
-           |  for (int $d = 0; $d < $n; $d++) {
-           |    $s += $a.getDouble($d) *
-           |      ((($xxh.hashInt($d, $seedP)) & 1L) == 1L ? 1.0 : -1.0);
-           |  }
-           |  if ($s > 0) $bucket |= (1L << $p);
-           |  $margin[$p] = Math.abs($s);
-           |  $order[$p] = $p;
-           |}
+           |${hyperplaneLoopJava(ctx, a, planes, table, bucket, Some(margin))}
+           |for (int $p2 = 0; $p2 < $planes; $p2++) { $order[$p2] = $p2; }
            |for (int $i = 1; $i < $planes; $i++) {
            |  double $m = $margin[$order[$i]]; int $o = $order[$i];
            |  int $j = $i - 1;

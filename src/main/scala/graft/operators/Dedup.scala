@@ -141,8 +141,13 @@ object Dedup {
   def ngramJaccardWithHotList(docs: DataFrame, tau: Double,
                               hot: DataFrame): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
-    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    // two-slot caching as in ngramJaccard: raw FIRST (dropHotAndResize
+    // reads its input twice — uncached, the batch re-tokenizes and
+    // re-shingles once per branch, every micro-batch), then the capped
+    // table for the candidate self-join's two sides
+    val raw = cachedAs("ngramJaccardHot_raw",
+      docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+        .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
     val g = cachedAs("ngramJaccardHot", dropHotAndResize(raw, hot))
     jaccardOverGrams(g, tau)
   }

@@ -93,15 +93,32 @@ object Similarity {
     * Candidates are pairs sharing a hyperplane bucket in ANY of the
     * `tables` tables (OR-construction recall); every candidate is then
     * EXACTLY verified (cosine ≥ tau) — so precision is 1.0 and only
-    * recall is approximate, the standard trade. `planes` sizes the
-    * bucket key space (2^planes per table): raise it at scale so
-    * buckets ≫ executors. `maxBucket` star-collapses a boilerplate
-    * mega-bucket (all-zero / constant embeddings) around its min
-    * member — per-bucket output O(size), connectivity preserved for
-    * D8 clustering, exactly D2's escape hatch. */
-  def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 4,
+    * recall is approximate, the standard trade.
+    *
+    * `planes` sizes the bucket key space (2^planes per table). The
+    * default (0 = auto) derives it from the corpus count so mean
+    * bucket occupancy stays ~256 — a FIXED planes is a scale trap: 16
+    * buckets/table over >65k rows pushes EVERY bucket past any sane
+    * cap by pigeonhole. `maxBucket` then star-collapses residual hot
+    * buckets (near-constant embedding regions) around their min
+    * member, bounding per-key fan-out at the price of recall inside
+    * that bucket — unlike D2's minhash bands a hyperplane bucket can
+    * mix dissimilar vectors, so the star is a fan-out bound, NOT a
+    * similarity claim; the exact verification keeps precision 1.0
+    * regardless. Zero-norm embeddings are excluded up front: they
+    * have no direction, and their 0/0 cosine is NaN — which Spark
+    * orders LARGEST, so it would PASS a ≥ tau filter (the unitFrame
+    * rationale). */
+  def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 0,
                      tables: Int = 8, maxBucket: Long = 4096L): DataFrame = {
-    val p0 = prepared(emb)
+    val p0 = prepared(emb).filter(col("n2") > 0)
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = p0.count() // cheap column-pruned count, same as the guards
+        math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / 256)))
+      }
     // the exploded bucket table feeds the hot-bucket aggregate, the
     // anti-join, the star branch, AND both self-join sides — cache it
     // (slot lifecycle, see cachedAs) so the corpus isn't re-hashed
@@ -109,7 +126,7 @@ object Similarity {
     val raw = cachedAs("cosinePairsLsh",
       p0.select(col("vec_id"),
         posexplode(array((0 until tables).map(t =>
-          call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*))
+          call_function("graft_hyperplane_t", col("v"), lit(nPlanes), lit(t))): _*))
           .as(Seq("t", "bucket"))))
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (raw, None)
@@ -387,10 +404,15 @@ object Similarity {
     * `c_id IN (probed)` — spec-proved, with the input file set
     * restricted to the probed directories). `queries` is any frame
     * with (vec_id, embedding) — the external query set of a real
-    * deployment. The probed-id collect is bounded by nlist. */
+    * deployment. The probed-id collect is bounded by nlist.
+    *
+    * `selfExclude` drops candidates whose vec_id equals the query's —
+    * right when queries ARE corpus members (don't return yourself);
+    * set false when query ids live in a separate namespace, where an
+    * id-equal corpus vector is a legitimate neighbor, not "self". */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int,
-                       nprobe: Int = 4): DataFrame = {
+                       nprobe: Int = 4, selfExclude: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
     val probes = probeList(preparedQueries(queries), lit(true), cents, nprobe)
@@ -400,7 +422,7 @@ object Similarity {
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     lists.as("c").join(broadcast(probes), Seq("c_id"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (selfExclude) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id"),
         round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6)
           .as("cos_sim"))
@@ -456,10 +478,12 @@ object Similarity {
     * against a per-query lookup table from the stored codebook, and
     * exact-rerank the shortlist from the vectors stored in the same
     * pruned lists — the standard serve path, no access to the
-    * original corpus table at all. */
+    * original corpus table at all. `selfExclude` as in
+    * [[ivfTopKFromIndex]]: keep true for in-corpus queries, false for
+    * an external id namespace. */
   def ivfpqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, k: Int, nprobe: Int = 4,
-                         rerank: Int = 8): DataFrame = {
+                         rerank: Int = 8, selfExclude: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
     val codebook = spark.read.parquet(s"$path/codebook")
@@ -482,7 +506,7 @@ object Similarity {
           - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val shortlist = lists.join(broadcast(probes.select("q_id", "c_id")), Seq("c_id"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (selfExclude) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(lut), Seq("q_id", "j", "code"))
       .groupBy(col("q_id"), col("vec_id")).agg(sum(col("pd")).as("adc"))

@@ -85,6 +85,15 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
       .collect().toSet
     assert(star.subsetOf(full))
+    // zero-norm regression: a planted zero vector must surface in NO
+    // pair — its 0/0 cosine is NaN, which Spark orders LARGEST, so
+    // without the n2 > 0 exclusion it would pass the ≥ tau filter
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    val zero = spark.range(1).select(lit(999999L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit("z").as("label"))
+    val zPairs = Similarity.cosinePairsLsh(real.unionByName(zero), 0.45)
+      .filter(col("vec_a") === 999999L || col("vec_b") === 999999L)
+    assert(zPairs.count() === 0L)
   }
 
   test("E2 multi-probe recall ≥ plain at equal tables; probes=0 is bit-identical") {
@@ -295,9 +304,19 @@ class SimilaritySpec extends SparkSpec {
         real.filter(isQ).select("vec_id", "embedding"), 1, nprobe = 1)
       .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
     assert(hits.nonEmpty)
-    // top hit from the single probed list is an exact duplicate (the
-    // twin, or a natural exact-dup — both encode to the same list)
-    hits.foreach { case (q, _, c) => assert(c === 1.0, s"query $q") }
+    // top hit from the single probed list is exactly the planted twin
+    // (the corpus has no natural exact-dups; self is excluded)
+    hits.foreach { case (q, n, c) =>
+      assert(n === q + 1000000L && c === 1.0, s"query $q") }
+    // external-namespace contract: selfExclude=false makes the
+    // id-equal corpus row a legitimate neighbor — it outranks the
+    // twin at the cos=1.0 tie (smaller vec_id)
+    val withSelf = Similarity.ivfTopKFromIndex(spark, path,
+        real.filter(isQ).select("vec_id", "embedding"), 1, nprobe = 1,
+        selfExclude = false)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+    withSelf.foreach { case (q, n, c) =>
+      assert(n === q && c === 1.0, s"query $q") }
   }
 
   test("IVFPQ index append: stored-codebook codes stay comparable — twins at rank 1") {
@@ -319,7 +338,9 @@ class SimilaritySpec extends SparkSpec {
         real.filter(isQ).select("vec_id", "embedding"), 1, nprobe = 1)
       .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
     assert(hits.nonEmpty)
-    hits.foreach { case (q, _, c) => assert(c === 1.0, s"query $q") }
+    // exactly the twin: no natural dups, self excluded by default
+    hits.foreach { case (q, n, c) =>
+      assert(n === q + 1000000L && c === 1.0, s"query $q") }
   }
 
   test("E2 lshTopK returns a subset ranking consistent with brute force within buckets") {
