@@ -30,6 +30,7 @@ object Bench {
 
     def clearCaches(): Unit = {
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Similarity.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
     }
 

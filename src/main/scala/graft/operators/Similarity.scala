@@ -362,6 +362,13 @@ object Similarity {
     cb
   }
 
+  /** Index entry points accept (vec_id, embedding[, label]): a batch
+    * without the optional label lands with a null one (the lists'
+    * parquet schema keeps the column either way). */
+  private def withLabel(emb: DataFrame): DataFrame =
+    if (emb.columns.contains("label")) emb
+    else emb.withColumn("label", lit(null).cast("string"))
+
   /** Incremental IVF index maintenance — the ANN dual of
     * [[graft.operators.Dedup.appendToSignatureTable]]: a new vector
     * batch is assigned with the STORED coarse quantizer (never
@@ -374,7 +381,7 @@ object Similarity {
   def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
-    ivfAssignPrepared(prepared(emb), cents)
+    ivfAssignPrepared(prepared(withLabel(emb)), cents)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
   }
@@ -389,7 +396,7 @@ object Similarity {
     val cents = readCentroids(spark, path)
     val cbMat = readCodebookMat(spark, path)
     graft.functions.VecExprs.withPqEncode(spark, cbMat) { fn =>
-      ivfAssignPrepared(prepared(emb), cents)
+      ivfAssignPrepared(prepared(withLabel(emb)), cents)
         .filter(col("n2") > 0)
         .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
         .withColumn("codes", call_function(fn, col("u")))

@@ -101,6 +101,38 @@ object EventStream {
         Dedup.appendToSignatureTable(batch, table, hotTable)
       }
 
+  /** ANN-as-a-stream — the embedding dual of [[streamingDedup]]: each
+    * micro-batch of vectors is served against the WRITTEN IVF index
+    * ([[graft.operators.Similarity.ivfTopKFromIndex]] — partition-
+    * pruned probing, per-batch cost O(batch × list density),
+    * independent of corpus size), then APPENDED to the index with the
+    * frozen stored quantizer so the next micro-batch sees today's
+    * arrivals. `onNeighbors` receives each batch's top-k frame — the
+    * caller flags near-dups (cos ≥ its threshold), routes for
+    * clustering, or just logs. `selfExclude` is false: the batch is
+    * not in the index yet when it is served, so an id-equal indexed
+    * vector is a prior arrival under the same key — a real neighbor
+    * (flag it as an upsert collision downstream if ids are meant to
+    * be unique).
+    *
+    * Same state posture as streamingDedup: the index IS the state
+    * store, sharded on the coarse list, nothing lives in executor
+    * memory, and a restart resumes from the index as-is.
+    */
+  def streamingAnnIngest(emb: DataFrame, indexPath: String, k: Int,
+                         nprobe: Int = 4,
+                         onNeighbors: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        onNeighbors(batchId, Similarity.ivfTopKFromIndex(spark, indexPath,
+          batch.select("vec_id", "embedding"), k, nprobe,
+          selfExclude = false))
+        Similarity.appendToIvfIndex(batch, indexPath)
+      }
+
   /** One cumulative reading (the shape RAINNC arrives in). */
   final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
   /** One per-interval delta (what the reference pushes to the DB). */

@@ -297,6 +297,44 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS grams_s")
   }
 
+  test("streamingAnnIngest serves each batch from the index, then appends it for the next") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val real = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val path = java.nio.file.Files.createTempDirectory("graft_sann").toString
+    Similarity.writeIvfIndex(real.filter(col("vec_id") < 400), path,
+      nlist = 16, trainIters = 5)
+    val base = spark.read.parquet(s"$path/lists").count()
+
+    // batch 0: genuinely new vectors; batch 1: their identical twins
+    // under shifted ids — the twins finding batch 0's arrivals proves
+    // the serve-then-append loop (the index IS the state)
+    val b0 = real.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+    val b0n = b0.count()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
+    val q = EventStream.streamingAnnIngest(stream, path, 1, nprobe = 1,
+      (id, nbrs) => got(id) = nbrs.select("q_id", "n_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSeq)
+      .start()
+    mem.addData(b0.as[(Long, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    assert(got(0L).nonEmpty) // served against the base index
+    assert(spark.read.parquet(s"$path/lists").count() === base + b0n)
+    mem.addData(b0.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .as[(Long, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // every twin's single-probe top hit is its batch-0 original at
+    // cos 1.0 — placement AND visibility of the previous batch
+    val hits = got(1L)
+    assert(hits.nonEmpty)
+    hits.foreach { case (qid, n, c) =>
+      assert(n === qid - 1000000L && c === 1.0, s"query $qid") }
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
