@@ -908,8 +908,13 @@ object SparkEntry {
          |         AS cluster_size
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
+    // zero-norm rows are excluded on BOTH sides (list_dot_product of a
+    // zero vector with itself is 0 → 0/0 cosine is NaN, which both
+    // engines order LARGEST — it would pass >= tau as a phantom pair)
     "dedup_embedding_cosine" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                  CAST(embedding AS DOUBLE[])) > 0)
          |SELECT * FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($COS, 6) AS cos_sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)

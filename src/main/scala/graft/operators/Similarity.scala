@@ -76,10 +76,13 @@ object Similarity {
   /** D5: all pairs with cosine ≥ tau (rounded at 6 dp before the
     * threshold — see SURVEY §5). Self-join candidate generation is
     * quadratic by nature at the exactness baseline — size-guarded; the
-    * scale path for near-dup-by-embedding is [[lshTopK]]'s bucketing. */
+    * scale path for near-dup-by-embedding is [[cosinePairsLsh]].
+    * Zero-norm rows are excluded (0/0 cosine is NaN, which Spark —
+    * and DuckDB — order LARGEST: it would pass ≥ tau as a phantom
+    * pair; the oracle SQL applies the same predicate). */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
-    guardQuadratic(emb, "cosinePairs", "Similarity.lshTopK (E2) bucketing")
-    val p = prepared(emb)
+    guardQuadratic(emb, "cosinePairs", "Similarity.cosinePairsLsh bucketing")
+    val p = prepared(emb).filter(col("n2") > 0)
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosTo("a", "b"), 6).as("cos_sim"))

@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.cosinePairs(big, 0.9)
     }
-    assert(e1.getMessage.contains("lshTopK"))
+    assert(e1.getMessage.contains("cosinePairsLsh"))
     // E1 guards the scored-pair count: all-rows-as-queries trips …
     val e2 = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(big, lit(true), 5)
