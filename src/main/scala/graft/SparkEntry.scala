@@ -948,8 +948,12 @@ object SparkEntry {
          |       round(CAST(sum(val6) AS DOUBLE) / count(*), 6) AS mean_val
          |FROM expl GROUP BY 1, 2""".stripMargin,
 
+    // zero-norm exclusion mirrors the operator (NaN cosine would rank
+    // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)
     "ann_bruteforce_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                  CAST(embedding AS DOUBLE[])) > 0)
          |SELECT * FROM (
          |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, round($COS, 6) AS cos_sim,
          |         row_number() OVER (

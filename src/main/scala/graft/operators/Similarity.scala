@@ -182,7 +182,10 @@ object Similarity {
     require(nQ * n <= pairCeiling,
       s"bruteForceTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
         "use Similarity.lshTopK (E2) / ivfTopK (E3) at this scale")
-    val p = prepared(emb)
+    // zero-norm rows out: NaN cosine would rank FIRST in the desc sort
+    // (phantom top hits as queries or candidates — the cosinePairs
+    // rationale applied to ranking)
+    val p = prepared(emb).filter(col("n2") > 0)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
     val w = Window.partitionBy(col("q_id"))
@@ -425,10 +428,14 @@ object Similarity {
                        nprobe: Int = 4, selfExclude: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
-    val probes = probeList(preparedQueries(queries), lit(true), cents, nprobe)
+    // zero-norm rows out on BOTH sides (NaN cosine ranks first): a
+    // zero query has no defined ranking (returns no rows), a zero
+    // indexed vector is never a legitimate cosine neighbor
+    val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
+      lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
     val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("c_id").isin(probedIds: _*))
+      .filter(col("c_id").isin(probedIds: _*) && col("n2") > 0)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     lists.as("c").join(broadcast(probes), Seq("c_id"))
@@ -539,7 +546,8 @@ object Similarity {
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {
-    val p = prepared(emb)
+    // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
+    val p = prepared(emb).filter(col("n2") > 0)
     val cents0 = collectCentroids(p, nlist)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
@@ -855,7 +863,8 @@ object Similarity {
     * exactly the one true bucket, bit-identical to plain LSH). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
               tables: Int = 8, probes: Int = 0): DataFrame = {
-    val p0 = prepared(emb)
+    // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
+    val p0 = prepared(emb).filter(col("n2") > 0)
     val bucketArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
     // isQuery is applied to the FULL prepared frame (label included) so

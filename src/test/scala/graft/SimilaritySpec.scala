@@ -90,10 +90,31 @@ class SimilaritySpec extends SparkSpec {
     // without the n2 > 0 exclusion it would pass the ≥ tau filter
     val dim = real.select(size(col("embedding"))).as[Int].head()
     val zero = spark.range(1).select(lit(999999L).as("vec_id"),
-      array_repeat(lit(0.0f), dim).as("embedding"), lit("z").as("label"))
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
     val zPairs = Similarity.cosinePairsLsh(real.unionByName(zero), 0.45)
       .filter(col("vec_a") === 999999L || col("vec_b") === 999999L)
     assert(zPairs.count() === 0L)
+  }
+
+  test("ranking paths exclude zero-norm rows: no phantom NaN top hits") {
+    val real = Tables.embeddings(spark, sfDir)
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    // plant a zero vector that is BOTH a candidate and (id % 50 = 0)
+    // a query — without the n2 > 0 exclusion its NaN cosine ranks
+    // FIRST in every desc sort it touches
+    val zero = spark.range(1).select(lit(999950L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
+    val withZero = real.unionByName(zero)
+    val isQ = col("vec_id") % 50 === 0
+    for ((name, out) <- Seq(
+        "E1" -> Similarity.bruteForceTopK(withZero, isQ, 3),
+        "E2" -> Similarity.lshTopK(withZero, isQ, 3),
+        "E3" -> Similarity.ivfTopK(withZero, isQ, 3))) {
+      val rows = out.select("q_id", "n_id").as[(Long, Long)].collect()
+      assert(rows.nonEmpty, name)
+      assert(!rows.exists(_._2 == 999950L), s"$name returned the zero vector")
+      assert(!rows.exists(_._1 == 999950L), s"$name ranked for the zero query")
+    }
   }
 
   test("E2 multi-probe recall ≥ plain at equal tables; probes=0 is bit-identical") {
