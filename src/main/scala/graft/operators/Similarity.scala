@@ -45,6 +45,16 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"), col("n2"))
   }
 
+  /** [[prepared]] minus zero-norm rows — THE spelling every cosine
+    * pair/ranking operator must start from: a zero vector's 0/0
+    * cosine is NaN, which Spark (and DuckDB) order LARGEST, so it
+    * passes ≥ tau filters and ranks FIRST in desc sorts as a phantom
+    * result. One helper so the next ranking path can't forget the
+    * exclusion. (The PQ paths get the same guarantee via
+    * [[unitFrame]]'s filter.) */
+  private def preparedNonZero(emb: DataFrame): DataFrame =
+    prepared(emb).filter(col("n2") > 0)
+
   private def cosTo(a: String, b: String): Column =
     cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
 
@@ -82,7 +92,7 @@ object Similarity {
     * pair; the oracle SQL applies the same predicate). */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
     guardQuadratic(emb, "cosinePairs", "Similarity.cosinePairsLsh bucketing")
-    val p = prepared(emb).filter(col("n2") > 0)
+    val p = preparedNonZero(emb)
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosTo("a", "b"), 6).as("cos_sim"))
@@ -114,11 +124,14 @@ object Similarity {
     * rationale). */
   def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 0,
                      tables: Int = 8, maxBucket: Long = 4096L): DataFrame = {
-    val p0 = prepared(emb).filter(col("n2") > 0)
+    val p0 = preparedNonZero(emb)
     val nPlanes =
       if (planes > 0) planes
       else {
-        val n = p0.count() // cheap column-pruned count, same as the guards
+        // count the RAW frame: counting p0 would force a full
+        // embedding scan + per-row norms just to size the key space,
+        // and zero-norm rows are noise at log2 resolution
+        val n = emb.count()
         math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
           math.max(1L, n / 256)))
       }
@@ -185,7 +198,7 @@ object Similarity {
     // zero-norm rows out: NaN cosine would rank FIRST in the desc sort
     // (phantom top hits as queries or candidates — the cosinePairs
     // rationale applied to ranking)
-    val p = prepared(emb).filter(col("n2") > 0)
+    val p = preparedNonZero(emb)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
     val w = Window.partitionBy(col("q_id"))
@@ -342,9 +355,14 @@ object Similarity {
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("c_id", "c_v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // base corpus is ingest batch −1; appendToIvfIndex adds later
+    // batches under their own ingest_batch= subpartitions (one
+    // consistent partition depth for the whole directory)
     ivfAssignPrepared(p, cents)
-      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
-      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"),
+        lit(-1L).as("ingest_batch"))
+      .write.partitionBy("c_id", "ingest_batch")
+      .mode("overwrite").parquet(s"$path/lists")
   }
 
   /** The stored coarse quantizer, back as the in-memory matrix every
@@ -369,46 +387,68 @@ object Similarity {
   }
 
   /** Index entry points accept (vec_id, embedding[, label]): a batch
-    * without the optional label lands with a null one (the lists'
-    * parquet schema keeps the column either way). */
-  private def withLabel(emb: DataFrame): DataFrame =
+    * without the optional label lands with a null one, cast to the
+    * EXISTING lists' label type — a hardcoded type here would leave
+    * the directory with mixed parquet types for the same column and
+    * break any later read that materializes it. */
+  private def withLabel(emb: DataFrame,
+                        existing: org.apache.spark.sql.types.StructType): DataFrame =
     if (emb.columns.contains("label")) emb
-    else emb.withColumn("label", lit(null).cast("string"))
+    else emb.withColumn("label",
+      lit(null).cast(existing("label").dataType))
 
   /** Incremental IVF index maintenance — the ANN dual of
     * [[graft.operators.Dedup.appendToSignatureTable]]: a new vector
     * batch is assigned with the STORED coarse quantizer (never
     * retrained — the existing lists' geometry is frozen, so old and
-    * new members rank identically at serve time) and appended into
-    * the same `c_id=` partition layout; the next
-    * [[ivfTopKFromIndex]] sees the arrivals with no index rebuild.
-    * Re-train + full rewrite ([[writeIvfIndex]]) stays the periodic
-    * compaction job when drift accumulates. */
-  def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
+    * new members rank identically at serve time) and lands in the
+    * same `c_id=` partition layout; the next [[ivfTopKFromIndex]]
+    * sees the arrivals with no index rebuild. Re-train + full rewrite
+    * ([[writeIvfIndex]]) stays the periodic compaction job when drift
+    * accumulates.
+    *
+    * `ingestBatch` keys the write: each batch lands under its own
+    * `ingest_batch=` subpartition via DYNAMIC partition overwrite, so
+    * re-running the same id REPLACES that batch's files instead of
+    * duplicating rows — the idempotence [[graft.streaming.EventStream
+    * .streamingAnnIngest]] needs under foreachBatch's at-least-once
+    * replay (a plain append would permanently duplicate a replayed
+    * batch's vectors in the index). Distinct batches use distinct
+    * ids; [[writeIvfIndex]] writes the base corpus as batch −1. */
+  def appendToIvfIndex(emb: DataFrame, path: String,
+                       ingestBatch: Long): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
-    ivfAssignPrepared(prepared(withLabel(emb)), cents)
-      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
-      .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
+    val existing = spark.read.parquet(s"$path/lists").schema
+    ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"),
+        lit(ingestBatch).as("ingest_batch"))
+      .write.partitionBy("c_id", "ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/lists")
   }
 
   /** Incremental IVFPQ index maintenance: assign with the stored
     * coarse quantizer AND encode with the stored codebook (both
     * frozen — codes stay comparable with the lists' existing codes
-    * under the same ADC tables), append into the partition layout.
-    * Zero vectors are excluded exactly as at write time. */
-  def appendToIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    * under the same ADC tables). Zero vectors are excluded exactly as
+    * at write time; `ingestBatch` as in [[appendToIvfIndex]]. */
+  def appendToIvfPqIndex(emb: DataFrame, path: String,
+                         ingestBatch: Long): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val cbMat = readCodebookMat(spark, path)
+    val existing = spark.read.parquet(s"$path/lists").schema
     graft.functions.VecExprs.withPqEncode(spark, cbMat) { fn =>
-      ivfAssignPrepared(prepared(withLabel(emb)), cents)
+      ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
         .filter(col("n2") > 0)
         .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
         .withColumn("codes", call_function(fn, col("u")))
         .select(col("vec_id"), col("label"), col("v"), col("n2"),
-          col("codes"), col("c_id"))
-        .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
+          col("codes"), col("c_id"), lit(ingestBatch).as("ingest_batch"))
+        .write.partitionBy("c_id", "ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/lists")
     }
   }
 
@@ -485,8 +525,9 @@ object Similarity {
         .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
         .withColumn("codes", call_function(fn, col("u")))
         .select(col("vec_id"), col("label"), col("v"), col("n2"),
-          col("codes"), col("c_id"))
-        .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+          col("codes"), col("c_id"), lit(-1L).as("ingest_batch"))
+        .write.partitionBy("c_id", "ingest_batch")
+        .mode("overwrite").parquet(s"$path/lists")
     }
   }
 
@@ -547,7 +588,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {
     // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
-    val p = prepared(emb).filter(col("n2") > 0)
+    val p = preparedNonZero(emb)
     val cents0 = collectCentroids(p, nlist)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
@@ -864,7 +905,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
               tables: Int = 8, probes: Int = 0): DataFrame = {
     // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
-    val p0 = prepared(emb).filter(col("n2") > 0)
+    val p0 = preparedNonZero(emb)
     val bucketArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
     // isQuery is applied to the FULL prepared frame (label included) so

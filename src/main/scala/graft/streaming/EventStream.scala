@@ -130,7 +130,12 @@ object EventStream {
         onNeighbors(batchId, Similarity.ivfTopKFromIndex(spark, indexPath,
           batch.select("vec_id", "embedding"), k, nprobe,
           selfExclude = false))
-        Similarity.appendToIvfIndex(batch, indexPath)
+        // keyed by the streaming batch id: a crash-replay of this
+        // batch REPLACES its ingest partition instead of duplicating
+        // the vectors (dynamic partition overwrite — see the append's
+        // scaladoc); this is what makes "restart resumes from the
+        // index as-is" true under at-least-once foreachBatch
+        Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
       }
 
   /** One cumulative reading (the shape RAINNC arrives in). */

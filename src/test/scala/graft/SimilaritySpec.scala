@@ -318,7 +318,12 @@ class SimilaritySpec extends SparkSpec {
     // original — a misplacement would make the twin invisible here
     val twins = real.filter(isQ)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
-    Similarity.appendToIvfIndex(twins, path)
+    Similarity.appendToIvfIndex(twins, path, ingestBatch = 0L)
+    assert(spark.read.parquet(s"$path/lists").count() ===
+      real.count() + twins.count())
+    // replaying the SAME ingest batch replaces its partition instead
+    // of duplicating rows (at-least-once foreachBatch safety)
+    Similarity.appendToIvfIndex(twins, path, ingestBatch = 0L)
     assert(spark.read.parquet(s"$path/lists").count() ===
       real.count() + twins.count())
     val hits = Similarity.ivfTopKFromIndex(spark, path,
@@ -349,7 +354,7 @@ class SimilaritySpec extends SparkSpec {
       trainIters = 5)
     val twins = real.filter(isQ)
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
-    Similarity.appendToIvfPqIndex(twins, path)
+    Similarity.appendToIvfPqIndex(twins, path, ingestBatch = 0L)
     assert(spark.read.parquet(s"$path/lists").count() ===
       real.count() + twins.count())
     // twin codes equal the query's own codes, so ADC(query, twin) is
