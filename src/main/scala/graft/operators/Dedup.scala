@@ -187,8 +187,16 @@ object Dedup {
     graft.functions.VecExprs.register(docs.sparkSession)
     val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    // partitioned by ingest batch (base = −1) AND bucketed on the gram
+    // hash: partitioning gives appendToSignatureTable its per-batch
+    // replay idempotence (dynamic overwrite of one batch partition),
+    // bucketing keeps every candidate join exchange-free — a bucketed
+    // scan merges each bucket's files across partitions, so the join
+    // co-location survives any number of ingest batches (spec-proved)
     def writeMain(g: DataFrame): Unit =
-      g.write.format("parquet").bucketBy(buckets, "gh").sortBy("gh")
+      g.withColumn("ingest_batch", lit(-1L))
+        .write.format("parquet").partitionBy("ingest_batch")
+        .bucketBy(buckets, "gh").sortBy("gh")
         .option("path", path).mode("overwrite").saveAsTable(table)
     if (maxDf == Long.MaxValue) writeMain(raw)
     else {
@@ -253,27 +261,34 @@ object Dedup {
     * table (the arrival-time flow's state update: after this, the
     * next [[incrementalJaccard]] — or the next micro-batch of
     * [[graft.streaming.EventStream.streamingDedup]] — sees these
-    * docs). The write reuses the table's own bucket spec so appended
-    * files stay co-located on the gram hash; `hotTable` applies the
-    * same frozen df cap the table was born with. */
+    * docs). `insertInto` writes through the table's OWN partition +
+    * bucket spec, so appended files stay co-located on the gram hash;
+    * `hotTable` applies the same frozen df cap the table was born
+    * with.
+    *
+    * `ingestBatch` keys the write into the table's `ingest_batch`
+    * partition via DYNAMIC partition overwrite: re-running the same id
+    * REPLACES that batch's grams instead of duplicating them — under
+    * foreachBatch's at-least-once replay a plain append would double
+    * the replayed docs' (doc_id, gh) rows and corrupt every later
+    * intersection count. Distinct batches use distinct ids; the base
+    * corpus is batch −1. */
   def appendToSignatureTable(docs: DataFrame, table: String,
+                             ingestBatch: Long,
                              hotTable: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     graft.functions.VecExprs.register(spark)
     val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
     val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
-    val spec = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
-    val writer = g.write.format("parquet").mode("append")
-    spec match {
-      case Some(bs) =>
-        val bucketed = writer.bucketBy(bs.numBuckets,
-          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
-        (if (bs.sortColumnNames.nonEmpty)
-           bucketed.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
-         else bucketed).saveAsTable(table)
-      case None => writer.saveAsTable(table)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      g.withColumn("ingest_batch", lit(ingestBatch))
+        .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 

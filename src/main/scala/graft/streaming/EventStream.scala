@@ -98,7 +98,9 @@ object EventStream {
         val withinBatch = hotTable.fold(Dedup.ngramJaccard(batch, tau))(h =>
           Dedup.ngramJaccardWithHotList(batch, tau, spark.table(h)))
         onPairs(batchId, vsCorpus.unionByName(withinBatch))
-        Dedup.appendToSignatureTable(batch, table, hotTable)
+        // keyed by the streaming batch id: a crash-replay REPLACES the
+        // batch's ingest partition instead of duplicating its grams
+        Dedup.appendToSignatureTable(batch, table, batchId, hotTable)
       }
 
   /** ANN-as-a-stream — the embedding dual of [[streamingDedup]]: each

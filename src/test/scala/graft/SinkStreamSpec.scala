@@ -294,6 +294,12 @@ class SinkStreamSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(!exchanges.exists(_.startsWith("gh")),
       s"appends must keep the gram key co-located, got: $exchanges")
+    // crash-replay safety: re-running stream batch 1's append REPLACES
+    // its ingest partition (dynamic overwrite) — gram count unchanged
+    val before = spark.table("grams_s").count()
+    Dedup.appendToSignatureTable(b1, "grams_s", ingestBatch = 1L)
+    spark.catalog.refreshTable("grams_s")
+    assert(spark.table("grams_s").count() === before)
     spark.sql("DROP TABLE IF EXISTS grams_s")
   }
 
