@@ -452,6 +452,40 @@ object Similarity {
     }
   }
 
+  /** Compact an index's ingest partitions: fold every batch's files
+    * back into the base partition (−1), one file per coarse list,
+    * WITHOUT touching assignments or quantizers — the cheap
+    * small-files cleanup after N streaming ingests (each micro-batch
+    * leaves a file per touched list; a thousand batches means a
+    * thousand tiny files per list and read amplification at serve).
+    * [[writeIvfIndex]]'s re-train + rewrite stays the HEAVY
+    * compaction for quantizer drift. Works for both IVF and IVFPQ
+    * layouts (the row schema passes through untouched).
+    *
+    * The swap is rename-based (write `lists_compacting`, move the old
+    * dir away, move the new one in) — run it in a maintenance window,
+    * not concurrently with serves or appends; a failed rename throws
+    * with both paths intact. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val lists = new Path(s"$path/lists")
+    val tmp = new Path(s"$path/lists_compacting")
+    val old = new Path(s"$path/lists_old")
+    val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+    // repartition on the list id: one shuffle sized by nlist, one
+    // output file per list — the ideal serve layout
+    spark.read.parquet(lists.toString)
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id", "ingest_batch")
+      .mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
+    require(fs.rename(lists, old), s"rename $lists -> $old failed")
+    require(fs.rename(tmp, lists), s"rename $tmp -> $lists failed")
+    require(fs.delete(old, true), s"compacted but could not delete $old")
+  }
+
   /** Query a written IVF index: probe the stored quantizer, then read
     * ONLY the probed partitions (the scan's PartitionFilters carry
     * `c_id IN (probed)` — spec-proved, with the input file set

@@ -345,6 +345,36 @@ class SimilaritySpec extends SparkSpec {
       assert(n === q && c === 1.0, s"query $q") }
   }
 
+  test("IVF index compaction folds ingest partitions; serves are unchanged, files collapse") {
+    val real = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    Similarity.writeIvfIndex(real.filter(col("vec_id") < 350), path,
+      nlist = 16, trainIters = 5)
+    // three streaming-style ingests, each its own batch partition
+    for ((lo, hi, b) <- Seq((350, 400, 0L), (400, 450, 1L), (450, 500, 2L)))
+      Similarity.appendToIvfIndex(
+        real.filter(col("vec_id") >= lo && col("vec_id") < hi), path, b)
+    val isQ = col("vec_id") % 50 === 0
+    val queries = real.filter(isQ).select("vec_id", "embedding")
+    val before = Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val filesBefore = spark.read.parquet(s"$path/lists").inputFiles.length
+    val rowsBefore = spark.read.parquet(s"$path/lists").count()
+    Similarity.compactIvfIndex(spark, path)
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.count() === rowsBefore)
+    // every row folded into the base partition, one file per list
+    assert(lists.select("ingest_batch").distinct().as[Long].collect().toSeq === Seq(-1L))
+    val filesAfter = lists.inputFiles.length
+    assert(filesAfter < filesBefore && filesAfter <= 16,
+      s"$filesBefore files -> $filesAfter")
+    // same quantizer, same members — serves are row-identical
+    val after = Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(after === before)
+  }
+
   test("IVFPQ index append: stored-codebook codes stay comparable — twins at rank 1") {
     val real = Tables.embeddings(spark, sfDir)
       .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
