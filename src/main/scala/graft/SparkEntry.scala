@@ -296,6 +296,13 @@ object SparkEntry {
       Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0,
         minShared = 3, maxDf = 5L)),
 
+    // D9 bench-suite scale: Bloom pre-cut + exact re-join — same
+    // result as dedup_contamination (same oracle), no broadcast of
+    // the bench gram table
+    "dedup_contamination_bloom" -> ((s, d) =>
+      Dedup.contaminationBloom(docs(s, d), col("doc_id") % 97 === 0,
+        minShared = 3)),
+
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
@@ -853,6 +860,21 @@ object SparkEntry {
          |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
          |g AS (SELECT g0.doc_id, g0.gram
          |      FROM g0 JOIN dfs USING (gram) WHERE df <= 5),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
+         |FROM c JOIN b ON c.gram = b.gram
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // bloom flavor is a pre-filter + exact re-join: same result set as
+    // the broadcast flavor, so it shares dedup_contamination's oracle
+    "dedup_contamination_bloom" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
          |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
          |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
          |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams

@@ -595,6 +595,47 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** Membership probe of a 64-bit hash against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the pre-filter that
+    * makes decontamination work when the benchmark side is too big to
+    * broadcast-join outright: the sketch is KB–MB regardless of row
+    * count, so it rides to every task where a broadcast hash relation
+    * would not fit. May return false positives (callers must re-check
+    * exactly, e.g. with the equi-join the probe is guarding), never
+    * false negatives.
+    *
+    * Holds the sketch as bytes (cheap to ship in the serialized plan)
+    * and inflates it lazily once per JVM consumer; codegen probes
+    * through a reference to this expression instance, so the inflated
+    * bits are shared across all rows of a task. */
+  case class BloomMightContain(child: Expression, sketch: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_contains"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint, got ${child.dataType.simpleString}")
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(sketch))
+
+    def mightContain(h: Long): Boolean = bloom.mightContainLong(h)
+
+    override def nullSafeEval(input: Any): Any =
+      mightContain(input.asInstanceOf[Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomExpr", this,
+        classOf[BloomMightContain].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.mightContain($a);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
   private val fnCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Matrix-capturing functions carry per-invocation state the SQL
@@ -626,6 +667,11 @@ object VecExprs {
                      (build: String => A): A =
     withTempFunction(spark, "graft_pq_encode",
       args => PqEncode(args(0), codebook))(build)
+
+  def withBloomContains[A](spark: SparkSession, sketch: Array[Byte])
+                          (build: String => A): A =
+    withTempFunction(spark, "graft_bloom_contains",
+      args => BloomMightContain(args(0), sketch))(build)
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

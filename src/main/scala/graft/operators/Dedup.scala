@@ -488,6 +488,66 @@ object Dedup {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** D9 at benchmark-suite scale: [[contamination]] with a Bloom-filter
+    * pre-cut instead of a broadcast bench side. The broadcast flavor
+    * assumes the bench gram table fits in every executor as a hash
+    * relation; a full eval SUITE (hundreds of benchmarks × contest
+    * problems × solutions) can run to 10⁸+ grams, where the broadcast
+    * fails but a Bloom filter of the same key set is still a few
+    * hundred MB of BITS — built distributed (per-partition sketches,
+    * merged on the driver: O(bits), never O(rows)), shipped once per
+    * task, probed inside the scan stage by a codegen'd expression
+    * ([[graft.functions.VecExprs.BloomMightContain]]).
+    *
+    * Exactness is preserved: the probe only PRE-FILTERS (false
+    * positives pass, never false negatives), and the exact equi-join
+    * behind it re-checks every survivor — so the output is row-for-row
+    * [[contamination]]'s (spec-asserted). What changes is the join's
+    * traffic: only the ~`fpp` false-positive fraction of clean-corpus
+    * grams (plus true hits) reaches the shuffle, instead of the whole
+    * corpus gram stream. At 100 TB that is the difference between
+    * shuffling ~10¹¹ gram rows and ~10⁹.
+    *
+    * `fpp` trades sketch size for shuffle traffic (1% ≈ 9.6 bits/key).
+    * `maxDf` caps gram document frequency exactly as in
+    * [[contamination]]. */
+  def contaminationBloom(docs: DataFrame, isBenchmark: Column,
+                         minShared: Int,
+                         maxDf: Long = Long.MaxValue,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VecExprs.register(spark)
+    val raw = cachedAs("contamination_bloom",
+      docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+        explode(gramHashes(col("text"))).as("gh")))
+    val g =
+      if (maxDf == Long.MaxValue) raw
+      else {
+        val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("gh")
+        raw.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
+    val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
+    val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
+    // row count upper-bounds distinct grams — a slightly oversized
+    // sketch costs bits, an undersized one costs fpp; never a result
+    val expected = math.max(bench.count(), 64L)
+    val bloom = bench.stat.bloomFilter("gh", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val pre = graft.functions.VecExprs.withBloomContains(spark, bytes) { fn =>
+      corpus.filter(expr(s"$fn(gh)"))
+    }
+    // exact re-check of the pre-filter's survivors; deliberately NOT
+    // broadcast — the premise is that the bench side doesn't fit
+    pre.join(bench, Seq("gh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** D8: duplicate clustering — connected components over a candidate
     * pair list, labeling every document with the smallest doc_id in
     * its component (the canonical representative) plus the component

@@ -228,4 +228,18 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "shared_grams").as[(Long, Long)].collect().toSet
     assert(loose === Set((1L, 7L), (2L, 6L), (5L, 7L))) // doc 2 caught at 5
   }
+
+  test("D9 bloom flavor: row-identical to the broadcast flavor; probe is in the plan") {
+    for (minShared <- Seq(5, 7); maxDf <- Seq(Long.MaxValue, 10L)) {
+      val plain = Dedup.contamination(docs, col("doc_id") === 3, minShared, maxDf)
+        .orderBy("doc_id", "bench_id").collect().toSeq.map(_.toSeq)
+      val bloom = Dedup.contaminationBloom(docs, col("doc_id") === 3, minShared, maxDf)
+        .orderBy("doc_id", "bench_id").collect().toSeq.map(_.toSeq)
+      assert(bloom === plain, s"minShared=$minShared maxDf=$maxDf")
+    }
+    // the pre-cut survives into the executed plan (probe before the join)
+    val plan = Dedup.contaminationBloom(docs, col("doc_id") === 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
 }

@@ -77,6 +77,32 @@ class VecExprsSpec extends SparkSpec {
     assert(out.forall(b => b >= 0 && b < 256))
   }
 
+  test("bloom probe: no false negatives, bounded false positives, bigint-only input") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    // every inserted key passes (a Bloom filter never drops a member)
+    val hits = VecExprs.withBloomContains(spark, bytes) { fn =>
+      spark.range(1000).selectExpr(s"$fn(id) AS p").filter(col("p")).count()
+    }
+    assert(hits === 1000L)
+    // fresh keys pass only at ~fpp (1% built; assert with 5× slack)
+    val fps = VecExprs.withBloomContains(spark, bytes) { fn =>
+      spark.range(10000).selectExpr(s"$fn(id + 1000000) AS p")
+        .filter(col("p")).count()
+    }
+    assert(fps < 500L, s"false-positive count $fps")
+    // wrong input type is an analysis error, not a wrong-bytes probe
+    val e = intercept[Exception] {
+      VecExprs.withBloomContains(spark, bytes) { fn =>
+        spark.range(3).selectExpr(s"$fn(cast(id AS string))").collect()
+      }
+    }
+    assert(e.getMessage.contains("bigint"))
+  }
+
   test("G1 decodeMeta is deterministic and batch-invariant") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val a = Multimodal.decodeMeta(docs).orderBy("doc_id").collect()
