@@ -326,6 +326,10 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) =>                                    // rows-only
       Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5)),
 
+    // E6r: FAISS-faithful residual encoding (codes quantize u − cent)
+    "ann_ivfpq_residual_topk" -> ((s, d) =>                           // rows-only
+      Similarity.ivfpqResidualTopK(emb(s, d), annIsQuery, 5)),
+
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
       val out = TextAnalysis.langId(docs(s, d))

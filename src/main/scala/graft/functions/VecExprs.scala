@@ -595,6 +595,72 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** `vec − centroids(cId)` as one codegen'd pass — the residual step
+    * of FAISS-style IVFPQ (encode `x − coarse_centroid(x)` instead of
+    * `x`: residuals live in a much smaller ball than raw vectors, so
+    * the same m×ks code budget quantizes far finer). Composes with
+    * [[PqEncode]] inside whole-stage codegen; an out-of-range list id
+    * throws rather than silently encoding the raw vector. Dimensions
+    * past the centroid's length pass through unchanged (same ragged
+    * tolerance as [[NearestCentroids]]). */
+  case class ResidualVec(vec: Expression, cId: Expression,
+                         centroids: Array[Array[Double]])
+      extends BinaryExpression {
+    require(centroids.nonEmpty, "centroid matrix must be non-empty")
+    override def left: Expression = vec
+    override def right: Expression = cId
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_residual"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val arr = expectArrays(prettyName, vec -> DoubleType)
+      if (arr != TypeCheckResult.TypeCheckSuccess) arr
+      else if (cId.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName argument 2 requires int, got ${cId.dataType.simpleString}")
+    }
+
+    def centroidRow(c: Int): Array[Double] = {
+      if (c < 0 || c >= centroids.length)
+        throw new IllegalArgumentException(
+          s"$prettyName: list id $c outside [0, ${centroids.length})")
+      centroids(c)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cent = centroidRow(b.asInstanceOf[Int])
+      val n = v.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = v.getDouble(i) - (if (i < cent.length) cent(i) else 0.0)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("residExpr", this,
+        classOf[ResidualVec].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cent = ctx.freshName("cent"); val n = ctx.freshName("n")
+        val out = ctx.freshName("out"); val i = ctx.freshName("i")
+        s"""
+           |double[] $cent = $self.centroidRow($b);
+           |int $n = $a.numElements();
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $a.getDouble($i) - ($i < $cent.length ? $cent[$i] : 0.0);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ResidualVec =
+      copy(vec = l, cId = r)
+  }
+
   /** Membership probe of a 64-bit hash against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — the pre-filter that
     * makes decontamination work when the benchmark side is too big to
@@ -672,6 +738,11 @@ object VecExprs {
                           (build: String => A): A =
     withTempFunction(spark, "graft_bloom_contains",
       args => BloomMightContain(args(0), sketch))(build)
+
+  def withResidual[A](spark: SparkSession, centroids: Array[Array[Double]])
+                     (build: String => A): A =
+    withTempFunction(spark, "graft_residual",
+      args => ResidualVec(args(0), args(1), centroids))(build)
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

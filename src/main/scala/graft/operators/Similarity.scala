@@ -752,6 +752,98 @@ object Similarity {
     pqCore(emb, isQuery, k, m, ks, rerank, trainIters, candidates = Some(candidates))
   }
 
+  /** E6r: IVFPQ with RESIDUAL encoding — what FAISS's `IndexIVFPQ`
+    * actually stores: each vector's PQ codes quantize
+    * `u − centroid(list)` rather than `u`. When lists are TIGHT
+    * (mean cos(u, centroid) → 1 — the production regime, where nlist
+    * scales with corpus size), residuals live in a ball much smaller
+    * than the unit sphere and the same m × ks code budget quantizes
+    * far finer. On this repo's near-isotropic synthetic embeddings
+    * (measured mean cos ≈ 0.34 at nlist=16, i.e. residual norms
+    * ≈ 1.15 — LARGER than the vectors) the flavor is recall-neutral
+    * once `rerank` absorbs ADC noise; the spec therefore pins the
+    * EXACTNESS invariant (a rerank window covering every candidate
+    * reproduces exact IVF at the same nprobe) and recall parity, not
+    * a win. Ranking is preserved because
+    * ‖u_q − u_c‖ = ‖(u_q − cent) − (u_c − cent)‖: per probed list,
+    * ADC over residual codes approximates the same distances with
+    * the query's own residual on the LUT side.
+    *
+    * Cost shape vs [[ivfpqTopK]]: the LUT grows ×nprobe (one table
+    * per (query, probed list): nq × nprobe × m × ks rows — still
+    * broadcast metadata) and candidate scoring joins on
+    * (q, list, j, code) instead of (q, j, code). Everything else —
+    * zero-shuffle assignment, zero-shuffle residual+encode
+    * ([[graft.functions.VecExprs.ResidualVec]] composed with
+    * [[graft.functions.VecExprs.PqEncode]] in one codegen span),
+    * ADC shortlist, exact rerank — is the same plan shape. */
+  def ivfpqResidualTopK(emb: DataFrame, isQuery: Column, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, ks: Int = 16, rerank: Int = 8,
+                        trainIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    val p0 = prepared(emb)
+    val p = unitFrame(p0)
+    val cents0 = collectCentroids(p0, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
+    val assigned = ivfAssignPrepared(p0, cents)
+      .select(col("vec_id"), col("c_id"))
+    // corpus residuals, named `u` so the shared PQ helpers (codebook
+    // sample, k-means refine, encode) apply verbatim
+    val rc = graft.functions.VecExprs.withResidual(spark, cents) { fn =>
+      p.join(assigned, Seq("vec_id"))
+        .select(col("vec_id"), col("c_id"),
+          call_function(fn, col("u"), col("c_id")).as("u"))
+    }
+    val cbMat0 = pqCodebookMat(rc, m, ks, dim / m)
+    val cbMat = if (trainIters > 0)
+      trainPqCodebook(rc, cbMat0, m, trainIters) else cbMat0
+    val codes = encodeCodes(rc, cbMat)
+    import spark.implicits._
+    val codebook = (for { j <- 0 until m; c <- cbMat(j).indices }
+      yield (c, j, cbMat(j)(c).toSeq)).toDF("code", "j", "c_sub")
+    val probes = probeList(p0, isQuery, cents, nprobe)
+      .select(col("q_id"), col("c_id"))
+    // query residual PER PROBED LIST (nq × nprobe rows)
+    val qU = p.join(p0.filter(isQuery).select(col("vec_id")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "q_id")
+    val qResid = graft.functions.VecExprs.withResidual(spark, cents) { fn =>
+      probes.join(qU, Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          call_function(fn, col("u"), col("c_id")).as("qr"))
+    }
+    // per-(query, list) asymmetric LUT: exact residual-subvector →
+    // codebook-entry squared L2, same accumulator order as the encode
+    val subLen = (size(col("qr")) / m).cast("int")
+    val lut = qResid.select(col("q_id"), col("c_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("qr"), j * subLen + 1, subLen))).as(Seq("j", "sub")))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("q_id"), col("c_id"), col("j"), col("code"),
+        (dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
+    // each corpus vector sits in exactly one list, so (q_id, vec_id)
+    // is unique across candidates — the adc sum never double-counts
+    val candidates = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("c_id"), col("vec_id"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlist = candidates.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "c_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= k * rerank)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(shortlist, p0, k)
+  }
+
   /** Unit-normalized vector frame (vec_id, u). Zero vectors have no
     * direction: excluding them beats NaN codes (NaN orders LARGEST in
     * Spark and would poison the rankings). */
@@ -905,6 +997,12 @@ object Similarity {
     // …then EXACT-rerank only the shortlist (nq × k·rerank dot
     // products — the standard ADC-shortlist + rerank deployment; the
     // full vectors are read for a per-query handful of rows)
+    exactRerank(shortlist, p0, k)
+  }
+
+  /** Exact-cosine rerank of a `(q_id, vec_id)` shortlist against the
+    * prepared frame — the tail every ADC path shares. */
+  private def exactRerank(shortlist: DataFrame, p0: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     shortlist

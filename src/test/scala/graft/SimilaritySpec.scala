@@ -226,6 +226,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rProbed > 0.2 && rProbed <= rFull)
   }
 
+  test("E6r residual IVFPQ: exact-cover invariant, recall parity, exact rerank cosines") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // the sharp correctness property of the residual path: a rerank
+    // window covering every candidate must reproduce EXACT IVF at the
+    // same nprobe — ‖u_q − u_c‖ ≡ ‖r_q − r_c‖ means the residual
+    // plumbing (per-list query residual, residual codes, per-(q, list)
+    // LUT) cannot change what the probed lists contain, only the ADC
+    // shortlist ordering inside them
+    val ivfExact = ids(Similarity.ivfTopK(real, isQ, 5, nlist = 16, nprobe = 4))
+    val residAll = ids(Similarity.ivfpqResidualTopK(real, isQ, 5,
+      nlist = 16, nprobe = 4, rerank = 100000))
+    assert(residAll === ivfExact)
+    // recall parity with the raw-vector flavor once rerank absorbs ADC
+    // noise (this corpus is near-isotropic — residuals are not smaller
+    // than the vectors, see the operator scaladoc; at rerank=16 both
+    // flavors saturate the probed-list ceiling)
+    val truth = ids(Similarity.bruteForceTopK(real, isQ, 5))
+    val plain = ids(Similarity.ivfpqTopK(real, isQ, 5, nlist = 16, nprobe = 4,
+      rerank = 16))
+    val resid = ids(Similarity.ivfpqResidualTopK(real, isQ, 5, nlist = 16,
+      nprobe = 4, rerank = 16))
+    val rPlain = (truth & plain).size.toDouble / truth.size
+    val rResid = (truth & resid).size.toDouble / truth.size
+    info(f"IVFPQ recall@5 nprobe=4 rerank=16: raw $rPlain%.2f, residual $rResid%.2f")
+    assert(rResid >= rPlain - 0.05,
+      f"residual recall fell past parity: $rResid%.2f vs $rPlain%.2f")
+    // returned similarities are exact cosines (the rerank reads full
+    // vectors) — identical to E1's for any overlapping pair
+    val bf = Similarity.bruteForceTopK(real, isQ, 5)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.ivfpqResidualTopK(real, isQ, 5, nlist = 16, nprobe = 4)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) => bf.get((q, n)).foreach(e => assert(e === c)) }
+  }
+
   test("training the quantizers never hurts recall vs the raw hash sample") {
     val real = Tables.embeddings(spark, sfDir)
     val isQ = col("vec_id") % 50 === 0

@@ -103,6 +103,24 @@ class VecExprsSpec extends SparkSpec {
     assert(e.getMessage.contains("bigint"))
   }
 
+  test("graft_residual subtracts the referenced centroid row; bad list id throws") {
+    val cents = Array(Array(1.0, 2.0), Array(0.5, 0.5))
+    val df = Seq((Array(3.0, 4.0), 0), (Array(3.0, 4.0), 1)).toDF("v", "c")
+    val out = VecExprs.withResidual(spark, cents) { fn =>
+      df.selectExpr(s"$fn(v, c) AS r").as[Seq[Double]].collect()
+    }
+    assert(out(0) === Seq(2.0, 2.0) && out(1) === Seq(2.5, 3.5))
+    // an out-of-range list id is a loud failure, not a raw-vector encode
+    val bad = Seq((Array(1.0), 7)).toDF("v", "c")
+    val e = intercept[Exception] {
+      VecExprs.withResidual(spark, cents) { fn =>
+        bad.selectExpr(s"$fn(v, c)").collect()
+      }
+    }
+    assert(e.getMessage.contains("outside") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside")))
+  }
+
   test("G1 decodeMeta is deterministic and batch-invariant") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val a = Multimodal.decodeMeta(docs).orderBy("doc_id").collect()
