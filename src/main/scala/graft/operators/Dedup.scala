@@ -548,6 +548,61 @@ object Dedup {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** Build-once benchmark signature for arrival-time decontamination:
+    * writes the bench gram table `(bench_id, gh)` to `path` and
+    * returns the Bloom sketch bytes of its gram set — the two frozen
+    * artifacts [[contaminationAgainst]] (and
+    * [[graft.streaming.EventStream.streamingContamination]]) probe
+    * per batch. The sketch is built from the WRITTEN table, so it is
+    * exactly the on-disk key set. `benchMaxDf` drops grams appearing
+    * in more than that many bench docs at build time ([[contamination]]'s
+    * boilerplate rationale, frozen with the signature — a streaming
+    * corpus can't supply a corpus-side df upfront). */
+  def writeBenchSignature(benchDocs: DataFrame, path: String,
+                          fpp: Double = 0.01,
+                          benchMaxDf: Long = Long.MaxValue): Array[Byte] = {
+    val spark = benchDocs.sparkSession
+    graft.functions.VecExprs.register(spark)
+    val g0 = benchDocs.select(col("doc_id").as("bench_id"),
+      explode(gramHashes(col("text"))).as("gh"))
+    val g =
+      if (benchMaxDf == Long.MaxValue) g0
+      else {
+        val hot = g0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > benchMaxDf).select("gh")
+        g0.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
+    g.write.mode("overwrite").parquet(path)
+    val written = spark.read.parquet(path)
+    val expected = math.max(written.count(), 64L)
+    val bloom = written.stat.bloomFilter("gh", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Decontaminate a document frame against a frozen
+    * [[writeBenchSignature]] artifact: [[contaminationBloom]]'s shape
+    * with the sketch prebuilt — the Bloom probe rides the docs scan,
+    * the exact equi-join re-checks survivors against the signature
+    * table, the bench side never broadcasts. Works identically on a
+    * batch frame and inside `foreachBatch` (the streaming wrapper
+    * passes micro-batches straight through). */
+  def contaminationAgainst(docs: DataFrame, benchPath: String,
+                           sketch: Array[Byte], minShared: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VecExprs.register(spark)
+    val grams = docs.select(col("doc_id"),
+      explode(gramHashes(col("text"))).as("gh"))
+    val pre = graft.functions.VecExprs.withBloomContains(spark, sketch) { fn =>
+      grams.filter(expr(s"$fn(gh)"))
+    }
+    pre.join(spark.read.parquet(benchPath), Seq("gh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** D8: duplicate clustering — connected components over a candidate
     * pair list, labeling every document with the smallest doc_id in
     * its component (the canonical representative) plus the component

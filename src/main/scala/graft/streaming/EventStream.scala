@@ -103,6 +103,28 @@ object EventStream {
         Dedup.appendToSignatureTable(batch, table, batchId, hotTable)
       }
 
+  /** D9-as-a-stream: arrival-time benchmark decontamination. The
+    * bench signature is FROZEN state built once
+    * ([[graft.operators.Dedup.writeBenchSignature]] — gram table +
+    * Bloom sketch); each micro-batch probes the sketch inside its own
+    * scan and exact-joins the signature table
+    * ([[graft.operators.Dedup.contaminationAgainst]]). Per-batch cost
+    * is O(batch grams), with only the ~fpp false-positive fraction
+    * reaching the join — and unlike [[streamingDedup]] there is NO
+    * state growth: the stream never feeds back into the bench, so a
+    * restart needs nothing but the artifacts. `onFlags` receives each
+    * batch's (doc_id, bench_id, shared_grams) frame — the caller
+    * quarantines or drops before the batch reaches training storage. */
+  def streamingContamination(docs: DataFrame, benchPath: String,
+                             sketch: Array[Byte], minShared: Int,
+                             onFlags: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onFlags(batchId, graft.operators.Dedup.contaminationAgainst(
+          batch, benchPath, sketch, minShared))
+      }
+
   /** ANN-as-a-stream — the embedding dual of [[streamingDedup]]: each
     * micro-batch of vectors is served against the WRITTEN IVF index
     * ([[graft.operators.Similarity.ivfTopKFromIndex]] — partition-

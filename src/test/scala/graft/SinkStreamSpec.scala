@@ -303,6 +303,47 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS grams_s")
   }
 
+  test("streamingContamination flags each batch against the frozen bench signature") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft_scontam").toString
+    val all = Tables.documents(spark, sfDir)
+    val isBench = col("doc_id") % 97 === 0
+    val sketch = Dedup.writeBenchSignature(all.filter(isBench), s"$wh/sig")
+    // independent oracle: the broadcast flavor over bench ∪ the batch's
+    // corpus docs — restricted to that union, flags must coincide
+    def expectedFor(lo: Long, hi: Long) =
+      Dedup.contamination(
+        all.filter(isBench ||
+          (col("doc_id") >= lo && col("doc_id") < hi))
+          .select("doc_id", "text"),
+        isBench, minShared = 3)
+        .orderBy("doc_id", "bench_id").collect().toSeq.map(_.toSeq)
+    def slice(lo: Long, hi: Long) =
+      all.filter(!isBench && col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingContamination(stream, s"$wh/sig", sketch, 3,
+      (id, flags) =>
+        got(id) = flags.orderBy("doc_id", "bench_id").collect().toSeq.map(_.toSeq))
+      .start()
+    mem.addData(slice(0, 250).as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(slice(250, 500).as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L) === expectedFor(0, 250))
+    assert(got(1L) === expectedFor(250, 500))
+    assert((got(0L) ++ got(1L)).nonEmpty,
+      "fixture must produce at least one contaminated pair")
+    // the Bloom pre-cut is in the batch plan, riding the docs scan
+    val plan = Dedup.contaminationAgainst(slice(0, 250), s"$wh/sig", sketch, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
   test("streamingAnnIngest serves each batch from the index, then appends it for the next") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
