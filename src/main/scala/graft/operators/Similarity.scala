@@ -787,16 +787,18 @@ object Similarity {
     require(dim > 0 && dim % m == 0,
       s"dim=$dim must be a positive multiple of m=$m")
     val p0 = prepared(emb)
-    val p = unitFrame(p0)
     val cents0 = collectCentroids(p0, nlist)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
-    val assigned = ivfAssignPrepared(p0, cents)
-      .select(col("vec_id"), col("c_id"))
-    // corpus residuals, named `u` so the shared PQ helpers (codebook
+    val a = ivfAssignPrepared(p0, cents)
+    val assigned = a.select(col("vec_id"), col("c_id"))
+    // corpus residuals computed IN the assignment projection (never a
+    // self-join of two same-scan derivatives — that spelling cost a
+    // SortMergeJoin); named `u` so the shared PQ helpers (codebook
     // sample, k-means refine, encode) apply verbatim
     val rc = graft.functions.VecExprs.withResidual(spark, cents) { fn =>
-      p.join(assigned, Seq("vec_id"))
+      a.filter(col("n2") > 0)
+        .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
         .select(col("vec_id"), col("c_id"),
           call_function(fn, col("u"), col("c_id")).as("u"))
     }
@@ -809,8 +811,9 @@ object Similarity {
       yield (c, j, cbMat(j)(c).toSeq)).toDF("code", "j", "c_sub")
     val probes = probeList(p0, isQuery, cents, nprobe)
       .select(col("q_id"), col("c_id"))
-    // query residual PER PROBED LIST (nq × nprobe rows)
-    val qU = p.join(p0.filter(isQuery).select(col("vec_id")), Seq("vec_id"))
+    // query residual PER PROBED LIST (nq × nprobe rows); unit queries
+    // come straight off the filtered scan, not a join back into p
+    val qU = unitFrame(p0.filter(isQuery))
       .withColumnRenamed("vec_id", "q_id")
     val qResid = graft.functions.VecExprs.withResidual(spark, cents) { fn =>
       probes.join(qU, Seq("q_id"))

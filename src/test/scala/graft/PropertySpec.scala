@@ -173,6 +173,11 @@ class PropertySpec extends SparkSpec {
         shared = (grams(tb) & grams(tc)).size if shared >= 1
       } yield ((ic.toLong, ib.toLong), shared.toLong)).toMap
       assert(got === want)
+      // the Bloom flavor is exact by construction (pre-filter + exact
+      // re-join) — same brute-force equality, any random corpus
+      val gotBloom = Dedup.contaminationBloom(df, col("doc_id") % 3 === 0, minShared = 1)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(gotBloom === want)
     }
   }
 
