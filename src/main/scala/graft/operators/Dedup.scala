@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -688,10 +687,22 @@ object Dedup {
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — component " +
           "diameter exceeds the bound; raise maxIter")
-    docs.as("d").join(labels.as("lbl"), Seq("doc_id"), "left")
+    // cluster_size as groupBy + join over the PAIR-NODE set, not a
+    // window over the full corpus: every component member appears in
+    // `labels` (both endpoints of every pair do), so counting there is
+    // the component size, and singletons (absent from labels) are 1 by
+    // definition. A window over the corpus' cluster_id would pin a
+    // mega-component's every row to ONE task (window partitions are
+    // semantically unsplittable); here the hot cluster collapses
+    // map-side in the partial count, and the size join back — still
+    // keyed on cluster_id but over only the pair-node subset — is a
+    // plain shuffle join AQE can skew-split.
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val labeled = labels.join(sizes, Seq("cluster_id"))
+    docs.join(labeled, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 }
