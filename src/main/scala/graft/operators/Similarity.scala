@@ -279,22 +279,41 @@ object Similarity {
 
   /** Spherical k-means (Lloyd) training of the coarse quantizer to
     * convergence — the driver loop [[centroidUpdate]]'s scaladoc
-    * names, now feeding E3/E6 in place of the raw hash sample. Per
-    * round: zero-shuffle assignment ([[ivfAssignPrepared]]), ONE
-    * (c_id, dim) sum aggregation — nlist × dim groups with map-side
-    * partials, exchange volume O(groups) not O(corpus) — a bounded
-    * collect of those group sums, and driver-side re-normalization
-    * (spherical k-means: cosine assignment wants unit centroids, and
-    * the normalized member SUM equals the normalized mean). Empty
-    * clusters keep their previous centroid. Stops at `maxIter` or
-    * when the largest per-centroid movement drops below `tol`. The
-    * corpus frame is cached across rounds and released after.
+    * names, now feeding E3/E6 in place of the raw hash sample.
+    * Trains on a BOUNDED deterministic sample (the FAISS posture:
+    * quantizers never train on the whole corpus — k-means quality
+    * saturates at a few hundred points per centroid, and at 100 TB a
+    * per-round corpus pass is pure waste). ONE cluster job collects
+    * the sample; every Lloyd round then runs on the driver over
+    * ≤ [[trainSampleRows]] vectors — no per-round jobs at all.
+    * Assignment is argmax-dot with first-wins ties (the exact
+    * [[graft.functions.VecExprs.NearestCentroids]] contract), the
+    * update normalizes each cluster's member SUM (spherical k-means),
+    * empty clusters keep their previous centroid, and the loop stops
+    * at `maxIter` or when the largest per-centroid movement drops
+    * below `tol`. The DISTRIBUTED one-step update stays available as
+    * [[centroidUpdate]] (E4, oracle-checked).
     */
   def trainCentroids(emb: DataFrame, nlist: Int = 16, maxIter: Int = 10,
                      tol: Double = 1e-4): Array[Array[Double]] = {
     val p = prepared(emb)
     trainCentroidsPrepared(p, collectCentroids(p, nlist), maxIter, tol)
   }
+
+  /** Training-sample ceiling: ~10⁴ vectors bounds driver memory at a
+    * few MB and exceeds FAISS's recommended points-per-centroid many
+    * times over at the nlist/ks sizes in this catalog. */
+  val trainSampleRows: Int = 1 << 14
+
+  /** Bounded deterministic training sample of an array column: the
+    * `n` smallest (xxhash64(vec_id), vec_id) rows. `orderBy.limit`
+    * plans as TakeOrderedAndProject — per-partition top-n heaps plus
+    * one driver merge, never a full sort, never O(corpus) driver
+    * memory. */
+  private def sampleArrays(p: DataFrame, c: String, n: Int): Array[Array[Double]] =
+    p.withColumn("hsel", xxhash64(col("vec_id")))
+      .orderBy(col("hsel"), col("vec_id")).limit(n)
+      .select(col(c)).collect().map(_.getSeq[Double](0).toArray)
 
   private def l2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -307,35 +326,44 @@ object Similarity {
   private def trainCentroidsPrepared(p: DataFrame, seed: Array[Array[Double]],
                                      maxIter: Int, tol: Double): Array[Array[Double]] = {
     if (seed.isEmpty) return seed
-    val pc = p.cache()
-    try {
-      var cents = seed
-      var iter = 0
-      var moved = Double.MaxValue
-      while (iter < maxIter && moved > tol) {
-        val sums = ivfAssignPrepared(pc, cents)
-          .select(col("c_id"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("c_id"), col("d")).agg(sum(col("x")).as("sx"))
-          .collect()
-        val width = cents.head.length
-        val acc = Array.ofDim[Double](cents.length, width)
+    val sample = sampleArrays(p, "v", trainSampleRows)
+    if (sample.isEmpty) return seed
+    val width = seed.head.length
+    var cents = seed
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val acc = Array.ofDim[Double](cents.length, width)
+      sample.foreach { v =>
+        // argmax dot, FIRST-wins on ties — the NearestCentroids
+        // contract, so serve-time assignment agrees with training
+        var best = 0; var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val row = cents(c)
+          val d = math.min(v.length, row.length)
+          var s = 0.0; var i = 0
+          while (i < d) { s += v(i) * row(i); i += 1 }
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
         // a ragged corpus (vector longer than the sampled centroids)
         // contributes its in-range dims instead of throwing
-        sums.foreach { r =>
-          val d = r.getInt(1)
-          if (d < width) acc(r.getInt(0))(d) = r.getDouble(2)
-        }
-        val next = cents.zipWithIndex.map { case (old, c) =>
-          val norm = normalizeRows(Array(acc(c))).head
-          // an empty (or all-zero) cluster keeps its previous centroid
-          if (norm.exists(_ != 0.0)) norm else old
-        }
-        moved = cents.zip(next).map { case (a, b) => l2(a, b) }.max
-        cents = next
-        iter += 1
+        val a = acc(best)
+        var i = 0
+        val d = math.min(v.length, width)
+        while (i < d) { a(i) += v(i); i += 1 }
       }
-      cents
-    } finally pc.unpersist(false)
+      val next = cents.zipWithIndex.map { case (old, c) =>
+        val norm = normalizeRows(Array(acc(c))).head
+        // an empty (or all-zero) cluster keeps its previous centroid
+        if (norm.exists(_ != 0.0)) norm else old
+      }
+      moved = cents.zip(next).map { case (a, b) => l2(a, b) }.max
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** Deploy-time IVF index: the corpus written PARTITIONED BY LIST
@@ -880,48 +908,67 @@ object Similarity {
         posexplode(call_function(fn, col("u"))).as(Seq("j", "code")))
     }
 
-  /** Per-subspace L2 k-means refinement of the PQ codebook, all `m`
-    * subspaces per round in ONE pass: assignment is the zero-shuffle
-    * [[graft.functions.VecExprs.PqEncode]] expression (codes ride
-    * along as an array; `element_at(codes, j+1)` pairs each exploded
-    * subvector with its code — no join), the update aggregates on
-    * (j, code, dim) — m × ks × subLen groups, map-side partials — and
-    * collects those bounded group stats. Entries with no members keep
-    * their previous value; stops at `maxIter` or movement < `tol`. */
+  /** Per-subspace L2 k-means refinement of the PQ codebook, trained —
+    * like [[trainCentroids]] — on a BOUNDED deterministic sample: ONE
+    * cluster job collects ≤ [[trainSampleRows]] unit vectors, then
+    * every Lloyd round runs on the driver (all `m` subspaces per
+    * round). Assignment is nearest-entry by squared L2 with
+    * first-wins ties and the d² = ‖a‖² + ‖b‖² − 2·a·b accumulator
+    * order — the exact [[graft.functions.VecExprs.PqEncode]] contract,
+    * so serve-time encoding agrees with training. Entries with no
+    * members keep their previous value; stops at `maxIter` or
+    * movement < `tol`. */
   private def trainPqCodebook(p: DataFrame, seed: Array[Array[Array[Double]]],
                               m: Int, maxIter: Int,
                               tol: Double = 1e-4): Array[Array[Array[Double]]] = {
-    val subLenC = (size(col("u")) / m).cast("int")
-    val pc = p.cache()
-    try {
-      var cb = seed
-      var iter = 0
-      var moved = Double.MaxValue
-      while (iter < maxIter && moved > tol) {
-        val stats = graft.functions.VecExprs.withPqEncode(pc.sparkSession, cb) {
-          fn =>
-            pc.withColumn("codes", call_function(fn, col("u")))
-              .select(col("codes"),
-                posexplode(transform(sequence(lit(0), lit(m - 1)),
-                  j => slice(col("u"), j * subLenC + 1, subLenC))).as(Seq("j", "sub")))
-              .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
-                posexplode(col("sub")).as(Seq("d", "x")))
-              .groupBy(col("j"), col("code"), col("d"))
-              .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-              .collect()
-        }
-        val next = cb.map(_.map(_.clone()))
-        stats.foreach { r =>
-          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-            r.getDouble(3) / r.getLong(4)
-        }
-        moved = (for { j <- cb.indices; c <- cb(j).indices }
-          yield l2(cb(j)(c), next(j)(c))).max
-        cb = next
-        iter += 1
+    val sample = sampleArrays(p, "u", trainSampleRows)
+    if (sample.isEmpty || seed.isEmpty) return seed
+    val subLen = sample.head.length / m
+    // d² with PqEncode's accumulator order: ‖a‖² then ‖b‖² then a·b
+    def d2(u: Array[Double], off: Int, e: Array[Double]): Double = {
+      var aa = 0.0; var bb = 0.0; var ab = 0.0; var i = 0
+      while (i < subLen && i < e.length) {
+        val a = u(off + i); val b = e(i)
+        aa += a * a; bb += b * b; ab += a * b; i += 1
       }
-      cb
-    } finally pc.unpersist(false)
+      aa + bb - 2.0 * ab
+    }
+    var cb = seed
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.ofDim[Double](m, cb.head.length, subLen)
+      val counts = Array.ofDim[Long](m, cb.head.length)
+      sample.foreach { u =>
+        var j = 0
+        while (j < m) {
+          val off = j * subLen
+          // nearest entry, FIRST-wins ties (PqEncode's `<` strict)
+          var best = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < cb(j).length) {
+            val dd = d2(u, off, cb(j)(c))
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          counts(j)(best) += 1L
+          val s = sums(j)(best)
+          var i = 0
+          while (i < subLen && off + i < u.length) { s(i) += u(off + i); i += 1 }
+          j += 1
+        }
+      }
+      val next = cb.zipWithIndex.map { case (entries, j) =>
+        entries.zipWithIndex.map { case (old, c) =>
+          if (counts(j)(c) > 0L) sums(j)(c).map(_ / counts(j)(c)) else old.clone()
+        }
+      }
+      moved = (for { j <- cb.indices; c <- cb(j).indices }
+        yield l2(cb(j)(c), next(j)(c))).max
+      cb = next
+      iter += 1
+    }
+    cb
   }
 
   /** The PQ index-BUILD step alone — corpus codes (vec_id, j, code) —
