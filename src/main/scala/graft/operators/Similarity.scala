@@ -686,8 +686,11 @@ object Similarity {
     * one double division happens at the end.
     *
     * Scale posture: assignment is a broadcast nested-loop over nlist
-    * centroids fused into the scan (no corpus shuffle); the update
-    * aggregates on (centroid, dim) — nlist × dim groups, partial
+    * centroids fused into the scan, and the argmax is a `max_by`
+    * aggregation whose PARTIAL collapses the ×nlist candidate rows
+    * map-side — the exchange carries one row per vector, not nlist
+    * (a window-argmin would shuffle the inflated set); the update
+    * then aggregates on (centroid, dim) — nlist × dim groups, partial
     * aggregation map-side, exchange volume O(groups) not O(corpus).
     * Iterating to convergence = calling this in a driver loop exactly
     * like [[graft.operators.Dedup.clusters]].
@@ -698,14 +701,17 @@ object Similarity {
       .withColumn("hsel", md5(col("vec_id").cast("string")))
       .orderBy(col("hsel")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
+    // max_by ordering (c_sim, −c_id) ≡ ORDER BY c_sim DESC, c_id ASC:
+    // struct comparison is lexicographic, NaN orders largest in both
+    // spellings, and the 6-dp round keeps the argmax cross-engine
+    // deterministic exactly as before
     val assigned = p.crossJoin(broadcast(centroids))
       .withColumn("c_sim",
         round(cosineFromParts(dot(col("v"), col("c_v")), col("n2"), col("c_n2")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("v")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.v").as("v"))
     assigned
       .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "value")))
       .groupBy(col("c_id"), col("dim").cast("bigint").as("dim"))
