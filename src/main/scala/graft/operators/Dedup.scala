@@ -411,6 +411,12 @@ object Dedup {
   def embeddingCosine(emb: DataFrame, tau: Double): DataFrame =
     Similarity.cosinePairs(emb, tau)
 
+  /** D10: SemDeDup — semantic dedup via cluster-then-verify
+    * ([[Similarity.semanticDedup]]); kept in the D inventory as the
+    * paper-named flavor next to D5's exact and LSH spellings. */
+  def semantic(emb: DataFrame, tau: Double): DataFrame =
+    Similarity.semanticDedup(emb, tau)
+
   /** D7: corpus-level similarity — one merged minhash signature per
     * group (source/shard/snapshot) via the [[graft.functions.AggExprs
     * .MinHashMerge]] custom aggregate, then estimated Jaccard between

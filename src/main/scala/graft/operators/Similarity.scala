@@ -178,6 +178,87 @@ object Similarity {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** D10: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication: partition the embedding space with the trained
+    * coarse quantizer, then verify exact cosine ONLY within each
+    * cluster. The paper's observation is that semantic duplicates of
+    * a document land in the same k-means cluster, so the all-pairs
+    * quadratic collapses from corpus² to Σ(listᵢ²) — size nlist so
+    * lists stay bounded and that is ~linear in the corpus. The plan:
+    * sampled driver-side training ([[trainCentroids]]), ZERO-shuffle
+    * assignment (the [[graft.functions.VecExprs.NearestCentroids]]
+    * scan), and one candidate equi-join whose shuffle key is the
+    * list id — work distributes by cluster, never all-pairs.
+    *
+    * `maxList` star-collapses a runaway list around its min member
+    * (the [[cosinePairsLsh]]/minhashLsh rationale: per-list output
+    * O(size) instead of size², connectivity survives for D8's
+    * transitive clustering); star candidates are cosine-verified like
+    * any other, so precision stays 1.0.
+    *
+    * Output shape and the 6 dp round match [[cosinePairs]] exactly:
+    * reported pairs are a SUBSET of D5's ground truth (spec-asserted);
+    * recall is what clustering trades for scale. `assign` is the
+    * recall knob: each vector joins its `assign` nearest lists (the
+    * IVF multi-probe idea on the BUILD side), so a pair straddling a
+    * cluster boundary still meets in the runner-up list — candidate
+    * volume grows ×assign, recall is monotone in it, and assign=1 is
+    * the paper's exact shape (where no distinct is needed: one list
+    * per vector means a pair can only be generated once). */
+  def semanticDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
+                    trainIters: Int = 5, maxList: Long = 1L << 16,
+                    assign: Int = 1): DataFrame = {
+    require(assign >= 1, s"assign=$assign must be at least 1")
+    val p0 = preparedNonZero(emb)
+    val cents0 = collectCentroids(p0, nlist)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
+    // ids-only assignment table: narrow cache footprint, feeds the
+    // hot-list aggregate, the anti-join, the star branch, and both
+    // self-join sides (slot lifecycle, see cachedAs)
+    val assigned =
+      if (assign <= 1)
+        ivfAssignPrepared(p0, cents).select(col("vec_id"), col("c_id"))
+      else
+        graft.functions.VecExprs.withNearestCentroids(p0.sparkSession, cents,
+          assign) { fn =>
+          p0.select(col("vec_id"), explode(call_function(fn, col("v"))).as("c_id"))
+        }
+    val raw = cachedAs("semanticDedup", assigned)
+    val (kept, hotStar) =
+      if (maxList == Long.MaxValue) (raw, None)
+      else {
+        val hot = raw.groupBy(col("c_id")).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxList).select("c_id")
+        val keep = raw.join(broadcast(hot), Seq("c_id"), "left_anti")
+        val members = raw.join(broadcast(hot), Seq("c_id"))
+        val star = members
+          .groupBy(col("c_id")).agg(min(col("vec_id")).as("a_id"))
+          .join(members, Seq("c_id"))
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("vec_id").as("b_id"))
+        (keep, Some(star))
+      }
+    val keptPairs = kept.as("a").join(kept.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    val cand0 = hotStar.fold(keptPairs)(keptPairs.unionByName(_))
+    // multi-assignment can meet the same pair in up to `assign`
+    // shared lists; single-assignment provably cannot duplicate
+    val cand = if (assign <= 1) cand0 else cand0.dropDuplicates("a_id", "b_id")
+    // exact verification on candidates only — same score spelling and
+    // 6 dp round as cosinePairs, so surviving pairs are bit-identical
+    cand
+      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(cosineFromParts(dot(col("a_v"), col("b_v")),
+          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED
     * PAIR count (queries × corpus — the actual nested-loop cost), not
     * the corpus size; a hundred queries over a huge corpus is a fine

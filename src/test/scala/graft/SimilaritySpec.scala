@@ -96,6 +96,53 @@ class SimilaritySpec extends SparkSpec {
     assert(zPairs.count() === 0L)
   }
 
+  test("D10 SemDeDup: within-cluster pairs exact-verified (precision 1), star cap safe") {
+    val real = Tables.embeddings(spark, sfDir)
+    val full = Similarity.cosinePairs(real, 0.45)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val sem = Similarity.semanticDedup(real, 0.45, nlist = 8)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    // candidates are exact-verified with the same rounded score:
+    // SemDeDup is a SUBSET of the quadratic ground truth, values and
+    // all — clustering only trades recall
+    assert(sem.subsetOf(full))
+    val recall = if (full.isEmpty) 1.0 else sem.size.toDouble / full.size
+    info(f"D10 recall vs exact, assign=1: $recall%.2f (${sem.size}/${full.size} pairs)")
+    // multi-assignment meets boundary-straddling pairs in the
+    // runner-up list: candidate sets only grow with `assign`, so
+    // recall is monotone in it — and it still subsets the truth
+    val sem2 = Similarity.semanticDedup(real, 0.45, nlist = 8, assign = 2)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(sem2.subsetOf(full))
+    assert(sem.subsetOf(sem2))
+    val recall2 = if (full.isEmpty) 1.0 else sem2.size.toDouble / full.size
+    info(f"D10 recall vs exact, assign=2: $recall2%.2f (${sem2.size}/${full.size} pairs)")
+    assert(recall2 > 0.3)
+    // fewer clusters can only grow each list → candidate sets, and so
+    // recall, are monotone in nlist↓ (nlist=1 is the full quadratic)
+    val sem1 = Similarity.semanticDedup(real, 0.45, nlist = 1)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(sem1 === full)
+    // maxList=1 makes every list hot → star candidates only; exact
+    // verification still holds (subset survives) and per-list output
+    // is O(size), not size²
+    val star = Similarity.semanticDedup(real, 0.45, nlist = 8, maxList = 1)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(star.subsetOf(full))
+    // a planted zero vector must surface in no pair (NaN cosine)
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    val zero = spark.range(1).select(lit(999999L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
+    val zPairs = Similarity.semanticDedup(real.unionByName(zero), 0.45)
+      .filter(col("vec_a") === 999999L || col("vec_b") === 999999L)
+    assert(zPairs.count() === 0L)
+  }
+
   test("ranking paths exclude zero-norm rows: no phantom NaN top hits") {
     val real = Tables.embeddings(spark, sfDir)
     val dim = real.select(size(col("embedding"))).as[Int].head()
