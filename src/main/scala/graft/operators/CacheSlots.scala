@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** One live cached frame per named slot: a repeat invocation (Bench's
+  * warmup+timed loop, any long-lived session) unpersists the previous
+  * call's cache instead of accumulating blocks until memory pressure.
+  * Unpersist only ever costs a recompute, never correctness.
+  *
+  * One instance per operator object (slots namespace per owner) — the
+  * shared class exists so the lifecycle is written once, not copied
+  * into every operator that materializes a signature/assignment
+  * table. */
+private[graft] final class CacheSlots {
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def apply(key: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = live.put(key, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    cached
+  }
+
+  /** Drop every cache this slot set holds (end-of-job cleanup). */
+  def release(): Unit = {
+    live.values.forEach(df => df.unpersist(false))
+    live.clear()
+  }
+}

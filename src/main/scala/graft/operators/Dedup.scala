@@ -20,25 +20,15 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Cached signature tables, one live slot per operator: a repeat
-    * invocation (Bench's warmup+timed loop, a long-lived session)
-    * unpersists the previous call's cache instead of accumulating
-    * blocks until memory pressure. Unpersist only ever costs a
-    * recompute, never correctness. */
-  private val liveCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Cached signature tables, one live slot per operator (shared
+    * [[CacheSlots]] lifecycle). */
+  private val liveCaches = new CacheSlots
 
-  private def cachedAs(key: String, df: DataFrame): DataFrame = {
-    val cached = df.cache()
-    val prev = liveCaches.put(key, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(false)
-    cached
-  }
+  private def cachedAs(key: String, df: DataFrame): DataFrame =
+    liveCaches(key, df)
 
   /** Drop every cache this object holds (end-of-job cleanup). */
-  def releaseCaches(): Unit = {
-    liveCaches.values.forEach(df => df.unpersist(false))
-    liveCaches.clear()
-  }
+  def releaseCaches(): Unit = liveCaches.release()
 
   /** D1: exact dedup — group by content hash, keep the lowest doc_id
     * (the canonical survivor), count members. Singleton groups kept so
@@ -280,15 +270,20 @@ object Dedup {
     val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
     val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // STATIC partition spec: the overwrite names its one partition
+    // up front, so only that batch's files are ever replaced — no
+    // dynamic-overwrite session conf to toggle (a set/restore racing
+    // a concurrent append could run the other insert in static mode
+    // over EVERY partition, truncating the whole signature table)
+    val view = s"graft_sig_append_${java.lang.Long.toHexString(ingestBatch)}" +
+      s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    g.createOrReplaceTempView(view)
     try
-      g.withColumn("ingest_batch", lit(ingestBatch))
-        .write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      spark.sql(
+        s"""INSERT OVERWRITE TABLE $table
+           |PARTITION (ingest_batch = ${ingestBatch}L)
+           |SELECT doc_id, n_grams, gh FROM $view""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** D2: MinHash + LSH candidate pairs (rows-only — banding is not
@@ -480,11 +475,7 @@ object Dedup {
         explode(gramHashes(col("text"))).as("gh")))
     val g =
       if (maxDf == Long.MaxValue) raw
-      else {
-        val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("gh")
-        raw.join(broadcast(hot), Seq("gh"), "left_anti")
-      }
+      else raw.join(broadcast(hotGrams(raw, maxDf)), Seq("gh"), "left_anti")
     val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
     corpus.join(broadcast(bench), Seq("gh"))
@@ -527,11 +518,7 @@ object Dedup {
         explode(gramHashes(col("text"))).as("gh")))
     val g =
       if (maxDf == Long.MaxValue) raw
-      else {
-        val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("gh")
-        raw.join(broadcast(hot), Seq("gh"), "left_anti")
-      }
+      else raw.join(broadcast(hotGrams(raw, maxDf)), Seq("gh"), "left_anti")
     val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
     // row count upper-bounds distinct grams — a slightly oversized
@@ -572,11 +559,7 @@ object Dedup {
       explode(gramHashes(col("text"))).as("gh"))
     val g =
       if (benchMaxDf == Long.MaxValue) g0
-      else {
-        val hot = g0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > benchMaxDf).select("gh")
-        g0.join(broadcast(hot), Seq("gh"), "left_anti")
-      }
+      else g0.join(broadcast(hotGrams(g0, benchMaxDf)), Seq("gh"), "left_anti")
     g.write.mode("overwrite").parquet(path)
     val written = spark.read.parquet(path)
     val expected = math.max(written.count(), 64L)

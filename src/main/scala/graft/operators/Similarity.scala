@@ -18,23 +18,15 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** One live cache slot per operator (same lifecycle as
-    * [[graft.operators.Dedup]]'s: a repeat invocation unpersists the
-    * previous call's blocks instead of accumulating them). */
-  private val liveCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** One live cache slot per operator (shared [[CacheSlots]]
+    * lifecycle, same as [[graft.operators.Dedup]]'s). */
+  private val liveCaches = new CacheSlots
 
-  private def cachedAs(key: String, df: DataFrame): DataFrame = {
-    val cached = df.cache()
-    val prev = liveCaches.put(key, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(false)
-    cached
-  }
+  private def cachedAs(key: String, df: DataFrame): DataFrame =
+    liveCaches(key, df)
 
   /** Drop every cache this object holds (end-of-job cleanup). */
-  def releaseCaches(): Unit = {
-    liveCaches.values.forEach(df => df.unpersist(false))
-    liveCaches.clear()
-  }
+  def releaseCaches(): Unit = liveCaches.release()
 
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
@@ -130,7 +122,10 @@ object Similarity {
       else {
         // count the RAW frame: counting p0 would force a full
         // embedding scan + per-row norms just to size the key space,
-        // and zero-norm rows are noise at log2 resolution
+        // and zero-norm rows are noise at log2 resolution. On a bare
+        // parquet table this is a footer-stats count; at 100 TB with
+        // upstream filters it is a real pass — pass `planes`
+        // explicitly there (the auto-size is a convenience default)
         val n = emb.count()
         math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
           math.max(1L, n / 256)))
@@ -574,7 +569,11 @@ object Similarity {
     * The swap is rename-based (write `lists_compacting`, move the old
     * dir away, move the new one in) — run it in a maintenance window,
     * not concurrently with serves or appends; a failed rename throws
-    * with both paths intact. */
+    * with both paths intact, and a crash BETWEEN the renames is
+    * healed on the next call: `lists/` missing next to a complete
+    * `lists_compacting/` (the rename order guarantees the tmp write
+    * finished) resumes the swap forward; missing next to only
+    * `lists_old/` rolls back. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -582,6 +581,19 @@ object Similarity {
     val tmp = new Path(s"$path/lists_compacting")
     val old = new Path(s"$path/lists_old")
     val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery from a previous compaction that died mid-swap
+    if (!fs.exists(lists)) {
+      if (fs.exists(tmp)) {
+        // the old lists were already moved away, the compacted dir is
+        // complete (tmp is only ever renamed-from AFTER its write
+        // finished) — finish the swap
+        require(fs.rename(tmp, lists), s"recovery rename $tmp -> $lists failed")
+        if (fs.exists(old)) require(fs.delete(old, true),
+          s"recovered but could not delete $old")
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, lists), s"recovery rename $old -> $lists failed")
+      }
+    }
     // repartition on the list id: one shuffle sized by nlist, one
     // output file per list — the ideal serve layout
     spark.read.parquet(lists.toString)
@@ -689,7 +701,11 @@ object Similarity {
     val cents = readCentroids(spark, path)
     val codebook = spark.read.parquet(s"$path/codebook")
     val m = codebook.agg(max(col("j"))).as[Int].head() + 1
-    val q0 = preparedQueries(queries)
+    // zero-norm queries out BEFORE probing (as in ivfTopKFromIndex):
+    // a zero query has no defined ranking, and its degenerate probe
+    // rows would inflate probedIds — reading list partitions no real
+    // query needs, defeating the partition pruning
+    val q0 = preparedQueries(queries).filter(col("n2") > 0)
     val qu = unitFrame(q0)
     val probes = probeList(q0, lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq

@@ -459,6 +459,21 @@ class SimilaritySpec extends SparkSpec {
     val after = Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 4)
       .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
     assert(after === before)
+    // crash recovery: a compaction that died BETWEEN the two renames
+    // (lists/ already moved to lists_old/, the complete compacted dir
+    // still at lists_compacting/) is healed by the next call — swap
+    // finished forward, leftovers cleared, serves still identical
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    spark.read.parquet(s"$path/lists")
+      .write.partitionBy("c_id", "ingest_batch").parquet(s"$path/lists_compacting")
+    require(fs.rename(p("lists"), p("lists_old")))
+    Similarity.compactIvfIndex(spark, path)
+    assert(!fs.exists(p("lists_old")) && !fs.exists(p("lists_compacting")))
+    val healed = Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(healed === before)
   }
 
   test("IVFPQ index append: stored-codebook codes stay comparable — twins at rank 1") {
