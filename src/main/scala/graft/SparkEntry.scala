@@ -361,6 +361,12 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
 
+    "text_pii_redact" -> ((s, d) =>
+      TextAnalysis.piiRedact(docs(s, d))
+        .select(col("doc_id"), col("n_emails").cast("bigint").as("n_emails"),
+          col("n_ips").cast("bigint").as("n_ips"),
+          col("n_phones").cast("bigint").as("n_phones"), col("text_clean"))),
+
     "text_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))),
 
     "text_top_tokens" -> ((s, d) => Corpus.topTokens(docs(s, d), "lang", 10)),
@@ -1037,6 +1043,32 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // same three STAGED pattern passes as piiRedact (each stage counts
+    // and redacts the previous stage's output); DuckDB's RE2 and
+    // Spark's Java regex agree on these conservative ASCII patterns
+    "text_pii_redact" ->
+      s"""WITH s1 AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text,
+         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         |         regexp_replace(text,
+         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |           '[EMAIL]', 'g') AS t1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |         len(regexp_extract_all(t1,
+         |           '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips,
+         |         regexp_replace(t1, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+         |           '[IP]', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id, n_emails, n_ips,
+         |       len(regexp_extract_all(t2,
+         |         '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS n_phones,
+         |       regexp_replace(t2, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+         |         '[PHONE]', 'g') AS text_clean
+         |FROM s2""".stripMargin,
 
     "q18_large_orders" ->
       s"""WITH big AS (

@@ -102,6 +102,41 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
 
+  /** Conservative ASCII PII patterns shared by [[piiRedact]] and its
+    * oracle. Deliberately restricted to syntax Java regex and RE2
+    * (DuckDB) match identically — no lookaround, no backreferences,
+    * greedy quantifiers over disjoint character classes. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** F11: PII detection + redaction — the hygiene stage every
+    * training-data pipeline runs before text reaches storage (C4 and
+    * Dolma both ship one): per document, count and mask emails, IPv4
+    * addresses, and phone-shaped digit runs. STAGED semantics — each
+    * pattern counts and redacts the PREVIOUS stage's output (emails →
+    * IPs → phones, most-specific first), so one span is never
+    * double-counted by a later, looser pattern; the oracle spells the
+    * same three stages. Pure per-row regexp expression work: no
+    * shuffle, fused into the scan by codegen, exactly like the rest
+    * of the F-block. The patterns are deliberately conservative
+    * (precision over recall — a redaction pass must not shred clean
+    * text); swap in stricter ones per deployment policy. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), emailPattern, "[EMAIL]")
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))))
+      .withColumn("t1", t1)
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("t1"), lit(ipv4Pattern), lit(0))))
+      .withColumn("t2", regexp_replace(col("t1"), ipv4Pattern, "[IP]"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("t2"), lit(phonePattern), lit(0))))
+      .withColumn("text_clean", regexp_replace(col("t2"), phonePattern, "[PHONE]"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+  }
+
   /** F10: compression-ratio quality signal (rows-only) — deflate size
     * over raw size per document: highly repetitive/boilerplate text
     * compresses far below prose, making this the cheap complement to

@@ -62,6 +62,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("F11 piiRedact: planted PII counted and masked, clean text untouched") {
+    val docs = Seq(
+      (1L, "mail a.b@c.com or x@y.org, ip 10.0.0.1, call +1 (555) 123-4567 now"),
+      (2L, "perfectly clean prose with no identifiers at all"),
+      // an @ with no alpha TLD is NOT an email; the dotted quad inside
+      // still redacts as an IP (staged most-specific-first semantics)
+      (3L, "ping root@10.0.0.2 twice")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs)
+      .orderBy("doc_id")
+      .select("n_emails", "n_ips", "n_phones", "text_clean")
+      .as[(Int, Int, Int, String)].collect()
+    assert(out(0) === ((2, 1, 1,
+      "mail [EMAIL] or [EMAIL], ip [IP], call [PHONE] now")))
+    assert(out(1) === ((0, 0, 0,
+      "perfectly clean prose with no identifiers at all")))
+    assert(out(2) === ((0, 1, 0, "ping root@[IP] twice")))
+  }
+
   test("F10 compressionRatio: repetitive text compresses below varied text, deterministic") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
