@@ -969,10 +969,12 @@ object SparkEntry {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |         list_dot_product(CAST(embedding AS DOUBLE[]),
          |                          CAST(embedding AS DOUBLE[])) AS n2
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[])) > 0),
          |cent AS (
          |  SELECT vec_id AS c_id, v AS c_v, n2 AS c_n2 FROM n
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |assigned AS (
          |  SELECT cid AS c_id, v FROM (
          |    SELECT a.v, c.c_id AS cid,

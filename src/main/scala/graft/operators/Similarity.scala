@@ -47,6 +47,14 @@ object Similarity {
   private def preparedNonZero(emb: DataFrame): DataFrame =
     prepared(emb).filter(col("n2") > 0)
 
+  /** Squared L2 between a subvector and a codebook entry for the
+    * ADC lookup tables: ‖a‖² + ‖b‖² − 2·a·b — the SAME accumulator
+    * order as [[graft.functions.VecExprs.PqEncode]], so LUT distances
+    * are bit-identical to the encode side everywhere it is spelled
+    * (in-memory pqCore, index serve, residual serve). */
+  private def subDist(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
   private def cosTo(a: String, b: String): Column =
     cosineFromParts(dot(col(s"$a.v"), col(s"$b.v")), col(s"$a.n2"), col(s"$b.n2"))
 
@@ -74,6 +82,54 @@ object Similarity {
       s"$op is the O(n²) exactness baseline and got n=$n rows " +
         s"(ceiling ${quadraticRowCeiling}); use $scalePath at this scale")
   }
+
+  /** Hot-key star-collapse candidate generation shared by the
+    * bucketed pair flavors ([[cosinePairsLsh]], [[semanticDedup]]):
+    * keys whose group exceeds `maxKey` collapse to a star around the
+    * min member (per-key output O(size), not size² — connectivity
+    * survives for D8's transitive clustering); kept keys self-join
+    * for the full within-key pairs. `raw` is (vec_id, keys…);
+    * output (a_id, b_id) has a_id < b_id by construction on both
+    * branches (the star hub IS the min member). */
+  private def bucketedCandidates(raw: DataFrame, keys: Seq[String],
+                                 maxKey: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val (buckets, hotStar) =
+      if (maxKey == Long.MaxValue) (raw, None)
+      else {
+        val hot = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxKey).select(keys.head, keys.tail: _*)
+        val kept = raw.join(broadcast(hot), keys, "left_anti")
+        val members = raw.join(broadcast(hot), keys)
+        val star = members
+          .groupBy(keyCols: _*).agg(min(col("vec_id")).as("a_id"))
+          .join(members, keys)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("vec_id").as("b_id"))
+        (kept, Some(star))
+      }
+    val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.vec_id") < col("b.vec_id")
+    val keptPairs = buckets.as("a").join(buckets.as("b"), joinCond)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    hotStar.fold(keptPairs)(keptPairs.unionByName(_))
+  }
+
+  /** Exact cosine verification of an (a_id, b_id) candidate list —
+    * the same score spelling and 6 dp round as [[cosinePairs]], so
+    * surviving pairs are bit-identical to the quadratic ground truth
+    * (the subset property both pair specs assert). */
+  private def verifyPairs(p0: DataFrame, cand: DataFrame,
+                          tau: Double): DataFrame =
+    cand
+      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(cosineFromParts(dot(col("a_v"), col("b_v")),
+          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
 
   /** D5: all pairs with cosine ≥ tau (rounded at 6 dp before the
     * threshold — see SURVEY §5). Self-join candidate generation is
@@ -139,38 +195,12 @@ object Similarity {
         posexplode(array((0 until tables).map(t =>
           call_function("graft_hyperplane_t", col("v"), lit(nPlanes), lit(t))): _*))
           .as(Seq("t", "bucket"))))
-    val (buckets, hotStar) =
-      if (maxBucket == Long.MaxValue) (raw, None)
-      else {
-        val hot = raw.groupBy(col("t"), col("bucket"))
-          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
-          .select("t", "bucket")
-        val kept = raw.join(broadcast(hot), Seq("t", "bucket"), "left_anti")
-        val members = raw.join(broadcast(hot), Seq("t", "bucket"))
-        val star = members
-          .groupBy(col("t"), col("bucket")).agg(min(col("vec_id")).as("a_id"))
-          .join(members, Seq("t", "bucket"))
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("vec_id").as("b_id"))
-        (kept, Some(star))
-      }
-    val keptPairs = buckets.as("a").join(buckets.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    val cand = hotStar.fold(keptPairs)(keptPairs.unionByName(_))
-      .dropDuplicates("a_id", "b_id")
-    // exact verification on candidates only — same score spelling and
-    // 6 dp round as cosinePairs, so surviving pairs are bit-identical
-    cand
-      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
-        col("n2").as("a_n2")), Seq("a_id"))
-      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-        col("n2").as("b_n2")), Seq("b_id"))
-      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
-        round(cosineFromParts(dot(col("a_v"), col("b_v")),
-          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= tau)
+    // multi-table candidates repeat across tables — dedup before the
+    // verification joins
+    verifyPairs(p0,
+      bucketedCandidates(raw, Seq("t", "bucket"), maxBucket)
+        .dropDuplicates("a_id", "b_id"),
+      tau)
   }
 
   /** D10: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
@@ -199,13 +229,25 @@ object Similarity {
     * cluster boundary still meets in the runner-up list — candidate
     * volume grows ×assign, recall is monotone in it, and assign=1 is
     * the paper's exact shape (where no distinct is needed: one list
-    * per vector means a pair can only be generated once). */
-  def semanticDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
+    * per vector means a pair can only be generated once).
+    *
+    * `nlist = 0` (the default) auto-sizes from the corpus count so
+    * mean list occupancy stays ~4096 — a FIXED nlist is the same
+    * scale trap cosinePairsLsh's planes doc calls out: 16 lists over
+    * 10M rows push EVERY list past `maxList` by pigeonhole, and the
+    * operator would silently degrade to hub-spoke stars (recall
+    * collapse that looks healthy — precision stays 1.0). The count is
+    * footer-cheap on a bare table; pass `nlist` explicitly when the
+    * input carries filters at scale. */
+  def semanticDedup(emb: DataFrame, tau: Double, nlist: Int = 0,
                     trainIters: Int = 5, maxList: Long = 1L << 16,
                     assign: Int = 1): DataFrame = {
     require(assign >= 1, s"assign=$assign must be at least 1")
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, ((emb.count() - 1L) / 4096L).toInt + 1)
     val p0 = preparedNonZero(emb)
-    val cents0 = collectCentroids(p0, nlist)
+    val cents0 = collectCentroids(p0, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
     // ids-only assignment table: narrow cache footprint, feeds the
@@ -220,38 +262,11 @@ object Similarity {
           p0.select(col("vec_id"), explode(call_function(fn, col("v"))).as("c_id"))
         }
     val raw = cachedAs("semanticDedup", assigned)
-    val (kept, hotStar) =
-      if (maxList == Long.MaxValue) (raw, None)
-      else {
-        val hot = raw.groupBy(col("c_id")).agg(count(lit(1)).as("sz"))
-          .filter(col("sz") > maxList).select("c_id")
-        val keep = raw.join(broadcast(hot), Seq("c_id"), "left_anti")
-        val members = raw.join(broadcast(hot), Seq("c_id"))
-        val star = members
-          .groupBy(col("c_id")).agg(min(col("vec_id")).as("a_id"))
-          .join(members, Seq("c_id"))
-          .filter(col("vec_id") =!= col("a_id"))
-          .select(col("a_id"), col("vec_id").as("b_id"))
-        (keep, Some(star))
-      }
-    val keptPairs = kept.as("a").join(kept.as("b"),
-        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    val cand0 = hotStar.fold(keptPairs)(keptPairs.unionByName(_))
+    val cand0 = bucketedCandidates(raw, Seq("c_id"), maxList)
     // multi-assignment can meet the same pair in up to `assign`
     // shared lists; single-assignment provably cannot duplicate
     val cand = if (assign <= 1) cand0 else cand0.dropDuplicates("a_id", "b_id")
-    // exact verification on candidates only — same score spelling and
-    // 6 dp round as cosinePairs, so surviving pairs are bit-identical
-    cand
-      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
-        col("n2").as("a_n2")), Seq("a_id"))
-      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-        col("n2").as("b_n2")), Seq("b_id"))
-      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
-        round(cosineFromParts(dot(col("a_v"), col("b_v")),
-          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= tau)
+    verifyPairs(p0, cand, tau)
   }
 
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED
@@ -268,7 +283,10 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val n = emb.count()
     val nQ = emb.filter(isQuery).count()
-    require(nQ * n <= pairCeiling,
+    // divide, never multiply: nQ * n overflows Long at exactly the
+    // scale the guard exists to stop, and a wrapped negative product
+    // would pass the ceiling check
+    require(nQ == 0L || n <= pairCeiling / nQ,
       s"bruteForceTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
         "use Similarity.lshTopK (E2) / ivfTopK (E3) at this scale")
     // zero-norm rows out: NaN cosine would rank FIRST in the desc sort
@@ -308,8 +326,14 @@ object Similarity {
     * price of the zero-shuffle assignment below. Unit-normalizing
     * here lets the assignment rank by raw dot (≡ cosine). */
   private def collectCentroids(p: DataFrame, nlist: Int): Array[Array[Double]] =
-    normalizeRows(p.withColumn("hsel", xxhash64(col("vec_id")))
-      .orderBy(col("hsel")).limit(nlist)
+    // n2 > 0: a zero vector sampled as a seed would survive
+    // normalizeRows unchanged (all-zero centroid, dot 0 with
+    // everything — a junk list distorting assignment and probing).
+    // vec_id tie-break: an xxhash64 collision straddling the limit
+    // cutoff must not make the "deterministic sample" plan-dependent.
+    normalizeRows(p.filter(col("n2") > 0)
+      .withColumn("hsel", xxhash64(col("vec_id")))
+      .orderBy(col("hsel"), col("vec_id")).limit(nlist)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray))
 
@@ -655,10 +679,7 @@ object Similarity {
                       nlist: Int = 16, m: Int = 8, ks: Int = 16,
                       trainIters: Int = 5): Unit = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % m == 0,
-      s"dim=$dim must be a positive multiple of m=$m")
+    val dim = pqDim(emb, m)
     val p = prepared(emb)
     val cents0 = collectCentroids(p, nlist)
     val cents = if (trainIters > 0)
@@ -719,8 +740,7 @@ object Similarity {
         j => slice(col("u"), j * subLen + 1, subLen))).as(Seq("j", "sub")))
     val lut = qSubs.join(broadcast(codebook), Seq("j"))
       .select(col("vec_id").as("q_id"), col("j"), col("c_idx").as("code"),
-        (dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
+        subDist(col("sub"), col("c_sub")).as("pd"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val shortlist = lists.join(broadcast(probes.select("q_id", "c_id")), Seq("c_id"))
       .filter(if (selfExclude) col("q_id") =!= col("vec_id") else lit(true))
@@ -793,10 +813,16 @@ object Similarity {
     * like [[graft.operators.Dedup.clusters]].
     */
   def centroidUpdate(emb: DataFrame, nlist: Int = 16): DataFrame = {
-    val p = prepared(emb)
+    // n2 > 0 on BOTH roles (the file's zero-norm doctrine): a zero
+    // seed's 0/0 cosine is NaN against every vector, and NaN ordering
+    // LARGEST would hand that one centroid the whole corpus; a zero
+    // member would likewise assign by NaN. vec_id tie-break on the
+    // seed sample keeps it deterministic under an md5 collision at
+    // the cutoff (both mirrored in the oracle SQL).
+    val p = preparedNonZero(emb)
     val centroids = p
       .withColumn("hsel", md5(col("vec_id").cast("string")))
-      .orderBy(col("hsel")).limit(nlist)
+      .orderBy(col("hsel"), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("n2").as("c_n2"))
     // max_by ordering (c_sim, −c_id) ≡ ORDER BY c_sim DESC, c_id ASC:
     // struct comparison is lexicographic, NaN orders largest in both
@@ -851,7 +877,8 @@ object Similarity {
     // composition with E3's list probing)
     val n = emb.count()
     val nQ = emb.filter(isQuery).count()
-    require(nQ * n <= pairCeiling,
+    // divide, never multiply (overflow fails the guard open — see E1)
+    require(nQ == 0L || n <= pairCeiling / nQ,
       s"pqTopK would ADC-score $nQ × $n pairs (ceiling $pairCeiling); " +
         "use ivfpqTopK (E6) at this scale")
     pqCore(emb, isQuery, k, m, ks, rerank, trainIters, candidates = None)
@@ -875,7 +902,10 @@ object Similarity {
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     val assigned = ivfAssignPrepared(p, cents)
       .select(col("vec_id"), col("c_id"))
-    val probes = probeList(p, isQuery, cents, nprobe)
+    // zero-norm queries out BEFORE probing (as the index serve paths
+    // do): their degenerate probes would fan candidate x m code rows
+    // into the ADC join just to be dropped at the LUT lookup
+    val probes = probeList(p.filter(col("n2") > 0), isQuery, cents, nprobe)
       .select(col("q_id"), col("c_id"))
     val candidates = assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -913,10 +943,7 @@ object Similarity {
                         m: Int = 8, ks: Int = 16, rerank: Int = 8,
                         trainIters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % m == 0,
-      s"dim=$dim must be a positive multiple of m=$m")
+    val dim = pqDim(emb, m)
     val p0 = prepared(emb)
     val cents0 = collectCentroids(p0, nlist)
     val cents = if (trainIters > 0)
@@ -940,7 +967,8 @@ object Similarity {
     import spark.implicits._
     val codebook = (for { j <- 0 until m; c <- cbMat(j).indices }
       yield (c, j, cbMat(j)(c).toSeq)).toDF("code", "j", "c_sub")
-    val probes = probeList(p0, isQuery, cents, nprobe)
+    // zero-norm queries out before probing (see ivfpqTopK)
+    val probes = probeList(p0.filter(col("n2") > 0), isQuery, cents, nprobe)
       .select(col("q_id"), col("c_id"))
     // query residual PER PROBED LIST (nq × nprobe rows); unit queries
     // come straight off the filtered scan, not a join back into p
@@ -959,8 +987,7 @@ object Similarity {
           j => slice(col("qr"), j * subLen + 1, subLen))).as(Seq("j", "sub")))
       .join(broadcast(codebook), Seq("j"))
       .select(col("q_id"), col("c_id"), col("j"), col("code"),
-        (dot(col("sub"), col("sub")) + dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("sub"), col("c_sub"))).as("pd"))
+        subDist(col("sub"), col("c_sub")).as("pd"))
     // each corpus vector sits in exactly one list, so (q_id, vec_id)
     // is unique across candidates — the adc sum never double-counts
     val candidates = assigned.join(broadcast(probes), Seq("c_id"))
@@ -993,7 +1020,7 @@ object Similarity {
   private def pqCodebookMat(p: DataFrame, m: Int, ks: Int,
                             subLenI: Int): Array[Array[Array[Double]]] = {
     val rows = p.withColumn("hsel", xxhash64(col("vec_id")))
-      .orderBy(col("hsel")).limit(ks)
+      .orderBy(col("hsel"), col("vec_id")).limit(ks) // tie-break as in collectCentroids
       .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
     Array.tabulate(m)(j => rows.map(_.slice(j * subLenI, (j + 1) * subLenI)))
   }
@@ -1074,14 +1101,23 @@ object Similarity {
     cb
   }
 
+  /** Embedding width probed from one row, with the standard PQ
+    * precondition checked once: `dim % m == 0` (a remainder would
+    * silently drop trailing dims). */
+  private def pqDim(emb: DataFrame, m: Int): Int = {
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m (the standard PQ " +
+        "precondition — a remainder would silently drop trailing dims)")
+    dim
+  }
+
   /** The PQ index-BUILD step alone — corpus codes (vec_id, j, code) —
     * exposed as the deploy-time "write the compressed index" job and
     * for plan audits (its physical plan has no Exchange at all). */
   def pqCodes(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % m == 0,
-      s"dim=$dim must be a positive multiple of m=$m")
+    val dim = pqDim(emb, m)
     val p = unitFrame(prepared(emb))
     encodeCodes(p, pqCodebookMat(p, m, ks, dim / m))
   }
@@ -1093,11 +1129,7 @@ object Similarity {
   private def pqCore(emb: DataFrame, isQuery: Column, k: Int,
                      m: Int, ks: Int, rerank: Int, trainIters: Int,
                      candidates: Option[DataFrame]): DataFrame = {
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % m == 0,
-      s"dim=$dim must be a positive multiple of m=$m (the standard PQ " +
-        "precondition — a remainder would silently drop trailing dims)")
+    val dim = pqDim(emb, m)
     val p0 = prepared(emb)
     val p = unitFrame(p0)
     val spark = emb.sparkSession
@@ -1112,12 +1144,6 @@ object Similarity {
     import spark.implicits._
     val codebook = (for { j <- 0 until m; c <- cbMat(j).indices }
       yield (c, j, cbMat(j)(c).toSeq)).toDF("c_idx", "j", "c_sub")
-    // squared L2 between a subvector and a codebook entry, for the
-    // query-side LUT — dot(a,a) + dot(b,b) − 2·dot(a,b), the SAME op
-    // order as the encode expression's accumulators (bit-identical
-    // distances on both sides of the ADC)
-    def subDist(a: Column, b: Column): Column =
-      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
     val codes = encodeCodes(p, cbMat)
     // per-query asymmetric lookup table: exact subvector→centroid dists
     val qIds = p0.filter(isQuery).select(col("vec_id"))
