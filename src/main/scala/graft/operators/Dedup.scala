@@ -47,6 +47,27 @@ object Dedup {
   private def gramHashes(text: Column): Column =
     call_function("graft_grams3h", tokens(text))
 
+  /** The exploded signature input every Jaccard flavor shares:
+    * `(doc_id, n_grams, gh)` — one spelling so every flavor lives in
+    * the same gram space as the signature tables it joins against. */
+  private def explodedGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).as("n_grams"),
+        explode(col("ghs")).as("gh"))
+
+  /** The shared Jaccard finalize: intersection counts grouped per
+    * pair → |A∩B| / (|A|+|B|−|A∩B|) ≥ tau. One spelling so the
+    * in-memory, bucketed-table, and incremental flavors can never
+    * diverge on threshold semantics. */
+  private def jaccardFinalize(joined: DataFrame, tau: Double): DataFrame =
+    joined
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_grams")).as("n_a"), first(col("b.n_grams")).as("n_b"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+
   /** Gram document frequency — how many documents contain each 3-gram
     * hash. The tuning probe for [[ngramJaccard]]'s `maxDf` cap (pick a
     * threshold off this distribution's tail before a 100 TB run). One
@@ -112,9 +133,7 @@ object Dedup {
     // the-signature-table step of every dedup pipeline. The raw table
     // is cached FIRST so the cap's df aggregate and anti-join don't
     // re-shingle, then the capped result is cached for the self-join.
-    val raw = cachedAs("ngramJaccard_raw",
-      docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-        .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
+    val raw = cachedAs("ngramJaccard_raw", explodedGrams(docs))
     val g = cachedAs("ngramJaccard", capGramDf(raw, maxDf))
     jaccardOverGrams(g, tau)
   }
@@ -134,9 +153,7 @@ object Dedup {
     // reads its input twice — uncached, the batch re-tokenizes and
     // re-shingles once per branch, every micro-batch), then the capped
     // table for the candidate self-join's two sides
-    val raw = cachedAs("ngramJaccardHot_raw",
-      docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-        .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh")))
+    val raw = cachedAs("ngramJaccardHot_raw", explodedGrams(docs))
     val g = cachedAs("ngramJaccardHot", dropHotAndResize(raw, hot))
     jaccardOverGrams(g, tau)
   }
@@ -145,17 +162,9 @@ object Dedup {
     * `(doc_id, n_grams, gh)` — shared by the cached in-memory flow
     * (ngramJaccard) and the bucketed materialized flow
     * ([[ngramJaccardFromTable]]). */
-  private def jaccardOverGrams(g: DataFrame, tau: Double): DataFrame = {
-    val inter = g.as("a").join(g.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n_grams")).as("n_a"), first(col("b.n_grams")).as("n_b"))
-    inter
-      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
-  }
+  private def jaccardOverGrams(g: DataFrame, tau: Double): DataFrame =
+    jaccardFinalize(g.as("a").join(g.as("b"),
+      col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id")), tau)
 
   /** Materialize the exploded gram table BUCKETED on the gram hash —
     * the deploy-time version of ngramJaccard's cache. At 100 TB the
@@ -174,8 +183,7 @@ object Dedup {
                           buckets: Int = 64,
                           maxDf: Long = Long.MaxValue): Unit = {
     graft.functions.VecExprs.register(docs.sparkSession)
-    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    val raw = explodedGrams(docs)
     // partitioned by ingest batch (base = −1) AND bucketed on the gram
     // hash: partitioning gives appendToSignatureTable its per-batch
     // replay idempotence (dynamic overwrite of one batch partition),
@@ -231,19 +239,14 @@ object Dedup {
                          tau: Double,
                          hotTable: Option[String] = None): DataFrame = {
     graft.functions.VecExprs.register(spark)
-    val newRaw = newDocs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    // cachedAs(): dropHotAndResize reads its input twice — uncached,
+    // every micro-batch would re-tokenize and re-shingle the batch
+    // once per branch (the ngramJaccardWithHotList rationale)
+    val newRaw = cachedAs("incrementalJaccard_raw", explodedGrams(newDocs))
     val newG = hotTable.fold(newRaw)(h => dropHotAndResize(newRaw, spark.table(h)))
-    val inter = spark.table(table).hint("merge").as("a")
+    jaccardFinalize(spark.table(table).hint("merge").as("a")
       .join(newG.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n_grams")).as("n_a"), first(col("b.n_grams")).as("n_b"))
-    inter
-      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id")), tau)
   }
 
   /** Append a document batch's grams to the materialized signature
@@ -265,10 +268,14 @@ object Dedup {
   def appendToSignatureTable(docs: DataFrame, table: String,
                              ingestBatch: Long,
                              hotTable: Option[String] = None): Unit = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the signature)")
     val spark = docs.sparkSession
     graft.functions.VecExprs.register(spark)
-    val raw = docs.select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
+    // cachedAs(): dropHotAndResize reads its input twice (see
+    // incrementalJaccard — same per-micro-batch cost otherwise)
+    val raw = cachedAs("appendSignature_raw", explodedGrams(docs))
     val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
     // STATIC partition spec: the overwrite names its one partition
     // up front, so only that batch's files are ever replaced — no
@@ -290,13 +297,14 @@ object Dedup {
     * SQL-expressible for the DuckDB oracle; verified by spec against
     * the exact-Jaccard ground truth instead).
     *
-    * k minhashes h_i = min over shingles of xxhash64(i, gram); bands of
-    * r consecutive slots combine into a bucket via an order-insensitive
-    * XOR of xxhash64(i, minh_i) (each slot's value is already bound to
-    * its index i, so commutative XOR is a safe combiner — no
-    * collect_list ordering hazard, and unlike a sum it cannot hit the
-    * ANSI long-overflow check). Pairs sharing any (band, bucket)
-    * are candidates. The self-join is an equi-join on the bucket: at
+    * k minhashes h_i = min over shingles of xxhash64(i, gram),
+    * computed whole-signature-per-row by the codegen'd
+    * `graft_minhash32` expression (no explode/groupBy, so no
+    * collect_list ordering hazard exists in the first place); each
+    * band's bucket is xxhash64(band, slice(sig)) over its r
+    * consecutive slots — the slice order is the fixed signature
+    * order, deterministic by construction. Pairs sharing any
+    * (band, bucket) are candidates. The self-join is an equi-join on the bucket: at
     * 100 TB the shuffle key is the band bucket and true near-dups
     * concentrate in small buckets.
     *
@@ -376,8 +384,13 @@ object Dedup {
     // Majority-bit simhash over the token-hash multiset, one codegen'd
     // pass per row (the HOF spelling — aggregate over 64 filter()s —
     // is CodegenFallback and allocates 64 arrays per doc).
+    // size(hs) > 0: token-less docs (CJK/punctuation-only under this
+    // tokenizer) would all hash to simhash 0 and report each other as
+    // hamming-0 duplicates — N unrelated docs, N²/2 spurious pairs in
+    // one bucket (the minhashLsh guard, applied here too)
     val withSim = docs
       .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
+      .filter(size(col("hs")) > 0)
       .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select(col("doc_id"), col("simhash"))
     // bands+1 boundaries over [0, 64); widths differ by ≤1 bit when
@@ -396,8 +409,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: only survivors shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** D5: embedding near-dup pairs — cosine ≥ tau over the `embeddings`
@@ -438,11 +451,25 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  /** Keep-one view over any pair list: survivors are docs never named
-    * as the larger id of a duplicate pair (min-id canonicalization). */
+  /** Keep-one view over any pair list: survivors are docs never
+    * named on the `doc_b` side of a pair. For the a<b-ordered pair
+    * lists (D2–D5, D10) that IS min-id canonicalization; for
+    * [[incrementalJaccard]] pairs (doc_a = corpus, doc_b = arrival,
+    * regardless of id order) it is keep-the-corpus-copy. Don't mix
+    * the two policies in one survivors call — canonicalize the pair
+    * list first if uniting them. */
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** The shared decontamination finalize: joined gram hits grouped
+    * per (corpus doc, bench doc), kept at ≥ minShared — one spelling
+    * for all three flavors (broadcast, Bloom, frozen-signature) whose
+    * row-identity the specs assert. */
+  private def sharedGramsAtLeast(joined: DataFrame, minShared: Int): DataFrame =
+    joined.groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
 
   /** D9: benchmark decontamination — the train/eval hygiene pass every
     * LLM data pipeline runs before training: flag corpus documents
@@ -470,18 +497,19 @@ object Dedup {
     // cachedAs(): both filter branches read the exploded gram table —
     // uncached, each branch would re-scan and re-shingle the corpus
     // (the same both-branches pattern as ngramJaccard)
+    // coalesce(flag, false): a NULL benchmark flag must mean "corpus
+    // doc, check it" — under three-valued logic a null would fail
+    // BOTH filters below and the doc would silently skip
+    // decontamination (a false negative in a hygiene pass)
     val raw = cachedAs("contamination",
-      docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+      docs.select(col("doc_id"), coalesce(isBenchmark, lit(false)).as("is_bench"),
         explode(gramHashes(col("text"))).as("gh")))
     val g =
       if (maxDf == Long.MaxValue) raw
       else raw.join(broadcast(hotGrams(raw, maxDf)), Seq("gh"), "left_anti")
     val bench = g.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
-    corpus.join(broadcast(bench), Seq("gh"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
+    sharedGramsAtLeast(corpus.join(broadcast(bench), Seq("gh")), minShared)
   }
 
   /** D9 at benchmark-suite scale: [[contamination]] with a Bloom-filter
@@ -514,8 +542,8 @@ object Dedup {
     val spark = docs.sparkSession
     graft.functions.VecExprs.register(spark)
     val raw = cachedAs("contamination_bloom",
-      docs.select(col("doc_id"), isBenchmark.as("is_bench"),
-        explode(gramHashes(col("text"))).as("gh")))
+      docs.select(col("doc_id"), coalesce(isBenchmark, lit(false)).as("is_bench"),
+        explode(gramHashes(col("text"))).as("gh")))  // null flag = corpus (see contamination)
     val g =
       if (maxDf == Long.MaxValue) raw
       else raw.join(broadcast(hotGrams(raw, maxDf)), Seq("gh"), "left_anti")
@@ -534,10 +562,7 @@ object Dedup {
     }
     // exact re-check of the pre-filter's survivors; deliberately NOT
     // broadcast — the premise is that the bench side doesn't fit
-    pre.join(bench, Seq("gh"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
+    sharedGramsAtLeast(pre.join(bench, Seq("gh")), minShared)
   }
 
   /** Build-once benchmark signature for arrival-time decontamination:
@@ -585,10 +610,8 @@ object Dedup {
     val pre = graft.functions.VecExprs.withBloomContains(spark, sketch) { fn =>
       grams.filter(expr(s"$fn(gh)"))
     }
-    pre.join(spark.read.parquet(benchPath), Seq("gh"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
+    sharedGramsAtLeast(pre.join(spark.read.parquet(benchPath), Seq("gh")),
+      minShared)
   }
 
   /** D8: duplicate clustering — connected components over a candidate
@@ -672,6 +695,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // the final labels checkpoint is self-contained (truncated
+    // lineage) — the edge list's blocks are dead weight from here on;
+    // labels itself must stay pinned (the returned plan reads it)
+    edges.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — component " +

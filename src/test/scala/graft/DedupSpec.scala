@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
   }
 
+  test("D4 token-less docs never pair: no hamming-0 quadratic on simhash 0") {
+    // punctuation/CJK-only docs tokenize to nothing under this
+    // tokenizer — without the guard they would all share simhash 0
+    // and report each other as exact duplicates
+    val planted = docs.unionByName(Seq(
+      (100L, "!!! ???"), (101L, "——— …"),
+      (102L, "¿¡ §§")).toDF("doc_id", "text"))
+    val out = Dedup.simhashPairs(planted, maxHamming = 3)
+      .filter(col("doc_a") >= 100L || col("doc_b") >= 100L)
+    assert(out.count() === 0L)
+  }
+
   test("D4 banding derived from maxHamming: candidates ⊇ exhaustive pairs at any bound") {
     import graft.functions.TextFunctions.tokens
     graft.functions.VecExprs.register(spark)
