@@ -234,19 +234,65 @@ object Dedup {
     * otherwise a boilerplate gram the table dropped would silently
     * deflate the batch side's Jaccard.
     */
+  /** `excludeIngestBatch`: drop that `ingest_batch` partition from
+    * the corpus side (partition-pruned). The streaming flow passes
+    * its CURRENT batch id: under crash-replay the batch's own grams
+    * are already in the table, and without the exclusion every
+    * within-batch duplicate pair would come back tripled — once from
+    * the within-batch join and twice (both orderings, the join is
+    * =!= not <) from the table side. */
   def incrementalJaccard(spark: org.apache.spark.sql.SparkSession,
                          table: String, newDocs: DataFrame,
                          tau: Double,
-                         hotTable: Option[String] = None): DataFrame = {
+                         hotTable: Option[String] = None,
+                         excludeIngestBatch: Option[Long] = None): DataFrame = {
     graft.functions.VecExprs.register(spark)
     // cachedAs(): dropHotAndResize reads its input twice — uncached,
     // every micro-batch would re-tokenize and re-shingle the batch
     // once per branch (the ngramJaccardWithHotList rationale)
     val newRaw = cachedAs("incrementalJaccard_raw", explodedGrams(newDocs))
     val newG = hotTable.fold(newRaw)(h => dropHotAndResize(newRaw, spark.table(h)))
-    jaccardFinalize(spark.table(table).hint("merge").as("a")
+    incrementalOverGrams(spark, table, newG, tau, excludeIngestBatch)
+  }
+
+  /** The corpus-vs-batch join over an already-shingled batch gram
+    * table — the shared tail of [[incrementalJaccard]] and
+    * [[dedupBatch]]. */
+  private def incrementalOverGrams(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, newG: DataFrame, tau: Double,
+                                   excludeIngestBatch: Option[Long]): DataFrame = {
+    val corpus = excludeIngestBatch.fold(spark.table(table))(b =>
+      spark.table(table).filter(col("ingest_batch") =!= lit(b)))
+    jaccardFinalize(corpus.hint("merge").as("a")
       .join(newG.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id")), tau)
+  }
+
+  /** One micro-batch of the arrival-time dedup flow, shingled ONCE:
+    * (a) pairs vs the corpus signature table — excluding this batch's
+    * own replayed grams, (b) within-batch pairs in the SAME capped
+    * gram subspace, (c) the replay-safe append. Returns (a) ∪ (b) for
+    * the caller's onPairs hook. The per-doc-batch entry points
+    * ([[incrementalJaccard]] + [[ngramJaccard]] +
+    * [[appendToSignatureTable]]) spell the same flow but each
+    * re-shingle the batch — three tokenize+shingle passes on the
+    * always-on streaming hot path, which this single-shingle spelling
+    * avoids. */
+  private[graft] def dedupBatch(spark: org.apache.spark.sql.SparkSession,
+                                table: String, batch: DataFrame, tau: Double,
+                                hotTable: Option[String],
+                                ingestBatch: Long): DataFrame = {
+    graft.functions.VecExprs.register(spark)
+    val raw = cachedAs("dedupBatch_raw", explodedGrams(batch))
+    // the capped table gets its own slot only when a cap exists —
+    // slotting `raw` twice would let one slot's replacement unpersist
+    // the other's blocks mid-batch
+    val g = hotTable.fold(raw)(h =>
+      cachedAs("dedupBatch_capped", dropHotAndResize(raw, spark.table(h))))
+    val vsCorpus = incrementalOverGrams(spark, table, g, tau, Some(ingestBatch))
+    val withinBatch = jaccardOverGrams(g, tau)
+    appendGrams(g, table, ingestBatch)
+    vsCorpus.unionByName(withinBatch)
   }
 
   /** Append a document batch's grams to the materialized signature
@@ -259,8 +305,8 @@ object Dedup {
     * with.
     *
     * `ingestBatch` keys the write into the table's `ingest_batch`
-    * partition via DYNAMIC partition overwrite: re-running the same id
-    * REPLACES that batch's grams instead of duplicating them — under
+    * partition via a STATIC partition-spec overwrite: re-running the
+    * same id REPLACES that batch's grams instead of duplicating them — under
     * foreachBatch's at-least-once replay a plain append would double
     * the replayed docs' (doc_id, gh) rows and corrupt every later
     * intersection count. Distinct batches use distinct ids; the base
@@ -277,6 +323,18 @@ object Dedup {
     // incrementalJaccard — same per-micro-batch cost otherwise)
     val raw = cachedAs("appendSignature_raw", explodedGrams(docs))
     val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
+    appendGrams(g, table, ingestBatch)
+  }
+
+  /** The append tail over an already-shingled (and already-capped)
+    * gram table — shared by [[appendToSignatureTable]] and
+    * [[dedupBatch]]. */
+  private def appendGrams(g: DataFrame, table: String,
+                          ingestBatch: Long): Unit = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the signature)")
+    val spark = g.sparkSession
     // STATIC partition spec: the overwrite names its one partition
     // up front, so only that batch's files are ever replaced — no
     // dynamic-overwrite session conf to toggle (a set/restore racing

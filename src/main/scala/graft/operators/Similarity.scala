@@ -642,9 +642,16 @@ object Similarity {
     * right when queries ARE corpus members (don't return yourself);
     * set false when query ids live in a separate namespace, where an
     * id-equal corpus vector is a legitimate neighbor, not "self". */
+  /** `excludeIngestBatch`: drop that ingest partition from the serve
+    * (partition-pruned). [[graft.streaming.EventStream
+    * .streamingAnnIngest]] passes its CURRENT batch id: under
+    * crash-replay the batch's vectors are already appended, and
+    * without the exclusion every replayed query would match its own
+    * copy at cos 1.0 rank 1, displacing the real neighbors. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int,
-                       nprobe: Int = 4, selfExclude: Boolean = true): DataFrame = {
+                       nprobe: Int = 4, selfExclude: Boolean = true,
+                       excludeIngestBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
     // zero-norm rows out on BOTH sides (NaN cosine ranks first): a
@@ -653,7 +660,8 @@ object Similarity {
     val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
       lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
+        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
       .filter(col("c_id").isin(probedIds: _*) && col("n2") > 0)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -125,24 +125,38 @@ object JdbcUpsert {
     * remaining batches keep going, matching the reference's
     * accumulate-errors-and-continue push loop.
     * Returns (rowsWritten, rowsFailed). */
+  /** `onBatchOk` runs after each successful batch (the upsert path
+    * commits there — a batch that executed must not be erasable by a
+    * LATER batch's failure poisoning the shared transaction);
+    * `onAttemptFail` runs after each failed executeBatch attempt (the
+    * upsert path rolls back there — on PostgreSQL a failed statement
+    * ABORTS the transaction, so without the rollback every retry and
+    * every later batch would fail with "current transaction is
+    * aborted" and the final commit would silently become a rollback
+    * of rows already counted as written). */
   def writeBatchesRetrying(rows: Iterator[Row], stmt: PreparedStatement,
                            numCols: Int, batchSize: Int, policy: RetryPolicy,
                            onError: PushError => Unit,
                            partitionId: Int = -1,
-                           sleep: Long => Unit = Thread.sleep): (Long, Long) = {
+                           sleep: Long => Unit = Thread.sleep,
+                           onBatchOk: () => Unit = () => (),
+                           onAttemptFail: () => Unit = () => ()): (Long, Long) = {
     var written = 0L; var failed = 0L; var batchIdx = 0
     rows.grouped(batchSize).foreach { batch =>
-      def bindAndExec(): Unit = {
-        stmt.clearBatch()
-        batch.foreach { row =>
-          var i = 0
-          while (i < numCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
-          stmt.addBatch()
-        }
-        stmt.executeBatch()
-      }
+      def bindAndExec(): Unit =
+        try {
+          stmt.clearBatch()
+          batch.foreach { row =>
+            var i = 0
+            while (i < numCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+            stmt.addBatch()
+          }
+          stmt.executeBatch()
+        } catch { case e: Throwable => onAttemptFail(); throw e }
       withRetry(policy, sleep)(bindAndExec()) match {
-        case Right(_) => written += batch.size
+        case Right(_) =>
+          written += batch.size
+          onBatchOk()
         case Left((attempts, e)) =>
           failed += batch.size
           onError(PushError(partitionId, batchIdx, batch.size, attempts,
@@ -220,9 +234,15 @@ object JdbcUpsert {
   def upsertStream(stream: DataFrame, table: String, keyColumns: Seq[String],
                    connect: () => Connection, dialect: Dialect = MySqlDialect,
                    batchSize: Int = 1000, policy: RetryPolicy = RetryPolicy(),
-                   onResult: (Long, UpsertResult) => Unit = (_, _) => ())
+                   onResult: (Long, UpsertResult) => Unit = (_, _) => (),
+                   outputMode: String = "update")
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    stream.writeStream.outputMode("update")
+    // outputMode is a parameter because the mode is a property of the
+    // UPSTREAM query, not this sink: update-mode aggregations
+    // (runningWatermark) need "update", while flatMapGroupsWithState
+    // streams (streamingIntervalDiff/streamingEwma) are built with
+    // OutputMode.Append and throw at start() under update
+    stream.writeStream.outputMode(outputMode)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         onResult(batchId,
           upsert(df, table, keyColumns, connect, dialect, batchSize, policy))
@@ -253,9 +273,15 @@ object JdbcUpsert {
               conn.setAutoCommit(false)
               val stmt = conn.prepareStatement(statement)
               try {
+                // commit PER successful batch, roll back per failed
+                // attempt: one shared end-of-partition commit lets a
+                // late batch's failure (which aborts the transaction
+                // on PostgreSQL) discard earlier batches already
+                // counted as written
                 val (ok, bad) = writeBatchesRetrying(rows, stmt, n, batchSize,
-                  policy, ledger.add, pid, sleep)
-                conn.commit()
+                  policy, ledger.add, pid, sleep,
+                  onBatchOk = () => conn.commit(),
+                  onAttemptFail = () => conn.rollback())
                 written.add(ok); failedRows.add(bad)
               } finally stmt.close()
             } finally conn.close()

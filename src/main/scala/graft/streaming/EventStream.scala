@@ -89,18 +89,15 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.operators.Dedup
-        val vsCorpus = Dedup.incrementalJaccard(spark, table, batch, tau, hotTable)
-        // within-batch pairs must live in the same capped gram
-        // subspace as the vs-corpus pairs — apply the table's frozen
-        // hot list, never a batch-local threshold
-        val withinBatch = hotTable.fold(Dedup.ngramJaccard(batch, tau))(h =>
-          Dedup.ngramJaccardWithHotList(batch, tau, spark.table(h)))
-        onPairs(batchId, vsCorpus.unionByName(withinBatch))
-        // keyed by the streaming batch id: a crash-replay REPLACES the
-        // batch's ingest partition instead of duplicating its grams
-        Dedup.appendToSignatureTable(batch, table, batchId, hotTable)
+        // single-shingle flow: the batch is tokenized + shingled ONCE
+        // and shared by the vs-corpus join, the within-batch join
+        // (same capped gram subspace — the table's frozen hot list,
+        // never a batch-local threshold), and the replay-safe append.
+        // The corpus side excludes THIS batch id, so a crash-replay
+        // (whose grams are already appended) can't re-find each
+        // within-batch pair two more times from the table.
+        onPairs(batchId, graft.operators.Dedup.dedupBatch(
+          batch.sparkSession, table, batch, tau, hotTable, batchId))
       }
 
   /** D9-as-a-stream: arrival-time benchmark decontamination. The
@@ -151,9 +148,12 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
+        // excludeIngestBatch: under crash-replay this batch's vectors
+        // are already in the index — without the exclusion every
+        // replayed query would match its own copy at cos 1.0 rank 1
         onNeighbors(batchId, Similarity.ivfTopKFromIndex(spark, indexPath,
           batch.select("vec_id", "embedding"), k, nprobe,
-          selfExclude = false))
+          selfExclude = false, excludeIngestBatch = Some(batchId)))
         // keyed by the streaming batch id: a crash-replay of this
         // batch REPLACES its ingest partition instead of duplicating
         // the vectors (dynamic partition overwrite — see the append's
@@ -181,17 +181,30 @@ object EventStream {
       : Dataset[Smoothed] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     import events.sparkSession.implicits._
+    // state carries (last event time, last ewma): the recurrence is
+    // order-defined, so an event at or before the last applied time —
+    // a late arrival from an earlier micro-batch, or a crash-replay
+    // re-delivery — must be DROPPED, not folded in arrival order
+    // (folding it would permanently corrupt every later smoothed
+    // value vs the batch flavor). Parity with Timeseries.ewma holds
+    // for in-order, distinct-timestamp streams; late/duplicate events
+    // are the streaming trade the watermark model makes everywhere.
     events.groupByKey(_.station)
-      .flatMapGroupsWithState[Double, Smoothed](
+      .flatMapGroupsWithState[(Long, Double), Smoothed](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (station, readings, state: GroupState[Double]) =>
+        (station, readings, state: GroupState[(Long, Double)]) =>
           var prev = state.getOption
-          val out = readings.toSeq.sortBy(_.ts.getTime).map { r =>
-            val e = prev.fold(r.value)(p => alpha * r.value + (1.0 - alpha) * p)
-            prev = Some(e)
-            // same floor-based 6-dp rounding as the batch flavor
-            // (Timeseries.ewma) so the two paths emit identical values
-            Smoothed(station, r.ts, r.value, math.floor(e * 1e6 + 0.5) / 1e6)
+          val out = readings.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+            val t = r.ts.getTime
+            if (prev.exists(_._1 >= t)) None
+            else {
+              val e = prev.fold(r.value) { case (_, p) =>
+                alpha * r.value + (1.0 - alpha) * p }
+              prev = Some((t, e))
+              // same floor-based 6-dp rounding as the batch flavor
+              Some(Smoothed(station, r.ts, r.value,
+                math.floor(e * 1e6 + 0.5) / 1e6))
+            }
           }
           prev.foreach(state.update)
           out.iterator
@@ -212,16 +225,26 @@ object EventStream {
     */
   def streamingIntervalDiff(events: Dataset[CumulReading]): Dataset[IntervalDelta] = {
     import events.sparkSession.implicits._
+    // state carries (last event time, last cumulative value): an
+    // event at or before the stored time — late arrival or replay
+    // re-delivery — is dropped, because diffing it would regress the
+    // cumulative state (negative phantom rainfall) AND double-count
+    // the next interval (see streamingEwma for the same contract)
     events.groupByKey(_.station)
-      .flatMapGroupsWithState[Double, IntervalDelta](
+      .flatMapGroupsWithState[(Long, Double), IntervalDelta](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (station, readings, state: GroupState[Double]) =>
+        (station, readings, state: GroupState[(Long, Double)]) =>
           val ordered = readings.toSeq.sortBy(_.ts.getTime)
           var last = state.getOption
           val out = ordered.flatMap { r =>
-            val d = last.map(prev => IntervalDelta(station, r.ts, r.value - prev))
-            last = Some(r.value)
-            d
+            val t = r.ts.getTime
+            if (last.exists(_._1 >= t)) None
+            else {
+              val d = last.map { case (_, pv) =>
+                IntervalDelta(station, r.ts, r.value - pv) }
+              last = Some((t, r.value))
+              d
+            }
           }
           last.foreach(state.update)
           out.iterator

@@ -139,6 +139,26 @@ class SinkStreamSpec extends SparkSpec {
     assert(errors.head.message.contains("connection reset"))
   }
 
+  test("writeBatchesRetrying: commit per ok batch, rollback per failed attempt") {
+    val calls = ArrayBuffer[String]()
+    val stmt = flakyStmt(failures = 3, calls) // batch 0 exhausts maxAttempts=3
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
+    val errors = ArrayBuffer[JdbcUpsert.PushError]()
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+      JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, partitionId = 7,
+      sleep = _ => (),
+      onBatchOk = () => calls += "commit", onAttemptFail = () => calls += "rollback")
+    assert(ok === 1 && bad === 2)
+    // every failed executeBatch attempt rolls back (a failed statement
+    // ABORTS the transaction on PostgreSQL — without the rollback every
+    // later attempt/batch dies with "transaction is aborted"), and the
+    // surviving tail batch commits ITSELF — a later poisoned
+    // end-of-partition commit can't silently erase it
+    assert(calls.count(_ == "rollback") === 3)
+    assert(calls.count(_ == "commit") === 1)
+    assert(calls.indexOf("commit") > calls.lastIndexOf("rollback"))
+  }
+
   test("upsert: accumulator ledger surfaces executor-side failures without killing the job") {
     FakeDb.reset(executeBatchFailures = 100) // every batch fails permanently
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v").repartition(2)
@@ -240,6 +260,28 @@ class SinkStreamSpec extends SparkSpec {
       .select("ewma").as[Double].collect().toSeq
     q.stop()
     assert(out === Seq(10.0, 15.0, 17.5)) // .5·20+.5·15 across the batch boundary
+  }
+
+  test("streamingEwma drops late and replayed events instead of corrupting the series") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.CumulReading]
+    val q = EventStream.streamingEwma(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_late").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    mem.addData(EventStream.CumulReading("s1", t(0), 10.0))
+    q.processAllAvailable()
+    // the recurrence is order-defined: folding a late t(-5) or a
+    // replayed t(0) in ARRIVAL order would shift every later smoothed
+    // value off the batch flavor permanently — both are dropped, and
+    // t(1) continues from the uncorrupted e=10
+    mem.addData(EventStream.CumulReading("s1", t(-5), 99.0),
+      EventStream.CumulReading("s1", t(0), 10.0),
+      EventStream.CumulReading("s1", t(1), 20.0))
+    q.processAllAvailable()
+    val out = spark.table("ewma_late").orderBy("ts")
+      .select("ewma").as[Double].collect().toSeq
+    q.stop()
+    assert(out === Seq(10.0, 15.0))
   }
 
   test("streamingDedup checks arrivals against the corpus table, appends them bucket-compatibly") {

@@ -50,4 +50,26 @@ class SkewStatefulSpec extends SparkSpec {
       ("s1", 310, 2.0),   // t(30): 10-8 ACROSS batches — state carried
       ("s2", 295, 4.0)))  // t(15): 104-100 across batches
   }
+
+  test("streamingIntervalDiff drops late and duplicate cross-batch events") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    val mem = MemoryStream[CumulReading]
+    val q = EventStream.streamingIntervalDiff(mem.toDS())
+      .writeStream.format("memory").queryName("sid_late").outputMode("append").start()
+    mem.addData(CumulReading("s1", t(0), 5.0), CumulReading("s1", t(15), 8.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event (t(10) < state's t(15)) and a replayed
+    // duplicate (t(15)) — diffing either would regress the cumulative
+    // state (phantom negative delta) and double-count the next
+    // interval; both must be dropped. The in-order t(30) still diffs
+    // against the ORIGINAL state value 8.
+    mem.addData(CumulReading("s1", t(10), 6.0), CumulReading("s1", t(15), 8.0),
+      CumulReading("s1", t(30), 10.0))
+    q.processAllAvailable()
+    val out = spark.table("sid_late").as[IntervalDelta].collect()
+      .map(d => (d.station, d.ts.getTime / 60000 % 1000, d.delta)).sorted.toSeq
+    q.stop()
+    assert(out === Seq(("s1", 295, 3.0), ("s1", 310, 2.0)))
+  }
 }
