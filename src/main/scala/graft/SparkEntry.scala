@@ -426,7 +426,7 @@ object SparkEntry {
     * rate map + hexThreshold the Spark side uses — the two engines
     * compare the md5 coin against byte-identical literals. */
   private def sampleCaseSql: String =
-    "CASE lang " +
+    "CASE coalesce(lang, '') " +
       SampleRates.map { case (l, r) =>
         s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'" }.mkString(" ") +
       s" ELSE '${Corpus.hexThreshold(SampleDefaultRate)}' END"
@@ -490,8 +490,8 @@ object SparkEntry {
          |         sum(CAST(value AS DECIMAL(14,2))) AS source_sum
          |  FROM events GROUP BY 1, 2, 3)
          |SELECT user_id, bucket,
-         |       CAST(sum(source_sum) AS DOUBLE) / count(*) AS mean_value,
-         |       count(*) AS n_sources
+         |       CAST(sum(source_sum) AS DOUBLE) / count(source_sum) AS mean_value,
+         |       count(source_sum) AS n_sources
          |FROM per GROUP BY 1, 2""".stripMargin,
 
     "ts_hybrid_obs_fcst" ->
@@ -621,7 +621,7 @@ object SparkEntry {
          |  SELECT CAST(user_id AS VARCHAR) AS user_id,
          |         epoch_us(ts) AS ts_us, event_id,
          |         CAST(value AS DOUBLE) AS value
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |p AS (
          |  SELECT user_id, ts_us, event_id, value,
          |    array_agg(value) OVER (
@@ -642,10 +642,10 @@ object SparkEntry {
          |  FROM events),
          |m AS (
          |  SELECT user_id, event_id, ts_us, value,
-         |    CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w AS mean,
-         |    CAST(sum(vd * vd) OVER w AS DOUBLE) / count(*) OVER w
-         |      - (CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w)
-         |        * (CAST(sum(vd) OVER w AS DOUBLE) / count(*) OVER w) AS variance
+         |    CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w AS mean,
+         |    CAST(sum(vd * vd) OVER w AS DOUBLE) / count(vd) OVER w
+         |      - (CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w)
+         |        * (CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w) AS variance
          |  FROM b WINDOW w AS (PARTITION BY user_id)),
          |z AS (
          |  SELECT user_id, event_id, ts_us, value,
@@ -663,9 +663,9 @@ object SparkEntry {
     "ts_rolling_stats" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS roll_sum,
-         |  count(*) OVER w AS roll_n,
+         |  count(value) OVER w AS roll_n,
          |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
-         |        / count(*) OVER w, 6) AS roll_mean
+         |        / count(value) OVER w, 6) AS roll_mean
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -683,10 +683,12 @@ object SparkEntry {
          |         CAST(6.0 AS DOUBLE) + j * CAST(0.5 AS DOUBLE) AS lat
          |  FROM (SELECT unnest(range(8)) AS i), (SELECT unnest(range(5)) AS j)),
          |stations AS (
-         |  SELECT CAST($LON AS DOUBLE) AS s_lon, CAST($LAT AS DOUBLE) AS s_lat,
-         |         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
-         |           AS s_val
-         |  FROM events GROUP BY user_id),
+         |  SELECT * FROM (
+         |    SELECT CAST($LON AS DOUBLE) AS s_lon, CAST($LAT AS DOUBLE) AS s_lat,
+         |           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+         |             AS s_val
+         |    FROM events GROUP BY user_id)
+         |  WHERE s_val IS NOT NULL),
          |terms AS (
          |  SELECT lon, lat,
          |    CAST(round((1.0 / greatest((lat - s_lat) * (lat - s_lat)
@@ -1096,7 +1098,8 @@ object SparkEntry {
 
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8)
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(lang, '')),
+         |             1, 8)
          |      < $sampleCaseSql""".stripMargin,
 
     "corpus_mix_plan" ->

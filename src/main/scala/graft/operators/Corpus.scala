@@ -111,7 +111,10 @@ object Corpus {
         size(tokens(col("text"))).cast("bigint").as("ws_tokens"))
       .withColumn("tok_offset", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col(strataCol), col("ws_tokens"),
-        (col("tok_offset") / budgetTokens).cast("bigint").as("seq_id"),
+        // integral div, not a double roundtrip: cumulative offsets
+        // past 2^53 would round across a sequence boundary (the
+        // bucketEpochSec rationale); matches the oracle's `//`
+        expr(s"tok_offset div $budgetTokens").as("seq_id"),
         (col("tok_offset") % budgetTokens).as("seq_offset"))
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grid / rfield spatial block (SURVEY.md §2 B).
@@ -60,27 +59,33 @@ object Grid {
     * `get_obs_to_d03_grid_mappings_for_rainfall`,
     * gen_active_stations_rfields.py:137-151.
     *
-    * Stations (small) are cross-joined against grid cells with a
-    * broadcast hint on the GRID side when it is the dimension, or on
-    * stations when the grid is the 100 TB fact — here stations is the
-    * small side so the grid streams through a broadcast of stations…
-    * argmin via row_number with deterministic (d2, lon, lat) tie-break.
+    * Stations are the KB-sized dimension and BROADCAST; the grid —
+    * the side that grows with resolution — STREAMS through the
+    * nested loop, and the per-station argmin is a `min_by` aggregate
+    * whose partials collapse map-side, so the exchange carries
+    * O(stations × tasks) rows, never the grid. (The earlier spelling
+    * broadcast the distinct grid and window-ranked the cross
+    * product — both the broadcast and the shuffle grew with the
+    * grid.)
+    *
+    * d2 rounded at 12 dp: optimizers may reassociate the constant
+    * parts of the coordinate arithmetic differently per engine (1-ulp
+    * jitter); rounding before the argmin keeps value AND rank order
+    * engine-portable. The min_by ordering struct (d2, g_lon, g_lat)
+    * reproduces the oracle's ORDER BY d2, g_lon, g_lat rank-1 row.
     */
   def nearestGridPoint(stations: DataFrame, grid: DataFrame): DataFrame = {
     val g = grid.select(col("lat").as("g_lat"), col("lon").as("g_lon")).distinct()
     val d2 = (col("s_lat") - col("g_lat")) * (col("s_lat") - col("g_lat")) +
              (col("s_lon") - col("g_lon")) * (col("s_lon") - col("g_lon"))
-    val w = Window.partitionBy(col("station_id"))
-      .orderBy(col("d2"), col("g_lon"), col("g_lat"))
-    // d2 rounded at 12 dp: optimizers may reassociate the constant
-    // parts of the coordinate arithmetic differently per engine (1-ulp
-    // jitter); rounding before the argmin keeps value AND rank order
-    // engine-portable (ties broken by (g_lon, g_lat) anyway).
-    stations.crossJoin(broadcast(g))
+    g.crossJoin(broadcast(stations))
       .withColumn("d2", round(d2, 12))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("station_id"), col("s_lat"), col("s_lon"))
+      .agg(min_by(struct(col("g_lat"), col("g_lon"), col("d2")),
+        struct(col("d2"), col("g_lon"), col("g_lat"))).as("best"))
+      .select(col("station_id"), col("s_lat"), col("s_lon"),
+        col("best.g_lat").as("g_lat"), col("best.g_lon").as("g_lon"),
+        col("best.d2").as("d2"))
   }
 
   /** B5: regrid / coarsen — aggregate fine cells into `factor`-degree
@@ -117,7 +122,11 @@ object Grid {
     val d2 = (col("lat") - col("s_lat")) * (col("lat") - col("s_lat")) +
              (col("lon") - col("s_lon")) * (col("lon") - col("s_lon"))
     val w = lit(1.0) / greatest(d2, lit(1e-9))
-    mesh.crossJoin(broadcast(stations))
+    // a station with a NULL value must leave BOTH sums: its numerator
+    // term would null out while its weight stayed in the denominator,
+    // dragging every nearby cell toward zero (oracle mirrors the
+    // filter)
+    mesh.crossJoin(broadcast(stations.filter(col("s_val").isNotNull)))
       .withColumn("wv", round(w * col("s_val"), 12).cast("decimal(30,12)"))
       .withColumn("w", round(w, 12).cast("decimal(30,12)"))
       .groupBy(col("lon"), col("lat"))

@@ -44,7 +44,10 @@ object Timeseries {
         "yyyy-MM-dd HH:mm:00"))
 
   /** Epoch-second bucket from an integer epoch-tick column — `div` is
-    * exact long floor-division end to end (engine-portable; a double
+    * exact long integral division end to end (truncating, identical
+    * to the oracle's spelling on the non-negative epoch domain this
+    * pipeline inhabits — pre-1970 ticks would floor differently;
+    * engine-portable because a double
     * roundtrip would lose precision above 2^53). `ticksPerSec` adapts
     * to the stored resolution (1e9 for nanos, 1e6 for micros). */
   def bucketEpochSec(tsCol: String, widthSec: Long = 900L,
@@ -100,8 +103,12 @@ object Timeseries {
     df.groupBy(col(key), col(source), bucket.as("bucket"))
       .agg(sum(col(value)).as("source_sum"))
       .groupBy(col(key), col("bucket"))
-      .agg((sum(col("source_sum")).cast("double") / count(lit(1))).as("mean_value"),
-        count(lit(1)).as("n_sources"))
+      // count REPORTING sources (non-null sums): a source with only
+      // null readings at this bucket must not deflate the row-wise
+      // mean — pandas' row-wise mean skips NaN the same way
+      .agg((sum(col("source_sum")).cast("double") / count(col("source_sum")))
+          .as("mean_value"),
+        count(col("source_sum")).as("n_sources"))
 
   /** A7: hybrid obs+fcst — align two series on (key, bucket), prefer
     * the observation where present.
@@ -297,7 +304,10 @@ object Timeseries {
                      valueRaw: String, valueDec: String,
                      tau: Double): DataFrame = {
     val w = Window.partitionBy(col(key))
-    val n = count(lit(1)).over(w).cast("double")
+    // count the READINGS (non-null), not the rows: the sums skip
+    // nulls, so an all-rows n would deflate both moments on any
+    // series with missing readings (oracle mirrors count(vd))
+    val n = count(col(valueDec)).over(w).cast("double")
     val sumD = sum(col(valueDec)).over(w).cast("double")
     val sumSqD = sum(col(valueDec) * col(valueDec)).over(w).cast("double")
     val mean = sumD / n
@@ -322,8 +332,10 @@ object Timeseries {
     require(k > 0, s"window k=$k must be positive")
     val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
       .rowsBetween(-(k - 1), Window.currentRow)
+    // roll_n counts the frame's non-null READINGS (the sum skips
+    // nulls — dividing by all rows would deflate the mean on gaps)
     df.withColumn("roll_sum", sum(col(valueDec)).over(w).cast("double"))
-      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_n", count(col(valueDec)).over(w))
       .withColumn("roll_mean", round(col("roll_sum") / col("roll_n"), 6))
   }
 
@@ -351,10 +363,15 @@ object Timeseries {
     val spark = df.sparkSession
     import spark.implicits._
     val beta = 1.0 - alpha
+    // null readings out FIRST: the recurrence is undefined on them
+    // (pandas ewm likewise carries the state over NaN rows), and a
+    // null would abort the non-nullable Double encoder below. The
+    // oracle applies the same WHERE.
     // key travels as its string form so ANY atomic key type works
     // (the pipeline's station keys are strings; a long cast would
     // null them and kill the non-nullable encoder)
-    df.select(col(key).cast("string").as(key), col(time).cast("long").as(time),
+    df.filter(col(value).isNotNull)
+      .select(col(key).cast("string").as(key), col(time).cast("long").as(time),
         col(id).cast("long").as(id), col(value).cast("double").as(value))
       .repartition(col(key))
       .sortWithinPartitions(col(key), col(time), col(id))
