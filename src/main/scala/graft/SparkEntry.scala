@@ -1008,11 +1008,11 @@ object SparkEntry {
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |h AS (SELECT doc_id,
-         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS hits_en,
-         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS hits_de,
-         |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS hits_es,
-         |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS hits_fr,
-         |  len(list_filter(toks, x -> x IN ('de','shi','le','bu','wo'))) AS hits_zh
+         |  coalesce(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))), 0) AS hits_en,
+         |  coalesce(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))), 0) AS hits_de,
+         |  coalesce(len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))), 0) AS hits_es,
+         |  coalesce(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))), 0) AS hits_fr,
+         |  coalesce(len(list_filter(toks, x -> x IN ('de','shi','le','bu','wo'))), 0) AS hits_zh
          |FROM t)
          |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
          |  CASE
@@ -1033,10 +1033,12 @@ object SparkEntry {
          |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
          |  FROM documents)
          |SELECT doc_id, n_chars_c, wc, stop_hits, digit_chars, punct_chars,
-         |  0.3 * least(1.0, wc / 120.0) +
-         |  0.3 * (stop_hits / wc) +
-         |  0.2 * (1.0 - digit_chars / n_chars_c) +
-         |  0.2 * (1.0 - punct_chars / n_chars_c) AS score
+         |  CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |    0.3 * least(1.0, wc / 120.0) +
+         |    0.3 * (stop_hits / wc) +
+         |    0.2 * (1.0 - digit_chars / n_chars_c) +
+         |    0.2 * (1.0 - punct_chars / n_chars_c)
+         |  ELSE 0.0 END AS score
          |FROM b""".stripMargin,
 
     "text_token_count" ->
@@ -1141,10 +1143,12 @@ object SparkEntry {
          |  FROM documents),
          |s AS (
          |  SELECT lang, source,
-         |    CAST(0.3 * least(1.0, wc / 120.0) +
-         |         0.3 * (stop_hits / wc) +
-         |         0.2 * (1.0 - digit_chars / n_chars_c) +
-         |         0.2 * (1.0 - punct_chars / n_chars_c) AS DECIMAL(10,6)) AS score_d
+    CAST(CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |           0.3 * least(1.0, wc / 120.0) +
+         |           0.3 * (stop_hits / wc) +
+         |           0.2 * (1.0 - digit_chars / n_chars_c) +
+         |           0.2 * (1.0 - punct_chars / n_chars_c)
+         |         ELSE 0.0 END AS DECIMAL(10,6)) AS score_d
          |  FROM b)
          |SELECT lang, source, count(*) AS n_docs,
          |       CAST(sum(score_d) AS DOUBLE) / count(*) AS avg_quality

@@ -54,11 +54,15 @@ object Multimodal {
     * offset at `fps`. The Generate (explode) is a narrow op: frames
     * fan out inside the scan stage, no shuffle; a real pipeline hands
     * (doc_id, frame_idx) to the batched decoder for pixel extraction. */
-  def frameSample(decoded: DataFrame, step: Int = 30, fps: Double = 24.0): DataFrame =
+  def frameSample(decoded: DataFrame, step: Int = 30, fps: Double = 24.0): DataFrame = {
+    require(step > 0, s"step=$step must be positive (sequence would reject it " +
+      "deep inside codegen otherwise)")
+    require(fps > 0.0, s"fps=$fps must be positive")
     decoded.filter(col("kind") === "video")
       .select(col("doc_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
       .withColumn("t_offset_s", col("frame_idx") / lit(fps))
+  }
 
   /** G3: feature extraction — payload bytes → fixed-width float
     * vector. The vector here is a deterministic hash projection (the
@@ -71,14 +75,20 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(Codec.batchSize).flatMap(_.map { case (id, bytes) =>
-        val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 7)
+      // plain per-element map: the hash projection has no per-batch
+      // setup to amortize (unlike resize/decodeMeta, whose Codec.decode
+      // genuinely runs once per batch) — a grouped() wrapper here only
+      // implied batching that didn't exist
+      .mapPartitions(_.map { case (id, bytes) =>
+        // null payload (null text upstream) hashes as empty, never NPEs
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val h0 = scala.util.hashing.MurmurHash3.bytesHash(b, 7)
         val v = Array.tabulate(dim) { d =>
           val h = scala.util.hashing.MurmurHash3.productHash((h0, d))
           (h.toFloat / Int.MaxValue.toFloat)
         }
         (id, v)
-      }))
+      })
       .toDF("doc_id", "embedding")
   }
 
@@ -104,8 +114,11 @@ object Multimodal {
   private def payloads(docs: DataFrame): DataFrame =
     docs
       .withColumn("kind",
+        // pmod, not %: a signed/hashed id domain makes doc_id % 3
+        // zero or negative — element_at(0) throws, element_at(-1)
+        // silently reads from the END (audio tagged as video)
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
 
   def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
@@ -121,8 +134,12 @@ object Multimodal {
             math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
           val dw = math.max(1, math.floor(m.width * scale).toInt)
           val dh = math.max(1, math.floor(m.height * scale).toInt)
-          val outLen = math.max(1, math.ceil(bytes.length.toDouble *
-            (dw.toLong * dh) / (m.width.toLong * m.height)).toInt)
+          val outLen = math.min(bytes.length,
+            math.max(1, math.ceil(bytes.length.toDouble *
+              (dw.toLong * dh) / (m.width.toLong * m.height)).toInt))
+          // min() above: an empty payload keeps n_bytes = 0 = the
+          // actual output length — take(1) of nothing is nothing, and
+          // a consumer asserting n_bytes == length(payload) must hold
           Resized(id, m.width, m.height, dw, dh, outLen, bytes.take(outLen))
         }
       })

@@ -141,8 +141,11 @@ object Relational {
                    tieBreak: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc, col(tieBreak))
-    df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    // collision-proof working column: a bare "rk" would silently
+    // overwrite (and then drop) a caller's same-named column
+    val rk = s"__graft_rk_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 }

@@ -29,9 +29,14 @@ object TextAnalysis {
     * so the oracle mirrors it trivially). */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
+    // coalesce: NULL text must behave like EMPTY text (all hits 0 →
+    // the documented first-list-entry tie-break → 'en'); un-coalesced
+    // NULL hits would fail every >= and fall through to the LAST
+    // language — a null doc labeled 'zh' while an empty doc is 'en'
     val withHits = stopwords.foldLeft(docs.withColumn("toks", toks)) {
       case (df, (lang, words)) =>
-        df.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
+        df.withColumn(s"hits_$lang",
+          coalesce(stopwordHits(col("toks"), words), lit(0)))
     }
     // First-match-wins CASE chain: a language wins when its hits are >=
     // every other language's hits; earlier list position breaks ties.
@@ -62,11 +67,18 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[0-9]", "")))
       .withColumn("punct_chars", length(col("text")) -
         length(regexp_replace(col("text"), "[.!?,;:]", "")))
+      // token-less or empty docs score 0.0 explicitly: engines
+      // disagree on 0/0 (Spark NULL vs DuckDB NaN), a NULL score
+      // would silently deflate corpusStats' avg (summed as 0,
+      // counted as 1), and a quality gate should reject such docs
+      // anyway
       .withColumn("score",
-        lit(0.3) * least(lit(1.0), col("wc") / lit(120.0)) +
-        lit(0.3) * (col("stop_hits") / col("wc")) +
-        lit(0.2) * (lit(1.0) - col("digit_chars") / col("n_chars_c")) +
-        lit(0.2) * (lit(1.0) - col("punct_chars") / col("n_chars_c")))
+        when(col("wc") > 0 && col("n_chars_c") > 0,
+          lit(0.3) * least(lit(1.0), col("wc") / lit(120.0)) +
+          lit(0.3) * (col("stop_hits") / col("wc")) +
+          lit(0.2) * (lit(1.0) - col("digit_chars") / col("n_chars_c")) +
+          lit(0.2) * (lit(1.0) - col("punct_chars") / col("n_chars_c")))
+        .otherwise(lit(0.0)))
       .select("doc_id", "n_chars_c", "wc", "stop_hits", "digit_chars",
         "punct_chars", "score")
   }
@@ -125,14 +137,11 @@ object TextAnalysis {
   def piiRedact(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPattern, "[EMAIL]")
     docs
-      .withColumn("n_emails",
-        size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))))
+      .withColumn("n_emails", regexp_count(col("text"), lit(emailPattern)))
       .withColumn("t1", t1)
-      .withColumn("n_ips",
-        size(regexp_extract_all(col("t1"), lit(ipv4Pattern), lit(0))))
+      .withColumn("n_ips", regexp_count(col("t1"), lit(ipv4Pattern)))
       .withColumn("t2", regexp_replace(col("t1"), ipv4Pattern, "[IP]"))
-      .withColumn("n_phones",
-        size(regexp_extract_all(col("t2"), lit(phonePattern), lit(0))))
+      .withColumn("n_phones", regexp_count(col("t2"), lit(phonePattern)))
       .withColumn("text_clean", regexp_replace(col("t2"), phonePattern, "[PHONE]"))
       .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
   }
@@ -160,7 +169,10 @@ object TextAnalysis {
           .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
+          // null-propagating like the rest of the F-block: a NULL
+          // text is an empty payload, never a task-killing NPE
+          val bytes =
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(bytes)
           deflater.finish()
