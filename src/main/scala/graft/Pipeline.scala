@@ -48,10 +48,20 @@ object Pipeline {
         val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
         generateSyntheticRun(d.toString, ny.toInt, nx.toInt, nt.toInt)
         PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
-      case _ =>
+      case Array() => // no args: default synthetic demo run
         val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
         generateSyntheticRun(d.toString)
         PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
+      case other =>
+        // fail loud: a malformed invocation (e.g. "--config run.json
+        // --verbose") must not silently fabricate and process a
+        // synthetic run the operator mistakes for their real one
+        throw new IllegalArgumentException(
+          s"unrecognized arguments: ${other.mkString(" ")}\n" +
+            "usage: Pipeline                      (synthetic demo)\n" +
+            "       Pipeline <ny> <nx> <nt>       (synthetic at size)\n" +
+            "       Pipeline <ncDir> <outDir>\n" +
+            "       Pipeline --config <path>")
     }
     val t0 = System.nanoTime()
     run(spark, cfg)

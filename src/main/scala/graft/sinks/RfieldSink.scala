@@ -69,34 +69,45 @@ object RfieldSink {
     val out = new Path(outDir)
     fs.delete(out, true); fs.mkdirs(out)
 
-    // shared coordinate file: the grid is O(cells) — bounded by the
-    // model domain, not the data volume — so a single sorted file is
-    // the contract AND cheap
-    val cells = rfield.select(col("lon"), col("lat")).distinct()
-      .orderBy(col("lon"), col("lat"))
-    val cellRows = cells.collect()
-    val xy = fs.create(new Path(out, "xy.csv"))
-    try cellRows.foreach(r => xy.write(s"${r.get(0)},${r.get(1)}\n".getBytes("UTF-8")))
-    finally xy.close()
-
-    // positional-format safety: every timestep must be a full grid
-    val nCells = cellRows.length.toLong
-    val bad = rfield.groupBy(col(timeCol)).count()
-      .filter(col("count") =!= nCells).limit(5).collect()
-    require(bad.isEmpty,
-      s"rfield has timesteps not covering all $nCells cells " +
-        s"(value-only files would misalign): ${bad.mkString(", ")}")
-
-    // per-timestep value files: shuffle once on t, Spark sorts within
-    // the single task per timestep, one file per t=… directory
+    // three jobs read the input below (cells distinct, the coverage
+    // check, the staged write) — cache so an uncached upstream plan
+    // isn't recomputed per job
+    val cached = rfield.cache()
     val staging = new Path(out, "_staging")
-    rfield
-      .select(col(timeCol), col("lon"), col("lat"),
-        round(col(valueCol).cast("double"), 3).as("value"))
-      .repartition(col(timeCol))
-      .sortWithinPartitions(col(timeCol), col("lon"), col("lat"))
-      .select(col(timeCol), col("value")) // narrow projection above the sort keeps order
-      .write.partitionBy(timeCol).mode("overwrite").csv(staging.toString)
+    try {
+      // shared coordinate file: the grid is O(cells) — bounded by the
+      // model domain, not the data volume — so a single sorted file is
+      // the contract AND cheap
+      val cells = cached.select(col("lon"), col("lat")).distinct()
+        .orderBy(col("lon"), col("lat"))
+      val cellRows = cells.collect()
+      val xy = fs.create(new Path(out, "xy.csv"))
+      try cellRows.foreach(r => xy.write(s"${r.get(0)},${r.get(1)}\n".getBytes("UTF-8")))
+      finally xy.close()
+
+      // positional-format safety: every timestep must cover every cell
+      // EXACTLY once — the distinct count catches a duplicated cell
+      // masking a missing one (a bare count() would pass that file and
+      // misalign every line after the dup)
+      val nCells = cellRows.length.toLong
+      val bad = cached.groupBy(col(timeCol))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lon"), col("lat")).as("n_cells"))
+        .filter(col("n") =!= nCells || col("n_cells") =!= nCells)
+        .limit(5).collect()
+      require(bad.isEmpty,
+        s"rfield has timesteps not covering all $nCells cells exactly " +
+          s"once (value-only files would misalign): ${bad.mkString(", ")}")
+      // per-timestep value files: shuffle once on t, Spark sorts within
+      // the single task per timestep, one file per t=… directory
+      cached
+        .select(col(timeCol), col("lon"), col("lat"),
+          round(col(valueCol).cast("double"), 3).as("value"))
+        .repartition(col(timeCol))
+        .sortWithinPartitions(col(timeCol), col("lon"), col("lat"))
+        .select(col(timeCol), col("value")) // narrow projection above the sort keeps order
+        .write.partitionBy(timeCol).mode("overwrite").csv(staging.toString)
+    } finally cached.unpersist(false)
 
     // rename t=<epoch>/part-* → {model}_{system}_{version}_{stamp}.txt
     fs.listStatus(staging).filter(_.isDirectory).foreach { d =>

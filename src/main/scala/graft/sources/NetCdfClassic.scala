@@ -63,7 +63,7 @@ object NetCdfClassic {
       .getOrElse(throw new NoSuchElementException(
         s"variable '$n' not in ${vars.map(_.name).mkString(",")}"))
 
-    private def isRecordVar(v: NcVar): Boolean =
+    private[sources] def isRecordVar(v: NcVar): Boolean =
       v.dimIds.headOption.exists(i => dims(i).isRecord)
 
     /** Stride between consecutive records (sum of record-var vsizes;
@@ -85,7 +85,16 @@ object NetCdfClassic {
       else {
         val rvs = vars.filter(isRecordVar)
         if (rvs.isEmpty || recSize == 0) 0
-        else ((totalSize - rvs.map(_.begin).min) / recSize).toInt
+        else {
+          val minBegin = rvs.map(_.begin).min
+          // torn BEFORE the record section: a negative count would
+          // silently read as "no records" and drop the file's whole
+          // grid from the run — fail loud instead
+          require(totalSize >= minBegin,
+            s"file torn before the record section: $totalSize bytes on " +
+              s"disk, records begin at $minBegin")
+          ((totalSize - minBegin) / recSize).toInt
+        }
       }
 
     /** Dimension lengths of a variable, record dim resolved to numRecs. */
@@ -110,8 +119,18 @@ object NetCdfClassic {
     def isComplete: Boolean =
       if (rawNumRecs == -1) {
         val rvs = vars.filter(isRecordVar)
-        rvs.isEmpty || recSize == 0L ||
-          (totalSize - rvs.map(_.begin).min) % recSize == 0L
+        // the fixed section must be fully present FIRST: a torn
+        // upload whose deficit happens to be a multiple of recSize
+        // (Scala % keeps the dividend's sign, and -400 % 200 == 0)
+        // must not read as ready
+        val fixedEnd = vars.filterNot(isRecordVar)
+          .map(v => v.begin + v.vsize).maxOption.getOrElse(0L)
+        totalSize >= fixedEnd &&
+          (rvs.isEmpty || recSize == 0L || {
+            val minBegin = rvs.map(_.begin).min
+            totalSize >= minBegin &&
+              (totalSize - minBegin) % recSize == 0L
+          })
       } else totalSize >= expectedSize
 
     /** Read a variable fully as a flat row-major Double array
@@ -323,8 +342,15 @@ object NetCdfClassic {
       case "hours" => 3600L; case "days" => 86400L
       case u => throw new IllegalArgumentException(s"time unit '$u'")
     }
+    val baseStr = base.trim
+    // a CF base like "2020-01-01 00:00:00+05:30" must not silently
+    // lose its offset (every epoch would shift by it); this reader
+    // supports the reference's UTC form only — fail loud otherwise
+    require(baseStr.length <= 19,
+      s"unsupported time base '$baseStr' — trailing zone offsets are " +
+        "not supported (reference files are UTC)")
     val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss]")
-    val parsed = fmt.parse(base.trim.take(19))
+    val parsed = fmt.parse(baseStr.take(19))
     // date-only units ("days since 2020-01-01") carry no time-of-day —
     // LocalDateTime.from would throw; start-of-day is the convention
     val ldt = if (parsed.isSupported(java.time.temporal.ChronoField.HOUR_OF_DAY))
@@ -378,8 +404,7 @@ object NetCdfClassic {
         def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
           val v = nc.variable(name)
           val (shp, raw) =
-            if (v.dimIds.headOption.exists(i => nc.dims(i).length == 0))
-              nc.readRecords(name, 0, 1)
+            if (nc.isRecordVar(v)) nc.readRecords(name, 0, 1)
             else nc.readDoubles(name)
           if (shp.size == 1) raw
           else (0 until take).map(i => raw(pick(i))).toArray // t=0 slice of (t,y,x)
@@ -390,7 +415,10 @@ object NetCdfClassic {
         val tv = nc.variable(timeVar)
         val unitStr = tv.attr("description").orElse(tv.attr("units"))
           .map(_.values.asInstanceOf[String])
-        val (secsPer, base) = unitStr.map(parseTimeUnits).getOrElse((1L, 0L))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$timeVar has neither 'description' nor 'units' — raw ticks " +
+              "would silently read as 1970-epoch seconds"))
+        val (secsPer, base) = parseTimeUnits(unitStr)
         // materialized per split (the iterator must not outlive the
         // channel closed by withSeekable); a split is bounded rows
         val rows = Seq.newBuilder[Row]
