@@ -53,7 +53,14 @@ object VecExprs {
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      // equal lengths required: a silent min()-truncation returns a
+      // plausible but WRONG sum for a corrupt/mixed-dim embedding
+      // column (and the HOF spelling this claims bit-identity with
+      // yields NULL there, not the truncated sum) — fail loud instead
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"graft_dot: length mismatch ($n vs ${y.numElements()})")
       var s = 0.0; var i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
       s
@@ -63,7 +70,11 @@ object VecExprs {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "graft_dot: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -259,18 +270,46 @@ object VecExprs {
     * chain or sign rule ever drifts between them, so neither
     * expression carries its own copy. `margins` (nullable) receives
     * |⟨v, r_p⟩| per plane when the caller needs probe ordering. */
+  /** Row-invariant ±1 plane matrix for one (planes, table), built
+    * lazily per observed vector width: sign(p, d) depends only on the
+    * hash chain — never the row — so the planes×dim hash calls are
+    * paid once per executor (and again only if the width changes),
+    * not once per row. The build is deterministic, so a racing
+    * rebuild is harmless. */
+  final class HyperplaneSigns(planes: Int, table: Int) extends Serializable {
+    @transient @volatile private var cached: Array[Double] = _
+    @transient @volatile private var cachedDim: Int = -1
+    def forDim(dim: Int): Array[Double] = {
+      val c = cached
+      if (c != null && cachedDim == dim) c
+      else {
+        val t = new Array[Double](planes * dim)
+        var p = 0
+        while (p < planes) {
+          val seedP = XXH64.hashInt(table * planes + p, 42L)
+          var d = 0
+          while (d < dim) {
+            t(p * dim + d) =
+              if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
+            d += 1
+          }
+          p += 1
+        }
+        cached = t; cachedDim = dim
+        t
+      }
+    }
+  }
+
   private[functions] def hyperplaneBucketOf(v: ArrayData, planes: Int,
-      table: Int, margins: Array[Double]): Long = {
+      signsTable: HyperplaneSigns, margins: Array[Double]): Long = {
     val n = v.numElements()
+    val signs = signsTable.forDim(n)
     var bucket = 0L; var p = 0
     while (p < planes) {
-      val seedP = XXH64.hashInt(table * planes + p, 42L)
+      val base = p * n
       var s = 0.0; var d = 0
-      while (d < n) {
-        val sign = if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0
-        s += v.getDouble(d) * sign
-        d += 1
-      }
+      while (d < n) { s += v.getDouble(d) * signs(base + d); d += 1 }
       if (s > 0) bucket |= (1L << p)
       if (margins != null) margins(p) = math.abs(s)
       p += 1
@@ -287,18 +326,23 @@ object VecExprs {
       margin: Option[String]): String = {
     val n = ctx.freshName("n"); val p = ctx.freshName("p")
     val d = ctx.freshName("d"); val s = ctx.freshName("s")
-    val seedP = ctx.freshName("seedP")
-    val xxh = classOf[XXH64].getName
+    val signs = ctx.freshName("signs"); val base = ctx.freshName("base")
+    // the plane matrix rides in the plan as a lazily-built reference
+    // object (the NearestCentroids/PqEncode pattern) — the inner loop
+    // is pure multiply-add, no per-row hashing
+    val st = ctx.addReferenceObj("hsigns",
+      new HyperplaneSigns(planes, table),
+      classOf[HyperplaneSigns].getName)
     val marginLine = margin.fold("")(m => s"$m[$p] = Math.abs($s);")
     s"""
        |int $n = $a.numElements();
+       |double[] $signs = $st.forDim($n);
        |long $bucket = 0L;
        |for (int $p = 0; $p < $planes; $p++) {
-       |  long $seedP = $xxh.hashInt(${table * planes} + $p, 42L);
+       |  int $base = $p * $n;
        |  double $s = 0.0;
        |  for (int $d = 0; $d < $n; $d++) {
-       |    $s += $a.getDouble($d) *
-       |      ((($xxh.hashInt($d, $seedP)) & 1L) == 1L ? 1.0 : -1.0);
+       |    $s += $a.getDouble($d) * $signs[$base + $d];
        |  }
        |  if ($s > 0) $bucket |= (1L << $p);
        |  $marginLine
@@ -311,13 +355,19 @@ object VecExprs {
     * no stored plane matrix, recomputed identically on every executor. */
   case class HyperplaneBucket(child: Expression, planes: Int, table: Int = 0)
       extends UnaryExpression {
+    require(planes >= 1 && planes <= 64,
+      s"planes=$planes outside [1, 64]: 1L << p wraps past 63 (bit " +
+        "aliasing silently corrupts buckets), and 0 planes buckets " +
+        "everything together")
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_bucket"
     override def checkInputDataTypes(): TypeCheckResult =
       expectArrays(prettyName, child -> DoubleType)
 
+    @transient private lazy val signsTable = new HyperplaneSigns(planes, table)
+
     override def nullSafeEval(input: Any): Any =
-      hyperplaneBucketOf(input.asInstanceOf[ArrayData], planes, table, null)
+      hyperplaneBucketOf(input.asInstanceOf[ArrayData], planes, signsTable, null)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
@@ -349,6 +399,8 @@ object VecExprs {
   case class HyperplaneProbes(child: Expression, planes: Int,
                               table: Int, nprobes: Int)
       extends UnaryExpression {
+    require(planes >= 1 && planes <= 64,
+      s"planes=$planes outside [1, 64] (see HyperplaneBucket)")
     require(nprobes >= 0 && nprobes <= planes,
       s"nprobes=$nprobes must be within [0, planes=$planes]")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -356,11 +408,13 @@ object VecExprs {
     override def checkInputDataTypes(): TypeCheckResult =
       expectArrays(prettyName, child -> DoubleType)
 
+    @transient private lazy val signsTable = new HyperplaneSigns(planes, table)
+
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val margin = new Array[Double](planes)
       val order = Array.tabulate(planes)(identity)
-      val bucket = hyperplaneBucketOf(v, planes, table, margin)
+      val bucket = hyperplaneBucketOf(v, planes, signsTable, margin)
       // insertion sort of the plane indices by margin asc (index-asc
       // tie-break) — planes is single digits, no allocation pressure
       var i = 1
@@ -433,6 +487,10 @@ object VecExprs {
                               centroids: Array[Array[Double]], n: Int)
       extends UnaryExpression {
     require(n > 0, s"top-n count n=$n must be positive")
+    require(centroids.nonEmpty,
+      "empty centroid matrix: every assignment would be an empty list " +
+        "and every probe would join nothing — fail at construction " +
+        "(the PqEncode/ResidualVec contract)")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "graft_nearest_cents"
     override def checkInputDataTypes(): TypeCheckResult =

@@ -30,7 +30,16 @@ object VectorFunctions {
 
   /** cosine from a precomputed dot and squared norms — written as
     * dot/(√n2a·√n2b) in exactly this operand order (mirrored in the
-    * oracle SQL). */
-  def cosineFromParts(dotCol: Column, n2a: Column, n2b: Column): Column =
-    dotCol / (sqrt(n2a) * sqrt(n2b))
+    * oracle SQL). The division is guarded: this build runs Spark 4's
+    * ANSI default, where an unguarded double division by zero THROWS
+    * (DIVIDE_BY_ZERO) — a zero-norm pair yields NULL here instead of
+    * crashing the job. Callers still exclude zero-norm rows up front
+    * (preparedNonZero/unitFrame): a NULL cosine row would silently
+    * vanish from ≥-tau filters, and the DuckDB oracle side computes
+    * NaN for the same pair (which orders LARGEST there), so only the
+    * shared exclusion keeps both engines honest. */
+  def cosineFromParts(dotCol: Column, n2a: Column, n2b: Column): Column = {
+    val denom = sqrt(n2a) * sqrt(n2b)
+    when(denom > 0, dotCol / denom)
+  }
 }

@@ -39,7 +39,8 @@ object Similarity {
 
   /** [[prepared]] minus zero-norm rows — THE spelling every cosine
     * pair/ranking operator must start from: a zero vector's 0/0
-    * cosine is NaN, which Spark (and DuckDB) order LARGEST, so it
+    * cosine is undefined — a guarded NULL on the Spark side and a
+    * NaN in DuckDB, which orders LARGEST there — so unexcluded it
     * passes ≥ tau filters and ranks FIRST in desc sorts as a phantom
     * result. One helper so the next ranking path can't forget the
     * exclusion. (The PQ paths get the same guarantee via
@@ -135,9 +136,10 @@ object Similarity {
     * threshold — see SURVEY §5). Self-join candidate generation is
     * quadratic by nature at the exactness baseline — size-guarded; the
     * scale path for near-dup-by-embedding is [[cosinePairsLsh]].
-    * Zero-norm rows are excluded (0/0 cosine is NaN, which Spark —
-    * and DuckDB — order LARGEST: it would pass ≥ tau as a phantom
-    * pair; the oracle SQL applies the same predicate). */
+    * Zero-norm rows are excluded (their cosine is undefined: NULL
+    * under the guarded division here, NaN — ordered LARGEST — on the
+    * DuckDB side, where it would pass ≥ tau as a phantom pair; the
+    * oracle SQL applies the same predicate). */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
     guardQuadratic(emb, "cosinePairs", "Similarity.cosinePairsLsh bucketing")
     val p = preparedNonZero(emb)
@@ -167,9 +169,9 @@ object Similarity {
     * mix dissimilar vectors, so the star is a fan-out bound, NOT a
     * similarity claim; the exact verification keeps precision 1.0
     * regardless. Zero-norm embeddings are excluded up front: they
-    * have no direction, and their 0/0 cosine is NaN — which Spark
-    * orders LARGEST, so it would PASS a ≥ tau filter (the unitFrame
-    * rationale). */
+    * have no direction, and their cosine is undefined — NULL here,
+    * NaN (ordered LARGEST, passing ≥ tau as a phantom) on the DuckDB
+    * side (the unitFrame rationale). */
   def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 0,
                      tables: Int = 8, maxBucket: Long = 4096L): DataFrame = {
     val p0 = preparedNonZero(emb)
@@ -289,9 +291,9 @@ object Similarity {
     require(nQ == 0L || n <= pairCeiling / nQ,
       s"bruteForceTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
         "use Similarity.lshTopK (E2) / ivfTopK (E3) at this scale")
-    // zero-norm rows out: NaN cosine would rank FIRST in the desc sort
-    // (phantom top hits as queries or candidates — the cosinePairs
-    // rationale applied to ranking)
+    // zero-norm rows out: their cosine is undefined (NULL here, NaN —
+    // ranking FIRST in a desc sort — on the oracle side), so they must
+    // not appear as queries or candidates (the cosinePairs rationale)
     val p = preparedNonZero(emb)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
@@ -654,7 +656,7 @@ object Similarity {
                        excludeIngestBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
-    // zero-norm rows out on BOTH sides (NaN cosine ranks first): a
+    // zero-norm rows out on BOTH sides (undefined cosine): a
     // zero query has no defined ranking (returns no rows), a zero
     // indexed vector is never a legitimate cosine neighbor
     val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
@@ -774,7 +776,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {
-    // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
+    // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p = preparedNonZero(emb)
     val cents0 = collectCentroids(p, nlist)
     val cents = if (trainIters > 0)
@@ -822,9 +824,10 @@ object Similarity {
     */
   def centroidUpdate(emb: DataFrame, nlist: Int = 16): DataFrame = {
     // n2 > 0 on BOTH roles (the file's zero-norm doctrine): a zero
-    // seed's 0/0 cosine is NaN against every vector, and NaN ordering
-    // LARGEST would hand that one centroid the whole corpus; a zero
-    // member would likewise assign by NaN. vec_id tie-break on the
+    // seed or member has an undefined cosine against everything —
+    // NULL under the guarded division, and on the oracle side a NaN
+    // that orders LARGEST and would hand one centroid the whole
+    // corpus. vec_id tie-break on the
     // seed sample keeps it deterministic under an md5 collision at
     // the cutoff (both mirrored in the oracle SQL).
     val p = preparedNonZero(emb)
@@ -1014,7 +1017,7 @@ object Similarity {
   }
 
   /** Unit-normalized vector frame (vec_id, u). Zero vectors have no
-    * direction: excluding them beats NaN codes (NaN orders LARGEST in
+    * direction: excluding them beats undefined codes (NaN orders LARGEST in
     * Spark and would poison the rankings). */
   private def unitFrame(p0: DataFrame): DataFrame =
     p0.filter(col("n2") > 0)
@@ -1223,7 +1226,7 @@ object Similarity {
     * exactly the one true bucket, bit-identical to plain LSH). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
               tables: Int = 8, probes: Int = 0): DataFrame = {
-    // zero-norm exclusion as in bruteForceTopK: NaN cosine ranks first
+    // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p0 = preparedNonZero(emb)
     val bucketArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
