@@ -45,9 +45,17 @@ object CorpusPipeline {
     val scored = TextAnalysis.qualityScore(docs).select("doc_id", "score")
       .join(TextAnalysis.repetition(docs).select("doc_id", "rep_ratio"), "doc_id")
       .join(TextAnalysis.compressionRatio(docs).select("doc_id", "comp_ratio"), "doc_id")
+    // score ≥ 0.2 is a REAL floor (the F2 score is in [0,1] with
+    // degenerate/empty docs pinned at exactly 0.0 — a ≥ 0.0 gate
+    // filtered nothing); each funnel stage is cached: its frame feeds
+    // both its own count and the next stage, and the quality join in
+    // particular sits on a three-way scoring join including the
+    // per-doc deflate pass — recomputing that per consumer is the
+    // exact O(stages²) re-scan the 100 TB posture forbids
     val quality = docs.join(
-      scored.filter(col("score") >= 0.0 && col("rep_ratio") <= 0.5 &&
+      scored.filter(col("score") >= 0.2 && col("rep_ratio") <= 0.5 &&
         col("comp_ratio") >= 0.2).select("doc_id"), "doc_id")
+      .cache()
     val nQuality = quality.count()
 
     // 2. exact dedup on content fingerprints: keep the min doc_id per
@@ -55,7 +63,7 @@ object CorpusPipeline {
     val keepExact = TextAnalysis.fingerprint(quality)
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val exact = quality.join(keepExact, "doc_id")
+    val exact = quality.join(keepExact, "doc_id").cache()
     val nExact = exact.count()
 
     // 3. near-dup clustering: D3 candidate pairs → D8 components; the
@@ -63,6 +71,7 @@ object CorpusPipeline {
     val clusters = Dedup.clusters(exact, Dedup.ngramJaccard(exact, 0.2, maxDf))
     val near = exact.join(
       clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
+      .cache()
     val nNear = near.count()
 
     // 4. decontamination: drop anything sharing ≥5 grams with the
@@ -72,6 +81,7 @@ object CorpusPipeline {
       .select("doc_id").distinct()
     val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 97 =!= 0) // the eval slice itself never trains
+      .cache()
     val nClean = clean.count()
 
     // 5. mix: plan the rates (O(strata) rows — the one legitimate
@@ -87,6 +97,7 @@ object CorpusPipeline {
     val packed = Corpus.packSequences(sampled, "lang", packBudget)
     val nSeqs = packed.select("lang", "seq_id").distinct().count()
 
+    Seq(quality, exact, near, clean).foreach(_.unpersist(false))
     Funnel(input, nQuality, nExact, nNear, nClean, nSampled, nSeqs)
   }
 

@@ -57,7 +57,15 @@ object PipelineConfig {
   def fromJson(path: String): PipelineConfig = {
     val node = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
     def str(k: String, default: => String): String =
-      if (node.hasNonNull(k)) node.get(k).asText() else default
+      if (node.hasNonNull(k)) {
+        val n = node.get(k)
+        // asText() on a container node returns "" — a nested object
+        // under a required key would silently satisfy it with an
+        // empty string instead of failing the by-name default
+        require(n.isValueNode,
+          s"config key '$k' must be a scalar, got ${n.getNodeType}")
+        n.asText()
+      } else default
     val systems =
       if (node.hasNonNull("wrf_systems")) {
         val n = node.get("wrf_systems")

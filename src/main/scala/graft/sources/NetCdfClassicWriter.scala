@@ -34,12 +34,25 @@ object NetCdfClassicWriter {
     def beF(f: Float): Array[Byte] = be32(java.lang.Float.floatToIntBits(f))
     def padded(b: Array[Byte]): Array[Byte] =
       b ++ Array.fill[Byte]((4 - b.length % 4) % 4)(0)
-    def name(s: String): Array[Byte] = be32(s.length) ++ padded(s.getBytes("UTF-8"))
+    // nelems is the BYTE count: s.length counts UTF-16 chars, which
+    // diverges from the UTF-8 byte length on any non-ASCII name and
+    // leaves the reader mid-string for every later header field
+    def name(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      be32(b.length) ++ padded(b)
+    }
 
     def isRecordVar(v: FloatVar): Boolean =
       v.dimIds.headOption.exists(i => dims(i).length == 0)
-    def slabElems(v: FloatVar): Int =
-      v.dimIds.filter(i => dims(i).length > 0).map(i => dims(i).length).product
+    def slabElems(v: FloatVar): Int = {
+      val n = v.dimIds.filter(i => dims(i).length > 0)
+        .map(i => dims(i).length.toLong).product
+      // CDF-1 carries vsize/begin as 32-bit fields — a wrapped Int
+      // would silently write garbage begins; fail loudly instead
+      require(4L * n <= Int.MaxValue,
+        s"${v.name}: slab of $n floats exceeds the CDF-1 2 GiB limit")
+      n.toInt
+    }
     def vsize(v: FloatVar): Int = { val n = 4 * slabElems(v); n + (4 - n % 4) % 4 }
 
     def header(begins: Map[String, Int]): Array[Byte] = {
@@ -47,18 +60,23 @@ object NetCdfClassicWriter {
       def w(b: Array[Byte]): Unit = o.write(b)
       w(Array('C'.toByte, 'D'.toByte, 'F'.toByte, 1.toByte))
       w(be32(numRecs))
-      w(be32(0x0A)); w(be32(dims.size))
+      // an empty list is spelled ABSENT (two zero words), not
+      // tag + nelems 0 — strict readers reject the latter
+      if (dims.isEmpty) { w(be32(0)); w(be32(0)) }
+      else { w(be32(0x0A)); w(be32(dims.size)) }
       dims.foreach { d => w(name(d.name)); w(be32(d.length)) }
       w(be32(0)); w(be32(0)) // no global attrs
-      w(be32(0x0B)); w(be32(vars.size))
+      if (vars.isEmpty) { w(be32(0)); w(be32(0)) }
+      else { w(be32(0x0B)); w(be32(vars.size)) }
       vars.foreach { v =>
         w(name(v.name)); w(be32(v.dimIds.size)); v.dimIds.foreach(i => w(be32(i)))
         if (v.attrs.isEmpty) { w(be32(0)); w(be32(0)) }
         else {
           w(be32(0x0C)); w(be32(v.attrs.size))
           v.attrs.foreach { a =>
-            w(name(a.name)); w(be32(2)); w(be32(a.value.length))
-            w(padded(a.value.getBytes("UTF-8")))
+            val ab = a.value.getBytes("UTF-8") // byte count, as in name()
+            w(name(a.name)); w(be32(2)); w(be32(ab.length))
+            w(padded(ab))
           }
         }
         w(be32(5)) // NC_FLOAT
@@ -71,12 +89,30 @@ object NetCdfClassicWriter {
     // layout: header | fixed vars (declaration order) | records
     val hlen = header(Map.empty).length
     val (fixedVars, recordVars) = vars.partition(v => !isRecordVar(v))
-    var offset = hlen
+    var offset = hlen.toLong
     val begins = scala.collection.mutable.Map[String, Int]()
-    fixedVars.foreach { v => begins(v.name) = offset; offset += vsize(v) }
-    val recStart = offset
-    recordVars.foreach { v => begins(v.name) = offset; offset += vsize(v) }
+    def claim(v: FloatVar): Unit = {
+      require(offset <= Int.MaxValue,
+        s"${v.name}: begin $offset exceeds the CDF-1 2 GiB limit")
+      begins(v.name) = offset.toInt; offset += vsize(v)
+    }
+    fixedVars.foreach(claim)
+    recordVars.foreach(claim)
 
+    // validate BOTH variable classes up front: a fixed var with the
+    // wrong data length would silently shift every later variable off
+    // its header begin (negative pad fills are empty in Scala), and a
+    // record var at numRecs = 0 would silently drop its data without
+    // ever reaching an in-loop check
+    fixedVars.foreach { v =>
+      require(v.data.length == slabElems(v),
+        s"${v.name}: data length ${v.data.length} != slab ${slabElems(v)}")
+    }
+    recordVars.foreach { v =>
+      require(v.data.length == slabElems(v) * numRecs,
+        s"${v.name}: data length ${v.data.length} != $numRecs recs × " +
+          s"${slabElems(v)}")
+    }
     val o = new ByteArrayOutputStream()
     o.write(header(begins.toMap))
     fixedVars.foreach { v =>
@@ -85,8 +121,6 @@ object NetCdfClassicWriter {
     }
     for (r <- 0 until numRecs; v <- recordVars) {
       val n = slabElems(v)
-      require(v.data.length == n * numRecs,
-        s"${v.name}: data length ${v.data.length} != $numRecs recs × $n")
       (0 until n).foreach(i => o.write(beF(v.data(r * n + i))))
       o.write(Array.fill[Byte](vsize(v) - 4 * n)(0))
     }
