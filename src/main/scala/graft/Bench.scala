@@ -31,6 +31,7 @@ object Bench {
     def clearCaches(): Unit = {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Similarity.releaseCaches()
+      graft.operators.Corpus.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
     }
 

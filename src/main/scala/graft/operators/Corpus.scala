@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.TextFunctions._
 
@@ -20,6 +21,17 @@ import graft.functions.TextFunctions._
   * rank window gets `WindowGroupLimit` pushdown below it.
   */
 object Corpus {
+
+  /** Cached pack staging table, one live slot (shared [[CacheSlots]]
+    * lifecycle — see Dedup): both prefix-sum phases of
+    * [[packSequences]] must read the SAME physical partitioning. */
+  private val liveCaches = new CacheSlots
+
+  private def cachedAs(key: String, df: DataFrame): DataFrame =
+    liveCaches(key, df)
+
+  /** Drop every cache this object holds (end-of-job cleanup). */
+  def releaseCaches(): Unit = liveCaches.release()
 
   /** F6: deterministic stratified sampling — corpus mixing / rebalance
     * (downsample over-represented languages or sources) with a
@@ -96,26 +108,109 @@ object Corpus {
     * document stream into fixed `budgetTokens` training sequences:
     * documents ordered by doc_id within a stratum, each assigned the
     * sequence its first token lands in (`seq_id = offset ÷ budget`)
-    * plus its offset inside that sequence. This is the standard
-    * "pack by offset" batching layout; the exclusive running sum is
-    * one window per stratum, so the shuffle key is the stratum and
-    * packing parallelizes across strata (at 100 TB: repartition by
-    * stratum, sort within partitions — no global sort).
+    * plus its offset inside that sequence (the standard "pack by
+    * offset" batching layout).
+    *
+    * The exclusive running token sum is a TWO-PHASE DISTRIBUTED
+    * PREFIX SUM, not a per-stratum window: a window partition is
+    * semantically unsplittable, and real pretraining corpora are
+    * stratum-skewed (English ≈ half the corpus), so
+    * `Window.partitionBy(stratum)` would pin the dominant stratum's
+    * entire running sum onto ONE task at 100 TB. Instead:
+    *
+    *  1. range-partition by (stratum, doc_id) + sort within
+    *     partitions — a mega-stratum spans MANY partitions, split by
+    *     doc_id, while rows stay stratum-then-id ordered within each;
+    *  2. aggregate per-(partition, stratum) token subtotals — O(nPart
+    *     + strata) rows (strata are contiguous under the range
+    *     partitioner), collected as bounded metadata like the
+    *     centroid/mix-rate collects;
+    *  3. exclusive-scan the subtotals per stratum in partition order
+    *     on the driver, broadcast the (partition, stratum) → start
+    *     offset map, and finish with a partition-LOCAL running sum in
+    *     one `mapPartitions` pass (the EWMA streaming pattern — one
+    *     long of state per open stratum).
+    *
+    * Output is bit-identical to the window spelling (the oracle keeps
+    * the window SQL). `partitions` sizes the range shuffle; 0 = the
+    * session's shuffle parallelism.
     */
-  def packSequences(docs: DataFrame, strataCol: String, budgetTokens: Int): DataFrame = {
+  def packSequences(docs: DataFrame, strataCol: String, budgetTokens: Int,
+                    partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
-    val w = Window.partitionBy(strataCol).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col(strataCol),
-        size(tokens(col("text"))).cast("bigint").as("ws_tokens"))
-      .withColumn("tok_offset", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col(strataCol), col("ws_tokens"),
+    val spark = docs.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // __skey: the stratum as a string travels alongside the original
+    // column so phase 2's grouping key and phase 3's JVM-side key are
+    // the SAME cast — no cast-vs-toString drift for non-string strata.
+    // __pid: the range-shuffle partition id FROZEN INTO THE CACHED
+    // DATA. Reading TaskContext.getPartitionId() in phase 3 instead
+    // would be wrong under any downstream narrow merge — a
+    // coalesce(1) sink runs every parent partition's iterator inside
+    // one task, so the task id is NOT the data partition id.
+    val prepared = cachedAs("packSequences_prepared",
+      docs.select(col("doc_id"), col(strataCol),
+          size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+          col(strataCol).cast("string").as("__skey"))
+        .repartitionByRange(nPart, col(strataCol), col("doc_id"))
+        .sortWithinPartitions(col(strataCol), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    // Phase 2: per-(partition, stratum) subtotals. Bounded collect:
+    // strata are contiguous under range partitioning, so this is
+    // O(nPart + strata) rows of metadata, independent of corpus size.
+    val subtotals = prepared
+      .groupBy(col("__pid"), col("__skey"))
+      .agg(sum(col("ws_tokens")).as("__sub"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    // Phase 3a: exclusive scan per stratum in partition order — each
+    // (partition, stratum) pair learns where its slice of the stratum's
+    // token stream starts.
+    val starts: Map[(Int, String), Long] =
+      subtotals.groupBy(_._2).iterator.flatMap { case (skey, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, sub) =>
+          val start = acc; acc += sub; ((pid, skey), start)
+        }
+      }.toMap
+    val bcStarts = spark.sparkContext.broadcast(starts)
+    // Phase 3b: partition-local running sum seeded from the broadcast
+    // offsets; null token counts contribute 0 (sum-over-window skips
+    // nulls — same oracle semantics).
+    val inSchema = prepared.schema
+    val iDoc = inSchema.fieldIndex("doc_id")
+    val iStratum = inSchema.fieldIndex(strataCol)
+    val iTok = inSchema.fieldIndex("ws_tokens")
+    val iKey = inSchema.fieldIndex("__skey")
+    val iPid = inSchema.fieldIndex("__pid")
+    val outSchema = StructType(Seq(
+      inSchema(iDoc), inSchema(iStratum), inSchema(iTok),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("seq_offset", LongType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    prepared.mapPartitions { it =>
+      val startByKey = bcStarts.value
+      var cur: String = null
+      var open = false
+      var run = 0L
+      it.map { r =>
+        val k = if (r.isNullAt(iKey)) null else r.getString(iKey)
+        if (!open || k != cur) {
+          cur = k; open = true
+          run = startByKey.getOrElse((r.getInt(iPid), k), 0L)
+        }
+        val off = run
+        if (!r.isNullAt(iTok)) run += r.getLong(iTok)
         // integral div, not a double roundtrip: cumulative offsets
         // past 2^53 would round across a sequence boundary (the
         // bucketEpochSec rationale); matches the oracle's `//`
-        expr(s"tok_offset div $budgetTokens").as("seq_id"),
-        (col("tok_offset") % budgetTokens).as("seq_offset"))
+        Row(r.get(iDoc), r.get(iStratum), r.get(iTok),
+          off / budgetTokens, off % budgetTokens)
+      }
+    }
   }
 
   /** F8: token frequency top-k per stratum — the corpus-inspection

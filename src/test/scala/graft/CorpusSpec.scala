@@ -77,6 +77,54 @@ class CorpusSpec extends SparkSpec {
       (5L, "en", 3L, 1L, 2L)))
   }
 
+  test("F7 packSequences matches the window reference and splits a mega-stratum " +
+    "across tasks (no per-stratum window)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    // 90% of rows in one stratum — the pretraining-corpus skew shape
+    // that pins a Window.partitionBy(stratum) plan onto one task
+    val n = 4000
+    val skew = (1 to n).map { i =>
+      (i.toLong, Seq.fill(i % 5 + 1)("w").mkString(" "),
+        if (i % 10 == 0) "es" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = Corpus.packSequences(skew, "lang", budgetTokens = 7, partitions = 8)
+    // plan shape: the running sum must NOT be a window at all
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "packSequences regressed to a per-stratum window")
+    // the mega-stratum executes across >1 partition (multi-task)
+    val enPids = out.filter(col("lang") === "en")
+      .select(spark_partition_id()).distinct().count()
+    assert(enPids > 1, s"mega-stratum landed on $enPids partition(s)")
+    // bit-identical to the window spelling (what the oracle runs)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = skew.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("bigint").as("ws_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("ws_tokens"),
+        expr("tok_offset div 7").as("seq_id"),
+        (col("tok_offset") % 7).as("seq_offset"))
+    assert(out.collect().toSet === expected.collect().toSet)
+    // a narrow downstream merge must not disturb the seeded offsets:
+    // coalesce(1) runs every parent partition's iterator inside ONE
+    // task (the Verify sink shape), so any task-context-derived
+    // partition id would silently read as 0 for all of them
+    assert(out.coalesce(1).collect().toSet === expected.collect().toSet)
+  }
+
+  test("F7 packSequences packs a null stratum as its own group") {
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") <= 2, lit(null: String)).otherwise(col("lang")))
+    val out = Corpus.packSequences(withNull, "lang", budgetTokens = 5)
+      .select("doc_id", "lang", "seq_id", "seq_offset")
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1)
+    // null stream ordered by doc_id: doc1 (4 tok) offset 0 → seq 0;
+    // doc2 (3 tok) offset 4 → seq 0 at offset 4 (spillover)
+    assert(out.filter(_._2.isEmpty) === Array(
+      (1L, None, 0L, 0L), (2L, None, 0L, 4L)))
+  }
+
   test("F8 topTokens ranks by count with deterministic token tie-break") {
     val out = Corpus.topTokens(docs, "lang", k = 2)
       .select("lang", "token", "cnt", "rnk")
