@@ -434,8 +434,22 @@ object Dedup {
     * bit_count(xor). Entirely per-row expression work + one equi-join
     * on (band, band_val). More bands (higher maxHamming) = shorter
     * bands = more candidates — recall stays exact, cost grows.
+    *
+    * `maxBucket` caps the (band, band_val) group size — the band-value
+    * space is FIXED at 2^(64/bands) (65,536 values at maxHamming = 3),
+    * so past ~10⁷ docs every bucket is hot by pigeonhole and the
+    * self-join fans out O(n²/65k) per band without a cap. Same shape
+    * as [[minhashLsh]]: a hot bucket is NOT dropped (its members often
+    * share every band) — it collapses to a STAR around its min-id
+    * member, each spoke exact-hamming-verified against the hub, so
+    * per-bucket output is O(size) and connectivity survives for D8's
+    * transitive clustering. Only the size² full enumeration (and
+    * spokes whose hamming to the HUB exceeds the bound despite a
+    * shared band) is given up. Identity at test scale; a hard
+    * per-key bound at 100 TB.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Long = 1024L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming out of range for a 64-bit simhash")
     graft.functions.VecExprs.register(docs.sparkSession)
@@ -462,11 +476,32 @@ object Dedup {
     }
     val banded = withSim.select(col("doc_id"), col("simhash"),
       posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
-    banded.as("a").join(banded.as("b"),
+    val (buckets, hotStar) =
+      if (maxBucket == Long.MaxValue) (banded, None)
+      else {
+        val hot = banded.groupBy(col("band"), col("band_val"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+          .select("band", "band_val")
+        val kept = banded.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
+        // hot buckets → star spokes around the min-id member; the hub
+        // travels with its simhash so spokes still get the exact
+        // hamming verify below (doc_a = hub = min, so doc_a < doc_b)
+        val members = banded.join(broadcast(hot), Seq("band", "band_val"))
+        val star = members
+          .groupBy(col("band"), col("band_val"))
+          .agg(min_by(struct(col("doc_id"), col("simhash")), col("doc_id")).as("hub"))
+          .join(members, Seq("band", "band_val"))
+          .filter(col("doc_id") =!= col("hub.doc_id"))
+          .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            bit_count(col("hub.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+        (kept, Some(star))
+      }
+    val keptPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    hotStar.fold(keptPairs)(keptPairs.unionByName(_))
       .filter(col("hamming") <= maxHamming) // before distinct: only survivors shuffle
       .distinct()
   }

@@ -80,6 +80,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("D4 hot band-bucket cap: pair count collapses O(n²)→O(n), identity at ∞") {
+    // near-constant-simhash corpus: 80 identical docs share one
+    // simhash, so every (band, band_val) bucket holds all 80 members —
+    // the pigeonhole trap (band-value space is fixed at 2^16) that
+    // makes EVERY bucket hot past ~10⁷ real docs
+    val n = 80
+    val same = (1L to n.toLong).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(same, maxHamming = 3, maxBucket = Long.MaxValue)
+    assert(uncapped.count() === n.toLong * (n - 1) / 2) // full n² enumeration
+    // capped: each bucket star-collapses around the min member → n−1
+    // spokes, all exact-hamming-verified against the hub
+    val capped = Dedup.simhashPairs(same, maxHamming = 3, maxBucket = 16L)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(capped.length === n - 1)
+    assert(capped.forall(p => p._1 == 1L && p._3 == 0L))
+    // connectivity survives for D8: every member reachable via the hub
+    assert(capped.map(_._2).toSet === (2L to n.toLong).toSet)
+    // on a corpus with no hot buckets the cap is the identity
+    val base = Dedup.simhashPairs(docs, 3, Long.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.simhashPairs(docs, 3, 16L)
+      .as[(Long, Long, Long)].collect().toSet === base)
+  }
+
   test("D3 hot-gram df cap: candidate count collapses O(n²)→O(n), identity at ∞") {
     // 60 docs all sharing one boilerplate sentence (its grams have
     // df = 60 — the scale-killer key), in 30 identical-tail pairs
