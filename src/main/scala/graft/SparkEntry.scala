@@ -412,6 +412,15 @@ object SparkEntry {
             ",")).as("vec_digest")))
   )
 
+  /** Minimum row counts for rows-only queries (no oracle mirror), by
+    * name; anything absent defaults to 1 = non-empty. The DuckDB hash
+    * gate can't see a rows-only query silently emptying, so Verify
+    * enforces these floors and exits non-zero on a breach. Floors stay
+    * at "non-empty" rather than sf-calibrated counts: the same Verify
+    * binary runs at sf0.001 (dev loop) and sf0.01 (driver), and a
+    * scale-dependent floor would false-fail the smaller run. */
+  def rowFloors: Map[String, Long] = Map.empty
+
   // ---- DuckDB mirrors ---------------------------------------------------
 
   /** shared SQL fragments (kept textually identical across queries so
@@ -534,8 +543,11 @@ object SparkEntry {
 
     "ts_station_registry" ->
       s"""WITH g AS (
-         |  SELECT DISTINCT printf('%.6f', $LAT) AS lat_key,
-         |                  printf('%.6f', $LON) AS lon_key
+         |  SELECT DISTINCT
+         |    regexp_replace(regexp_replace(printf('%.6f', $LAT), '0+$$', ''),
+         |                   '\\.$$', '.0') AS lat_key,
+         |    regexp_replace(regexp_replace(printf('%.6f', $LON), '0+$$', ''),
+         |                   '\\.$$', '.0') AS lon_key
          |  FROM events)
          |SELECT lat_key, lon_key,
          |       'wrf_' || lat_key || '_' || lon_key AS station_name,

@@ -176,20 +176,26 @@ object Timeseries {
   /** A9: station registry — one stable station per rounded grid key.
     * Reference: `wrf_{lat}_{lon}` station naming + add-if-absent,
     * wrf_data_pusher.py:211-228. Grid keys are normalized at 6 dp so
-    * float jitter across files can't mint duplicate stations; note the
-    * reference then passes the rounded value through `str(float(...))`,
-    * which strips trailing zeros (`wrf_6.9_79.85`), while this keeps
-    * the zero-padded '%.6f' form (`wrf_6.900000_79.850000`) — same
-    * dedup semantics, different display text (and therefore different
-    * md5 ids than the reference system's). Deterministic
-    * content-derived id (md5 of the key) instead of an auto-increment —
-    * idempotent across re-runs and executors, which is what upsert-once
-    * semantics need at scale.
+    * float jitter across files can't mint duplicate stations, then
+    * rendered the way the reference renders them —
+    * `str(float('%.6f' % lat))`, which strips trailing zeros but keeps
+    * one fractional digit (`wrf_6.9_79.85`, `wrf_7.0_80.0`) — so
+    * station names and the md5 ids derived from them are byte-for-byte
+    * the real system's. (Stripping is injective on 6-dp strings, so
+    * dedup semantics are unchanged; for coordinate-scale magnitudes
+    * the 6-dp decimal IS the shortest repr of its double, so the
+    * strip-zeros rewrite equals Python's str(float(...)).)
+    * Deterministic content-derived id (md5 of the key) instead of an
+    * auto-increment — idempotent across re-runs and executors, which
+    * is what upsert-once semantics need at scale.
     */
   def stationRegistry(df: DataFrame, keyCols: Seq[String],
                       prefix: String = "st"): DataFrame = {
-    // 6-dp normalization (zero-padded; see scaladoc on naming drift)
-    val keyed = keyCols.map(c => format_string("%.6f", col(c)).as(s"${c}_key"))
+    // 6-dp normalization + reference rendering (see scaladoc)
+    val keyed = keyCols.map { c =>
+      val stripped = regexp_replace(format_string("%.6f", col(c)), "0+$", "")
+      regexp_replace(stripped, "\\.$", ".0").as(s"${c}_key")
+    }
     val name = concat_ws("_", lit(prefix) +: keyCols.map(c => col(s"${c}_key")): _*)
     df.select(keyed: _*).distinct()
       .withColumn("station_name", name)

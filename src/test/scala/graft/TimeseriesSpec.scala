@@ -94,7 +94,22 @@ class TimeseriesSpec extends SparkSpec {
     val df = Seq((6.50000004, 79.25), (6.5, 79.25)).toDF("lat", "lon")
     val out = Timeseries.stationRegistry(df, Seq("lat", "lon"), "wrf")
     assert(out.count() === 1)
-    assert(out.select("station_name").as[String].head() === "wrf_6.500000_79.250000")
+    assert(out.select("station_name").as[String].head() === "wrf_6.5_79.25")
+  }
+
+  test("A9 stationRegistry names match the reference's str(float('%.6f')) byte-for-byte") {
+    // wrf_data_pusher.py renders keys via str(float('%.6f' % v)):
+    // trailing zeros stripped, at least one fractional digit kept
+    val df = Seq((6.9, 79.85), (7.0, 80.0), (6.123456789, 79.0))
+      .toDF("lat", "lon")
+    val names = Timeseries.stationRegistry(df, Seq("lat", "lon"), "wrf")
+      .select("station_name").as[String].collect().toSet
+    assert(names === Set("wrf_6.9_79.85", "wrf_7.0_80.0", "wrf_6.123457_79.0"))
+    // md5 ids are derived from those exact strings
+    val id = Timeseries.stationRegistry(
+        Seq((6.9, 79.85)).toDF("lat", "lon"), Seq("lat", "lon"), "wrf")
+      .select("station_id").as[String].head()
+    assert(id === org.apache.commons.codec.digest.DigestUtils.md5Hex("wrf_6.9_79.85"))
   }
 
   test("A10 tmsId is deterministic in the metadata tuple") {
