@@ -275,8 +275,11 @@ object SparkEntry {
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
+    // probes=2: index-side multi-probe — each vector registers its
+    // exact bucket plus its 2 lowest-margin flips per table (pair
+    // recall measured in SimilaritySpec; precision stays 1.0)
     "dedup_embedding_lsh" -> ((s, d) =>                               // rows-only
-      Similarity.cosinePairsLsh(emb(s, d), 0.45)),
+      Similarity.cosinePairsLsh(emb(s, d), 0.45, probes = 2)),
 
     // D10 SemDeDup: cluster-then-verify — pairs are a subset of
     // dedup_embedding_cosine's ground truth (precision 1.0, recall

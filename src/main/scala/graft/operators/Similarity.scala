@@ -171,9 +171,26 @@ object Similarity {
     * regardless. Zero-norm embeddings are excluded up front: they
     * have no direction, and their cosine is undefined — NULL here,
     * NaN (ordered LARGEST, passing ≥ tau as a phantom) on the DuckDB
-    * side (the unitFrame rationale). */
+    * side (the unitFrame rationale).
+    *
+    * `probes` turns on multi-probe candidate generation (Lv et al.
+    * 2007 — the trick [[lshTopK]] already uses on its query side).
+    * A pair list has no broadcastable query side, so the probes go
+    * INTO THE BUCKET TABLE instead: every row registers, per table,
+    * its exact bucket plus the `probes` buckets reached by flipping
+    * its lowest-margin hyperplane bits — exactly the buckets a true
+    * near-dup most plausibly fell into when it straddled a plane. Two
+    * rows then meet when ANY of their (1+probes) bucket sets
+    * intersect (stronger than one-sided query probing). The plan is
+    * BIT-IDENTICAL in shape to probes=0 — same cached table, same
+    * single bucket-keyed self-join, zero additional exchanges — only
+    * the table's row volume grows ×(1+probes); `maxBucket` caps the
+    * expanded occupancy the same way. probes=0 is plain LSH (the
+    * probe array degenerates to the one exact bucket). */
   def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 0,
-                     tables: Int = 8, maxBucket: Long = 4096L): DataFrame = {
+                     tables: Int = 8, maxBucket: Long = 4096L,
+                     probes: Int = 0): DataFrame = {
+    require(probes >= 0, s"probes=$probes must be non-negative")
     val p0 = preparedNonZero(emb)
     val nPlanes =
       if (planes > 0) planes
@@ -191,14 +208,20 @@ object Similarity {
     // the exploded bucket table feeds the hot-bucket aggregate, the
     // anti-join, the star branch, AND both self-join sides — cache it
     // (slot lifecycle, see cachedAs) so the corpus isn't re-hashed
-    // once per branch; ids-only, so the cached footprint is narrow
+    // once per branch; ids-only, so the cached footprint is narrow.
+    // At probes=0 graft_hyperplane_probes returns exactly [exact
+    // bucket], so the probe spelling IS plain LSH there; distinct
+    // flip bits mean a vector never repeats within one (t, bucket).
+    val nProbes = math.min(probes, nPlanes)
     val raw = cachedAs("cosinePairsLsh",
       p0.select(col("vec_id"),
-        posexplode(array((0 until tables).map(t =>
-          call_function("graft_hyperplane_t", col("v"), lit(nPlanes), lit(t))): _*))
-          .as(Seq("t", "bucket"))))
-    // multi-table candidates repeat across tables — dedup before the
-    // verification joins
+          posexplode(array((0 until tables).map(t =>
+            call_function("graft_hyperplane_probes",
+              col("v"), lit(nPlanes), lit(t), lit(nProbes))): _*))
+            .as(Seq("t", "pb")))
+        .select(col("vec_id"), col("t"), explode(col("pb")).as("bucket")))
+    // multi-table (and probe-overlap) candidates repeat — dedup
+    // before the verification joins
     verifyPairs(p0,
       bucketedCandidates(raw, Seq("t", "bucket"), maxBucket)
         .dropDuplicates("a_id", "b_id"),

@@ -96,6 +96,34 @@ class SimilaritySpec extends SparkSpec {
     assert(zPairs.count() === 0L)
   }
 
+  test("D5b multi-probe lifts pair recall, same plan shape, precision still 1") {
+    val real = Tables.embeddings(spark, sfDir)
+    val full = Similarity.cosinePairs(real, 0.45)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val base = Similarity.cosinePairsLsh(real, 0.45)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val probed = Similarity.cosinePairsLsh(real, 0.45, probes = 2)
+      .select("vec_a", "vec_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    // probing only ADDS candidates; verification keeps precision 1.0
+    assert(base.subsetOf(probed) && probed.subsetOf(full))
+    val r0 = if (full.isEmpty) 1.0 else base.size.toDouble / full.size
+    val r2 = if (full.isEmpty) 1.0 else probed.size.toDouble / full.size
+    info(f"D5b pair recall: probes=0 $r0%.2f → probes=2 $r2%.2f " +
+      f"(${probed.size}/${full.size} pairs)")
+    assert(r2 >= 0.85, f"multi-probe recall $r2%.2f below 0.85")
+    // same shuffle posture: the probe flavor's plan has no MORE
+    // exchanges than plain LSH — probes widen the bucket table, they
+    // do not add a join
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val e0 = exchanges(Similarity.cosinePairsLsh(real, 0.45))
+    val e2 = exchanges(Similarity.cosinePairsLsh(real, 0.45, probes = 2))
+    assert(e2 <= e0, s"probes added exchanges: $e0 → $e2")
+  }
+
   test("D10 SemDeDup: within-cluster pairs exact-verified (precision 1), star cap safe") {
     val real = Tables.embeddings(spark, sfDir)
     val full = Similarity.cosinePairs(real, 0.45)
