@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Decoding runs batched inside `mapPartitions` over a typed Dataset —
   * the Scala analogue of a Pandas-batch UDF: the partition iterator is
-  * chunked so a real codec would amortize per-batch setup (model load,
-  * JNI handle) across [[Codec.batchSize]] payloads. The actual
-  * image/audio codecs are NOT in this container, so [[Codec.decode]]
-  * is a clearly-marked deterministic stub; everything around it —
-  * schema, encoders, batching, partition flow — is the real plumbing
-  * a production codec would drop into.
+  * chunked so a codec amortizes per-batch setup (model load, JNI
+  * handle) across [[Codec.batchSize]] payloads. The IMAGE codec is
+  * real: `javax.imageio` (in the JDK — PNG/JPEG/GIF/BMP) probes
+  * dimensions header-only for G1 and decodes + rescales pixels for
+  * G4. Audio/video codecs are NOT in this container, so those — and
+  * payloads imageio doesn't recognize — fall back to
+  * [[Codec.stubMeta]], a clearly-marked deterministic fake; the
+  * schema, encoders, batching, and partition flow around both paths
+  * are the same production plumbing.
   */
 object Multimodal {
 
@@ -28,24 +31,78 @@ object Multimodal {
   object Codec {
     val batchSize = 64
 
-    /** STUB — deterministic fake decode. A real implementation would
-      * hand the batch to an image/audio/video library here (the
-      * integration point a production build replaces); those libs are
-      * absent in this container, so metadata is derived purely from
-      * the payload bytes (stable hash + length), keeping the operator
-      * deterministic and testable.
-      */
+    /** REAL image probe: width/height straight from the stream header
+      * via `javax.imageio` — no pixel decode (at 100 TB, G1 must not
+      * pay a full decompress to report dimensions). None when the
+      * payload isn't a recognized image stream. */
+    def imageSize(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } catch { case _: java.io.IOException => None }
+      finally iis.close()
+    }
+
+    /** REAL image resize: full pixel decode, bilinear rescale to
+      * (dw, dh), deterministic PNG re-encode. None when the payload
+      * isn't decodable as an image. */
+    def resizeImage(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
+      if (bytes == null || bytes.length == 0) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, dw, dh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+
+    /** STUB — deterministic fake metadata for the modalities whose
+      * codecs are absent in this container (audio/video) and for
+      * payloads `javax.imageio` doesn't recognize (the synthetic
+      * text-bytes stand-ins). Derived purely from the payload bytes
+      * (stable hash + length) so the operator stays deterministic and
+      * testable; a production build replaces this integration point. */
+    def stubMeta(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
+      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+      val w = 64 + math.floorMod(h, 1856)          // 64..1919
+      val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
+      val frames = kind match {
+        case "video" => 1 + math.floorMod(h >> 22, 240)
+        case "audio" => 1 + math.floorMod(h >> 22, 48000)
+        case _       => 1
+      }
+      MediaMeta(id, kind, bytes.length, w, hgt, frames)
+    }
+
+    /** Batched decode: real header probe for images, [[stubMeta]] for
+      * everything else. */
     def decode(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaMeta] =
       batch.map { case (id, kind, bytes) =>
-        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-        val w = 64 + math.floorMod(h, 1856)          // 64..1919
-        val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
-        val frames = kind match {
-          case "video" => 1 + math.floorMod(h >> 22, 240)
-          case "audio" => 1 + math.floorMod(h >> 22, 48000)
-          case _       => 1
+        val real = if (kind == "image") imageSize(bytes) else None
+        real match {
+          case Some((w, h)) => MediaMeta(id, kind, bytes.length, w, h, 1)
+          case None         => stubMeta(id, kind, bytes)
         }
-        MediaMeta(id, kind, bytes.length, w, hgt, frames)
       }
   }
 
@@ -121,10 +178,22 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
 
-  def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
-    val spark = docs.sparkSession
+  def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame =
+    resizePayloads(payloads(docs), maxW, maxH)
+
+  /** G4 on a real media frame — (doc_id, kind, payload) with actual
+    * image bytes in `payload`. PNG/JPEG payloads take the REAL path:
+    * pixel decode, bilinear rescale, PNG re-encode (scale 1.0 — the
+    * never-upscale case — passes the original bytes through
+    * untouched: no decode, no re-encode). Unrecognized payloads keep
+    * the deterministic stub (byte subsample proportional to the area
+    * change). Narrow op either way: payload bytes never leave their
+    * partition. */
+  def resizePayloads(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bounds ${maxW}x$maxH must be positive")
+    val spark = media.sparkSession
     import spark.implicits._
-    payloads(docs)
+    media
       .filter(col("kind") === "image")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.grouped(Codec.batchSize).flatMap { batch =>
@@ -134,13 +203,24 @@ object Multimodal {
             math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
           val dw = math.max(1, math.floor(m.width * scale).toInt)
           val dh = math.max(1, math.floor(m.height * scale).toInt)
-          val outLen = math.min(bytes.length,
-            math.max(1, math.ceil(bytes.length.toDouble *
-              (dw.toLong * dh) / (m.width.toLong * m.height)).toInt))
-          // min() above: an empty payload keeps n_bytes = 0 = the
-          // actual output length — take(1) of nothing is nothing, and
-          // a consumer asserting n_bytes == length(payload) must hold
-          Resized(id, m.width, m.height, dw, dh, outLen, bytes.take(outLen))
+          val real =
+            if (scale >= 1.0) None // within bounds: pass bytes through
+            else Codec.resizeImage(bytes, dw, dh)
+          real match {
+            case Some(out) =>
+              Resized(id, m.width, m.height, dw, dh, out.length, out)
+            case None if scale >= 1.0 =>
+              Resized(id, m.width, m.height, dw, dh, bytes.length, bytes)
+            case None =>
+              val outLen = math.min(bytes.length,
+                math.max(1, math.ceil(bytes.length.toDouble *
+                  (dw.toLong * dh) / (m.width.toLong * m.height)).toInt))
+              // min() above: an empty payload keeps n_bytes = 0 = the
+              // actual output length — take(1) of nothing is nothing,
+              // and a consumer asserting n_bytes == length(payload)
+              // must hold
+              Resized(id, m.width, m.height, dw, dh, outLen, bytes.take(outLen))
+          }
         }
       })
       .toDF()
@@ -150,11 +230,18 @@ object Multimodal {
     * standing in for real media) + a modality tag, then batch-decode to
     * typed metadata. Pure narrow transformation — no shuffle; at scale
     * this is one codegen'd scan stage feeding the batched decoder. */
-  def decodeMeta(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def decodeMeta(docs: DataFrame): DataFrame =
+    decodeMetaPayloads(payloads(docs))
+
+  /** G1 on a real media frame — (doc_id, kind, payload) with actual
+    * bytes. Image payloads get their true dimensions from the
+    * header-only `javax.imageio` probe; everything else (and
+    * unrecognized bytes) falls back to the deterministic stub. */
+  def decodeMetaPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
     val typed: Dataset[(Long, String, Array[Byte])] =
-      payloads(docs).as[(Long, String, Array[Byte])]
+      media.as[(Long, String, Array[Byte])]
     typed
       .mapPartitions(_.grouped(Codec.batchSize).flatMap(b => Codec.decode(b.toSeq)))
       .toDF()

@@ -1,0 +1,70 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import graft.operators.Multimodal
+
+/** The REAL image-codec path (javax.imageio): crafted PNG byte arrays
+  * go through G1/G4 end-to-end — true header dimensions, actual pixel
+  * rescale, decodable output payloads — while non-image payloads keep
+  * the declared deterministic stub. */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { img.setRGB(x, y, 0x3366AA + 31 * x + y); y += 1 }
+      x += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("G1 decodes real PNG bytes: true dimensions, header-only probe") {
+    val bytes = png(100, 40)
+    val media = Seq((1L, "image", bytes), (2L, "audio", bytes))
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.decodeMetaPayloads(media).orderBy("doc_id").collect()
+    val img = out(0)
+    assert(img.getAs[Int]("width") === 100 && img.getAs[Int]("height") === 40)
+    assert(img.getAs[Int]("frames") === 1)
+    assert(img.getAs[Int]("n_bytes") === bytes.length)
+    // audio keeps the declared stub — no audio codec in this container
+    assert(out(1).getAs[String]("kind") === "audio")
+  }
+
+  test("G4 resizes real PNG bytes: output payload IS a decodable image at target dims") {
+    val bytes = png(100, 40)
+    val media = Seq((1L, "image", bytes)).toDF("doc_id", "kind", "payload")
+    val r = Multimodal.resizePayloads(media, 50, 50).collect().head
+    assert(r.getAs[Int]("src_w") === 100 && r.getAs[Int]("src_h") === 40)
+    assert(r.getAs[Int]("dst_w") === 50 && r.getAs[Int]("dst_h") === 20) // aspect kept
+    val out = ImageIO.read(
+      new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+    assert(out != null && out.getWidth === 50 && out.getHeight === 20)
+    assert(r.getAs[Int]("n_bytes") === r.getAs[Array[Byte]]("payload").length)
+  }
+
+  test("G4 never upscales: an in-bounds image passes its original bytes through") {
+    val bytes = png(30, 20)
+    val media = Seq((1L, "image", bytes)).toDF("doc_id", "kind", "payload")
+    val r = Multimodal.resizePayloads(media, 224, 224).collect().head
+    assert(r.getAs[Int]("dst_w") === 30 && r.getAs[Int]("dst_h") === 20)
+    assert(r.getAs[Array[Byte]]("payload").toSeq === bytes.toSeq) // untouched
+  }
+
+  test("payloads imageio doesn't recognize keep the deterministic stub") {
+    val junk = "definitely not an image stream".getBytes("UTF-8")
+    val media = Seq((7L, "image", junk)).toDF("doc_id", "kind", "payload")
+    val out = Multimodal.decodeMetaPayloads(media).collect().head
+    assert(out.getAs[Int]("n_bytes") === junk.length)
+    assert(out.getAs[Int]("width") >= 64) // stub dimension range
+    assert(Multimodal.Codec.imageSize(junk).isEmpty)
+  }
+}
