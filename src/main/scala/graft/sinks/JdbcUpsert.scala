@@ -74,6 +74,13 @@ object JdbcUpsert {
   sealed trait Dialect {
     /** Upsert statement with `?` placeholders for `columns`. */
     def sql(table: String, columns: Seq[String], keyColumns: Seq[String]): String
+
+    /** Column index bound to each `?` marker, in marker order. The
+      * MySQL/Postgres statements take one marker per column in column
+      * order (the identity); MERGE-family statements repeat columns
+      * across the ON / UPDATE / INSERT clauses. */
+    def bindIndexes(columns: Seq[String], keyColumns: Seq[String]): Seq[Int] =
+      columns.indices
   }
 
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` — what the reference's
@@ -101,15 +108,51 @@ object JdbcUpsert {
     }
   }
 
+  /** Derby/DB2-family `MERGE INTO … USING <dummy table>` upsert —
+    * those engines reject a VALUES source ("must be a base table or
+    * table function"), so the source is the one-row system dummy table
+    * and the row's values ride as parameters in the ON / UPDATE /
+    * INSERT clauses directly. That repeats columns across clauses —
+    * [[bindIndexes]] declares the marker→column map (keys, then
+    * updates, then all columns). Parameter markers can't be typed by
+    * context there, so callers supply SQL type names per column for
+    * CASTs (absent columns bind as bare `?`). This dialect is what the
+    * embedded-engine round-trip spec executes for real — the same
+    * statement/commit/rollback machinery the MySQL deployment runs. */
+  final case class AnsiMergeDialect(columnTypes: Map[String, String] = Map.empty,
+                                    dummyTable: String = "SYSIBM.SYSDUMMY1")
+      extends Dialect {
+    private def p(c: String): String =
+      columnTypes.get(c).map(t => s"CAST(? AS $t)").getOrElse("?")
+
+    def sql(table: String, columns: Seq[String], keyColumns: Seq[String]): String = {
+      val updates = columns.filterNot(keyColumns.contains)
+      require(updates.nonEmpty, "all columns are key columns — nothing to update")
+      s"MERGE INTO $table t USING $dummyTable ON " +
+        keyColumns.map(k => s"t.$k = ${p(k)}").mkString(" AND ") +
+        s" WHEN MATCHED THEN UPDATE SET ${updates.map(c => s"$c = ${p(c)}").mkString(", ")}" +
+        s" WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) " +
+        s"VALUES (${columns.map(p).mkString(", ")})"
+    }
+
+    override def bindIndexes(columns: Seq[String], keyColumns: Seq[String]): Seq[Int] = {
+      val idx = columns.zipWithIndex.toMap
+      val updates = columns.filterNot(keyColumns.contains)
+      (keyColumns ++ updates ++ columns).map(idx)
+    }
+  }
+
   /** Bind rows into JDBC batches and execute every `batchSize` rows.
-    * Pure w.r.t. the statement interface — unit-testable with a
-    * recording proxy. Returns rows written. */
+    * `bind(i)` is the row column feeding marker i+1 (a dialect's
+    * [[Dialect.bindIndexes]]; identity for one-marker-per-column
+    * statements). Pure w.r.t. the statement interface — unit-testable
+    * with a recording proxy. Returns rows written. */
   def writeBatches(rows: Iterator[Row], stmt: PreparedStatement,
-                   numCols: Int, batchSize: Int): Long = {
+                   bind: Seq[Int], batchSize: Int): Long = {
     var inBatch = 0; var total = 0L
     rows.foreach { row =>
       var i = 0
-      while (i < numCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+      while (i < bind.length) { stmt.setObject(i + 1, row.get(bind(i))); i += 1 }
       stmt.addBatch()
       inBatch += 1; total += 1
       if (inBatch >= batchSize) { stmt.executeBatch(); inBatch = 0 }
@@ -135,7 +178,7 @@ object JdbcUpsert {
     * aborted" and the final commit would silently become a rollback
     * of rows already counted as written). */
   def writeBatchesRetrying(rows: Iterator[Row], stmt: PreparedStatement,
-                           numCols: Int, batchSize: Int, policy: RetryPolicy,
+                           bind: Seq[Int], batchSize: Int, policy: RetryPolicy,
                            onError: PushError => Unit,
                            partitionId: Int = -1,
                            sleep: Long => Unit = Thread.sleep,
@@ -148,7 +191,7 @@ object JdbcUpsert {
           stmt.clearBatch()
           batch.foreach { row =>
             var i = 0
-            while (i < numCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+            while (i < bind.length) { stmt.setObject(i + 1, row.get(bind(i))); i += 1 }
             stmt.addBatch()
           }
           stmt.executeBatch()
@@ -254,7 +297,7 @@ object JdbcUpsert {
              sleep: Long => Unit = Thread.sleep): UpsertResult = {
     val columns = df.columns.toSeq
     val statement = dialect.sql(table, columns, keyColumns)
-    val n = columns.size
+    val bind = dialect.bindIndexes(columns, keyColumns)
     val sc = df.sparkSession.sparkContext
     val written = sc.longAccumulator("graft.jdbc.rows_written")
     val failedRows = sc.longAccumulator("graft.jdbc.rows_failed")
@@ -278,7 +321,7 @@ object JdbcUpsert {
                 // late batch's failure (which aborts the transaction
                 // on PostgreSQL) discard earlier batches already
                 // counted as written
-                val (ok, bad) = writeBatchesRetrying(rows, stmt, n, batchSize,
+                val (ok, bad) = writeBatchesRetrying(rows, stmt, bind, batchSize,
                   policy, ledger.add, pid, sleep,
                   onBatchOk = () => conn.commit(),
                   onAttemptFail = () => conn.rollback())

@@ -84,7 +84,7 @@ class SinkStreamSpec extends SparkSpec {
         }
       }).asInstanceOf[PreparedStatement]
     val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
-    val n = JdbcUpsert.writeBatches(rows, stmt, 2, batchSize = 2)
+    val n = JdbcUpsert.writeBatches(rows, stmt, Seq(0, 1), batchSize = 2)
     assert(n === 3)
     assert(calls.count(_ == "executeBatch") === 2) // full batch + tail flush
     assert(calls.count(_ == "addBatch") === 3)
@@ -116,7 +116,7 @@ class SinkStreamSpec extends SparkSpec {
     val stmt = flakyStmt(failures = 1, calls)
     val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
     val errors = ArrayBuffer[JdbcUpsert.PushError]()
-    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, Seq(0, 1), batchSize = 2,
       JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, sleep = _ => ())
     assert(ok === 3 && bad === 0 && errors.isEmpty)
     // first batch: fail, re-bind (clearBatch + 2 addBatch), succeed; tail batch once
@@ -131,7 +131,7 @@ class SinkStreamSpec extends SparkSpec {
     val stmt = flakyStmt(failures = 3, calls) // exhausts maxAttempts=3 on batch 0
     val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
     val errors = ArrayBuffer[JdbcUpsert.PushError]()
-    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, Seq(0, 1), batchSize = 2,
       JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, partitionId = 7, sleep = _ => ())
     assert(ok === 1 && bad === 2) // batch 0 (2 rows) failed; tail batch (1 row) written
     assert(errors.map(e => (e.partition, e.batch, e.rows, e.attempts)) ===
@@ -144,7 +144,7 @@ class SinkStreamSpec extends SparkSpec {
     val stmt = flakyStmt(failures = 3, calls) // batch 0 exhausts maxAttempts=3
     val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").collect().iterator
     val errors = ArrayBuffer[JdbcUpsert.PushError]()
-    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, 2, batchSize = 2,
+    val (ok, bad) = JdbcUpsert.writeBatchesRetrying(rows, stmt, Seq(0, 1), batchSize = 2,
       JdbcUpsert.RetryPolicy(maxAttempts = 3), errors += _, partitionId = 7,
       sleep = _ => (),
       onBatchOk = () => calls += "commit", onAttemptFail = () => calls += "rollback")
