@@ -1158,7 +1158,7 @@ object SparkEntry {
          |  FROM documents),
          |s AS (
          |  SELECT lang, source,
-    CAST(CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |    CAST(CASE WHEN wc > 0 AND n_chars_c > 0 THEN
          |           0.3 * least(1.0, wc / 120.0) +
          |           0.3 * (stop_hits / wc) +
          |           0.2 * (1.0 - digit_chars / n_chars_c) +

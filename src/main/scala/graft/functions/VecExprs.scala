@@ -277,11 +277,14 @@ object VecExprs {
     * not once per row. The build is deterministic, so a racing
     * rebuild is harmless. */
   final class HyperplaneSigns(planes: Int, table: Int) extends Serializable {
-    @transient @volatile private var cached: Array[Double] = _
-    @transient @volatile private var cachedDim: Int = -1
+    // ONE volatile holding (dim, table) together: two separate fields
+    // could tear under concurrent rebuilds for different vector widths
+    // (thread A publishes its array, thread B its dim → forDim returns
+    // the wrong width's table, silently corrupting buckets)
+    @transient @volatile private var cached: (Int, Array[Double]) = _
     def forDim(dim: Int): Array[Double] = {
       val c = cached
-      if (c != null && cachedDim == dim) c
+      if (c != null && c._1 == dim) c._2
       else {
         val t = new Array[Double](planes * dim)
         var p = 0
@@ -295,7 +298,7 @@ object VecExprs {
           }
           p += 1
         }
-        cached = t; cachedDim = dim
+        cached = (dim, t)
         t
       }
     }

@@ -73,19 +73,27 @@ object Grid {
     * jitter); rounding before the argmin keeps value AND rank order
     * engine-portable. The min_by ordering struct (d2, g_lon, g_lat)
     * reproduces the oracle's ORDER BY d2, g_lon, g_lat rank-1 row.
-    */
+    *
+    * Output = EVERY station column (extra attributes — names,
+    * elevations — pass through) + (g_lat, g_lon, d2): the argmin runs
+    * on the (station_id, s_lat, s_lon) projection only, then the best
+    * cell joins back to the original frame by station_id (which must
+    * uniquely key stations — it is a registry key). The join-back is
+    * a broadcast of an O(stations) aggregate — free next to the grid
+    * scan. */
   def nearestGridPoint(stations: DataFrame, grid: DataFrame): DataFrame = {
     val g = grid.select(col("lat").as("g_lat"), col("lon").as("g_lon")).distinct()
     val d2 = (col("s_lat") - col("g_lat")) * (col("s_lat") - col("g_lat")) +
              (col("s_lon") - col("g_lon")) * (col("s_lon") - col("g_lon"))
-    g.crossJoin(broadcast(stations))
+    val best = g
+      .crossJoin(broadcast(stations.select(col("station_id"), col("s_lat"), col("s_lon"))))
       .withColumn("d2", round(d2, 12))
-      .groupBy(col("station_id"), col("s_lat"), col("s_lon"))
+      .groupBy(col("station_id"))
       .agg(min_by(struct(col("g_lat"), col("g_lon"), col("d2")),
         struct(col("d2"), col("g_lon"), col("g_lat"))).as("best"))
-      .select(col("station_id"), col("s_lat"), col("s_lon"),
-        col("best.g_lat").as("g_lat"), col("best.g_lon").as("g_lon"),
-        col("best.d2").as("d2"))
+      .select(col("station_id"), col("best.g_lat").as("g_lat"),
+        col("best.g_lon").as("g_lon"), col("best.d2").as("d2"))
+    stations.join(broadcast(best), Seq("station_id"))
   }
 
   /** B5: regrid / coarsen — aggregate fine cells into `factor`-degree

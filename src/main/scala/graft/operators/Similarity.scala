@@ -279,7 +279,9 @@ object Similarity {
     // hot-list aggregate, the anti-join, the star branch, and both
     // self-join sides (slot lifecycle, see cachedAs)
     val assigned =
-      if (assign <= 1)
+      if (cents.isEmpty) // empty input: no lists (ivfAssignPrepared rationale)
+        p0.filter(lit(false)).select(col("vec_id"), lit(0).as("c_id"))
+      else if (assign <= 1)
         ivfAssignPrepared(p0, cents).select(col("vec_id"), col("c_id"))
       else
         graft.functions.VecExprs.withNearestCentroids(p0.sparkSession, cents,
@@ -385,7 +387,13 @@ object Similarity {
 
   private def ivfAssignPrepared(p: DataFrame,
                                 cents: Array[Array[Double]]): DataFrame =
-    graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, 1) {
+    if (cents.isEmpty)
+      // an empty (or all-zero-norm) input samples no centroids — no
+      // lists exist, so the assignment is the EMPTY frame, not a
+      // NearestCentroids construction throw: an empty filtered input
+      // is a plausible runtime state, not a programming error
+      p.filter(lit(false)).withColumn("c_id", lit(0))
+    else graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, 1) {
       fn => p.withColumn("c_id", element_at(call_function(fn, col("v")), 1))
     }
 
@@ -394,7 +402,12 @@ object Similarity {
     * queries are few, so the explode is trivially small). */
   private def probeList(p: DataFrame, isQuery: Column,
                         cents: Array[Array[Double]], nprobe: Int): DataFrame =
-    graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, nprobe) {
+    if (cents.isEmpty)
+      // no centroids → nothing to probe (the ivfAssignPrepared rationale)
+      p.filter(lit(false))
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("n2").as("q_n2"), lit(0).as("c_id"))
+    else graft.functions.VecExprs.withNearestCentroids(p.sparkSession, cents, nprobe) {
       fn =>
         p.filter(isQuery)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"),

@@ -176,6 +176,15 @@ object EventStream {
     * per station — the same bounded-state contract as
     * [[streamingIntervalDiff]]). Within a batch events are event-time
     * ordered before applying the recurrence.
+    *
+    * PRECONDITION — distinct timestamps per station: [[CumulReading]]
+    * carries no event id, so a second legitimate reading at the SAME
+    * timestamp is indistinguishable from a crash-replay re-delivery
+    * of the first and is dropped with it. The batch flavor
+    * ([[graft.operators.Timeseries.ewma]], ordered by (time, id))
+    * processes both — batch/streaming parity holds only on
+    * distinct-timestamp streams. Feed a series with ts ties through
+    * the batch path, or disambiguate upstream.
     */
   def streamingEwma(events: Dataset[CumulReading], alpha: Double)
       : Dataset[Smoothed] = {
@@ -222,6 +231,11 @@ object EventStream {
     * same shard key as batch A1. Within a batch, events are ordered by
     * event time before diffing (micro-batch iterators carry no order
     * guarantee).
+    *
+    * PRECONDITION — distinct timestamps per station (the
+    * [[streamingEwma]] contract): with no event id in the shape, a
+    * second reading at the same ts is dropped as a replay re-delivery,
+    * where batch A1 (ordered by (time, id)) would diff both.
     */
   def streamingIntervalDiff(events: Dataset[CumulReading]): Dataset[IntervalDelta] = {
     import events.sparkSession.implicits._

@@ -26,6 +26,19 @@ class GridRelationalSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 6.0, 79.0), Seq("s2", 7.0, 80.0)))
   }
 
+  test("B3 nearestGridPoint passes extra station attributes through") {
+    import spark.implicits._
+    val stations = Seq(("s1", 6.1, 79.1, "Colombo", 7.5), ("s2", 6.9, 79.9, "Kandy", 500.0))
+      .toDF("station_id", "s_lat", "s_lon", "name", "elev_m")
+    val grid = Seq((6.0, 79.0), (7.0, 80.0)).toDF("lat", "lon")
+    val out = Grid.nearestGridPoint(stations, grid).orderBy("station_id")
+    // every station column survives, best cell appended
+    assert(out.columns.toSeq ===
+      Seq("station_id", "s_lat", "s_lon", "name", "elev_m", "g_lat", "g_lon", "d2"))
+    val rows = out.select("station_id", "name", "elev_m", "g_lat").collect().toSeq.map(_.toSeq)
+    assert(rows === Seq(Seq("s1", "Colombo", 7.5, 6.0), Seq("s2", "Kandy", 500.0, 7.0)))
+  }
+
   test("B5 regrid coarsens 0.25° cells into 0.5° blocks conserving the sum") {
     import spark.implicits._
     val fine = Seq((79.0, 6.0, 1.0), (79.25, 6.25, 2.0),   // same 0.5° block

@@ -124,6 +124,15 @@ class SimilaritySpec extends SparkSpec {
     assert(e2 <= e0, s"probes added exchanges: $e0 → $e2")
   }
 
+  test("empty input short-circuits the centroid paths (no construction throw)") {
+    // an empty filtered frame samples no centroids — the operators
+    // must return empty results, not die constructing NearestCentroids
+    val none = Tables.embeddings(spark, sfDir).filter(lit(false))
+    assert(Similarity.semanticDedup(none, 0.45, nlist = 4).count() === 0L)
+    assert(Similarity.ivfAssign(none, 4).count() === 0L)
+    assert(Similarity.ivfTopK(none, col("vec_id") === 0, 5).count() === 0L)
+  }
+
   test("D10 SemDeDup: within-cluster pairs exact-verified (precision 1), star cap safe") {
     val real = Tables.embeddings(spark, sfDir)
     val full = Similarity.cosinePairs(real, 0.45)
