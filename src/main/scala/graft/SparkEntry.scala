@@ -328,6 +328,14 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 
+    // E3 exactness invariant pinned hash-green: probing EVERY list
+    // (nprobe = nlist) scores every candidate exactly, so the serve
+    // must reproduce brute force row-for-row — same oracle as E1. The
+    // nprobe=4 flavor above stays the benched approximate path.
+    "ann_ivf_exhaustive" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), annIsQuery, 5, nlist = 16, nprobe = 16)
+        .withColumn("rank", col("rank").cast("bigint"))),
+
     "ann_centroid_update" -> ((s, d) =>
       Similarity.centroidUpdate(emb(s, d), nlist = 16)),
 
@@ -336,6 +344,15 @@ object SparkEntry {
 
     "ann_ivfpq_topk" -> ((s, d) =>                                    // rows-only
       Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5)),
+
+    // E6's exact-cover invariant pinned hash-green: every list probed
+    // AND the rerank window covering every candidate (k·rerank ≥ any
+    // test corpus) → the ADC shortlist can't lose anyone, and the
+    // exact rerank reproduces brute force row-for-row (E1's oracle).
+    "ann_ivfpq_exhaustive" -> ((s, d) =>
+      Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5,
+          nlist = 16, nprobe = 16, rerank = 1 << 22)
+        .withColumn("rank", col("rank").cast("bigint"))),
 
     // E6r: FAISS-faithful residual encoding (codes quantize u − cent)
     "ann_ivfpq_residual_topk" -> ((s, d) =>                           // rows-only
@@ -457,6 +474,20 @@ object SparkEntry {
   private val TAX1  = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
   private val COS =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** Exact cosine top-5 ground truth — E1's oracle, shared verbatim by
+    * the exhaustive IVF/IVFPQ rows (their exactness invariants say
+    * they must equal it). */
+  private def annExactTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])) > 0)
+       |SELECT * FROM (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, round($COS, 6) AS cos_sim,
+       |         row_number() OVER (
+       |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
+       |  FROM e a JOIN e b ON b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+       |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ts_interval_diff" ->
@@ -1009,16 +1040,12 @@ object SparkEntry {
 
     // zero-norm exclusion mirrors the operator (NaN cosine would rank
     // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)
-    "ann_bruteforce_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                                  CAST(embedding AS DOUBLE[])) > 0)
-         |SELECT * FROM (
-         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, round($COS, 6) AS cos_sim,
-         |         row_number() OVER (
-         |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
-         |  FROM e a JOIN e b ON b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
-         |WHERE rank <= 5""".stripMargin,
+    "ann_bruteforce_topk" -> annExactTopkSql,
+    // exhaustive IVF / IVFPQ must reproduce brute force row-for-row
+    // (every list probed; for PQ additionally every candidate inside
+    // the rerank window) — the SAME oracle pins both invariants
+    "ann_ivf_exhaustive" -> annExactTopkSql,
+    "ann_ivfpq_exhaustive" -> annExactTopkSql,
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
