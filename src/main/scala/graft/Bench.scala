@@ -58,11 +58,68 @@ object Bench {
       val s = xs.sorted; s((s.length - 1) / 2)
     }
     val results = SparkEntry.queries.keys
-      .map(name => name -> median(runs.map(_(name)))).toMap
+      .map(name => name -> median(runs.map(_(name)))).toMap ++
+      benchIndexServes(spark, sfDir, reps)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
+
+  /** The deploy-time serve flagships, benched alongside the catalog:
+    * build both persisted indexes ONCE (untimed — an offline job),
+    * audit partition pruning (a one-query serve must read strictly
+    * fewer list files than the index holds — the "scan nprobe/nlist
+    * of the data" claim, enforced at bench scale, not just in the
+    * sf0.001 spec), then time the full-query-batch serves with the
+    * same median-of-reps loop. A failure here logs and skips rather
+    * than killing the round's bench line. */
+  private def benchIndexServes(spark: SparkSession, sfDir: String,
+                               reps: Int): Map[String, Double] =
+    try {
+      import org.apache.spark.sql.functions.col
+      val S = graft.operators.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val ivfPath = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString
+      val pqPath = java.nio.file.Files.createTempDirectory("graft_bench_ivfpq").toString
+      try {
+        S.writeIvfIndex(emb, ivfPath, nlist = 16)
+        S.writeIvfPqIndex(emb, pqPath, nlist = 16)
+        // pruning audit: one query probes nprobe=4 of 16 lists, so the
+        // serve reads strictly fewer list files than the index holds
+        // (measured post-pruning via input_file_name — inputFiles
+        // would list the whole relation)
+        val one = queries.orderBy("vec_id").limit(1)
+        val probed = S.probedListFiles(spark, ivfPath, one, nprobe = 4)
+        val total = spark.read.parquet(s"$ivfPath/lists").inputFiles.length
+        require(probed.nonEmpty && probed.length < total,
+          s"index serve did not prune: read ${probed.length} of $total list files")
+        System.err.println(
+          s"[bench] index pruning audit: 1-query serve reads ${probed.length}/$total list files")
+        def time(fn: () => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          fn().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.length - 1) / 2) }
+        Map(
+          "idx_ivf_serve" -> med((1 to reps).map(_ =>
+            time(() => S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = 4)))),
+          "idx_ivfpq_serve" -> med((1 to reps).map(_ =>
+            time(() => S.ivfpqTopKFromIndex(spark, pqPath, queries, 5, nprobe = 4)))))
+      } finally {
+        import org.apache.hadoop.fs.Path
+        Seq(ivfPath, pqPath).foreach { p =>
+          val hp = new Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] index-serve bench failed: ${e.getMessage}")
+        Map.empty
+    }
 }

@@ -686,6 +686,25 @@ object Similarity {
     * crash-replay the batch's vectors are already appended, and
     * without the exclusion every replayed query would match its own
     * copy at cos 1.0 rank 1, displacing the real neighbors. */
+  /** Partition-pruning audit quantity for the index serves: the list
+    * files a serve for `queries` at `nprobe` ACTUALLY reads — distinct
+    * `input_file_name()` over the same pruned scan
+    * [[ivfTopKFromIndex]] plans. (`DataFrame.inputFiles` is useless
+    * here: it lists the whole relation, ignoring partition pruning.)
+    * Bench asserts this is strictly fewer files than the index holds —
+    * the "scan nprobe/nlist of the data" claim, measured. */
+  def probedListFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, nprobe: Int = 4): Array[String] = {
+    import spark.implicits._
+    val cents = readCentroids(spark, path)
+    val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
+      lit(true), cents, nprobe)
+    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
+    spark.read.parquet(s"$path/lists")
+      .filter(col("c_id").isin(probedIds: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+  }
+
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int,
                        nprobe: Int = 4, selfExclude: Boolean = true,
