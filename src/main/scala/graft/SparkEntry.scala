@@ -469,6 +469,24 @@ object SparkEntry {
 
   private val LAT = "6.0 + (user_id % 10) * 0.25"
   private val LON = "79.0 + ((user_id // 10) % 15) * 0.25"
+
+  /** DuckDB mirror of Timeseries.pyFloatKey — Python's
+    * `str(float('%.6f' % v))` incl. the scientific branch below 1e-4.
+    * Edit in lockstep with the Spark expression. */
+  private def pyKeySql(e: String): String = {
+    val s = s"printf('%.6f', $e)"
+    val a = s"regexp_replace($s, '^-', '')"
+    val micro = s"CAST(substr($a, 3, 6) AS INTEGER)"
+    val sign = s"(CASE WHEN substr($s, 1, 1) = '-' THEN '-' ELSE '' END)"
+    val pos = s"regexp_replace(regexp_replace($s, '0+$$', ''), '\\.$$', '.0')"
+    s"""(CASE WHEN substr($a, 1, 6) = '0.0000' AND $micro > 0
+       | THEN $sign || (CASE WHEN $micro >= 10
+       |   THEN CAST($micro // 10 AS VARCHAR) ||
+       |        (CASE WHEN $micro % 10 = 0 THEN ''
+       |              ELSE '.' || CAST($micro % 10 AS VARCHAR) END) || 'e-05'
+       |   ELSE CAST($micro AS VARCHAR) || 'e-06' END)
+       | ELSE $pos END)""".stripMargin.linesIterator.mkString(" ")
+  }
   private val EP  = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val DISC1 = "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
   private val TAX1  = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
@@ -578,10 +596,8 @@ object SparkEntry {
     "ts_station_registry" ->
       s"""WITH g AS (
          |  SELECT DISTINCT
-         |    regexp_replace(regexp_replace(printf('%.6f', $LAT), '0+$$', ''),
-         |                   '\\.$$', '.0') AS lat_key,
-         |    regexp_replace(regexp_replace(printf('%.6f', $LON), '0+$$', ''),
-         |                   '\\.$$', '.0') AS lon_key
+         |    ${pyKeySql(LAT)} AS lat_key,
+         |    ${pyKeySql(LON)} AS lon_key
          |  FROM events)
          |SELECT lat_key, lon_key,
          |       'wrf_' || lat_key || '_' || lon_key AS station_name,

@@ -76,11 +76,13 @@ object Grid {
     *
     * Output = EVERY station column (extra attributes — names,
     * elevations — pass through) + (g_lat, g_lon, d2): the argmin runs
-    * on the (station_id, s_lat, s_lon) projection only, then the best
-    * cell joins back to the original frame by station_id (which must
-    * uniquely key stations — it is a registry key). The join-back is
-    * a broadcast of an O(stations) aggregate — free next to the grid
-    * scan. */
+    * on the (station_id, s_lat, s_lon) projection, grouped on ALL
+    * THREE so two rows sharing a station_id at different coordinates
+    * each keep their OWN nearest cell (a registry should key by id,
+    * but a dirty one must not get silently-wrong cells), and the
+    * join-back is null-safe so a null-id row passes through instead
+    * of vanishing in an equi-join. The join-back is a broadcast of an
+    * O(stations) aggregate — free next to the grid scan. */
   def nearestGridPoint(stations: DataFrame, grid: DataFrame): DataFrame = {
     val g = grid.select(col("lat").as("g_lat"), col("lon").as("g_lon")).distinct()
     val d2 = (col("s_lat") - col("g_lat")) * (col("s_lat") - col("g_lat")) +
@@ -88,12 +90,16 @@ object Grid {
     val best = g
       .crossJoin(broadcast(stations.select(col("station_id"), col("s_lat"), col("s_lon"))))
       .withColumn("d2", round(d2, 12))
-      .groupBy(col("station_id"))
+      .groupBy(col("station_id"), col("s_lat"), col("s_lon"))
       .agg(min_by(struct(col("g_lat"), col("g_lon"), col("d2")),
         struct(col("d2"), col("g_lon"), col("g_lat"))).as("best"))
-      .select(col("station_id"), col("best.g_lat").as("g_lat"),
+      .select(col("station_id").as("__bid"), col("s_lat").as("__blat"),
+        col("s_lon").as("__blon"), col("best.g_lat").as("g_lat"),
         col("best.g_lon").as("g_lon"), col("best.d2").as("d2"))
-    stations.join(broadcast(best), Seq("station_id"))
+    stations.join(broadcast(best),
+        col("station_id") <=> col("__bid") &&
+        col("s_lat") <=> col("__blat") && col("s_lon") <=> col("__blon"))
+      .drop("__bid", "__blat", "__blon")
   }
 
   /** B5: regrid / coarsen — aggregate fine cells into `factor`-degree

@@ -31,10 +31,26 @@ object Multimodal {
   object Codec {
     val batchSize = 64
 
+    // The sources here are in-memory byte arrays — ImageIO's default
+    // FileCache would otherwise create+delete a temp file in tmpdir
+    // PER PAYLOAD (twice on the resize path), pure executor disk I/O
+    // the batched decode must not pay. JVM-global, set once on class
+    // load of this executor-side object.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Refuse to allocate a pixel buffer past this many pixels (256 MP
+      * ≈ 1 GiB ARGB) — a decompression-bomb payload declares huge
+      * dimensions in a tiny stream, and `ImageIO.read` would OOM the
+      * executor before the task could fail cleanly. */
+    val maxDecodePixels: Long = 256L * 1024 * 1024
+
     /** REAL image probe: width/height straight from the stream header
       * via `javax.imageio` — no pixel decode (at 100 TB, G1 must not
       * pay a full decompress to report dimensions). None when the
-      * payload isn't a recognized image stream. */
+      * payload isn't a recognized image stream — including malformed
+      * ones: JDK readers throw unchecked exceptions (CMMException,
+      * AIOOBE, NegativeArraySizeException) on crafted headers, and a
+      * corrupt payload must take the stub path, not kill the job. */
     def imageSize(bytes: Array[Byte]): Option[(Int, Int)] = {
       if (bytes == null || bytes.length == 0) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -48,33 +64,38 @@ object Multimodal {
           try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
           finally r.dispose()
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       finally iis.close()
     }
 
     /** REAL image resize: full pixel decode, bilinear rescale to
       * (dw, dh), deterministic PNG re-encode. None when the payload
-      * isn't decodable as an image. */
-    def resizeImage(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
-      if (bytes == null || bytes.length == 0) return None
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
-        val out = new java.awt.image.BufferedImage(
-          dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-        val g = out.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, dw, dh, null)
-        } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        Some(bos.toByteArray)
-      }
-    }
+      * isn't decodable as an image, throws any unchecked codec
+      * exception mid-decode, or declares more than [[maxDecodePixels]]
+      * (decompression bomb — None, never an executor OOM). */
+    def resizeImage(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+      try {
+        val declared = imageSize(bytes)
+        if (declared.isEmpty ||
+            declared.exists { case (w, h) => w.toLong * h > maxDecodePixels })
+          return None
+        val img =
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, dw, dh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** STUB — deterministic fake metadata for the modalities whose
       * codecs are absent in this container (audio/video) and for

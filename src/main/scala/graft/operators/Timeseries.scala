@@ -182,24 +182,53 @@ object Timeseries {
     * one fractional digit (`wrf_6.9_79.85`, `wrf_7.0_80.0`) — so
     * station names and the md5 ids derived from them are byte-for-byte
     * the real system's. (Stripping is injective on 6-dp strings, so
-    * dedup semantics are unchanged; for coordinate-scale magnitudes
-    * the 6-dp decimal IS the shortest repr of its double, so the
-    * strip-zeros rewrite equals Python's str(float(...)).)
-    * Deterministic content-derived id (md5 of the key) instead of an
-    * auto-increment — idempotent across re-runs and executors, which
-    * is what upsert-once semantics need at scale.
+    * dedup semantics are unchanged. For |v| ≥ 1e-4 the 6-dp decimal IS
+    * the shortest repr of its double, so strip-zeros equals Python's
+    * str(float(...)); below 1e-4 Python switches to scientific
+    * notation — `5e-05`, `1.5e-05`, `1e-06` — which [[pyFloatKey]]
+    * reproduces from the formatted digits. |v| ≥ 1e16, where Python
+    * also goes scientific, is out of coordinate range and not
+    * rendered.) Deterministic content-derived id (md5 of the key)
+    * instead of an auto-increment — idempotent across re-runs and
+    * executors, which is what upsert-once semantics need at scale.
     */
   def stationRegistry(df: DataFrame, keyCols: Seq[String],
                       prefix: String = "st"): DataFrame = {
     // 6-dp normalization + reference rendering (see scaladoc)
-    val keyed = keyCols.map { c =>
-      val stripped = regexp_replace(format_string("%.6f", col(c)), "0+$", "")
-      regexp_replace(stripped, "\\.$", ".0").as(s"${c}_key")
-    }
+    val keyed = keyCols.map(c => pyFloatKey(col(c)).as(s"${c}_key"))
     val name = concat_ws("_", lit(prefix) +: keyCols.map(c => col(s"${c}_key")): _*)
     df.select(keyed: _*).distinct()
       .withColumn("station_name", name)
       .withColumn("station_id", md5(name))
+  }
+
+  /** Python `str(float('%.6f' % v))` as a Column, for coordinate-scale
+    * magnitudes (|v| < 1e16): positional with trailing zeros stripped
+    * and one fractional digit kept, EXCEPT 0 < |v| < 1e-4 after 6-dp
+    * rounding, where Python's shortest-repr goes scientific. The 6-dp
+    * string pins the value to ≤2 significant digits there (micro-units
+    * 1..99), so the mantissa/exponent derive exactly from the
+    * formatted digits: micro ≥ 10 → `d.d e-05` (trailing-zero digit
+    * dropped), micro < 10 → `d e-06`. Shortest-repr uniqueness at ≤2
+    * sig digits (neighbor decimals differ by ≫ 1 ulp) makes this
+    * byte-for-byte Python's rendering. Shared shape with the DuckDB
+    * oracle mirror (SparkEntry.pyKeySql) — edit in lockstep. */
+  private[graft] def pyFloatKey(v: Column): Column = {
+    val s6 = format_string("%.6f", v)
+    val absS = regexp_replace(s6, "^-", "")
+    val micro = substring(absS, 3, 6).cast("int")
+    val sign = when(substring(s6, 1, 1) === "-", lit("-")).otherwise(lit(""))
+    val sci = concat(sign,
+      when(micro >= 10, concat(
+        (micro / lit(10)).cast("int").cast("string"),
+        when(micro % 10 === 0, lit(""))
+          .otherwise(concat(lit("."), (micro % 10).cast("string"))),
+        lit("e-05")))
+      .otherwise(concat(micro.cast("string"), lit("e-06"))))
+    val positional = regexp_replace(
+      regexp_replace(s6, "0+$", ""), "\\.$", ".0")
+    when(substring(absS, 1, 6) === "0.0000" && micro > 0, sci)
+      .otherwise(positional)
   }
 
   /** A10: deterministic timeseries id from the metadata tuple.

@@ -149,10 +149,14 @@ object JdbcUpsert {
     * with a recording proxy. Returns rows written. */
   def writeBatches(rows: Iterator[Row], stmt: PreparedStatement,
                    bind: Seq[Int], batchSize: Int): Long = {
+    // materialize once: dialects build bind by List concatenation, and
+    // bind(i)/bind.length inside the innermost per-row loop would be
+    // O(markers) pointer chases each — O(markers²) per row on a List
+    val b = bind.toArray; val n = b.length
     var inBatch = 0; var total = 0L
     rows.foreach { row =>
       var i = 0
-      while (i < bind.length) { stmt.setObject(i + 1, row.get(bind(i))); i += 1 }
+      while (i < n) { stmt.setObject(i + 1, row.get(b(i))); i += 1 }
       stmt.addBatch()
       inBatch += 1; total += 1
       if (inBatch >= batchSize) { stmt.executeBatch(); inBatch = 0 }
@@ -184,6 +188,7 @@ object JdbcUpsert {
                            sleep: Long => Unit = Thread.sleep,
                            onBatchOk: () => Unit = () => (),
                            onAttemptFail: () => Unit = () => ()): (Long, Long) = {
+    val b = bind.toArray; val n = b.length // see writeBatches
     var written = 0L; var failed = 0L; var batchIdx = 0
     rows.grouped(batchSize).foreach { batch =>
       def bindAndExec(): Unit =
@@ -191,7 +196,7 @@ object JdbcUpsert {
           stmt.clearBatch()
           batch.foreach { row =>
             var i = 0
-            while (i < bind.length) { stmt.setObject(i + 1, row.get(bind(i))); i += 1 }
+            while (i < n) { stmt.setObject(i + 1, row.get(b(i))); i += 1 }
             stmt.addBatch()
           }
           stmt.executeBatch()

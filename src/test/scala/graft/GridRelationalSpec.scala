@@ -39,6 +39,22 @@ class GridRelationalSpec extends SparkSpec {
     assert(rows === Seq(Seq("s1", "Colombo", 7.5, 6.0), Seq("s2", "Kandy", 500.0, 7.0)))
   }
 
+  test("B3 nearestGridPoint: duplicate ids keep per-row argmins, null ids survive") {
+    // a dirty registry: two rows share 's1' at DIFFERENT coords (each
+    // must keep its OWN nearest cell, not a mixed argmin stamped on
+    // both) and one row has a null id (must not vanish in the
+    // join-back)
+    val stations = Seq((Some("s1"), 6.1, 79.1), (Some("s1"), 6.9, 79.9),
+        (None: Option[String], 6.1, 79.1))
+      .toDF("station_id", "s_lat", "s_lon")
+    val grid = Seq((6.0, 79.0), (7.0, 80.0)).toDF("lat", "lon")
+    val out = Grid.nearestGridPoint(stations, grid)
+      .select("station_id", "s_lat", "g_lat").orderBy("s_lat", "station_id")
+      .collect().toSeq.map(_.toSeq)
+    assert(out === Seq(
+      Seq(null, 6.1, 6.0), Seq("s1", 6.1, 6.0), Seq("s1", 6.9, 7.0)))
+  }
+
   test("B5 regrid coarsens 0.25° cells into 0.5° blocks conserving the sum") {
     import spark.implicits._
     val fine = Seq((79.0, 6.0, 1.0), (79.25, 6.25, 2.0),   // same 0.5° block

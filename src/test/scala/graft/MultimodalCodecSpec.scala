@@ -59,6 +59,36 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").toSeq === bytes.toSeq) // untouched
   }
 
+  test("corrupt image payloads fall back to the stub instead of crashing the task") {
+    // valid PNG signature + IHDR start, then truncated/garbage body —
+    // JDK readers throw (IOException or unchecked) on payloads like
+    // this; the codec must answer None/stub, never escape the task
+    val valid = png(20, 10)
+    val corrupt = valid.take(24) ++ Array.fill[Byte](16)(0x41)
+    assert(Multimodal.Codec.resizeImage(corrupt, 5, 5).isEmpty)
+    val media = Seq((9L, "image", corrupt)).toDF("doc_id", "kind", "payload")
+    val out = Multimodal.decodeMetaPayloads(media).collect().head
+    assert(out.getAs[Int]("n_bytes") === corrupt.length) // stub path
+  }
+
+  test("decompression-bomb payloads are refused before the pixel allocation") {
+    // hand-built PNG IHDR declaring 1e5 x 1e5 (10 gigapixels) in a
+    // tiny stream: the header probe must report the declared dims, and
+    // resizeImage must refuse (None) rather than allocate ~40 GiB
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+        ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrData = be(100000) ++ be(100000) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth 8, RGB
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrData)
+    val bomb = sig ++ be(13) ++ "IHDR".getBytes("US-ASCII") ++
+      ihdrData ++ be(crc.getValue.toInt)
+    assert(Multimodal.Codec.imageSize(bomb) === Some((100000, 100000)))
+    assert(Multimodal.Codec.resizeImage(bomb, 224, 224).isEmpty)
+  }
+
   test("payloads imageio doesn't recognize keep the deterministic stub") {
     val junk = "definitely not an image stream".getBytes("UTF-8")
     val media = Seq((7L, "image", junk)).toDF("doc_id", "kind", "payload")

@@ -112,6 +112,22 @@ class TimeseriesSpec extends SparkSpec {
     assert(id === org.apache.commons.codec.digest.DigestUtils.md5Hex("wrf_6.9_79.85"))
   }
 
+  test("A9 stationRegistry matches Python's scientific notation below 1e-4") {
+    // str(float('%.6f' % v)) goes scientific for 0 < |v| < 1e-4;
+    // expected strings pinned against CPython: 5e-05, 1.5e-05, 1e-05,
+    // 9.9e-05, 1e-06, -5e-05; boundary cases 9.999e-05 -> '0.0001'
+    // (rounds up, positional) and 4e-07 -> '0.0' (rounds to zero)
+    val df = Seq(0.00005, 0.000015, 0.00001, 0.000099, 0.000001,
+      -0.00005, 0.00009999, 0.0000004, 0.0001)
+      .toDF("lat").withColumn("lon", lit(79.0))
+    val names = Timeseries.stationRegistry(df, Seq("lat", "lon"), "wrf")
+      .select("station_name").as[String].collect().toSet
+    assert(names === Set(
+      "wrf_5e-05_79.0", "wrf_1.5e-05_79.0", "wrf_1e-05_79.0",
+      "wrf_9.9e-05_79.0", "wrf_1e-06_79.0", "wrf_-5e-05_79.0",
+      "wrf_0.0001_79.0", "wrf_0.0_79.0"))
+  }
+
   test("A10 tmsId is deterministic in the metadata tuple") {
     val df = Seq(("s1", "stA", "src", "rain", "mm")).toDF("sim", "st", "src", "vr", "un")
     val cols = Seq("sim", "st", "src", "vr", "un")
