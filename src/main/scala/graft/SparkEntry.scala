@@ -61,6 +61,15 @@ object SparkEntry {
   private val SampleDefaultRate = 0.9
   private val PackBudget = 512
 
+  /** F12 split weights, priority order; thresholds derive via
+    * cumulative-normalized [[Corpus.hexThreshold]] for BOTH engines
+    * (see splitCaseSql). */
+  private val SplitWeights = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+  /** F13 percentiles — shared so the oracle's quantile_cont calls and
+    * the Spark percentile() aggregates stay in lockstep. */
+  private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.95)
+
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
@@ -174,6 +183,12 @@ object SparkEntry {
     "ts_zscore_outliers" -> ((s, d) =>
       Timeseries.zscoreOutliers(ev(s, d), "user_id", "ts_us", "event_id",
         "value", "value_dec", tau = 3.0)),
+
+    "ts_seasonal_anomaly" -> ((s, d) =>
+      Timeseries.seasonalAnomaly(ev(s, d), "user_id", "ts_us", "value_dec")
+        .select(col("event_id"), col("user_id"), col("hour_of_day"),
+          col("value"), round(col("clim_value"), 6).as("clim_value"),
+          round(col("anomaly"), 6).as("anomaly"))),
 
     "ts_rolling_stats" -> ((s, d) =>
       Timeseries.rollingStats(ev(s, d), "user_id", "ts_us", "event_id",
@@ -404,6 +419,13 @@ object SparkEntry {
     "corpus_mix_plan" -> ((s, d) =>
       Corpus.mixPlan(docs(s, d), "lang", MixShares)),
 
+    "corpus_split" -> ((s, d) =>
+      Corpus.splitAssign(docs(s, d), SplitWeights)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    "corpus_token_quantiles" -> ((s, d) =>
+      Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
+
     "text_compression_ratio" -> ((s, d) =>                            // rows-only
       TextAnalysis.compressionRatio(docs(s, d))),
 
@@ -451,6 +473,19 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+  /** F12 split assignment as a CASE over cumulative thresholds,
+    * generated from the SAME weights + hexThreshold the Spark side
+    * uses — byte-identical literals on both engines. */
+  private def splitCaseSql: String = {
+    val total = SplitWeights.map(_._2).sum
+    val cum = SplitWeights.scanLeft(0.0) {
+      case (acc, (_, w)) => acc + w / total }.tail
+    val coin = "substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+    "CASE " + SplitWeights.zip(cum).dropRight(1).map { case ((name, _), c) =>
+      s"WHEN $coin < '${Corpus.hexThreshold(c)}' THEN '$name'"
+    }.mkString(" ") + s" ELSE '${SplitWeights.last._1}' END"
+  }
+
   /** F6 per-stratum thresholds as a CASE, generated from the SAME
     * rate map + hexThreshold the Spark side uses — the two engines
     * compare the md5 coin against byte-identical literals. */
@@ -716,6 +751,20 @@ object SparkEntry {
          |         ELSE 0.0 END AS z
          |  FROM m)
          |SELECT * FROM z WHERE abs(z) >= 3""".stripMargin,
+
+    "ts_seasonal_anomaly" ->
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, value,
+         |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+         |    CAST(value AS DECIMAL(14,2)) AS vd
+         |  FROM events)
+         |SELECT event_id, user_id, hour_of_day, value,
+         |  round(CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w, 6)
+         |    AS clim_value,
+         |  round(CAST(value AS DOUBLE)
+         |        - CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w, 6)
+         |    AS anomaly
+         |FROM b WINDOW w AS (PARTITION BY user_id, hour_of_day)""".stripMargin,
 
     "grid_rfield_flatten" ->
       s"""SELECT $LON AS lon, $LAT AS lat,
@@ -1173,6 +1222,22 @@ object SparkEntry {
          |       THEN round(share * t_total / n_docs, 6)
          |       ELSE 0.0 END AS rate
          |FROM counts CROSS JOIN t""".stripMargin,
+
+    "corpus_split" ->
+      s"""SELECT doc_id, lang, $splitCaseSql AS split
+         |FROM documents""".stripMargin,
+
+    "corpus_token_quantiles" -> {
+      val qs = QuantilePs.map(p =>
+        s"round(quantile_cont(n_tokens, $p), 6) AS p${math.round(p * 100)}")
+        .mkString(",\n         |  ")
+      s"""WITH t AS (
+         |  SELECT lang, CAST(len($TOKS) AS DOUBLE) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  $qs
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     "corpus_pack_sequences" ->
       s"""WITH t AS (

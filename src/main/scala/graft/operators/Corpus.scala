@@ -213,6 +213,64 @@ object Corpus {
     }
   }
 
+  /** F12: deterministic train/val/test assignment — the split every
+    * training run needs pinned BEFORE any shuffling or sampling, with
+    * the same engine-portable md5 coin as [[sampleStratified]]: a doc
+    * lands in the first split whose cumulative weight threshold its
+    * coin sorts below, so membership is a pure function of (doc_id,
+    * salt) — stable across engines, partitionings, re-runs, and
+    * incremental appends (a new batch splits consistently without
+    * seeing old data). Zero shuffle: a per-row projection fused into
+    * the scan.
+    *
+    * `splits` are (name, weight) in priority order; weights are
+    * normalized (need not sum to 1). `salt` decorrelates independent
+    * splits of the same corpus (resplitting with a new salt is a fresh
+    * draw). The final split absorbs the ≤2⁻³² hex-rounding sliver so
+    * every doc is assigned. */
+  def splitAssign(docs: DataFrame, splits: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "splits must be non-empty with positive weights")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val coin = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), lit(salt))), 1, 8)
+    val assigned = splits.zip(cum).dropRight(1)
+      .foldLeft(when(lit(false), lit(""))) {
+        case (acc, ((name, _), c)) =>
+          acc.when(coin < lit(hexThreshold(c)), lit(name))
+      }.otherwise(lit(splits.last._1))
+    docs.withColumn("split", assigned)
+  }
+
+  /** F13: exact token-length quantiles per stratum — the distribution
+    * diagnostic that sizes [[packSequences]]' budget and catches a
+    * stratum of truncated or runaway documents before training. EXACT
+    * interpolated percentiles (Spark's `percentile` aggregate, the
+    * same linear rank·(n−1) definition DuckDB's `quantile_cont`
+    * uses — oracle-comparable, unlike `approx_percentile`'s
+    * engine-specific sketch): one groupBy on the stratum; the sort
+    * happens inside the aggregate per group, never globally. Exact
+    * percentiles buffer each group's counts — fine for any corpus
+    * whose distinct token-length domain is bounded (lengths, not
+    * docs); a truly unbounded-domain column would switch to
+    * `approx_percentile` and a rows-only check. Rounded at 6 dp: the
+    * interpolation is one double multiply-add per engine. */
+  def tokenQuantiles(docs: DataFrame, strataCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must sit in [0, 1]")
+    val lengths = docs.select(col(strataCol),
+      size(tokens(col("text"))).cast("double").as("n_tokens"))
+    val aggs = count(lit(1)).as("n_docs") +: ps.map(p =>
+      round(expr(s"percentile(n_tokens, CAST($p AS DOUBLE))"), 6)
+        .as(s"p${math.round(p * 100)}"))
+    lengths.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** F8: token frequency top-k per stratum — the corpus-inspection
     * counterpart of F1/F5 (vocabulary skew, boilerplate detection).
     * Explode → groupBy(stratum, token) with map-side partial

@@ -455,4 +455,33 @@ object Timeseries {
         .when(nt === pt, pv)
         .otherwise(round(pv + (nv - pv) * ((col(time) - pt) / (nt - pt)), 6)))
   }
+
+  /** A20: seasonal climatology + anomaly — each reading's departure
+    * from its series' mean at the same hour of day (the weather-domain
+    * diagnostic behind "was this rainfall unusual FOR 3 AM": WRF bias
+    * varies diurnally, so a flat per-series mean hides the signal
+    * A16's z-score would mis-flag).
+    *
+    * One whole-partition window aggregate over (key, hour-of-day) —
+    * ONE shuffle and every input column rides along for free, versus
+    * the groupBy + join-back spelling's two exchanges of the full
+    * frame. The partition is splittable-safe in practice: a (series,
+    * hour) group holds at most years×365 readings, nothing like F7's
+    * mega-strata. No orderBy on the window, so no sort — a pure
+    * hash-style whole-partition aggregate.
+    *
+    * Cross-engine exactness: the mean is an exact DECIMAL sum divided
+    * by the non-null count, cast to double once (the q1/C-block float
+    * rule); the anomaly then subtracts two bit-identical doubles.
+    * `ticksPerSec` scales the epoch arithmetic (µs default). */
+  def seasonalAnomaly(df: DataFrame, key: String, tsTicks: String,
+                      value: String,
+                      ticksPerSec: Long = 1000000L): DataFrame = {
+    val hod = expr(s"(($tsTicks div ${3600L * ticksPerSec}) % 24)")
+    val w = Window.partitionBy(col(key), col("hour_of_day"))
+    df.withColumn("hour_of_day", hod)
+      .withColumn("clim_value",
+        sum(col(value)).over(w).cast("double") / count(col(value)).over(w))
+      .withColumn("anomaly", col(value).cast("double") - col("clim_value"))
+  }
 }

@@ -143,4 +143,49 @@ class CorpusSpec extends SparkSpec {
     // exploded token stream before the exchange
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined)
   }
+
+  test("F12 splitAssign covers every doc, is deterministic, and tracks weights") {
+    val n = 2000
+    val many = (1L to n).map(i => (i, s"doc $i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val splits = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    val out = Corpus.splitAssign(many, splits)
+    val byName = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.values.sum === n) // total assignment, no drops
+    assert(byName.keySet === Set("train", "val", "test"))
+    // md5 coin ≈ uniform: 2000 draws at 0.9 land within a loose band
+    assert(byName("train") > (n * 0.85).toLong && byName("train") < (n * 0.95).toLong)
+    // pure function of (doc_id, salt): identical on a second run...
+    val again = Corpus.splitAssign(many, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again === out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    // ...and an incremental batch agrees with the full-corpus draw
+    val batch = Corpus.splitAssign(many.filter(col("doc_id") <= 100), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(batch.subsetOf(again))
+    // a different salt is a fresh draw (decorrelated resplit)
+    val resalted = Corpus.splitAssign(many, splits, salt = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(resalted !== again)
+  }
+
+  test("F12 splitAssign is a zero-shuffle scan projection") {
+    val plan = Corpus.splitAssign(docs, Seq(("a", 0.5), ("b", 0.5)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split plan shuffles:\n$plan")
+  }
+
+  test("F13 tokenQuantiles computes exact interpolated percentiles per stratum") {
+    // en token counts by doc_id order: 4, 3, 3 → sorted [3, 3, 4]
+    //   p50 = 3.0; p75 at rank 0.75·2 = 1.5 → 3 + 0.5·(4−3) = 3.5
+    // es token counts: 6, 4 → sorted [4, 6]: p50 = 5.0 (midpoint),
+    //   p75 at rank 0.75·1 = 0.75 → 4 + 0.75·(6−4) = 5.5
+    val out = Corpus.tokenQuantiles(docs, "lang", Seq(0.5, 0.75))
+      .select("lang", "n_docs", "p50", "p75")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("en") === ((3L, 3.0, 3.5)))
+    assert(out("es") === ((2L, 5.0, 5.5)))
+  }
 }

@@ -128,6 +128,29 @@ class TimeseriesSpec extends SparkSpec {
       "wrf_0.0001_79.0", "wrf_0.0_79.0"))
   }
 
+  test("A20 seasonalAnomaly measures departure from the same-hour climatology") {
+    val h = 3600000000L // one hour of µs
+    val df = Seq(
+      ("a", 0 * h, 10.0),  // hour 0
+      ("a", 24 * h, 20.0), // hour 0, next day  → clim(a, 0) = 15
+      ("a", 1 * h, 7.0),   // hour 1, single    → clim(a, 1) = 7
+      ("b", 0 * h, 100.0)  // other key, hour 0 → clim(b, 0) = 100
+    ).toDF("k", "ts_us", "v").withColumn("vd", col("v").cast("decimal(14,2)"))
+    val out = Timeseries.seasonalAnomaly(df, "k", "ts_us", "vd")
+      .select("k", "hour_of_day", "v", "clim_value", "anomaly")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(out === Set(
+      ("a", 0L, 10.0, 15.0, -5.0), ("a", 0L, 20.0, 15.0, 5.0),
+      ("a", 1L, 7.0, 7.0, 0.0), ("b", 0L, 100.0, 100.0, 0.0)))
+  }
+
+  test("A20 seasonalAnomaly plans one exchange, no sort") {
+    val df = Seq(("a", 0L, 1.0)).toDF("k", "ts_us", "v")
+    val plan = Timeseries.seasonalAnomaly(df, "k", "ts_us", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length == 2, s"expected 1 exchange:\n$plan")
+  }
+
   test("A10 tmsId is deterministic in the metadata tuple") {
     val df = Seq(("s1", "stA", "src", "rain", "mm")).toDF("sim", "st", "src", "vr", "un")
     val cols = Seq("sim", "st", "src", "vr", "un")
