@@ -67,6 +67,41 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** A7-as-a-stream: hybrid obs+fcst — the windowed STREAM-STREAM
+    * inner join. Each side carries its event-time watermark and its
+    * reading's 15-min window; joining on (key, window) equality is
+    * the canonical windowed stream-stream join, so state on BOTH
+    * sides is bounded: a buffered reading is evicted once the other
+    * stream's watermark passes its window. Inner join = the batch
+    * operator's overlap-only semantics (reference keeps only
+    * timestamps where obs AND fcst exist); `hybrid_value` prefers the
+    * observation, as in batch.
+    *
+    * ONE stateful operator (the join) — append mode with no
+    * multiple-stateful-op restrictions. Per-reading pairing: feed
+    * at-least-once sources through [[dedupStream]] first (a replayed
+    * reading would otherwise re-pair), and pre-aggregate upstream if
+    * a (key, window) can legitimately hold several readings per side.
+    */
+  def streamingHybrid(obs: DataFrame, fcst: DataFrame, tsCol: String,
+                      keyCol: String, valueCol: String,
+                      windowLen: String = "15 minutes",
+                      watermark: String = "30 minutes"): DataFrame = {
+    val w = org.apache.spark.sql.functions.window(col(tsCol), windowLen)
+    val o = obs.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("__okey"), w.as("__ow"),
+        col(valueCol).as("obs_value"))
+    val f = fcst.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("__fkey"), w.as("__fw"),
+        col(valueCol).as("fcst_value"))
+    o.join(f, col("__okey") === col("__fkey") && col("__ow") === col("__fw"))
+      .select(col("__okey").as(keyCol),
+        col("__ow.start").as("bucket_start"),
+        col("__ow.end").as("bucket_end"),
+        col("obs_value"), col("fcst_value"),
+        coalesce(col("obs_value"), col("fcst_value")).as("hybrid_value"))
+  }
+
   /** D3-as-a-stream: arrival-time near-dup detection. Each micro-batch
     * of documents is checked against the MATERIALIZED corpus signature
     * table via [[graft.operators.Dedup.incrementalJaccard]] (the

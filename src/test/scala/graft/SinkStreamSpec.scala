@@ -205,6 +205,29 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 3.0, 2L), Seq("s1", 4.0, 1L), Seq("s2", 8.0, 1L)))
   }
 
+  test("EventStream.streamingHybrid joins obs and fcst per (station, window), obs wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val obs = MemoryStream[(Timestamp, String, Double)]
+    val fcst = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.streamingHybrid(
+        obs.toDF().toDF("ts", "station", "value"),
+        fcst.toDF().toDF("ts", "station", "value"),
+        "ts", "station", "value")
+      .writeStream.format("memory").queryName("hyb").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    // window [0,15): both sides report for s1 → one hybrid row, obs wins;
+    // fcst-only window [15,30) and fcst-only station s2 → no row (inner =
+    // the reference's overlap-only dropna)
+    obs.addData((t(1), "s1", 1.5))
+    fcst.addData((t(4), "s1", 9.0), (t(16), "s1", 7.0), (t(2), "s2", 8.0))
+    q.processAllAvailable()
+    val out = spark.table("hyb")
+      .select("station", "obs_value", "fcst_value", "hybrid_value")
+      .collect().toSeq.map(_.toSeq)
+    q.stop()
+    assert(out === Seq(Seq("s1", 1.5, 9.0, 1.5)))
+  }
+
   test("EventStream.dedupStream drops re-pushed (key, time) duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
