@@ -195,8 +195,18 @@ object Dedup {
         .write.format("parquet").partitionBy("ingest_batch")
         .bucketBy(buckets, "gh").sortBy("gh")
         .option("path", path).mode("overwrite").saveAsTable(table)
-    if (maxDf == Long.MaxValue) writeMain(raw)
-    else {
+    if (maxDf == Long.MaxValue) {
+      // an earlier CAPPED build of this table left a `_hot` companion;
+      // callers pair the two ("pass its <table>_hot side table"), so a
+      // stale hot list must not survive an uncapped rebuild — batches
+      // would keep dropping grams against a cap the corpus side no
+      // longer applies, silently deflating Jaccards
+      val spark = docs.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_hot")
+      val hp = new org.apache.hadoop.fs.Path(s"${path}_hot")
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      writeMain(raw)
+    } else {
       // cache the shingled table: the hot-table write, the sizes
       // aggregate, and the anti-join otherwise each re-tokenize and
       // re-shingle the whole corpus (three full passes at 100 TB)
@@ -247,11 +257,14 @@ object Dedup {
                          hotTable: Option[String] = None,
                          excludeIngestBatch: Option[Long] = None): DataFrame = {
     graft.functions.VecExprs.register(spark)
-    // cachedAs(): dropHotAndResize reads its input twice — uncached,
-    // every micro-batch would re-tokenize and re-shingle the batch
-    // once per branch (the ngramJaccardWithHotList rationale)
-    val newRaw = cachedAs("incrementalJaccard_raw", explodedGrams(newDocs))
-    val newG = hotTable.fold(newRaw)(h => dropHotAndResize(newRaw, spark.table(h)))
+    // cachedAs() only on the capped path: dropHotAndResize reads its
+    // input twice there — uncached, every micro-batch would
+    // re-tokenize and re-shingle the batch once per branch (the
+    // ngramJaccardWithHotList rationale). Uncapped, the grams feed ONE
+    // join and a cache is pure materialization overhead.
+    val newG = hotTable.fold(explodedGrams(newDocs))(h =>
+      dropHotAndResize(cachedAs("incrementalJaccard_raw",
+        explodedGrams(newDocs)), spark.table(h)))
     incrementalOverGrams(spark, table, newG, tau, excludeIngestBatch)
   }
 
@@ -314,15 +327,13 @@ object Dedup {
   def appendToSignatureTable(docs: DataFrame, table: String,
                              ingestBatch: Long,
                              hotTable: Option[String] = None): Unit = {
-    require(ingestBatch >= 0L,
-      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
-        "corpus lives at -1; overwriting it would destroy the signature)")
     val spark = docs.sparkSession
     graft.functions.VecExprs.register(spark)
-    // cachedAs(): dropHotAndResize reads its input twice (see
-    // incrementalJaccard — same per-micro-batch cost otherwise)
-    val raw = cachedAs("appendSignature_raw", explodedGrams(docs))
-    val g = hotTable.fold(raw)(h => dropHotAndResize(raw, spark.table(h)))
+    // cachedAs() only on the capped path (see incrementalJaccard);
+    // the batch-id guard lives in appendGrams, the single write path
+    val g = hotTable.fold(explodedGrams(docs))(h =>
+      dropHotAndResize(cachedAs("appendSignature_raw",
+        explodedGrams(docs)), spark.table(h)))
     appendGrams(g, table, ingestBatch)
   }
 
@@ -474,8 +485,16 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
     }
-    val banded = withSim.select(col("doc_id"), col("simhash"),
+    val banded0 = withSim.select(col("doc_id"), col("simhash"),
       posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+    // capped path: banded feeds FIVE branches (hot aggregate, kept
+    // anti-join, members twice, self-join sides) — uncached, each
+    // would re-tokenize + re-hash the corpus (the minhashLsh cache
+    // rationale). Uncapped it feeds only the self-join, whose two
+    // sides collapse via exchange reuse — no cache needed.
+    val banded =
+      if (maxBucket == Long.MaxValue) banded0
+      else cachedAs("simhashPairs_banded", banded0)
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (banded, None)
       else {
@@ -675,10 +694,15 @@ object Dedup {
     graft.functions.VecExprs.register(spark)
     val g0 = benchDocs.select(col("doc_id").as("bench_id"),
       explode(gramHashes(col("text"))).as("gh"))
-    val g =
-      if (benchMaxDf == Long.MaxValue) g0
-      else g0.join(broadcast(hotGrams(g0, benchMaxDf)), Seq("gh"), "left_anti")
-    g.write.mode("overwrite").parquet(path)
+    // capped path reads g0 three times (hot aggregate, anti-join probe
+    // side, write scan) — cache for the build, free after the write
+    // (the writeSignatureTable rationale)
+    val cached = if (benchMaxDf == Long.MaxValue) None else Some(g0.cache())
+    try {
+      val g = cached.fold(g0)(c =>
+        c.join(broadcast(hotGrams(c, benchMaxDf)), Seq("gh"), "left_anti"))
+      g.write.mode("overwrite").parquet(path)
+    } finally cached.foreach(_.unpersist(false))
     val written = spark.read.parquet(path)
     val expected = math.max(written.count(), 64L)
     val bloom = written.stat.bloomFilter("gh", expected, fpp)
@@ -739,14 +763,33 @@ object Dedup {
     * reassociation-safe, so the labeling is identical either way
     * (spec-checked).
     */
+  /** `localCheckpoint` + handles to the blocks it pinned:
+    * `Dataset.unpersist` is a CacheManager call and does NOT free
+    * checkpoint blocks (they are RDD-level MEMORY_AND_DISK persists,
+    * reclaimed only when the RDD is GC'd) — so an iterative loop that
+    * "unpersists" each round's Dataset actually pins O(rounds) label
+    * copies. The delta of `getPersistentRDDs` around the checkpoint
+    * call captures the new RDD(s) for an explicit `RDD.unpersist`
+    * once the round is dead. (clusters() runs driver-sequentially, so
+    * the delta is ours; a concurrent persist caught in the window
+    * would only lose ITS cache, never correctness.) */
+  private def checkpointPinned(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val pinned = (sc.getPersistentRDDs -- before).values.toSeq
+    (out, pinned)
+  }
+
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
                saltBuckets: Int = 1): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    val (edges, edgePins) = checkpointPinned(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var (labels, labelPins) = checkpointPinned(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     // decimal sum: overflow-safe for any id domain
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first() match {
@@ -770,28 +813,28 @@ object Dedup {
         .select(col("l.doc_id").as("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-      val next = prop.as("p")
+      val (next, nextPins) = checkpointPinned(prop.as("p")
         .join(prop.select(col("doc_id").as("hop_id"),
             col("cluster_id").as("hop_lbl")),
           col("p.cluster_id") === col("hop_id"), "left")
         .select(col("p.doc_id").as("doc_id"),
           least(col("p.cluster_id"), coalesce(col("hop_lbl"), col("p.cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+            .as("cluster_id")))
       val s = labelSum(next)
-      // next is materialized — the previous round's checkpoint blocks
-      // are dead weight now; keep at most 2 label copies pinned, not
-      // O(rounds)
-      labels.unpersist(false)
+      // next is materialized — the previous round's checkpoint BLOCKS
+      // (freed via the RDD handles; see checkpointPinned) are dead
+      // weight now; keep at most 2 label copies pinned, not O(rounds)
+      labelPins.foreach(_.unpersist(false))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
+      labelPins = nextPins
       iter += 1
     }
     // the final labels checkpoint is self-contained (truncated
     // lineage) — the edge list's blocks are dead weight from here on;
     // labels itself must stay pinned (the returned plan reads it)
-    edges.unpersist(false)
+    edgePins.foreach(_.unpersist(false))
     if (!converged)
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — component " +

@@ -147,6 +147,13 @@ class BucketedJoinSpec extends SparkSpec {
       .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
     assert(inc === expected)
 
+    // an UNCAPPED rebuild of the same table must drop the stale _hot
+    // companion — a caller still passing it would silently cap
+    // batches against a list the corpus side no longer applies
+    Dedup.writeSignatureTable(docs, "grams_c", s"$wh/grams_c", buckets = 8)
+    assert(!spark.catalog.tableExists("grams_c_hot"),
+      "stale _hot companion survived an uncapped rebuild")
+
     spark.sql("DROP TABLE IF EXISTS grams_c")
     spark.sql("DROP TABLE IF EXISTS grams_c_hot")
   }
