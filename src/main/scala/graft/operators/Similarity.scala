@@ -669,6 +669,46 @@ object Similarity {
     require(fs.delete(old, true), s"compacted but could not delete $old")
   }
 
+  /** The ONE probe-and-prune spelling every index serve and the
+    * [[probedListFiles]] audit share: probe the stored coarse
+    * quantizer with the zero-norm-filtered queries (a zero query has
+    * no defined ranking, and its degenerate probe rows would inflate
+    * the probed set — reading list partitions no real query needs),
+    * collect the probed list ids (bounded by nlist), and return
+    * (probes, prunedLists) where the list scan carries
+    * `c_id IN (probed)` as a PartitionFilter plus the optional
+    * replayed-batch exclusion. The audit MEASURING the same scan the
+    * serves PLAN is the point — a hand-copied spelling de-syncs
+    * silently. */
+  private def probeAndPrune(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame, nprobe: Int,
+                            excludeIngestBatch: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = readCentroids(spark, path)
+    val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
+      lit(true), cents, nprobe)
+    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
+    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
+        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
+      .filter(col("c_id").isin(probedIds: _*))
+    (probes, lists)
+  }
+
+  /** Partition-pruning audit quantity for the index serves: the list
+    * files a serve for `queries` at `nprobe` ACTUALLY reads — distinct
+    * `input_file_name()` over the same [[probeAndPrune]] scan
+    * [[ivfTopKFromIndex]] plans. (`DataFrame.inputFiles` is useless
+    * here: it lists the whole relation, ignoring partition pruning.)
+    * Bench asserts this is strictly fewer files than the index holds —
+    * the "scan nprobe/nlist of the data" claim, measured. */
+  def probedListFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, nprobe: Int = 4): Array[String] = {
+    import spark.implicits._
+    val (_, lists) = probeAndPrune(spark, path, queries, nprobe)
+    lists.select(input_file_name()).distinct().as[String].collect()
+  }
+
   /** Query a written IVF index: probe the stored quantizer, then read
     * ONLY the probed partitions (the scan's PartitionFilters carry
     * `c_id IN (probed)` — spec-proved, with the input file set
@@ -679,47 +719,24 @@ object Similarity {
     * `selfExclude` drops candidates whose vec_id equals the query's —
     * right when queries ARE corpus members (don't return yourself);
     * set false when query ids live in a separate namespace, where an
-    * id-equal corpus vector is a legitimate neighbor, not "self". */
-  /** `excludeIngestBatch`: drop that ingest partition from the serve
+    * id-equal corpus vector is a legitimate neighbor, not "self".
+    *
+    * `excludeIngestBatch`: drop that ingest partition from the serve
     * (partition-pruned). [[graft.streaming.EventStream
     * .streamingAnnIngest]] passes its CURRENT batch id: under
     * crash-replay the batch's vectors are already appended, and
     * without the exclusion every replayed query would match its own
     * copy at cos 1.0 rank 1, displacing the real neighbors. */
-  /** Partition-pruning audit quantity for the index serves: the list
-    * files a serve for `queries` at `nprobe` ACTUALLY reads — distinct
-    * `input_file_name()` over the same pruned scan
-    * [[ivfTopKFromIndex]] plans. (`DataFrame.inputFiles` is useless
-    * here: it lists the whole relation, ignoring partition pruning.)
-    * Bench asserts this is strictly fewer files than the index holds —
-    * the "scan nprobe/nlist of the data" claim, measured. */
-  def probedListFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-                      queries: DataFrame, nprobe: Int = 4): Array[String] = {
-    import spark.implicits._
-    val cents = readCentroids(spark, path)
-    val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
-      lit(true), cents, nprobe)
-    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
-    spark.read.parquet(s"$path/lists")
-      .filter(col("c_id").isin(probedIds: _*))
-      .select(input_file_name()).distinct().as[String].collect()
-  }
-
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int,
                        nprobe: Int = 4, selfExclude: Boolean = true,
                        excludeIngestBatch: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    val cents = readCentroids(spark, path)
-    // zero-norm rows out on BOTH sides (undefined cosine): a
-    // zero query has no defined ranking (returns no rows), a zero
-    // indexed vector is never a legitimate cosine neighbor
-    val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
-      lit(true), cents, nprobe)
-    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
-    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
-        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
-      .filter(col("c_id").isin(probedIds: _*) && col("n2") > 0)
+    // zero-norm rows out on BOTH sides (undefined cosine): queries
+    // inside probeAndPrune; a zero INDEXED vector is never a
+    // legitimate cosine neighbor either
+    val (probes, lists0) =
+      probeAndPrune(spark, path, queries, nprobe, excludeIngestBatch)
+    val lists = lists0.filter(col("n2") > 0)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     lists.as("c").join(broadcast(probes), Seq("c_id"))
@@ -784,19 +801,11 @@ object Similarity {
                          queries: DataFrame, k: Int, nprobe: Int = 4,
                          rerank: Int = 8, selfExclude: Boolean = true): DataFrame = {
     import spark.implicits._
-    val cents = readCentroids(spark, path)
     val codebook = spark.read.parquet(s"$path/codebook")
     val m = codebook.agg(max(col("j"))).as[Int].head() + 1
-    // zero-norm queries out BEFORE probing (as in ivfTopKFromIndex):
-    // a zero query has no defined ranking, and its degenerate probe
-    // rows would inflate probedIds — reading list partitions no real
-    // query needs, defeating the partition pruning
     val q0 = preparedQueries(queries).filter(col("n2") > 0)
     val qu = unitFrame(q0)
-    val probes = probeList(q0, lit(true), cents, nprobe)
-    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("c_id").isin(probedIds: _*))
+    val (probes, lists) = probeAndPrune(spark, path, queries, nprobe)
     // per-query LUT from the STORED codebook (same subDist spelling as
     // the encode expression — bit-identical ADC)
     val subLen = (size(col("u")) / m).cast("int")
@@ -1281,6 +1290,11 @@ object Similarity {
     * exactly the one true bucket, bit-identical to plain LSH). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
               tables: Int = 8, probes: Int = 0): DataFrame = {
+    require(probes >= 0, s"probes=$probes must be non-negative")
+    // clamp as in cosinePairsLsh: flipping more bits than there are
+    // planes is meaningless (the expression would reject it at plan
+    // build with its internal-contract message)
+    val nProbes = math.min(probes, planes)
     // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p0 = preparedNonZero(emb)
     val bucketArr = array((0 until tables).map(t =>
@@ -1294,7 +1308,7 @@ object Similarity {
     // stays on the single exact bucket
     val qProbeArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_probes",
-        col("v"), lit(planes), lit(t), lit(probes))): _*)
+        col("v"), lit(planes), lit(t), lit(nProbes))): _*)
     val q = p0.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"),
         posexplode(qProbeArr).as(Seq("t", "probe_buckets")))
