@@ -480,7 +480,8 @@ object SparkEntry {
     val total = SplitWeights.map(_._2).sum
     val cum = SplitWeights.scanLeft(0.0) {
       case (acc, (_, w)) => acc + w / total }.tail
-    val coin = "substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+    val coin =
+      "substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':split'), 1, 8)"
     "CASE " + SplitWeights.zip(cum).dropRight(1).map { case ((name, _), c) =>
       s"WHEN $coin < '${Corpus.hexThreshold(c)}' THEN '$name'"
     }.mkString(" ") + s" ELSE '${SplitWeights.last._1}' END"
@@ -1207,8 +1208,8 @@ object SparkEntry {
 
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(lang, '')),
-         |             1, 8)
+         |WHERE substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':'
+         |               || coalesce(lang, '')), 1, 8)
          |      < $sampleCaseSql""".stripMargin,
 
     "corpus_mix_plan" ->
@@ -1229,7 +1230,7 @@ object SparkEntry {
 
     "corpus_token_quantiles" -> {
       val qs = QuantilePs.map(p =>
-        s"round(quantile_cont(n_tokens, $p), 6) AS p${math.round(p * 100)}")
+        s"round(quantile_cont(n_tokens, $p), 6) AS ${Corpus.quantileLabel(p)}")
         .mkString(",\n         |  ")
       s"""WITH t AS (
          |  SELECT lang, CAST(len($TOKS) AS DOUBLE) AS n_tokens

@@ -22,16 +22,33 @@ import graft.functions.TextFunctions._
   */
 object Corpus {
 
-  /** Cached pack staging table, one live slot (shared [[CacheSlots]]
-    * lifecycle — see Dedup): both prefix-sum phases of
-    * [[packSequences]] must read the SAME physical partitioning. */
-  private val liveCaches = new CacheSlots
+  /** Pack staging pins, one live slot: both prefix-sum phases of
+    * [[packSequences]] must read the SAME physical partitioning, and
+    * a plain `.cache()` cannot guarantee it — an evicted (or
+    * slot-replaced) cache would silently RE-RUN the range shuffle,
+    * whose boundary sampling is seeded per RDD id, reassigning
+    * `__pid`s and corrupting every broadcast offset lookup. A
+    * `localCheckpoint` truncates lineage, so a lost block FAILS
+    * LOUDLY instead. Dataset.unpersist is a no-op for checkpoint
+    * blocks (they are RDD-level persists — the Dedup.clusters
+    * rationale), so the slot holds the pinned RDD handles: the next
+    * call frees the previous call's blocks (consume each returned
+    * frame before packing again), releaseCaches() frees the last. */
+  private val packPins =
+    new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.rdd.RDD[_]]](Nil)
 
-  private def cachedAs(key: String, df: DataFrame): DataFrame =
-    liveCaches(key, df)
+  private def checkpointStaged(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val pins = (sc.getPersistentRDDs -- before).values.toSeq
+    packPins.getAndSet(pins).foreach(_.unpersist(false))
+    out
+  }
 
-  /** Drop every cache this object holds (end-of-job cleanup). */
-  def releaseCaches(): Unit = liveCaches.release()
+  /** Drop every staging block this object holds (end-of-job cleanup). */
+  def releaseCaches(): Unit =
+    packPins.getAndSet(Nil).foreach(_.unpersist(false))
 
   /** F6: deterministic stratified sampling — corpus mixing / rebalance
     * (downsample over-represented languages or sources) with a
@@ -49,12 +66,14 @@ object Corpus {
   def sampleStratified(docs: DataFrame, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double = 1.0): DataFrame = {
-    // NULL strata sample at the default rate — without the coalesce
-    // the concat (and so the coin) is NULL and the filter silently
-    // drops every null-stratum row even at defaultRate = 1.0
+    // NULL strata sample at the default rate, NULL doc_ids at their
+    // stratum's rate (one shared coin per stratum) — without the
+    // coalesces the concat (and so the coin) is NULL and the filter
+    // silently drops the row even at rate 1.0
     val stratum = coalesce(col(strataCol), lit(""))
     val coin = substring(
-      md5(concat(col("doc_id").cast("string"), lit(":"), stratum)), 1, 8)
+      md5(concat(coalesce(col("doc_id").cast("string"), lit("")),
+        lit(":"), stratum)), 1, 8)
     val threshold = rates.foldLeft(when(lit(false), lit(""))) {
       case (acc, (s, rate)) =>
         acc.when(stratum === s, lit(hexThreshold(rate)))
@@ -81,22 +100,37 @@ object Corpus {
     * One tiny aggregation (strata-count groups) + a broadcast scalar
     * min — O(strata) rows of output regardless of corpus size. Strata
     * missing from `targetShares` get rate 0 (excluded from the mix);
-    * shares need not sum to 1 (only ratios matter).
+    * a TARGET stratum missing from the corpus throws (the mixture is
+    * unsatisfiable — T = 0 — and a plan over only the present strata
+    * would silently ship the wrong proportions); shares need not sum
+    * to 1 (only ratios matter).
     */
   def mixPlan(docs: DataFrame, strataCol: String,
               targetShares: Map[String, Double]): DataFrame = {
     require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
       "targetShares must be non-empty with positive shares")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    // a target stratum ABSENT from the corpus makes the mixture
+    // unsatisfiable (its constraint is share·T ≤ 0 ⟹ T = 0, all
+    // rates 0) — computing T over only the present strata would
+    // instead return a plan that silently ships the WRONG mixture.
+    // Fail loudly; the check is an O(strata) collect on an aggregate
+    // this plan materializes anyway.
+    val present = counts.select(col(strataCol).cast("string"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+    val missing = targetShares.keySet.filterNot(present)
+    require(missing.isEmpty,
+      s"targetShares strata absent from the corpus: ${missing.mkString(", ")} " +
+        "— the requested mixture is unsatisfiable (T = 0)")
     val share = targetShares.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (s, w)) => acc.when(col(strataCol) === s, lit(w))
     }.otherwise(lit(0.0))
-    val counts = docs.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share", share)
+    val counted = counts.withColumn("share", share)
     // T = min over included strata of n_s / share_s, as a broadcast scalar
-    val t = counts.filter(col("share") > 0)
+    val t = counted.filter(col("share") > 0)
       .select(min(col("n_docs") / col("share")).as("t_total"))
-    counts.crossJoin(broadcast(t))
+    counted.crossJoin(broadcast(t))
       .select(col(strataCol), col("n_docs"),
         round(col("share"), 6).as("share"),
         when(col("share") > 0,
@@ -144,12 +178,14 @@ object Corpus {
     // __skey: the stratum as a string travels alongside the original
     // column so phase 2's grouping key and phase 3's JVM-side key are
     // the SAME cast — no cast-vs-toString drift for non-string strata.
-    // __pid: the range-shuffle partition id FROZEN INTO THE CACHED
-    // DATA. Reading TaskContext.getPartitionId() in phase 3 instead
+    // __pid: the range-shuffle partition id FROZEN INTO THE STAGED
+    // DATA (checkpointStaged — a re-run of the range shuffle could
+    // redraw its sampled boundaries and reassign pids, see the slot
+    // doc). Reading TaskContext.getPartitionId() in phase 3 instead
     // would be wrong under any downstream narrow merge — a
     // coalesce(1) sink runs every parent partition's iterator inside
     // one task, so the task id is NOT the data partition id.
-    val prepared = cachedAs("packSequences_prepared",
+    val prepared = checkpointStaged(
       docs.select(col("doc_id"), col(strataCol),
           size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
           col(strataCol).cast("string").as("__skey"))
@@ -236,8 +272,13 @@ object Corpus {
       "split names must be distinct")
     val total = splits.map(_._2).sum
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    // NULL doc_ids coin from the empty string (all land in ONE split,
+    // varying with the salt) — an un-coalesced NULL coin would send
+    // every null-id row to the LAST split via the otherwise branch,
+    // silently biasing whatever split happens to be listed last
     val coin = substring(
-      md5(concat(col("doc_id").cast("string"), lit(":"), lit(salt))), 1, 8)
+      md5(concat(coalesce(col("doc_id").cast("string"), lit("")),
+        lit(":"), lit(salt))), 1, 8)
     val assigned = splits.zip(cum).dropRight(1)
       .foldLeft(when(lit(false), lit(""))) {
         case (acc, ((name, _), c)) =>
@@ -263,13 +304,23 @@ object Corpus {
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles $ps must sit in [0, 1]")
+    val labels = ps.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"percentiles $ps produce duplicate column labels $labels")
     val lengths = docs.select(col(strataCol),
       size(tokens(col("text"))).cast("double").as("n_tokens"))
-    val aggs = count(lit(1)).as("n_docs") +: ps.map(p =>
-      round(expr(s"percentile(n_tokens, CAST($p AS DOUBLE))"), 6)
-        .as(s"p${math.round(p * 100)}"))
+    val aggs = count(lit(1)).as("n_docs") +: ps.zip(labels).map { case (p, l) =>
+      round(expr(s"percentile(n_tokens, CAST($p AS DOUBLE))"), 6).as(l) }
     lengths.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Output column label for percentile `p` — exact, not rounded to a
+    * percent (`math.round(p·100)` collides 0.025 with 0.03 and labels
+    * 0.005 as "p1"): `p25`, `p2_5`, `p0_5`. Shared with the oracle
+    * SQL generator so both engines name the columns identically. */
+  def quantileLabel(p: Double): String =
+    "p" + BigDecimal(p.toString).*(100).underlying
+      .stripTrailingZeros.toPlainString.replace(".", "_").replace("-", "m")
 
   /** F8: token frequency top-k per stratum — the corpus-inspection
     * counterpart of F1/F5 (vocabulary skew, boilerplate detection).

@@ -23,11 +23,11 @@ object EventStream {
   /** A3-as-a-stream: per-key 15-min windowed sums with event-time
     * watermark. Append-mode-compatible (emits only closed windows). */
   def windowedSums(events: DataFrame, tsCol: String, keyCol: String,
-                   valueCol: String, window: String = "15 minutes",
+                   valueCol: String, windowLen: String = "15 minutes",
                    watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(col(keyCol), org.apache.spark.sql.functions.window(col(tsCol), window))
+      .groupBy(col(keyCol), window(col(tsCol), windowLen))
       .agg(sum(col(valueCol)).as("value"), count(lit(1)).as("n_events"))
       .select(col(keyCol), col("window.start").as("bucket_start"),
         col("window.end").as("bucket_end"), col("value"), col("n_events"))
@@ -87,7 +87,7 @@ object EventStream {
                       keyCol: String, valueCol: String,
                       windowLen: String = "15 minutes",
                       watermark: String = "30 minutes"): DataFrame = {
-    val w = org.apache.spark.sql.functions.window(col(tsCol), windowLen)
+    val w = window(col(tsCol), windowLen)
     val o = obs.withWatermark(tsCol, watermark)
       .select(col(keyCol).as("__okey"), w.as("__ow"),
         col(valueCol).as("obs_value"))
@@ -206,6 +206,38 @@ object EventStream {
   final case class Smoothed(station: String, ts: java.sql.Timestamp,
                             value: Double, ewma: Double)
 
+  /** The shared ordered-fold skeleton of [[streamingEwma]] and
+    * [[streamingIntervalDiff]]: per-station `flatMapGroupsWithState`
+    * carrying (last applied event time, one double of state), events
+    * event-time ordered within each micro-batch, and the SINGLE copy
+    * of the late/replay drop rule both operators document — an event
+    * at or before the last applied time is dropped (folding it would
+    * corrupt the recurrence / regress the cumulative). `step` maps
+    * (previous state double, in-order reading) to (next state double,
+    * optional emission). */
+  private def statefulOrderedFold[O: org.apache.spark.sql.Encoder](
+      events: Dataset[CumulReading])(
+      step: (Option[Double], CumulReading) => (Double, Option[O])): Dataset[O] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.station)
+      .flatMapGroupsWithState[(Long, Double), O](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, readings, state: GroupState[(Long, Double)]) =>
+          var cur = state.getOption
+          val out = readings.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+            val t = r.ts.getTime
+            if (cur.exists(_._1 >= t)) None
+            else {
+              val (next, o) = step(cur.map(_._2), r)
+              cur = Some((t, next))
+              o
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** A19-as-a-stream: exponential smoothing with the previous EWMA
     * value carried across micro-batches in per-key state (one double
     * per station — the same bounded-state contract as
@@ -225,34 +257,16 @@ object EventStream {
       : Dataset[Smoothed] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     import events.sparkSession.implicits._
-    // state carries (last event time, last ewma): the recurrence is
-    // order-defined, so an event at or before the last applied time —
-    // a late arrival from an earlier micro-batch, or a crash-replay
-    // re-delivery — must be DROPPED, not folded in arrival order
-    // (folding it would permanently corrupt every later smoothed
-    // value vs the batch flavor). Parity with Timeseries.ewma holds
-    // for in-order, distinct-timestamp streams; late/duplicate events
-    // are the streaming trade the watermark model makes everywhere.
-    events.groupByKey(_.station)
-      .flatMapGroupsWithState[(Long, Double), Smoothed](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (station, readings, state: GroupState[(Long, Double)]) =>
-          var prev = state.getOption
-          val out = readings.toSeq.sortBy(_.ts.getTime).flatMap { r =>
-            val t = r.ts.getTime
-            if (prev.exists(_._1 >= t)) None
-            else {
-              val e = prev.fold(r.value) { case (_, p) =>
-                alpha * r.value + (1.0 - alpha) * p }
-              prev = Some((t, e))
-              // same floor-based 6-dp rounding as the batch flavor
-              Some(Smoothed(station, r.ts, r.value,
-                math.floor(e * 1e6 + 0.5) / 1e6))
-            }
-          }
-          prev.foreach(state.update)
-          out.iterator
-      }
+    // the late/replay drop rule lives in statefulOrderedFold (state =
+    // the running EWMA); parity with Timeseries.ewma holds for
+    // in-order, distinct-timestamp streams — late/duplicate events
+    // are the streaming trade the watermark model makes everywhere
+    statefulOrderedFold[Smoothed](events) { (prev, r) =>
+      val e = prev.fold(r.value)(p => alpha * r.value + (1.0 - alpha) * p)
+      // same floor-based 6-dp rounding as the batch flavor
+      (e, Some(Smoothed(r.station, r.ts, r.value,
+        math.floor(e * 1e6 + 0.5) / 1e6)))
+    }
   }
 
   /** A1-as-a-stream: cumulative → per-interval deltas with CUSTOM
@@ -274,29 +288,12 @@ object EventStream {
     */
   def streamingIntervalDiff(events: Dataset[CumulReading]): Dataset[IntervalDelta] = {
     import events.sparkSession.implicits._
-    // state carries (last event time, last cumulative value): an
-    // event at or before the stored time — late arrival or replay
-    // re-delivery — is dropped, because diffing it would regress the
-    // cumulative state (negative phantom rainfall) AND double-count
-    // the next interval (see streamingEwma for the same contract)
-    events.groupByKey(_.station)
-      .flatMapGroupsWithState[(Long, Double), IntervalDelta](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (station, readings, state: GroupState[(Long, Double)]) =>
-          val ordered = readings.toSeq.sortBy(_.ts.getTime)
-          var last = state.getOption
-          val out = ordered.flatMap { r =>
-            val t = r.ts.getTime
-            if (last.exists(_._1 >= t)) None
-            else {
-              val d = last.map { case (_, pv) =>
-                IntervalDelta(station, r.ts, r.value - pv) }
-              last = Some((t, r.value))
-              d
-            }
-          }
-          last.foreach(state.update)
-          out.iterator
-      }
+    // the late/replay drop rule lives in statefulOrderedFold (state =
+    // the last cumulative value): diffing a late event would regress
+    // the cumulative (negative phantom rainfall) AND double-count the
+    // next interval; the first reading seeds state, emitting nothing
+    statefulOrderedFold[IntervalDelta](events) { (last, r) =>
+      (r.value, last.map(pv => IntervalDelta(r.station, r.ts, r.value - pv)))
+    }
   }
 }

@@ -170,6 +170,43 @@ class CorpusSpec extends SparkSpec {
     assert(resalted !== again)
   }
 
+  test("F6/F12 null doc_ids are sampled and split, not silently dropped or pinned") {
+    val withNull = Seq((Some(1L), "a", "en"), (None: Option[Long], "b", "en"))
+      .toDF("doc_id", "text", "lang")
+    // rate 1.0 keeps EVERYTHING, including the null-id row (a null
+    // coin would silently drop it)
+    assert(Corpus.sampleStratified(withNull, "lang", Map.empty, 1.0).count() === 2)
+    // the null-id row gets a real (salted) coin, not the last split
+    // unconditionally: across salts it must land in 'a' at least once
+    // (md5(':s') varies with s; pinned-to-last would always say 'b')
+    val lands = (1 to 8).map { i =>
+      Corpus.splitAssign(withNull.filter(col("doc_id").isNull),
+          Seq(("a", 0.5), ("b", 0.5)), salt = s"s$i")
+        .select("split").as[String].head()
+    }.toSet
+    assert(lands.contains("a"), s"null-id rows pinned to $lands across salts")
+  }
+
+  test("F6b mixPlan throws when a target stratum is absent from the corpus") {
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixPlan(docs, "lang", Map("en" -> 0.4, "zz" -> 0.6)).collect()
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
+  test("F13 quantileLabel is exact and collision-free") {
+    assert(Corpus.quantileLabel(0.25) === "p25")
+    assert(Corpus.quantileLabel(0.5) === "p50")
+    assert(Corpus.quantileLabel(0.95) === "p95")
+    assert(Corpus.quantileLabel(0.025) === "p2_5")
+    assert(Corpus.quantileLabel(0.005) === "p0_5")
+    assert(Corpus.quantileLabel(1.0) === "p100")
+    // rounded-percent labels collided these two
+    assert(Corpus.quantileLabel(0.025) !== Corpus.quantileLabel(0.03))
+    assertThrows[IllegalArgumentException](
+      Corpus.tokenQuantiles(docs, "lang", Seq(0.25, 0.25)))
+  }
+
   test("F12 splitAssign is a zero-shuffle scan projection") {
     val plan = Corpus.splitAssign(docs, Seq(("a", 0.5), ("b", 0.5)))
       .queryExecution.executedPlan.toString
