@@ -473,6 +473,13 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+  /** DuckDB mirror of Timeseries.tmsEnc — the injective
+    * `v<len>:<chars>` / `n:` tuple encoding behind tms_id. Edit in
+    * lockstep with the Spark expression. */
+  private def tmsEncSql(e: String): String =
+    s"(CASE WHEN CAST($e AS VARCHAR) IS NULL THEN 'n:' " +
+      s"ELSE 'v' || length(CAST($e AS VARCHAR)) || ':' || CAST($e AS VARCHAR) END)"
+
   /** F12 split assignment as a CASE over cumulative thresholds,
     * generated from the SAME weights + hexThreshold the Spark side
     * uses — byte-identical literals on both engines. */
@@ -642,8 +649,8 @@ object SparkEntry {
 
     "ts_tms_id" ->
       s"""SELECT DISTINCT user_id, event_type,
-         |  md5(concat_ws(':', 'evt0', CAST(user_id AS VARCHAR), 'graft_v1',
-         |                event_type, 'count')) AS tms_id
+         |  md5(${Seq("'evt0'", "user_id", "'graft_v1'", "event_type", "'count'")
+                  .map(tmsEncSql).mkString("\n         |      || ")}) AS tms_id
          |FROM events""".stripMargin,
 
     "ts_fgt_watermark" ->

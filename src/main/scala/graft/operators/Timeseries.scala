@@ -37,11 +37,20 @@ object Timeseries {
     * Reference: `datetime_utc_to_lk`, wrf_data_pusher.py:75-76 and the
     * `'%Y-%m-%d %H:%M:00'` format at wrf_data_pusher.py:268.
     */
-  def tzShiftLk(df: DataFrame, tsMicros: String): DataFrame =
+  def tzShiftLk(df: DataFrame, tsMicros: String): DataFrame = {
+    // date_format renders in the SESSION timezone: the explicit +5:30
+    // is only a Sri Lanka shift when that zone is UTC (Sessions/
+    // Tables.configure set it). On any other zone the shift would
+    // silently double-apply — fail loudly instead.
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"tzShiftLk renders via date_format in the session timezone and " +
+        s"requires UTC (session has '$tz'): the +5:30 shift would double-apply")
     df.withColumn("lk_time",
       date_format(
         timestamp_micros(expr(s"$tsMicros + 19800000000")),
         "yyyy-MM-dd HH:mm:00"))
+  }
 
   /** Epoch-second bucket from an integer epoch-tick column — `div` is
     * exact long integral division end to end (truncating, identical
@@ -196,7 +205,12 @@ object Timeseries {
                       prefix: String = "st"): DataFrame = {
     // 6-dp normalization + reference rendering (see scaladoc)
     val keyed = keyCols.map(c => pyFloatKey(col(c)).as(s"${c}_key"))
-    val name = concat_ws("_", lit(prefix) +: keyCols.map(c => col(s"${c}_key")): _*)
+    // concat, not concat_ws: a NULL key (null coordinate) must
+    // propagate to a NULL name/id like the oracle's `||` chain —
+    // concat_ws would SKIP the null part and mint a malformed
+    // shorter name ("wrf_79.85") with a valid-looking md5 id
+    val name = concat(lit(prefix) +:
+      keyCols.flatMap(c => Seq(lit("_"), col(s"${c}_key"))): _*)
     df.select(keyed: _*).distinct()
       .withColumn("station_name", name)
       .withColumn("station_id", md5(name))
@@ -214,7 +228,10 @@ object Timeseries {
     * byte-for-byte Python's rendering. Shared shape with the DuckDB
     * oracle mirror (SparkEntry.pyKeySql) — edit in lockstep. */
   private[graft] def pyFloatKey(v: Column): Column = {
-    val s6 = format_string("%.6f", v)
+    // NULL propagates (the oracle's printf(NULL) is NULL) —
+    // format_string would render java.util.Formatter's literal "null"
+    val s6 = when(v.isNull, lit(null).cast("string"))
+      .otherwise(format_string("%.6f", v))
     val absS = regexp_replace(s6, "^-", "")
     val micro = substring(absS, 3, 6).cast("int")
     val sign = when(substring(s6, 1, 1) === "-", lit("-")).otherwise(lit(""))
@@ -234,10 +251,25 @@ object Timeseries {
   /** A10: deterministic timeseries id from the metadata tuple.
     * Reference: `Timeseries.generate_timeseries_id(tms_meta)` hashing
     * (sim_tag, station, source, variable, unit), wrf_data_pusher.py:237.
+    *
+    * Each value travels through [[tmsEnc]]'s injective encoding —
+    * plain colon-joined `concat_ws` COLLIDES distinct tuples: it
+    * skips nulls entirely (('a', NULL, 'b') ≡ ('a', 'b', NULL)) and a
+    * ':' inside a value shifts the boundary (('a:b', 'c') ≡
+    * ('a', 'b:c')). Two different series silently sharing a tms_id
+    * would merge on upsert. Oracle mirrored (tmsEncSql).
     */
   def tmsId(df: DataFrame, metaCols: Seq[String]): DataFrame =
-    df.withColumn("tms_id",
-      md5(concat_ws(":", metaCols.map(c => col(c).cast("string")): _*)))
+    df.withColumn("tms_id", md5(concat(metaCols.map(tmsEnc): _*)))
+
+  /** `v<len>:<chars>` for a value, `n:` for NULL — length-prefixing
+    * makes the tuple encoding injective (no delimiter can be spoofed
+    * by value content, nulls are distinguishable from "null"). */
+  private def tmsEnc(c: String): Column = {
+    val s = col(c).cast("string")
+    when(s.isNull, lit("n:"))
+      .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+  }
 
   /** A11: fgt watermark — newest generation time per series.
     * Reference: `update_latest_fgt`, wrf_data_pusher.py:103-116.
@@ -253,8 +285,7 @@ object Timeseries {
   def sessionize(df: DataFrame, key: String, time: String, id: String,
                  gapTicks: Long): DataFrame = {
     val order = Window.partitionBy(col(key)).orderBy(col(time), col(id))
-    val cum = Window.partitionBy(col(key)).orderBy(col(time), col(id))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(time), 1).over(order)
     df.withColumn("_new_session",
         when(prev.isNull || col(time) - prev > gapTicks, 1).otherwise(0))
@@ -292,23 +323,31 @@ object Timeseries {
                      lt: String, rt: String, rightValue: String): DataFrame = {
     val rvType = right.schema(rightValue).dataType
     val leftCols = left.columns.toSeq.filterNot(_ == key)
+    // the right value travels INSIDE a struct: the fill must skip only
+    // left placeholder rows, and a bare nullable _rv can't tell a
+    // matched right row whose VALUE is null from a placeholder —
+    // last(ignoreNulls) would skip it and forward-fill an OLDER right
+    // value where the ASOF LEFT JOIN oracle returns NULL
     val l2 = left
       .withColumn("_t", col(lt))
-      .withColumn("_rv", lit(null).cast(rvType))
+      .withColumn("_m", lit(null).cast(org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types.StructField("v", rvType)))))
       .withColumn("_isr", lit(0))
     val r2 = leftCols.foldLeft(
-      right.select(col(key), col(rt).as("_t"), col(rightValue).as("_rv"))
+      right.select(col(key), col(rt).as("_t"),
+          struct(col(rightValue).as("v")).as("_m"))
         .withColumn("_isr", lit(1))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = (Seq(key, "_t", "_rv", "_isr") ++ leftCols).map(col)
+    val cols = (Seq(key, "_t", "_m", "_isr") ++ leftCols).map(col)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_isr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.select(cols: _*).unionByName(r2.select(cols: _*))
-      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_value",
+        last(col("_m"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_isr") === 0)
-      .drop("_t", "_rv", "_isr")
+      .drop("_t", "_m", "_isr")
   }
 
   /** A12: gap fill — forward-fill the last known value along each
@@ -404,10 +443,20 @@ object Timeseries {
     // oracle applies the same WHERE.
     // key travels as its string form so ANY atomic key type works
     // (the pipeline's station keys are strings; a long cast would
-    // null them and kill the non-nullable encoder)
+    // null them and kill the non-nullable encoder). time/id/value
+    // casts FAIL LOUDLY on un-castable input (a UUID-style string id
+    // would cast to null and kill the same encoder with an opaque
+    // "null in non-nullable field" — name the column instead).
+    def castOrFail(c: Column, to: String, what: String): Column =
+      when(c.cast(to).isNotNull, c.cast(to))
+        .otherwise(raise_error(concat(
+          lit(s"ewma: $what not castable to $to: "),
+          coalesce(c.cast("string"), lit("null")))).cast(to))
     df.filter(col(value).isNotNull)
-      .select(col(key).cast("string").as(key), col(time).cast("long").as(time),
-        col(id).cast("long").as(id), col(value).cast("double").as(value))
+      .select(col(key).cast("string").as(key),
+        castOrFail(col(time), "long", s"time column '$time'").as(time),
+        castOrFail(col(id), "long", s"id column '$id'").as(id),
+        castOrFail(col(value), "double", s"value column '$value'").as(value))
       .repartition(col(key))
       .sortWithinPartitions(col(key), col(time), col(id))
       .as[(String, Long, Long, Double)]

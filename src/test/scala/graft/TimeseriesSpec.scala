@@ -159,6 +159,40 @@ class TimeseriesSpec extends SparkSpec {
     assert(a === b && a.length === 32)
   }
 
+  test("A10 tmsId encoding is injective across null position and ':' in values") {
+    def id(t: (Option[String], Option[String], Option[String])): String =
+      Timeseries.tmsId(Seq(t).toDF("a", "b", "c"), Seq("a", "b", "c"))
+        .select("tms_id").as[String].head()
+    // concat_ws skipped nulls: these collided before
+    assert(id((Some("x"), None, Some("y"))) !== id((Some("x"), Some("y"), None)))
+    // ':' inside a value shifted the boundary: these collided before
+    assert(id((Some("a:b"), Some("c"), None)) !== id((Some("a"), Some("b:c"), None)))
+    // null is distinguishable from the string "null"
+    assert(id((Some("null"), Some("y"), None)) !== id((None, Some("y"), None)))
+  }
+
+  test("A13 asofJoinLatest returns the matched NULL value, not an older fill") {
+    // right at rt=10 matched but its VALUE is null — the ASOF LEFT
+    // JOIN semantics return that null, never forward-fill rt=5's 3.0
+    val left = Seq(("k", 12L)).toDF("k", "t")
+    val right = Seq(("k", 5L, Some(3.0)), ("k", 10L, None: Option[Double]))
+      .toDF("k", "rt", "rv")
+    val out = Timeseries.asofJoinLatest(left, right, "k", "t", "rt", "rv")
+      .select("asof_value").collect().head
+    assert(out.isNullAt(0), s"expected matched NULL, got $out")
+  }
+
+  test("A9 stationRegistry propagates a NULL coordinate to a NULL name/id") {
+    val df = Seq((None: Option[Double], Some(79.85)), (Some(6.9), Some(79.85)))
+      .toDF("lat", "lon")
+    val out = Timeseries.stationRegistry(df, Seq("lat", "lon"), "wrf")
+      .select("station_name", "station_id").collect()
+    val names = out.map(r => Option(r.getString(0))).toSet
+    // the null-lat row yields a NULL name and id — not "wrf_null_79.85"
+    assert(names === Set(None, Some("wrf_6.9_79.85")))
+    assert(out.count(_.isNullAt(1)) === 1)
+  }
+
   test("A11 fgtWatermark is max per key") {
     val df = Seq(("a", 1L), ("a", 9L), ("b", 4L)).toDF("k", "fgt")
     val out = Timeseries.fgtWatermark(df, "k", "fgt")
