@@ -812,10 +812,10 @@ object SparkEntry {
          |  SELECT lon, lat,
          |    CAST(round((1.0 / greatest((lat - s_lat) * (lat - s_lat)
          |        + (lon - s_lon) * (lon - s_lon), 1e-9)) * s_val, 12)
-         |      AS DECIMAL(30,12)) AS wv,
+         |      AS DECIMAL(38,12)) AS wv,
          |    CAST(round(1.0 / greatest((lat - s_lat) * (lat - s_lat)
          |        + (lon - s_lon) * (lon - s_lon), 1e-9), 12)
-         |      AS DECIMAL(30,12)) AS w
+         |      AS DECIMAL(38,12)) AS w
          |  FROM mesh CROSS JOIN stations)
          |SELECT lon, lat,
          |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS idw_value
@@ -842,7 +842,8 @@ object SparkEntry {
          |  FROM st CROSS JOIN g)
          |SELECT * FROM x
          |QUALIFY row_number() OVER (
-         |  PARTITION BY station_id ORDER BY d2, g_lon, g_lat) = 1""".stripMargin,
+         |  PARTITION BY station_id, s_lat, s_lon
+         |  ORDER BY d2, g_lon, g_lat) = 1""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -887,7 +888,7 @@ object SparkEntry {
     "q14_promo_revenue" ->
       s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
          |           THEN $EP * $DISC1 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-         |       / CAST(sum($EP * $DISC1) AS DOUBLE) AS promo_revenue_pct
+         |       / CAST(NULLIF(sum($EP * $DISC1), 0) AS DOUBLE) AS promo_revenue_pct
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
          |  AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'""".stripMargin,

@@ -28,9 +28,10 @@ object Grid {
     * cross-engine equality is bit-exact.
     */
   def deriveGrid(df: DataFrame, key: String): DataFrame =
-    // `div` = exact integral floor division, matching the oracle's `//`
-    // (a double-divide-then-cast truncates toward zero for negatives
-    // and loses exactness above 2^53)
+    // `div` = exact integral division, truncating toward zero —
+    // IDENTICAL to DuckDB's `//` (also truncating: -5 // 10 = 0
+    // there), so the mirrors agree on signed keys too; a
+    // double-divide-then-cast would lose exactness above 2^53
     df.withColumn("lat", lit(6.0) + (col(key) % 10).cast("double") * lit(0.25))
       .withColumn("lon", lit(79.0) + (expr(s"(`$key` div 10) % 15")).cast("double") * lit(0.25))
 
@@ -141,8 +142,14 @@ object Grid {
     // dragging every nearby cell toward zero (oracle mirrors the
     // filter)
     mesh.crossJoin(broadcast(stations.filter(col("s_val").isNotNull)))
-      .withColumn("wv", round(w * col("s_val"), 12).cast("decimal(30,12)"))
-      .withColumn("w", round(w, 12).cast("decimal(30,12)"))
+      // decimal(38,12): the worst case |w·s_val| is the 1e9 weight cap
+      // times a 1e9-magnitude value = 1e18, which OVERFLOWS decimal
+      // (30,12)'s 1e18 range — Spark's non-ANSI cast would return
+      // NULL, silently dropping the dominant station's numerator while
+      // its weight stayed in the denominator (the same asymmetry the
+      // null-value filter above exists to prevent)
+      .withColumn("wv", round(w * col("s_val"), 12).cast("decimal(38,12)"))
+      .withColumn("w", round(w, 12).cast("decimal(38,12)"))
       .groupBy(col("lon"), col("lat"))
       .agg(round(sum(col("wv")).cast("double") / sum(col("w")).cast("double"), 6)
         .as("idw_value"))

@@ -105,7 +105,12 @@ object Relational {
         sum(when(col("p_type").startsWith("PROMO"), revenue)
           .otherwise(lit(0).cast("decimal(12,2)"))).as("promo"),
         sum(revenue).as("total"))
-      .select((lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
+      // explicit NULL on an all-zero denominator: Spark's non-ANSI
+      // divide returns NULL there while DuckDB's double division
+      // returns NaN — the qualityScore 0/0 engine disagreement; the
+      // oracle mirrors with NULLIF so both engines say NULL
+      .select(when(col("total") === 0, lit(null).cast("double"))
+        .otherwise(lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
         .as("promo_revenue_pct"))
   }
 
@@ -141,9 +146,13 @@ object Relational {
                    tieBreak: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc, col(tieBreak))
-    // collision-proof working column: a bare "rk" would silently
-    // overwrite (and then drop) a caller's same-named column
-    val rk = s"__graft_rk_${java.util.UUID.randomUUID().toString.take(8)}"
+    // collision-proof AND deterministic working column: a bare "rk"
+    // would silently overwrite a caller's column, and a random name
+    // would make otherwise-identical plans textually unique (noisy
+    // plan diffs, no plan-fingerprint reuse)
+    val rk = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_rk" else s"__graft_rk_$i")
+      .find(n => !df.columns.contains(n)).get
     df.withColumn(rk, row_number().over(w))
       .filter(col(rk) <= k)
       .drop(rk)

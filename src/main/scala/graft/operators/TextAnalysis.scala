@@ -55,8 +55,12 @@ object TextAnalysis {
 
   /** F2: quality score — length / stopword / digit / punctuation
     * signals combined into one [0,1] score. Exact expression order is
-    * part of the contract (oracle mirrors it verbatim). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+    * part of the contract (oracle mirrors it verbatim).
+    * `passthrough` columns ride along in the output (between doc_id
+    * and the signals) so aggregating callers like [[corpusStats]]
+    * never need a corpus-wide join back to recover them. */
+  def qualityScore(docs: DataFrame,
+                   passthrough: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val enStop = stopwords.head._2
     docs
@@ -79,8 +83,8 @@ object TextAnalysis {
           lit(0.2) * (lit(1.0) - col("digit_chars") / col("n_chars_c")) +
           lit(0.2) * (lit(1.0) - col("punct_chars") / col("n_chars_c")))
         .otherwise(lit(0.0)))
-      .select("doc_id", "n_chars_c", "wc", "stop_hits", "digit_chars",
-        "punct_chars", "score")
+      .select("doc_id", passthrough ++ Seq("n_chars_c", "wc", "stop_hits",
+        "digit_chars", "punct_chars", "score"): _*)
   }
 
   /** F3: token counting — whitespace tokens vs a BPE-ish lexer count
@@ -100,8 +104,10 @@ object TextAnalysis {
     * division at the end — the SURVEY §5 pattern for aggregating
     * derived doubles. */
   def corpusStats(docs: DataFrame): DataFrame =
-    qualityScore(docs)
-      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    // passthrough, NOT a join back: re-joining the corpus to itself on
+    // doc_id to recover two columns the select dropped would be a
+    // second full scan plus a corpus-wide shuffle at 100 TB
+    qualityScore(docs, passthrough = Seq("lang", "source"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("score").cast("decimal(10,6)")).cast("double") / count(lit(1)))
@@ -159,7 +165,10 @@ object TextAnalysis {
   def compressionRatio(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Option[Long]: a NULL doc_id must pass through like every other
+    // F-block operator — the bare Long encoder would kill the task
+    // with "null value in non-nullable field"
+    docs.select(col("doc_id"), col("text")).as[(Option[Long], String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
         // native zlib memory is invisible to the JVM heap — release it
