@@ -28,7 +28,10 @@ object Retention {
                      conf: Configuration = new Configuration(),
                      now: () => Long = System.currentTimeMillis,
                      dryRun: Boolean = false): FlushReport = {
-    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    // Path.getFileSystem, not URI.new: a directory containing a space
+    // (or any URI-illegal char) is a legal filesystem path but throws
+    // URISyntaxException before the sweep even starts
+    val fs = new Path(dir).getFileSystem(conf)
     val cutoff = now() - maxAgeMs
     var examined = 0L
     var freed = 0L

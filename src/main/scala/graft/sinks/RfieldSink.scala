@@ -65,8 +65,10 @@ object RfieldSink {
                     valueCol: String = "value", zip: Boolean = true,
                     tsName: Long => String = lkStamp): Unit = {
     val spark = rfield.sparkSession
-    val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not URI.new (the Retention rationale: a
+    // space in outDir is a legal path but an illegal URI)
     val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(out, true); fs.mkdirs(out)
 
     // three jobs read the input below (cells distinct, the coverage
@@ -124,7 +126,11 @@ object RfieldSink {
     }
     fs.delete(staging, true)
 
-    if (zip) zipDirectory(fs, out, new Path(s"$outDir.zip"))
+    // zip path from the NORMALIZED Path: "$outDir.zip" on a
+    // trailing-slash outDir resolves to a hidden ".zip" INSIDE the
+    // directory, which zipDirectory's listing would then include as a
+    // partially-written entry of itself
+    if (zip) zipDirectory(fs, out, new Path(out.toString + ".zip"))
   }
 
   /** `zip_folder` equivalent (gen_rfields.py:219 via shutil): flat zip

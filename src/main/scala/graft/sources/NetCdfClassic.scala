@@ -79,9 +79,15 @@ object NetCdfClassic {
     }
 
     /** Record count; the classic spec's STREAMING sentinel (numrecs =
-      * 0xFFFFFFFF) is resolved from the bytes actually present. */
+      * 0xFFFFFFFF) is resolved from the bytes actually present. Any
+      * OTHER negative word is corruption — accepting it would make
+      * every record loop empty and silently drop the file's grid. */
     lazy val numRecs: Int =
-      if (rawNumRecs != -1) rawNumRecs
+      if (rawNumRecs != -1) {
+        require(rawNumRecs >= 0,
+          s"corrupt numrecs $rawNumRecs (only -1 is the streaming sentinel)")
+        rawNumRecs
+      }
       else {
         val rvs = vars.filter(isRecordVar)
         if (rvs.isEmpty || recSize == 0) 0
@@ -178,10 +184,57 @@ object NetCdfClassic {
       ((r1 - r0) +: tail, out)
     }
 
+    /** Read records [r0, r1) of SEVERAL record variables from ONE
+      * ranged fetch: the span between two records already contains
+      * every record variable's interleaved slabs, so decoding them
+      * together halves the per-split I/O that one-variable-at-a-time
+      * [[readRecords]] calls pay (readGrid reads value AND time for
+      * every split — two near-identical span fetches otherwise). */
+    def readRecordsMulti(names: Seq[String], r0: Int, r1: Int)
+        : Map[String, (Seq[Int], Array[Double])] = {
+      val vs = names.map(variable)
+      vs.foreach(v =>
+        require(isRecordVar(v), s"${v.name} is not a record variable"))
+      require(r0 >= 0 && r1 <= numRecs && r0 <= r1, s"bad record range [$r0,$r1)")
+      val tails = vs.map(v => shape(v).drop(1))
+      if (r1 == r0)
+        return names.zip(tails).map { case (n, tail) =>
+          n -> ((0 +: tail, Array.emptyDoubleArray)) }.toMap
+      val minBegin = vs.map(_.begin).min
+      val spanStart = minBegin + r0.toLong * recSize
+      val spanLen = (r1 - 1 - r0).toLong * recSize + vs.zip(tails).map {
+        case (v, tail) =>
+          v.begin - minBegin + tail.product.toLong * typeSize(v.ncType)
+      }.max
+      require(spanLen <= Int.MaxValue, s"record range [$r0,$r1) too large")
+      val buf = fetch(spanStart, spanLen.toInt)
+      names.zip(vs).zip(tails).map { case ((n, v), tail) =>
+        val perRec = tail.product
+        val out = new Array[Double]((r1 - r0) * perRec)
+        var r = r0
+        while (r < r1) {
+          decode(v, buf,
+            (v.begin - minBegin + (r - r0).toLong * recSize).toInt,
+            perRec, out, (r - r0) * perRec)
+          r += 1
+        }
+        n -> (((r1 - r0) +: tail, out))
+      }.toMap
+    }
+
     /** One contiguous slab: fetch exactly count elements at offset. */
     private def readAt(v: NcVar, offset: Long, count: Int,
-                       out: Array[Double], outPos: Int): Unit =
-      decode(v, fetch(offset, count * typeSize(v.ncType)), 0, count, out, outPos)
+                       out: Array[Double], outPos: Int): Unit = {
+      // Long arithmetic + explicit bound: count ≤ Int.MaxValue does
+      // NOT imply count·typeSize fits an Int (300M doubles = 2.4 GB
+      // wraps negative and dies in ByteBuffer.allocate with a
+      // meaningless "capacity < 0")
+      val bytes = count.toLong * typeSize(v.ncType)
+      require(bytes <= Int.MaxValue,
+        s"${v.name}: $count elements × ${typeSize(v.ncType)} B = $bytes " +
+          "bytes exceeds a single fetch — split the read")
+      decode(v, fetch(offset, bytes.toInt), 0, count, out, outPos)
+    }
 
     /** Decode `count` elements starting at `base` bytes into `buf`. */
     private def decode(v: NcVar, buf: ByteBuffer, base: Int, count: Int,
@@ -320,8 +373,15 @@ object NetCdfClassic {
       while (meta == null) {
         try meta = parseMeta(readRange(0L, prefix))
         catch {
+          // IllegalArgumentException too: a prefix boundary landing
+          // inside a 1-3 byte name/attr padding run surfaces from
+          // Buffer.position(pos + pad) as IAE, not underflow — real
+          // WRF headers exceed the 8 KiB initial prefix, so missing
+          // it here made VALID complete files unparseable (and
+          // isReady deterministically false — a gate timeout)
           case e @ (_: java.nio.BufferUnderflowException |
-                    _: IndexOutOfBoundsException) =>
+                    _: IndexOutOfBoundsException |
+                    _: IllegalArgumentException) =>
             if (prefix >= size) throw new IllegalArgumentException(
               s"$path: truncated header", e)
             prefix = math.min(size, prefix.toLong * 4).toInt
@@ -398,7 +458,10 @@ object NetCdfClassic {
       .repartition(defaultPar * 2) // tiny descriptors; spread evenly
     val rdd = splits.flatMap { case (path, r0, r1) =>
       withSeekable(path) { nc =>
-        val (vShape, values) = nc.readRecords(valueVar, r0, r1)
+        // value + time decoded from ONE span fetch (readRecordsMulti)
+        // instead of two near-identical ranged reads per split
+        val multi = nc.readRecordsMulti(Seq(valueVar, timeVar), r0, r1)
+        val (vShape, values) = multi(valueVar)
         require(vShape.size == 3, s"$valueVar must be (time, y, x), got $vShape")
         val Seq(_, ny, nx) = vShape
         def axis(name: String, take: Int, pick: Int => Int): Array[Double] = {
@@ -411,7 +474,7 @@ object NetCdfClassic {
         }
         val lats = axis(latVar, ny, y => y * nx)      // XLAT[0, :, 0]
         val lons = axis(lonVar, nx, x => x)           // XLONG[0, 0, :]
-        val (_, times) = nc.readRecords(timeVar, r0, r1)
+        val (_, times) = multi(timeVar)
         val tv = nc.variable(timeVar)
         val unitStr = tv.attr("description").orElse(tv.attr("units"))
           .map(_.values.asInstanceOf[String])
@@ -424,7 +487,11 @@ object NetCdfClassic {
         val rows = Seq.newBuilder[Row]
         var t = r0
         while (t < r1) {
-          val epoch = base + (times(t - r0) * secsPer).toLong
+          // round, don't truncate: XTIME is NC_FLOAT, so 10.2 min
+          // arrives as 10.1999998f and truncation lands the whole
+          // timestep one second early — file stamps, watermarks, and
+          // cross-system joins on epoch_s would silently disagree
+          val epoch = base + math.round(times(t - r0) * secsPer)
           var y = 0
           while (y < ny) {
             var x = 0

@@ -88,6 +88,13 @@ object NetCdfClassicWriter {
 
     // layout: header | fixed vars (declaration order) | records
     val hlen = header(Map.empty).length
+    // the begin table is keyed by NAME: a duplicate would silently
+    // collapse two variables onto one begin, pointing the header's
+    // second entry at the first one's slab while the data still
+    // writes sequentially — the reader then returns the wrong
+    // variable's values with no error
+    require(vars.map(_.name).distinct.size == vars.size,
+      s"duplicate variable names: ${vars.map(_.name).mkString(", ")}")
     val (fixedVars, recordVars) = vars.partition(v => !isRecordVar(v))
     var offset = hlen.toLong
     val begins = scala.collection.mutable.Map[String, Int]()
