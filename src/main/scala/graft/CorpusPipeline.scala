@@ -98,13 +98,19 @@ object CorpusPipeline {
     val nSeqs = packed.select("lang", "seq_id").distinct().count()
 
     Seq(quality, exact, near, clean).foreach(_.unpersist(false))
+    // the operators' OWN slots too: ngramJaccard's exploded gram
+    // tables (the largest intermediate here), contamination's slot,
+    // and packSequences' staging pins outlive this call otherwise —
+    // a long-lived session hits eviction churn on the next job (the
+    // same cleanup Bench runs between phases)
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.Corpus.releaseCaches()
     Funnel(input, nQuality, nExact, nNear, nClean, nSampled, nSeqs)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-    spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val f = run(spark, sfDir)
     val secs = (System.nanoTime() - t0) / 1e9

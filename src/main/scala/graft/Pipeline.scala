@@ -41,10 +41,17 @@ object Pipeline {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), shufflePartitions = "8")
 
+    def numeric(s: String) = s.matches("[0-9]+")
     val cfg = args match {
       case Array("--config", path) => PipelineConfig.fromJson(path)
-      case Array(a, b) => PipelineConfig(ncDir = a, outDir = b)
-      case Array(ny, nx, nt) => // synthetic run at a given grid size
+      // DISCOVERY config, not the Seq("A","C") default: a directory
+      // with A/C/E files must process all three — the default subset
+      // would silently omit E from every mean, count, and watermark
+      case Array(a, b) if !numeric(a) || !numeric(b) => discoveryConfig(a, b)
+      // numeric-guarded so a 3-token typo ("--config run.json
+      // --verbose") reaches the usage error below instead of leaking
+      // a temp dir and dying in toInt
+      case Array(ny, nx, nt) if Seq(ny, nx, nt).forall(numeric) =>
         val d = java.nio.file.Files.createTempDirectory("graft_pipeline")
         generateSyntheticRun(d.toString, ny.toInt, nx.toInt, nt.toInt)
         PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
@@ -53,9 +60,9 @@ object Pipeline {
         generateSyntheticRun(d.toString)
         PipelineConfig(ncDir = d.toString, outDir = s"$d/out")
       case other =>
-        // fail loud: a malformed invocation (e.g. "--config run.json
-        // --verbose") must not silently fabricate and process a
-        // synthetic run the operator mistakes for their real one
+        // fail loud: a malformed invocation must not silently
+        // fabricate and process a synthetic run the operator
+        // mistakes for their real one
         throw new IllegalArgumentException(
           s"unrecognized arguments: ${other.mkString(" ")}\n" +
             "usage: Pipeline                      (synthetic demo)\n" +
@@ -95,7 +102,11 @@ object Pipeline {
     * directory with A/C/E files processes all three; a directory whose
     * files don't match the pattern fails loud instead of silently
     * processing the default subset). */
-  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult = {
+  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult =
+    run(spark, discoveryConfig(ncDir, outDir))
+
+  /** The discovery config behind the two-arg entries (CLI and API). */
+  private def discoveryConfig(ncDir: String, outDir: String): PipelineConfig = {
     val base = PipelineConfig(ncDir = ncDir, outDir = outDir)
     val rx = java.util.regex.Pattern.quote(base.filePattern)
       .replace("{system}", "\\E(.+)\\Q").r
@@ -104,7 +115,7 @@ object Pipeline {
       .toSeq.sorted
     require(found.nonEmpty,
       s"no files matching '${base.filePattern}' in $ncDir")
-    run(spark, base.copy(systems = found))
+    base.copy(systems = found)
   }
 
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
@@ -146,8 +157,14 @@ object Pipeline {
     val stations = Timeseries.stationRegistry(rain, Seq("lat", "lon"), "wrf")
     val series = Timeseries.tzShiftLk(rain, "ts_us")
       .withColumn("sim_tag", lit(cfg.simTag))
+      // source via the ONE documented spelling (cfg.sourceName) — the
+      // systems list is finite, so each binds to its helper-derived
+      // name; an inline concat would silently diverge if the helper's
+      // format ever changes
       .withColumn("source",
-        concat(lit(cfg.model), lit("_"), col("system")))
+        cfg.systems.foldLeft(when(lit(false), lit(""))) { (acc, s) =>
+          acc.when(col("system") === s, lit(cfg.sourceName(s)))
+        })
       .withColumn("variable", lit(cfg.variable))
       .withColumn("unit", lit(cfg.unit))
     val withId = Timeseries.tmsId(series,

@@ -72,8 +72,17 @@ object PipelineConfig {
         if (n.isArray) {
           val it = n.elements()
           val b = Seq.newBuilder[String]
-          while (it.hasNext) b += it.next().asText()
-          b.result()
+          while (it.hasNext) {
+            val e = it.next()
+            // same scalar guard as str(): a nested object element
+            // asText()s to "" and would silently become a system ""
+            require(e.isValueNode,
+              s"wrf_systems elements must be scalars, got ${e.getNodeType}")
+            b += e.asText()
+          }
+          // same trim/nonEmpty normalization as the comma-string
+          // branch — " A " would otherwise look for "d03_RAINNC_ A .nc"
+          b.result().map(_.trim).filter(_.nonEmpty)
         } else n.asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq
       } else Seq("A", "C")
     PipelineConfig(
@@ -87,9 +96,22 @@ object PipelineConfig {
       unit = str("unit", "mm"),
       unitType = str("unit_type", "Accumulative"),
       filePattern = str("file_pattern", "d03_RAINNC_{system}.nc"),
-      waitReadyMs =
-        if (node.hasNonNull("wait_ready_ms")) node.get("wait_ready_ms").asLong() else 0L,
-      packagedRfields =
-        node.hasNonNull("packaged_rfields") && node.get("packaged_rfields").asBoolean())
+      // parse from the scalar-checked TEXT, not asLong/asBoolean: a
+      // container or mistyped value ("30m", {"minutes": 30}) coerces
+      // to 0/false there, silently DISABLING the readiness gate the
+      // operator configured — the exact quiet-default failure str()
+      // exists to prevent
+      waitReadyMs = {
+        val s = str("wait_ready_ms", "0")
+        require(s.matches("-?[0-9]+"),
+          s"$path: wait_ready_ms must be an integer, got '$s'")
+        s.toLong
+      },
+      packagedRfields = {
+        val s = str("packaged_rfields", "false")
+        require(s == "true" || s == "false",
+          s"$path: packaged_rfields must be true/false, got '$s'")
+        s.toBoolean
+      })
   }
 }

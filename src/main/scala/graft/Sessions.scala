@@ -10,8 +10,12 @@ object Sessions {
             extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      // reuse cpus as the partition count only when it IS a count —
+      // "*" is a legal local[...] master spec but would blow up far
+      // away in SQLConf validation as a partition number
       .config("spark.sql.shuffle.partitions",
-        Option(shufflePartitions).getOrElse(cpus))
+        Option(shufflePartitions).getOrElse(
+          if (cpus.matches("[0-9]+")) cpus else "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }

@@ -43,8 +43,15 @@ object AggExprs {
         val n = math.min(k, arr.numElements())
         var i = 0
         while (i < n) {
-          val x = arr.getLong(i)
-          if (x < buf(i)) buf(i) = x
+          // skip NULL slots: ArrayData.getLong reads a null element
+          // as 0, which would silently pin the signature slot to the
+          // global minimum and inflate every estimated Jaccard the
+          // group participates in (the expression is SQL-exposed, so
+          // null-bearing arrays are reachable from user queries)
+          if (!arr.isNullAt(i)) {
+            val x = arr.getLong(i)
+            if (x < buf(i)) buf(i) = x
+          }
           i += 1
         }
       }
