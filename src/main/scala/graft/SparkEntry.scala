@@ -972,8 +972,8 @@ object SparkEntry {
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |  WHERE inter / (sa.n + sb.n - inter) >= 0.2)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+         |SELECT doc_id, lang, source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_b = d.doc_id)""".stripMargin,
 
     "dedup_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
@@ -982,8 +982,10 @@ object SparkEntry {
          |    unnest(list_transform(range(1, len(t) - 1),
          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
          |  FROM toks),
-         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
-         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |b AS (SELECT doc_id AS bench_id, gram FROM g
+         |      WHERE coalesce(doc_id % 97 = 0, FALSE)),
+         |c AS (SELECT doc_id, gram FROM g
+         |      WHERE NOT coalesce(doc_id % 97 = 0, FALSE))
          |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
          |FROM c JOIN b ON c.gram = b.gram
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
@@ -1000,8 +1002,10 @@ object SparkEntry {
          |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
          |g AS (SELECT g0.doc_id, g0.gram
          |      FROM g0 JOIN dfs USING (gram) WHERE df <= 5),
-         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
-         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |b AS (SELECT doc_id AS bench_id, gram FROM g
+         |      WHERE coalesce(doc_id % 97 = 0, FALSE)),
+         |c AS (SELECT doc_id, gram FROM g
+         |      WHERE NOT coalesce(doc_id % 97 = 0, FALSE))
          |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
          |FROM c JOIN b ON c.gram = b.gram
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
@@ -1015,8 +1019,10 @@ object SparkEntry {
          |    unnest(list_transform(range(1, len(t) - 1),
          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
          |  FROM toks),
-         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
-         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         |b AS (SELECT doc_id AS bench_id, gram FROM g
+         |      WHERE coalesce(doc_id % 97 = 0, FALSE)),
+         |c AS (SELECT doc_id, gram FROM g
+         |      WHERE NOT coalesce(doc_id % 97 = 0, FALSE))
          |SELECT c.doc_id, b.bench_id, count(*) AS shared_grams
          |FROM c JOIN b ON c.gram = b.gram
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
@@ -1066,7 +1072,8 @@ object SparkEntry {
          |         FROM walk GROUP BY 1)
          |SELECT d.doc_id,
          |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-         |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id))
+         |       CASE WHEN c.cluster_id IS NULL THEN 1
+         |            ELSE count(*) OVER (PARTITION BY c.cluster_id) END
          |         AS cluster_size
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 

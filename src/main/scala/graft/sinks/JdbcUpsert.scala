@@ -199,8 +199,22 @@ object JdbcUpsert {
             while (i < n) { stmt.setObject(i + 1, row.get(b(i))); i += 1 }
             stmt.addBatch()
           }
-          stmt.executeBatch()
-        } catch { case e: Throwable => onAttemptFail(); throw e }
+          // check the per-statement results: a driver in
+          // continue-on-error mode reports EXECUTE_FAILED entries
+          // WITHOUT throwing, and counting those rows as written
+          // would silently under-fill the error ledger
+          val counts = stmt.executeBatch()
+          val nFailed = counts.count(_ == java.sql.Statement.EXECUTE_FAILED)
+          if (nFailed > 0) throw new java.sql.SQLException(
+            s"executeBatch reported $nFailed failed statements without raising")
+        } catch { case e: Throwable =>
+          // a rollback that ITSELF throws (dead connection — the
+          // common case) must not replace the root cause the ledger
+          // needs for triage; attach it as suppressed instead
+          try onAttemptFail()
+          catch { case scala.util.control.NonFatal(r) => e.addSuppressed(r) }
+          throw e
+        }
       withRetry(policy, sleep)(bindAndExec()) match {
         case Right(_) =>
           written += batch.size
@@ -301,6 +315,18 @@ object JdbcUpsert {
              batchSize: Int = 1000, policy: RetryPolicy = RetryPolicy(),
              sleep: Long => Unit = Thread.sleep): UpsertResult = {
     val columns = df.columns.toSeq
+    // fail FAST on the driver: a key column missing from the frame
+    // (wrong case, typo) would otherwise either silently overwrite
+    // the real keys (MySQL: updates = all columns) or die per-task in
+    // AnsiMerge's bind lookup with a bare "key not found"; a
+    // non-positive batch size would only surface as grouped()'s
+    // opaque requirement failure inside every executor
+    require(batchSize > 0, s"batchSize=$batchSize must be positive")
+    require(keyColumns.nonEmpty, "keyColumns must be non-empty")
+    val missingKeys = keyColumns.filterNot(columns.contains)
+    require(missingKeys.isEmpty,
+      s"key columns ${missingKeys.mkString(", ")} not in frame columns " +
+        s"${columns.mkString(", ")}")
     val statement = dialect.sql(table, columns, keyColumns)
     val bind = dialect.bindIndexes(columns, keyColumns)
     val sc = df.sparkSession.sparkContext
@@ -318,9 +344,22 @@ object JdbcUpsert {
             ledger.add(PushError(pid, -1, nRows, attempts, String.valueOf(e)))
           case Right(conn) =>
             try {
-              conn.setAutoCommit(false)
-              val stmt = conn.prepareStatement(statement)
-              try {
+              // session setup can still fail AFTER a successful
+              // connect (proxy idle-kill, max_connections race):
+              // those failures take the same ledger path as a failed
+              // connect — the contract is "ledger and continue",
+              // never "abort the job on one partition's session"
+              val stmtOrNull =
+                try { conn.setAutoCommit(false); conn.prepareStatement(statement) }
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    val nRows = rows.size.toLong
+                    failedRows.add(nRows)
+                    ledger.add(PushError(pid, -1, nRows, 1, String.valueOf(e)))
+                    null
+                }
+              if (stmtOrNull != null) try {
+                val stmt = stmtOrNull
                 // commit PER successful batch, roll back per failed
                 // attempt: one shared end-of-partition commit lets a
                 // late batch's failure (which aborts the transaction
@@ -331,7 +370,7 @@ object JdbcUpsert {
                   onBatchOk = () => conn.commit(),
                   onAttemptFail = () => conn.rollback())
                 written.add(ok); failedRows.add(bad)
-              } finally stmt.close()
+              } finally stmtOrNull.close()
             } finally conn.close()
         }
       }
