@@ -219,13 +219,57 @@ object Similarity {
             call_function("graft_hyperplane_probes",
               col("v"), lit(nPlanes), lit(t), lit(nProbes))): _*))
             .as(Seq("t", "pb")))
-        .select(col("vec_id"), col("t"), explode(col("pb")).as("bucket")))
+        // probe index rides along: pi = 0 is the row's EXACT bucket
+        // (graft_hyperplane_probes emits it first), pi > 0 its
+        // low-margin flips — the asymmetric join below needs the flag
+        .select(col("vec_id"), col("t"),
+          posexplode(col("pb")).as(Seq("pi", "bucket"))))
     // multi-table (and probe-overlap) candidates repeat — dedup
     // before the verification joins
-    verifyPairs(p0,
-      bucketedCandidates(raw, Seq("t", "bucket"), maxBucket)
-        .dropDuplicates("a_id", "b_id"),
-      tau)
+    val cand =
+      if (nProbes == 0)
+        bucketedCandidates(raw.drop("pi"), Seq("t", "bucket"), maxBucket)
+      else probedCandidates(raw, maxBucket)
+    verifyPairs(p0, cand.dropDuplicates("a_id", "b_id"), tau)
+  }
+
+  /** [[bucketedCandidates]] for the multi-probe pair path, joined
+    * ASYMMETRICALLY: exact-bucket rows (pi = 0) against the full
+    * probe-expanded table. A straddling pair still meets — if B fell
+    * one plane across, B's probe set contains A's exact bucket (the
+    * Lv et al. guarantee, and the E2b query-side precedent measured
+    * at recall 1.00) — but the both-flipped candidate volume the
+    * symmetric all×all join paid is gone: per bucket the join output
+    * is m·(1+p)m instead of ((1+p)m)²/2, a 1.5× cut at p = 2 on the
+    * catalog's slowest query. Both orientations arrive (A exact ⋈ B
+    * probe AND B exact ⋈ A probe), so pairs canonicalize via
+    * least/greatest before the caller's dedup. Hot buckets star-
+    * collapse on the EXPANDED table exactly as before (the cap bounds
+    * the true join fan-out, probes included). */
+  private def probedCandidates(raw: DataFrame, maxKey: Long): DataFrame = {
+    val keys = Seq("t", "bucket")
+    val keyCols = keys.map(col)
+    val (buckets, hotStar) =
+      if (maxKey == Long.MaxValue) (raw, None)
+      else {
+        val hot = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxKey).select(keys.head, keys.tail: _*)
+        val kept = raw.join(broadcast(hot), keys, "left_anti")
+        val members = raw.join(broadcast(hot), keys)
+        val star = members
+          .groupBy(keyCols: _*).agg(min(col("vec_id")).as("a_id"))
+          .join(members, keys)
+          .filter(col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("vec_id").as("b_id"))
+        (kept, Some(star))
+      }
+    val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.vec_id") =!= col("b.vec_id")
+    val keptPairs = buckets.filter(col("pi") === 0).as("a")
+      .join(buckets.as("b"), joinCond)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+    hotStar.fold(keptPairs)(keptPairs.unionByName(_))
   }
 
   /** D10: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
