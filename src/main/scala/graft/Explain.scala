@@ -13,14 +13,18 @@ object Explain {
     val spark = Sessions.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
-    wanted.foreach { name =>
+    try wanted.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries.get(name) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        // per-query catch (the Bench.runAll posture): one query's
+        // analysis failure must not hide every later plan
+        case Some(fn) =>
+          try fn(spark, sfDir).explain("formatted")
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"FAILED to plan: ${e.getMessage}") }
         case None => println(s"unknown query '$name' — available: " +
           SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       }
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -18,7 +18,15 @@ private[graft] final class CacheSlots {
   def apply(key: String, df: DataFrame): DataFrame = {
     val cached = df.cache()
     val prev = live.put(key, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    // plan-equality guard, not reference identity: Spark's
+    // CacheManager keys by logical plan, so for a NEW DataFrame
+    // object over the SAME plan (two queries sharing one cachedAs
+    // spelling) cache() is a no-op and unpersisting `prev` would
+    // evict the shared plan-keyed entry — leaving the slot empty,
+    // the exact recompute this class exists to prevent
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(false)
     cached
   }
 

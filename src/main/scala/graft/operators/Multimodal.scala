@@ -74,8 +74,15 @@ object Multimodal {
       * exception mid-decode, or declares more than [[maxDecodePixels]]
       * (decompression bomb — None, never an executor OOM). */
     def resizeImage(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+      resizeImageKnown(bytes, dw, dh, imageSize(bytes))
+
+    /** [[resizeImage]] with the header probe's result already in hand
+      * (resizePayloads decoded it one line earlier — re-probing would
+      * pay a third header parse per payload on the hot path). */
+    private[operators] def resizeImageKnown(bytes: Array[Byte], dw: Int, dh: Int,
+                                            declared: Option[(Int, Int)])
+        : Option[Array[Byte]] =
       try {
-        val declared = imageSize(bytes)
         if (declared.isEmpty ||
             declared.exists { case (w, h) => w.toLong * h > maxDecodePixels })
           return None
@@ -103,7 +110,12 @@ object Multimodal {
       * text-bytes stand-ins). Derived purely from the payload bytes
       * (stable hash + length) so the operator stays deterministic and
       * testable; a production build replaces this integration point. */
-    def stubMeta(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
+    def stubMeta(id: Long, kind: String, bytes0: Array[Byte]): MediaMeta = {
+      // a NULL payload (null text upstream — encode propagates null)
+      // hashes as empty, the featureExtract posture; an NPE here
+      // would kill decode/resize on inputs the F/G-block otherwise
+      // passes through
+      val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
       val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
       val w = 64 + math.floorMod(h, 1856)          // 64..1919
       val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
@@ -115,16 +127,23 @@ object Multimodal {
       MediaMeta(id, kind, bytes.length, w, hgt, frames)
     }
 
+    /** One payload's decode: real header probe for images, [[stubMeta]]
+      * otherwise. Returns the meta AND the probe result so a caller
+      * that needs the declared dims (resize) doesn't re-parse the
+      * header. */
+    def decodeOne(id: Long, kind: String, bytes: Array[Byte])
+        : (MediaMeta, Option[(Int, Int)]) = {
+      val real = if (kind == "image") imageSize(bytes) else None
+      real match {
+        case Some((w, h)) => (MediaMeta(id, kind, bytes.length, w, h, 1), real)
+        case None         => (stubMeta(id, kind, bytes), None)
+      }
+    }
+
     /** Batched decode: real header probe for images, [[stubMeta]] for
       * everything else. */
     def decode(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaMeta] =
-      batch.map { case (id, kind, bytes) =>
-        val real = if (kind == "image") imageSize(bytes) else None
-        real match {
-          case Some((w, h)) => MediaMeta(id, kind, bytes.length, w, h, 1)
-          case None         => stubMeta(id, kind, bytes)
-        }
-      }
+      batch.map { case (id, kind, bytes) => decodeOne(id, kind, bytes)._1 }
   }
 
   /** G2: frame sampling — every `step`-th frame index of each video
@@ -170,10 +189,16 @@ object Multimodal {
       .toDF("doc_id", "embedding")
   }
 
-  /** Typed resize result — dims + the (stub-)rescaled payload. */
+  /** Typed resize result — dims + the rescaled payload. `is_real`
+    * marks a payload that IS a decodable image (actual resize output,
+    * or the untouched original on the never-upscale path); false =
+    * the deterministic stub byte-subsample (unrecognized payload, or
+    * a recognized one whose decode was refused/failed — a
+    * decompression bomb's garbage must be filterable downstream, not
+    * indistinguishable from a PNG). */
   final case class Resized(doc_id: Long, src_w: Int, src_h: Int,
                            dst_w: Int, dst_h: Int, n_bytes: Int,
-                           payload: Array[Byte])
+                           payload: Array[Byte], is_real: Boolean)
 
   /** G4: resize — fit every image payload inside (maxW, maxH)
     * preserving aspect ratio, never upscaling. Decode and rescale run
@@ -218,20 +243,29 @@ object Multimodal {
       .filter(col("kind") === "image")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.grouped(Codec.batchSize).flatMap { batch =>
-        val metas = Codec.decode(batch.toSeq)
-        metas.zip(batch).map { case (m, (id, _, bytes)) =>
+        batch.map { case (id, kind, bytes0) =>
+          // null payload (null text upstream) = empty bytes, the
+          // stubMeta/featureExtract posture — .length below must not NPE
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          // ONE header parse per payload: decodeOne hands back the
+          // probe result, resizeImageKnown reuses it
+          val (m, declared) = Codec.decodeOne(id, kind, bytes)
           val scale = math.min(1.0,
             math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
           val dw = math.max(1, math.floor(m.width * scale).toInt)
           val dh = math.max(1, math.floor(m.height * scale).toInt)
           val real =
             if (scale >= 1.0) None // within bounds: pass bytes through
-            else Codec.resizeImage(bytes, dw, dh)
+            else Codec.resizeImageKnown(bytes, dw, dh, declared)
           real match {
             case Some(out) =>
-              Resized(id, m.width, m.height, dw, dh, out.length, out)
+              Resized(id, m.width, m.height, dw, dh, out.length, out,
+                is_real = true)
             case None if scale >= 1.0 =>
-              Resized(id, m.width, m.height, dw, dh, bytes.length, bytes)
+              // untouched original; a real image iff the probe
+              // recognized it
+              Resized(id, m.width, m.height, dw, dh, bytes.length, bytes,
+                is_real = declared.isDefined)
             case None =>
               val outLen = math.min(bytes.length,
                 math.max(1, math.ceil(bytes.length.toDouble *
@@ -240,7 +274,8 @@ object Multimodal {
               // actual output length — take(1) of nothing is nothing,
               // and a consumer asserting n_bytes == length(payload)
               // must hold
-              Resized(id, m.width, m.height, dw, dh, outLen, bytes.take(outLen))
+              Resized(id, m.width, m.height, dw, dh, outLen,
+                bytes.take(outLen), is_real = false)
           }
         }
       })

@@ -30,10 +30,17 @@ object Skew {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      saltBy: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // cast the re-combined sum back to the DIRECT aggregate's type:
+    // sum-of-sum widens decimals a second time (decimal(20,2) →
+    // (38,2) instead of the direct (30,2)), and "identical result"
+    // must include the schema — a caller unioning salted and plain
+    // outputs by position would fail on the widened type
+    val directType = df.select(sum(col(valueCol))).schema.head.dataType
     df.groupBy((keys.map(col) :+ saltCol(col(saltBy), salts).as("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("_psum")).as("value"), sum(col("_pcnt")).as("n"))
+      .agg(sum(col("_psum")).cast(directType).as("value"),
+        sum(col("_pcnt")).as("n"))
   }
 
   /** Salted min per key set — the same two-phase shape for the other

@@ -59,6 +59,25 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").toSeq === bytes.toSeq) // untouched
   }
 
+  test("is_real marks decodable payloads; stub subsamples and nulls are flagged") {
+    val good = png(300, 300) // downscales for real
+    val junk = "not an image at all, just bytes".getBytes("UTF-8")
+    val media = Seq((1L, "image", good), (2L, "image", junk),
+        (3L, "image", null: Array[Byte]))
+      .toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.resizePayloads(media, 50, 50)
+      .select("doc_id", "is_real").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L), "real resized PNG must be flagged is_real")
+    assert(!rows(2L), "stub byte-subsample must NOT be flagged is_real")
+    assert(!rows(3L), "null payload takes the stub path without an NPE")
+    // null payloads survive decodeMeta too (stubMeta hashes empty)
+    val meta = Multimodal.decodeMetaPayloads(
+      Seq((9L, "audio", null: Array[Byte])).toDF("doc_id", "kind", "payload"))
+      .collect().head
+    assert(meta.getAs[Int]("n_bytes") === 0)
+  }
+
   test("corrupt image payloads fall back to the stub instead of crashing the task") {
     // valid PNG signature + IHDR start, then truncated/garbage body —
     // JDK readers throw (IOException or unchecked) on payloads like
