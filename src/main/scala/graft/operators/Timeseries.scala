@@ -229,10 +229,15 @@ object Timeseries {
     * oracle mirror (SparkEntry.pyKeySql) — edit in lockstep. */
   private[graft] def pyFloatKey(v: Column): Column = {
     // NULL propagates (the oracle's printf(NULL) is NULL) —
-    // format_string would render java.util.Formatter's literal "null"
+    // format_string would render java.util.Formatter's literal "null".
+    // Character ops (ltrim/rtrim/substring), not regexes: this runs
+    // per coordinate per row, and the three regexp_replace calls the
+    // first spelling paid tripled the registry's scan cost. Values
+    // are identical (a %.6f string has at most one leading '-', and
+    // rtrim-of-'0' ≡ strip-trailing-zeros on it).
     val s6 = when(v.isNull, lit(null).cast("string"))
       .otherwise(format_string("%.6f", v))
-    val absS = regexp_replace(s6, "^-", "")
+    val absS = ltrim(s6, "-")
     val micro = substring(absS, 3, 6).cast("int")
     val sign = when(substring(s6, 1, 1) === "-", lit("-")).otherwise(lit(""))
     val sci = concat(sign,
@@ -242,8 +247,9 @@ object Timeseries {
           .otherwise(concat(lit("."), (micro % 10).cast("string"))),
         lit("e-05")))
       .otherwise(concat(micro.cast("string"), lit("e-06"))))
-    val positional = regexp_replace(
-      regexp_replace(s6, "0+$", ""), "\\.$", ".0")
+    val stripped = rtrim(s6, "0")
+    val positional = when(endswith(stripped, lit(".")),
+      concat(stripped, lit("0"))).otherwise(stripped)
     when(substring(absS, 1, 6) === "0.0000" && micro > 0, sci)
       .otherwise(positional)
   }
@@ -447,16 +453,22 @@ object Timeseries {
     // casts FAIL LOUDLY on un-castable input (a UUID-style string id
     // would cast to null and kill the same encoder with an opaque
     // "null in non-nullable field" — name the column instead).
-    def castOrFail(c: Column, to: String, what: String): Column =
-      when(c.cast(to).isNotNull, c.cast(to))
+    // the guard is FREE when the column already has the target type
+    // (a cast of the right type can't null) — only lossy/parsing
+    // casts pay the when-branch
+    def castOrFail(name: String, to: String, what: String): Column = {
+      val c = col(name)
+      if (df.schema(name).dataType.simpleString == to) c
+      else when(c.cast(to).isNotNull, c.cast(to))
         .otherwise(raise_error(concat(
           lit(s"ewma: $what not castable to $to: "),
           coalesce(c.cast("string"), lit("null")))).cast(to))
+    }
     df.filter(col(value).isNotNull)
       .select(col(key).cast("string").as(key),
-        castOrFail(col(time), "long", s"time column '$time'").as(time),
-        castOrFail(col(id), "long", s"id column '$id'").as(id),
-        castOrFail(col(value), "double", s"value column '$value'").as(value))
+        castOrFail(time, "bigint", s"time column '$time'").as(time),
+        castOrFail(id, "bigint", s"id column '$id'").as(id),
+        castOrFail(value, "double", s"value column '$value'").as(value))
       .repartition(col(key))
       .sortWithinPartitions(col(key), col(time), col(id))
       .as[(String, Long, Long, Double)]
