@@ -197,8 +197,14 @@ object EventStream {
         Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
       }
 
-  /** One cumulative reading (the shape RAINNC arrives in). */
-  final case class CumulReading(station: String, ts: java.sql.Timestamp, value: Double)
+  /** One cumulative reading (the shape RAINNC arrives in). `id` is the
+    * per-station event id that breaks timestamp ties — the batch
+    * flavors order by (time, id), and carrying it here lets the
+    * streaming state tell a second legitimate same-ts reading apart
+    * from a crash-replay re-delivery of the first. Streams without a
+    * natural id keep the default 0 (distinct-ts contract unchanged). */
+  final case class CumulReading(station: String, ts: java.sql.Timestamp,
+                                value: Double, id: Long = 0L)
   /** One per-interval delta (what the reference pushes to the DB). */
   final case class IntervalDelta(station: String, ts: java.sql.Timestamp, delta: Double)
 
@@ -208,28 +214,32 @@ object EventStream {
 
   /** The shared ordered-fold skeleton of [[streamingEwma]] and
     * [[streamingIntervalDiff]]: per-station `flatMapGroupsWithState`
-    * carrying (last applied event time, one double of state), events
-    * event-time ordered within each micro-batch, and the SINGLE copy
-    * of the late/replay drop rule both operators document — an event
-    * at or before the last applied time is dropped (folding it would
-    * corrupt the recurrence / regress the cumulative). `step` maps
-    * (previous state double, in-order reading) to (next state double,
-    * optional emission). */
+    * carrying (last applied (event time, event id), one double of
+    * state), events (time, id)-ordered within each micro-batch — the
+    * batch flavors' sort key — and the SINGLE copy of the late/replay
+    * drop rule both operators document: an event at or behind the last
+    * applied (ts, id) is dropped (folding it would corrupt the
+    * recurrence / regress the cumulative), while a SECOND reading at
+    * the same ts with a LARGER id folds normally — batch parity on
+    * ts-tied streams. `step` maps (previous state double, in-order
+    * reading) to (next state double, optional emission). */
   private def statefulOrderedFold[O: org.apache.spark.sql.Encoder](
       events: Dataset[CumulReading])(
       step: (Option[Double], CumulReading) => (Double, Option[O])): Dataset[O] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.station)
-      .flatMapGroupsWithState[(Long, Double), O](
+      .flatMapGroupsWithState[(Long, Long, Double), O](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_, readings, state: GroupState[(Long, Double)]) =>
+        (_, readings, state: GroupState[(Long, Long, Double)]) =>
           var cur = state.getOption
-          val out = readings.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+          val out = readings.toSeq.sortBy(r => (r.ts.getTime, r.id)).flatMap { r =>
             val t = r.ts.getTime
-            if (cur.exists(_._1 >= t)) None
+            // lexicographic (ts, id): behind-or-identical ⇒ replay, drop
+            if (cur.exists { case (lt, lid, _) =>
+                  lt > t || (lt == t && lid >= r.id) }) None
             else {
-              val (next, o) = step(cur.map(_._2), r)
-              cur = Some((t, next))
+              val (next, o) = step(cur.map(_._3), r)
+              cur = Some((t, r.id, next))
               o
             }
           }
@@ -244,14 +254,13 @@ object EventStream {
     * [[streamingIntervalDiff]]). Within a batch events are event-time
     * ordered before applying the recurrence.
     *
-    * PRECONDITION — distinct timestamps per station: [[CumulReading]]
-    * carries no event id, so a second legitimate reading at the SAME
-    * timestamp is indistinguishable from a crash-replay re-delivery
-    * of the first and is dropped with it. The batch flavor
-    * ([[graft.operators.Timeseries.ewma]], ordered by (time, id))
-    * processes both — batch/streaming parity holds only on
-    * distinct-timestamp streams. Feed a series with ts ties through
-    * the batch path, or disambiguate upstream.
+    * Timestamp ties: [[CumulReading.id]] disambiguates — two distinct
+    * same-ts readings with distinct ids both fold, in (ts, id) order,
+    * matching the batch flavor ([[graft.operators.Timeseries.ewma]],
+    * ordered by (time, id)); only an event at-or-behind the last
+    * applied (ts, id) is dropped as a crash-replay re-delivery.
+    * Streams that leave `id` at its default 0 keep the old
+    * distinct-timestamp contract (same-ts ⇒ replay ⇒ dropped).
     */
   def streamingEwma(events: Dataset[CumulReading], alpha: Double)
       : Dataset[Smoothed] = {
@@ -281,10 +290,11 @@ object EventStream {
     * event time before diffing (micro-batch iterators carry no order
     * guarantee).
     *
-    * PRECONDITION — distinct timestamps per station (the
-    * [[streamingEwma]] contract): with no event id in the shape, a
-    * second reading at the same ts is dropped as a replay re-delivery,
-    * where batch A1 (ordered by (time, id)) would diff both.
+    * Timestamp ties follow the [[streamingEwma]] contract:
+    * [[CumulReading.id]] disambiguates, so a second same-ts reading
+    * with a larger id diffs normally (batch A1 parity, ordered by
+    * (time, id)); only (ts, id) at-or-behind the last applied is
+    * dropped as a replay re-delivery.
     */
   def streamingIntervalDiff(events: Dataset[CumulReading]): Dataset[IntervalDelta] = {
     import events.sparkSession.implicits._

@@ -307,6 +307,37 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(10.0, 15.0))
   }
 
+  test("streamingEwma folds two distinct same-ts readings (ids break the tie), matching batch ewma") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.CumulReading]
+    val q = EventStream.streamingEwma(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_tie").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    // two LEGITIMATE readings share t(1) — distinct ids; the second
+    // must fold (in id order), not be dropped as a replay. Split them
+    // across batches so the (ts, id) state — not batch-local sorting —
+    // is what lets the id=2 reading through. A true replay (same ts
+    // AND id at-or-behind) still drops.
+    mem.addData(EventStream.CumulReading("s1", t(0), 10.0, id = 1),
+                EventStream.CumulReading("s1", t(1), 20.0, id = 1))
+    q.processAllAvailable()
+    mem.addData(EventStream.CumulReading("s1", t(1), 30.0, id = 2),
+                EventStream.CumulReading("s1", t(1), 20.0, id = 1), // replay: dropped
+                EventStream.CumulReading("s1", t(2), 40.0, id = 1))
+    q.processAllAvailable()
+    val got = spark.table("ewma_tie").orderBy("ts", "value")
+      .select("ewma").as[Double].collect().toSeq
+    q.stop()
+    val batch = graft.operators.Timeseries.ewma(
+      Seq(("s1", 0L, 1L, 10.0), ("s1", 1L, 1L, 20.0),
+          ("s1", 1L, 2L, 30.0), ("s1", 2L, 1L, 40.0))
+        .toDF("station", "t", "id", "v"),
+      "station", "t", "id", "v", alpha = 0.5)
+      .orderBy("t", "id").select("ewma").as[Double].collect().toSeq
+    assert(got === batch)          // 10, 15, 22.5, 31.25
+    assert(got === Seq(10.0, 15.0, 22.5, 31.25))
+  }
+
   test("streamingDedup checks arrivals against the corpus table, appends them bucket-compatibly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
