@@ -456,12 +456,80 @@ object SparkEntry {
 
   /** Minimum row counts for rows-only queries (no oracle mirror), by
     * name; anything absent defaults to 1 = non-empty. The DuckDB hash
-    * gate can't see a rows-only query silently emptying, so Verify
-    * enforces these floors and exits non-zero on a breach. Floors stay
-    * at "non-empty" rather than sf-calibrated counts: the same Verify
-    * binary runs at sf0.001 (dev loop) and sf0.01 (driver), and a
-    * scale-dependent floor would false-fail the smaller run. */
-  def rowFloors: Map[String, Long] = Map.empty
+    * gate can't see a rows-only query silently collapsing, so Verify
+    * enforces these floors and exits non-zero on a breach.
+    *
+    * The pair-query floors are the planted-near-duplicate minimums of
+    * the two verify corpora: sf0.001 and sf0.01 ship DIFFERENT 500-doc
+    * documents/embeddings tables, so each floor is the smaller of the
+    * two measured pair counts — which makes it TIGHT (equality, zero
+    * slack) at one of the two sfs, where any pair-collapse regression
+    * trips immediately. Measured r6: minhash 28/25, simhash 27/17,
+    * embedding-lsh 7/14, semantic 6/11 at sf0.001/sf0.01. */
+  def rowFloors: Map[String, Long] = Map(
+    "dedup_minhash_lsh"   -> 25L,
+    "dedup_simhash"       -> 17L,
+    "dedup_embedding_lsh" -> 7L,
+    "dedup_semantic"      -> 6L)
+
+  /** Row-count invariants COMPUTED from the input tables (one
+    * single-pass aggregate over documents' metadata columns + one
+    * footer-cheap count over embeddings — no query re-runs):
+    * `exact` entries must match the written row count exactly — a
+    * top-k serve returns exactly k rows per query vector (a serve
+    * that pads with duplicates is as red as one collapsing to k/2),
+    * a 1:1 media op exactly its input count, corpus similarity
+    * exactly one row per unordered group pair; `floors` entries are
+    * computed minimums (every video payload emits at least its
+    * frame-0 sample — the exact total depends on per-payload frame
+    * counts). Verify enforces both alongside [[rowFloors]]. */
+  final case class RowChecks(exact: Map[String, Long], floors: Map[String, Long])
+  def computedRowChecks(spark: SparkSession, sfDir: String): RowChecks = {
+    val mRow = docs(spark, sfDir).agg(
+      count(lit(1)), countDistinct(col("source")),
+      count(when(pmod(col("doc_id"), lit(3)) === 0, 1)),
+      count(when(pmod(col("doc_id"), lit(3)) === 2, 1))).head()
+    val (nDocs, nSources, nImages, nVideos) =
+      (mRow.getLong(0), mRow.getLong(1), mRow.getLong(2), mRow.getLong(3))
+    val topk = 5L * emb(spark, sfDir).filter(annIsQuery).count()
+    RowChecks(
+      exact = Map(
+        "ann_lsh_topk"            -> topk,
+        "ann_lsh_multiprobe"      -> topk,
+        "ann_ivf_topk"            -> topk,
+        "ann_pq_topk"             -> topk,
+        "ann_ivfpq_topk"          -> topk,
+        "ann_ivfpq_residual_topk" -> topk,
+        "mm_decode_meta"          -> nDocs,
+        "mm_feature_extract"      -> nDocs,
+        "text_compression_ratio"  -> nDocs,
+        "mm_resize"               -> nImages,
+        "dedup_corpus_sim"        -> nSources * (nSources - 1) / 2),
+      floors = Map("mm_frame_sample" -> nVideos))
+  }
+
+  /** Approximate-query recall gates: query → (exact baseline query,
+    * minimum acceptable recall). Verify joins the two just-written
+    * outputs on the baseline's leading id-pair columns, computes
+    * |approx ∩ exact| / |exact|, writes the measurements as
+    * VERIFY_RECALL.json, and exits non-zero below a floor — a
+    * quantizer regression that halves recall becomes a hard driver
+    * signal instead of living only in the specs. Floors are ~0.9× the
+    * smaller of the two verify-sf measured recalls (r6, sf0.001/
+    * sf0.01: lsh .76/.62, multiprobe 1.0/.96, ivf .58/.58, pq
+    * .68/.72, ivfpq .56/.50, residual .42/.46, embedding-lsh 1.0/1.0,
+    * semantic .86/.79) — loose enough for the corpus-to-corpus
+    * variance the two sfs exhibit, tight enough to catch a real
+    * regression. */
+  def recallChecks: Map[String, (String, Double)] = Map(
+    "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
+    "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
+    "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.52)),
+    "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.61)),
+    "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.45)),
+    "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.37)),
+    "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
+    "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)))
 
   // ---- DuckDB mirrors ---------------------------------------------------
 

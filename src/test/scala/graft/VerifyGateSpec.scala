@@ -42,4 +42,52 @@ class VerifyGateSpec extends AnyFunSuite {
     val oracleQ = SparkEntry.oracleSql.keySet.head
     assert(Verify.floorFailures(greenCounts.updated(oracleQ, 0L)) === Seq.empty)
   }
+
+  test("static pair floors name real rows-only queries with non-trivial minimums") {
+    assert(SparkEntry.rowFloors.nonEmpty)
+    assert(SparkEntry.rowFloors.values.forall(_ > 1L))
+  }
+
+  test("a top-k serve returning k/2 of its exact expected rows fails the gate") {
+    // the deliberate-regression proof the round-5 verdict asked for:
+    // exact expected 50 (k·nQueries), serve collapses to 25
+    val fails = Verify.floorFailures(
+      greenCounts.updated("ann_lsh_topk", 25L),
+      exact = Map("ann_lsh_topk" -> 50L))
+    assert(fails === Seq(
+      "ann_lsh_topk: 25 rows != exact expected 50 (invariant regression)"))
+  }
+
+  test("a padded serve (duplicate neighbors past k·nQueries) is as red as a collapsed one") {
+    val fails = Verify.floorFailures(
+      greenCounts.updated("ann_lsh_topk", 75L),
+      exact = Map("ann_lsh_topk" -> 50L))
+    assert(fails.size === 1 && fails.head.contains("!= exact expected 50"))
+  }
+
+  test("a computed floor (videos for mm_frame_sample) breached fails; met passes") {
+    val fl = Map("mm_frame_sample" -> 167L)
+    assert(Verify.floorFailures(greenCounts.updated("mm_frame_sample", 100L),
+      computedFloors = fl).size === 1)
+    assert(Verify.floorFailures(greenCounts.updated("mm_frame_sample", 167L),
+      computedFloors = fl) === Seq.empty)
+  }
+
+  test("recall checks gate real rows-only queries against oracle-able baselines") {
+    assert(SparkEntry.recallChecks.keySet.subsetOf(rowsOnly))
+    assert(SparkEntry.recallChecks.values.forall { case (base, floor) =>
+      SparkEntry.oracleSql.contains(base) && floor > 0.0 && floor <= 1.0 })
+  }
+
+  test("a recall below its floor, or an uncomputable recall, fails the gate") {
+    val green: Map[String, Option[Double]] =
+      SparkEntry.recallChecks.map { case (q, _) => q -> Some(1.0) }
+    assert(Verify.recallFailures(green) === Seq.empty)
+    // halve ann_lsh_topk's recall (floor 0.55): hard signal
+    val halved = Verify.recallFailures(green.updated("ann_lsh_topk", Some(0.31)))
+    assert(halved.size === 1 && halved.head.startsWith("ann_lsh_topk: recall 0.310"))
+    val missing = Verify.recallFailures(green - "dedup_semantic")
+    assert(missing === Seq(
+      "dedup_semantic: recall vs dedup_embedding_cosine not computable (missing output)"))
+  }
 }
