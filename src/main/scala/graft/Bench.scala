@@ -70,13 +70,63 @@ object Bench {
     clearCaches() // nor does the last rep donate to the serve bench
     val results = SparkEntry.queries.keys
       .map(name => name -> median(runs.map(_(name)))).toMap ++
-      benchIndexServes(spark, sfDir, reps)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      benchIndexServes(spark, sfDir, reps) ++
+      benchPipeline(spark, reps)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // the complete map as its OWN file: the driver's log capture has
+    // twice truncated the tail of this line (~14 queries lost per
+    // round) — a file written whole can't lose entries to a tail cut
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
+
+  /** The headline "the engine does the reference's job" number, benched
+    * per round instead of living only in PERF.md: one full
+    * `Pipeline.run` — netCDF parse → cumulative diff → station
+    * registry → tms ids → rfield write → fgt watermarks — over a
+    * reference-scale synthetic run (2 systems × 240 steps × 100×100
+    * cells = 4.78M series rows, the d03 grid `wrf_data_pusher.py`
+    * processes in tens of minutes of sequential per-station writes).
+    * Grid generation is untimed (an offline fixture); each rep gets a
+    * fresh outDir so rfield writes never collide. Environmental
+    * failures log and skip, like the serve bench. */
+  private def benchPipeline(spark: SparkSession, reps: Int): Map[String, Double] =
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
+      try {
+        Pipeline.generateSyntheticRun(dir, ny = 100, nx = 100, nt = 240)
+        val times = (1 to reps).map { i =>
+          val t0 = System.nanoTime()
+          Pipeline.run(spark, dir, s"$dir/out_$i")
+          (System.nanoTime() - t0) / 1e9
+        }
+        Map("pipeline_e2e" -> median(times))
+      } finally {
+        import org.apache.hadoop.fs.Path
+        val hp = new Path(dir)
+        hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
+        Map.empty
+    }
+
+  /** A failed partition-pruning audit — thrown PAST the serve bench's
+    * log-and-skip recovery so a pruning regression fails the whole
+    * bench run (non-zero exit), never silently drops the idx_*
+    * entries. */
+  private final class PruningRegression(msg: String)
+    extends RuntimeException(msg)
 
   /** The deploy-time serve flagships, benched alongside the catalog:
     * build both persisted indexes ONCE (untimed — an offline job),
@@ -87,8 +137,11 @@ object Bench {
     * full read is the correct plan), run one untimed warmup serve per
     * index (the catalog queries got the sf0.001 warmup pass; these
     * plans did not), then time the serves with the same
-    * median-of-reps loop. A failure here logs and skips rather than
-    * killing the round's bench line. */
+    * median-of-reps loop. An environmental failure here logs and
+    * skips rather than killing the round's bench line; a FAILED
+    * pruning audit throws [[PruningRegression]] through to a non-zero
+    * exit — "pruning enforced at bench scale" must be a hard claim,
+    * not an advisory log line. */
   private def benchIndexServes(spark: SparkSession, sfDir: String,
                                reps: Int): Map[String, Double] =
     try {
@@ -110,8 +163,9 @@ object Bench {
         val nprobe = 4
         val probed = S.probedListFiles(spark, ivfPath, one, nprobe = nprobe)
         val total = spark.read.parquet(s"$ivfPath/lists").inputFiles.length
-        require(probed.nonEmpty && (total <= nprobe || probed.length < total),
-          s"index serve did not prune: read ${probed.length} of $total list files")
+        if (!(probed.nonEmpty && (total <= nprobe || probed.length < total)))
+          throw new PruningRegression(
+            s"index serve did not prune: read ${probed.length} of $total list files")
         System.err.println(
           s"[bench] index pruning audit: 1-query serve reads ${probed.length}/$total list files")
         def servIvf() = S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = nprobe)
@@ -128,6 +182,10 @@ object Bench {
         }
       }
     } catch {
+      // a pruning regression is a HARD signal — rethrow past the
+      // log-and-skip recovery so the bench run exits non-zero instead
+      // of quietly shipping a line without the idx_* entries
+      case e: PruningRegression => throw e
       // NonFatal: an OOM mid-build must kill the bench, not print a
       // healthy JSON line from a heap-poisoned JVM
       case scala.util.control.NonFatal(e) =>
