@@ -451,7 +451,7 @@ object SparkEntry {
         .select(col("doc_id"), size(col("embedding")).as("dim"),
           xxhash64(array_join(
             transform(col("embedding"), x => round(x.cast("double"), 6).cast("string")),
-            ",")).as("vec_digest")))
+            ",")).as("vec_digest"), col("is_real")))
   )
 
   /** Minimum row counts for rows-only queries (no oracle mirror), by

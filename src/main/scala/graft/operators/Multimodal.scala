@@ -104,6 +104,51 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** REAL image features: full pixel decode (same decompression-bomb
+      * refusal as the resize path — None before the pixel allocation,
+      * never an executor OOM), then BT.601 luminance
+      * (0.299R + 0.587G + 0.114B, the public ITU-R standard) mean-
+      * pooled over a fixed `grid`×`grid` cell partition of the image
+      * — `grid²` floats in [0, 1], row-major. Pixels stream row by
+      * row through one reusable w-int buffer (a bulk whole-image
+      * getRGB on a near-cap image would allocate ~1 GiB). None when
+      * the payload isn't a decodable image. */
+    def imageFeatures(bytes: Array[Byte], grid: Int): Option[Array[Float]] =
+      try {
+        val declared = imageSize(bytes)
+        if (declared.isEmpty ||
+            declared.exists { case (w, h) => w.toLong * h > maxDecodePixels })
+          return None
+        val img =
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Double](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val gy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val lum = (0.299 * ((p >> 16) & 0xff) +
+                0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)) / 255.0
+              val c = gy * grid + x * grid / w
+              sums(c) += lum; counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // an image narrower/shorter than the grid leaves some cells
+          // empty (w < grid ⇒ not every x*grid/w value occurs): 0f
+          Some(Array.tabulate(grid * grid)(i =>
+            if (counts(i) == 0L) 0f else (sums(i) / counts(i)).toFloat))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** STUB — deterministic fake metadata for the modalities whose
       * codecs are absent in this container (audio/video) and for
       * payloads `javax.imageio` doesn't recognize (the synthetic
@@ -162,31 +207,50 @@ object Multimodal {
   }
 
   /** G3: feature extraction — payload bytes → fixed-width float
-    * vector. The vector here is a deterministic hash projection (the
-    * model inference is STUBBED like [[Codec.decode]] — no ML runtime
-    * in this container); the Spark plumbing is the real part: binary
-    * in, `array<float>` out, batched per partition, schema ready for
-    * the E-block ANN operators. */
-  def featureExtract(docs: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
+    * vector. Image payloads take the REAL path: full pixel decode via
+    * `javax.imageio` → BT.601 luminance mean-pooled over a fixed
+    * `√dim`×`√dim` grid ([[Codec.imageFeatures]], bomb-refusing),
+    * flagged `is_real = true`. Everything else — audio/video (no
+    * codec in this container), unrecognized bytes, refused bombs, or
+    * a non-square `dim` (the grid pool needs dim = g²) — keeps the
+    * deterministic hash-projection stub, `is_real = false`. Schema is
+    * ANN-ready (`array<float>`, E-block compatible) on both paths;
+    * narrow op, payloads never leave their partition. */
+  def featureExtract(docs: DataFrame, dim: Int = 16): DataFrame =
+    featureExtractPayloads(payloads(docs), dim)
+
+  /** G3 on a real media frame — (doc_id, kind, payload) with actual
+    * media bytes (the [[resizePayloads]]/[[decodeMetaPayloads]] dual). */
+  def featureExtractPayloads(media: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val spark = media.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      // plain per-element map: the hash projection has no per-batch
-      // setup to amortize (unlike resize/decodeMeta, whose Codec.decode
-      // genuinely runs once per batch) — a grouped() wrapper here only
-      // implied batching that didn't exist
-      .mapPartitions(_.map { case (id, bytes) =>
+    val grid = math.sqrt(dim.toDouble).toInt
+    val gridReal = grid * grid == dim // pooled features need dim = g²
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      // plain per-element map: neither path has per-batch setup to
+      // amortize (ImageIO is stateless here; the hash projection is
+      // pure) — a grouped() wrapper would only imply batching that
+      // doesn't exist
+      .mapPartitions(_.map { case (id, kind, bytes) =>
         // null payload (null text upstream) hashes as empty, never NPEs
         val b = if (bytes == null) Array.emptyByteArray else bytes
-        val h0 = scala.util.hashing.MurmurHash3.bytesHash(b, 7)
-        val v = Array.tabulate(dim) { d =>
-          val h = scala.util.hashing.MurmurHash3.productHash((h0, d))
-          (h.toFloat / Int.MaxValue.toFloat)
+        val real =
+          if (gridReal && kind == "image") Codec.imageFeatures(b, grid)
+          else None
+        real match {
+          case Some(v) => (id, v, true)
+          case None =>
+            val h0 = scala.util.hashing.MurmurHash3.bytesHash(b, 7)
+            val v = Array.tabulate(dim) { d =>
+              val h = scala.util.hashing.MurmurHash3.productHash((h0, d))
+              (h.toFloat / Int.MaxValue.toFloat)
+            }
+            (id, v, false)
         }
-        (id, v)
       })
-      .toDF("doc_id", "embedding")
+      .toDF("doc_id", "embedding", "is_real")
   }
 
   /** Typed resize result — dims + the rescaled payload. `is_real`

@@ -108,6 +108,62 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.Codec.resizeImage(bomb, 224, 224).isEmpty)
   }
 
+  test("G3 extracts real grid-pooled luminance features from PNG bytes, hand-computable") {
+    // 8×8 PNG in four solid 4×4 quadrants of pure gray — BT.601
+    // luminance of rgb(g,g,g) is exactly g/255, so each 2×2 pool cell
+    // of the 4×4 grid lies inside one quadrant and must equal its
+    // gray level exactly (up to float cast)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    def fill(x0: Int, y0: Int, g: Int): Unit =
+      for (x <- x0 until x0 + 4; y <- y0 until y0 + 4)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    fill(0, 0, 0); fill(4, 0, 255); fill(0, 4, 51); fill(4, 4, 102)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+
+    val got = Multimodal.Codec.imageFeatures(bytes, 4).get.toSeq
+    val q = Seq(0.0, 255.0, 51.0, 102.0).map(g => (g / 255.0).toFloat)
+    val expect = Seq(q(0), q(0), q(1), q(1), q(0), q(0), q(1), q(1),
+                     q(2), q(2), q(3), q(3), q(2), q(2), q(3), q(3))
+    got.zip(expect).foreach { case (a, e) => assert(math.abs(a - e) < 1e-6f) }
+
+    // through the operator: image payload real + flagged; junk stub
+    val media = Seq((1L, "image", bytes),
+        (2L, "image", "junk".getBytes("UTF-8")),
+        (3L, "audio", bytes)) // right bytes, wrong modality: stub
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.featureExtractPayloads(media, dim = 16)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_real"))
+    assert(out(0).getAs[Seq[Float]]("embedding") === expect)
+    assert(!out(1).getAs[Boolean]("is_real"))
+    assert(!out(2).getAs[Boolean]("is_real"))
+    assert(out.forall(_.getAs[Seq[Float]]("embedding").size === 16))
+  }
+
+  test("G3 refuses decompression bombs and non-square dims onto the stub path") {
+    // same 10-gigapixel IHDR craft as the resize bomb test
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+        ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrData = be(100000) ++ be(100000) ++ Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrData)
+    val bomb = sig ++ be(13) ++ "IHDR".getBytes("US-ASCII") ++
+      ihdrData ++ be(crc.getValue.toInt)
+    assert(Multimodal.Codec.imageFeatures(bomb, 4).isEmpty)
+
+    // dim=12 has no integer grid — a real image still lands on the
+    // stub (flagged), never a mis-sized vector
+    val small = png(10, 10)
+    val media = Seq((1L, "image", small)).toDF("doc_id", "kind", "payload")
+    val out = Multimodal.featureExtractPayloads(media, dim = 12).collect().head
+    assert(!out.getAs[Boolean]("is_real"))
+    assert(out.getAs[Seq[Float]]("embedding").size === 12)
+  }
+
   test("payloads imageio doesn't recognize keep the deterministic stub") {
     val junk = "definitely not an image stream".getBytes("UTF-8")
     val media = Seq((7L, "image", junk)).toDF("doc_id", "kind", "payload")
