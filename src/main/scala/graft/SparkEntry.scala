@@ -837,7 +837,7 @@ object SparkEntry {
          |SELECT event_id, user_id, hour_of_day, value,
          |  round(CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w, 6)
          |    AS clim_value,
-         |  round(CAST(value AS DOUBLE)
+         |  round(CAST(vd AS DOUBLE)
          |        - CAST(sum(vd) OVER w AS DOUBLE) / count(vd) OVER w, 6)
          |    AS anomaly
          |FROM b WINDOW w AS (PARTITION BY user_id, hour_of_day)""".stripMargin,

@@ -22,33 +22,49 @@ import graft.functions.TextFunctions._
   */
 object Corpus {
 
-  /** Pack staging pins, one live slot: both prefix-sum phases of
-    * [[packSequences]] must read the SAME physical partitioning, and
-    * a plain `.cache()` cannot guarantee it — an evicted (or
-    * slot-replaced) cache would silently RE-RUN the range shuffle,
-    * whose boundary sampling is seeded per RDD id, reassigning
-    * `__pid`s and corrupting every broadcast offset lookup. A
-    * `localCheckpoint` truncates lineage, so a lost block FAILS
-    * LOUDLY instead. Dataset.unpersist is a no-op for checkpoint
-    * blocks (they are RDD-level persists — the Dedup.clusters
-    * rationale), so the slot holds the pinned RDD handles: the next
-    * call frees the previous call's blocks (consume each returned
-    * frame before packing again), releaseCaches() frees the last. */
+  /** Pack staging pins, scoped per call up to a bounded depth: both
+    * prefix-sum phases of [[packSequences]] must read the SAME
+    * physical partitioning, and a plain `.cache()` cannot guarantee
+    * it — an evicted (or slot-replaced) cache would silently RE-RUN
+    * the range shuffle, whose boundary sampling is seeded per RDD id,
+    * reassigning `__pid`s and corrupting every broadcast offset
+    * lookup. A `localCheckpoint` truncates lineage, so a lost block
+    * FAILS LOUDLY instead. Dataset.unpersist is a no-op for
+    * checkpoint blocks (they are RDD-level persists — the
+    * Dedup.clusters rationale), so the registry holds the pinned RDD
+    * handles PER CALL, newest last: up to [[maxLivePacks]] returned
+    * frames stay live at once (concurrent callers — or a caller
+    * revisiting an earlier pack — no longer free each other's staging
+    * blocks mid-job, the round-5 one-slot hazard), beyond which the
+    * OLDEST call's blocks are freed. Memory stays bounded at
+    * maxLivePacks staged frames; releaseCaches() frees everything. */
   private val packPins =
-    new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.rdd.RDD[_]]](Nil)
+    new java.util.concurrent.ConcurrentLinkedDeque[Seq[org.apache.spark.rdd.RDD[_]]]()
+
+  /** How many packSequences staging frames stay pinned at once. */
+  private val maxLivePacks = 4
 
   private def checkpointStaged(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
     val pins = (sc.getPersistentRDDs -- before).values.toSeq
-    packPins.getAndSet(pins).foreach(_.unpersist(false))
+    packPins.addLast(pins)
+    while (packPins.size > maxLivePacks) {
+      val oldest = packPins.pollFirst()
+      if (oldest != null) oldest.foreach(_.unpersist(false))
+    }
     out
   }
 
   /** Drop every staging block this object holds (end-of-job cleanup). */
-  def releaseCaches(): Unit =
-    packPins.getAndSet(Nil).foreach(_.unpersist(false))
+  def releaseCaches(): Unit = {
+    var pins = packPins.pollFirst()
+    while (pins != null) {
+      pins.foreach(_.unpersist(false))
+      pins = packPins.pollFirst()
+    }
+  }
 
   /** F6: deterministic stratified sampling — corpus mixing / rebalance
     * (downsample over-represented languages or sources) with a
@@ -98,12 +114,13 @@ object Corpus {
     * two-step corpus-mixing loop.
     *
     * One tiny aggregation (strata-count groups) + a broadcast scalar
-    * min — O(strata) rows of output regardless of corpus size. Strata
+    * min — O(strata) rows of output regardless of corpus size, fully
+    * LAZY (the corpus is scanned once, at materialization). Strata
     * missing from `targetShares` get rate 0 (excluded from the mix);
-    * a TARGET stratum missing from the corpus throws (the mixture is
-    * unsatisfiable — T = 0 — and a plan over only the present strata
-    * would silently ship the wrong proportions); shares need not sum
-    * to 1 (only ratios matter).
+    * a TARGET stratum missing from the corpus raises in-plan at
+    * materialization (the mixture is unsatisfiable — T = 0 — and a
+    * plan over only the present strata would silently ship the wrong
+    * proportions); shares need not sum to 1 (only ratios matter).
     */
   def mixPlan(docs: DataFrame, strataCol: String,
               targetShares: Map[String, Double]): DataFrame = {
@@ -111,25 +128,32 @@ object Corpus {
       "targetShares must be non-empty with positive shares")
     val counts = docs.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"))
-    // a target stratum ABSENT from the corpus makes the mixture
-    // unsatisfiable (its constraint is share·T ≤ 0 ⟹ T = 0, all
-    // rates 0) — computing T over only the present strata would
-    // instead return a plan that silently ships the WRONG mixture.
-    // Fail loudly; the check is an O(strata) collect on an aggregate
-    // this plan materializes anyway.
-    val present = counts.select(col(strataCol).cast("string"))
-      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
-    val missing = targetShares.keySet.filterNot(present)
-    require(missing.isEmpty,
-      s"targetShares strata absent from the corpus: ${missing.mkString(", ")} " +
-        "— the requested mixture is unsatisfiable (T = 0)")
     val share = targetShares.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (s, w)) => acc.when(col(strataCol) === s, lit(w))
     }.otherwise(lit(0.0))
     val counted = counts.withColumn("share", share)
-    // T = min over included strata of n_s / share_s, as a broadcast scalar
+    // T = min over included strata of n_s / share_s, as a broadcast
+    // scalar. A target stratum ABSENT from the corpus makes the
+    // mixture unsatisfiable (its constraint is share·T ≤ 0 ⟹ T = 0,
+    // all rates 0) — computing T over only the present strata would
+    // instead return a plan that silently ships the WRONG mixture.
+    // The check rides IN-PLAN on the same one-row aggregate (a target
+    // stratum matches at most one group, so n_present = targeted ⟺
+    // all present): the plan stays lazy and the corpus is scanned
+    // ONCE at materialization, not once more per mixPlan() call.
+    val expected = targetShares.size
+    val targeted = targetShares.keySet.toSeq.sorted.mkString(", ")
     val t = counted.filter(col("share") > 0)
-      .select(min(col("n_docs") / col("share")).as("t_total"))
+      .agg(min(col("n_docs") / col("share")).as("t_total"),
+        count(lit(1)).as("__n_present"),
+        array_join(array_sort(collect_list(col(strataCol).cast("string"))),
+          ", ").as("__present"))
+      .select(when(col("__n_present") === lit(expected), col("t_total"))
+        .otherwise(raise_error(concat(
+          lit(s"targetShares strata absent from the corpus (targeted: " +
+            s"$targeted; present: "), col("__present"),
+          lit(") — the requested mixture is unsatisfiable (T = 0)"))))
+        .as("t_total"))
     counted.crossJoin(broadcast(t))
       .select(col(strataCol), col("n_docs"),
         round(col("share"), 6).as("share"),

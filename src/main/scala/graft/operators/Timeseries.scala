@@ -531,9 +531,14 @@ object Timeseries {
     * mega-strata. No orderBy on the window, so no sort — a pure
     * hash-style whole-partition aggregate.
     *
-    * Cross-engine exactness: the mean is an exact DECIMAL sum divided
-    * by the non-null count, cast to double once (the q1/C-block float
-    * rule); the anomaly then subtracts two bit-identical doubles.
+    * Cross-engine exactness — PRECONDITION: pass a DECIMAL-typed
+    * `value` column (the catalog passes `value_dec`). The mean is then
+    * an exact decimal sum divided by the non-null count, cast to
+    * double once (the q1/C-block float rule), and the anomaly
+    * subtracts two bit-identical doubles (the same decimal operand on
+    * both engines). With a plain double column the whole-partition
+    * sum is float-order-dependent and the cross-engine claim does NOT
+    * hold — exactness is the caller's contract, not enforced here.
     * `ticksPerSec` scales the epoch arithmetic (µs default). */
   def seasonalAnomaly(df: DataFrame, key: String, tsTicks: String,
                       value: String,

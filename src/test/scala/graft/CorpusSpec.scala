@@ -187,11 +187,15 @@ class CorpusSpec extends SparkSpec {
     assert(lands.contains("a"), s"null-id rows pinned to $lands across salts")
   }
 
-  test("F6b mixPlan throws when a target stratum is absent from the corpus") {
-    val e = intercept[IllegalArgumentException] {
-      Corpus.mixPlan(docs, "lang", Map("en" -> 0.4, "zz" -> 0.6)).collect()
-    }
-    assert(e.getMessage.contains("zz"))
+  test("F6b mixPlan raises in-plan when a target stratum is absent from the corpus") {
+    // the check is deferred into the plan (mixPlan stays lazy, one
+    // corpus scan): building the frame succeeds, materializing raises
+    val plan = Corpus.mixPlan(docs, "lang", Map("en" -> 0.4, "zz" -> 0.6))
+    val e = intercept[Exception] { plan.collect() }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("zz"), s"missing stratum not named: ${messages(e)}")
+    assert(messages(e).contains("unsatisfiable"))
   }
 
   test("F13 quantileLabel is exact and collision-free") {
