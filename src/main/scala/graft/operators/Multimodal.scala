@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   * chunked so a codec amortizes per-batch setup (model load, JNI
   * handle) across [[Codec.batchSize]] payloads. The IMAGE codec is
   * real: `javax.imageio` (in the JDK — PNG/JPEG/GIF/BMP) probes
-  * dimensions header-only for G1 and decodes + rescales pixels for
-  * G4. Audio/video codecs are NOT in this container, so those — and
-  * payloads imageio doesn't recognize — fall back to
-  * [[Codec.stubMeta]], a clearly-marked deterministic fake; the
-  * schema, encoders, batching, and partition flow around both paths
-  * are the same production plumbing.
+  * dimensions header-only for G1, decodes + rescales pixels for G4,
+  * and pools luminance features for G3. The MOTION path is real for
+  * animated streams the JDK decodes (animated GIF): G1 reports true
+  * frame counts and G2 extracts composited per-frame pixels
+  * ([[Codec.sampleFrames]]). True video/audio codecs (H.264, AAC …)
+  * are NOT in this container, so those — and payloads imageio
+  * doesn't recognize — fall back to [[Codec.stubMeta]], a
+  * clearly-marked deterministic fake; the schema, encoders,
+  * batching, and partition flow around both paths are the same
+  * production plumbing.
   */
 object Multimodal {
 
@@ -149,6 +153,202 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Cap on CUMULATIVE decoded pixels across an animation's frames
+      * (sum of per-frame w·h). A hostile stream packs thousands of
+      * LZW frames into a tiny payload — per-frame size alone doesn't
+      * bound the decode work, so frame sampling refuses past this
+      * (1 G pixels ≈ 4 GiB of frame traffic) rather than letting one
+      * payload monopolize an executor core for minutes. */
+    val maxAnimationPixels: Long = 4L * maxDecodePixels
+
+    private def domChild(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+      var c = if (n == null) null else n.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == name) return Some(c)
+        c = c.getNextSibling
+      }
+      None
+    }
+
+    private def domAttr(n: org.w3c.dom.Node, a: String): Option[String] =
+      Option(n.getAttributes).flatMap(m => Option(m.getNamedItem(a)))
+        .map(_.getNodeValue)
+
+    private def domAttrInt(n: org.w3c.dom.Node, a: String): Option[Int] =
+      domAttr(n, a).flatMap(_.toIntOption)
+
+    /** Per-frame placement/timing of one animation frame, from the
+      * reader's native metadata (GIF: ImageDescriptor +
+      * GraphicControlExtension). Defaults describe a full-canvas
+      * replace with no delay — correct for multi-page formats that
+      * carry no placement metadata. */
+    private final case class FramePlacement(x: Int, y: Int,
+                                            disposal: String, delayCs: Int)
+
+    private def framePlacement(r: javax.imageio.ImageReader, i: Int): FramePlacement =
+      try {
+        val meta = r.getImageMetadata(i)
+        if (meta == null) FramePlacement(0, 0, "none", 0)
+        else {
+          val tree = meta.getAsTree(meta.getNativeMetadataFormatName)
+          val desc = domChild(tree, "ImageDescriptor")
+          val gce = domChild(tree, "GraphicControlExtension")
+          FramePlacement(
+            desc.flatMap(domAttrInt(_, "imageLeftPosition")).getOrElse(0),
+            desc.flatMap(domAttrInt(_, "imageTopPosition")).getOrElse(0),
+            gce.flatMap(domAttr(_, "disposalMethod")).getOrElse("none"),
+            gce.flatMap(domAttrInt(_, "delayTime")).getOrElse(0))
+        }
+      } catch { case scala.util.control.NonFatal(_) => FramePlacement(0, 0, "none", 0) }
+
+    /** Logical-screen (canvas) dims of an animated stream — GIF keeps
+      * them in the stream header, distinct from any one frame's rect.
+      * Falls back to frame 0's dims for formats without the notion. */
+    private def logicalScreen(r: javax.imageio.ImageReader): (Int, Int) =
+      (try {
+        val meta = r.getStreamMetadata
+        if (meta == null) None
+        else {
+          val tree = meta.getAsTree(meta.getNativeMetadataFormatName)
+          domChild(tree, "LogicalScreenDescriptor").flatMap { d =>
+            for (w <- domAttrInt(d, "logicalScreenWidth");
+                 h <- domAttrInt(d, "logicalScreenHeight")) yield (w, h)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse((r.getWidth(0), r.getHeight(0)))
+
+    /** REAL multi-frame probe: (canvasW, canvasH, frameCount) of an
+      * animated stream `javax.imageio` can decode — animated GIF in
+      * the stock JDK. Counting frames walks the stream's block
+      * structure (no pixel decode, cost linear in payload bytes — a
+      * real frame count can't be cheaper than that, delta frames are
+      * length-prefixed). None when the payload isn't a recognized
+      * image stream. */
+    def frameProbe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val (w, h) = logicalScreen(r)
+              Some((w, h, n))
+            }
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
+    /** One sampled frame: composited canvas at `frame_idx`, PNG-encoded. */
+    final case class Sampled(idx: Int, tOffsetS: Double, w: Int, h: Int,
+                             png: Array[Byte])
+
+    /** REAL frame sampling: decode an animated stream (GIF in the
+      * stock JDK), composite every frame onto the logical-screen
+      * canvas per the GIF89a model — frames draw at their declared
+      * (x, y) rect over what's already there; a frame's disposal then
+      * clears its rect to transparent (`restoreToBackgroundColor`) or
+      * rewinds the canvas (`restoreToPrevious`) before the next draw —
+      * and PNG-snapshot every `step`-th composite. EVERY frame decodes
+      * even when only some are sampled (delta frames only mean
+      * anything over the composited predecessor — the same reason a
+      * video sampler must decode from the previous keyframe).
+      *
+      * `t_offset_s` comes from the stream's own per-frame delays
+      * (GIF centiseconds, cumulative sum of frames 0..i-1); a stream
+      * with no timing anywhere falls back to `idx / fallbackFps`.
+      *
+      * None — never an executor OOM/stall — when the payload isn't a
+      * recognized multi-frame stream, the canvas exceeds
+      * [[maxDecodePixels]], or cumulative frame rects exceed
+      * [[maxAnimationPixels]] (a thousand-frame bomb in a 10 KiB
+      * payload). Returns (totalFrames, sampled). */
+    def sampleFrames(bytes: Array[Byte], step: Int, fallbackFps: Double)
+        : Option[(Int, Vector[Sampled])] = {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) return None
+          val (lw, lh) = logicalScreen(r)
+          if (lw <= 0 || lh <= 0 || lw.toLong * lh > maxDecodePixels) return None
+          val canvas = new java.awt.image.BufferedImage(
+            lw, lh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          // metadata pass first: one timing mode for the whole stream
+          // (a per-frame fallback would mix clocks when only some
+          // frames carry delays)
+          val placements = Vector.tabulate(n)(framePlacement(r, _))
+          val useDelays = placements.exists(_.delayCs > 0)
+          var decodedPixels = 0L
+          var tCs = 0L // cumulative delay, centiseconds
+          val out = Vector.newBuilder[Sampled]
+          var i = 0
+          while (i < n) {
+            val p = placements(i)
+            val frame = r.read(i)
+            decodedPixels += frame.getWidth.toLong * frame.getHeight
+            if (decodedPixels > maxAnimationPixels) return None
+            // restoreToPrevious needs the pre-draw canvas back after
+            // this frame — copy only when the disposal asks for it
+            val saved =
+              if (p.disposal == "restoreToPrevious") {
+                val c = new java.awt.image.BufferedImage(
+                  lw, lh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics()
+                try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+                Some(c)
+              } else None
+            val g = canvas.createGraphics()
+            try g.drawImage(frame, p.x, p.y, null) finally g.dispose()
+            if (i % step == 0) {
+              val t = if (useDelays) tCs / 100.0 else i / fallbackFps
+              val shot = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(canvas, "png", shot)
+              out += Sampled(i, t, lw, lh, shot.toByteArray)
+            }
+            tCs += p.delayCs
+            p.disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                try {
+                  g2.setComposite(java.awt.AlphaComposite.Clear)
+                  g2.fillRect(p.x, p.y, frame.getWidth, frame.getHeight)
+                } finally g2.dispose()
+              case "restoreToPrevious" =>
+                saved.foreach { c =>
+                  val g2 = canvas.createGraphics()
+                  try {
+                    g2.setComposite(java.awt.AlphaComposite.Src)
+                    g2.drawImage(c, 0, 0, null)
+                  } finally g2.dispose()
+                }
+              case _ => // none / doNotDispose: leave the composite
+            }
+            i += 1
+          }
+          Some((n, out.result()))
+        } finally r.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
     /** STUB — deterministic fake metadata for the modalities whose
       * codecs are absent in this container (audio/video) and for
       * payloads `javax.imageio` doesn't recognize (the synthetic
@@ -172,17 +372,28 @@ object Multimodal {
       MediaMeta(id, kind, bytes.length, w, hgt, frames)
     }
 
-    /** One payload's decode: real header probe for images, [[stubMeta]]
-      * otherwise. Returns the meta AND the probe result so a caller
-      * that needs the declared dims (resize) doesn't re-parse the
-      * header. */
+    /** One payload's decode: real header probe for images, real
+      * frame-count probe for video payloads that are animated streams
+      * the JDK decodes (animated GIF), [[stubMeta]] otherwise. The
+      * image probe stays header-only; the video probe pays a
+      * block-walk of the payload (frame COUNT requires it — delta
+      * frames are length-prefixed, not indexed). Returns the meta AND
+      * the dims so a caller that needs them (resize) doesn't re-parse
+      * the header. */
     def decodeOne(id: Long, kind: String, bytes: Array[Byte])
-        : (MediaMeta, Option[(Int, Int)]) = {
-      val real = if (kind == "image") imageSize(bytes) else None
-      real match {
-        case Some((w, h)) => (MediaMeta(id, kind, bytes.length, w, h, 1), real)
-        case None         => (stubMeta(id, kind, bytes), None)
-      }
+        : (MediaMeta, Option[(Int, Int)]) = kind match {
+      case "image" =>
+        imageSize(bytes) match {
+          case d @ Some((w, h)) => (MediaMeta(id, kind, bytes.length, w, h, 1), d)
+          case None             => (stubMeta(id, kind, bytes), None)
+        }
+      case "video" =>
+        frameProbe(bytes) match {
+          case Some((w, h, n)) =>
+            (MediaMeta(id, kind, bytes.length, w, h, n), Some((w, h)))
+          case None => (stubMeta(id, kind, bytes), None)
+        }
+      case _ => (stubMeta(id, kind, bytes), None)
     }
 
     /** Batched decode: real header probe for images, [[stubMeta]] for
@@ -204,6 +415,48 @@ object Multimodal {
       .select(col("doc_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
       .withColumn("t_offset_s", col("frame_idx") / lit(fps))
+  }
+
+  /** One row of [[frameSamplePayloads]] output: a sampled frame with
+    * its composited pixels (real path) or the stub's index-only row. */
+  final case class SampledFrame(doc_id: Long, frames: Int, frame_idx: Int,
+                                t_offset_s: Double, frame_w: Int, frame_h: Int,
+                                payload: Array[Byte], is_real: Boolean)
+
+  /** G2 on real media payloads — (doc_id, kind, payload). Video
+    * payloads that are animated streams the stock JDK decodes
+    * (animated GIF) take the REAL path: every frame decoded and
+    * composited per the GIF89a disposal model, every `step`-th
+    * composite PNG-encoded into `payload`, `t_offset_s` from the
+    * stream's own per-frame delays ([[Codec.sampleFrames]]),
+    * `is_real = true`. True video codecs (H.264 etc.) are not in the
+    * JDK, so those payloads — and unrecognized bytes, refused
+    * frame bombs — keep the deterministic stub: [[Codec.stubMeta]]
+    * frame count, `idx / fps` offsets, null payload,
+    * `is_real = false`. Narrow op both ways: payload bytes never
+    * leave their partition, frames fan out inside the scan stage. */
+  def frameSamplePayloads(media: DataFrame, step: Int = 30,
+                          fps: Double = 24.0): DataFrame = {
+    require(step > 0, s"step=$step must be positive")
+    require(fps > 0.0, s"fps=$fps must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, _, bytes0) =>
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+        Codec.sampleFrames(bytes, step, fps) match {
+          case Some((n, sampled)) =>
+            sampled.map(s => SampledFrame(id, n, s.idx, s.tOffsetS,
+              s.w, s.h, s.png, is_real = true))
+          case None =>
+            val m = Codec.stubMeta(id, "video", bytes)
+            (0 until m.frames by step).map(i => SampledFrame(id, m.frames, i,
+              i / fps, m.width, m.height, null, is_real = false))
+        }
+      })
+      .toDF()
   }
 
   /** G3: feature extraction — payload bytes → fixed-width float
