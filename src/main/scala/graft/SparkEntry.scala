@@ -426,6 +426,13 @@ object SparkEntry {
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
+    // F14: the whole prep job (quality gate → exact dedup → near-dup
+    // survivors → packed sequences) as one benched composition; every
+    // stage is oracled/spec'd on its own, the e2e entry pins that the
+    // stages COMPOSE (and gives the driver one headline prep number)
+    "corpus_prep_e2e" -> ((s, d) =>                                   // rows-only
+      Corpus.prepPipeline(docs(s, d))),
+
     "text_compression_ratio" -> ((s, d) =>                            // rows-only
       TextAnalysis.compressionRatio(docs(s, d))),
 
@@ -470,7 +477,12 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> 25L,
     "dedup_simhash"       -> 17L,
     "dedup_embedding_lsh" -> 7L,
-    "dedup_semantic"      -> 6L)
+    "dedup_semantic"      -> 6L,
+    // one packed row per surviving doc; 476 measured at BOTH verify
+    // sfs (the 500-doc tables plant the same dup structure), so the
+    // floor is tight everywhere — any quality-gate or dedup collapse
+    // trips it immediately
+    "corpus_prep_e2e"     -> 476L)
 
   /** Row-count invariants COMPUTED from the input tables (one
     * single-pass aggregate over documents' metadata columns + one

@@ -273,6 +273,51 @@ object Corpus {
     }
   }
 
+  /** F14: the end-to-end pretraining-prep job as ONE declared plan —
+    * the composition a production corpus actually runs nightly, from
+    * raw documents to packed training sequences:
+    *
+    *   1. quality gate — F2's score, docs below `minQuality` dropped
+    *      (null/empty text scores 0.0 and exits here);
+    *   2. exact dedup — D1's keep-lowest-id-per-content-hash, spelled
+    *      as `min_by(struct(...))` inside the SAME hash aggregate so
+    *      the survivor's stratum+text ride along (no corpus-sized
+    *      join back against the keep-list);
+    *   3. near-dup dedup — D3b's df-capped gram-Jaccard pairs at
+    *      `tau`, D6 survivors (lowest id per near-dup pair wins);
+    *   4. sequence packing — F7's two-phase distributed prefix sum
+    *      into `budgetTokens` sequences per stratum.
+    *
+    * Every stage is individually oracled/spec'd in the catalog; this
+    * entry pins the COMPOSITION and gives the driver one benched
+    * headline number for the whole job (`corpus_prep_e2e`).
+    *
+    * Shuffle ledger at 100 TB: the quality gate is scan-fused
+    * (narrow); exact dedup is one hash aggregate on the content hash
+    * (map-side partials, no skew — hashes are uniform); the pair join
+    * runs on D3b's df-capped exploded-gram table (fan-out bounded
+    * ≤ maxDf² per gram); survivors is an anti-join against the pair
+    * list (pairs ≪ corpus — AQE broadcasts it); packing pays F7's
+    * range shuffle. Nothing shuffles on a raw skewed column. */
+  def prepPipeline(docs: DataFrame, minQuality: Double = 0.2,
+                   strataCol: String = "lang", budgetTokens: Int = 2048,
+                   tau: Double = 0.5, maxDf: Long = 10000L): DataFrame = {
+    require(minQuality > 0.0,
+      s"minQuality=$minQuality must be positive: the quality gate is " +
+        "what drops null/empty-text docs (score 0.0) before dedup")
+    val kept = TextAnalysis.qualityScore(docs, passthrough = Seq(strataCol, "text"))
+      .filter(col("score") >= minQuality)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val exactKept = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col(strataCol), col("text")),
+        col("doc_id")).as("__s"))
+      .select(col("__s.doc_id").as("doc_id"),
+        col(s"__s.$strataCol").as(strataCol), col("__s.text").as("text"))
+    val pairs = Dedup.ngramJaccard(exactKept, tau, maxDf = maxDf)
+    packSequences(Dedup.survivors(exactKept, pairs), strataCol, budgetTokens)
+  }
+
   /** F12: deterministic train/val/test assignment — the split every
     * training run needs pinned BEFORE any shuffling or sampling, with
     * the same engine-portable md5 coin as [[sampleStratified]]: a doc

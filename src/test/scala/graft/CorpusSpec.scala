@@ -217,6 +217,47 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"split plan shuffles:\n$plan")
   }
 
+  test("F14 prepPipeline: quality gate → exact dedup → near-dup survivors → packing compose") {
+    val good1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog sleeps" // 14 tokens, stopword-rich
+    val near1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog barks" // only the final tri-gram differs — see premise below
+    val good2 = "entirely different words appear in this other document " +
+      "about the weather today with more detail" // distinct doc
+    val corpus = Seq(
+      (1L, good1, "en"),
+      (2L, good1, "en"),          // exact dup of 1 → D1 drops (keep 1)
+      (3L, near1, "en"),          // near-dup of 1 → D3b/D6 drop (keep 1)
+      (4L, good2, "en"),          // kept
+      (5L, "", "en"),             // empty → quality 0.0 → dropped
+      (6L, null, "en"),           // null text → quality 0.0 → dropped
+      (7L, "4 8 15 16 23 42 108 1 2 3", "en") // digit junk → below gate
+    ).toDF("doc_id", "text", "lang")
+
+    // the gate threshold separates the planted junk from the real docs
+    // (assert the premise, not just the outcome)
+    import graft.operators.TextAnalysis
+    val scores = TextAnalysis.qualityScore(corpus)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val minQ = 0.3
+    assert(Seq(1L, 2L, 3L, 4L).forall(scores(_) >= minQ))
+    assert(Seq(5L, 6L, 7L).forall(scores(_) < minQ))
+
+    // near-dup premise: 1 vs 3 share all but the final tri-gram
+    // (11 shared of 12 each → Jaccard 11/13 ≈ 0.846 ≥ tau)
+    val out = Corpus.prepPipeline(corpus, minQuality = minQ,
+        strataCol = "lang", budgetTokens = 16, tau = 0.5)
+      .select("doc_id", "lang", "ws_tokens", "seq_id", "seq_offset")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+
+    // survivors: 1 (canonical of {1,2,3}) and 4; packed in id order
+    // within the en stratum at budget 16: doc 1 (14 tokens) fills
+    // [0,14) of seq 0; doc 4 (15 tokens) starts at offset 14 → seq 0
+    assert(out.map(_._1).toSeq === Seq(1L, 4L))
+    assert(out(0) === ((1L, "en", 14L, 0L, 0L)))
+    assert(out(1) === ((4L, "en", 15L, 0L, 14L)))
+  }
+
   test("F13 tokenQuantiles computes exact interpolated percentiles per stratum") {
     // en token counts by doc_id order: 4, 3, 3 → sorted [3, 3, 4]
     //   p50 = 3.0; p75 at rank 0.75·2 = 1.5 → 3 + 0.5·(4−3) = 3.5

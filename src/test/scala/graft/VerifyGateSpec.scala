@@ -12,8 +12,11 @@ class VerifyGateSpec extends AnyFunSuite {
   private val rowsOnly: Set[String] =
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
+  // every count sits AT its declared floor (or a floor-free 100), so
+  // the baseline is green however tight the static floors get
   private def greenCounts: Map[String, Long] =
-    SparkEntry.queries.keysIterator.map(_ -> 100L).toMap
+    SparkEntry.queries.keysIterator
+      .map(q => q -> SparkEntry.rowFloors.getOrElse(q, 100L)).toMap
 
   test("the catalog still has rows-only queries for the gate to guard") {
     assert(rowsOnly.nonEmpty)
