@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted; s((s.length - 1) / 2)
+    val s = xs.sorted
+    // true median: an even rep count must not systematically pick the
+    // faster middle run (reps=2 would report the MINIMUM otherwise)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   /** noop-sink wall time of one plan — the same materialization rule
@@ -48,14 +52,18 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    // a query that THROWS contributes no number: recording its
+    // elapsed-to-failure would ship a phantom "speedup" into the
+    // round's bench line (the serve/pipeline benches already drop
+    // failed entries); shared timeNoop so the timing bracket can't
+    // drift between the catalog loop and the serve bench
     def runAll(dir: String, record: Boolean): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.flatMap { case (name, fn) =>
+        try Some(name -> timeNoop(() => fn(spark, dir)))
         catch { case scala.util.control.NonFatal(e) =>
-          if (record) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (record) System.err.println(s"[bench] $name FAILED, no entry: ${e.getMessage}")
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
 
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
@@ -68,12 +76,17 @@ object Bench {
       runAll(sfDir, record = true)
     }
     clearCaches() // nor does the last rep donate to the serve bench
+    // median over the reps that SUCCEEDED; a query that failed every
+    // rep is absent from the line (stderr carries the failures)
     val results = SparkEntry.queries.keys
-      .map(name => name -> median(runs.map(_(name)))).toMap ++
+      .flatMap { name =>
+        val ok = runs.flatMap(_.get(name))
+        if (ok.isEmpty) None else Some(name -> median(ok))
+      }.toMap ++
       benchIndexServes(spark, sfDir, reps) ++
       benchPipeline(spark, reps)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
@@ -145,10 +158,12 @@ object Bench {
   private def benchIndexServes(spark: SparkSession, sfDir: String,
                                reps: Int): Map[String, Double] =
     try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, exists, lit}
       val S = graft.operators.Similarity
       val emb = Tables.embeddings(spark, sfDir)
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      // the CATALOG's query predicate (not a re-spelling that could
+      // drift from the ann_* entries and the recall gates)
+      val queries = emb.filter(SparkEntry.annIsQuery)
         .select("vec_id", "embedding")
       val ivfPath = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString
       val pqPath = java.nio.file.Files.createTempDirectory("graft_bench_ivfpq").toString
@@ -158,16 +173,28 @@ object Bench {
         // pruning audit: one query probes nprobe=4 of 16 lists, so the
         // serve reads strictly fewer list files than the index holds
         // (measured post-pruning via input_file_name — inputFiles
-        // would list the whole relation)
-        val one = queries.orderBy("vec_id").limit(1)
+        // would list the whole relation). The probe query must be a
+        // NONZERO vector (probeAndPrune drops zero-norm queries — a
+        // zero-norm fixture row would yield zero probes and a
+        // spurious regression), and the skip guard counts POPULATED
+        // LISTS, not files — partitionBy writes several part-files
+        // per list, so a file count would read "≤ nprobe lists" as
+        // "many files" and false-fail a small corpus.
+        val one = queries
+          .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
+          .orderBy("vec_id").limit(1)
         val nprobe = 4
+        val lists = spark.read.parquet(s"$ivfPath/lists")
+        val populated = lists.select("c_id").distinct().count()
         val probed = S.probedListFiles(spark, ivfPath, one, nprobe = nprobe)
-        val total = spark.read.parquet(s"$ivfPath/lists").inputFiles.length
-        if (!(probed.nonEmpty && (total <= nprobe || probed.length < total)))
+        val total = lists.inputFiles.length
+        if (!(probed.nonEmpty && (populated <= nprobe || probed.length < total)))
           throw new PruningRegression(
-            s"index serve did not prune: read ${probed.length} of $total list files")
+            s"index serve did not prune: read ${probed.length} of $total list " +
+              s"files ($populated lists populated, nprobe $nprobe)")
         System.err.println(
-          s"[bench] index pruning audit: 1-query serve reads ${probed.length}/$total list files")
+          s"[bench] index pruning audit: 1-query serve reads ${probed.length}/$total " +
+            s"list files across $populated populated lists")
         def servIvf() = S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = nprobe)
         def servPq() = S.ivfpqTopKFromIndex(spark, pqPath, queries, 5, nprobe = nprobe)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup

@@ -52,7 +52,10 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame  = Tables.embeddings(s, d)
 
-  private val annIsQuery: Column = col("vec_id") % 50 === 0
+  /** The catalog's ANN query-vector predicate — shared with the serve
+    * bench so the idx_* numbers can never silently bench a different
+    * query set than the ann_* entries and the recall gates. */
+  private[graft] val annIsQuery: Column = col("vec_id") % 50 === 0
 
   /** F6 mixing rates: downsample dominant en hard, fr lightly, keep
     * 90% of everything else. Thresholds are generated from these by

@@ -69,11 +69,14 @@ object Verify {
                        approx: String, exact: String): Option[Double] =
     try {
       val e = spark.read.parquet(s"$outDir/$exact")
+      // read the approx side BEFORE the empty-exact early-return: a
+      // missing/unreadable approx output must be None (gate failure),
+      // never a free 1.0 because the baseline happened to be empty
+      val a = spark.read.parquet(s"$outDir/$approx")
       val keys = e.columns.take(2).toSeq
       val nExact = e.count()
       if (nExact == 0L) Some(1.0)
       else {
-        val a = spark.read.parquet(s"$outDir/$approx")
         val hit = a.select(keys.map(col): _*).distinct()
           .join(e.select(keys.map(col): _*), keys, "inner").count()
         Some(hit.toDouble / nExact)
@@ -90,8 +93,13 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         counts(name) = spark.read.parquet(s"$outDir/$name").count()
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } catch {
+        // NonFatal ONLY: an OOM mid-query must kill the run — the
+        // remaining queries, the row checks, and the recall joins
+        // would otherwise execute in a heap-poisoned JVM and could
+        // write floor-passing garbage (the Bench catch rationale)
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // Jsons.str escapes backslash, quote, and ALL control chars (<0x20)

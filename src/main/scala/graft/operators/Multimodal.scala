@@ -134,13 +134,16 @@ object Multimodal {
           var y = 0
           while (y < h) {
             img.getRGB(0, y, w, 1, row, 0, w)
-            val gy = y * grid / h
+            // long multiply: a legal 1×240M-pixel strip (under the
+            // pixel cap) overflows y * grid at grid ≥ 9, and a
+            // negative cell index would demote the image to the stub
+            val gy = (y.toLong * grid / h).toInt
             var x = 0
             while (x < w) {
               val p = row(x)
               val lum = (0.299 * ((p >> 16) & 0xff) +
                 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)) / 255.0
-              val c = gy * grid + x * grid / w
+              val c = gy * grid + (x.toLong * grid / w).toInt
               sums(c) += lum; counts(c) += 1
               x += 1
             }
@@ -275,6 +278,10 @@ object Multimodal {
       * payload). Returns (totalFrames, sampled). */
     def sampleFrames(bytes: Array[Byte], step: Int, fallbackFps: Double)
         : Option[(Int, Vector[Sampled])] = {
+      // reject misuse loudly: the NonFatal catch below would otherwise
+      // swallow the i % 0 ArithmeticException and report a decodable
+      // stream as unrecognized
+      require(step > 0, s"step=$step must be positive")
       if (bytes == null || bytes.length == 0) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -302,9 +309,17 @@ object Multimodal {
           var i = 0
           while (i < n) {
             val p = placements(i)
+            // frame-level bomb check BEFORE r.read allocates the
+            // raster: a frame's own ImageDescriptor rect is not
+            // bounded by the logical screen, and a declared
+            // 40000×40000 frame (under Int.MaxValue pixels, so the
+            // reader itself won't reject it) would otherwise pay a
+            // ~1.6 GiB allocation before the cumulative check ran
+            val fPix = r.getWidth(i).toLong * r.getHeight(i)
+            decodedPixels += fPix
+            if (fPix > maxDecodePixels || decodedPixels > maxAnimationPixels)
+              return None
             val frame = r.read(i)
-            decodedPixels += frame.getWidth.toLong * frame.getHeight
-            if (decodedPixels > maxAnimationPixels) return None
             // restoreToPrevious needs the pre-draw canvas back after
             // this frame — copy only when the disposal asks for it
             val saved =
@@ -349,6 +364,13 @@ object Multimodal {
       finally iis.close()
     }
 
+    /** A NULL payload (null text upstream — encode propagates null)
+      * reads as empty bytes on EVERY entry path: one guard, so a new
+      * entry point can't forget the posture and NPE on inputs the
+      * F/G-block otherwise passes through. */
+    def nonNull(bytes: Array[Byte]): Array[Byte] =
+      if (bytes == null) Array.emptyByteArray else bytes
+
     /** STUB — deterministic fake metadata for the modalities whose
       * codecs are absent in this container (audio/video) and for
       * payloads `javax.imageio` doesn't recognize (the synthetic
@@ -356,11 +378,7 @@ object Multimodal {
       * (stable hash + length) so the operator stays deterministic and
       * testable; a production build replaces this integration point. */
     def stubMeta(id: Long, kind: String, bytes0: Array[Byte]): MediaMeta = {
-      // a NULL payload (null text upstream — encode propagates null)
-      // hashes as empty, the featureExtract posture; an NPE here
-      // would kill decode/resize on inputs the F/G-block otherwise
-      // passes through
-      val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+      val bytes = nonNull(bytes0)
       val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
       val w = 64 + math.floorMod(h, 1856)          // 64..1919
       val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
@@ -445,7 +463,7 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, _, bytes0) =>
-        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+        val bytes = Codec.nonNull(bytes0)
         Codec.sampleFrames(bytes, step, fps) match {
           case Some((n, sampled)) =>
             sampled.map(s => SampledFrame(id, n, s.idx, s.tOffsetS,
@@ -487,8 +505,7 @@ object Multimodal {
       // pure) — a grouped() wrapper would only imply batching that
       // doesn't exist
       .mapPartitions(_.map { case (id, kind, bytes) =>
-        // null payload (null text upstream) hashes as empty, never NPEs
-        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val b = Codec.nonNull(bytes)
         val real =
           if (gridReal && kind == "image") Codec.imageFeatures(b, grid)
           else None
@@ -517,17 +534,6 @@ object Multimodal {
                            dst_w: Int, dst_h: Int, n_bytes: Int,
                            payload: Array[Byte], is_real: Boolean)
 
-  /** G4: resize — fit every image payload inside (maxW, maxH)
-    * preserving aspect ratio, never upscaling. Decode and rescale run
-    * in the SAME batched partition pass (the realistic layout: one
-    * codec handle per batch does both), so the payload bytes are read
-    * once. The pixel scaler is a STUB like [[Codec.decode]] (byte
-    * subsample proportional to the area change — deterministic,
-    * size-realistic); the schema, the fused decode+transform batch
-    * pass, and the binary-in/binary-out flow are the production
-    * plumbing. Narrow op: no shuffle, payload bytes never leave their
-    * partition.
-    */
   /** Shared payload prelude: modality tag + opaque binary payload —
     * ONE definition so decode and resize can never classify the same
     * doc differently. */
@@ -541,6 +547,9 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .select(col("doc_id"), col("kind"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** G4: fit every image payload inside (maxW, maxH) preserving
+    * aspect ratio, never upscaling — [[resizePayloads]] over the
+    * synthetic payload prelude. */
   def resize(docs: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame =
     resizePayloads(payloads(docs), maxW, maxH)
 
@@ -558,12 +567,17 @@ object Multimodal {
     import spark.implicits._
     media
       .filter(col("kind") === "image")
+      // explicit column bind: the tuple encoder is POSITIONAL — extra
+      // or reordered caller columns would fail (or mis-bind) at action
+      // time otherwise (the frameSamplePayloads posture)
+      .select(col("doc_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.grouped(Codec.batchSize).flatMap { batch =>
-        batch.map { case (id, kind, bytes0) =>
-          // null payload (null text upstream) = empty bytes, the
-          // stubMeta/featureExtract posture — .length below must not NPE
-          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+      // plain per-element map: ImageIO is stateless here, there is no
+      // per-batch codec handle to amortize — a grouped() wrapper would
+      // only imply batching that doesn't exist (the featureExtract
+      // rationale)
+      .mapPartitions(_.map { case (id, kind, bytes0) =>
+          val bytes = Codec.nonNull(bytes0)
           // ONE header parse per payload: decodeOne hands back the
           // probe result, resizeImageKnown reuses it
           val (m, declared) = Codec.decodeOne(id, kind, bytes)
@@ -594,7 +608,6 @@ object Multimodal {
               Resized(id, m.width, m.height, dw, dh, outLen,
                 bytes.take(outLen), is_real = false)
           }
-        }
       })
       .toDF()
   }
@@ -613,8 +626,11 @@ object Multimodal {
   def decodeMetaPayloads(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // explicit column bind: the tuple encoder is positional (see
+    // resizePayloads)
     val typed: Dataset[(Long, String, Array[Byte])] =
-      media.as[(Long, String, Array[Byte])]
+      media.select(col("doc_id"), col("kind"), col("payload"))
+        .as[(Long, String, Array[Byte])]
     typed
       .mapPartitions(_.grouped(Codec.batchSize).flatMap(b => Codec.decode(b.toSeq)))
       .toDF()

@@ -154,6 +154,24 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(viaPayload === viaMeta)
   }
 
+  test("a frame bomb (small canvas, huge declared frame rect) is refused before decode") {
+    // logical screen 12x10 passes the canvas check, but the single
+    // frame's ImageDescriptor declares 30000x30000 (900 Mpx — over
+    // maxDecodePixels yet under Int.MaxValue, so the reader itself
+    // would happily allocate the ~900 MB raster): the per-frame check
+    // must refuse BEFORE r.read
+    def le(i: Int): Array[Byte] = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+    val bomb = "GIF89a".getBytes("US-ASCII") ++
+      le(12) ++ le(10) ++ Array[Byte](0x00, 0, 0) ++
+      Array(0x2C.toByte) ++ le(0) ++ le(0) ++ le(30000) ++ le(30000) ++
+      Array(0x80.toByte) ++
+      Array[Byte](0, 0, 0, -1, -1, -1) ++
+      Array[Byte](2, 2, 0x44, 0x01, 0) ++
+      Array(0x3B.toByte)
+    assert(Multimodal.Codec.frameProbe(bomb) === Some((12, 10, 1)))
+    assert(Multimodal.Codec.sampleFrames(bomb, 1, 24.0).isEmpty)
+  }
+
   test("a canvas bomb (65535x65535 logical screen) is refused before allocation") {
     // hand-built minimal GIF: 6-byte header, LSD declaring 65535x65535
     // (4.3 Gpx > maxDecodePixels), one 1x1 frame with a 2-color local
