@@ -77,6 +77,15 @@ object SparkEntry {
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
 
+  /** F15 temperature (√n shares — the mT5 default α = 0.3–0.7 band);
+    * F16 per-stratum token budget (~half of each verify stratum's
+    * ~6k-token stream, so the cap provably engages); F17 exact take
+    * (below the ~100-doc stratum size, so the rank cut engages). All
+    * three are mirrored literally into the oracle SQL. */
+  private val MixAlpha = 0.5
+  private val CapBudget = 3000
+  private val TakeN = 40
+
   // ---- the catalog ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,11 +438,20 @@ object SparkEntry {
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
+    "corpus_mix_temperature" -> ((s, d) =>
+      Corpus.mixTemperature(docs(s, d), "lang", MixAlpha)),
+
+    "corpus_budget_cap" -> ((s, d) =>
+      Corpus.budgetCap(docs(s, d), "lang", CapBudget)),
+
+    "corpus_sample_exact" -> ((s, d) =>
+      Corpus.sampleExact(docs(s, d), "lang", TakeN)),
+
     // F14: the whole prep job (quality gate → exact dedup → near-dup
     // survivors → packed sequences) as one benched composition; every
     // stage is oracled/spec'd on its own, the e2e entry pins that the
     // stages COMPOSE (and gives the driver one headline prep number)
-    "corpus_prep_e2e" -> ((s, d) =>                                   // rows-only
+    "corpus_prep_e2e" -> ((s, d) =>
       Corpus.prepPipeline(docs(s, d))),
 
     "text_compression_ratio" -> ((s, d) =>                            // rows-only
@@ -1337,6 +1355,109 @@ object SparkEntry {
          |  $qs
          |FROM t GROUP BY 1""".stripMargin
     },
+
+    // F15: same temperature law, spelled from the count — p_s = n^α/z,
+    // rate_s = n^(α-1)·min(n^(1-α)); 6-dp rounding absorbs per-engine
+    // 1-ulp power/sum wobble (the mixPlan posture)
+    "corpus_mix_temperature" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(power(n_docs, $MixAlpha)) AS z,
+         |         min(power(n_docs, ${1.0 - MixAlpha})) AS m
+         |  FROM counts)
+         |SELECT lang, n_docs,
+         |  round(power(n_docs, $MixAlpha) / z, 6) AS share,
+         |  round(power(n_docs, ${MixAlpha - 1.0}) * m, 6) AS rate
+         |FROM counts CROSS JOIN tot""".stripMargin,
+
+    // F16: kept ⟺ the doc's first token starts under the budget —
+    // the F7 window cumsum with a WHERE instead of the seq split
+    "corpus_budget_cap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, ws_tokens,
+         |    CAST(coalesce(sum(ws_tokens) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, lang, ws_tokens, tok_offset
+         |FROM c WHERE tok_offset < $CapBudget""".stripMargin,
+
+    // F17: rank by (md5 coin, doc_id) per stratum, keep rank ≤ n
+    "corpus_sample_exact" ->
+      s"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':take'),
+         |             1, 8), doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $TakeN""".stripMargin,
+
+    // F14: each stage verbatim from its own hash-green mirror (F2
+    // quality CASE, D1 keep-lowest-id, D3b capped grams at the e2e
+    // defaults tau=0.5 / maxDf=10000, D6 NOT EXISTS, F7 window pack)
+    // — the composition is what this oracle pins
+    "corpus_prep_e2e" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, text, length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM b
+         |  WHERE (CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |           0.3 * least(1.0, wc / 120.0) +
+         |           0.3 * (stop_hits / wc) +
+         |           0.2 * (1.0 - digit_chars / n_chars_c) +
+         |           0.2 * (1.0 - punct_chars / n_chars_c)
+         |         ELSE 0.0 END) >= 0.2),
+         |ek AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |g0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM (SELECT doc_id, $TOKS AS t FROM ek)),
+         |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
+         |g AS (SELECT g0.doc_id, g0.gram
+         |      FROM g0 JOIN dfs USING (gram) WHERE df <= 10000),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         |surv AS (
+         |  SELECT doc_id, lang, text FROM ek d
+         |  WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_b = d.doc_id)),
+         |t AS (
+         |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
+         |  FROM surv),
+         |c AS (
+         |  SELECT doc_id, lang, ws_tokens,
+         |    CAST(coalesce(sum(ws_tokens) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, lang, ws_tokens,
+         |       tok_offset // 2048 AS seq_id,
+         |       tok_offset % 2048 AS seq_offset
+         |FROM c""".stripMargin,
 
     "corpus_pack_sequences" ->
       s"""WITH t AS (

@@ -318,6 +318,79 @@ object Corpus {
     packSequences(Dedup.survivors(exactKept, pairs), strataCol, budgetTokens)
   }
 
+  /** F15: temperature-scaled mixing plan — the standard multilingual
+    * rebalance (T5/mT5's α-sampling): target share `p_s ∝ n_s^α`, so
+    * α = 1 keeps natural proportions, α → 0 flattens toward uniform,
+    * and intermediate α up-weights rare strata smoothly. Shares feed
+    * the same no-upsampling largest-T rule as [[mixPlan]]
+    * (`T = min_s(n_s / p_s)`, `rate_s = p_s·T/n_s`), and the output
+    * shape matches — plan, then [[sampleStratified]], is the loop.
+    *
+    * Same scale posture as mixPlan: one strata-count aggregate + a
+    * broadcast scalar, O(strata) output, fully lazy, corpus scanned
+    * once at materialization. Shares/rates round at 6 dp — `power` is
+    * within 1 ulp per engine, and a 1-ulp wobble at 1e-16 relative
+    * cannot move a 6-dp rounding off a non-boundary value. */
+  def mixTemperature(docs: DataFrame, strataCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha=$alpha must sit in (0, 1]: α > 1 sharpens skew (never " +
+        "wanted for rebalance) and α = 0 breaks ties arbitrarily")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    // NULL strata count like any other group and get a share: the
+    // temperature law is a function of the COUNT, not the label
+    val tot = counts.agg(
+      sum(pow(col("n_docs"), lit(alpha))).as("z"),
+      min(pow(col("n_docs"), lit(1.0 - alpha))).as("m"))
+    // p_s = n^α / z;  T = min_s(n_s/p_s) = z · min_s(n_s^(1-α))
+    // rate_s = p_s·T/n_s = n_s^(α-1) · min_s(n_s^(1-α))
+    counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_docs"),
+        round(pow(col("n_docs"), lit(alpha)) / col("z"), 6).as("share"),
+        round(pow(col("n_docs"), lit(alpha - 1.0)) * col("m"), 6).as("rate"))
+  }
+
+  /** F16: per-stratum token-budget cap — keep each stratum's document
+    * stream (doc_id order) until the running token total reaches
+    * `budgetTokens`: a doc is kept iff its FIRST token starts under
+    * the budget (the doc straddling the boundary stays whole — caps
+    * trim streams, they don't split documents). The cumulative sum is
+    * [[packSequences]]' two-phase distributed prefix sum verbatim —
+    * kept ⟺ `seq_id = 0` at sequence length `budgetTokens` — so the
+    * mega-stratum never pins to one task and the cap needs no new
+    * machinery. Output: the kept docs with their token count and
+    * stream offset. */
+  def budgetCap(docs: DataFrame, strataCol: String,
+                budgetTokens: Int): DataFrame =
+    packSequences(docs, strataCol, budgetTokens)
+      .filter(col("seq_id") === 0L)
+      .select(col("doc_id"), col(strataCol), col("ws_tokens"),
+        col("seq_offset").as("tok_offset"))
+
+  /** F17: exact-count stratified take — exactly `min(n, n_s)` docs per
+    * stratum (mixture building needs exact counts where
+    * [[sampleStratified]]'s rate coin gives binomial ones), chosen by
+    * the same engine-portable md5 coin so membership is deterministic
+    * and decoupled from partitioning: rank docs per stratum by
+    * `(md5(doc_id ":" salt), doc_id)` — the id tie-break pins the
+    * order even on the measure-zero chance of a coin collision — and
+    * keep rank ≤ n. One rank window per stratum; Spark plans
+    * `WindowGroupLimit` below the exchange, so each map task ships at
+    * most n rows per stratum, not its whole slice. */
+  def sampleExact(docs: DataFrame, strataCol: String, n: Int,
+                  salt: String = "take"): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val coin = substring(
+      md5(concat(coalesce(col("doc_id").cast("string"), lit("")),
+        lit(":"), lit(salt))), 1, 8)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(coin.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(strataCol))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= n)
+  }
+
   /** F12: deterministic train/val/test assignment — the split every
     * training run needs pinned BEFORE any shuffling or sampling, with
     * the same engine-portable md5 coin as [[sampleStratified]]: a doc
