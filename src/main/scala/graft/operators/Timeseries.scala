@@ -550,4 +550,57 @@ object Timeseries {
         sum(col(value)).over(w).cast("double") / count(col(value)).over(w))
       .withColumn("anomaly", col(value).cast("double") - col("clim_value"))
   }
+
+  /** Exact floor-division of a long column by a positive constant —
+    * `div` alone truncates toward zero (wrong for negative ticks, e.g.
+    * pre-1970 timestamps); subtracting the non-negative `pmod` first
+    * makes the operand exactly divisible, so truncation IS floor.
+    * Stays in integer arithmetic — no double round-trip that would go
+    * lossy past 2^53 ticks. */
+  private def floorDivCol(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+
+  /** A21: range (interval-containment) join — every `points` row whose
+    * `pt` tick falls inside a right row's `[start, end]` (inclusive),
+    * WITHOUT the cartesian/BroadcastNestedLoopJoin plan Spark picks
+    * for a bare theta join (unusable past one small side; the
+    * reference's obs-window extraction joins readings to fgt windows
+    * this way, gen_active_stations_rfields.py's time-slicing, but
+    * row-at-a-time in pandas).
+    *
+    * Scale shape: the time axis is cut into fixed `binWidth` bins;
+    * each interval explodes to the ⌈len/bin⌉+1 bins it overlaps, each
+    * point gets exactly its one containing bin, and the two sides
+    * equi-join ON THE BIN — one hash shuffle each, partitioned by
+    * time, so a 1000-executor cluster spreads the axis uniformly (no
+    * hot key while binWidth tracks the typical interval length; skew
+    * only if intervals pile onto one bin, which `maxBinsPerInterval`
+    * can't cause — it guards the dual failure, a runaway interval
+    * exploding to millions of rows, aborting loudly instead).
+    * The exact BETWEEN predicate prunes in-bin misses after the join;
+    * a (point, interval) pair matches in exactly one bin — the
+    * point's own — so no post-join dedup is needed.
+    */
+  def rangeJoinBinned(points: DataFrame, pt: String,
+                      intervals: DataFrame, start: String, end: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("_bin", floorDivCol(col(pt), binWidth))
+    val b0 = floorDivCol(col(start), binWidth)
+    val b1 = floorDivCol(col(end), binWidth)
+    val i = intervals
+      // malformed (end < start) or runaway intervals die loudly here:
+      // a silent sequence() of 10^6 bins per row is the quadratic
+      // blowup this operator exists to avoid
+      .withColumn("_chk", assert_true(
+        col(end) >= col(start) && (b1 - b0) < lit(maxBinsPerInterval.toLong),
+        concat(lit(s"rangeJoinBinned: interval [$start,$end] invalid or wider " +
+          s"than $maxBinsPerInterval bins of $binWidth — raise binWidth"))))
+      .withColumn("_bin", explode(sequence(b0, b1)))
+      .drop("_chk")
+    p.join(i, "_bin")
+      .filter(col(pt) >= col(start) && col(pt) <= col(end))
+      .drop("_bin")
+  }
 }
