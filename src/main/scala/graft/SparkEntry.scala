@@ -464,6 +464,12 @@ object SparkEntry {
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
+    // F13b: rows-only (bounded-rank-error summary, no cross-engine
+    // mirror); gated by the exact strata-count invariant +
+    // QuantileSketchSpec's rank-error bound against F13
+    "corpus_token_quantiles_approx" -> ((s, d) =>
+      Corpus.tokenQuantilesApprox(docs(s, d), "lang", QuantilePs)),
+
     "corpus_mix_temperature" -> ((s, d) =>
       Corpus.mixTemperature(docs(s, d), "lang", MixAlpha)),
 
@@ -549,10 +555,14 @@ object SparkEntry {
       count(when(pmod(col("doc_id"), lit(3)) === 2, 1)),
       // langs owning ≥1 token under tokens()'s alnum normalization —
       // the exact group count F15b's sketch aggregate must emit
-      countDistinct(when(lower(col("text")).rlike("[a-z0-9]"), col("lang")))).head()
+      countDistinct(when(lower(col("text")).rlike("[a-z0-9]"), col("lang"))),
+      // ALL langs (token-less docs still count toward their stratum's
+      // quantile row) — F13b's exact group count
+      countDistinct(col("lang"))).head()
     val (nDocs, nSources, nImages, nVideos) =
       (mRow.getLong(0), mRow.getLong(1), mRow.getLong(2), mRow.getLong(3))
     val nTokenLangs = mRow.getLong(4)
+    val nLangs = mRow.getLong(5)
     val topk = 5L * emb(spark, sfDir).filter(annIsQuery).count()
     RowChecks(
       exact = Map(
@@ -567,6 +577,7 @@ object SparkEntry {
         "text_compression_ratio"  -> nDocs,
         "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
+        "corpus_token_quantiles_approx" -> nLangs,
         "dedup_corpus_sim"        -> nSources * (nSources - 1) / 2),
       floors = Map("mm_frame_sample" -> nVideos))
   }

@@ -456,6 +456,35 @@ object Corpus {
     lengths.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** F13b: approximate token-length percentiles — F13's 100 TB shape.
+    * Exact `percentile` buffers EVERY value of a group in one
+    * aggregation buffer (fine for sizing a bench stratum, an OOM at
+    * corpus scale); `approx_percentile` keeps a bounded
+    * Greenwald-Khanna summary per group instead — constant memory at
+    * any n, built per partition and MERGED in the partial-agg combine
+    * like F15b's HLL sketch, with rank error ≤ n/accuracy. Same
+    * output schema/labels as F13 so the spec gates one against the
+    * other column-for-column. Rows-only: a bounded-rank-error
+    * estimate has no cross-engine mirror (DuckDB's approx_quantile is
+    * a different summary). */
+  def tokenQuantilesApprox(docs: DataFrame, strataCol: String,
+                           ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must sit in [0, 1]")
+    val labels = ps.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"percentiles $ps produce duplicate column labels $labels")
+    val lengths = docs.select(col(strataCol),
+      size(tokens(col("text"))).cast("double").as("n_tokens"))
+    val psSql = ps.map(p => s"CAST($p AS DOUBLE)").mkString("array(", ",", ")")
+    val est = expr(s"approx_percentile(n_tokens, $psSql, $accuracy)")
+    val withArr = lengths.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), est.as("_q"))
+    labels.zipWithIndex.foldLeft(withArr) { case (df, (l, i)) =>
+      df.withColumn(l, round(col("_q").getItem(i), 6))
+    }.drop("_q")
+  }
+
   /** Output column label for percentile `p` — exact, not rounded to a
     * percent (`math.round(p·100)` collides 0.025 with 0.03 and labels
     * 0.005 as "p1"): `p25`, `p2_5`, `p0_5`. Shared with the oracle

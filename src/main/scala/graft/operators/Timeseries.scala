@@ -557,7 +557,7 @@ object Timeseries {
     * makes the operand exactly divisible, so truncation IS floor.
     * Stays in integer arithmetic — no double round-trip that would go
     * lossy past 2^53 ticks. */
-  private def floorDivCol(c: Column, d: Long): Column =
+  private[graft] def floorDivCol(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))) / lit(d)).cast("long")
 
   /** A21: range (interval-containment) join — every `points` row whose

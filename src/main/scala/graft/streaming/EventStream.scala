@@ -102,6 +102,42 @@ object EventStream {
         coalesce(col("obs_value"), col("fcst_value")).as("hybrid_value"))
   }
 
+  /** A21-as-a-stream: stream-stream INTERVAL join — every point event
+    * paired with every anchor event within ±`widthMinutes` of it.
+    * Spark refuses a stream-stream join on a pure range predicate
+    * ("without equality predicate is not supported"), so this reuses
+    * the batch operator's trick as the required equality: both sides
+    * derive a time BIN of width 2·W — the point takes its one bin
+    * (exact floor division via [[graft.operators.Timeseries
+    * .floorDivCol]]), the anchor explodes to the ≤2 bins its ±W
+    * window overlaps — and the join is bin-equality AND the exact
+    * BETWEEN. State stays finite twice over: the bin equality keeps
+    * the pairing local (never a cross product), and the watermarked
+    * range condition lets a buffered row be evicted as soon as the
+    * opposite watermark passes its last possible match — neither
+    * side's state grows with stream length. Inner append-mode; pairs
+    * emit as soon as both sides have arrived. */
+  def streamingRangeJoin(points: DataFrame, anchors: DataFrame,
+                         ptCol: String, anchorCol: String,
+                         widthMinutes: Int = 15,
+                         watermark: String = "30 minutes"): DataFrame = {
+    require(widthMinutes > 0, s"widthMinutes must be positive, got $widthMinutes")
+    val widthUs = widthMinutes * 60L * 1000000L
+    val binUs = 2L * widthUs
+    val us = (c: String) => unix_micros(col(c))
+    val p = points.withWatermark(ptCol, watermark)
+      .withColumn("__pbin", graft.operators.Timeseries.floorDivCol(us(ptCol), binUs))
+    val a = anchors.withWatermark(anchorCol, watermark)
+      .withColumn("__abin", explode(sequence(
+        graft.operators.Timeseries.floorDivCol(us(anchorCol) - widthUs, binUs),
+        graft.operators.Timeseries.floorDivCol(us(anchorCol) + widthUs, binUs))))
+    p.join(a,
+        col("__pbin") === col("__abin") &&
+        col(ptCol) >= col(anchorCol) - expr(s"INTERVAL $widthMinutes MINUTES") &&
+        col(ptCol) <= col(anchorCol) + expr(s"INTERVAL $widthMinutes MINUTES"))
+      .drop("__pbin", "__abin")
+  }
+
   /** D3-as-a-stream: arrival-time near-dup detection. Each micro-batch
     * of documents is checked against the MATERIALIZED corpus signature
     * table via [[graft.operators.Dedup.incrementalJaccard]] (the

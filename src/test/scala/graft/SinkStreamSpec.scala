@@ -228,6 +228,27 @@ class SinkStreamSpec extends SparkSpec {
     assert(out === Seq(Seq("s1", 1.5, 9.0, 1.5)))
   }
 
+  test("EventStream.streamingRangeJoin pairs points within ±width of anchors, drops the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val pts = MemoryStream[(Timestamp, Long)]
+    val anc = MemoryStream[(Timestamp, Long)]
+    val q = EventStream.streamingRangeJoin(
+        pts.toDF().toDF("pt_ts", "click_id"),
+        anc.toDF().toDF("err_ts", "error_id"),
+        "pt_ts", "err_ts", widthMinutes = 15)
+      .select("click_id", "error_id")
+      .writeStream.format("memory").queryName("rjoin").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    // anchor at t=20: clicks at 5 (exactly -15, inclusive), 30 (in),
+    // 36 (out by 1 min); a second anchor at t=50 catches the 36 click
+    anc.addData((t(20), 100L), (t(50), 200L))
+    pts.addData((t(5), 1L), (t(30), 2L), (t(36), 3L))
+    q.processAllAvailable()
+    val out = spark.table("rjoin").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out === Set((1L, 100L), (2L, 100L), (3L, 200L)))
+  }
+
   test("EventStream.dedupStream drops re-pushed (key, time) duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
