@@ -555,10 +555,11 @@ object Timeseries {
     * `div` alone truncates toward zero (wrong for negative ticks, e.g.
     * pre-1970 timestamps); subtracting the non-negative `pmod` first
     * makes the operand exactly divisible, so truncation IS floor.
-    * Stays in integer arithmetic — no double round-trip that would go
-    * lossy past 2^53 ticks. */
+    * `call_function("div", …)` is Spark's registered IntegralDivide:
+    * the whole path stays in long arithmetic — the `/` operator would
+    * detour through a double and go lossy past 2^53 ticks. */
   private[graft] def floorDivCol(c: Column, d: Long): Column =
-    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 
   /** A21: range (interval-containment) join — every `points` row whose
     * `pt` tick falls inside a right row's `[start, end]` (inclusive),

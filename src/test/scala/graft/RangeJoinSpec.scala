@@ -38,6 +38,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Seq(-10L))
   }
 
+  test("A21 stays exact past 2^53 ticks (integral division, no double detour)") {
+    val big = (1L << 60) + 123456789L // unrepresentable as a double
+    val p = points(big)
+    val i = Seq(("A", big - 5L, big + 5L)).toDF("iid", "s", "e")
+    val out = Timeseries.rangeJoinBinned(p, "t", i, "s", "e", binWidth = 7L)
+    assert(out.count() === 1L)
+  }
+
   test("A21 plans as a shuffled equi-join, never cartesian/BNLJ") {
     val e = {
       val ev = Tables.events(spark, sfDir)
