@@ -371,8 +371,12 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, d) =>                                // rows-only
       Similarity.lshTopK(emb(s, d), annIsQuery, 5, probes = 2)),
 
+    // nlist=32/nprobe=8 scans the same 25% of the corpus as the old
+    // 16/4 but through finer lists: measured recall@5 .58 → .62 at
+    // sf0.01 for identical scan cost (AnnTuneDrive)
     "ann_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
+      Similarity.ivfTopK(emb(s, d), annIsQuery, 5,
+        nlist = 32, nprobe = 8)),                                     // rows-only
 
     // E3 exactness invariant pinned hash-green: probing EVERY list
     // (nprobe = nlist) scores every candidate exactly, so the serve
@@ -609,10 +613,13 @@ object SparkEntry {
   def recallChecks: Map[String, (String, Double)] = Map(
     "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
-    "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.52)),
-    "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.61)),
-    "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.45)),
-    "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.37)),
+    // floors below reflect the r7 quality params (AnnTuneDrive,
+    // sf0.001/sf0.01): ivf 32/8 .78/.62, pq ks64+rr16 .98/.98,
+    // ivfpq + residual ks64+rr16 .58/.58 — each ~0.9× the smaller sf
+    "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.55)),
+    "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.88)),
+    "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.52)),
+    "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.52)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
     "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)))
 

@@ -88,6 +88,7 @@ object Verify {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     val counts = scala.collection.mutable.Map.empty[String, Long]
+    val queryFails = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -97,8 +98,14 @@ object Verify {
         // NonFatal ONLY: an OOM mid-query must kill the run — the
         // remaining queries, the row checks, and the recall joins
         // would otherwise execute in a heap-poisoned JVM and could
-        // write floor-passing garbage (the Bench catch rationale)
+        // write floor-passing garbage (the Bench catch rationale).
+        // The failure is still RECORDED: r6's dataset regeneration
+        // broke 24 queries and each just logged-and-vanished from the
+        // driver's correctness JSON — a missing row read as "not run",
+        // not "broken". The remaining queries still execute (maximize
+        // the round's signal), but the run exits non-zero below.
         case scala.util.control.NonFatal(e) =>
+          queryFails += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -137,7 +144,9 @@ object Verify {
     catch { case scala.util.control.NonFatal(_) => () }
     val recallFails = recallFailures(recalls)
 
-    val failures = floorFails ++ recallFails
+    val failures =
+      queryFails.toSeq.sorted.map(q => s"$q: query threw (no output)") ++
+      floorFails ++ recallFails
     failures.foreach(f => System.err.println(s"[verify] GATE $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

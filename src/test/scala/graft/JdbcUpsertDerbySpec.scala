@@ -33,14 +33,19 @@ class JdbcUpsertDerbySpec extends SparkSpec {
   }
 
   test("insert + conflicting upsert round-trip: final table state is last-write-wins") {
-    val first = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    // coalesce(1): the suite asserts upsert SEMANTICS, not concurrency
+    // — two partitions merging into the same embedded table can trip
+    // Derby's lock manager under host load (observed as a ~1-in-3
+    // full-suite flake) and that's JdbcUpsert's caller contract to
+    // manage, not this test's subject
+    val first = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1)
     val r1 = JdbcUpsert.upsert(first, "watermarks", Seq("k"),
       () => DriverManager.getConnection(url), AnsiMergeDialect(types),
       batchSize = 10, sleep = noSleep)
     assert(r1.ok && r1.rowsWritten === 2L)
     assert(tableState() === Map(1L -> 10.0, 2L -> 20.0))
     // conflicting upsert: key 2 updated in place, key 3 inserted
-    val second = Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v")
+    val second = Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v").coalesce(1)
     val r2 = JdbcUpsert.upsert(second, "watermarks", Seq("k"),
       () => DriverManager.getConnection(url), AnsiMergeDialect(types),
       batchSize = 10, sleep = noSleep)
