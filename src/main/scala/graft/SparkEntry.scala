@@ -392,8 +392,12 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) =>                                       // rows-only
       Similarity.pqTopK(emb(s, d), annIsQuery, 5)),
 
+    // nlist=32/nprobe=8 as in E3: the ks=64 codes + rerank=16 recover
+    // EVERYTHING the finer list probing admits — recall ≡ the plain
+    // IVF serve (.62/.78 at sf0.01/sf0.001) at a compressed index
     "ann_ivfpq_topk" -> ((s, d) =>                                    // rows-only
-      Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5)),
+      Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5,
+        nlist = 32, nprobe = 8)),
 
     // E6's exact-cover invariant pinned hash-green: every list probed
     // AND the rerank window covering every candidate (k·rerank ≥ any
@@ -406,7 +410,8 @@ object SparkEntry {
 
     // E6r: FAISS-faithful residual encoding (codes quantize u − cent)
     "ann_ivfpq_residual_topk" -> ((s, d) =>                           // rows-only
-      Similarity.ivfpqResidualTopK(emb(s, d), annIsQuery, 5)),
+      Similarity.ivfpqResidualTopK(emb(s, d), annIsQuery, 5,
+        nlist = 32, nprobe = 8)),
 
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {
@@ -614,12 +619,13 @@ object SparkEntry {
     "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
     // floors below reflect the r7 quality params (AnnTuneDrive,
-    // sf0.001/sf0.01): ivf 32/8 .78/.62, pq ks64+rr16 .98/.98,
-    // ivfpq + residual ks64+rr16 .58/.58 — each ~0.9× the smaller sf
+    // sf0.001/sf0.01): ivf + ivfpq + residual at nlist32/nprobe8 all
+    // .78/.62 (the probing ceiling — ks64+rr16 codes lose nothing),
+    // pq ks64+rr16 .98/.98 — each ~0.9× the smaller sf
     "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.88)),
-    "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.52)),
-    "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.52)),
+    "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
+    "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
     "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)))
 

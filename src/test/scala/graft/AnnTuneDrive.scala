@@ -54,6 +54,10 @@ object AnnTuneDrive {
       Similarity.ivfpqResidualTopK(emb, isQ, 5, ks = 16, rerank = 8) }
     t("ivfpq-resid nl16 np4 m8 ks64 rr16 (catalog r7)") {
       Similarity.ivfpqResidualTopK(emb, isQ, 5, ks = 64, rerank = 16) }
+    t("ivfpq nl32 np8 m8 ks64 rr16") {
+      Similarity.ivfpqTopK(emb, isQ, 5, nlist = 32, nprobe = 8, ks = 64, rerank = 16) }
+    t("ivfpq-resid nl32 np8 m8 ks64 rr16") {
+      Similarity.ivfpqResidualTopK(emb, isQ, 5, nlist = 32, nprobe = 8, ks = 64, rerank = 16) }
     spark.stop()
   }
 }
