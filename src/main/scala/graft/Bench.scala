@@ -93,8 +93,7 @@ object Bench {
     // most-expensive-first (the perf-relevant tail is what gets cut),
     // stopped at a char budget, with the omission made explicit. The
     // COMPLETE map still ships whole in BENCH_FULL.json above.
-    def ms3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms3(v: Double): String = Jsons.num(v, 3)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def lineOf(inline: Seq[(String, Double)], omitted: Int): String = {
       val qs = inline.sortBy(_._1)

@@ -5,6 +5,14 @@ package graft
   * has no JSON library on the compile classpath, and two private
   * copies of the escape table would drift). */
 object Jsons {
+  /** Fixed-decimal JSON number — Locale.ROOT always, since a JVM in a
+    * comma-decimal locale (de_DE, fr_FR) would render `0,62` and
+    * corrupt the document (the driver's json.load failing silently
+    * zeroes the round's signal). Shared by Bench's per-query seconds
+    * and Verify's recall artifact. */
+  def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def str(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -83,7 +83,12 @@ object Tables {
     * what every oracle mirror keys on — µs being the highest
     * resolution both engines hold exactly. */
   def eventTsUs(events: DataFrame): Column = events.schema("ts").dataType match {
-    case LongType         => expr("ts div 1000")
+    // FLOOR division (Timeseries.floorDivCol), not bare `div`: `div`
+    // truncates toward zero, which disagrees with floor on sub-µs
+    // NEGATIVE ticks (pre-1970 rows in some future regeneration) and
+    // would mis-key those rows vs the oracle by 1µs
+    case LongType => graft.operators.Timeseries.floorDivCol(
+      org.apache.spark.sql.functions.col("ts"), 1000L)
     case _: TimestampType => expr("unix_micros(ts)")
     case dt => throw new IllegalArgumentException(
       s"events.ts: unsupported physical type $dt (expected epoch-nanos long or timestamp)")

@@ -135,7 +135,7 @@ object Verify {
       }
     val recallJson = SparkEntry.recallChecks.toSeq.sortBy(_._1).map {
       case (q, (base, floor)) =>
-        val r = recalls.getOrElse(q, None).map(v => f"$v%.4f").getOrElse("null")
+        val r = recalls.getOrElse(q, None).map(Jsons.num(_, 4)).getOrElse("null")
         s"""${Jsons.str(q)}: {"baseline": ${Jsons.str(base)}, "floor": $floor, "recall": $r}"""
     }.mkString("{", ", ", "}")
     Files.writeString(Paths.get(s"$outDir/VERIFY_RECALL.json"), recallJson)

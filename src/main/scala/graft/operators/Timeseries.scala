@@ -590,16 +590,18 @@ object Timeseries {
     val p = points.withColumn("_bin", floorDivCol(col(pt), binWidth))
     val b0 = floorDivCol(col(start), binWidth)
     val b1 = floorDivCol(col(end), binWidth)
-    val i = intervals
-      // malformed (end < start) or runaway intervals die loudly here:
-      // a silent sequence() of 10^6 bins per row is the quadratic
-      // blowup this operator exists to avoid
-      .withColumn("_chk", assert_true(
-        col(end) >= col(start) && (b1 - b0) < lit(maxBinsPerInterval.toLong),
-        concat(lit(s"rangeJoinBinned: interval [$start,$end] invalid or wider " +
-          s"than $maxBinsPerInterval bins of $binWidth — raise binWidth"))))
-      .withColumn("_bin", explode(sequence(b0, b1)))
-      .drop("_chk")
+    // malformed (end < start) or runaway intervals die loudly: a
+    // silent sequence() of 10^6 bins per row is the quadratic blowup
+    // this operator exists to avoid. The guard is the sequence's OWN
+    // upper bound — a detached assert_true column would rely on the
+    // optimizer declining to prune an unreferenced projection
+    val b1Guarded = when(
+      col(end) >= col(start) && (b1 - b0) < lit(maxBinsPerInterval.toLong), b1)
+      .otherwise(raise_error(
+        lit(s"rangeJoinBinned: interval [$start,$end] invalid or wider " +
+          s"than $maxBinsPerInterval bins of $binWidth — raise binWidth"))
+        .cast("long"))
+    val i = intervals.withColumn("_bin", explode(sequence(b0, b1Guarded)))
     p.join(i, "_bin")
       .filter(col(pt) >= col(start) && col(pt) <= col(end))
       .drop("_bin")

@@ -46,22 +46,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() === 1L)
   }
 
-  test("A21 plans as a shuffled equi-join, never cartesian/BNLJ") {
-    val e = {
-      val ev = Tables.events(spark, sfDir)
-      ev.withColumn("ts_us", Tables.eventTsUs(ev))
-    }
-    val w = 900L * 1000000L
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("ts_us"))
-    val errors = e.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"),
-        (col("ts_us") - w).as("s"), (col("ts_us") + w).as("e"))
-    val joined = Timeseries.rangeJoinBinned(clicks, "ts_us", errors, "s", "e", 2 * w)
+  test("A21 catalog entry plans as a shuffled equi-join, never cartesian/BNLJ") {
+    // the ACTUAL benched/verified entry, not a spec-local re-spelling
+    // that could silently drift from it
+    val joined = SparkEntry.queries("ts_range_join")(spark, sfDir)
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
-    assert(joined.count() > 0L, "catalog-shaped drive must produce pairs")
+    assert(joined.count() > 0L, "catalog entry must produce pairs")
   }
 
   test("A21 agrees with the brute-force theta join on real data") {

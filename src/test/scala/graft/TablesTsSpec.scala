@@ -20,6 +20,13 @@ class TablesTsSpec extends SparkSpec {
     assert(out === micros)
   }
 
+  test("eventTsUs FLOORS negative sub-µs nanos (div would truncate toward zero)") {
+    val df = Seq(-1500L, -1000L, -999L).toDF("ts") // ns
+    val out = df.select(Tables.eventTsUs(df).as("ts_us"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(-2L, -1L, -1L))
+  }
+
   test("eventTsUs on TimestampType yields identical micros") {
     val df = micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
     val out = df.select(Tables.eventTsUs(df).as("ts_us"))
