@@ -345,6 +345,11 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))),
 
+    // D11: verbatim token-run duplicates (ExactSubstr via winnowing);
+    // guarantee: every shared run of ≥ k+w−1 = 23 tokens is caught
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringDedup(docs(s, d), k = 16, w = 8)),
+
     "dedup_contamination" -> ((s, d) =>
       Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0, minShared = 3)),
 
@@ -1220,6 +1225,26 @@ object SparkEntry {
       s"""SELECT lang, count(DISTINCT t) AS vocab
          |FROM (SELECT lang, unnest($TOKS) AS t FROM documents)
          |GROUP BY lang""".stripMargin,
+
+    // D11: same winnowing construction — DuckDB range() is EXCLUSIVE
+    // where Spark sequence() is inclusive (hence the +1 on the
+    // greatest-floored bound), slices are 16 tokens / 8 hashes both
+    // sides, list_min ≡ array_min on the lexicographic md5 ordering
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(len(t) - 15, 1) + 1),
+         |           i -> md5(array_to_string(t[i : i + 15], ' '))) AS hs
+         |  FROM t WHERE len(t) >= 16),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+         |      j -> list_min(hs[j : j + 7]))) AS wh
+         |  FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // transitive closure of the D3 pair list via recursive min-label
     // reachability — DuckDB's WITH RECURSIVE plays the role of the

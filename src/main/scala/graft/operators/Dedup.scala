@@ -857,4 +857,66 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
+
+  /** D11: EXACT-substring duplicate detection — two documents are
+    * substring-duplicates when they share a VERBATIM run of
+    * normalized tokens (Lee et al. 2022's ExactSubstr, the classic
+    * "deduplicating training data" criterion that catches the
+    * verbatim quotation/boilerplate reuse Jaccard dilutes away),
+    * re-expressed relationally via WINNOWING (Schleimer et al. 2003,
+    * the MOSS fingerprinter) instead of their suffix array: per doc,
+    * hash every k-token window (md5 over the space-joined slice),
+    * then in each sliding window of `w` consecutive hashes keep the
+    * MINIMUM — selection depends only on content, so any shared run
+    * of ≥ k+w−1 tokens yields an IDENTICAL fingerprint on both sides
+    * regardless of where the run sits in each doc (the guarantee a
+    * fixed-stride sample cannot give: absolute positions align only
+    * by luck — caught by this spec's alignment sweep). A doc shorter
+    * than w windows keeps its single overall-min fingerprint.
+    * Fingerprints equi-join, pairs aggregate shared counts.
+    *
+    * Scale shape: winnowing keeps ~2/(w+1) of the window hashes —
+    * the index is a content-defined sample, exploded per doc, ONE
+    * groupBy on a uniform md5 key space. `maxDf` drops boilerplate
+    * fingerprints shared by more than maxDf docs (the D3b cap),
+    * bounding per-key pair fan-out ≤ maxDf². Hash equality stands in
+    * for byte equality at ~2⁻⁶⁴ collision odds per pair — like the
+    * reference implementations that match on 64-bit window hashes.
+    * Per-doc fingerprints are DEDUPED before the join (a fingerprint
+    * repeated inside one doc must not multiply the pair count). */
+  def substringDedup(docs: DataFrame, k: Int = 16, w: Int = 8,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k >= 2, s"window length k=$k must be ≥ 2")
+    require(w >= 1, s"winnow width w=$w must be ≥ 1")
+    // TOTAL expressions (greatest(…, 1) floors every sequence bound):
+    // InferFiltersFromGenerate clones the fps expression into an
+    // inferred `size(fps) > 0` filter below these projections, where
+    // the ≥k row filter no longer shields a partial expression — a
+    // bare `sequence(1, size−c)` would go DESCENDING through 0 on a
+    // short doc and slice would throw. The floor also subsumes the
+    // short-doc case: at size(hs) < w the single j=1 window IS the
+    // overall min, so no separate fallback branch exists to diverge.
+    val fp0 = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, greatest(size(t) - ${k - 1}, 1)), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $k))))"))
+      .withColumn("fps", expr(
+        s"transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $w)))"))
+      .select(col("doc_id"), explode(col("fps")).as("wh"))
+      .distinct()
+    val fp = cachedAs("substringDedup",
+      if (maxDf == Long.MaxValue) fp0
+      else fp0.join(broadcast(
+        fp0.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("wh")),
+        Seq("wh"), "left_anti"))
+    fp.as("a").join(fp.as("b"), Seq("wh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
