@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -888,25 +889,39 @@ object Dedup {
                      maxDf: Long = Long.MaxValue): DataFrame = {
     require(k >= 2, s"window length k=$k must be ≥ 2")
     require(w >= 1, s"winnow width w=$w must be ≥ 1")
-    // TOTAL expressions (greatest(…, 1) floors every sequence bound):
-    // InferFiltersFromGenerate clones the fps expression into an
-    // inferred `size(fps) > 0` filter below these projections, where
-    // the ≥k row filter no longer shields a partial expression — a
-    // bare `sequence(1, size−c)` would go DESCENDING through 0 on a
-    // short doc and slice would throw. The floor also subsumes the
-    // short-doc case: at size(hs) < w the single j=1 window IS the
-    // overall min, so no separate fallback branch exists to diverge.
+    // Shape notes, both learned the hard way:
+    //  - the winnow min runs as a per-doc SLIDING WINDOW over the
+    //    EXPLODED hash rows, never as a second array lambda over an
+    //    `hs` column: projection collapse inlines a referenced array
+    //    column into every lambda invocation, re-evaluating the
+    //    O(n·md5) transform once per fingerprint — O(n²) md5 calls,
+    //    measured 258s at sf0.1 vs ~1s for this shape (the PERF.md
+    //    HOF-re-evaluation hazard). Generate evaluates its input
+    //    once per row, so exploding is the O(n) spelling.
+    //  - the transform is TOTAL (greatest(…, 1) floors the sequence
+    //    bound): InferFiltersFromGenerate clones generator inputs
+    //    into an inferred filter below these projections, where the
+    //    ≥k row filter no longer shields a partial expression — a
+    //    bare `sequence(1, size−c)` goes DESCENDING through 0 on a
+    //    short doc and slice throws.
+    // The trailing-window filter keeps winnow starts only (0-based
+    // pos ≤ nh−w), except a shorter-than-w doc keeps pos 0 — its
+    // truncated frame IS the overall min (the oracle's greatest
+    // floor mirrors this).
+    val winnow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
     val fp0 = docs
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
-      .withColumn("hs", expr(
-        s"transform(sequence(1, greatest(size(t) - ${k - 1}, 1)), " +
-          s"i -> md5(concat_ws(' ', slice(t, i, $k))))"))
-      .withColumn("fps", expr(
-        s"transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
-          s"j -> array_min(slice(hs, j, $w)))"))
-      .select(col("doc_id"), explode(col("fps")).as("wh"))
+      .select(col("doc_id"),
+        (greatest(size(col("t")) - (k - 1), lit(1)) - w).as("last_pos"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(t) - ${k - 1}, 1)), " +
+            s"i -> md5(concat_ws(' ', slice(t, i, $k))))")))
+      .withColumn("wh", min(col("col")).over(winnow))
+      .filter(col("pos") <= greatest(col("last_pos"), lit(0)))
+      .select(col("doc_id"), col("wh"))
       .distinct()
     val fp = cachedAs("substringDedup",
       if (maxDf == Long.MaxValue) fp0
