@@ -11,7 +11,11 @@ object Jsons {
     * zeroes the round's signal). Shared by Bench's per-query seconds
     * and Verify's recall artifact. */
   def num(v: Double, decimals: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // NaN/Infinity have no JSON spelling; `null` keeps the document
+    // parseable instead of corrupting the whole artifact
+    if (java.lang.Double.isFinite(v))
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    else "null"
 
   def str(s: String): String =
     "\"" + s.flatMap {

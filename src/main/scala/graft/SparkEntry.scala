@@ -350,6 +350,13 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) =>
       Dedup.substringDedup(docs(s, d), k = 16, w = 8)),
 
+    // D11 with the boilerplate-fingerprint df cap ON — the 100 TB-safe
+    // flavor (bounded per-key join fan-out, the D3b posture); maxDf=2
+    // actually bites on this corpus (its df tail reaches 3–4), so the
+    // oracle exercises the capped pair set, not just the fast path
+    "dedup_substring_capped" -> ((s, d) =>
+      Dedup.substringDedup(docs(s, d), k = 16, w = 8, maxDf = 2L)),
+
     "dedup_contamination" -> ((s, d) =>
       Dedup.contamination(docs(s, d), col("doc_id") % 97 === 0, minShared = 3)),
 
@@ -572,11 +579,18 @@ object SparkEntry {
       countDistinct(when(lower(col("text")).rlike("[a-z0-9]"), col("lang"))),
       // ALL langs (token-less docs still count toward their stratum's
       // quantile row) — F13b's exact group count
-      countDistinct(col("lang"))).head()
+      countDistinct(col("lang")),
+      // groupBy(lang) emits a NULL-lang group that countDistinct never
+      // sees — count the null stratum separately so a dataset
+      // regeneration introducing null langs moves the gate instead of
+      // failing it with a misleading count mismatch
+      coalesce(max(when(col("lang").isNull &&
+        lower(col("text")).rlike("[a-z0-9]"), 1).otherwise(0)), lit(0)),
+      coalesce(max(when(col("lang").isNull, 1).otherwise(0)), lit(0))).head()
     val (nDocs, nSources, nImages, nVideos) =
       (mRow.getLong(0), mRow.getLong(1), mRow.getLong(2), mRow.getLong(3))
-    val nTokenLangs = mRow.getLong(4)
-    val nLangs = mRow.getLong(5)
+    val nTokenLangs = mRow.getLong(4) + mRow.getInt(6)
+    val nLangs = mRow.getLong(5) + mRow.getInt(7)
     val topk = 5L * emb(spark, sfDir).filter(annIsQuery).count()
     RowChecks(
       exact = Map(
@@ -603,12 +617,11 @@ object SparkEntry {
     * VERIFY_RECALL.json, and exits non-zero below a floor — a
     * quantizer regression that halves recall becomes a hard driver
     * signal instead of living only in the specs. Floors are ~0.9× the
-    * smaller of the two verify-sf measured recalls (r6, sf0.001/
-    * sf0.01: lsh .76/.62, multiprobe 1.0/.96, ivf .58/.58, pq
-    * .68/.72, ivfpq .56/.50, residual .42/.46, embedding-lsh 1.0/1.0,
-    * semantic .86/.79) — loose enough for the corpus-to-corpus
-    * variance the two sfs exhibit, tight enough to catch a real
-    * regression.
+    * smaller of the two verify-sf measured recalls under the CURRENT
+    * quality params — the inline comment on the map below is the
+    * single source for those measured values (r7 AnnTuneDrive
+    * retune) — loose enough for the corpus-to-corpus variance the
+    * two sfs exhibit, tight enough to catch a real regression.
     *
     * On the r5→r6 "drift" the r6 advice flagged (lsh .76→.62 etc.):
     * every quantizer/plane here is deterministically seeded — the
@@ -1242,6 +1255,27 @@ object SparkEntry {
          |    list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
          |      j -> list_min(hs[j : j + 7]))) AS wh
          |  FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // D11 capped: fingerprints with df > 2 leave the join (no
+    // denominators to resize — n_shared counts kept fingerprints)
+    "dedup_substring_capped" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(len(t) - 15, 1) + 1),
+         |           i -> md5(array_to_string(t[i : i + 15], ' '))) AS hs
+         |  FROM t WHERE len(t) >= 16),
+         |fp0 AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+         |      j -> list_min(hs[j : j + 7]))) AS wh
+         |  FROM h),
+         |dfs AS (SELECT wh, count(*) AS df FROM fp0 GROUP BY 1),
+         |fp AS (SELECT fp0.doc_id, fp0.wh FROM fp0
+         |       JOIN dfs USING (wh) WHERE df <= 2)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,

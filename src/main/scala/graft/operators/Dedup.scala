@@ -886,11 +886,42 @@ object Dedup {
     * Per-doc fingerprints are DEDUPED before the join (a fingerprint
     * repeated inside one doc must not multiply the pair count). */
   def substringDedup(docs: DataFrame, k: Int = 16, w: Int = 8,
-                     maxDf: Long = Long.MaxValue): DataFrame = {
+                     maxDf: Long = Long.MaxValue,
+                     maxSegment: Int = 4096): DataFrame = {
+    val fp = cachedAs("substringDedup",
+      capFpDf(winnowFingerprints(docs, k, w, maxSegment), maxDf))
+    substringPairs(fp)
+  }
+
+  /** The per-doc winnowing fingerprint set `(doc_id, wh)` every D11
+    * flavor shares — in-memory self-join, bucketed table write, and
+    * incremental batches all live in the same fingerprint space.
+    *
+    * SEGMENTED: tokens are cut into slices of `maxSegment` tokens
+    * whose starts advance by S = maxSegment − (k+w−2) — i.e.
+    * consecutive slices overlap by k+w−2 tokens — and each slice is
+    * windowed+winnowed independently. The union of per-segment
+    * fingerprints is PROVABLY the unsegmented set: hash i depends
+    * only on tokens [i, i+k−1] and frame p only on hashes
+    * [p, p+w−1], so segment s (tokens [sS, sS+maxSegment−1]) computes
+    * winnow starts [sS, sS+S−1] with exactly the global hash values;
+    * the starts tile [0, nh−w] with no gaps or disagreements
+    * (SubstringDedupSpec asserts set-equality across segment sizes).
+    * The point is the WINDOW partition: unsegmented, one multi-GB
+    * document's whole hash stream lands in a single task (window
+    * partitions are semantically unsplittable); segmented, the
+    * partition key is (doc_id, seg) and a giant doc spreads over
+    * ~nTokens/S tasks — bounded task size at any document size. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8,
+                         maxSegment: Int = 4096): DataFrame = {
     require(k >= 2, s"window length k=$k must be ≥ 2")
     require(w >= 1, s"winnow width w=$w must be ≥ 1")
+    require(maxSegment >= k + w,
+      s"maxSegment=$maxSegment must be ≥ k+w=${k + w} (a segment must " +
+        "hold at least one full winnow frame past its stride)")
+    val stride = maxSegment - (k + w - 2)
     // Shape notes, both learned the hard way:
-    //  - the winnow min runs as a per-doc SLIDING WINDOW over the
+    //  - the winnow min runs as a per-segment SLIDING WINDOW over the
     //    EXPLODED hash rows, never as a second array lambda over an
     //    `hs` column: projection collapse inlines a referenced array
     //    column into every lambda invocation, re-evaluating the
@@ -898,40 +929,195 @@ object Dedup {
     //    measured 258s at sf0.1 vs ~1s for this shape (the PERF.md
     //    HOF-re-evaluation hazard). Generate evaluates its input
     //    once per row, so exploding is the O(n) spelling.
-    //  - the transform is TOTAL (greatest(…, 1) floors the sequence
-    //    bound): InferFiltersFromGenerate clones generator inputs
-    //    into an inferred filter below these projections, where the
-    //    ≥k row filter no longer shields a partial expression — a
-    //    bare `sequence(1, size−c)` goes DESCENDING through 0 on a
-    //    short doc and slice throws.
+    //  - every expression under an explode is TOTAL (greatest(…, 1)
+    //    floors each sequence bound): InferFiltersFromGenerate clones
+    //    generator inputs into an inferred filter below these
+    //    projections, where the ≥k row filter no longer shields a
+    //    partial expression — a bare `sequence(1, size−c)` goes
+    //    DESCENDING through 0 on a short doc and slice throws.
     // The trailing-window filter keeps winnow starts only (0-based
-    // pos ≤ nh−w), except a shorter-than-w doc keeps pos 0 — its
-    // truncated frame IS the overall min (the oracle's greatest
-    // floor mirrors this).
-    val winnow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val fp0 = docs
+    // pos ≤ nh_s−w), except a shorter-than-w doc (necessarily single-
+    // segment: multi-segment docs have nh ≥ S+w > w, and every
+    // segment of one holds ≥ w hashes) keeps pos 0 — its truncated
+    // frame IS the overall min (the oracle's greatest floor mirrors
+    // this). In multi-segment docs last_pos ≥ 0 everywhere, so the
+    // greatest(…, 0) is inert there.
+    val winnow = Window.partitionBy(col("doc_id"), col("seg"))
+      .orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    docs
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
-      .select(col("doc_id"),
-        (greatest(size(col("t")) - (k - 1), lit(1)) - w).as("last_pos"),
+      // nSegs = (max(nh−w, 0)) div S + 1 where nh = nt−k+1; the
+      // sequence is total (bounds ≥ 0 always)
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          s"sequence(0, greatest(size(t) - ${k - 1 + w}, 0) div $stride)"))
+          .as("seg"))
+      .select(col("doc_id"), col("seg"),
+        expr(s"slice(t, seg * $stride + 1, $maxSegment)").as("ts"))
+      .select(col("doc_id"), col("seg"),
+        (greatest(size(col("ts")) - (k - 1), lit(1)) - w).as("last_pos"),
         posexplode(expr(
-          s"transform(sequence(1, greatest(size(t) - ${k - 1}, 1)), " +
-            s"i -> md5(concat_ws(' ', slice(t, i, $k))))")))
+          s"transform(sequence(1, greatest(size(ts) - ${k - 1}, 1)), " +
+            s"i -> md5(concat_ws(' ', slice(ts, i, $k))))")))
       .withColumn("wh", min(col("col")).over(winnow))
       .filter(col("pos") <= greatest(col("last_pos"), lit(0)))
       .select(col("doc_id"), col("wh"))
       .distinct()
-    val fp = cachedAs("substringDedup",
-      if (maxDf == Long.MaxValue) fp0
-      else fp0.join(broadcast(
-        fp0.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("wh")),
-        Seq("wh"), "left_anti"))
+  }
+
+  /** The candidate self-join + shared-count tail over a fingerprint
+    * set `(doc_id, wh)` — shared by the in-memory flow and the
+    * bucketed-table flow so pair semantics can never diverge. */
+  private def substringPairs(fp: DataFrame): DataFrame =
     fp.as("a").join(fp.as("b"), Seq("wh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
+
+  /** Fingerprints shared by more than `maxDf` documents — the
+    * boilerplate tail (license headers, nav chrome: a verbatim 23-token
+    * run in 10⁶ docs is one join key holding ~10¹² candidate pairs,
+    * exactly D3's hot-gram failure). Tiny by Zipf: bounded by
+    * distinct-fingerprints/maxDf, so it broadcasts. */
+  private def hotFingerprints(fp: DataFrame, maxDf: Long): DataFrame =
+    fp.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("wh")
+
+  /** Drop a hot-fingerprint list — unlike the Jaccard cap there are
+    * no set-size denominators to resize (n_shared counts kept
+    * fingerprints only), so the cap is one broadcast anti-join. */
+  private def dropHotFps(fp: DataFrame, hot: DataFrame): DataFrame =
+    fp.join(broadcast(hot), Seq("wh"), "left_anti")
+
+  private def capFpDf(fp: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) fp else dropHotFps(fp, hotFingerprints(fp, maxDf))
+
+  /** Fingerprint document frequency — the tuning probe for
+    * [[substringDedup]]'s `maxDf` (pick the threshold off this
+    * distribution's tail before a 100 TB run), mirroring
+    * [[gramDocFrequencies]]. */
+  def fingerprintDocFrequencies(docs: DataFrame, k: Int = 16, w: Int = 8,
+                                maxSegment: Int = 4096): DataFrame =
+    winnowFingerprints(docs, k, w, maxSegment)
+      .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+
+  /** Materialize the winnowing fingerprint set BUCKETED on the
+    * fingerprint — D11's deploy-time flow, mirroring
+    * [[writeSignatureTable]]: at 100 TB the corpus is fingerprinted
+    * once (one shuffle into `buckets` file-sets) and every later
+    * candidate self-join or incremental batch reads co-located
+    * buckets with ZERO exchange on `wh` (plan-proved in
+    * SubstringDedupSpec). Partitioned by `ingest_batch` (base = −1)
+    * for [[appendToFingerprintTable]]'s replay idempotence. With a
+    * finite `maxDf` the table is born capped and the dropped
+    * fingerprints land in `<table>_hot` (at `<path>_hot`) so
+    * incremental batches cap symmetrically. */
+  def writeFingerprintTable(docs: DataFrame, table: String, path: String,
+                            buckets: Int = 64,
+                            k: Int = 16, w: Int = 8,
+                            maxDf: Long = Long.MaxValue,
+                            maxSegment: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    def writeMain(fp: DataFrame): Unit =
+      fp.withColumn("ingest_batch", lit(-1L))
+        .write.format("parquet").partitionBy("ingest_batch")
+        .bucketBy(buckets, "wh").sortBy("wh")
+        .option("path", path).mode("overwrite").saveAsTable(table)
+    val fp0 = winnowFingerprints(docs, k, w, maxSegment)
+    if (maxDf == Long.MaxValue) {
+      // a stale `_hot` companion from an earlier capped build must not
+      // survive an uncapped rebuild (the writeSignatureTable rationale:
+      // batches would keep dropping fingerprints against a cap the
+      // corpus side no longer applies)
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_hot")
+      val hp = new org.apache.hadoop.fs.Path(s"${path}_hot")
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      writeMain(fp0)
+    } else {
+      // cache the fingerprint set: the hot-table write and the
+      // anti-join otherwise each re-tokenize, re-hash, and re-winnow
+      // the whole corpus (two full passes at 100 TB)
+      val cached = fp0.cache()
+      try {
+        hotFingerprints(cached, maxDf)
+          .write.format("parquet").option("path", s"${path}_hot")
+          .mode("overwrite").saveAsTable(s"${table}_hot")
+        writeMain(dropHotFps(cached, spark.table(s"${table}_hot")))
+      } finally cached.unpersist(false)
+    }
+  }
+
+  /** D11 over a materialized fingerprint table: identical pair
+    * semantics to [[substringDedup]], but the candidate self-join
+    * reads the bucketed table — no re-fingerprinting, no shuffle on
+    * `wh`. */
+  def substringFromTable(spark: org.apache.spark.sql.SparkSession,
+                         table: String): DataFrame =
+    substringPairs(spark.table(table).hint("merge"))
+
+  /** Incremental D11 — substring pairs between a NEW document batch
+    * and the materialized fingerprint table, without touching corpus
+    * text (the [[incrementalJaccard]] shape: batch fingerprints,
+    * small, shuffle into the table's bucketing; the corpus side reads
+    * its co-located buckets in place — per-batch cost independent of
+    * corpus size). Pairs come back as (corpus doc_a, new doc_b);
+    * new-vs-new pairs are [[substringDedup]] on the batch alone.
+    *
+    * `hotTable`: when the table was written with a `maxDf` cap, pass
+    * its `<table>_hot` side table so batch fingerprints are dropped
+    * symmetrically. `excludeIngestBatch`: drop that partition from
+    * the corpus side (partition-pruned) — under crash-replay the
+    * batch's own fingerprints are already in the table and every
+    * within-batch pair would otherwise come back doubled. */
+  def incrementalSubstring(spark: org.apache.spark.sql.SparkSession,
+                           table: String, newDocs: DataFrame,
+                           k: Int = 16, w: Int = 8,
+                           hotTable: Option[String] = None,
+                           excludeIngestBatch: Option[Long] = None,
+                           maxSegment: Int = 4096): DataFrame = {
+    val newFp = hotTable.foldLeft(
+      winnowFingerprints(newDocs, k, w, maxSegment))(
+      (fp, h) => dropHotFps(fp, spark.table(h)))
+    val corpus = excludeIngestBatch.fold(spark.table(table))(b =>
+      spark.table(table).filter(col("ingest_batch") =!= lit(b)))
+    corpus.hint("merge").as("a")
+      .join(newFp.as("b"), col("a.wh") === col("b.wh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Append a batch's fingerprints to the materialized table (the
+    * arrival-time state update — next [[incrementalSubstring]] sees
+    * these docs). Same replay-safe STATIC partition overwrite as
+    * [[appendToSignatureTable]]: re-running an `ingestBatch` REPLACES
+    * that partition instead of duplicating rows (a plain append under
+    * at-least-once replay would double the replayed docs' (doc_id,
+    * wh) rows and corrupt every later shared count); `insertInto`
+    * through the table's own bucket spec keeps appended files
+    * co-located on `wh`. The base corpus is batch −1. */
+  def appendToFingerprintTable(docs: DataFrame, table: String,
+                               ingestBatch: Long,
+                               hotTable: Option[String] = None,
+                               k: Int = 16, w: Int = 8,
+                               maxSegment: Int = 4096): Unit = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the table)")
+    val spark = docs.sparkSession
+    val fp = hotTable.foldLeft(
+      winnowFingerprints(docs, k, w, maxSegment))(
+      (f, h) => dropHotFps(f, spark.table(h)))
+    val view = s"graft_fp_append_${java.lang.Long.toHexString(ingestBatch)}" +
+      s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    fp.createOrReplaceTempView(view)
+    try
+      spark.sql(
+        s"""INSERT OVERWRITE TABLE $table
+           |PARTITION (ingest_batch = ${ingestBatch}L)
+           |SELECT doc_id, wh FROM $view""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 }

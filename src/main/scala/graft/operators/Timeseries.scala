@@ -587,6 +587,10 @@ object Timeseries {
                       binWidth: Long,
                       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // the temp bin column is plain withColumn — a caller column of the
+    // same name would be silently overwritten and corrupt the join
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "rangeJoinBinned: inputs must not already carry a `_bin` column")
     val p = points.withColumn("_bin", floorDivCol(col(pt), binWidth))
     val b0 = floorDivCol(col(start), binWidth)
     val b1 = floorDivCol(col(end), binWidth)

@@ -122,6 +122,9 @@ object EventStream {
                          widthMinutes: Int = 15,
                          watermark: String = "30 minutes"): DataFrame = {
     require(widthMinutes > 0, s"widthMinutes must be positive, got $widthMinutes")
+    require(!points.columns.exists(Set("__pbin", "__abin")) &&
+            !anchors.columns.exists(Set("__pbin", "__abin")),
+      "streamingRangeJoin: inputs must not already carry __pbin/__abin columns")
     val widthUs = widthMinutes * 60L * 1000000L
     val binUs = 2L * widthUs
     val us = (c: String) => unix_micros(col(c))
