@@ -135,12 +135,19 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
       try {
         Pipeline.generateSyntheticRun(dir, ny = 100, nx = 100, nt = 240)
-        val times = (1 to reps).map { i =>
+        val runs = (1 to reps).map { i =>
           val t0 = System.nanoTime()
-          Pipeline.run(spark, dir, s"$dir/out_$i")
-          (System.nanoTime() - t0) / 1e9
+          val r = Pipeline.run(spark, dir, s"$dir/out_$i")
+          ((System.nanoTime() - t0) / 1e9, r.stageSeconds)
         }
-        Map("pipeline_e2e" -> median(times))
+        // per-stage medians ride along as sub-entries: the e2e number
+        // swings with host contention, and an attributable breakdown
+        // (parse_diff vs rfields vs watermarks) is what separates a
+        // real regression from ambient load next round
+        val stageKeys = runs.flatMap(_._2.keys).distinct
+        Map("pipeline_e2e" -> median(runs.map(_._1))) ++
+          stageKeys.map(k =>
+            s"pipeline_e2e.$k" -> median(runs.flatMap(_._2.get(k))))
       } finally {
         import org.apache.hadoop.fs.Path
         val hp = new Path(dir)

@@ -33,9 +33,13 @@ object Pipeline {
 
   /** Driver-side summary: totals plus per-system series counts (the
     * reference prints "-- {system} --" blocks; this is the queryable
-    * version of the same accounting). */
+    * version of the same accounting). `stageSeconds` carries the
+    * per-stage wall clock of the run so callers (Bench) can attribute
+    * a regression to parse/diff vs sinks instead of reading one
+    * opaque end-to-end number. */
   final case class PipelineResult(stations: Long, seriesRows: Long,
-                                  watermarks: Long, perSystem: Map[String, Long])
+                                  watermarks: Long, perSystem: Map[String, Long],
+                                  stageSeconds: Map[String, Double] = Map.empty)
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(
@@ -182,11 +186,19 @@ object Pipeline {
     // 5. fgt watermark per series (A11)
     val wm = Timeseries.fgtWatermark(withId, "tms_id", "ts_us")
 
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PIPELINE stage $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+      val secs = (System.nanoTime() - t0) / 1e9
+      stageSecs(label) = secs
+      println(f"PIPELINE stage $label%-12s $secs%6.1fs")
       r
     }
+    // materialize the cached post-diff table as its OWN stage: the
+    // netCDF parse + A1 diff otherwise hide inside whichever sink
+    // action runs first, and a parse regression would masquerade as
+    // an rfield-write regression in the stage breakdown
+    timed("parse_diff")(rain.count())
     timed("rfields")(RfieldSink.write(rfield, s"${cfg.outDir}/rfields", "t"))
     if (cfg.packagedRfields) timed("rfield_pkg") {
       // the reference's per-system bundles: each system's own diffs
@@ -214,6 +226,6 @@ object Pipeline {
       println(s"PIPELINE system $s: series_rows=${perSystem.getOrElse(s, 0L)}"))
     println(s"PIPELINE upsert: $upsertSql")
     println(s"PIPELINE rfields at ${cfg.outDir}/rfields")
-    PipelineResult(nStations, nSeries, nWm, perSystem)
+    PipelineResult(nStations, nSeries, nWm, perSystem, stageSecs.toMap)
   }
 }

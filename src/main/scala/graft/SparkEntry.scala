@@ -321,11 +321,13 @@ object SparkEntry {
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
-    // probes=2: index-side multi-probe — each vector registers its
-    // exact bucket plus its 2 lowest-margin flips per table (pair
-    // recall measured in SimilaritySpec; precision stays 1.0)
+    // tables=6/probes=2/occupancy=128: the r8 D5bTuneDrive pick — the
+    // cheapest swept config holding pair recall 1.00 at BOTH verify
+    // sfs (3.3× less candidate volume than the old 8-table/256
+    // config; precision stays 1.0 — every candidate is exact-verified)
     "dedup_embedding_lsh" -> ((s, d) =>                               // rows-only
-      Similarity.cosinePairsLsh(emb(s, d), 0.45, probes = 2)),
+      Similarity.cosinePairsLsh(emb(s, d), 0.45, tables = 6,
+        probes = 2, occupancy = 128L)),
 
     // D10 SemDeDup: cluster-then-verify — pairs are a subset of
     // dedup_embedding_cosine's ground truth (precision 1.0, recall

@@ -19,18 +19,30 @@ import org.apache.spark.sql.functions._
   * and pools luminance features for G3. The MOTION path is real for
   * animated streams the JDK decodes (animated GIF): G1 reports true
   * frame counts and G2 extracts composited per-frame pixels
-  * ([[Codec.sampleFrames]]). True video/audio codecs (H.264, AAC …)
-  * are NOT in this container, so those — and payloads imageio
-  * doesn't recognize — fall back to [[Codec.stubMeta]], a
-  * clearly-marked deterministic fake; the schema, encoders,
-  * batching, and partition flow around both paths are the same
-  * production plumbing.
+  * ([[Codec.sampleFrames]]). The AUDIO path is real for the
+  * containers `javax.sound.sampled` reads (WAV/AIFF/AU): G1 reports
+  * true sample rate/channels/duration ([[Codec.audioMeta]],
+  * header-only) and G3 pools per-window RMS + zero-crossing features
+  * from the decoded PCM ([[Codec.audioFeatures]]). True compressed
+  * codecs (H.264, AAC …) are NOT in this container, so those — and
+  * payloads neither API recognizes — fall back to [[Codec.stubMeta]],
+  * a clearly-marked deterministic fake (`is_real = false`); the
+  * schema, encoders, batching, and partition flow around both paths
+  * are the same production plumbing.
   */
 object Multimodal {
 
-  /** Typed decode result — the metadata face of an opaque payload. */
+  /** Typed decode result — the metadata face of an opaque payload.
+    * `width`/`height`/`frames` carry the visual modalities;
+    * `sample_rate`/`channels`/`duration_s` the audio one (0 where a
+    * field doesn't apply). `is_real` declares whether a real codec
+    * produced the row — the stub's fake dimensions must be
+    * filterable downstream, not indistinguishable from a probe. */
   final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
-                             width: Int, height: Int, frames: Int)
+                             width: Int, height: Int, frames: Int,
+                             sample_rate: Int = 0, channels: Int = 0,
+                             duration_s: Double = 0.0,
+                             is_real: Boolean = false)
 
   object Codec {
     val batchSize = 64
@@ -387,7 +399,108 @@ object Multimodal {
         case "audio" => 1 + math.floorMod(h >> 22, 48000)
         case _       => 1
       }
-      MediaMeta(id, kind, bytes.length, w, hgt, frames)
+      MediaMeta(id, kind, bytes.length, w, hgt, frames, is_real = false)
+    }
+
+    /** Cap on declared audio frames before any decode work (~90 min
+      * at 48 kHz; 1 GiB of 16-bit stereo) — the audio dual of
+      * [[maxDecodePixels]]: a hostile header declaring an enormous
+      * stream must be refused before the feature loop, not trusted. */
+    val maxAudioFrames: Long = 1L << 28
+
+    /** REAL audio probe: sample rate, channels, and frame count
+      * straight from the container header via `javax.sound.sampled`
+      * (WAV/AIFF/AU are in the JDK) — header-only, no sample decode
+      * (the [[imageSize]] posture: G1 must not decompress to report a
+      * duration). None when the payload isn't a recognized audio
+      * stream — the JDK parser throws on malformed headers, and a
+      * corrupt payload must take the stub path, not kill the job. */
+    def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ff.getFormat
+        val n = ff.getFrameLength.toLong
+        if (f.getSampleRate <= 0 || f.getChannels <= 0 || n < 0) None
+        else Some((math.round(f.getSampleRate), f.getChannels, n))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** REAL audio features: decode to canonical signed 16-bit PCM
+      * (the JDK converts 8/24/32-bit and µ-law/A-law WAV variants),
+      * average channels to mono, then pool the signal into `dim/2`
+      * equal time windows — per window the RMS level and the
+      * zero-crossing rate (sign flips / (samples−1)), interleaved
+      * `[rms₀, zcr₀, rms₁, zcr₁, …]`. The classic cheap audio
+      * descriptor pair (energy envelope + spectral-ish texture), and
+      * every value is hand-computable in a spec. Streams through one
+      * bounded buffer — memory is O(dim), never O(duration).
+      * None when the payload isn't decodable audio, `dim` is odd
+      * (the window pool needs (rms, zcr) pairs), or the header
+      * declares more than [[maxAudioFrames]] frames (bomb refusal
+      * before the decode loop, the image-path posture). */
+    def audioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      if (bytes == null || bytes.length == 0 || dim < 2 || dim % 2 != 0)
+        return None
+      try {
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f0 = in0.getFormat
+          val n = in0.getFrameLength
+          if (n <= 0 || n > maxAudioFrames || f0.getChannels <= 0) return None
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+            f0.getSampleRate, false)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in0)
+          val g = dim / 2
+          val ch = fmt.getChannels
+          val frameSize = 2 * ch
+          val sumSq = new Array[Double](g)
+          val cross = new Array[Long](g)
+          val count = new Array[Long](g)
+          val buf = new Array[Byte](frameSize * 1024)
+          var idx = 0L
+          var prev = 0.0
+          var read = in.read(buf)
+          while (read > 0 && idx < n) {
+            var off = 0
+            while (off + frameSize <= read && idx < n) {
+              var s = 0.0
+              var c = 0
+              while (c < ch) {
+                s += ((buf(off + 2 * c + 1) << 8) |
+                  (buf(off + 2 * c) & 0xff)) / 32768.0
+                c += 1
+              }
+              val x = s / ch
+              // idx < n ≤ maxAudioFrames keeps idx*g within Long
+              val wdx = (idx * g / n).toInt
+              sumSq(wdx) += x * x
+              count(wdx) += 1
+              // crossings between consecutive MONO samples inside one
+              // window (strict sign flip; the first sample of a window
+              // has no in-window predecessor)
+              if (count(wdx) > 1 && prev * x < 0) cross(wdx) += 1
+              prev = x
+              idx += 1
+              off += frameSize
+            }
+            read = in.read(buf)
+          }
+          // a header-declared frame count longer than the actual data
+          // (truncated stream) leaves trailing windows empty: 0f, the
+          // imageFeatures empty-cell convention
+          Some(Array.tabulate(dim) { i =>
+            val wdx = i / 2
+            if (count(wdx) == 0L) 0f
+            else if (i % 2 == 0) math.sqrt(sumSq(wdx) / count(wdx)).toFloat
+            else (cross(wdx).toDouble / math.max(1L, count(wdx) - 1)).toFloat
+          })
+        } finally in0.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
     /** One payload's decode: real header probe for images, real
@@ -402,13 +515,23 @@ object Multimodal {
         : (MediaMeta, Option[(Int, Int)]) = kind match {
       case "image" =>
         imageSize(bytes) match {
-          case d @ Some((w, h)) => (MediaMeta(id, kind, bytes.length, w, h, 1), d)
-          case None             => (stubMeta(id, kind, bytes), None)
+          case d @ Some((w, h)) =>
+            (MediaMeta(id, kind, bytes.length, w, h, 1, is_real = true), d)
+          case None => (stubMeta(id, kind, bytes), None)
         }
       case "video" =>
         frameProbe(bytes) match {
           case Some((w, h, n)) =>
-            (MediaMeta(id, kind, bytes.length, w, h, n), Some((w, h)))
+            (MediaMeta(id, kind, bytes.length, w, h, n, is_real = true),
+              Some((w, h)))
+          case None => (stubMeta(id, kind, bytes), None)
+        }
+      case "audio" =>
+        audioMeta(bytes) match {
+          case Some((rate, ch, n)) =>
+            (MediaMeta(id, kind, bytes.length, 0, 0,
+              math.min(n, Int.MaxValue.toLong).toInt, rate, ch,
+              n.toDouble / rate, is_real = true), None)
           case None => (stubMeta(id, kind, bytes), None)
         }
       case _ => (stubMeta(id, kind, bytes), None)
@@ -481,10 +604,13 @@ object Multimodal {
     * vector. Image payloads take the REAL path: full pixel decode via
     * `javax.imageio` → BT.601 luminance mean-pooled over a fixed
     * `√dim`×`√dim` grid ([[Codec.imageFeatures]], bomb-refusing),
-    * flagged `is_real = true`. Everything else — audio/video (no
-    * codec in this container), unrecognized bytes, refused bombs, or
-    * a non-square `dim` (the grid pool needs dim = g²) — keeps the
-    * deterministic hash-projection stub, `is_real = false`. Schema is
+    * flagged `is_real = true`. Audio payloads the JDK decodes
+    * (WAV/AIFF/AU) are REAL too: per-window RMS + zero-crossing
+    * pooled to `dim` ([[Codec.audioFeatures]], even `dim` only).
+    * Everything else — video (no codec in this container),
+    * unrecognized bytes, refused bombs, or a grid/parity-incompatible
+    * `dim` — keeps the deterministic hash-projection stub,
+    * `is_real = false`. Schema is
     * ANN-ready (`array<float>`, E-block compatible) on both paths;
     * narrow op, payloads never leave their partition. */
   def featureExtract(docs: DataFrame, dim: Int = 16): DataFrame =
@@ -508,6 +634,7 @@ object Multimodal {
         val b = Codec.nonNull(bytes)
         val real =
           if (gridReal && kind == "image") Codec.imageFeatures(b, grid)
+          else if (kind == "audio" && dim % 2 == 0) Codec.audioFeatures(b, dim)
           else None
         real match {
           case Some(v) => (id, v, true)
@@ -621,8 +748,10 @@ object Multimodal {
 
   /** G1 on a real media frame — (doc_id, kind, payload) with actual
     * bytes. Image payloads get their true dimensions from the
-    * header-only `javax.imageio` probe; everything else (and
-    * unrecognized bytes) falls back to the deterministic stub. */
+    * header-only `javax.imageio` probe, audio payloads their true
+    * sample rate/channels/duration from the header-only
+    * `javax.sound.sampled` probe; everything else (and unrecognized
+    * bytes) falls back to the deterministic stub. */
   def decodeMetaPayloads(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

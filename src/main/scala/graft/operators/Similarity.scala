@@ -189,8 +189,9 @@ object Similarity {
     * probe array degenerates to the one exact bucket). */
   def cosinePairsLsh(emb: DataFrame, tau: Double, planes: Int = 0,
                      tables: Int = 8, maxBucket: Long = 4096L,
-                     probes: Int = 0): DataFrame = {
+                     probes: Int = 0, occupancy: Long = 256L): DataFrame = {
     require(probes >= 0, s"probes=$probes must be non-negative")
+    require(occupancy > 0, s"occupancy=$occupancy must be positive")
     val p0 = preparedNonZero(emb)
     val nPlanes =
       if (planes > 0) planes
@@ -200,10 +201,15 @@ object Similarity {
         // and zero-norm rows are noise at log2 resolution. On a bare
         // parquet table this is a footer-stats count; at 100 TB with
         // upstream filters it is a real pass — pass `planes`
-        // explicitly there (the auto-size is a convenience default)
+        // explicitly there (the auto-size is a convenience default).
+        // `occupancy` is the mean-bucket-size target: smaller buckets
+        // = fewer candidates per table at the price of more plane
+        // straddles — with probes ≥ 2 re-finding the straddlers, 128
+        // measured 3.3× cheaper than 256 at UNCHANGED pair recall
+        // (D5bTuneDrive r8, PERF.md)
         val n = emb.count()
         math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(1L, n / 256)))
+          math.max(1L, n / occupancy)))
       }
     // the exploded bucket table feeds the hot-bucket aggregate, the
     // anti-join, the star branch, AND both self-join sides — cache it

@@ -345,4 +345,74 @@ object EventStream {
       (r.value, last.map(pv => IntervalDelta(r.station, r.ts, r.value - pv)))
     }
   }
+
+  /** One event of the merged as-of input stream: a left probe row
+    * (`isRight = false`, `value` = the probe's own reading) or a
+    * right reference row (`isRight = true`, `value` = the reference
+    * value later probes should pick up). `id` breaks timestamp ties
+    * within a side, the [[CumulReading.id]] contract. */
+  final case class AsofEvent(station: String, ts: java.sql.Timestamp,
+                             isRight: Boolean, value: Double, id: Long = 0L)
+
+  /** One joined probe row — `asof_value` is the latest right value at
+    * or before `ts`, None before any right row arrived (the batch
+    * flavor's NULL). */
+  final case class AsofJoined(station: String, ts: java.sql.Timestamp,
+                              value: Double, asof_value: Option[Double])
+
+  /** A13-as-a-stream: as-of join with the last-known right-side value
+    * carried in per-key state (`flatMapGroupsWithState`, the
+    * [[streamingEwma]] pattern) — the one A-block operator that had
+    * no streaming flavor. The batch spelling
+    * ([[graft.operators.Timeseries.asofJoinLatest]]) is a union-sort
+    * forward fill; here the two sides arrive MERGED as one tagged
+    * stream and the "fill" is one (ts, id, value) triple per station
+    * surviving across micro-batches — state bounded by key count,
+    * never by stream length (a stream-stream join's buffered-rows
+    * state is the wrong shape for this: the left side needs no
+    * buffering at all once the right's latest value is a fold).
+    *
+    * Within a micro-batch events sort by (ts, right-first, id) — the
+    * batch flavor's exact window order, so a probe at the same ts as
+    * a reference row sees it. Late events follow the
+    * [[statefulOrderedFold]] contract, extended with the side rank:
+    * an event at or behind the last applied (ts, rank, id) position
+    * is dropped as a crash-replay re-delivery — an appended probe
+    * result can't be retracted, so a genuinely-late right row must
+    * not rewrite history (the watermark-model trade every streaming
+    * flavor here documents; batch parity holds for streams whose
+    * cross-batch arrival respects event order). */
+  def streamingAsofJoin(events: Dataset[AsofEvent]): Dataset[AsofJoined] = {
+    import events.sparkSession.implicits._
+    // rank 0 = right, 1 = left: right sorts (and compares) first at
+    // equal ts, so a probe tied with a reference row matches it and a
+    // probe is never dropped by a same-(ts, id) reference apply
+    def rank(e: AsofEvent): Int = if (e.isRight) 0 else 1
+    events.groupByKey(_.station)
+      // state: (last applied ts, rank, id, has a right value, value)
+      .flatMapGroupsWithState[(Long, Int, Long, Boolean, Double), AsofJoined](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, evs, state: GroupState[(Long, Int, Long, Boolean, Double)]) =>
+          var cur = state.getOption
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, rank(e), e.id))
+            .flatMap { e =>
+              val t = e.ts.getTime
+              val r = rank(e)
+              val behind = cur.exists { case (lt, lr, lid, _, _) =>
+                lt > t || (lt == t && (lr > r || (lr == r && lid >= e.id)))
+              }
+              if (behind) None
+              else {
+                val rv = cur.collect { case (_, _, _, true, v) => v }
+                cur = Some((t, r, e.id,
+                  e.isRight || rv.isDefined,
+                  if (e.isRight) e.value else rv.getOrElse(0.0)))
+                if (e.isRight) None
+                else Some(AsofJoined(e.station, e.ts, e.value, rv))
+              }
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

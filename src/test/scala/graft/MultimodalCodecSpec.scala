@@ -172,4 +172,108 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out.getAs[Int]("width") >= 64) // stub dimension range
     assert(Multimodal.Codec.imageSize(junk).isEmpty)
   }
+
+  // ---- the REAL audio path (javax.sound.sampled, WAV/PCM) ----------
+
+  /** Canonical 16-bit little-endian PCM WAV from raw shorts. */
+  private def wav(rate: Float, samples: Array[Short],
+                  channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, 2 * channels, rate, false)
+    val data = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("G1 decodes real WAV bytes: true rate/channels/duration, header-only") {
+    val mono = wav(8000f, new Array[Short](16000))           // 2 s mono
+    val stereo = wav(44100f, new Array[Short](44100 * 2), 2) // 1 s stereo
+    val junk = "not audio".getBytes("UTF-8")
+    val media = Seq((1L, "audio", mono), (2L, "audio", stereo),
+        (3L, "audio", junk))
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.decodeMetaPayloads(media).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("sample_rate") === 8000)
+    assert(out(0).getAs[Int]("channels") === 1)
+    assert(out(0).getAs[Int]("frames") === 16000)
+    assert(out(0).getAs[Double]("duration_s") === 2.0)
+    assert(out(0).getAs[Boolean]("is_real"))
+    assert(out(1).getAs[Int]("sample_rate") === 44100)
+    assert(out(1).getAs[Int]("channels") === 2)
+    assert(out(1).getAs[Double]("duration_s") === 1.0)
+    assert(out(1).getAs[Boolean]("is_real"))
+    // unrecognized bytes keep the declared stub
+    assert(!out(2).getAs[Boolean]("is_real"))
+    assert(out(2).getAs[Int]("sample_rate") === 0)
+  }
+
+  test("G3 extracts hand-computable RMS/zero-crossing features from real WAV") {
+    // two 4-sample windows at dim=4: [±0.5 alternating] → rms .5,
+    // zcr 3/3 = 1; [0.25 constant] → rms .25, zcr 0. The shorts are
+    // exact powers of two, so 16-bit quantization is lossless
+    val samples = Array[Short](16384, -16384, 16384, -16384,
+      8192, 8192, 8192, 8192)
+    val media = Seq((1L, "audio", wav(8000f, samples)))
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.featureExtractPayloads(media, dim = 4).collect().head
+    assert(out.getAs[Boolean]("is_real"))
+    // collection.Seq: Spark hands array columns back as mutable
+    // ArraySeq — an immutable-Seq ascription CCEs at the assignment
+    val v = out.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(v.size === 4)
+    assert(math.abs(v(0) - 0.5f) < 1e-6f, s"rms window 0: ${v(0)}")
+    assert(v(1) === 1.0f, s"zcr window 0: ${v(1)}")
+    assert(math.abs(v(2) - 0.25f) < 1e-6f, s"rms window 1: ${v(2)}")
+    assert(v(3) === 0.0f, s"zcr window 1: ${v(3)}")
+    // stereo channel-averaging: L/R cancel to silence → rms 0
+    val quiet = Multimodal.Codec.audioFeatures(
+      wav(8000f, Array[Short](16384, -16384, 16384, -16384), 2), 2).get
+    assert(math.abs(quiet(0)) < 1e-6f, s"cancelled stereo rms: ${quiet(0)}")
+    // odd dim can't hold (rms, zcr) pairs → stub, flagged
+    val odd = Multimodal.featureExtractPayloads(media, dim = 5).collect().head
+    assert(!odd.getAs[Boolean]("is_real"))
+    assert(odd.getAs[Seq[Float]]("embedding").size === 5)
+  }
+
+  test("audio bombs and corrupt streams are refused before the decode loop") {
+    // hand-built RIFF/WAVE header declaring ~1 G frames in a 44-byte
+    // payload: the header probe may report it, but the feature path
+    // must refuse (None → stub) rather than spin the decode loop
+    def le(i: Int): Array[Byte] =
+      Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+        ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    def le16(i: Int): Array[Byte] =
+      Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+    val bomb = "RIFF".getBytes("US-ASCII") ++ le(0x7ffffff0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le(16) ++ le16(1) ++ le16(1) ++
+      le(48000) ++ le(96000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le(0x7fffff00)
+    assert(Multimodal.Codec.audioFeatures(bomb, 4).isEmpty,
+      "declared ~1G-frame stream must be refused")
+    // truncated real WAV (header promises more data than exists):
+    // trailing windows are empty → 0f, flagged real, never a crash
+    val full = wav(8000f, Array.fill[Short](1000)(8192))
+    val truncated = full.take(full.length - 1500)
+    val f = Multimodal.Codec.audioFeatures(truncated, 4)
+    assert(f.isDefined)
+    assert(math.abs(f.get(0) - 0.25f) < 1e-6f) // window 0 has data
+    assert(f.get(2) === 0.0f)                  // window 1 starved
+    // corrupt body bytes after a valid-ish prefix: stub, no crash
+    val corrupt = full.take(20) ++ Array.fill[Byte](10)(0x41)
+    val media = Seq((9L, "audio", corrupt)).toDF("doc_id", "kind", "payload")
+    assert(!Multimodal.decodeMetaPayloads(media).collect().head
+      .getAs[Boolean]("is_real"))
+  }
 }

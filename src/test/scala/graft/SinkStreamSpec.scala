@@ -289,6 +289,56 @@ class SinkStreamSpec extends SparkSpec {
       Seq("s2", t(2), t(12), 1L)))
   }
 
+  test("streamingAsofJoin forward-fills across batches with batch parity; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.AsofEvent]
+    val q = EventStream.streamingAsofJoin(mem.toDS())
+      .writeStream.format("memory").queryName("asof_s").outputMode("append").start()
+    def t(min: Int) = new Timestamp(1577836800000L + min * 60000L)
+    // batch 1: probe before any reference (no match), reference at
+    // t1, probe TIED at t1 (right-first ordering must let it match)
+    mem.addData(
+      EventStream.AsofEvent("s1", t(0), isRight = false, 1.0),
+      EventStream.AsofEvent("s1", t(1), isRight = true, 100.0),
+      EventStream.AsofEvent("s1", t(1), isRight = false, 2.0))
+    q.processAllAvailable()
+    // batch 2: the t1 reference survives the batch boundary in state;
+    // a newer reference takes over for later probes
+    mem.addData(
+      EventStream.AsofEvent("s1", t(2), isRight = false, 3.0),
+      EventStream.AsofEvent("s1", t(3), isRight = true, 200.0),
+      EventStream.AsofEvent("s1", t(4), isRight = false, 4.0))
+    q.processAllAvailable()
+    // batch 3: a LATE reference (t1) and a LATE probe (t3) are both
+    // behind the last applied position — dropped (appended probe
+    // results can't be retracted); an in-order probe continues on the
+    // uncorrupted state
+    mem.addData(
+      EventStream.AsofEvent("s1", t(1), isRight = true, 999.0),
+      EventStream.AsofEvent("s1", t(3), isRight = false, 9.0),
+      EventStream.AsofEvent("s1", t(5), isRight = false, 5.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_s").orderBy("ts")
+      .select("value", "asof_value").collect()
+      .map(r => (r.getDouble(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+      .toSeq
+    q.stop()
+    assert(got === Seq((1.0, None), (2.0, Some(100.0)), (3.0, Some(100.0)),
+      (4.0, Some(200.0)), (5.0, Some(200.0))))
+    // batch parity (Timeseries.asofJoinLatest) on the in-order subset
+    val left = Seq(("s1", t(0), 1.0), ("s1", t(1), 2.0), ("s1", t(2), 3.0),
+        ("s1", t(4), 4.0), ("s1", t(5), 5.0))
+      .toDF("station", "ts", "value")
+    val right = Seq(("s1", t(1), 100.0), ("s1", t(3), 200.0))
+      .toDF("station", "rt", "rv")
+    val batch = graft.operators.Timeseries
+      .asofJoinLatest(left, right, "station", "ts", "rt", "rv")
+      .orderBy("ts").select("value", "asof_value").collect()
+      .map(r => (r.getDouble(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got === batch)
+  }
+
   test("streamingEwma carries the running average across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.CumulReading]

@@ -102,14 +102,22 @@ object SkewScaleDrive {
 
     def runOps(size: Int): Map[String, (Double, Long)] = {
       val (docs, emb) = corpus(size)
+      // occupancy 128 — the r8 catalog config (D5bTuneDrive)
       val planes = math.max(4,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, size / 256L)))
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, size / 128L)))
       val ops: Seq[(String, () => DataFrame)] = Seq(
         "D3b_ngram_capped" -> (() => Dedup.ngramJaccard(docs, 0.2, maxDf = 50L)),
         "D2_minhash_lsh" -> (() => Dedup.minhashLsh(docs)),
         "D4_simhash" -> (() => Dedup.simhashPairs(docs)),
         "D5b_embedding_lsh" -> (() =>
-          Similarity.cosinePairsLsh(emb, 0.95, planes = planes, probes = 2)),
+          Similarity.cosinePairsLsh(emb, 0.95, planes = planes,
+            tables = 6, probes = 2)),
+        // D11 capped: the 16-token header makes the pure-header window
+        // hash a boilerplate fingerprint selected by ~n/w docs —
+        // uncapped that one key fans out O((n/w)²) pairs; the cap
+        // drops it and cost must stay ~linear
+        "D11_substring_capped" -> (() =>
+          Dedup.substringDedup(docs, 16, 8, maxDf = 50L)),
         "F7_pack_sequences" -> (() => Corpus.packSequences(docs, "lang", 2048)))
       ops.map { case (name, fn) =>
         clearCaches(); stats.clear()
@@ -136,6 +144,16 @@ object SkewScaleDrive {
       s"hot_grams(df>50)=${hot.getLong(0)} hot_mass=${hot.getLong(1)} " +
       f"(${100.0 * hot.getLong(1) / tot.getLong(1)}%.1f%% of all gram " +
       "occurrences leave the D3b join under the cap)")
+    val fdfs = Dedup.fingerprintDocFrequencies(docsN)
+    val fhot = fdfs.filter(col("df") > 50)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("hot_fps"),
+        coalesce(sum("df"), lit(0L)).as("hot_mass")).head()
+    val ftot = fdfs.agg(count(lit(1)), sum("df")).head()
+    println(s"[skew] n=$n fingerprints=${ftot.getLong(0)} " +
+      s"fp_mass=${ftot.getLong(1)} hot_fps(df>50)=${fhot.getLong(0)} " +
+      s"hot_fp_mass=${fhot.getLong(1)} " +
+      f"(${100.0 * fhot.getLong(1) / ftot.getLong(1)}%.1f%% of fingerprint " +
+      "occurrences leave the D11 join under the cap)")
 
     val small = runOps(n / 4)
     val large = runOps(n)
