@@ -1052,7 +1052,15 @@ object Similarity {
     * once `rerank` absorbs ADC noise; the spec therefore pins the
     * EXACTNESS invariant (a rerank window covering every candidate
     * reproduces exact IVF at the same nprobe) and recall parity, not
-    * a win. Ranking is preserved because
+    * a win. The win is MEASURED in the clustered regime
+    * (ClusteredAnnDrive r8, 100k-vector mixture-of-256-Gaussians,
+    * PERF.md): recall@5 0.988 residual vs 0.848 plain at nlist=256/
+    * rr=16, growing with nlist (0.920 vs 0.848 at nlist=64) exactly
+    * as the tight-list argument predicts, and decisive at thin
+    * rerank budgets (0.612 vs 0.216 at rr=1 — residual ADC ordering
+    * needs far less exact-rerank rescue). Prefer this flavor over
+    * [[ivfpqTopK]] for clustered production corpora.
+    * Ranking is preserved because
     * ‖u_q − u_c‖ = ‖(u_q − cent) − (u_c − cent)‖: per probed list,
     * ADC over residual codes approximates the same distances with
     * the query's own residual on the LUT side.
