@@ -392,26 +392,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                  maxBucket: Long = 1024L): DataFrame = {
-    require(numHashes == 32, "registered signature variant is 32-slot")
-    require(numHashes % bands == 0,
-      s"bands=$bands must divide numHashes=$numHashes (trailing slots would " +
-        "silently drop out of every bucket)")
-    val rowsPerBand = numHashes / bands
-    graft.functions.VecExprs.register(docs.sparkSession)
-    // Whole signature per row in one codegen'd pass — no explode/groupBy
-    // shuffle for signature construction at all; docs with no grams
-    // (<3 tokens) are excluded, as with the exploded formulation.
-    val sigs = docs
-      .select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .filter(size(col("ghs")) > 0)
-      .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
-    // Band bucket = hash of the band's signature slice (+ band index so
-    // identical slices in different bands can't collide).
     val raw = cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
-      sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bucket"))))
+      minhashBands(docs, numHashes, bands))
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (raw, None)
       else {
@@ -422,18 +404,224 @@ object Dedup {
         // hot buckets → star candidates around the min member (doc_a
         // is the min, so doc_a < doc_b holds by construction)
         val members = raw.join(broadcast(hot), Seq("band", "bucket"))
-        val star = members
-          .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_a"))
-          .join(members, Seq("band", "bucket"))
-          .filter(col("doc_id") =!= col("doc_a"))
-          .select(col("doc_a"), col("doc_id").as("doc_b"))
-        (kept, Some(star))
+        (kept, Some(bandStar(members)))
       }
     val keptPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     hotStar.fold(keptPairs)(keptPairs.unionByName(_)).distinct()
+  }
+
+  /** The banded (doc_id, band, bucket) rows every D2 flavor shares —
+    * in-memory self-join, bucketed table write, and incremental
+    * batches all live in the same bucket space (the
+    * [[winnowFingerprints]] role for minhash). Whole signature per row
+    * in one codegen'd pass — no explode/groupBy shuffle for signature
+    * construction at all; docs with no grams (<3 tokens) are excluded,
+    * as with the exploded formulation. Band bucket = hash of the
+    * band's signature slice (+ band index so identical slices in
+    * different bands can't collide) — the band is FOLDED INTO the
+    * 64-bit bucket value, which is what lets the materialized flow
+    * join on `bucket` alone. */
+  private def minhashBands(docs: DataFrame, numHashes: Int,
+                           bands: Int): DataFrame = {
+    require(numHashes == 32, "registered signature variant is 32-slot")
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing slots would " +
+        "silently drop out of every bucket)")
+    val rowsPerBand = numHashes / bands
+    graft.functions.VecExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), gramHashes(col("text")).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Star pairs over a hot-bucket member frame `(band, bucket,
+    * doc_id)`: each member paired with its bucket's min doc_id (the
+    * hub), per-bucket output O(size) — shared by [[minhashLsh]] and
+    * the materialized flow so collapse semantics can never diverge. */
+  private def bandStar(members: DataFrame): DataFrame =
+    members
+      .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_a"))
+      .join(members, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+
+  /** Materialize the banded minhash bucket rows BUCKETED on the band
+    * bucket — D2's deploy-time flow, completing the dedup family's
+    * table story ([[writeSignatureTable]] for D3, [[writeFingerprintTable]]
+    * for D11): at 100 TB the corpus is signed once (one shuffle into
+    * `buckets` file-sets) and every later candidate self-join or
+    * incremental batch reads co-located buckets with ZERO exchange on
+    * the join key (plan-proved in MinhashTableSpec). Partitioned by
+    * `ingest_batch` (base = −1) for [[appendToMinhashTable]]'s replay
+    * idempotence.
+    *
+    * The `maxBucket` star-collapse is a SPLIT here, not a drop (unlike
+    * D3's df cap, collapsed buckets still emit O(size) hub pairs): the
+    * main table holds the kept rows; the hot buckets' MEMBER rows land
+    * in `<table>_hot` (at `<path>_hot`, same partition + bucket spec)
+    * so [[minhashFromTable]] can rebuild the stars losslessly and
+    * [[incrementalMinhash]] can hub-attach new arrivals — the hot-key
+    * list is frozen at build time exactly like D3's `_hot` gram list
+    * (a bucket turning hot only post-build is re-capped at the next
+    * rebuild, not silently mid-stream). */
+  def writeMinhashTable(docs: DataFrame, table: String, path: String,
+                        buckets: Int = 64,
+                        numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Long = 1024L): Unit = {
+    val spark = docs.sparkSession
+    // pin (doc_id, band, bucket) order: a USING-join moves its keys
+    // first, and [[appendToMinhashTable]]'s INSERT resolves columns
+    // POSITIONALLY against the stored order — without this select the
+    // capped tables would be born (band, bucket, doc_id) and every
+    // later append would write doc_ids into the band column
+    def writeOne(df: DataFrame, t: String, p: String): Unit =
+      df.select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("ingest_batch", lit(-1L))
+        .write.format("parquet").partitionBy("ingest_batch")
+        .bucketBy(buckets, "bucket").sortBy("bucket")
+        .option("path", p).mode("overwrite").saveAsTable(t)
+    val raw = minhashBands(docs, numHashes, bands)
+    if (maxBucket == Long.MaxValue) {
+      // a stale `_hot` companion from an earlier capped build must not
+      // survive an uncapped rebuild (the writeSignatureTable rationale)
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_hot")
+      val hp = new org.apache.hadoop.fs.Path(s"${path}_hot")
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      writeOne(raw, table, path)
+    } else {
+      // cache the banded rows: the hot-key aggregate, the anti-join,
+      // and the member semi-join otherwise each re-shingle and re-sign
+      // the whole corpus (three full passes at 100 TB)
+      val cached = raw.cache()
+      try {
+        val hotKeys = cached.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+          .select("band", "bucket")
+        writeOne(cached.join(broadcast(hotKeys), Seq("band", "bucket")),
+          s"${table}_hot", s"${path}_hot")
+        writeOne(cached.join(broadcast(spark.table(s"${table}_hot")
+            .select("band", "bucket").distinct()),
+          Seq("band", "bucket"), "left_anti"), table, path)
+      } finally cached.unpersist(false)
+    }
+  }
+
+  /** D2 over a materialized bucket table: identical pair semantics to
+    * [[minhashLsh]], but the candidate self-join reads the bucketed
+    * table — no re-signing, no shuffle on the bucket key. The join is
+    * on `bucket` alone (the band index is folded into the 64-bit hash,
+    * see [[minhashBands]]), which is what makes the table's bucketing
+    * spec cover the whole join key; stars are rebuilt from the
+    * `<table>_hot` member rows when that companion exists. */
+  def minhashFromTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String): DataFrame = {
+    val kept = spark.table(table).hint("merge")
+    val keptPairs = kept.as("a").join(kept.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val all =
+      if (spark.catalog.tableExists(s"${table}_hot"))
+        keptPairs.unionByName(bandStar(spark.table(s"${table}_hot")))
+      else keptPairs
+    all.distinct()
+  }
+
+  /** Incremental D2 — candidate pairs between a NEW document batch and
+    * the materialized bucket table, without re-signing the corpus (the
+    * [[incrementalJaccard]] shape: batch rows, small, shuffle into the
+    * table's bucketing; the corpus side reads its co-located buckets
+    * in place). Pairs come back as (corpus doc_a, new doc_b); batch
+    * rows landing in a FROZEN hot bucket are hub-attached — paired
+    * with that bucket's min stored member — instead of joining the
+    * main table (the bucket's size² fan-out stays given up, but the
+    * new doc still connects to the duplicate cluster through the hub
+    * for D8's transitive clustering). New-vs-new pairs are
+    * [[minhashLsh]] on the batch alone; `excludeIngestBatch` drops
+    * that partition from the corpus side (partition-pruned) so a
+    * crash-replayed batch's own rows don't double its pairs. */
+  def incrementalMinhash(spark: org.apache.spark.sql.SparkSession,
+                         table: String, newDocs: DataFrame,
+                         numHashes: Int = 32, bands: Int = 8,
+                         hotTable: Option[String] = None,
+                         excludeIngestBatch: Option[Long] = None): DataFrame = {
+    def drop(df: DataFrame, b: Option[Long]): DataFrame =
+      b.fold(df)(x => df.filter(col("ingest_batch") =!= lit(x)))
+    val newRaw = cachedAs("incrementalMinhash_raw",
+      minhashBands(newDocs, numHashes, bands))
+    val corpus = drop(spark.table(table), excludeIngestBatch).hint("merge")
+    val (keptNew, star) = hotTable.fold((newRaw, None: Option[DataFrame])) { h =>
+      val hotKeys = spark.table(h).select("band", "bucket").distinct()
+      val members = drop(spark.table(h), excludeIngestBatch)
+      val hubs = members.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("doc_a"))
+      val hubbed = newRaw.join(broadcast(hotKeys), Seq("band", "bucket"))
+        .join(hubs, Seq("band", "bucket"))
+        .filter(col("doc_id") =!= col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+      (newRaw.join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti"),
+        Some(hubbed))
+    }
+    val cross = corpus.as("a")
+      .join(keptNew.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    star.fold(cross)(cross.unionByName(_)).distinct()
+  }
+
+  /** Append a batch's banded rows to the materialized bucket table
+    * (the arrival-time state update — next [[incrementalMinhash]] sees
+    * these docs). Same replay-safe STATIC partition overwrite as
+    * [[appendToSignatureTable]]; rows in frozen hot buckets divert to
+    * the `<table>_hot` member partition (keeping the main table's
+    * per-bucket bound) when `hotTable` is passed. */
+  def appendToMinhashTable(docs: DataFrame, table: String,
+                           ingestBatch: Long,
+                           hotTable: Option[String] = None,
+                           numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the table)")
+    val spark = docs.sparkSession
+    def overwrite(df: DataFrame, t: String): Unit = {
+      val view = s"graft_mh_append_${java.lang.Long.toHexString(ingestBatch)}" +
+        s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      df.createOrReplaceTempView(view)
+      try
+        spark.sql(
+          s"""INSERT OVERWRITE TABLE $t
+             |PARTITION (ingest_batch = ${ingestBatch}L)
+             |SELECT doc_id, band, bucket FROM $view""".stripMargin)
+      finally spark.catalog.dropTempView(view)
+    }
+    hotTable match {
+      case None => overwrite(minhashBands(docs, numHashes, bands), table)
+      case Some(h) =>
+        // both destinations read the banded rows — sign the batch once
+        val raw = cachedAs("appendMinhash_raw",
+          minhashBands(docs, numHashes, bands))
+        // the hot-key list must be SNAPSHOTTED off the table lineage:
+        // the diverted insert overwrites `h` while its plan would
+        // otherwise still read `h` (UNSUPPORTED_OVERWRITE). The list is
+        // tiny by construction (distinct frozen hot buckets), so the
+        // checkpoint is one small cached frame, freed right after.
+        val (hotKeys, pins) = checkpointPinned(
+          spark.table(h).select("band", "bucket").distinct())
+        try {
+          overwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti"),
+            table)
+          overwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"))
+            .select(col("doc_id"), col("band"), col("bucket")), h)
+        } finally pins.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** D4: SimHash near-dup pairs (rows-only).
