@@ -403,15 +403,27 @@ object SparkEntry {
     "ann_centroid_update" -> ((s, d) =>
       Similarity.centroidUpdate(emb(s, d), nlist = 16)),
 
+    // rerank=128 (not the function's 16 default): the r8 sf1 stretch
+    // verify found plain-PQ ADC ordering collapse on a clustered
+    // corpus (recall@5 .44 at rr=16 where sf0.01 measures .98 — the
+    // isotropic-calibrated shortlist is too thin when a query has
+    // thousands of near neighbors); Sf1PqDrive's sweep shows recall
+    // monotone in rr (.44/.58/.74/.89 at 16/32/64/128) at FLAT wall
+    // (the shortlist rerank is nq × k·rr exact dots — noise next to
+    // the ADC scan). rr can only widen the exact-reranked superset, so
+    // the sf0.01 gate numbers keep their .98.
     "ann_pq_topk" -> ((s, d) =>                                       // rows-only
-      Similarity.pqTopK(emb(s, d), annIsQuery, 5)),
+      Similarity.pqTopK(emb(s, d), annIsQuery, 5, rerank = 128)),
 
-    // nlist=32/nprobe=8 as in E3: the ks=64 codes + rerank=16 recover
-    // EVERYTHING the finer list probing admits — recall ≡ the plain
-    // IVF serve (.62/.78 at sf0.01/sf0.001) at a compressed index
+    // nlist=32/nprobe=8 as in E3: the ks=64 codes recover EVERYTHING
+    // the finer list probing admits — recall ≡ the plain IVF serve
+    // (.62/.78 at sf0.01/sf0.001) at a compressed index. rerank=64
+    // from the same r8 sf1 sweep (.44→.74 clustered, sf0.01
+    // unchanged); the RESIDUAL flavor below stays the documented
+    // deploy choice for clustered corpora (.96 at the same budget).
     "ann_ivfpq_topk" -> ((s, d) =>                                    // rows-only
       Similarity.ivfpqTopK(emb(s, d), annIsQuery, 5,
-        nlist = 32, nprobe = 8)),
+        nlist = 32, nprobe = 8, rerank = 64)),
 
     // E6's exact-cover invariant pinned hash-green: every list probed
     // AND the rerank window covering every candidate (k·rerank ≥ any
@@ -422,10 +434,12 @@ object SparkEntry {
           nlist = 16, nprobe = 16, rerank = 1 << 22)
         .withColumn("rank", col("rank").cast("bigint"))),
 
-    // E6r: FAISS-faithful residual encoding (codes quantize u − cent)
+    // E6r: FAISS-faithful residual encoding (codes quantize u − cent);
+    // rerank=64 as E6 — on the clustered sf1 corpus the residual codes
+    // turn the same budget into .96 recall (Sf1PqDrive)
     "ann_ivfpq_residual_topk" -> ((s, d) =>                           // rows-only
       Similarity.ivfpqResidualTopK(emb(s, d), annIsQuery, 5,
-        nlist = 32, nprobe = 8)),
+        nlist = 32, nprobe = 8, rerank = 64)),
 
     // --- F: text analysis ---
     "text_lang_id" -> ((s, d) => {

@@ -25,6 +25,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes a bit: timestamps → ns, ints → int64
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Spark-written parquet timestamps are UTC-adjusted and read
+            # back tz-aware; the driver's tables are tz-naive. Strip to
+            # UTC-naive so both engines' results compare on the instant.
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
