@@ -123,6 +123,7 @@ object Pipeline {
   }
 
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
+    val runT0 = System.nanoTime()
     val paths = cfg.systems.map(cfg.ncPath)
     if (cfg.waitReadyMs > 0L) { // is_netcdf_ready.sh semantics
       val gate = graft.sources.ArrivalGate.awaitReady(paths, cfg.waitReadyMs)
@@ -221,6 +222,14 @@ object Pipeline {
     val nSeries = perSystem.values.sum
     val nWm = timed("watermarks")(wm.count())
     rain.unpersist()
+    // the residual OUTSIDE every timed stage (config discovery,
+    // readiness gate, netCDF header parsing during plan construction,
+    // analyzer/optimizer time, inter-job gaps) — tracked as its own
+    // stage so the bench sub-entries sum to the e2e wall and a
+    // regression can never hide in unattributed time
+    val runSecs = (System.nanoTime() - runT0) / 1e9
+    stageSecs("other") = math.max(0.0, runSecs - stageSecs.values.sum)
+    println(f"PIPELINE stage other        ${stageSecs("other")}%6.1fs")
     println(s"PIPELINE stations=$nStations series_rows=$nSeries watermarks=$nWm")
     cfg.systems.foreach(s =>
       println(s"PIPELINE system $s: series_rows=${perSystem.getOrElse(s, 0L)}"))

@@ -591,19 +591,9 @@ object Dedup {
       s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
         "corpus lives at -1; overwriting it would destroy the table)")
     val spark = docs.sparkSession
-    def overwrite(df: DataFrame, t: String): Unit = {
-      val view = s"graft_mh_append_${java.lang.Long.toHexString(ingestBatch)}" +
-        s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      df.createOrReplaceTempView(view)
-      try
-        spark.sql(
-          s"""INSERT OVERWRITE TABLE $t
-             |PARTITION (ingest_batch = ${ingestBatch}L)
-             |SELECT doc_id, band, bucket FROM $view""".stripMargin)
-      finally spark.catalog.dropTempView(view)
-    }
     hotTable match {
-      case None => overwrite(minhashBands(docs, numHashes, bands), table)
+      case None => mhOverwrite(minhashBands(docs, numHashes, bands), table,
+        ingestBatch)
       case Some(h) =>
         // both destinations read the banded rows — sign the batch once
         val raw = cachedAs("appendMinhash_raw",
@@ -616,12 +606,95 @@ object Dedup {
         val (hotKeys, pins) = checkpointPinned(
           spark.table(h).select("band", "bucket").distinct())
         try {
-          overwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti"),
-            table)
-          overwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"))
-            .select(col("doc_id"), col("band"), col("bucket")), h)
+          mhOverwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"),
+            "left_anti"), table, ingestBatch)
+          mhOverwrite(raw.join(broadcast(hotKeys), Seq("band", "bucket"))
+            .select(col("doc_id"), col("band"), col("bucket")), h, ingestBatch)
         } finally pins.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** The replay-safe static-partition overwrite shared by
+    * [[appendToMinhashTable]] and [[minhashBatch]] (the appendGrams
+    * role for banded rows). */
+  private def mhOverwrite(df: DataFrame, t: String,
+                          ingestBatch: Long): Unit = {
+    val spark = df.sparkSession
+    val view = s"graft_mh_append_${java.lang.Long.toHexString(ingestBatch)}" +
+      s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    df.createOrReplaceTempView(view)
+    try
+      spark.sql(
+        s"""INSERT OVERWRITE TABLE $t
+           |PARTITION (ingest_batch = ${ingestBatch}L)
+           |SELECT doc_id, band, bucket FROM $view""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** One micro-batch of the arrival-time D2 flow, signed ONCE (the
+    * [[dedupBatch]] shape for minhash): (a) cross pairs vs the corpus
+    * bucket table — excluding this batch's own replayed rows, (b)
+    * within-batch pairs over the SAME frozen hot-key subspace (a
+    * frozen-hot arrival hub-attaches even to its batch-mates: they
+    * all connect through the stored hub, so the bucket's size²
+    * fan-out stays given up — a batch-LOCAL mega bucket that is not
+    * frozen-hot self-joins in full, the batch being micro by
+    * contract), (c) the replay-safe split append. Returns (a) ∪ (b)
+    * ∪ the hub-attach pairs for the caller's onPairs hook. */
+  private[graft] def minhashBatch(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, batch: DataFrame,
+                                  hotTable: Option[String],
+                                  ingestBatch: Long,
+                                  numHashes: Int = 32,
+                                  bands: Int = 8): DataFrame = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the table)")
+    val raw = cachedAs("minhashBatch_raw",
+      minhashBands(batch, numHashes, bands))
+    // frozen hot-key snapshot COLLECTED to the driver: bounded
+    // metadata (distinct frozen hot buckets — the trained-centroid
+    // class of collect), and the local frame keeps the hot table out
+    // of every later plan — the split append below overwrites `h`
+    // (UNSUPPORTED_OVERWRITE on a live read), and a lazy checkpoint
+    // would pin its blocks for as long as the caller holds the
+    // returned pair frame (a per-micro-batch leak on an always-on
+    // stream).
+    val hotKeys: Option[DataFrame] = hotTable.map { h =>
+      val rows = spark.table(h).select(col("band"), col("bucket"))
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      import spark.implicits._
+      rows.toDF("band", "bucket")
+    }
+    val kept = hotKeys.fold(raw)(hk =>
+      raw.join(broadcast(hk), Seq("band", "bucket"), "left_anti"))
+    val hubbed = hotKeys.map { hk =>
+      val hubs = spark.table(hotTable.get)
+        .filter(col("ingest_batch") =!= lit(ingestBatch))
+        .groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("doc_a"))
+      raw.join(broadcast(hk), Seq("band", "bucket"))
+        .join(hubs, Seq("band", "bucket"))
+        .filter(col("doc_id") =!= col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+    }
+    val corpus = spark.table(table)
+      .filter(col("ingest_batch") =!= lit(ingestBatch)).hint("merge")
+    val vsCorpus = corpus.as("a")
+      .join(kept.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val within = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    mhOverwrite(kept, table, ingestBatch)
+    for (h <- hotTable; hk <- hotKeys)
+      mhOverwrite(raw.join(broadcast(hk), Seq("band", "bucket"))
+        .select(col("doc_id"), col("band"), col("bucket")), h, ingestBatch)
+    hubbed.fold(vsCorpus.unionByName(within))(
+      vsCorpus.unionByName(within).unionByName(_)).distinct()
   }
 
   /** D4: SimHash near-dup pairs (rows-only).
@@ -1291,13 +1364,22 @@ object Dedup {
                                hotTable: Option[String] = None,
                                k: Int = 16, w: Int = 8,
                                maxSegment: Int = 4096): Unit = {
-    require(ingestBatch >= 0L,
-      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
-        "corpus lives at -1; overwriting it would destroy the table)")
     val spark = docs.sparkSession
     val fp = hotTable.foldLeft(
       winnowFingerprints(docs, k, w, maxSegment))(
       (f, h) => dropHotFps(f, spark.table(h)))
+    fpOverwrite(fp, table, ingestBatch)
+  }
+
+  /** The replay-safe static-partition overwrite shared by
+    * [[appendToFingerprintTable]] and [[substringBatch]] (the
+    * appendGrams role for fingerprints). */
+  private def fpOverwrite(fp: DataFrame, table: String,
+                          ingestBatch: Long): Unit = {
+    require(ingestBatch >= 0L,
+      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
+        "corpus lives at -1; overwriting it would destroy the table)")
+    val spark = fp.sparkSession
     val view = s"graft_fp_append_${java.lang.Long.toHexString(ingestBatch)}" +
       s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
     fp.createOrReplaceTempView(view)
@@ -1307,5 +1389,35 @@ object Dedup {
            |PARTITION (ingest_batch = ${ingestBatch}L)
            |SELECT doc_id, wh FROM $view""".stripMargin)
     finally spark.catalog.dropTempView(view)
+  }
+
+  /** One micro-batch of the arrival-time D11 flow, fingerprinted ONCE
+    * (the [[dedupBatch]] shape for winnowing): (a) shared-substring
+    * pairs vs the corpus fingerprint table — excluding this batch's
+    * own replayed rows, (b) within-batch pairs in the SAME frozen
+    * capped fingerprint subspace, (c) the replay-safe append. Returns
+    * (a) ∪ (b) for the caller's onPairs hook. */
+  private[graft] def substringBatch(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, batch: DataFrame,
+                                    hotTable: Option[String],
+                                    ingestBatch: Long,
+                                    k: Int = 16, w: Int = 8,
+                                    maxSegment: Int = 4096): DataFrame = {
+    val raw = cachedAs("substringBatch_raw",
+      winnowFingerprints(batch, k, w, maxSegment))
+    // the capped set gets its own slot only when a cap exists (the
+    // dedupBatch rationale: slotting `raw` twice would let one slot's
+    // replacement unpersist the other's blocks mid-batch)
+    val fp = hotTable.fold(raw)(h =>
+      cachedAs("substringBatch_capped", dropHotFps(raw, spark.table(h))))
+    val vsCorpus = spark.table(table)
+      .filter(col("ingest_batch") =!= lit(ingestBatch)).hint("merge").as("a")
+      .join(fp.as("b"), col("a.wh") === col("b.wh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val within = substringPairs(fp)
+    fpOverwrite(fp, table, ingestBatch)
+    vsCorpus.unionByName(within)
   }
 }

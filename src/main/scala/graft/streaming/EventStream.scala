@@ -174,6 +174,44 @@ object EventStream {
           batch.sparkSession, table, batch, tau, hotTable, batchId))
       }
 
+  /** D2-as-a-stream: arrival-time minhash-LSH candidate detection.
+    * Each micro-batch is signed ONCE ([[graft.operators.Dedup.minhashBatch]]),
+    * joined against the MATERIALIZED bucket table (exchange-free on
+    * the corpus side — per-batch cost O(batch × bucket density),
+    * independent of corpus size), self-joined within the batch, and
+    * split-appended (kept rows to the main table, frozen-hot rows to
+    * `<table>_hot` — a boilerplate arrival hub-attaches instead of
+    * fanning out). Same state posture as [[streamingDedup]]: the
+    * bucket table IS the state store, sharded on the band bucket,
+    * restart resumes from the table as-is. */
+  def streamingMinhashDedup(docs: DataFrame, table: String,
+                            hotTable: Option[String] = None,
+                            onPairs: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(batchId, graft.operators.Dedup.minhashBatch(
+          batch.sparkSession, table, batch, hotTable, batchId))
+      }
+
+  /** D11-as-a-stream: arrival-time exact-substring detection. Each
+    * micro-batch is winnow-fingerprinted ONCE
+    * ([[graft.operators.Dedup.substringBatch]]), joined against the
+    * MATERIALIZED fingerprint table plus within-batch, in the same
+    * frozen capped fingerprint subspace, then appended replay-safely.
+    * The fingerprint table IS the state store — nothing in executor
+    * memory, restart resumes from the table as-is. */
+  def streamingSubstringDedup(docs: DataFrame, table: String,
+                              hotTable: Option[String] = None,
+                              k: Int = 16, w: Int = 8,
+                              onPairs: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(batchId, graft.operators.Dedup.substringBatch(
+          batch.sparkSession, table, batch, hotTable, batchId, k, w))
+      }
+
   /** D9-as-a-stream: arrival-time benchmark decontamination. The
     * bench signature is FROZEN state built once
     * ([[graft.operators.Dedup.writeBenchSignature]] — gram table +

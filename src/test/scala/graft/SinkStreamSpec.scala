@@ -470,6 +470,130 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS grams_s")
   }
 
+  test("streamingMinhashDedup: batches sign once, hub-attach to frozen hot buckets, split-append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft_smh").toString
+    // the MinhashTableSpec mega-bucket corpus: the 40-copy boilerplate
+    // bucket is frozen hot at cap 10, the 2-doc near-dup bucket is kept
+    val corpus = ((1L to 40L).map(i =>
+      (i, "identical boilerplate text repeated wholesale across the corpus")) ++ Seq(
+      (100L, "a distinct sentence about spark dataframes and shuffle plans"),
+      (101L, "a distinct sentence about spark dataframes and shuffle plans")
+    )).toDF("doc_id", "text")
+    Dedup.writeMinhashTable(corpus, "mh_s", s"$wh/mh_s", buckets = 4,
+      maxBucket = 10)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = EventStream.streamingMinhashDedup(stream, "mh_s",
+      Some("mh_s_hot"),
+      (id, pairs) => got(id) = pairs.select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet).start()
+
+    // batch 0: a 41st boilerplate copy (hub-attaches to doc 1 only —
+    // the frozen bucket's size² fan-out stays given up) plus a fresh
+    // match for the kept near-dup bucket
+    mem.addData(
+      (200L, "identical boilerplate text repeated wholesale across the corpus"),
+      (201L, "a distinct sentence about spark dataframes and shuffle plans"))
+    q.processAllAvailable()
+    assert(got(0L) === Set((1L, 200L), (100L, 201L), (101L, 201L)))
+
+    // batch 1: another boilerplate (hub-attach — batch 0's copy sits
+    // in the _hot member partition, hub stays doc 1) and another
+    // near-dup match, which must now ALSO see batch 0's doc 201
+    // through the main table
+    mem.addData(
+      (300L, "identical boilerplate text repeated wholesale across the corpus"),
+      (301L, "a distinct sentence about spark dataframes and shuffle plans"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1L) === Set((1L, 300L),
+      (100L, 301L), (101L, 301L), (201L, 301L)))
+
+    // the split append kept BOTH tables' contracts: the main table
+    // still respects the per-bucket bound, the hot members grew by
+    // one row per band per boilerplate arrival
+    spark.catalog.refreshTable("mh_s"); spark.catalog.refreshTable("mh_s_hot")
+    val maxSz = spark.table("mh_s").groupBy("band", "bucket")
+      .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).as[Long].head()
+    assert(maxSz <= 10L)
+    // crash-replay: re-running batch 1's split append replaces both
+    // partitions — row counts unchanged
+    val (nMain, nHot) = (spark.table("mh_s").count(), spark.table("mh_s_hot").count())
+    Dedup.appendToMinhashTable(
+      Seq((300L, "identical boilerplate text repeated wholesale across the corpus"),
+        (301L, "a distinct sentence about spark dataframes and shuffle plans"))
+        .toDF("doc_id", "text"),
+      "mh_s", 1L, hotTable = Some("mh_s_hot"))
+    spark.catalog.refreshTable("mh_s"); spark.catalog.refreshTable("mh_s_hot")
+    assert(spark.table("mh_s").count() === nMain)
+    assert(spark.table("mh_s_hot").count() === nHot)
+    spark.sql("DROP TABLE IF EXISTS mh_s")
+    spark.sql("DROP TABLE IF EXISTS mh_s_hot")
+  }
+
+  test("streamingSubstringDedup: arrivals fingerprint once, join the table, append replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft_ssub").toString
+    val run = (1 to 30).map(i => s"tok$i").mkString(" ") // 30-token verbatim run
+    val corpus = Seq(
+      (1L, s"leading words then $run and a distinct tail here"),
+      (2L, "completely different content about spark engines and data plans"),
+      (3L, s"another opening $run closing with its own words")
+    ).toDF("doc_id", "text")
+    Dedup.writeFingerprintTable(corpus, "fp_s", s"$wh/fp_s", buckets = 4)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingSubstringDedup(stream, "fp_s", None,
+      onPairs = (id, pairs) => got(id) = pairs.orderBy("doc_a", "doc_b")
+        .collect().toSeq.map(_.toSeq)).start()
+
+    // batch 0: one doc quoting the run (pairs with corpus docs 1 and
+    // 3), one unrelated
+    val b0 = Seq(
+      (200L, s"a new arrival quoting $run verbatim in the middle"),
+      (201L, "unrelated fresh arrival with nothing shared at all today"))
+      .toDF("doc_id", "text")
+    val exp0 = Dedup.incrementalSubstring(spark, "fp_s", b0)
+      .unionByName(Dedup.substringDedup(b0))
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    mem.addData((200L, s"a new arrival quoting $run verbatim in the middle"),
+      (201L, "unrelated fresh arrival with nothing shared at all today"))
+    q.processAllAvailable()
+    assert(got(0L) === exp0)
+    assert(got(0L).map(r => (r(0), r(1))).toSet === Set((1L, 200L), (3L, 200L)))
+
+    // batch 1: quotes the run again — must see doc 200 THROUGH THE
+    // TABLE (the append worked), plus the seed docs
+    spark.catalog.refreshTable("fp_s")
+    val b1 = Seq((300L, s"final arrival repeating $run once more")).toDF("doc_id", "text")
+    val exp1 = Dedup.incrementalSubstring(spark, "fp_s", b1)
+      .unionByName(Dedup.substringDedup(b1))
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    mem.addData((300L, s"final arrival repeating $run once more"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1L) === exp1)
+    assert(got(1L).map(r => (r(0), r(1))).toSet ===
+      Set((1L, 300L), (3L, 300L), (200L, 300L)))
+
+    // crash-replay: re-running batch 1's append replaces its partition
+    spark.catalog.refreshTable("fp_s")
+    val before = spark.table("fp_s").count()
+    Dedup.appendToFingerprintTable(b1, "fp_s", ingestBatch = 1L)
+    spark.catalog.refreshTable("fp_s")
+    assert(spark.table("fp_s").count() === before)
+    spark.sql("DROP TABLE IF EXISTS fp_s")
+  }
+
   test("streamingContamination flags each batch against the frozen bench signature") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
