@@ -106,8 +106,12 @@ object Pipeline {
     * directory with A/C/E files processes all three; a directory whose
     * files don't match the pattern fails loud instead of silently
     * processing the default subset). */
-  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult =
-    run(spark, discoveryConfig(ncDir, outDir))
+  def run(spark: SparkSession, ncDir: String, outDir: String): PipelineResult = {
+    // start the residual clock BEFORE discovery: the directory listing
+    // is part of this entry's wall and must land in the `other` stage
+    val t0 = System.nanoTime()
+    run(spark, discoveryConfig(ncDir, outDir), t0)
+  }
 
   /** The discovery config behind the two-arg entries (CLI and API). */
   private def discoveryConfig(ncDir: String, outDir: String): PipelineConfig = {
@@ -122,8 +126,12 @@ object Pipeline {
     base.copy(systems = found)
   }
 
-  def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
-    val runT0 = System.nanoTime()
+  /** `startedNanos` lets an entry point that did work before calling
+    * here (the discovery overload's directory listing) charge that
+    * time to the `other` stage instead of losing it. */
+  def run(spark: SparkSession, cfg: PipelineConfig,
+          startedNanos: Long = System.nanoTime()): PipelineResult = {
+    val runT0 = startedNanos
     val paths = cfg.systems.map(cfg.ncPath)
     if (cfg.waitReadyMs > 0L) { // is_netcdf_ready.sh semantics
       val gate = graft.sources.ArrivalGate.awaitReady(paths, cfg.waitReadyMs)

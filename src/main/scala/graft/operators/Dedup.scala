@@ -342,24 +342,34 @@ object Dedup {
     * gram table — shared by [[appendToSignatureTable]] and
     * [[dedupBatch]]. */
   private def appendGrams(g: DataFrame, table: String,
-                          ingestBatch: Long): Unit = {
+                          ingestBatch: Long): Unit =
+    partitionOverwrite(g, table, ingestBatch, Seq("doc_id", "n_grams", "gh"))
+
+  /** The replay-safe append every materialized dedup table shares
+    * (gram signature, minhash bucket, winnowing fingerprint — ONE
+    * helper so the replay-safety pattern can never diverge between
+    * families). STATIC partition spec: the overwrite names its one
+    * partition up front, so only that batch's files are ever
+    * replaced — no dynamic-overwrite session conf to toggle (a
+    * set/restore racing a concurrent append could run the other
+    * insert in static mode over EVERY partition, truncating the whole
+    * table). `cols` resolves the insert BY NAME from the view, then
+    * positionally against the stored table order. */
+  private def partitionOverwrite(df: DataFrame, table: String,
+                                 ingestBatch: Long,
+                                 cols: Seq[String]): Unit = {
     require(ingestBatch >= 0L,
       s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
-        "corpus lives at -1; overwriting it would destroy the signature)")
-    val spark = g.sparkSession
-    // STATIC partition spec: the overwrite names its one partition
-    // up front, so only that batch's files are ever replaced — no
-    // dynamic-overwrite session conf to toggle (a set/restore racing
-    // a concurrent append could run the other insert in static mode
-    // over EVERY partition, truncating the whole signature table)
-    val view = s"graft_sig_append_${java.lang.Long.toHexString(ingestBatch)}" +
+        "corpus lives at -1; overwriting it would destroy the table)")
+    val spark = df.sparkSession
+    val view = s"graft_append_${java.lang.Long.toHexString(ingestBatch)}" +
       s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-    g.createOrReplaceTempView(view)
+    df.createOrReplaceTempView(view)
     try
       spark.sql(
         s"""INSERT OVERWRITE TABLE $table
            |PARTITION (ingest_batch = ${ingestBatch}L)
-           |SELECT doc_id, n_grams, gh FROM $view""".stripMargin)
+           |SELECT ${cols.mkString(", ")} FROM $view""".stripMargin)
     finally spark.catalog.dropTempView(view)
   }
 
@@ -391,9 +401,14 @@ object Dedup {
     * and a hard per-key bound at 100 TB.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                 maxBucket: Long = 1024L): DataFrame = {
-    val raw = cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
-      minhashBands(docs, numHashes, bands))
+                 maxBucket: Long = 1024L): DataFrame =
+    bandedPairs(cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
+      minhashBands(docs, numHashes, bands)), maxBucket)
+
+  /** The capped candidate self-join over banded rows `(doc_id, band,
+    * bucket)` — shared by [[minhashLsh]] and [[minhashBatch]]'s
+    * within-batch path so collapse semantics can never diverge. */
+  private def bandedPairs(raw: DataFrame, maxBucket: Long): DataFrame = {
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (raw, None)
       else {
@@ -507,8 +522,10 @@ object Dedup {
           .select("band", "bucket")
         writeOne(cached.join(broadcast(hotKeys), Seq("band", "bucket")),
           s"${table}_hot", s"${path}_hot")
-        writeOne(cached.join(broadcast(spark.table(s"${table}_hot")
-            .select("band", "bucket").distinct()),
+        // anti-join against the SAME in-memory key frame — re-reading
+        // the just-written member table would rescan every mega-bucket
+        // row just to re-derive a provably identical key list
+        writeOne(cached.join(broadcast(hotKeys),
           Seq("band", "bucket"), "left_anti"), table, path)
       } finally cached.unpersist(false)
     }
@@ -614,46 +631,42 @@ object Dedup {
     }
   }
 
-  /** The replay-safe static-partition overwrite shared by
-    * [[appendToMinhashTable]] and [[minhashBatch]] (the appendGrams
-    * role for banded rows). */
-  private def mhOverwrite(df: DataFrame, t: String,
-                          ingestBatch: Long): Unit = {
-    val spark = df.sparkSession
-    val view = s"graft_mh_append_${java.lang.Long.toHexString(ingestBatch)}" +
-      s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-    df.createOrReplaceTempView(view)
-    try
-      spark.sql(
-        s"""INSERT OVERWRITE TABLE $t
-           |PARTITION (ingest_batch = ${ingestBatch}L)
-           |SELECT doc_id, band, bucket FROM $view""".stripMargin)
-    finally spark.catalog.dropTempView(view)
-  }
+  private def mhOverwrite(df: DataFrame, t: String, ingestBatch: Long): Unit =
+    partitionOverwrite(df, t, ingestBatch, Seq("doc_id", "band", "bucket"))
 
   /** One micro-batch of the arrival-time D2 flow, signed ONCE (the
     * [[dedupBatch]] shape for minhash): (a) cross pairs vs the corpus
     * bucket table — excluding this batch's own replayed rows, (b)
-    * within-batch pairs over the SAME frozen hot-key subspace (a
-    * frozen-hot arrival hub-attaches even to its batch-mates: they
-    * all connect through the stored hub, so the bucket's size²
-    * fan-out stays given up — a batch-LOCAL mega bucket that is not
-    * frozen-hot self-joins in full, the batch being micro by
-    * contract), (c) the replay-safe split append. Returns (a) ∪ (b)
-    * ∪ the hub-attach pairs for the caller's onPairs hook. */
+    * within-batch pairs over the SAME frozen hot-key subspace, with
+    * `maxBucket` star-collapsing batch-LOCAL mega buckets too (a
+    * catch-up batch after downtime can carry a whole new template
+    * cluster the frozen list has never seen — without the cap its
+    * within-batch self-join would be the size² melt the family
+    * forbids; frozen-hot arrivals hub-attach to the STORED hub
+    * instead, so they connect to the corpus cluster and, through it,
+    * to each other), (c) the replay-safe split append. Returns (a) ∪
+    * (b) ∪ the hub-attach pairs for the caller's onPairs hook.
+    *
+    * Both `_hot` reads prune to the BASE partition (`ingest_batch =
+    * −1`): the hot-KEY set is frozen at build time by construction,
+    * and the base hub (min build-time member) is stable across
+    * batches — so per-batch cost stays independent of how many member
+    * rows streaming appends have diverted to `_hot` since, and a
+    * replayed batch's own diverted rows can't perturb its hubs. */
   private[graft] def minhashBatch(spark: org.apache.spark.sql.SparkSession,
                                   table: String, batch: DataFrame,
                                   hotTable: Option[String],
                                   ingestBatch: Long,
                                   numHashes: Int = 32,
-                                  bands: Int = 8): DataFrame = {
+                                  bands: Int = 8,
+                                  maxBucket: Long = 1024L): DataFrame = {
     require(ingestBatch >= 0L,
       s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
         "corpus lives at -1; overwriting it would destroy the table)")
     val raw = cachedAs("minhashBatch_raw",
       minhashBands(batch, numHashes, bands))
     // frozen hot-key snapshot COLLECTED to the driver: bounded
-    // metadata (distinct frozen hot buckets — the trained-centroid
+    // metadata (distinct build-time hot buckets — the trained-centroid
     // class of collect), and the local frame keeps the hot table out
     // of every later plan — the split append below overwrites `h`
     // (UNSUPPORTED_OVERWRITE on a live read), and a lazy checkpoint
@@ -661,8 +674,8 @@ object Dedup {
     // returned pair frame (a per-micro-batch leak on an always-on
     // stream).
     val hotKeys: Option[DataFrame] = hotTable.map { h =>
-      val rows = spark.table(h).select(col("band"), col("bucket"))
-        .distinct().collect()
+      val rows = spark.table(h).filter(col("ingest_batch") === lit(-1L))
+        .select(col("band"), col("bucket")).distinct().collect()
         .map(r => (r.getInt(0), r.getLong(1))).toSeq
       import spark.implicits._
       rows.toDF("band", "bucket")
@@ -671,7 +684,7 @@ object Dedup {
       raw.join(broadcast(hk), Seq("band", "bucket"), "left_anti"))
     val hubbed = hotKeys.map { hk =>
       val hubs = spark.table(hotTable.get)
-        .filter(col("ingest_batch") =!= lit(ingestBatch))
+        .filter(col("ingest_batch") === lit(-1L))
         .groupBy(col("band"), col("bucket"))
         .agg(min(col("doc_id")).as("doc_a"))
       raw.join(broadcast(hk), Seq("band", "bucket"))
@@ -685,10 +698,7 @@ object Dedup {
       .join(kept.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val within = kept.as("a").join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val within = bandedPairs(kept, maxBucket)
     mhOverwrite(kept, table, ingestBatch)
     for (h <- hotTable; hk <- hotKeys)
       mhOverwrite(raw.join(broadcast(hk), Seq("band", "bucket"))
@@ -1371,25 +1381,9 @@ object Dedup {
     fpOverwrite(fp, table, ingestBatch)
   }
 
-  /** The replay-safe static-partition overwrite shared by
-    * [[appendToFingerprintTable]] and [[substringBatch]] (the
-    * appendGrams role for fingerprints). */
   private def fpOverwrite(fp: DataFrame, table: String,
-                          ingestBatch: Long): Unit = {
-    require(ingestBatch >= 0L,
-      s"ingestBatch=$ingestBatch — negative ids are reserved (the base " +
-        "corpus lives at -1; overwriting it would destroy the table)")
-    val spark = fp.sparkSession
-    val view = s"graft_fp_append_${java.lang.Long.toHexString(ingestBatch)}" +
-      s"_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-    fp.createOrReplaceTempView(view)
-    try
-      spark.sql(
-        s"""INSERT OVERWRITE TABLE $table
-           |PARTITION (ingest_batch = ${ingestBatch}L)
-           |SELECT doc_id, wh FROM $view""".stripMargin)
-    finally spark.catalog.dropTempView(view)
-  }
+                          ingestBatch: Long): Unit =
+    partitionOverwrite(fp, table, ingestBatch, Seq("doc_id", "wh"))
 
   /** One micro-batch of the arrival-time D11 flow, fingerprinted ONCE
     * (the [[dedupBatch]] shape for winnowing): (a) shared-substring

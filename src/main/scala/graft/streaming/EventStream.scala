@@ -186,12 +186,18 @@ object EventStream {
     * restart resumes from the table as-is. */
   def streamingMinhashDedup(docs: DataFrame, table: String,
                             hotTable: Option[String] = None,
+                            numHashes: Int = 32, bands: Int = 8,
+                            maxBucket: Long = 1024L,
                             onPairs: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // numHashes/bands MUST match the table build — a mismatched
+        // band count would join and append in a disjoint bucket space
+        // (zero pairs, corrupted state) with no error to catch it
         onPairs(batchId, graft.operators.Dedup.minhashBatch(
-          batch.sparkSession, table, batch, hotTable, batchId))
+          batch.sparkSession, table, batch, hotTable, batchId,
+          numHashes, bands, maxBucket))
       }
 
   /** D11-as-a-stream: arrival-time exact-substring detection. Each
@@ -204,12 +210,17 @@ object EventStream {
   def streamingSubstringDedup(docs: DataFrame, table: String,
                               hotTable: Option[String] = None,
                               k: Int = 16, w: Int = 8,
+                              maxSegment: Int = 4096,
                               onPairs: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // k/w/maxSegment MUST match the table build: winnowing is only
+        // comparable within one (k, w) fingerprint space, and the
+        // segmented spelling is only boundary-exact at one maxSegment
         onPairs(batchId, graft.operators.Dedup.substringBatch(
-          batch.sparkSession, table, batch, hotTable, batchId, k, w))
+          batch.sparkSession, table, batch, hotTable, batchId, k, w,
+          maxSegment))
       }
 
   /** D9-as-a-stream: arrival-time benchmark decontamination. The

@@ -125,6 +125,25 @@ class MinhashTableSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mh_i")
   }
 
+  test("minhashBatch star-collapses a batch-local mega bucket (catch-up batch posture)") {
+    val wh = Files.createTempDirectory("graft_mh_cb").toString
+    Dedup.writeMinhashTable(corpus, "mh_cb", s"$wh/mh_cb", buckets = 4,
+      maxBucket = 10)
+    // a catch-up batch carries 21 copies of a NEW template the frozen
+    // hot list has never seen: not frozen-hot, but batch-locally hot
+    // at cap 5 — the within-batch join must star-collapse around the
+    // min batch member instead of emitting C(21,2) pairs
+    val batch = (500L to 520L).map(i =>
+      (i, "a brand new template page never seen before in this corpus"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashBatch(spark, "mh_cb", batch,
+        Some("mh_cb_hot"), 0L, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(out === (501L to 520L).map(i => (500L, i)).toSet)
+    spark.sql("DROP TABLE IF EXISTS mh_cb")
+    spark.sql("DROP TABLE IF EXISTS mh_cb_hot")
+  }
+
   test("frozen hot bucket: a new arrival hub-attaches, appends divert to _hot") {
     val wh = Files.createTempDirectory("graft_mh_hub").toString
     Dedup.writeMinhashTable(corpus, "mh_h", s"$wh/mh_h", buckets = 4,

@@ -132,7 +132,13 @@ object Sf1GenDrive {
       pmod(xx(82, col("id")), lit(15000)).as("user_id"),
       pick(xx(83, col("id")), "view", "click", "purchase", "signup",
         "error").as("event_type"),
-      (pmod(xx(84, col("id")), lit(1000)) / 10.0).as("value"),
+      // uniform base with a ~0.2% heavy tail: a pure-uniform value
+      // column has NO |z| > 3 points and ts_zscore_outliers degenerates
+      // to 0 rows at sf1 — the spike factor keeps the outlier path
+      // exercised at scale like the driver corpus does
+      ((pmod(xx(84, col("id")), lit(1000)) / 10.0) *
+        when(pmod(xx(86, col("id")), lit(499)) === 0, 40.0).otherwise(1.0))
+        .as("value"),
       concat(lit("{\"k\": "), pmod(xx(85, col("id")), lit(100)),
         lit("}")).as("props")), "events")
 

@@ -490,7 +490,7 @@ class SinkStreamSpec extends SparkSpec {
     val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
     val q = EventStream.streamingMinhashDedup(stream, "mh_s",
       Some("mh_s_hot"),
-      (id, pairs) => got(id) = pairs.select("doc_a", "doc_b")
+      onPairs = (id, pairs) => got(id) = pairs.select("doc_a", "doc_b")
         .as[(Long, Long)].collect().toSet).start()
 
     // batch 0: a 41st boilerplate copy (hub-attaches to doc 1 only —
