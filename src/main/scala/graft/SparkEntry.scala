@@ -478,6 +478,11 @@ object SparkEntry {
 
     "text_vocab_exact" -> ((s, d) => TextAnalysis.vocabExact(docs(s, d))),
 
+    // F16: CCNet-style self-perplexity quality score (bigram LM
+    // trained on the corpus itself) — fully oracled: the 4-dp ln
+    // round + DECIMAL sum keeps both engines bit-identical
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -1254,6 +1259,37 @@ object SparkEntry {
       s"""SELECT lang, count(DISTINCT t) AS vocab
          |FROM (SELECT lang, unnest($TOKS) AS t FROM documents)
          |GROUP BY lang""".stripMargin,
+
+    // F16 mirror: DuckDB t[i] is 1-BASED (Spark subscripts are
+    // 0-based) and range() is end-exclusive, so i ∈ [2, len] reads
+    // (t[i−1], t[i]). Each ln rounds to a scale-4 INTEGER; the mean
+    // rounds via floor((2A+n)/(2n)) = half-up(A/n) in exact integer
+    // arithmetic — the rational S/n lands on exact half boundaries
+    // often (e.g. n=24) where double rounding is engine-dependent
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pc AS (
+         |  SELECT doc_id, bg.prev AS prev, bg.cur AS cur
+         |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+         |          i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg
+         |        FROM t WHERE len(t) >= 2)),
+         |big AS (SELECT prev, cur, count(*) AS c_big FROM pc GROUP BY 1, 2),
+         |uni AS (SELECT u AS tok, count(*) AS c_uni
+         |        FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |s AS (SELECT doc_id,
+         |        CAST(round(ln((c_big + 0.5) / (c_uni + 0.5 * v)) * 10000, 0)
+         |          AS BIGINT) AS lnp_i
+         |      FROM pc
+         |      JOIN big USING (prev, cur)
+         |      JOIN uni ON uni.tok = pc.prev
+         |      CROSS JOIN v),
+         |g AS (SELECT doc_id, count(*) AS n_bigrams, -sum(lnp_i) AS a
+         |      FROM s GROUP BY 1)
+         |SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams,
+         |       CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
+         |         / 10000 AS lm_score
+         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
     // D11: same winnowing construction — DuckDB range() is EXCLUSIVE
     // where Spark sequence() is inclusive (hence the +1 on the

@@ -230,6 +230,71 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(countDistinct(col("tok")).as("vocab"))
 
+  /** F16: n-gram language-model quality score — the CCNet-style
+    * perplexity filter (Wenzek et al. 2020's KenLM pass, re-expressed
+    * relationally): score each document by the mean add-k-smoothed
+    * bigram log-likelihood under a model TRAINED ON THE CORPUS ITSELF
+    * (self-perplexity — fluent, corpus-typical text scores high;
+    * gibberish, OOV-heavy noise, and token salad score low — the
+    * standard quality gate before training). p(cur|prev) =
+    * (c(prev,cur) + k) / (c(prev) + k·V), k = 0.5, V = corpus
+    * vocabulary; `lm_score` = mean ln p over the doc's bigrams (NULL
+    * for docs with <2 tokens), `n_bigrams` alongside.
+    *
+    * Scale shape: two count aggregates (bigram, unigram) + one V
+    * total; scoring equi-joins each doc position against count tables
+    * that hold ONE row per key — a hot bigram ("of the") costs its
+    * occurrence count in probe-side rows, never a pair blow-up, and
+    * AQE splits an oversized probe partition. Cross-engine
+    * determinism (SURVEY §5, with a twist found at sf0.001): each ln
+    * rounds to a scale-4 INTEGER (a 1-ulp libm-vs-JVM ln difference
+    * essentially never crosses that boundary — transcendentals don't
+    * land on exact halves), the integers sum exactly, and the final
+    * mean rounds via pure integer arithmetic — floor((2A+n)/(2n)) =
+    * half-up(A/n) for the all-negative sums — because the rational
+    * S/n lands EXACTLY on a half boundary often (any n dividing the
+    * scaled sum: measured doc with S=−83.0196, n=24 → mean −3.45915
+    * exact), where double rounding is engine-dependent. */
+  def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // t[i] is 0-BASED in Spark SQL subscripts (element_at is the
+    // 1-based one): i ∈ [2, size] → (t[i−2], t[i−1]) = consecutive
+    // pairs; the size≥2 filter keeps the sequence ascending
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(t)), " +
+          "i -> struct(t[i-2] AS prev, t[i-1] AS cur))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val big = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_big"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // one row — broadcast
+    val scored = pairs
+      .join(big, Seq("prev", "cur"))
+      .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      // ln < 0 always: c_big ≤ c_uni and the smoothing adds k·V > k
+      // to the denominator, so p < 1 — the integer-rounding spelling
+      // below leans on the all-negative sign
+      .withColumn("lnp_i",
+        round(log((col("c_big") + lit(k)) / (col("c_uni") + lit(k) * col("v")))
+          * lit(1e4)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lnp_i"))).as("a"))
+      .select(col("doc_id"), col("n_bigrams"),
+        // CAST to double BEFORE the divide: a bare 10000.0 literal is
+        // a DECIMAL in SQL text on both engines and would silently
+        // type the score column decimal
+        expr("cast(-((2 * a + n_bigrams) div (2 * n_bigrams)) as double) / 10000")
+          .as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** F15b: sketched vocabulary — the same statistic via the Apache
     * DataSketches HLL aggregate (`hll_sketch_agg`), the 100 TB shape
     * for distinct-count: per-partition sketches of 2^lgK buckets

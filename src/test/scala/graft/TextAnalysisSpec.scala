@@ -100,6 +100,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("F16 lmScore: hand-computed add-k bigram log-likelihoods, NULL below 2 tokens") {
+    // corpus: uni a:3 b:3 x:1 → V=3; big (a,b):3 (b,a):1; k=0.5
+    //   p(b|a) = 3.5/4.5 → ln = −0.2513 (4 dp)
+    //   p(a|b) = 1.5/4.5 → ln = −1.0986
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b)(b,a)(a,b) → mean = −0.5337
+      (2L, "a b"),       // one bigram → −0.2513
+      (3L, "x")          // <2 tokens → 0 bigrams, NULL score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).orderBy("doc_id")
+      .collect().toSeq.map(_.toSeq)
+    // doc 1: (−0.2513 − 1.0986 − 0.2513) / 3 = −0.53373̄ → −0.5337
+    assert(out === Seq(
+      Seq(1L, 3L, -0.5337),
+      Seq(2L, 1L, -0.2513),
+      Seq(3L, 0L, null)))
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
