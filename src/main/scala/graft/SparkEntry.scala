@@ -503,6 +503,11 @@ object SparkEntry {
       Corpus.splitAssign(docs(s, d), SplitWeights)
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // F17: deterministic epoch shuffle — distributed sort + two-phase
+    // numbering (the oracle keeps the single-task window spelling)
+    "corpus_global_shuffle" -> ((s, d) =>
+      Corpus.globalShuffle(docs(s, d), nShards = 8)),
+
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
@@ -1273,18 +1278,21 @@ object SparkEntry {
          |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
          |          i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg
          |        FROM t WHERE len(t) >= 2)),
-         |big AS (SELECT prev, cur, count(*) AS c_big FROM pc GROUP BY 1, 2),
+         |db AS (SELECT doc_id, prev, cur, count(*) AS m
+         |       FROM pc GROUP BY 1, 2, 3),
+         |big AS (SELECT prev, cur, sum(m) AS c_big FROM db GROUP BY 1, 2),
          |uni AS (SELECT u AS tok, count(*) AS c_uni
          |        FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
          |v AS (SELECT count(*) AS v FROM uni),
-         |s AS (SELECT doc_id,
+         |s AS (SELECT doc_id, m,
          |        CAST(round(ln((c_big + 0.5) / (c_uni + 0.5 * v)) * 10000, 0)
          |          AS BIGINT) AS lnp_i
-         |      FROM pc
+         |      FROM db
          |      JOIN big USING (prev, cur)
-         |      JOIN uni ON uni.tok = pc.prev
+         |      JOIN uni ON uni.tok = db.prev
          |      CROSS JOIN v),
-         |g AS (SELECT doc_id, count(*) AS n_bigrams, -sum(lnp_i) AS a
+         |g AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |        CAST(-sum(m * lnp_i) AS BIGINT) AS a
          |      FROM s GROUP BY 1)
          |SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams,
          |       CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
@@ -1532,6 +1540,14 @@ object SparkEntry {
     "corpus_split" ->
       s"""SELECT doc_id, lang, $splitCaseSql AS split
          |FROM documents""".stripMargin,
+
+    "corpus_global_shuffle" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         |  FROM documents)
+         |SELECT doc_id, pos, pos % 8 AS shard FROM r""".stripMargin,
 
     "corpus_token_quantiles" -> {
       val qs = QuantilePs.map(p =>

@@ -273,6 +273,67 @@ object Corpus {
     }
   }
 
+  /** F17: deterministic global shuffle — every document gets a stable
+    * position in a pseudo-random total order (the training-epoch
+    * shuffle: order by (md5(doc_id), doc_id)) plus a round-robin
+    * shard id, the assignment a data-parallel trainer consumes.
+    *
+    * The naive spelling — `row_number()` over an UNPARTITIONED
+    * window — collapses the whole corpus into one task (the classic
+    * global-window antipattern this file's F7 already dodges for
+    * per-stratum offsets). The scale spelling here: Spark's
+    * DISTRIBUTED sort (`repartitionByRange` on the hash key samples
+    * range boundaries, `sortWithinPartitions` finishes locally), then
+    * TWO-PHASE numbering — per-partition row counts (one row per
+    * partition, bounded collect), exclusive-scanned on the driver in
+    * partition order (range partitions are globally ordered),
+    * broadcast back, and finished with a partition-local counter in
+    * one `mapPartitions` pass. Output is bit-identical to the window
+    * spelling (the oracle keeps the window SQL; the spec pins
+    * equality). `__pid` is frozen into the staged data via
+    * [[checkpointStaged]] — the F7 rationale: a re-run of the range
+    * shuffle could redraw sampled boundaries, and
+    * `TaskContext.getPartitionId` lies under narrow merges. */
+  def globalShuffle(docs: DataFrame, nShards: Int = 8,
+                    partitions: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val spark = docs.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = checkpointStaged(
+      docs.select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("__hkey"))
+        .repartitionByRange(nPart, col("__hkey"), col("doc_id"))
+        .sortWithinPartitions(col("__hkey"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val counts = prepared.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.sortBy(_._1).map { case (pid, n) =>
+        val start = acc; acc += n; (pid, start)
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val iDoc = prepared.schema.fieldIndex("doc_id")
+    val iPid = prepared.schema.fieldIndex("__pid")
+    val outSchema = StructType(Seq(prepared.schema(iDoc),
+      StructField("pos", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    prepared.mapPartitions { it =>
+      val off = bc.value
+      var pos = 0L
+      var init = false
+      it.map { r =>
+        if (!init) { pos = off.getOrElse(r.getInt(iPid), 0L); init = true }
+        val p = pos; pos += 1
+        Row(r.get(iDoc), p, p % nShards)
+      }
+    }
+  }
+
   /** F14: the end-to-end pretraining-prep job as ONE declared plan —
     * the composition a production corpus actually runs nightly, from
     * raw documents to packed training sequences:

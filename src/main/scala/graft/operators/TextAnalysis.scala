@@ -267,10 +267,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val uni = toks.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-    val big = pairs.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("c_big"))
+    // WEIGHTED distinct (doc, bigram) rows: a doc repeating "of the"
+    // 50 times carries ONE row with m=50 through both count joins
+    // (stopword pairs dominate real text, so this is a big probe-side
+    // cut), and the per-doc sum weights each lnp by its multiplicity
+    val docBig = pairs.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("m"))
+    val big = docBig.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("m")).as("c_big"))
     val vocab = uni.agg(count(lit(1)).as("v")) // one row — broadcast
-    val scored = pairs
+    val scored = docBig
       .join(big, Seq("prev", "cur"))
       .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
       .crossJoin(broadcast(vocab))
@@ -281,7 +287,8 @@ object TextAnalysis {
         round(log((col("c_big") + lit(k)) / (col("c_uni") + lit(k) * col("v")))
           * lit(1e4)).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lnp_i"))).as("a"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (-sum(col("m") * col("lnp_i"))).as("a"))
       .select(col("doc_id"), col("n_bigrams"),
         // CAST to double BEFORE the divide: a bare 10000.0 literal is
         // a DECIMAL in SQL text on both engines and would silently

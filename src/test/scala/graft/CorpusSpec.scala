@@ -258,6 +258,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) === ((4L, "en", 15L, 0L, 14L)))
   }
 
+  test("F17 globalShuffle: bit-identical to the window spelling, dense positions, round-robin shards") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    // partitions=5 forces real multi-partition offsets (the default
+    // test parallelism could hide a wrong exclusive scan in 1 part)
+    val out = Corpus.globalShuffle(corpus, nShards = 4, partitions = 5)
+      .orderBy("pos").collect().toSeq.map(_.toSeq)
+    val win = corpus.select(col("doc_id"),
+        (row_number().over(Window.orderBy(
+          md5(col("doc_id").cast("string")), col("doc_id"))) - 1)
+          .cast("long").as("pos"))
+      .withColumn("shard", col("pos") % 4)
+      .orderBy("pos").collect().toSeq.map(_.toSeq)
+    assert(out === win)
+    assert(out.map(_(1)) === (0L until out.size.toLong).toSeq)
+    // deterministic: a re-run reproduces the identical assignment
+    val again = Corpus.globalShuffle(corpus, nShards = 4, partitions = 5)
+      .orderBy("pos").collect().toSeq.map(_.toSeq)
+    assert(again === out)
+  }
+
   test("F13 tokenQuantiles computes exact interpolated percentiles per stratum") {
     // en token counts by doc_id order: 4, 3, 3 → sorted [3, 3, 4]
     //   p50 = 3.0; p75 at rank 0.75·2 = 1.5 → 3 + 0.5·(4−3) = 3.5
