@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, Skew, Timeseries}
+import graft.operators.{Corpus, Dedup, Skew, Timeseries}
 import graft.functions.TextFunctions
 
 /** Property tests: operators vs naive in-memory reference
@@ -178,6 +178,45 @@ class PropertySpec extends SparkSpec {
       val gotBloom = Dedup.contaminationBloom(df, col("doc_id") % 3 === 0, minShared = 1)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
       assert(gotBloom === want)
+    }
+  }
+
+  test("D2 table flow equals in-memory minhashLsh for random corpora and caps") {
+    // tiny vocab → heavy shingle sharing → real bucket collisions and,
+    // at cap 1/3, real star collapses on random structure
+    val corpusGen = for {
+      n <- Gen.choose(5, 25)
+      texts <- Gen.listOfN(n, Gen.choose(3, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+          .map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, Gen.oneOf(1L, 3L, Long.MaxValue)) { (rows, cap) =>
+      val docs = rows.toDF("doc_id", "text")
+      val wh = java.nio.file.Files.createTempDirectory("graft_prop_mh").toString
+      Dedup.writeMinhashTable(docs, "mh_p", s"$wh/mh_p", buckets = 4,
+        maxBucket = cap)
+      val a = Dedup.minhashFromTable(spark, "mh_p")
+        .as[(Long, Long)].collect().toSet
+      val b = Dedup.minhashLsh(docs, maxBucket = cap)
+        .as[(Long, Long)].collect().toSet
+      assert(a === b)
+      spark.sql("DROP TABLE IF EXISTS mh_p")
+      spark.sql("DROP TABLE IF EXISTS mh_p_hot")
+    }
+  }
+
+  test("F17 globalShuffle equals in-memory md5 sort for random id sets") {
+    forAll(Gen.listOfN(14, Gen.choose(0L, 500L)).map(_.distinct)) { ids =>
+      val docs = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+      val got = Corpus.globalShuffle(docs, nShards = 3, partitions = 3)
+        .select("doc_id", "pos", "shard")
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+      def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = ids.sortBy(i => (hex(i.toString), i))
+      assert(got.map(_._1) === want)
+      assert(got.map(_._2) === (0L until ids.size.toLong))
+      assert(got.forall { case (_, p, s) => s == p % 3 })
     }
   }
 
