@@ -256,33 +256,45 @@ object TextAnalysis {
     * scaled sum: measured doc with S=−83.0196, n=24 → mean −3.45915
     * exact), where double rounding is engine-dependent. */
   def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    // t[i] is 0-BASED in Spark SQL subscripts (element_at is the
-    // 1-based one): i ∈ [2, size] → (t[i−2], t[i−1]) = consecutive
-    // pairs; the size≥2 filter keeps the sequence ascending
-    val pairs = toks.filter(size(col("t")) >= 2)
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val docBig = docBigrams(docs)
+    val big = docBig.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("m")).as("c_big"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // one row — broadcast
+    lmFinalize(docBig
+      .join(big, Seq("prev", "cur"))
+      .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
+      .crossJoin(broadcast(vocab)), k, docs)
+  }
+
+  /** The per-doc weighted bigram rows every F16 flavor shares:
+    * `(doc_id, prev, cur, m)` — one row per distinct in-doc bigram
+    * with its multiplicity (a doc repeating "of the" 50 times carries
+    * ONE row with m=50 through every count join). */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      // t[i] is 0-BASED in Spark SQL subscripts (element_at is the
+      // 1-based one): i ∈ [2, size] → (t[i−2], t[i−1]) = consecutive
+      // pairs; the size≥2 filter keeps the sequence ascending
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(t)), " +
           "i -> struct(t[i-2] AS prev, t[i-1] AS cur))")).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    val uni = toks.select(explode(col("t")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-    // WEIGHTED distinct (doc, bigram) rows: a doc repeating "of the"
-    // 50 times carries ONE row with m=50 through both count joins
-    // (stopword pairs dominate real text, so this is a big probe-side
-    // cut), and the per-doc sum weights each lnp by its multiplicity
-    val docBig = pairs.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
       .agg(count(lit(1)).as("m"))
-    val big = docBig.groupBy(col("prev"), col("cur"))
-      .agg(sum(col("m")).as("c_big"))
-    val vocab = uni.agg(count(lit(1)).as("v")) // one row — broadcast
-    val scored = docBig
-      .join(big, Seq("prev", "cur"))
-      .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
-      .crossJoin(broadcast(vocab))
+
+  /** The shared F16 score tail over weighted doc-bigram rows already
+    * joined to `(c_big, c_uni, v)` — ln → scale-4 integer, exact
+    * integer sums, integer-rounded mean (see [[lmScore]]'s scaladoc
+    * for why the mean must never round through a double). */
+  private def lmFinalize(joined: DataFrame, k: Double,
+                         docs: DataFrame): DataFrame = {
+    val scored = joined
       // ln < 0 always: c_big ≤ c_uni and the smoothing adds k·V > k
-      // to the denominator, so p < 1 — the integer-rounding spelling
-      // below leans on the all-negative sign
+      // to the denominator (OOV backs off to p = 1/V < 1) — the
+      // integer-rounding spelling below leans on the all-negative sign
       .withColumn("lnp_i",
         round(log((col("c_big") + lit(k)) / (col("c_uni") + lit(k) * col("v")))
           * lit(1e4)).cast("long"))
@@ -300,6 +312,58 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_score"))
+  }
+
+  /** F16's deploy flow: materialize the trained bigram LM as BUCKETED
+    * count tables — `<table>_uni (tok, c_uni)` bucketed on `tok`,
+    * `<table>_big (prev, cur, c_big)` bucketed on `prev`, and a
+    * one-row `<table>_meta (v)` — so arrival-time scoring
+    * ([[lmScoreAgainst]], [[graft.streaming.EventStream.streamingLmScore]])
+    * never re-counts the training corpus. This is what CCNet actually
+    * ships: a FROZEN reference model (their pretrained KenLM) scoring
+    * new data, where [[lmScore]] is the train-and-score-in-one-pass
+    * flavor. Bucketing both tables on the leading token means a
+    * scored batch shuffles ONCE on `prev` and both count joins read
+    * co-located buckets (HashPartitioning(prev) satisfies the
+    * (prev, cur) join's distribution). */
+  def writeLmModel(docs: DataFrame, table: String, path: String,
+                   buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+      .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
+      .option("path", s"${path}_uni").mode("overwrite")
+      .saveAsTable(s"${table}_uni")
+    docBigrams(docs)
+      .groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c_big"))
+      .write.format("parquet").bucketBy(buckets, "prev").sortBy("prev", "cur")
+      .option("path", s"${path}_big").mode("overwrite")
+      .saveAsTable(s"${table}_big")
+    spark.table(s"${table}_uni").agg(count(lit(1)).as("v"))
+      .write.format("parquet").option("path", s"${path}_meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Score documents against a FROZEN LM model table — identical
+    * semantics to [[lmScore]] when the model was trained on the same
+    * corpus (spec-pinned), plus the out-of-vocabulary handling a
+    * frozen model needs: an unseen bigram backs off to c_big = 0 and
+    * an unseen history to c_uni = 0 (p = 1/V — pure smoothing mass),
+    * so gibberish arrivals score ln(1/V)-ish instead of erroring.
+    * LEFT joins against the count tables keep every batch bigram. */
+  def lmScoreAgainst(spark: org.apache.spark.sql.SparkSession,
+                     table: String, docs: DataFrame,
+                     k: Double = 0.5): DataFrame = {
+    val joined = docBigrams(docs)
+      .join(spark.table(s"${table}_big").hint("merge"),
+        Seq("prev", "cur"), "left")
+      .join(spark.table(s"${table}_uni").hint("merge")
+        .withColumnRenamed("tok", "prev"), Seq("prev"), "left")
+      .crossJoin(broadcast(spark.table(s"${table}_meta")))
+      .withColumn("c_big", coalesce(col("c_big"), lit(0L)))
+      .withColumn("c_uni", coalesce(col("c_uni"), lit(0L)))
+    lmFinalize(joined, k, docs)
   }
 
   /** F15b: sketched vocabulary — the same statistic via the Apache

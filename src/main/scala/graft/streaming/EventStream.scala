@@ -223,6 +223,25 @@ object EventStream {
           maxSegment))
       }
 
+  /** F16-as-a-stream: arrival-time quality scoring against FROZEN LM
+    * model tables ([[graft.operators.TextAnalysis.writeLmModel]]) —
+    * the CCNet deployment shape: a pretrained reference model scores
+    * every arriving batch (out-of-vocabulary bigrams back off to pure
+    * smoothing mass instead of erroring). Like
+    * [[streamingContamination]] there is NO state growth — scores
+    * never feed back into the model — so a restart needs nothing but
+    * the model artifacts. `onScores` receives each batch's (doc_id,
+    * n_bigrams, lm_score) frame; the caller gates, routes, or drops
+    * before the batch reaches training storage. */
+  def streamingLmScore(docs: DataFrame, table: String, k: Double = 0.5,
+                       onScores: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScores(batchId, graft.operators.TextAnalysis.lmScoreAgainst(
+          batch.sparkSession, table, batch, k))
+      }
+
   /** D9-as-a-stream: arrival-time benchmark decontamination. The
     * bench signature is FROZEN state built once
     * ([[graft.operators.Dedup.writeBenchSignature]] — gram table +

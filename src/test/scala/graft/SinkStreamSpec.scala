@@ -594,6 +594,39 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS fp_s")
   }
 
+  test("streamingLmScore scores each batch against the frozen model, zero state growth") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_slm").toString
+    val all = Tables.documents(spark, sfDir)
+    TextAnalysis.writeLmModel(all.filter(col("doc_id") < 150),
+      "lm_s", s"$wh/lm_s", buckets = 4)
+
+    val nUniBefore = spark.table("lm_s_uni").count()
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingLmScore(mem.toDF().toDF("doc_id", "text"),
+      "lm_s",
+      onScores = (id, df) => got(id) = df.orderBy("doc_id")
+        .collect().toSeq.map(_.toSeq)).start()
+    val b0 = all.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+      .select("doc_id", "text")
+    val exp0 = TextAnalysis.lmScoreAgainst(spark, "lm_s", b0)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    mem.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L) === exp0)
+    assert(got(0L).nonEmpty)
+    // no state growth: scores never feed back into the model
+    spark.catalog.refreshTable("lm_s_uni")
+    assert(spark.table("lm_s_uni").count() === nUniBefore)
+    spark.sql("DROP TABLE IF EXISTS lm_s_uni")
+    spark.sql("DROP TABLE IF EXISTS lm_s_big")
+    spark.sql("DROP TABLE IF EXISTS lm_s_meta")
+  }
+
   test("streamingContamination flags each batch against the frozen bench signature") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup

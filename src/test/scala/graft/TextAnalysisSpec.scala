@@ -118,6 +118,34 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(3L, 0L, null)))
   }
 
+  test("F16 deploy flow: frozen model reproduces self-scores; OOV backs off to 1/V") {
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    TextAnalysis.writeLmModel(corpus, "lm_m", s"$wh/lm_m", buckets = 4)
+
+    // scoring the training corpus against its own frozen model is
+    // exactly the one-pass self-score
+    val a = TextAnalysis.lmScoreAgainst(spark, "lm_m", corpus)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val b = TextAnalysis.lmScore(corpus)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(a === b)
+
+    // a fully-OOV arrival: every bigram and history unseen → each
+    // p = k/(kV) = 1/V, so the score is round(ln(1/V)·1e4)/1e4
+    val v = spark.table("lm_m_meta").select("v").as[Long].head()
+    val oov = Seq((9000L, "zzqq wwrr zzqq")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreAgainst(spark, "lm_m", oov)
+      .select("n_bigrams", "lm_score").as[(Long, Double)].head()
+    val expected = -math.rint(-math.log(1.0 / v) * 1e4) / 1e4
+    assert(got === ((2L, expected)))
+
+    spark.sql("DROP TABLE IF EXISTS lm_m_uni")
+    spark.sql("DROP TABLE IF EXISTS lm_m_big")
+    spark.sql("DROP TABLE IF EXISTS lm_m_meta")
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
