@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * real: `javax.imageio` (in the JDK — PNG/JPEG/GIF/BMP) probes
   * dimensions header-only for G1, decodes + rescales pixels for G4,
   * and pools luminance features for G3. The MOTION path is real for
-  * animated streams the JDK decodes (animated GIF): G1 reports true
-  * frame counts and G2 extracts composited per-frame pixels
-  * ([[Codec.sampleFrames]]). The AUDIO path is real for the
+  * animated streams the JDK decodes (animated GIF) AND for MJPEG in
+  * a RIFF/AVI container (byte-level chunk walk + per-frame JPEG
+  * decode, [[Codec.aviScan]]): G1 reports true frame counts and G2
+  * extracts real per-frame pixels ([[Codec.sampleFrames]]). The
+  * AUDIO path is real for the
   * containers `javax.sound.sampled` reads (WAV/AIFF/AU): G1 reports
   * true sample rate/channels/duration ([[Codec.audioMeta]],
   * header-only) and G3 pools per-window RMS + zero-crossing features
@@ -242,6 +244,10 @@ object Multimodal {
       * image stream. */
     def frameProbe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
       if (bytes == null || bytes.length == 0) return None
+      aviScan(bytes) match {
+        case Some((w, h, _, frames)) => return Some((w, h, frames.length))
+        case None => ()
+      }
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       if (iis == null) return None
@@ -263,6 +269,111 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
       finally iis.close()
     }
+
+    // ---- RIFF/AVI (MJPEG) — the second REAL video container, parsed
+    // byte-level like [[graft.sources.NetCdfClassic]]: RIFF is a flat
+    // fourcc+size(LE) chunk stream with nested LISTs; an MJPEG AVI
+    // carries one independently-decodable JPEG per '00dc'/'00db'
+    // chunk, which the stock JDK decodes. (H.264 inside AVI/MP4 stays
+    // the declared stub — inter-frame codecs need native decoders
+    // this container doesn't have.)
+
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk a RIFF-AVI payload: (width, height, µs/frame from `avih`,
+      * video frame chunk slices for stream 0 in stream order). Every
+      * declared size is bounds-checked against the real payload
+      * before use — a hostile header cannot walk the cursor out of
+      * the array or into an allocation (the [[imageSize]] posture
+      * applied to container structure). None when the payload isn't
+      * RIFF/AVI or holds no video chunks. */
+    private def aviScan(bytes: Array[Byte])
+        : Option[(Int, Int, Long, Vector[(Int, Int)])] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+      var w = 0; var h = 0; var usPf = 0L
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return // RIFF nests 2-3 deep; a cycle bomb stops here
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val id = fourcc(bytes, off)
+          val sz = u32le(bytes, off + 4)
+          val body = off + 8
+          if (sz > end - body) ok = false // truncated/hostile size
+          else {
+            id match {
+              case "LIST" if sz >= 4 =>
+                walk(body + 4, body + sz.toInt, depth + 1)
+              case "avih" if sz >= 40 =>
+                usPf = u32le(bytes, body)
+                w = u32le(bytes, body + 32).toInt
+                h = u32le(bytes, body + 36).toInt
+              case "00dc" | "00db" =>
+                frames += ((body, sz.toInt))
+              case _ => ()
+            }
+            off = body + sz.toInt + (sz.toInt & 1) // chunks word-align
+          }
+        }
+      }
+      walk(12, bytes.length, 0)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some((w, h, usPf, fs))
+    }
+
+    /** MJPEG sampling: every `step`-th '00dc' JPEG decoded (each
+      * frame is intra-coded — no compositing state, unlike GIF) and
+      * PNG-snapshotted; `t_offset_s` from `avih`'s own µs/frame clock
+      * when declared, else `fallbackFps`. Per-frame dims are probed
+      * header-only BEFORE the pixel decode and refused past
+      * [[maxDecodePixels]]/[[maxAnimationPixels]] — same bomb budget
+      * as the GIF path. */
+    private def aviSampleFrames(bytes: Array[Byte], step: Int,
+                                fallbackFps: Double)
+        : Option[Option[(Int, Vector[Sampled])]] =
+      aviScan(bytes).map { case (_, _, usPf, chunks) =>
+        try {
+          var decodedPixels = 0L
+          val out = Vector.newBuilder[Sampled]
+          var i = 0
+          var bombed = false
+          while (!bombed && i < chunks.length) {
+            if (i % step == 0) {
+              val (off, len) = chunks(i)
+              val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              imageSize(slice) match {
+                case Some((fw, fh)) =>
+                  val fPix = fw.toLong * fh
+                  decodedPixels += fPix
+                  if (fPix > maxDecodePixels || decodedPixels > maxAnimationPixels)
+                    bombed = true
+                  else {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(slice))
+                    if (img == null) bombed = true
+                    else {
+                      val t = if (usPf > 0) i * usPf / 1e6 else i / fallbackFps
+                      val shot = new java.io.ByteArrayOutputStream()
+                      javax.imageio.ImageIO.write(img, "png", shot)
+                      out += Sampled(i, t, img.getWidth, img.getHeight,
+                        shot.toByteArray)
+                    }
+                  }
+                case None => bombed = true // non-JPEG payload chunk
+              }
+            }
+            i += 1
+          }
+          if (bombed) None else Some((chunks.length, out.result()))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
 
     /** One sampled frame: composited canvas at `frame_idx`, PNG-encoded. */
     final case class Sampled(idx: Int, tOffsetS: Double, w: Int, h: Int,
@@ -295,6 +406,15 @@ object Multimodal {
       // stream as unrecognized
       require(step > 0, s"step=$step must be positive")
       if (bytes == null || bytes.length == 0) return None
+      // RIFF/AVI first (ImageIO has no AVI reader): outer None = not
+      // AVI, fall through to the animated-image path; Some(None) = a
+      // recognized AVI that was refused (bomb / non-JPEG codec, e.g.
+      // H.264-in-AVI) — that MUST return None here for the stub path,
+      // not fall through and be re-probed
+      aviSampleFrames(bytes, step, fallbackFps) match {
+        case Some(result) => return result
+        case None => ()
+      }
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       if (iis == null) return None

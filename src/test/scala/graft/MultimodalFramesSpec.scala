@@ -132,6 +132,98 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("t_offset_s")).toSeq === Seq(0.0, 0.2))
   }
 
+  /** JPEG-encode frames and wrap them in a minimal MJPEG AVI (RIFF →
+    * LIST hdrl(avih) → LIST movi(00dc …)) — the layout ffmpeg writes,
+    * reduced to the chunks the reader contract requires. */
+  private def mjpegAvi(frames: Seq[BufferedImage],
+                       usPerFrame: Long): Array[Byte] = {
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", jpeg(f))))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  test("G1/G2 MJPEG AVI takes the REAL path: probe, per-frame JPEGs, avih clock") {
+    val colors = Seq(RED, GREEN, BLUE, 0x808080, 0xFFFF00)
+    val avi = mjpegAvi(colors.map(solid(16, 12, _)), usPerFrame = 40000L)
+    assert(Multimodal.Codec.frameProbe(avi) === Some((16, 12, 5)))
+
+    val media = Seq((11L, "video", avi)).toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.frameSamplePayloads(media, step = 2, fps = 99.0)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    assert(rows.forall(_.getAs[Boolean]("is_real")))
+    assert(rows.forall(_.getAs[Int]("frames") === 5))
+    // the avih µs/frame clock wins over the fallback fps
+    assert(rows.map(_.getAs[Double]("t_offset_s")).toSeq === Seq(0.0, 0.08, 0.16))
+    rows.zip(Seq(RED, BLUE, 0xFFFF00)).foreach { case (r, expect) =>
+      val img = ImageIO.read(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img.getWidth === 16 && img.getHeight === 12)
+      val got = img.getRGB(8, 6)
+      def ch(v: Int, s: Int) = (v >> s) & 0xff
+      // JPEG is lossy: solid colors come back within a few counts
+      Seq(16, 8, 0).foreach(s =>
+        assert(math.abs(ch(got, s) - ch(expect, s)) <= 32,
+          f"frame ${r.getAs[Int]("frame_idx")} channel>>$s: got $got%06x"))
+    }
+    // G1 metadata flows through the same probe
+    val meta = Multimodal.decodeMetaPayloads(media).collect()(0)
+    assert(meta.getAs[Int]("frames") === 5 && meta.getAs[Boolean]("is_real"))
+  }
+
+  test("AVI with a non-JPEG codec or hostile sizes keeps the stub, never crashes") {
+    // same container, but the frame chunks hold an H.264-ish bitstream
+    // the JDK cannot decode → recognized AVI, refused payload, stub row
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val real = mjpegAvi(Seq(solid(8, 8, RED)), 40000L)
+    val h264ish = {
+      val nal = Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0, 30)
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(4L + 8 + nal.length) ++
+        "movi".getBytes("US-ASCII") ++
+        "00dc".getBytes("US-ASCII") ++ le32(nal.length.toLong) ++ nal
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    // declared chunk size far past the payload end: the walk stops at
+    // the bounds check and the bytes read as not-AVI (no frames)
+    val hostile = {
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "00dc".getBytes("US-ASCII") ++ le32(0x7fffffffL) ++ Array[Byte](1, 2)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    val media = Seq((1L, "video", real), (2L, "video", h264ish),
+        (3L, "video", hostile))
+      .toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.frameSamplePayloads(media, step = 30, fps = 24.0)
+      .collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).forall(_.getAs[Boolean]("is_real")))
+    assert(byDoc(2L).forall(!_.getAs[Boolean]("is_real")))
+    assert(byDoc(3L).forall(!_.getAs[Boolean]("is_real")))
+  }
+
   test("non-animated video payloads keep the stub path, nulls never NPE") {
     val junk = "h264 bitstreams have no JDK codec".getBytes("UTF-8")
     val media = Seq((1L, "video", junk), (2L, "video", null: Array[Byte]),
