@@ -1541,11 +1541,16 @@ object SparkEntry {
       s"""SELECT doc_id, lang, $splitCaseSql AS split
          |FROM documents""".stripMargin,
 
+    // NULLS FIRST pins the one ordering the engines disagree on:
+    // Spark's asc default is NULLS FIRST, DuckDB's is NULLS LAST — a
+    // NULL doc_id (md5 of NULL is NULL in both) would otherwise land
+    // at opposite ends and shift every position by one
     "corpus_global_shuffle" ->
       s"""WITH r AS (
          |  SELECT doc_id,
          |         row_number() OVER (
-         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+         |                    doc_id NULLS FIRST) - 1 AS pos
          |  FROM documents)
          |SELECT doc_id, pos, pos % 8 AS shard FROM r""".stripMargin,
 

@@ -41,30 +41,40 @@ object Corpus {
   private val packPins =
     new java.util.concurrent.ConcurrentLinkedDeque[Seq[org.apache.spark.rdd.RDD[_]]]()
 
-  /** How many packSequences staging frames stay pinned at once. */
+  /** F17's own registry — SEPARATE from [[packPins]] so repeated
+    * globalShuffle calls (one per training epoch is the natural
+    * usage) can never evict a still-live packSequences staging block
+    * out from under a caller holding that pack's frame. */
+  private val shufflePins =
+    new java.util.concurrent.ConcurrentLinkedDeque[Seq[org.apache.spark.rdd.RDD[_]]]()
+
+  /** How many staging frames stay pinned at once, per registry. */
   private val maxLivePacks = 4
 
-  private def checkpointStaged(df: DataFrame): DataFrame = {
+  private def checkpointStaged(df: DataFrame,
+      registry: java.util.concurrent.ConcurrentLinkedDeque[
+        Seq[org.apache.spark.rdd.RDD[_]]] = packPins): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
     val pins = (sc.getPersistentRDDs -- before).values.toSeq
-    packPins.addLast(pins)
-    while (packPins.size > maxLivePacks) {
-      val oldest = packPins.pollFirst()
+    registry.addLast(pins)
+    while (registry.size > maxLivePacks) {
+      val oldest = registry.pollFirst()
       if (oldest != null) oldest.foreach(_.unpersist(false))
     }
     out
   }
 
   /** Drop every staging block this object holds (end-of-job cleanup). */
-  def releaseCaches(): Unit = {
-    var pins = packPins.pollFirst()
-    while (pins != null) {
-      pins.foreach(_.unpersist(false))
-      pins = packPins.pollFirst()
+  def releaseCaches(): Unit =
+    Seq(packPins, shufflePins).foreach { registry =>
+      var pins = registry.pollFirst()
+      while (pins != null) {
+        pins.foreach(_.unpersist(false))
+        pins = registry.pollFirst()
+      }
     }
-  }
 
   /** F6: deterministic stratified sampling — corpus mixing / rebalance
     * (downsample over-represented languages or sources) with a
@@ -305,7 +315,8 @@ object Corpus {
           md5(col("doc_id").cast("string")).as("__hkey"))
         .repartitionByRange(nPart, col("__hkey"), col("doc_id"))
         .sortWithinPartitions(col("__hkey"), col("doc_id"))
-        .withColumn("__pid", spark_partition_id()))
+        .withColumn("__pid", spark_partition_id()),
+      registry = shufflePins)
     val counts = prepared.groupBy(col("__pid"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getInt(0), r.getLong(1)))

@@ -245,7 +245,28 @@ object Multimodal {
     def frameProbe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
       if (bytes == null || bytes.length == 0) return None
       aviScan(bytes) match {
-        case Some((w, h, _, frames)) => return Some((w, h, frames.length))
+        case Some((w, h, _, chunks)) =>
+          // G1 must agree with G2's real/stub verdict for the SAME
+          // payload: every non-empty frame chunk is sniffed for the
+          // JPEG SOI marker (2 bytes each — an H.264-in-AVI or other
+          // compressed codec fails here and keeps the declared stub),
+          // and declared avih dims are validated like [[imageSize]]
+          // validates image headers (an unsigned-overflow or absent
+          // header falls back to the first frame's own JPEG dims)
+          val nonEmpty = chunks.filter(_._2 > 0)
+          val allJpeg = nonEmpty.nonEmpty && nonEmpty.forall {
+            case (off, len) => len >= 2 &&
+              (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8
+          }
+          if (!allJpeg) return None
+          val dims =
+            if (w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20))
+              Some((w.toInt, h.toInt))
+            else {
+              val (off, len) = nonEmpty.head
+              imageSize(java.util.Arrays.copyOfRange(bytes, off, off + len))
+            }
+          return dims.map { case (dw, dh) => (dw, dh, chunks.length) }
         case None => ()
       }
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -293,10 +314,13 @@ object Multimodal {
       * applied to container structure). None when the payload isn't
       * RIFF/AVI or holds no video chunks. */
     private def aviScan(bytes: Array[Byte])
-        : Option[(Int, Int, Long, Vector[(Int, Int)])] = {
+        : Option[(Long, Long, Long, Vector[(Int, Int)])] = {
       if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
         fourcc(bytes, 8) != "AVI ") return None
-      var w = 0; var h = 0; var usPf = 0L
+      // dims stay UNSIGNED Longs here — callers validate; an .toInt
+      // of a hostile 0xFFFFFFFF header would read as a negative
+      // "real" dimension downstream
+      var w = 0L; var h = 0L; var usPf = 0L
       val frames = Vector.newBuilder[(Int, Int)]
       def walk(start: Int, end: Int, depth: Int): Unit = {
         if (depth > 8) return // RIFF nests 2-3 deep; a cycle bomb stops here
@@ -313,8 +337,8 @@ object Multimodal {
                 walk(body + 4, body + sz.toInt, depth + 1)
               case "avih" if sz >= 40 =>
                 usPf = u32le(bytes, body)
-                w = u32le(bytes, body + 32).toInt
-                h = u32le(bytes, body + 36).toInt
+                w = u32le(bytes, body + 32)
+                h = u32le(bytes, body + 36)
               case "00dc" | "00db" =>
                 frames += ((body, sz.toInt))
               case _ => ()
@@ -345,7 +369,11 @@ object Multimodal {
           var i = 0
           var bombed = false
           while (!bombed && i < chunks.length) {
-            if (i % step == 0) {
+            // a ZERO-length chunk is the standard AVI dropped-frame
+            // encoding: it occupies a frame slot (counted, advances
+            // the clock) but holds no pixels — skip the snapshot
+            // instead of refusing the whole stream
+            if (i % step == 0 && chunks(i)._2 > 0) {
               val (off, len) = chunks(i)
               val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
               imageSize(slice) match {

@@ -256,17 +256,26 @@ object TextAnalysis {
     * scaled sum: measured doc with S=−83.0196, n=24 → mean −3.45915
     * exact), where double rounding is engine-dependent. */
   def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
-    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val uni = uniCounts(docs)
     val docBig = docBigrams(docs)
-    val big = docBig.groupBy(col("prev"), col("cur"))
-      .agg(sum(col("m")).as("c_big"))
     val vocab = uni.agg(count(lit(1)).as("v")) // one row — broadcast
     lmFinalize(docBig
-      .join(big, Seq("prev", "cur"))
+      .join(bigCounts(docBig), Seq("prev", "cur"))
       .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
       .crossJoin(broadcast(vocab)), k, docs)
   }
+
+  /** Corpus unigram counts `(tok, c_uni)` — ONE definition shared by
+    * the one-pass score and the model writer, so the frozen-model ≡
+    * self-score invariant can't drift on a one-sided edit. */
+  private def uniCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+
+  /** Corpus bigram counts `(prev, cur, c_big)` over the weighted
+    * doc-bigram rows — same sharing rationale as [[uniCounts]]. */
+  private def bigCounts(docBig: DataFrame): DataFrame =
+    docBig.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c_big"))
 
   /** The per-doc weighted bigram rows every F16 flavor shares:
     * `(doc_id, prev, cur, m)` — one row per distinct in-doc bigram
@@ -329,14 +338,11 @@ object TextAnalysis {
   def writeLmModel(docs: DataFrame, table: String, path: String,
                    buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    toks.select(explode(col("t")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    uniCounts(docs)
       .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
       .option("path", s"${path}_uni").mode("overwrite")
       .saveAsTable(s"${table}_uni")
-    docBigrams(docs)
-      .groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("c_big"))
+    bigCounts(docBigrams(docs))
       .write.format("parquet").bucketBy(buckets, "prev").sortBy("prev", "cur")
       .option("path", s"${path}_big").mode("overwrite")
       .saveAsTable(s"${table}_big")

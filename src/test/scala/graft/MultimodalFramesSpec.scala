@@ -132,35 +132,41 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("t_offset_s")).toSeq === Seq(0.0, 0.2))
   }
 
-  /** JPEG-encode frames and wrap them in a minimal MJPEG AVI (RIFF →
-    * LIST hdrl(avih) → LIST movi(00dc …)) — the layout ffmpeg writes,
-    * reduced to the chunks the reader contract requires. */
-  private def mjpegAvi(frames: Seq[BufferedImage],
-                       usPerFrame: Long): Array[Byte] = {
-    def jpeg(img: BufferedImage): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "jpg", bos); bos.toByteArray
-    }
-    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val pad: Array[Byte] =
-        if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
-      id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
-    }
-    def list(kind: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
-    val w = frames.head.getWidth; val h = frames.head.getHeight
+  private def jpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos); bos.toByteArray
+  }
+  private def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 24) & 0xff).toByte)
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+  }
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", kind.getBytes("US-ASCII") ++ body)
+
+  /** Wrap pre-encoded frame chunk bodies in a minimal MJPEG AVI
+    * (RIFF → LIST hdrl(avih) → LIST movi(00dc …)) — the layout ffmpeg
+    * writes, reduced to the chunks the reader contract requires. */
+  private def aviOf(frameBodies: Seq[Array[Byte]], w: Int, h: Int,
+                    usPerFrame: Long): Array[Byte] = {
     val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(frameBodies.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0)
-    val hdrl = list("hdrl", chunk("avih", avih))
-    val movi = list("movi",
-      frames.toArray.flatMap(f => chunk("00dc", jpeg(f))))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih))
+    val movi = riffList("movi",
+      frameBodies.toArray.flatMap(b => riffChunk("00dc", b)))
     val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
   }
+
+  /** JPEG-encode frames and wrap them ([[aviOf]]). */
+  private def mjpegAvi(frames: Seq[BufferedImage],
+                       usPerFrame: Long): Array[Byte] =
+    aviOf(frames.map(jpeg), frames.head.getWidth, frames.head.getHeight,
+      usPerFrame)
 
   test("G1/G2 MJPEG AVI takes the REAL path: probe, per-frame JPEGs, avih clock") {
     val colors = Seq(RED, GREEN, BLUE, 0x808080, 0xFFFF00)
@@ -194,18 +200,9 @@ class MultimodalFramesSpec extends SparkSpec {
   test("AVI with a non-JPEG codec or hostile sizes keeps the stub, never crashes") {
     // same container, but the frame chunks hold an H.264-ish bitstream
     // the JDK cannot decode → recognized AVI, refused payload, stub row
-    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 24) & 0xff).toByte)
     val real = mjpegAvi(Seq(solid(8, 8, RED)), 40000L)
-    val h264ish = {
-      val nal = Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0, 30)
-      val body = "AVI ".getBytes("US-ASCII") ++
-        "LIST".getBytes("US-ASCII") ++ le32(4L + 8 + nal.length) ++
-        "movi".getBytes("US-ASCII") ++
-        "00dc".getBytes("US-ASCII") ++ le32(nal.length.toLong) ++ nal
-      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
-    }
+    val h264ish =
+      aviOf(Seq(Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0, 30)), 8, 8, 40000L)
     // declared chunk size far past the payload end: the walk stops at
     // the bounds check and the bytes read as not-AVI (no frames)
     val hostile = {
@@ -213,6 +210,22 @@ class MultimodalFramesSpec extends SparkSpec {
         "00dc".getBytes("US-ASCII") ++ le32(0x7fffffffL) ++ Array[Byte](1, 2)
       "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
     }
+    // a hostile avih declaring unsigned-overflow dims (0xFFFFFFFF):
+    // the probe must not surface negative "real" dimensions — it
+    // falls back to the first frame's own JPEG header dims
+    val overflowDims = {
+      val good = mjpegAvi(Seq(solid(8, 8, RED)), 40000L)
+      // patch dwWidth/dwHeight inside avih: RIFF(12) LIST hdr(12) avih hdr(8) + 32
+      val patched = good.clone()
+      val dimsOff = 12 + 12 + 8 + 32
+      Array.copy(Array.fill[Byte](8)(0xff.toByte), 0, patched, dimsOff, 8)
+      patched
+    }
+    // G1 and G2 agree on every verdict: the probe sniffs each frame
+    // chunk for the JPEG SOI marker
+    assert(Multimodal.Codec.frameProbe(h264ish) === None)
+    assert(Multimodal.Codec.frameProbe(hostile) === None)
+    assert(Multimodal.Codec.frameProbe(overflowDims) === Some((8, 8, 1)))
     val media = Seq((1L, "video", real), (2L, "video", h264ish),
         (3L, "video", hostile))
       .toDF("doc_id", "kind", "payload")
@@ -222,6 +235,22 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(byDoc(1L).forall(_.getAs[Boolean]("is_real")))
     assert(byDoc(2L).forall(!_.getAs[Boolean]("is_real")))
     assert(byDoc(3L).forall(!_.getAs[Boolean]("is_real")))
+  }
+
+  test("a zero-length drop-frame chunk keeps its slot but never bombs the stream") {
+    // frame 0 dropped (standard capture-tool encoding), frames 1-2 real
+    val avi = aviOf(Seq(Array.emptyByteArray, jpeg(solid(8, 8, GREEN)),
+      jpeg(solid(8, 8, BLUE))), 8, 8, 100000L)
+    assert(Multimodal.Codec.frameProbe(avi) === Some((8, 8, 3)))
+    val media = Seq((5L, "video", avi)).toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.frameSamplePayloads(media, step = 1, fps = 24.0)
+      .orderBy("frame_idx").collect()
+    // the dropped slot emits no pixels but frames 1-2 stay REAL and
+    // keep their stream positions + avih-clock offsets
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq === Seq(1, 2))
+    assert(rows.forall(_.getAs[Boolean]("is_real")))
+    assert(rows.forall(_.getAs[Int]("frames") === 3))
+    assert(rows.map(_.getAs[Double]("t_offset_s")).toSeq === Seq(0.1, 0.2))
   }
 
   test("non-animated video payloads keep the stub path, nulls never NPE") {
