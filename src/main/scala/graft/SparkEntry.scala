@@ -508,6 +508,11 @@ object SparkEntry {
     "corpus_global_shuffle" -> ((s, d) =>
       Corpus.globalShuffle(docs(s, d), nShards = 8)),
 
+    // F18: overlapping token-window chunking (32-token windows,
+    // 8-token overlap — small enough that verify docs multi-chunk)
+    "corpus_chunk" -> ((s, d) =>
+      Corpus.chunkDocs(docs(s, d), chunkTokens = 32, overlap = 8)),
+
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
@@ -1553,6 +1558,23 @@ object SparkEntry {
          |                    doc_id NULLS FIRST) - 1 AS pos
          |  FROM documents)
          |SELECT doc_id, pos, pos % 8 AS shard FROM r""".stripMargin,
+
+    // F18 mirror: DuckDB range() is end-exclusive (≡ sequence(0, n−1))
+    // and list_slice is (begin, end)-positional where Spark's slice is
+    // (begin, LENGTH) — hence the least(...) clamp
+    "corpus_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |        unnest(range(0, greatest((len(t) - 8 + 23) // 24, 1)))
+         |          AS chunk_id
+         |      FROM t WHERE len(t) > 0)
+         |SELECT doc_id, chunk_id,
+         |       CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+         |       CAST(len(list_slice(t, chunk_id * 24 + 1,
+         |         least(chunk_id * 24 + 32, len(t)))) AS BIGINT) AS n_tokens,
+         |       array_to_string(list_slice(t, chunk_id * 24 + 1,
+         |         least(chunk_id * 24 + 32, len(t))), ' ') AS chunk_text
+         |FROM c""".stripMargin,
 
     "corpus_token_quantiles" -> {
       val qs = QuantilePs.map(p =>

@@ -345,6 +345,40 @@ object Corpus {
     }
   }
 
+  /** F18: overlapping token-window chunking — the embedding/RAG prep
+    * step: each document splits into windows of `chunkTokens` tokens
+    * whose starts advance by `chunkTokens − overlap` (consecutive
+    * chunks share `overlap` tokens so a sentence straddling a
+    * boundary appears whole in one of them), the last chunk runs
+    * short, and a non-empty doc always yields ≥ 1 chunk. Pure per-row
+    * explode — zero shuffle, scan-fused like F1–F4; chunk ids are
+    * (doc_id, chunk_id) with positions, ready to join back or feed an
+    * embedding encoder. Fully oracled (deterministic token slicing
+    * mirrors to DuckDB list_slice). */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 256,
+                overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens=$chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap=$overlap must be in [0, chunkTokens)")
+    val s = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      // nChunks = ceil(max(nt − overlap, 1) / stride): the last start
+      // is the largest i·s < nt − overlap, so the final chunk always
+      // reaches the last token and short docs get exactly one chunk
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          s"sequence(0, greatest((size(t) - $overlap + $s - 1) div $s, 1) - 1)"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("chunk_id") * s).cast("bigint").as("start_tok"),
+        expr(s"slice(t, chunk_id * $s + 1, $chunkTokens)").as("ct"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ct")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("ct")).as("chunk_text"))
+  }
+
   /** F14: the end-to-end pretraining-prep job as ONE declared plan —
     * the composition a production corpus actually runs nightly, from
     * raw documents to packed training sequences:

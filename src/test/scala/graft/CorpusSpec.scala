@@ -279,6 +279,29 @@ class CorpusSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("F18 chunkDocs: overlapping windows tile the token stream, short docs get one chunk") {
+    val input = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only two"),                               // < chunk size
+      (3L, "")                                        // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(input, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
+      .collect().toSeq.map(_.toSeq)
+    // stride 3: starts 0, 3, 6 — chunk k shares its last `overlap`
+    // token with chunk k+1's first, and the tail chunk runs to w10
+    assert(out === Seq(
+      Seq(1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      Seq(1L, 1L, 3L, 4L, "w4 w5 w6 w7"),
+      Seq(1L, 2L, 6L, 4L, "w7 w8 w9 w10"),
+      Seq(2L, 0L, 0L, 2L, "only two")))
+    // every token position is covered by some chunk
+    val covered = out.filter(_(0) == 1L).flatMap(r =>
+      r(4).asInstanceOf[String].split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("F13 tokenQuantiles computes exact interpolated percentiles per stratum") {
     // en token counts by doc_id order: 4, 3, 3 → sorted [3, 3, 4]
     //   p50 = 3.0; p75 at rank 0.75·2 = 1.5 → 3 + 0.5·(4−3) = 3.5

@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** One-off scale/skew drive (round-6 verdict ask): synthesize a
   * hot-key corpus well past verify scale — every doc shares a 16-word
@@ -118,8 +118,19 @@ object SkewScaleDrive {
         // drops it and cost must stay ~linear
         "D11_substring_capped" -> (() =>
           Dedup.substringDedup(docs, 16, 8, maxDf = 50L)),
-        "F7_pack_sequences" -> (() => Corpus.packSequences(docs, "lang", 2048)))
-      ops.map { case (name, fn) =>
+        "F7_pack_sequences" -> (() => Corpus.packSequences(docs, "lang", 2048)),
+        // F16: every doc shares the 16-token header, so its 15 bigrams
+        // each have count ≈ n — the count tables still hold ONE row
+        // per bigram, so the joins must stay linear and the hot keys'
+        // probe rows must spread (not pin one task). The n_bigrams
+        // filter is load-bearing: scored is unique per doc_id, so a
+        // bare count() would let the optimizer ELIMINATE the left
+        // join and measure nothing
+        "F16_lm_score" -> (() =>
+          TextAnalysis.lmScore(docs).filter(col("n_bigrams") >= 0)),
+        "F17_global_shuffle" -> (() => Corpus.globalShuffle(docs)))
+      val wanted = args.lift(1).map(_.split(",").toSet)
+      ops.filter(o => wanted.forall(_.contains(o._1))).map { case (name, fn) =>
         clearCaches(); stats.clear()
         val t0 = System.nanoTime()
         val rows = fn().count()
