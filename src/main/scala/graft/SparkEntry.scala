@@ -483,6 +483,13 @@ object SparkEntry {
     // round + DECIMAL sum keeps both engines bit-identical
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
 
+    // F19: the quality/domain classifier stage (fastText's role in
+    // GPT-3/LLaMA curation) as multinomial Naive Bayes trained on the
+    // corpus' source labels — fully oracled: scale-4-integer ln terms
+    // and priors, exact integer score sums, integer argmax with
+    // class-name tie-break (no double ever enters a comparison)
+    "text_classifier_score" -> ((s, d) => TextAnalysis.nbClassify(docs(s, d))),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -1303,6 +1310,54 @@ object SparkEntry {
          |       CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
          |         / 10000 AS lm_score
          |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // F19 mirror: multinomial NB — per-(tok, class) ln term and
+    // per-class ln prior both round to scale-4 integers, per-doc
+    // class scores are exact BIGINT sums, argmax compares integers
+    // with a class-name tie-break; a (tok, class) pair unseen in
+    // training left-joins to c_tc = 0 (smoothing mass), so the CROSS
+    // JOIN over classes scores every class for every doc
+    "text_classifier_score" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, source, tok, count(*) AS m
+         |  FROM (SELECT doc_id, source, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |clsp AS (
+         |  SELECT c.source,
+         |         CAST(round(ln(CAST(c.n_docs_c AS DOUBLE) / nd.n_docs)
+         |           * 10000, 0) AS BIGINT) AS prior_i,
+         |         coalesce(cm.n_toks_c, 0) AS n_toks_c
+         |  FROM (SELECT source, count(*) AS n_docs_c
+         |        FROM documents GROUP BY 1) c
+         |  LEFT JOIN (SELECT source, CAST(sum(m) AS BIGINT) AS n_toks_c
+         |             FROM dt GROUP BY 1) cm USING (source)
+         |  CROSS JOIN nd),
+         |tc AS (SELECT tok, source, CAST(sum(m) AS BIGINT) AS c_tc
+         |       FROM dt GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM dt),
+         |terms AS (
+         |  SELECT st.doc_id, c.source,
+         |         CAST(sum(st.m * CAST(round(ln((coalesce(tc.c_tc, 0) + 0.5)
+         |           / (c.n_toks_c + 0.5 * v.v)) * 10000, 0) AS BIGINT))
+         |           AS BIGINT) AS a,
+         |         CAST(sum(st.m) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, tok, m FROM dt) st
+         |  CROSS JOIN (SELECT source, n_toks_c FROM clsp) c
+         |  LEFT JOIN tc ON tc.tok = st.tok AND tc.source = c.source
+         |  CROSS JOIN v
+         |  GROUP BY 1, 2),
+         |scores AS (
+         |  SELECT d.doc_id, c.source,
+         |         c.prior_i + coalesce(t2.a, 0) AS score_i,
+         |         coalesce(t2.n, 0) AS n_toks
+         |  FROM documents d CROSS JOIN clsp c
+         |  LEFT JOIN terms t2 ON t2.doc_id = d.doc_id AND t2.source = c.source)
+         |SELECT doc_id, source AS pred_source,
+         |       CAST(score_i AS DOUBLE) / 10000 AS nb_score, n_toks
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_i DESC, source ASC) AS rn FROM scores)
+         |WHERE rn = 1""".stripMargin,
 
     // D11: same winnowing construction — DuckDB range() is EXCLUSIVE
     // where Spark sequence() is inclusive (hence the +1 on the

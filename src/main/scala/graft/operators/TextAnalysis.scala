@@ -386,4 +386,134 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col("tok"), lit(lgK))).as("vocab_est"))
+
+  // ── F19: Naive Bayes document classifier ─────────────────────────
+
+  /** F19: the pipeline's QUALITY/DOMAIN CLASSIFIER stage — the role
+    * fastText's wiki-vs-CommonCrawl linear model plays in GPT-3/LLaMA
+    * data curation (Brown et al. 2020 §A; Touvron et al. 2023 §2) —
+    * realized as multinomial Naive Bayes trained on the corpus' own
+    * `source` labels and scored per doc: pred = argmax_c [ ln P(c) +
+    * Σ_tok m·ln P(tok|c) ] with add-k smoothing, class-name
+    * tie-break. Train-and-score in one pass (the frozen-model deploy
+    * flavor is [[writeNbModel]]/[[nbScoreAgainst]]).
+    *
+    * Scale shape mirrors F16's: the class-conditional count table
+    * holds ONE row per (tok, class) — a hot token costs its probe
+    * rows × |classes|, never a pair blow-up — and per-doc token
+    * multiplicities collapse to one weighted row before the join.
+    * |classes| is bounded (sources), so the doc×class score frame is
+    * |docs|·|classes| rows and the class stats broadcast.
+    *
+    * Cross-engine exactness (SURVEY §5): each ln rounds to a scale-4
+    * INTEGER (per (tok, class) term AND per-class prior), per-doc
+    * class scores are exact integer sums, and the argmax compares
+    * INTEGERS with a class-name tie-break — no double ever enters a
+    * comparison, so the oracle can't half-round differently. */
+  def nbClassify(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val dt = trainToks(docs)
+    val clsP = nbClassTable(docs, dt)
+    val tc = dt.groupBy(col("tok"), col("source")).agg(sum(col("m")).as("c_tc"))
+    val metaV = dt.agg(countDistinct(col("tok")).as("v"))
+    nbFinalize(dt.select(col("doc_id"), col("tok"), col("m")),
+      docs, clsP, tc, metaV, k)
+  }
+
+  /** Per-(doc, class-label, token) multiplicities — the training-side
+    * explode; `source` rides the explode (functionally dependent on
+    * doc_id — no join back to the corpus). */
+  private def trainToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+
+  /** Class table `(source, prior_i, n_toks_c)` — per-class doc count
+    * → scale-4-integer ln prior, plus the class token mass the
+    * smoothing denominator needs. O(|classes|) rows — broadcast. */
+  private def nbClassTable(docs: DataFrame, dt: DataFrame): DataFrame = {
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs_c"))
+      .join(dt.groupBy(col("source")).agg(sum(col("m")).as("n_toks_c")),
+        Seq("source"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("source"),
+        round(log(col("n_docs_c").cast("double") / col("n_docs")) * lit(1e4))
+          .cast("long").as("prior_i"),
+        coalesce(col("n_toks_c"), lit(0L)).as("n_toks_c"))
+  }
+
+  /** Shared F19 score tail: per-doc token rows × every class, LEFT
+    * join to the (tok, class) counts (an unseen pair backs off to
+    * c_tc = 0 — pure smoothing mass, which is also exactly the frozen
+    * model's OOV behavior), integer term sums, integer argmax with
+    * class-name tie-break. Empty/token-less docs score prior-only and
+    * land on the max-prior class. Exchanges: one on (doc_id, tok)
+    * (the multiplicity collapse), one on (doc_id, source) (the term
+    * sum), one on doc_id (the argmax window over |classes| rows per
+    * doc) — all doc-sized, none keyed on a raw skewed column. */
+  private def nbFinalize(scoreToks: DataFrame, docs: DataFrame,
+                         clsP: DataFrame, tc: DataFrame, metaV: DataFrame,
+                         k: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = scoreToks
+      .crossJoin(broadcast(clsP.select(col("source"), col("n_toks_c"))))
+      .join(tc, Seq("tok", "source"), "left")
+      .crossJoin(broadcast(metaV))
+      .withColumn("lnp_i",
+        round(log((coalesce(col("c_tc"), lit(0L)) + lit(k)) /
+          (col("n_toks_c") + lit(k) * col("v"))) * lit(1e4)).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m") * col("lnp_i")).as("a"), sum(col("m")).as("n"))
+    val scores = docs.select(col("doc_id"))
+      .crossJoin(broadcast(clsP.select(col("source"), col("prior_i"))))
+      .join(terms, Seq("doc_id", "source"), "left")
+      .withColumn("score_i", col("prior_i") + coalesce(col("a"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_i").desc, col("source").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("pred_source"),
+        (col("score_i").cast("double") / lit(1e4)).as("nb_score"),
+        coalesce(col("n"), lit(0L)).as("n_toks"))
+  }
+
+  /** F19's deploy flow: freeze the trained classifier as tables —
+    * `<t>_tok (tok, source, c_tc)` bucketed on `tok` (a scored batch
+    * shuffles once on the token and the count join reads co-located
+    * buckets), tiny `<t>_cls (source, prior_i, n_toks_c)` and
+    * one-row `<t>_meta (v)`. This is what the curation pipelines
+    * actually ship: a classifier trained ONCE on labeled reference
+    * data scoring every new crawl shard. */
+  def writeNbModel(docs: DataFrame, table: String, path: String,
+                   buckets: Int = 64, k: Double = 0.5): Unit = {
+    val spark = docs.sparkSession
+    val dt = trainToks(docs)
+    dt.groupBy(col("tok"), col("source")).agg(sum(col("m")).as("c_tc"))
+      .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok", "source")
+      .option("path", s"${path}_tok").mode("overwrite")
+      .saveAsTable(s"${table}_tok")
+    nbClassTable(docs, dt)
+      .write.format("parquet").option("path", s"${path}_cls")
+      .mode("overwrite").saveAsTable(s"${table}_cls")
+    dt.agg(countDistinct(col("tok")).as("v"))
+      .write.format("parquet").option("path", s"${path}_meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Score documents against a FROZEN classifier — identical to
+    * [[nbClassify]] when the model was trained on the same corpus
+    * (spec-pinned). OOV handling is structural: a token/class pair
+    * absent from the count table left-joins to c_tc = 0 (smoothing
+    * mass), and a fully-OOV doc scores Σ m·ln(k/(N_c+kV)) + prior —
+    * every class evaluated, never an error. */
+  def nbScoreAgainst(spark: org.apache.spark.sql.SparkSession,
+                     table: String, docs: DataFrame,
+                     k: Double = 0.5): DataFrame = {
+    val scoreToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+    nbFinalize(scoreToks, docs, spark.table(s"${table}_cls"),
+      spark.table(s"${table}_tok").hint("merge"),
+      spark.table(s"${table}_meta"), k)
+  }
 }
