@@ -520,6 +520,13 @@ object SparkEntry {
     "corpus_chunk" -> ((s, d) =>
       Corpus.chunkDocs(docs(s, d), chunkTokens = 32, overlap = 8)),
 
+    // F20: DSIR importance resampling — hashed-unigram importance
+    // weights toward the 'en' slice, top-25% selected; scale-4
+    // integer λ terms + integer rank keep the mirror hash-exact
+    // (the oracle keeps the single-task window spelling; the engine
+    // runs F17's range-sort + two-phase numbering)
+    "corpus_dsir_sample" -> ((s, d) => Corpus.dsirSample(docs(s, d))),
+
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
@@ -1630,6 +1637,49 @@ object SparkEntry {
          |       array_to_string(list_slice(t, chunk_id * 24 + 1,
          |         least(chunk_id * 24 + 32, len(t))), ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    // F20 mirror: every λ operand is CAST to DOUBLE before the
+    // arithmetic so both engines run identical IEEE ops (the +0.5 /
+    // +128.0 addends are binary-exact, products are ·0.5-multiples
+    // far below 2^53 — the quotient is bit-identical); weights are
+    // exact BIGINT sums of the scale-4 λ integers, rank is the
+    // NULLS FIRST window (Spark's asc default) over (w_i desc, doc_id)
+    "corpus_dsir_sample" ->
+      s"""WITH dm AS (
+         |  SELECT doc_id, lang, substring(md5(tok), 1, 2) AS b,
+         |         count(*) AS m
+         |  FROM (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, CAST(sum(m) AS BIGINT) AS c_r FROM dm GROUP BY 1),
+         |tgt AS (SELECT b, CAST(sum(m) AS BIGINT) AS c_t
+         |        FROM dm WHERE lang = 'en' GROUP BY 1),
+         |nr AS (SELECT coalesce(CAST(sum(c_r) AS BIGINT), 0) AS n_r FROM raw),
+         |nt AS (SELECT coalesce(CAST(sum(c_t) AS BIGINT), 0) AS n_t FROM tgt),
+         |lam AS (
+         |  SELECT raw.b,
+         |         CAST(round(ln(
+         |           ((CAST(coalesce(tgt.c_t, 0) AS DOUBLE) + 0.5)
+         |              * (CAST(nr.n_r AS DOUBLE) + 128.0))
+         |           / ((CAST(raw.c_r AS DOUBLE) + 0.5)
+         |              * (CAST(nt.n_t AS DOUBLE) + 128.0))) * 10000, 0)
+         |           AS BIGINT) AS lam_i
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nr CROSS JOIN nt),
+         |w AS (
+         |  SELECT d.doc_id, coalesce(x.w_i, 0) AS w_i,
+         |         coalesce(x.n_toks, 0) AS n_toks
+         |  FROM documents d
+         |  LEFT JOIN (SELECT dm.doc_id,
+         |               CAST(sum(dm.m * lam.lam_i) AS BIGINT) AS w_i,
+         |               CAST(sum(dm.m) AS BIGINT) AS n_toks
+         |             FROM dm JOIN lam ON lam.b = dm.b
+         |             GROUP BY 1) x USING (doc_id)),
+         |n AS (SELECT CAST(floor(0.25 * count(*)) AS BIGINT) AS n_sel
+         |      FROM documents)
+         |SELECT doc_id, rank, CAST(w_i AS DOUBLE) / 10000 AS dsir_weight,
+         |       n_toks, rank <= n.n_sel AS selected
+         |FROM (SELECT *, row_number() OVER (
+         |        ORDER BY w_i DESC, doc_id NULLS FIRST) AS rank FROM w)
+         |CROSS JOIN n""".stripMargin,
 
     "corpus_token_quantiles" -> {
       val qs = QuantilePs.map(p =>

@@ -617,4 +617,115 @@ object Corpus {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
   }
+
+  // ── F20: DSIR importance resampling ──────────────────────────────
+
+  /** F20: Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS — the "make the crawl look like the target domain"
+    * selection stage): hashed unigram features, per-doc importance
+    * weight ln w = Σ_b m_b · ln(p_target(b)/p_raw(b)) under add-k
+    * smoothing over B hashed buckets, then the top `selectRate`
+    * fraction of docs by weight is selected. The target domain here
+    * is the `targetLang` slice of the corpus itself (DSIR's target is
+    * e.g. Wikipedia; a language slice is this dataset's analog).
+    *
+    * Determinism/mirroring (SURVEY §5): the feature bucket is the
+    * first 2 hex chars of md5(token) — a STRING key, B = 256, no
+    * hex→int conversion to disagree on — each bucket's ln ratio
+    * rounds to a scale-4 INTEGER, doc weights are exact integer sums,
+    * and the selection rank orders (weight desc, doc_id) — integers
+    * again, so no double ever enters a comparison.
+    *
+    * Scale shape: one explode pass feeds BOTH the per-doc feature
+    * rows and (via a second partial-agg groupBy) the 256-row bucket
+    * count tables, which broadcast; the per-doc weight is one
+    * doc-keyed groupBy; the global top-N rank is the F17 spelling —
+    * distributed range sort on (weight desc, doc_id) + two-phase
+    * numbering (per-partition counts, driver exclusive scan,
+    * partition-local counter) — never a single-task global window.
+    * The only driver-side values are the 256-row λ table's inputs and
+    * the partition count array (bounded metadata). */
+  def dsirSample(docs: DataFrame, targetLang: String = "en",
+                 selectRate: Double = 0.25, k: Double = 0.5,
+                 partitions: Int = 0): DataFrame = {
+    require(selectRate > 0 && selectRate <= 1,
+      s"selectRate=$selectRate must be in (0, 1]")
+    val spark = docs.sparkSession
+    val B = 256
+    // one explode pass: per-(doc, bucket) multiplicities with the
+    // doc's lang riding along (functionally dependent on doc_id)
+    val dm = docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val raw = dm.groupBy(col("b")).agg(sum(col("m")).as("c_r"))
+    val tgt = dm.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("m")).as("c_t"))
+    val nR = raw.agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
+    val nT = tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+    // λ table: one row per OCCUPIED raw bucket (a doc feature row
+    // always references an occupied bucket); ln ratio → scale-4 int
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        round(log(((coalesce(col("c_t"), lit(0L)) + lit(k)) *
+            (col("n_r") + lit(k * B))) /
+          ((col("c_r") + lit(k)) * (col("n_t") + lit(k * B)))) * lit(1e4))
+          .cast("long").as("lam_i"))
+    val weights = docs.select(col("doc_id"))
+      .join(dm.join(broadcast(lam), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("m") * col("lam_i")).as("w_i"),
+            sum(col("m")).as("n_toks")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_i"), lit(0L)).as("w_i"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+
+    // global rank by (w_i desc, doc_id): F17's two-phase numbering
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = checkpointStaged(
+      weights.repartitionByRange(nPart, col("w_i").desc, col("doc_id"))
+        .sortWithinPartitions(col("w_i").desc, col("doc_id"))
+        .withColumn("__pid", spark_partition_id()),
+      registry = shufflePins)
+    val counts = prepared.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.sortBy(_._1).map { case (pid, n) =>
+        val start = acc; acc += n; (pid, start)
+      }.toMap
+    }
+    val nSel = math.floor(selectRate * counts.map(_._2).sum).toLong
+    val bc = spark.sparkContext.broadcast(offsets)
+    val iDoc = prepared.schema.fieldIndex("doc_id")
+    val iW = prepared.schema.fieldIndex("w_i")
+    val iN = prepared.schema.fieldIndex("n_toks")
+    val iPid = prepared.schema.fieldIndex("__pid")
+    val outSchema = StructType(Seq(prepared.schema(iDoc),
+      StructField("rank", LongType, nullable = false),
+      StructField("dsir_weight", org.apache.spark.sql.types.DoubleType,
+        nullable = false),
+      prepared.schema(iN).copy(name = "n_toks"),
+      StructField("selected", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    prepared.mapPartitions { it =>
+      val off = bc.value
+      var pos = 0L
+      var init = false
+      it.map { r =>
+        if (!init) { pos = off.getOrElse(r.getInt(iPid), 0L); init = true }
+        pos += 1
+        Row(r.get(iDoc), pos, r.getLong(iW).toDouble / 1e4,
+          r.getLong(iN), pos <= nSel)
+      }
+    }
+  }
 }
