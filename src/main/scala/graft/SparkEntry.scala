@@ -379,6 +379,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
         .withColumn("rank", col("rank").cast("bigint"))),
 
+    // E7: JL sign random projection 64→16 — per-row scan-fused
+    // expression, driver-computed ±1 literal matrix; fully oracled
+    // (integer micro-unit sums, integer ÷√k rounding)
+    "emb_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
+
+    // E7b: serving THROUGH the projection — 16-dim shortlist at
+    // k·overfetch, exact full-dim rerank (precision 1.0; recall =
+    // the shortlist hit rate, gated); rows-only
+    "ann_project_topk" -> ((s, d) =>
+      Similarity.projectedTopK(emb(s, d), annIsQuery, 5, overfetch = 20)),
+
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
 
@@ -686,6 +697,10 @@ object SparkEntry {
     // .78/.62 (the probing ceiling — ks64+rr16 codes lose nothing),
     // pq ks64+rr16 .98/.98 — each ~0.9× the smaller sf
     "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.55)),
+    // JL shortlist recall on the ISOTROPIC verify corpus (the same
+    // regime that caps the ivf family at ~0.62): measured r8 at
+    // 64→16/overfetch=20 — .62/.74 at sf0.001/sf0.01, floor 0.9×min
+    "ann_project_topk"        -> (("ann_bruteforce_topk", 0.55)),
     "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.88)),
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
@@ -1483,6 +1498,28 @@ object SparkEntry {
          |SELECT c_id, dim, count(*) AS n_members,
          |       round(CAST(sum(val6) AS DOUBLE) / count(*), 6) AS mean_val
          |FROM expl GROUP BY 1, 2""".stripMargin,
+
+    // E7 mirror: same md5 sign coin (first hex char < '8' → +1);
+    // elements round ONCE to integer micro-units, the ±1-weighted sum
+    // is exact BIGINT (order-free — list_sum, no fold mirroring
+    // needed), and ÷√k rounds via integer arithmetic on non-negative
+    // operands ("round(sum/4, 6)" lands on engine-dependent halves a
+    // quarter of the time — the F16 lesson, measured 14/8000 coords)
+    "emb_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |d AS (SELECT unnest(range(0, 16)) AS dim)
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(CASE WHEN s >= 0 THEN (s + 2) // 4
+         |            ELSE -((-s + 2) // 4) END AS DOUBLE) / 1e6 AS value
+         |FROM (
+         |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |         CAST(list_sum(list_transform(range(1, 65), i ->
+         |           CAST(round(v[i] * 1e6, 0) AS BIGINT) *
+         |           (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+         |                                     CAST(dim AS VARCHAR)), 1, 1) < '8'
+         |                 THEN 1 ELSE -1 END))) AS BIGINT) AS s
+         |  FROM e CROSS JOIN d)""".stripMargin,
 
     // zero-norm exclusion mirrors the operator (NaN cosine would rank
     // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)

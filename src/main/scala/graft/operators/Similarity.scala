@@ -1390,4 +1390,138 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
+
+  // ── E7: random-projection dimension reduction ────────────────────
+
+  /** E7: Johnson–Lindenstrauss SIGN random projection (Achlioptas
+    * 2003's database-friendly ±1 variant) — the dimension-reduction
+    * step a pipeline runs before ANN when the raw embedding is wider
+    * than the recall target needs: p_j = (Σ_i v_i · s_ij) / √k with
+    * s_ij ∈ {±1}. Pairwise inner products are preserved in
+    * expectation with variance O(1/k), so a k-dim index serves the
+    * same top-k queries at d/k of the scan cost.
+    *
+    * Zero shuffle: the projection is one per-row expression pass
+    * (scan-fused, codegen'd) — the sign matrix is a DRIVER-computed
+    * deterministic literal (md5(i:j) high nibble < 8 → +1), k·d
+    * doubles broadcast inside the plan, never a join. Output is LONG
+    * format (vec_id, dim, value) — one row per projected coordinate.
+    *
+    * Cross-engine exactness: each element rounds ONCE to an integer
+    * micro-unit (round(v_i·1e6) — a float-derived product essentially
+    * never lands on an exact half, the E4 rationale), the ±1-weighted
+    * sum S is EXACT 64-bit integer arithmetic (order-independent — no
+    * fold-order coupling at all), and the final ÷√k rounds via pure
+    * integer arithmetic: sign(S)·((|S|+√k/2) div √k). A naive
+    * "round(sum/4, 6)" spelling is GUARANTEED to hit engine-dependent
+    * half boundaries — the 6dp elements sum to a multiple of 1e-6, so
+    * S/4 sits exactly on x.xxxxxx5 a quarter of the time (found in the
+    * first sf0.001 run: 14 of 8000 coordinates split between the
+    * engines) — the F16 integer-mean lesson applied to vectors.
+    * `outDim` must be a perfect square so √k stays integral. */
+  def randomProject(emb: DataFrame, outDim: Int = 16,
+                    inDim: Int = 64): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(projectionArr(outDim, inDim)).as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim").cast("bigint").as("dim"), col("value"))
+
+  /** The shared JL projection core: `embedding` → array<double> of
+    * `outDim` projected coordinates, entirely in integer micro-units
+    * until the final cast (see [[randomProject]]'s exactness
+    * scaladoc). Floor division is spelled `(x − pmod(x, m)) / m` on
+    * non-negative operands — the subtraction makes the numerator an
+    * exact multiple of m, so the double division is exact and
+    * truncation-vs-floor can't differ. */
+  private def projectionArr(outDim: Int, inDim: Int): Column = {
+    require(outDim > 0 && inDim > 0,
+      s"outDim=$outDim and inDim=$inDim must be positive")
+    val isqrt = math.sqrt(outDim.toDouble).toLong
+    require(isqrt * isqrt == outDim,
+      s"outDim=$outDim must be a perfect square (integral √k exact path)")
+    val signs: Seq[Seq[Long]] =
+      Seq.tabulate(outDim)(j => Seq.tabulate(inDim)(i => jlSign(i, j)))
+    val sgn = typedLit(signs)
+    val vi = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val half = isqrt / 2
+    def idiv(x: Column, m: Long): Column =
+      ((x - pmod(x, lit(m))) / lit(m)).cast("long")
+    transform(sequence(lit(0), lit(outDim - 1)), j => {
+      val s = aggregate(
+        zip_with(vi, element_at(sgn, (j + 1).cast("int")), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      (when(s >= 0, idiv(s + lit(half), isqrt))
+        .otherwise(-idiv(-s + lit(half), isqrt))
+        .cast("double") / lit(1e6))
+    })
+  }
+
+  /** E7b: ANN serving THROUGH the projection — JL shortlist + exact
+    * rerank, the composition a pipeline actually deploys dimension
+    * reduction for: score all candidates in the k-dim projected space
+    * (d/k of the scan flops), keep the top k·overfetch per query by
+    * projected cosine, then rank ONLY that shortlist by exact
+    * full-dimension cosine. Recall is the projection's shortlist hit
+    * rate (JL distortion ~√(ln n / k)); precision of the final
+    * ordering is 1.0 — every served score is exact.
+    *
+    * Plan shape: the projected scoring window sorts SCALAR rows only
+    * (q_id, vec_id, psim — the E2 rationale: no array payloads
+    * through the sort), the shortlist then re-fetches vectors by id
+    * (shortlist-sized join) for the exact rerank. Still an O(nQ·n)
+    * projected scan — the honest baseline path; compose with IVF
+    * lists for sub-linear probing at 100 TB. */
+  def projectedTopK(emb: DataFrame, isQuery: Column, k: Int,
+                    outDim: Int = 16, inDim: Int = 64,
+                    overfetch: Int = 20): DataFrame = {
+    require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
+    val n = emb.count()
+    val nQ = emb.filter(isQuery).count()
+    require(nQ == 0L || n <= pairCeiling / nQ,
+      s"projectedTopK would score $nQ × $n projected pairs (ceiling " +
+        s"$pairCeiling); compose with ivfTopK lists at this scale")
+    graft.functions.VecExprs.register(emb.sparkSession)
+    // zero-norm exclusion on BOTH spaces: an all-zero projection of a
+    // nonzero vector has the same undefined-cosine hazard
+    val base = emb.withColumn("v", toDoubleVec(col("embedding")))
+      .withColumn("n2", norm2(col("v")))
+      .withColumn("pv", projectionArr(outDim, inDim))
+      .withColumn("pn2", norm2(col("pv")))
+      .filter(col("n2") > 0 && col("pn2") > 0)
+      .select(col("vec_id"), col("v"), col("n2"), col("pv"), col("pn2"))
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("pv").as("q_pv"), col("pn2").as("q_pn2"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("vec_id"))
+    val shortIds = base.select(col("vec_id"), col("pv"), col("pn2")).as("c")
+      .join(broadcast(q.select(col("q_id"), col("q_pv"), col("q_pn2"))),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineFromParts(dot(col("q_pv"), col("c.pv")),
+          col("q_pn2"), col("c.pn2")), 6).as("psim"))
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= k * overfetch)
+      .select(col("q_id"), col("vec_id"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    shortIds
+      .join(base.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_v"), col("q_n2"))), "q_id")
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("v")),
+          col("q_n2"), col("n2")), 6))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** The deterministic ±1 JL sign: +1 iff the first hex char of
+    * md5("i:j") is below '8' (high nibble of byte 0 < 8) — the same
+    * coin the DuckDB mirror flips with substring(md5(...), 1, 1). */
+  private[operators] def jlSign(i: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
+  }
 }

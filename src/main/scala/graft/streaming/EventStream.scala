@@ -242,6 +242,25 @@ object EventStream {
           batch.sparkSession, table, batch, k))
       }
 
+  /** F19-as-a-stream: arrival-time quality/domain CLASSIFICATION
+    * against the frozen Naive Bayes model
+    * ([[graft.operators.TextAnalysis.writeNbModel]]) — the same
+    * zero-state-growth shape as [[streamingLmScore]]: the model is
+    * FROZEN artifacts, each micro-batch shuffles once on the token
+    * and left-joins the bucketed count tables (OOV pairs back off to
+    * smoothing mass), and a restart needs nothing but the tables.
+    * `onScores` receives each batch's (doc_id, pred_source, nb_score,
+    * n_toks) frame — the caller routes or drops by predicted class
+    * before the batch reaches training storage. */
+  def streamingNbScore(docs: DataFrame, table: String, k: Double = 0.5,
+                       onScores: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScores(batchId, graft.operators.TextAnalysis.nbScoreAgainst(
+          batch.sparkSession, table, batch, k))
+      }
+
   /** D9-as-a-stream: arrival-time benchmark decontamination. The
     * bench signature is FROZEN state built once
     * ([[graft.operators.Dedup.writeBenchSignature]] — gram table +

@@ -627,6 +627,39 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lm_s_meta")
   }
 
+  test("streamingNbScore classifies each batch against the frozen model, zero state growth") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_snb").toString
+    val all = Tables.documents(spark, sfDir)
+    TextAnalysis.writeNbModel(all.filter(col("doc_id") < 150),
+      "nb_s", s"$wh/nb_s", buckets = 4)
+
+    val nTokBefore = spark.table("nb_s_tok").count()
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingNbScore(mem.toDF().toDF("doc_id", "text"),
+      "nb_s",
+      onScores = (id, df) => got(id) = df.orderBy("doc_id")
+        .collect().toSeq.map(_.toSeq)).start()
+    val b0 = all.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+      .select("doc_id", "text")
+    val exp0 = TextAnalysis.nbScoreAgainst(spark, "nb_s", b0)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    mem.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L) === exp0)
+    assert(got(0L).nonEmpty)
+    // no state growth: classifications never feed back into the model
+    spark.catalog.refreshTable("nb_s_tok")
+    assert(spark.table("nb_s_tok").count() === nTokBefore)
+    spark.sql("DROP TABLE IF EXISTS nb_s_tok")
+    spark.sql("DROP TABLE IF EXISTS nb_s_cls")
+    spark.sql("DROP TABLE IF EXISTS nb_s_meta")
+  }
+
   test("streamingContamination flags each batch against the frozen bench signature") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
