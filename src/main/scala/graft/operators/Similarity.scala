@@ -1420,19 +1420,32 @@ object Similarity {
     * engines) — the F16 integer-mean lesson applied to vectors.
     * `outDim` must be a perfect square so √k stays integral. */
   def randomProject(emb: DataFrame, outDim: Int = 16,
-                    inDim: Int = 64): DataFrame =
+                    inDim: Int = 64): DataFrame = {
+    graft.functions.VecExprs.register(emb.sparkSession)
     emb.select(col("vec_id"),
         posexplode(projectionArr(outDim, inDim)).as(Seq("dim", "value")))
       .select(col("vec_id"), col("dim").cast("bigint").as("dim"), col("value"))
+  }
 
   /** The shared JL projection core: `embedding` → array<double> of
-    * `outDim` projected coordinates, entirely in integer micro-units
-    * until the final cast (see [[randomProject]]'s exactness
-    * scaladoc). Floor division is spelled `(x − pmod(x, m)) / m` on
-    * non-negative operands — the subtraction makes the numerator an
-    * exact multiple of m, so the double division is exact and
-    * truncation-vs-floor can't differ. */
-  private def projectionArr(outDim: Int, inDim: Int): Column = {
+    * `outDim` projected coordinates — one fused codegen pass
+    * ([[graft.functions.VecExprs.JlProject]]; the HOF spelling below
+    * is interpreted per lambda and measured ~50× slower, kept as
+    * [[projectionArrHof]] for the spec's bit-equality pin). Callers
+    * must have [[graft.functions.VecExprs.register]]ed. */
+  private def projectionArr(outDim: Int, inDim: Int): Column =
+    call_function("graft_jl_project", toDoubleVec(col("embedding")),
+      lit(outDim), lit(inDim))
+
+  /** The declarative HOF spelling of [[projectionArr]] — entirely in
+    * integer micro-units until the final cast (see [[randomProject]]'s
+    * exactness scaladoc). Floor division is spelled
+    * `(x − pmod(x, m)) / m` on non-negative operands — the
+    * subtraction makes the numerator an exact multiple of m, so the
+    * double division is exact and truncation-vs-floor can't differ.
+    * RandomProjectSpec pins bit-equality with the codegen path over
+    * the whole verify corpus. */
+  private[graft] def projectionArrHof(outDim: Int, inDim: Int): Column = {
     require(outDim > 0 && inDim > 0,
       s"outDim=$outDim and inDim=$inDim must be positive")
     val isqrt = math.sqrt(outDim.toDouble).toLong
@@ -1516,12 +1529,10 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
-  /** The deterministic ±1 JL sign: +1 iff the first hex char of
-    * md5("i:j") is below '8' (high nibble of byte 0 < 8) — the same
-    * coin the DuckDB mirror flips with substring(md5(...), 1, 1). */
-  private[operators] def jlSign(i: Int, j: Int): Long = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$j".getBytes("UTF-8"))
-    if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
-  }
+  /** The deterministic ±1 JL sign — canonical definition lives next
+    * to the codegen expression ([[graft.functions.VecExprs.jlSign]]);
+    * the DuckDB mirror flips the same coin with
+    * substring(md5(...), 1, 1) < '8'. */
+  private[operators] def jlSign(i: Int, j: Int): Long =
+    graft.functions.VecExprs.jlSign(i, j)
 }

@@ -40,6 +40,23 @@ class RandomProjectSpec extends SparkSpec {
     assert(ratio > 0.8 && ratio < 1.2, s"mean ‖p‖²/‖v‖² = $ratio")
   }
 
+  test("E7 codegen JlProject ≡ the declarative HOF spelling, bit-for-bit") {
+    // the fused loop replicates Spark Round's BigDecimal HALF_UP per
+    // element — any drift from the oracle-pinned HOF path (repr
+    // boundaries, division rounding) must surface here on real floats
+    import graft.functions.VectorFunctions.toDoubleVec
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.functions.VecExprs.register(spark)
+    val fast = emb.select(col("vec_id"),
+      call_function("graft_jl_project", toDoubleVec(col("embedding")),
+        lit(16), lit(64)).as("p"))
+    val slow = emb.select(col("vec_id"),
+      Similarity.projectionArrHof(16, 64).as("p"))
+    val a = fast.orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    val b = slow.orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty && a === b)
+  }
+
   test("E7b projectedTopK with a corpus-covering overfetch ≡ brute force") {
     // the E3x rationale: when the shortlist covers every candidate,
     // the exact rerank must reproduce brute force row-for-row

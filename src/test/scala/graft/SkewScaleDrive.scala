@@ -128,7 +128,18 @@ object SkewScaleDrive {
         // join and measure nothing
         "F16_lm_score" -> (() =>
           TextAnalysis.lmScore(docs).filter(col("n_bigrams") >= 0)),
-        "F17_global_shuffle" -> (() => Corpus.globalShuffle(docs)))
+        "F17_global_shuffle" -> (() => Corpus.globalShuffle(docs)),
+        // F19: the header's 16 tokens each appear in EVERY doc — the
+        // (tok, class) count table still holds one row per pair and
+        // hot tokens cost probe rows × |classes|; the n_toks filter
+        // is the F16 join-elimination guard
+        "F19_nb_classify" -> (() =>
+          TextAnalysis.nbClassify(docs).filter(col("n_toks") >= 0)),
+        // F20: hot header tokens pile their mass into ≤16 of the 256
+        // hashed buckets (the λ table stays 256 rows regardless) and
+        // 90% of docs share one lang — the weight groupBy and the
+        // range sort must both stay spread
+        "F20_dsir_sample" -> (() => Corpus.dsirSample(docs)))
       val wanted = args.lift(1).map(_.split(",").toSet)
       ops.filter(o => wanted.forall(_.contains(o._1))).map { case (name, fn) =>
         clearCaches(); stats.clear()
