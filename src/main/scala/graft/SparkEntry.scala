@@ -76,6 +76,11 @@ object SparkEntry {
     * the Spark percentile() aggregates stay in lockstep. */
   private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.95)
 
+  /** F21: merges trained for the bpe_train/bpe_encode entries —
+    * shared via Bpe.trainCached so the iteration loop runs once per
+    * (dir, n) per JVM however many entries compose it. */
+  private val BpeMerges = 48
+
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
@@ -538,6 +543,22 @@ object SparkEntry {
     // runs F17's range-sort + two-phase numbering)
     "corpus_dsir_sample" -> ((s, d) => Corpus.dsirSample(docs(s, d))),
 
+    // F21: learned BPE tokenizer — training iterates on the
+    // distinct-word table (argmax merge per round, deterministic
+    // tie-break); rows-only with an EXACT-count gate (= nMerges —
+    // BpeSpec pins the canonical Sennrich merges; no SQL mirror for
+    // an iterative argmax loop)
+    "bpe_train" -> ((s, d) =>
+      Bpe.mergeTable(s, Bpe.trainCached(d, docs(s, d), BpeMerges))),
+
+    // F21b: encode the corpus with the learned merges — the batch's
+    // distinct words encode once through the fused merge-list scan;
+    // rows-only, exact-count gate = nDocs (losslessness + greedy
+    // semantics are spec-pinned)
+    "bpe_encode" -> ((s, d) =>
+      Bpe.encode(docs(s, d),
+        Bpe.trainCached(d, docs(s, d), BpeMerges).map(t => (t._1, t._2)))),
+
     "corpus_token_quantiles" -> ((s, d) =>
       Corpus.tokenQuantiles(docs(s, d), "lang", QuantilePs)),
 
@@ -656,6 +677,13 @@ object SparkEntry {
         "ann_pq_topk"             -> topk,
         "ann_ivfpq_topk"          -> topk,
         "ann_ivfpq_residual_topk" -> topk,
+        "ann_project_topk"        -> topk,
+        // BPE: merges-allowed-at-count-1 means the loop can only stop
+        // short when every word is one symbol — impossible at these
+        // corpora, so the merge table is exactly nMerges rows; encode
+        // keeps one row per doc (token-less docs included)
+        "bpe_train"               -> BpeMerges.toLong,
+        "bpe_encode"              -> nDocs,
         "mm_decode_meta"          -> nDocs,
         "mm_feature_extract"      -> nDocs,
         "text_compression_ratio"  -> nDocs,

@@ -139,7 +139,13 @@ object SkewScaleDrive {
         // hashed buckets (the λ table stays 256 rows regardless) and
         // 90% of docs share one lang — the weight groupBy and the
         // range sort must both stay spread
-        "F20_dsir_sample" -> (() => Corpus.dsirSample(docs)))
+        "F20_dsir_sample" -> (() => Corpus.dsirSample(docs)),
+        // F21: the md5 tails make ~8n DISTINCT words (the 32-hex-char
+        // kind — long symbol arrays), so the working table is larger
+        // than the doc count: 16 merge iterations over it must scale
+        // with the VOCABULARY, linearly
+        "F21_bpe_train" -> (() =>
+          graft.operators.Bpe.trainTable(docs, 16)))
       val wanted = args.lift(1).map(_.split(",").toSet)
       ops.filter(o => wanted.forall(_.contains(o._1))).map { case (name, fn) =>
         clearCaches(); stats.clear()
