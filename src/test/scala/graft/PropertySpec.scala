@@ -220,6 +220,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("F21 mergePass equals a reference greedy scan on random symbol runs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(in: List[String], l: String, r: String): List[String] = in match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: ref(rest, l, r)
+      case a :: rest => a :: ref(rest, l, r)
+      case Nil => Nil
+    }
+    val syms = Gen.listOfN(18, Gen.oneOf("a", "b", "ab", "</w>"))
+    val pair = Gen.oneOf(("a", "b"), ("a", "a"), ("b", "</w>"), ("ab", "ab"))
+    forAll(syms, pair) { (s, lr) =>
+      val (l, r) = lr
+      val got = graft.functions.BpeExprs.mergePass(
+        s.map(UTF8String.fromString).toArray,
+        UTF8String.fromString(l), UTF8String.fromString(r),
+        UTF8String.fromString(l + r)).map(_.toString).toList
+      assert(got === ref(s, l, r), s"syms=$s pair=$lr")
+    }
+  }
+
+  test("F19 frozen NB model reproduces one-pass scores on random corpora") {
+    import graft.operators.TextAnalysis
+    val corpus = for {
+      n <- Gen.choose(4, 12)
+      rows <- Gen.listOfN(n, for {
+        words <- Gen.listOfN(6, Gen.oneOf("x", "y", "zz", "w q"))
+        src <- Gen.oneOf("s1", "s2")
+      } yield (words.mkString(" "), src))
+    } yield rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+    forAll(corpus) { rows =>
+      val docs = rows.toDF("doc_id", "text", "source")
+      val wh = java.nio.file.Files.createTempDirectory("graft_nbp").toString
+      TextAnalysis.writeNbModel(docs, "nb_p", s"$wh/nb_p", buckets = 2)
+      val a = TextAnalysis.nbScoreAgainst(spark, "nb_p", docs)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      val b = TextAnalysis.nbClassify(docs)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      assert(a === b)
+      Seq("nb_p_tok", "nb_p_cls", "nb_p_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("F20 dsir rank is a permutation ordered by (weight desc, id)") {
+    forAll(Gen.listOfN(12, Gen.choose(0L, 300L)).map(_.distinct)) { ids =>
+      val docs = ids.map(i =>
+        (i, s"tok$i shared words here", if (i % 2 == 0) "en" else "fr"))
+        .toDF("doc_id", "text", "lang")
+      val out = Corpus.dsirSample(docs, selectRate = 0.5, partitions = 3)
+        .select("doc_id", "rank", "dsir_weight", "selected")
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+      assert(out.map(_._2).sorted === (1L to ids.size.toLong))
+      val byRank = out.sortBy(_._2)
+      assert(byRank.sliding(2).forall {
+        case Seq((ia, _, wa, _), (ib, _, wb, _)) =>
+          wa > wb || (wa == wb && ia < ib)
+        case _ => true
+      })
+      val nSel = math.floor(0.5 * ids.size).toLong
+      assert(out.forall { case (_, r, _, sel) => sel == (r <= nSel) })
+    }
+  }
+
   test("minhash signature similarity estimates Jaccard (statistical, fixed sets)") {
     graft.functions.VecExprs.register(spark)
     // two sets with known overlap: J = 50/150 = 1/3
