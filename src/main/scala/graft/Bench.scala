@@ -95,7 +95,14 @@ object Bench {
     // stopped at a char budget, with the omission made explicit. The
     // COMPLETE map still ships whole in BENCH_FULL.json above.
     def ms3(v: Double): String = Jsons.num(v, 3)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // "pipeline_e2e.<stage>" sub-entries are ATTRIBUTION for the e2e
+    // number, not additional work — summing them would double-count
+    // the whole pipeline into the round's headline total (caught in
+    // the first r8b bench: +16.6s phantom)
+    val total =
+      if (results.nonEmpty)
+        results.filterNot(_._1.startsWith("pipeline_e2e.")).values.sum
+      else 0.0
     def lineOf(inline: Seq[(String, Double)], omitted: Int): String = {
       val qs = inline.sortBy(_._1)
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }

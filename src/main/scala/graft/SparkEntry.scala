@@ -81,6 +81,10 @@ object SparkEntry {
     * (dir, n) per JVM however many entries compose it. */
   private val BpeMerges = 48
 
+  /** F22: the demo blocklist — tokens that occur in the synthetic
+    * corpus, so both branches of the keep flag are exercised. */
+  private val BlockWords = Seq("slow", "dup", "spam")
+
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
@@ -505,6 +509,12 @@ object SparkEntry {
     // and priors, exact integer score sums, integer argmax with
     // class-name tie-break (no double ever enters a comparison)
     "text_classifier_score" -> ((s, d) => TextAnalysis.nbClassify(docs(s, d))),
+
+    // F22: C4-style blocklist hygiene — occurrence counts + keep
+    // flag, scan-fused zero-shuffle; list chosen to actually hit the
+    // corpus so the flag path is exercised
+    "text_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(docs(s, d), BlockWords)),
 
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
@@ -1366,6 +1376,16 @@ object SparkEntry {
          |       CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
          |         / 10000 AS lm_score
          |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // F22 mirror: occurrence count over the same normalized tokens
+    "text_blocklist" -> {
+      val bl = BlockWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($TOKS, x -> list_contains($bl, x)))
+         |    AS BIGINT) AS n_blocked,
+         |  len(list_filter($TOKS, x -> list_contains($bl, x))) = 0 AS keep
+         |FROM documents""".stripMargin
+    },
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
     // per-class ln prior both round to scale-4 integers, per-doc

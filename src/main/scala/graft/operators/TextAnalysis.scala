@@ -387,6 +387,22 @@ object TextAnalysis {
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col("tok"), lit(lgK))).as("vocab_est"))
 
+  /** F22: blocklist filter — C4's "bad words" hygiene stage (Raffel
+    * et al. 2020 §2.2 drop any page containing a blocklisted word;
+    * Dolma ships the same stage): per-doc count of blocklisted token
+    * OCCURRENCES plus the keep flag. Pure scan-fused per-row work
+    * (zero shuffle) like F1–F4; the blocklist is a bounded literal in
+    * the plan. Emitting the flag rather than filtering keeps the
+    * audit trail — the pipeline drops `!keep` rows downstream but can
+    * report what it dropped and why. */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val hits = coalesce(stopwordHits(tokens(col("text")), blocklist), lit(0))
+    docs.select(col("doc_id"),
+      hits.cast("bigint").as("n_blocked"),
+      (hits === 0).as("keep"))
+  }
+
   // ── F19: Naive Bayes document classifier ─────────────────────────
 
   /** F19: the pipeline's QUALITY/DOMAIN CLASSIFIER stage — the role

@@ -146,6 +146,19 @@ class TextAnalysisSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lm_m_meta")
   }
 
+  test("F22 blocklist counts occurrences and flags clean docs") {
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "SPAM! spam, and more Spam"), // normalization catches case/punct
+      (3L, ""),                          // empty → clean
+      (4L, null.asInstanceOf[String]))   // null → clean, not a null flag
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(df, Seq("spam", "junk"))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq((1L, 0L, true), (2L, 3L, false),
+      (3L, 0L, true), (4L, 0L, true)))
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
