@@ -393,11 +393,12 @@ object SparkEntry {
     // (integer micro-unit sums, integer ÷√k rounding)
     "emb_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
 
-    // E7b: serving THROUGH the projection — 16-dim shortlist at
-    // k·overfetch, exact full-dim rerank (precision 1.0; recall =
-    // the shortlist hit rate, gated); rows-only
+    // E7b: serving THROUGH the projection — 16-dim shortlist
+    // auto-sized to a constant corpus fraction (the isotropic
+    // regime's price; clustered corpora take a fixed overfetch),
+    // exact full-dim rerank (precision 1.0; recall gated); rows-only
     "ann_project_topk" -> ((s, d) =>
-      Similarity.projectedTopK(emb(s, d), annIsQuery, 5, overfetch = 20)),
+      Similarity.projectedTopK(emb(s, d), annIsQuery, 5)),
 
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), annIsQuery, 5)),                  // rows-only
@@ -736,15 +737,15 @@ object SparkEntry {
     // pq ks64+rr16 .98/.98 — each ~0.9× the smaller sf
     "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.55)),
     // JL shortlist recall on the ISOTROPIC verify corpus (the same
-    // regime that caps the ivf family): measured r8 at 64→16/
-    // overfetch=20 — .62/.74/.42 at sf0.001/sf0.01/sf0.1. The decay
-    // with corpus size is JL theory, not a bug: distortion grows
-    // ~√(ln n/k) while the fixed shortlist covers a shrinking corpus
-    // fraction, and isotropic neighbors sit barely above the bulk
-    // (clustered corpora hold 0.886 at 50k — JlProjectDrive). Floor
-    // 0.9× the sf0.1 measurement so the gate stays green at every sf
-    // the round exercises
-    "ann_project_topk"        -> (("ann_bruteforce_topk", 0.35)),
+    // regime that caps the ivf family): a FIXED shortlist decays
+    // with corpus size here (.62/.74/.42 measured at 500/500/5000
+    // vectors — bulk vectors within JL distortion of the true
+    // neighbors grow ~n), so the catalog serve auto-sizes the
+    // shortlist to a constant 20% corpus fraction, which holds
+    // recall flat across sfs (.62/.74 at the verify sfs; clustered
+    // corpora hold 0.886 at a 0.2% shortlist — JlProjectDrive).
+    // Floor 0.9× the smaller verify sf
+    "ann_project_topk"        -> (("ann_bruteforce_topk", 0.55)),
     "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.88)),
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),

@@ -645,36 +645,48 @@ object Corpus {
     * partition-local counter) — never a single-task global window.
     * The only driver-side values are the 256-row λ table's inputs and
     * the partition count array (bounded metadata). */
+  /** F20's hashed-feature space: 2 hex chars of md5 → 256 buckets. */
+  private val DsirB = 256
+
+  /** Per-(doc, lang, bucket) feature multiplicities — one explode
+    * pass; lang rides along (functionally dependent on doc_id). */
+  private def dsirDm(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("m"))
+
+  /** The λ table `(b, lam_i)` — one row per OCCUPIED raw bucket (a
+    * doc feature row always references an occupied bucket), ln ratio
+    * → scale-4 int — plus the one-row total frames `(n_r)`, `(n_t)`
+    * the smoothing (and the frozen model's OOV backoff) needs. */
+  private def dsirLam(dm: DataFrame, targetLang: String, k: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val raw = dm.groupBy(col("b")).agg(sum(col("m")).as("c_r"))
+    val tgt = dm.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("m")).as("c_t"))
+    val nR = raw.agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
+    val nT = tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        round(log(((coalesce(col("c_t"), lit(0L)) + lit(k)) *
+            (col("n_r") + lit(k * DsirB))) /
+          ((col("c_r") + lit(k)) * (col("n_t") + lit(k * DsirB)))) * lit(1e4))
+          .cast("long").as("lam_i"))
+    (lam, nR, nT)
+  }
+
   def dsirSample(docs: DataFrame, targetLang: String = "en",
                  selectRate: Double = 0.25, k: Double = 0.5,
                  partitions: Int = 0): DataFrame = {
     require(selectRate > 0 && selectRate <= 1,
       s"selectRate=$selectRate must be in (0, 1]")
     val spark = docs.sparkSession
-    val B = 256
-    // one explode pass: per-(doc, bucket) multiplicities with the
-    // doc's lang riding along (functionally dependent on doc_id)
-    val dm = docs
-      .select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("tok")), 1, 2).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("m"))
-    val raw = dm.groupBy(col("b")).agg(sum(col("m")).as("c_r"))
-    val tgt = dm.filter(col("lang") === targetLang)
-      .groupBy(col("b")).agg(sum(col("m")).as("c_t"))
-    val nR = raw.agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
-    val nT = tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
-    // λ table: one row per OCCUPIED raw bucket (a doc feature row
-    // always references an occupied bucket); ln ratio → scale-4 int
-    val lam = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
-      .select(col("b"),
-        round(log(((coalesce(col("c_t"), lit(0L)) + lit(k)) *
-            (col("n_r") + lit(k * B))) /
-          ((col("c_r") + lit(k)) * (col("n_t") + lit(k * B)))) * lit(1e4))
-          .cast("long").as("lam_i"))
+    val dm = dsirDm(docs)
+    val (lam, _, _) = dsirLam(dm, targetLang, k)
     val weights = docs.select(col("doc_id"))
       .join(dm.join(broadcast(lam), Seq("b"))
           .groupBy(col("doc_id"))
@@ -727,5 +739,75 @@ object Corpus {
           r.getLong(iN), pos <= nSel)
       }
     }
+  }
+
+  /** F20's deploy flow (the F16/F19 frozen-model pattern applied to
+    * the importance sampler): freeze the trained λ table (≤256 rows —
+    * `<t>_lam`) plus a one-row `<t>_meta (n_r, n_t, n_sel, thr_i)`
+    * where `thr_i` is the integer weight of the training corpus'
+    * n_sel-th ranked doc. Arrival-time gating then never re-ranks the
+    * corpus: a new shard is scored against the frozen λ and kept iff
+    * its weight reaches the frozen threshold — what DSIR deployment
+    * actually looks like (score the crawl against importance weights
+    * trained once on the target/raw pair). `thr_i` is NULL when
+    * n_sel = 0 (nothing selected at training → gate closed). */
+  def writeDsirModel(docs: DataFrame, table: String, path: String,
+                     targetLang: String = "en", selectRate: Double = 0.25,
+                     k: Double = 0.5): Unit = {
+    val spark = docs.sparkSession
+    val dm = dsirDm(docs)
+    val (lam, nR, nT) = dsirLam(dm, targetLang, k)
+    lam.write.format("parquet").option("path", s"${path}_lam")
+      .mode("overwrite").saveAsTable(s"${table}_lam")
+    val ranked = dsirSample(docs, targetLang, selectRate, k)
+    val nSel = math.floor(selectRate * ranked.count()).toLong
+    val thr: Option[Long] =
+      if (nSel <= 0) None
+      else Some(ranked.filter(col("rank") === nSel)
+        .select(round(col("dsir_weight") * lit(1e4)).cast("long"))
+        .head().getLong(0))
+    import spark.implicits._
+    Seq((nR.head().getLong(0), nT.head().getLong(0), nSel, thr))
+      .toDF("n_r", "n_t", "n_sel", "thr_i")
+      .write.format("parquet").option("path", s"${path}_meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Score documents against a FROZEN DSIR model: identical weights
+    * to [[dsirSample]] on the training corpus (spec-pinned), plus the
+    * OOV backoff a frozen model needs — a feature bucket with no raw
+    * mass at training time scores the pure smoothing ratio
+    * λ_oov = round(ln((n_r + kB)/(n_t + kB))·1e4) (set c_t = c_r = 0
+    * in the λ formula; the add-k terms cancel). `selected` is the
+    * frozen-threshold gate: weight ≥ thr_i — accept-at-threshold, so
+    * an arrival tying the training boundary is kept (recall-biased;
+    * the training-time id tie-break has no analog for unseen docs). */
+  def dsirScoreAgainst(spark: org.apache.spark.sql.SparkSession,
+                       table: String, docs: DataFrame,
+                       k: Double = 0.5): DataFrame = {
+    val lam = spark.table(s"${table}_lam")
+    val meta = spark.table(s"${table}_meta")
+    val dmA = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    val scored = dmA.join(broadcast(lam), Seq("b"), "left")
+      .crossJoin(broadcast(meta.select(col("n_r"), col("n_t"))))
+      .withColumn("lam_eff", coalesce(col("lam_i"),
+        round(log((col("n_r") + lit(k * DsirB)) /
+          (col("n_t") + lit(k * DsirB))) * lit(1e4)).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("lam_eff")).as("w_i"),
+        sum(col("m")).as("n_toks"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(meta.select(col("thr_i"))))
+      .select(col("doc_id"),
+        (coalesce(col("w_i"), lit(0L)).cast("double") / lit(1e4))
+          .as("dsir_weight"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        when(col("thr_i").isNull, lit(false))
+          .otherwise(coalesce(col("w_i"), lit(0L)) >= col("thr_i"))
+          .as("selected"))
   }
 }

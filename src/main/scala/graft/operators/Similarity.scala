@@ -1483,16 +1483,30 @@ object Similarity {
     * through the sort), the shortlist then re-fetches vectors by id
     * (shortlist-sized join) for the exact rerank. Still an O(nQ·n)
     * projected scan — the honest baseline path; compose with IVF
-    * lists for sub-linear probing at 100 TB. */
+    * lists for sub-linear probing at 100 TB.
+    *
+    * `overfetch = 0` (default) AUTO-SIZES the shortlist to a constant
+    * 20% corpus fraction (max(20, ⌈0.2·n/k⌉) per query): on an
+    * ISOTROPIC corpus the number of bulk vectors within JL distortion
+    * of the true neighbors grows ~linearly with n, so a FIXED
+    * shortlist decays (measured .62/.74/.42 at 500/500/5000 vectors
+    * with shortlist 100) while the constant fraction holds recall
+    * flat — that fraction is the isotropic regime's price. Clustered
+    * corpora (real embeddings) don't pay it: a fixed overfetch=20 —
+    * 0.2% of a 50k corpus — holds 0.886 there (JlProjectDrive), which
+    * is the regime this operator deploys in. */
   def projectedTopK(emb: DataFrame, isQuery: Column, k: Int,
                     outDim: Int = 16, inDim: Int = 64,
-                    overfetch: Int = 20): DataFrame = {
-    require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
+                    overfetch: Int = 0): DataFrame = {
+    require(overfetch >= 0, s"overfetch=$overfetch must be >= 0")
     val n = emb.count()
     val nQ = emb.filter(isQuery).count()
     require(nQ == 0L || n <= pairCeiling / nQ,
       s"projectedTopK would score $nQ × $n projected pairs (ceiling " +
         s"$pairCeiling); compose with ivfTopK lists at this scale")
+    val overfetchEff =
+      if (overfetch > 0) overfetch
+      else math.max(20L, (n / 5 + k - 1) / k).toInt
     graft.functions.VecExprs.register(emb.sparkSession)
     // zero-norm exclusion on BOTH spaces: an all-zero projection of a
     // nonzero vector has the same undefined-cosine hazard
@@ -1514,7 +1528,7 @@ object Similarity {
         round(cosineFromParts(dot(col("q_pv"), col("c.pv")),
           col("q_pn2"), col("c.pn2")), 6).as("psim"))
       .withColumn("prank", row_number().over(wShort))
-      .filter(col("prank") <= k * overfetch)
+      .filter(col("prank") <= k * overfetchEff)
       .select(col("q_id"), col("vec_id"))
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

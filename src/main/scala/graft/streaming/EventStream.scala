@@ -261,6 +261,35 @@ object EventStream {
           batch.sparkSession, table, batch, k))
       }
 
+  /** F20-as-a-stream: the arrival-time DSIR gate against the frozen
+    * model ([[graft.operators.Corpus.writeDsirModel]]) — same
+    * zero-state-growth shape as [[streamingLmScore]]: the ≤256-row λ
+    * table and one-row meta are frozen artifacts, each micro-batch
+    * scores + threshold-gates in one pass, restart needs only the
+    * tables. `onScores` receives (doc_id, dsir_weight, n_toks,
+    * selected) — the caller keeps the selected rows. */
+  def streamingDsirGate(docs: DataFrame, table: String, k: Double = 0.5,
+                        onScores: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScores(batchId, graft.operators.Corpus.dsirScoreAgainst(
+          batch.sparkSession, table, batch, k))
+      }
+
+  /** F21-as-a-stream: encode arrivals with the FROZEN learned merge
+    * list ([[graft.operators.Bpe.train]]'s output — driver-side
+    * bounded metadata, no tables needed): each micro-batch's distinct
+    * words encode once through the fused merge-list scan. Zero state
+    * growth — the tokenizer never retrains from arrivals. */
+  def streamingBpeEncode(docs: DataFrame, merges: Array[(String, String)],
+                         onEncoded: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onEncoded(batchId, graft.operators.Bpe.encode(batch, merges))
+      }
+
   /** D9-as-a-stream: arrival-time benchmark decontamination. The
     * bench signature is FROZEN state built once
     * ([[graft.operators.Dedup.writeBenchSignature]] — gram table +

@@ -47,6 +47,55 @@ class DsirSpec extends SparkSpec {
     assert(out.filter(col("selected")).count() === 5L)
   }
 
+  test("F20 deploy flow: frozen model reproduces weights; threshold gates arrivals") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val docs = Tables.documents(spark, sfDir)
+    Corpus.writeDsirModel(docs, "dsir_m", s"$wh/dsir_m")
+
+    // frozen-model weights on the training corpus ≡ one-pass weights
+    val frozen = Corpus.dsirScoreAgainst(spark, "dsir_m", docs)
+      .select("doc_id", "dsir_weight", "n_toks", "selected").cache()
+    val ranked = Corpus.dsirSample(docs)
+      .select("doc_id", "dsir_weight", "n_toks", "selected")
+    val wMismatch = frozen.as("f")
+      .join(ranked.as("r"), "doc_id")
+      .filter(col("f.dsir_weight") =!= col("r.dsir_weight") ||
+        col("f.n_toks") =!= col("r.n_toks")).count()
+    assert(wMismatch === 0L)
+    // flags agree except possibly AT the threshold weight (the
+    // training id tie-break has no arrival-time analog)
+    val thr = spark.table("dsir_m_meta").select("thr_i").as[Long].head()
+    val flagMismatch = frozen.as("f")
+      .join(ranked.as("r"), "doc_id")
+      .filter(col("f.selected") =!= col("r.selected") &&
+        round(col("f.dsir_weight") * 1e4).cast("long") =!= thr).count()
+    assert(flagMismatch === 0L)
+
+    // fully-OOV arrival: every bucket unseen → weight = n · λ_oov
+    val (nR, nT) = spark.table("dsir_m_meta")
+      .select("n_r", "n_t").as[(Long, Long)].head()
+    val lamSeen = spark.table("dsir_m_lam").select("b").as[String]
+      .collect().toSet
+    // craft a token whose md5 bucket is NOT in the λ table (the lam
+    // table only holds occupied buckets; find one by search)
+    val tok = (1 to 10000).map(i => s"zzqq$i").find { t =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      !lamSeen.contains(h.substring(0, 2))
+    }
+    assume(tok.nonEmpty, "all 256 buckets occupied — craft impossible")
+    val oov = Seq((9000L, s"${tok.get} ${tok.get}")).toDF("doc_id", "text")
+    val got = Corpus.dsirScoreAgainst(spark, "dsir_m", oov)
+      .select("dsir_weight", "n_toks").as[(Double, Long)].head()
+    val lamOov = math.rint(math.log((nR + 128.0) / (nT + 128.0)) * 1e4).toLong
+    assert(got === ((2L * lamOov).toDouble / 1e4, 2L))
+
+    frozen.unpersist()
+    Seq("dsir_m_lam", "dsir_m_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("F20 is partitioning-invariant") {
     val docs = Tables.documents(spark, sfDir)
     val a = Corpus.dsirSample(docs, partitions = 3)

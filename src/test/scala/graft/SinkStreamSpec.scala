@@ -660,6 +660,44 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS nb_s_meta")
   }
 
+  test("streamingDsirGate and streamingBpeEncode match their direct calls per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Bpe, Corpus}
+    val wh = java.nio.file.Files.createTempDirectory("graft_sdsir").toString
+    val all = Tables.documents(spark, sfDir)
+    val train = all.filter(col("doc_id") < 150)
+    Corpus.writeDsirModel(train, "dsir_s", s"$wh/dsir_s")
+    val merges = Bpe.train(train, 12).map(t => (t._1, t._2))
+
+    val b0 = all.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+      .select("doc_id", "text")
+    val gotD = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val memD = MemoryStream[(Long, String)]
+    val qD = EventStream.streamingDsirGate(memD.toDF().toDF("doc_id", "text"),
+      "dsir_s", onScores = (id, df) => gotD(id) = df.orderBy("doc_id")
+        .collect().toSeq.map(_.toSeq)).start()
+    memD.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    qD.processAllAvailable(); qD.stop()
+    val expD = Corpus.dsirScoreAgainst(spark, "dsir_s", b0)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(gotD(0L).nonEmpty && gotD(0L) === expD)
+
+    val gotB = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val memB = MemoryStream[(Long, String)]
+    val qB = EventStream.streamingBpeEncode(memB.toDF().toDF("doc_id", "text"),
+      merges, onEncoded = (id, df) => gotB(id) = df.orderBy("doc_id")
+        .collect().toSeq.map(_.toSeq)).start()
+    memB.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    qB.processAllAvailable(); qB.stop()
+    val expB = Bpe.encode(b0, merges)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(gotB(0L).nonEmpty && gotB(0L) === expB)
+
+    Seq("dsir_s_lam", "dsir_s_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streamingContamination flags each batch against the frozen bench signature") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
