@@ -887,12 +887,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }
 
+  /** `nlist = 0` auto-sizes to ~√n (FAISS's guideline for IVF list
+    * counts): with nlist FIXED, every list grows linearly with the
+    * corpus and each query's nprobe-list scan is a constant FRACTION
+    * of the data — the serve degrades toward brute force (measured
+    * ×15 wall at ×10 corpus on the fixed nlist=32 catalog config,
+    * PERF.md r8 sf1 table). At nlist ∝ √n the per-query candidate
+    * volume grows only √n and the centroid table stays bounded
+    * driver-side metadata (√n rows). The count is footer-cheap on a
+    * bare table; pass `nlist` explicitly when the input carries
+    * filters at scale. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
     // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p = preparedNonZero(emb)
-    val cents0 = collectCentroids(p, nlist)
+    val cents0 = collectCentroids(p, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     val assigned = ivfAssignPrepared(p, cents)
@@ -1023,8 +1036,12 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ks: Int = 64, rerank: Int = 16,
                 trainIters: Int = 5): DataFrame = {
+    // nlist = 0 → ~√n lists, as in ivfTopK (same fixed-nlist trap)
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
     val p = prepared(emb)
-    val cents0 = collectCentroids(p, nlist)
+    val cents0 = collectCentroids(p, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     val assigned = ivfAssignPrepared(p, cents)
@@ -1077,10 +1094,14 @@ object Similarity {
                         nlist: Int = 16, nprobe: Int = 4,
                         m: Int = 8, ks: Int = 64, rerank: Int = 16,
                         trainIters: Int = 5): DataFrame = {
+    // nlist = 0 → ~√n lists, as in ivfTopK (same fixed-nlist trap)
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
     val p0 = prepared(emb)
-    val cents0 = collectCentroids(p0, nlist)
+    val cents0 = collectCentroids(p0, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
     val a = ivfAssignPrepared(p0, cents)
@@ -1348,17 +1369,34 @@ object Similarity {
     * growing the corpus-side index or the shuffle: only the broadcast
     * query side fans out ×(probes+1) (at probes=0 the probe array is
     * exactly the one true bucket, bit-identical to plain LSH). */
+  /** `planes = 0` auto-sizes the bit depth so MEAN bucket occupancy
+    * stays ~`occupancy` as the corpus grows — a FIXED depth is the
+    * same scale trap cosinePairsLsh's doc calls out: 4 planes over
+    * 10M rows put ~600k vectors in every bucket and the "ANN" serve
+    * degrades to a brute-force scan per query (measured ×31–40 wall
+    * at ×10 corpus on the fixed catalog config, PERF.md r8 sf1
+    * table). Deeper buckets trade per-table recall for volume; pair
+    * with `probes` ≥ 2 so straddlers are re-found on the query side
+    * (broadcast fan-out only — the corpus-side index and the shuffle
+    * don't grow). The count is footer-cheap on a bare table; pass
+    * `planes` explicitly when the input carries filters at scale. */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, planes: Int = 4,
-              tables: Int = 8, probes: Int = 0): DataFrame = {
+              tables: Int = 8, probes: Int = 0,
+              occupancy: Long = 64L): DataFrame = {
     require(probes >= 0, s"probes=$probes must be non-negative")
+    require(occupancy > 0, s"occupancy=$occupancy must be positive")
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, emb.count() / occupancy)))
     // clamp as in cosinePairsLsh: flipping more bits than there are
     // planes is meaningless (the expression would reject it at plan
     // build with its internal-contract message)
-    val nProbes = math.min(probes, planes)
+    val nProbes = math.min(probes, nPlanes)
     // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p0 = preparedNonZero(emb)
     val bucketArr = array((0 until tables).map(t =>
-      call_function("graft_hyperplane_t", col("v"), lit(planes), lit(t))): _*)
+      call_function("graft_hyperplane_t", col("v"), lit(nPlanes), lit(t))): _*)
     // isQuery is applied to the FULL prepared frame (label included) so
     // label-based predicates work here exactly as in E1/E3
     val p = p0.select(col("vec_id"), col("v"), col("n2"),
@@ -1368,7 +1406,7 @@ object Similarity {
     // stays on the single exact bucket
     val qProbeArr = array((0 until tables).map(t =>
       call_function("graft_hyperplane_probes",
-        col("v"), lit(planes), lit(t), lit(nProbes))): _*)
+        col("v"), lit(nPlanes), lit(t), lit(nProbes))): _*)
     val q = p0.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"),
         posexplode(qProbeArr).as(Seq("t", "probe_buckets")))

@@ -228,6 +228,28 @@ class SimilaritySpec extends SparkSpec {
     assert(p0 === plain)
   }
 
+  test("E2/E3 auto-sizing lands on the explicit config it derives") {
+    val emb2 = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    // 500 vectors / occupancy 64 → depth floor: auto ≡ the catalog's
+    // planes=4 at the verify sf (gates measure the same operator)
+    assert(rows(Similarity.lshTopK(emb2, isQ, 5, planes = 0)) ===
+      rows(Similarity.lshTopK(emb2, isQ, 5, planes = 4)))
+    // occupancy 1 → 64 − nlz(500) = 9 planes: the auto path is the
+    // same operator as the explicit depth it computes
+    assert(rows(Similarity.lshTopK(emb2, isQ, 5, planes = 0, occupancy = 1)) ===
+      rows(Similarity.lshTopK(emb2, isQ, 5, planes = 9)))
+    // √500 rounds to 22 lists (FAISS's nlist ≈ √n guideline)
+    assert(rows(Similarity.ivfTopK(emb2, isQ, 5, nlist = 0)) ===
+      rows(Similarity.ivfTopK(emb2, isQ, 5, nlist = 22)))
+    assert(rows(Similarity.ivfpqTopK(emb2, isQ, 5, nlist = 0)) ===
+      rows(Similarity.ivfpqTopK(emb2, isQ, 5, nlist = 22)))
+    assert(rows(Similarity.ivfpqResidualTopK(emb2, isQ, 5, nlist = 0)) ===
+      rows(Similarity.ivfpqResidualTopK(emb2, isQ, 5, nlist = 22)))
+  }
+
   test("E3 ivfTopK recall scales with nprobe; exhaustive probing equals brute force") {
     val emb2 = Tables.embeddings(spark, sfDir)
     val isQ = col("vec_id") % 50 === 0
