@@ -563,9 +563,15 @@ object Similarity {
     * assign; the index pays that scan at WRITE time, once). */
   def writeIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                     trainIters: Int = 5): Unit = {
+    // nlist = 0 → ~√n lists at BUILD time, as in ivfTopK — the index
+    // writer is where the auto-size matters most (the serve's probe
+    // cost is fixed by what was built)
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
     val spark = emb.sparkSession
     val p = prepared(emb)
-    val cents0 = collectCentroids(p, nlist)
+    val cents0 = collectCentroids(p, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     import spark.implicits._
@@ -810,10 +816,14 @@ object Similarity {
   def writeIvfPqIndex(emb: DataFrame, path: String,
                       nlist: Int = 16, m: Int = 8, ks: Int = 64,
                       trainIters: Int = 5): Unit = {
+    // nlist = 0 → ~√n lists at BUILD time, as in ivfTopK
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
     val p = prepared(emb)
-    val cents0 = collectCentroids(p, nlist)
+    val cents0 = collectCentroids(p, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     val pu = unitFrame(p)

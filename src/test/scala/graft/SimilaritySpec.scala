@@ -248,6 +248,11 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.ivfpqTopK(emb2, isQ, 5, nlist = 22)))
     assert(rows(Similarity.ivfpqResidualTopK(emb2, isQ, 5, nlist = 0)) ===
       rows(Similarity.ivfpqResidualTopK(emb2, isQ, 5, nlist = 22)))
+    // the on-disk writer takes the same auto-size: nlist=0 builds the
+    // √n-list layout the explicit config would
+    val path = java.nio.file.Files.createTempDirectory("graft_auto").toString
+    Similarity.writeIvfIndex(emb2, path, nlist = 0)
+    assert(spark.read.parquet(s"$path/centroids").count() === 22L)
   }
 
   test("E3 ivfTopK recall scales with nprobe; exhaustive probing equals brute force") {
