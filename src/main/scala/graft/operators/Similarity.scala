@@ -561,14 +561,19 @@ object Similarity {
     * storage-layer realization of IVF's "scan nprobe/nlist of the
     * data" (the in-memory flavor still scans the corpus once to
     * assign; the index pays that scan at WRITE time, once). */
+  /** nlist = 0 → ~√n lists (FAISS's guideline), shared by the four
+    * IVF-family builders and both index writers. The count is
+    * footer-cheap on a bare table; pass nlist explicitly when the
+    * input carries filters at scale. */
+  private def autoNlist(emb: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+
   def writeIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                     trainIters: Int = 5): Unit = {
-    // nlist = 0 → ~√n lists at BUILD time, as in ivfTopK — the index
-    // writer is where the auto-size matters most (the serve's probe
-    // cost is fixed by what was built)
-    val nl =
-      if (nlist > 0) nlist
-      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    // the index writer is where the auto-size matters most (the
+    // serve's probe cost is fixed by what was built)
+    val nl = autoNlist(emb, nlist)
     val spark = emb.sparkSession
     val p = prepared(emb)
     val cents0 = collectCentroids(p, nl)
@@ -816,10 +821,7 @@ object Similarity {
   def writeIvfPqIndex(emb: DataFrame, path: String,
                       nlist: Int = 16, m: Int = 8, ks: Int = 64,
                       trainIters: Int = 5): Unit = {
-    // nlist = 0 → ~√n lists at BUILD time, as in ivfTopK
-    val nl =
-      if (nlist > 0) nlist
-      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    val nl = autoNlist(emb, nlist)
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
     val p = prepared(emb)
@@ -910,9 +912,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 5): DataFrame = {
-    val nl =
-      if (nlist > 0) nlist
-      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    val nl = autoNlist(emb, nlist)
     // zero-norm exclusion as in bruteForceTopK (undefined cosine)
     val p = preparedNonZero(emb)
     val cents0 = collectCentroids(p, nl)
@@ -1046,10 +1046,7 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ks: Int = 64, rerank: Int = 16,
                 trainIters: Int = 5): DataFrame = {
-    // nlist = 0 → ~√n lists, as in ivfTopK (same fixed-nlist trap)
-    val nl =
-      if (nlist > 0) nlist
-      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    val nl = autoNlist(emb, nlist)
     val p = prepared(emb)
     val cents0 = collectCentroids(p, nl)
     val cents = if (trainIters > 0)
@@ -1104,10 +1101,7 @@ object Similarity {
                         nlist: Int = 16, nprobe: Int = 4,
                         m: Int = 8, ks: Int = 64, rerank: Int = 16,
                         trainIters: Int = 5): DataFrame = {
-    // nlist = 0 → ~√n lists, as in ivfTopK (same fixed-nlist trap)
-    val nl =
-      if (nlist > 0) nlist
-      else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    val nl = autoNlist(emb, nlist)
     val spark = emb.sparkSession
     val dim = pqDim(emb, m)
     val p0 = prepared(emb)
