@@ -200,9 +200,14 @@ object Bench {
         .select("vec_id", "embedding")
       val ivfPath = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString
       val pqPath = java.nio.file.Files.createTempDirectory("graft_bench_ivfpq").toString
+      // the auto-sized (~sqrt n lists) build — the r8 deploy
+      // configuration — benched ALONGSIDE the fixed nlist=16 layout,
+      // not instead of it, so idx_* stays round-over-round comparable
+      val ivfAutoPath = java.nio.file.Files.createTempDirectory("graft_bench_ivfa").toString
       try {
         S.writeIvfIndex(emb, ivfPath, nlist = 16)
         S.writeIvfPqIndex(emb, pqPath, nlist = 16)
+        S.writeIvfIndex(emb, ivfAutoPath, nlist = 0)
         // pruning audit: one query probes nprobe=4 of 16 lists, so the
         // serve reads strictly fewer list files than the index holds
         // (measured post-pruning via input_file_name — inputFiles
@@ -230,13 +235,16 @@ object Bench {
             s"list files across $populated populated lists")
         def servIvf() = S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = nprobe)
         def servPq() = S.ivfpqTopKFromIndex(spark, pqPath, queries, 5, nprobe = nprobe)
+        def servIvfAuto() = S.ivfTopKFromIndex(spark, ivfAutoPath, queries, 5, nprobe = nprobe)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
+        timeNoop(() => servIvfAuto())
         Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
+          "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))))
       } finally {
         import org.apache.hadoop.fs.Path
-        Seq(ivfPath, pqPath).foreach { p =>
+        Seq(ivfPath, pqPath, ivfAutoPath).foreach { p =>
           val hp = new Path(p)
           hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
         }
