@@ -8,7 +8,7 @@ import graft.operators._
 /** Driver contract: the full operator catalog (SURVEY.md §2), one
   * `queries` entry per operator and a DuckDB `oracleSql` mirror for
   * every SQL-expressible one (rows-only entries — LSH banding,
-  * simhash, multimodal decode — have no mirror by design).
+  * multimodal decode — have no mirror by design).
   *
   * Cross-engine exactness rules (SURVEY §5) used throughout:
   *  - money/value sums run in DECIMAL (exact, order-independent),
@@ -326,7 +326,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> ((s, d) =>
       Dedup.ngramJaccard(docs(s, d), 0.2, maxDf = 5L)),
 
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),    // rows-only
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
@@ -633,11 +633,11 @@ object SparkEntry {
     * documents/embeddings tables, so each floor is the smaller of the
     * two measured pair counts — which makes it TIGHT (equality, zero
     * slack) at one of the two sfs, where any pair-collapse regression
-    * trips immediately. Measured r6: minhash 28/25, simhash 27/17,
-    * embedding-lsh 7/14, semantic 6/11 at sf0.001/sf0.01. */
+    * trips immediately. Measured r6: minhash 28/25, embedding-lsh
+    * 7/14, semantic 6/11 at sf0.001/sf0.01. (dedup_simhash left r9
+    * with a full DuckDB mirror — the hash gate owns it now.) */
   def rowFloors: Map[String, Long] = Map(
     "dedup_minhash_lsh"   -> 25L,
-    "dedup_simhash"       -> 17L,
     "dedup_embedding_lsh" -> 7L,
     "dedup_semantic"      -> 6L)
     // corpus_prep_e2e carries no floor: it has a full DuckDB oracle
@@ -731,10 +731,14 @@ object SparkEntry {
   def recallChecks: Map[String, (String, Double)] = Map(
     "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
-    // floors below reflect the r7 quality params (AnnTuneDrive,
-    // sf0.001/sf0.01): ivf + ivfpq + residual at nlist32/nprobe8 all
-    // .78/.62 (the probing ceiling — ks64+rr16 codes lose nothing),
-    // pq ks64+rr16 .98/.98 — each ~0.9× the smaller sf
+    // floors below reflect the r8 quality params — nlist/planes now
+    // AUTO-SIZED (nlist ≈ √n, planes by mean-occupancy; Similarity
+    // autoNlist/auto-planes), which at the 500-vector verify corpora
+    // resolves to the same effective probing the r7 fixed params had:
+    // ivf + ivfpq + residual .78/.62 at sf0.001/sf0.01 (the probing
+    // ceiling — ks64+rr16 codes lose nothing), pq ks64+rr16 .98/1.00
+    // — each ~0.9× the smaller sf (VERIFY_RECALL.json r8 re-confirmed
+    // these exact values under auto-sizing)
     "ann_ivf_topk"            -> (("ann_bruteforce_topk", 0.55)),
     // JL shortlist recall on the ISOTROPIC verify corpus (the same
     // regime that caps the ivf family): a FIXED shortlist decays
@@ -1252,6 +1256,33 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter / (sa.n + sb.n - inter) >= 0.2""".stripMargin,
 
+    // D4 mirror: brute-force hamming over the SAME md5-derived token
+    // bit matrix (Dedup.md5Hash64 ≡ bits of substr(md5(tok),1,16)),
+    // majority-bit simhash, all pairs with hamming ≤ 3. Equal to the
+    // banded Spark plan because banding is recall-exact and the
+    // bucket cap cannot engage at gate corpus sizes (≤ maxBucket
+    // docs per band value).
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM toks),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    ((strpos('0123456789abcdef',
+         |        substr(hx, CAST(16 - j // 4 AS INTEGER), 1)) - 1)
+         |      // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+         |                    WHEN 2 THEN 4 ELSE 8 END)) % 2 AS b
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+         |maj AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN 2 * sum(b) > count(*) THEN 1 ELSE 0 END AS mb
+         |  FROM bits GROUP BY doc_id, j),
+         |sv AS (SELECT doc_id, list(mb ORDER BY j) AS bv FROM maj GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i]))
+         |    AS INTEGER) AS hamming
+         |FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) <= 3""".stripMargin,
+
     "dedup_survivors" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |g AS (
@@ -1382,9 +1413,10 @@ object SparkEntry {
     "text_blocklist" -> {
       val bl = BlockWords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""SELECT doc_id,
-         |  CAST(len(list_filter($TOKS, x -> list_contains($bl, x)))
+         |  CAST(coalesce(len(list_filter($TOKS, x -> list_contains($bl, x))), 0)
          |    AS BIGINT) AS n_blocked,
-         |  len(list_filter($TOKS, x -> list_contains($bl, x))) = 0 AS keep
+         |  coalesce(len(list_filter($TOKS, x -> list_contains($bl, x))), 0) = 0
+         |    AS keep
          |FROM documents""".stripMargin
     },
 

@@ -84,12 +84,20 @@ object Verify {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset — dev-loop
+    // convenience (the driver always passes two args = full catalog;
+    // subset runs skip the floor/recall gates, which need the full set)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, q) => (s, o, Some(q.split(',').toSet))
+    }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     val counts = scala.collection.mutable.Map.empty[String, Long]
     val queryFails = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -116,6 +124,13 @@ object Verify {
       .map { case (k, v) => s"${Jsons.str(k)}: ${Jsons.str(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    if (only.isDefined) {
+      // subset dev-loop run: dump the SQL and stop before the
+      // full-catalog floor/recall gates (they'd all read "missing")
+      failuresExit(spark, queryFails.toSeq.sorted.map(q => s"$q: query threw (no output)"))
+      return
+    }
 
     // row invariants: computed exacts/floors from the input tables;
     // if the computation itself dies (unreadable dir), fall back to
@@ -144,9 +159,12 @@ object Verify {
     catch { case scala.util.control.NonFatal(_) => () }
     val recallFails = recallFailures(recalls)
 
-    val failures =
+    failuresExit(spark,
       queryFails.toSeq.sorted.map(q => s"$q: query threw (no output)") ++
-      floorFails ++ recallFails
+      floorFails ++ recallFails)
+  }
+
+  private def failuresExit(spark: SparkSession, failures: Seq[String]): Unit = {
     failures.foreach(f => System.err.println(s"[verify] GATE $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -722,19 +722,6 @@ object VecExprs {
       copy(vec = l, cId = r)
   }
 
-  /** Membership probe of a 64-bit hash against a serialized
-    * `org.apache.spark.util.sketch.BloomFilter` — the pre-filter that
-    * makes decontamination work when the benchmark side is too big to
-    * broadcast-join outright: the sketch is KB–MB regardless of row
-    * count, so it rides to every task where a broadcast hash relation
-    * would not fit. May return false positives (callers must re-check
-    * exactly, e.g. with the equi-join the probe is guarding), never
-    * false negatives.
-    *
-    * Holds the sketch as bytes (cheap to ship in the serialized plan)
-    * and inflates it lazily once per JVM consumer; codegen probes
-    * through a reference to this expression instance, so the inflated
-    * bits are shared across all rows of a task. */
   /** The deterministic ±1 JL sign shared by [[JlProject]] and its
     * DuckDB mirror: +1 iff the first hex char of md5("i:j") is below
     * '8' (high nibble of byte 0 < 8). */
@@ -833,6 +820,19 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** Membership probe of a 64-bit hash against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the pre-filter that
+    * makes decontamination work when the benchmark side is too big to
+    * broadcast-join outright: the sketch is KB–MB regardless of row
+    * count, so it rides to every task where a broadcast hash relation
+    * would not fit. May return false positives (callers must re-check
+    * exactly, e.g. with the equi-join the probe is guarding), never
+    * false negatives.
+    *
+    * Holds the sketch as bytes (cheap to ship in the serialized plan)
+    * and inflates it lazily once per JVM consumer; codegen probes
+    * through a reference to this expression instance, so the inflated
+    * bits are shared across all rows of a task. */
   case class BloomMightContain(child: Expression, sketch: Array[Byte])
       extends UnaryExpression {
     override def dataType: DataType = BooleanType

@@ -707,7 +707,22 @@ object Dedup {
       vsCorpus.unionByName(within).unionByName(_)).distinct()
   }
 
-  /** D4: SimHash near-dup pairs (rows-only).
+  /** md5-derived 64-bit token hash: the signed long whose bits are the
+    * first 16 hex chars of `md5(token)`. Chosen over xxhash64 for the
+    * simhash bit matrix so the DuckDB oracle can recompute the EXACT
+    * same bits (DuckDB ships md5; Spark's xxhash64 it does not).
+    * `conv` yields the unsigned decimal string; the wrap-to-signed
+    * subtraction is exact in decimal and the final cast is in-range
+    * by construction. All built-ins → stays inside codegen. */
+  private[graft] def md5Hash64(t: Column): Column = {
+    val dec = conv(substring(md5(t), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    when(dec >= lit(BigDecimal("9223372036854775808")),
+      dec - lit(BigDecimal("18446744073709551616"))).otherwise(dec)
+      .cast("long")
+  }
+
+  /** D4: SimHash near-dup pairs.
     *
     * 64-bit simhash per doc: bit j is set when the majority of token
     * hashes have bit j set. The 64 bits are cut into `maxHamming + 1`
@@ -717,6 +732,11 @@ object Dedup {
     * bit_count(xor). Entirely per-row expression work + one equi-join
     * on (band, band_val). More bands (higher maxHamming) = shorter
     * bands = more candidates — recall stays exact, cost grows.
+    * Because banding is recall-exact and the bucket cap cannot engage
+    * below `maxBucket` docs sharing a band value, the output below
+    * that scale IS the brute-force hamming pair set — which is what
+    * the DuckDB oracle mirror recomputes (bit-identical md5 token
+    * hashes, majority bits, pairwise hamming ≤ maxHamming).
     *
     * `maxBucket` caps the (band, band_val) group size — the band-value
     * space is FIXED at 2^(64/bands) (65,536 values at maxHamming = 3),
@@ -744,7 +764,7 @@ object Dedup {
     // hamming-0 duplicates — N unrelated docs, N²/2 spurious pairs in
     // one bucket (the minhashLsh guard, applied here too)
     val withSim = docs
-      .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
+      .withColumn("hs", transform(tokens(col("text")), t => md5Hash64(t)))
       .filter(size(col("hs")) > 0)
       .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select(col("doc_id"), col("simhash"))

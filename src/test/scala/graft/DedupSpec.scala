@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 4L)))
   }
 
+  test("D4 md5Hash64 ≡ signed 64-bit value of the first 16 md5 hex chars (oracle bit contract)") {
+    // the DuckDB mirror re-derives per-token bits from substr(md5,1,16);
+    // this pins the Spark column to the same signed-long interpretation,
+    // covering both sign regimes (first nibble < 8 and ≥ 8)
+    val words = Seq("hello", "world", "a", "zz9", "the", "epsilon")
+    def expected(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      new java.math.BigInteger(hex, 16).longValue() // wraps to signed
+    }
+    val got = words.toDF("t")
+      .select(col("t"), Dedup.md5Hash64(col("t")).as("h"))
+      .as[(String, Long)].collect().toMap
+    words.foreach(w => assert(got(w) === expected(w), w))
+    assert(got.values.exists(_ < 0L) && got.values.exists(_ > 0L))
+  }
+
   test("D4 simhashPairs: identical token streams → hamming 0; reflexive pairs excluded") {
     val out = Dedup.simhashPairs(docs, maxHamming = 3)
       .select("doc_a", "doc_b", "hamming").collect().toSeq.map(_.toSeq)
@@ -66,7 +84,7 @@ class DedupSpec extends SparkSpec {
     graft.functions.VecExprs.register(spark)
     // ground truth: exhaustive all-pairs hamming over the spec corpus
     val sims = docs
-      .withColumn("hs", transform(tokens(col("text")), t => xxhash64(t)))
+      .withColumn("hs", transform(tokens(col("text")), t => Dedup.md5Hash64(t)))
       .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select("doc_id", "simhash").as[(Long, Long)].collect()
     for (maxH <- Seq(0, 3, 5, 9)) {
