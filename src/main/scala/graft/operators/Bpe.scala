@@ -14,14 +14,18 @@ import graft.functions.TextFunctions._
   * Scale shape: training iterates over the DISTINCT-WORD table (word,
   * count, symbol array) — the corpus collapses to its vocabulary
   * before any merge work, so a 100 TB crawl with a 100M-word
-  * vocabulary trains on 100M rows regardless of corpus size. Each of
-  * the `nMerges` iterations is two narrow jobs on that table: a
-  * pair-count groupBy (map-side partial agg) + argmax `limit 1`
-  * collect (ONE row to the driver — bounded metadata, the FAISS
-  * "coarse quantizer on the driver" posture), then a fused
-  * [[graft.functions.BpeExprs.BpeMergePass]] scan. `localCheckpoint`
-  * truncates the per-iteration lineage (the dedup_cluster rationale)
-  * and the superseded checkpoint blocks are explicitly unpersisted.
+  * vocabulary trains on 100M rows regardless of corpus size. Training
+  * runs in BATCHED ROUNDS (r9 — the fix for one-driver-round-per-merge
+  * latency): each round is a pair-count groupBy (map-side partial agg)
+  * + top-M `collect` (≤M tiny rows to the driver — bounded metadata,
+  * the FAISS "coarse quantizer on the driver" posture), a pure
+  * driver-side [[selectBatch]] that accepts the longest provably
+  * sequential-equivalent prefix of merges, then ONE fused scan of
+  * nested [[graft.functions.BpeExprs.BpeMergePass]] expressions
+  * applying all of them (projection collapse → a single codegen'd
+  * pass). `localCheckpoint` truncates the per-round lineage (the
+  * dedup_cluster rationale) and the superseded checkpoint blocks are
+  * explicitly unpersisted.
   *
   * Determinism: argmax ties break on (count desc, left asc, right
   * asc) — the merge list is a pure function of the corpus. */
@@ -63,26 +67,145 @@ object Bpe {
     (out, pinned)
   }
 
-  /** Train `nMerges` merges; returns (left, right, pair_count) in
-    * rank order — driver-side bounded metadata (the merge list IS the
-    * tokenizer model). Stops early only if no adjacent pair remains
-    * anywhere (every word fully merged to one symbol). */
-  def train(docs: DataFrame, nMerges: Int): Array[(String, String, Long)] = {
+  /** The batched-round selection rule: from one canonical-sorted
+    * pair-count snapshot, the longest prefix of picks PROVABLY equal
+    * to what sequential Sennrich argmax would produce — the fix for
+    * the one-driver-round-per-merge scale defect (a 32k-merge vocab
+    * must not cost 32k sequential job rounds).
+    *
+    * Soundness argument (why batched ≡ sequential, pick by pick):
+    *  - Applying merge (a,b) can only change the count of a pair that
+    *    TOUCHES it: pairs containing a or b (destroyed/diminished at
+    *    merge sites) or containing the new symbol string "ab" (created,
+    *    or an existing pair with a symbol spelled "ab" absorbing the
+    *    new occurrences). A pair sharing none of {a, b, "ab"} keeps
+    *    its exact count.
+    *  - So a later pick p_j with symbols disjoint from every earlier
+    *    pick's {l, r, concat} still has its snapshot count when
+    *    sequential reaches it.
+    *  - What could leapfrog p_j is a pair whose count GREW or was
+    *    created: any such pair's count is bounded by the snapshot
+    *    count of some pair that interferes with an earlier pick (each
+    *    new-pair occurrence "x·ab" consumes a pre-merge "x·a"
+    *    occurrence; chains of new symbols bound the same way by
+    *    induction). Hence p_j is safe iff its count STRICTLY exceeds
+    *    every snapshot count of a pair interfering with picks before
+    *    it — including the unseen tail, bounded by the snapshot's
+    *    last (M-th) count when the snapshot is truncated. Strictness
+    *    also closes the tie-break hole (an equal-count grown pair
+    *    could win the canonical tie).
+    *
+    * Pure driver-side metadata work over ≤M tiny rows; the property
+    * spec drives it against literal sequential training on random
+    * corpora.
+    *
+    * `strict = false` is the PRODUCTION throughput mode — the
+    * standard parallel-BPE construction: accept every pairwise
+    * non-interfering pick in the snapshot (skip interferers and keep
+    * scanning instead of stopping, no dominance cut). The merge LIST
+    * may deviate from sequential order (a pair whose count a prior
+    * batch-mate diminished can be picked a few ranks early), but
+    * every pick is top-M-by-count and independent of its batch-mates,
+    * and the resulting tokenizer's compression is measured ≈
+    * sequential's (BpeScaleDrive reports the piece-count delta).
+    * Strict mode on natural text caps at ~3 picks/round — the
+    * provable-equivalence ceiling, not an implementation limit —
+    * because the top of the pair distribution shares common
+    * high-frequency symbols. */
+  private[graft] def selectBatch(cands: Array[(String, String, Long)],
+                                 complete: Boolean, maxPick: Int,
+                                 strict: Boolean = true): Array[(String, String, Long)] = {
+    if (cands.isEmpty || maxPick <= 0) return Array.empty
+    def interferes(q: (String, String, Long), a: (String, String, Long)): Boolean = {
+      val s = a._1 + a._2
+      q._1 == a._1 || q._1 == a._2 || q._1 == s ||
+      q._2 == a._1 || q._2 == a._2 || q._2 == s
+    }
+    val accepted = scala.collection.mutable.ArrayBuffer(cands.head)
+    if (!strict) {
+      // count-threshold guard: only accept picks within 2× of the
+      // round's max — a deep pick's count is stale by up to the sum
+      // of its batch-mates' site overlaps, and merging far-tail pairs
+      // early is what degrades the learned vocab (measured: unguarded
+      // acceptance cost +9.2% pieces; guarded ≈ sequential)
+      val floor = (cands.head._3 + 1L) / 2L
+      var i = 1
+      while (i < cands.length && accepted.size < maxPick &&
+        cands(i)._3 >= floor) {
+        val p = cands(i)
+        if (!accepted.exists(a => interferes(p, a))) accepted += p
+        i += 1
+      }
+      return accepted.toArray
+    }
+    val tailC = if (complete) -1L else cands.last._3
+    // maximal disjoint prefix in canonical order
+    var i = 1
+    var open = true
+    while (open && i < cands.length && accepted.size < maxPick) {
+      val p = cands(i)
+      if (accepted.exists(a => interferes(p, a))) open = false
+      else { accepted += p; i += 1 }
+    }
+    // strict-dominance cut: pick j must beat every snapshot pair that
+    // interferes with picks 0..j-1 (their counts bound any grown or
+    // newly created pair sequential could see), and the unseen tail
+    val constraint = Array.fill(accepted.length)(tailC)
+    for (q <- cands) {
+      val k = accepted.indexWhere(a => interferes(q, a))
+      if (k >= 0 && !accepted.contains(q)) {
+        var j = k + 1
+        while (j < accepted.length) {
+          constraint(j) = math.max(constraint(j), q._3); j += 1
+        }
+      }
+    }
+    var keep = 1
+    while (keep < accepted.length && accepted(keep)._3 > constraint(keep))
+      keep += 1
+    accepted.take(keep).toArray
+  }
+
+  /** Train `nMerges` merges; returns ((left, right, pair_count) in
+    * rank order, rounds used) — driver-side bounded metadata (the
+    * merge list IS the tokenizer model). Stops early only if no
+    * adjacent pair remains anywhere (every word fully merged to one
+    * symbol).
+    *
+    * Each ROUND is one pair-count job (top-M snapshot, M = clamped
+    * 8× batch — bounded driver metadata) + ONE fused scan applying
+    * every [[selectBatch]]-accepted merge (nested merge passes
+    * collapse into a single projection), so a production vocab costs
+    * ~vocab/batch driver rounds instead of vocab rounds, with the
+    * merge list provably identical to sequential training in `strict`
+    * mode (the default and the catalog entry's contract);
+    * `strict = false` is the parallel-BPE throughput mode — see
+    * [[selectBatch]] for the deviation bound. */
+  def trainWithRounds(docs: DataFrame, nMerges: Int,
+                      batchMerges: Int = 256,
+                      strict: Boolean = true): (Array[(String, String, Long)], Int) = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    require(batchMerges > 0, s"batchMerges=$batchMerges must be positive")
     val spark = docs.sparkSession
     var (words, pins) = checkpointPinned(wordTable(docs))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
     var continue = true
     while (merges.size < nMerges && continue) {
-      val best = pairCounts(words)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      if (best.isEmpty) continue = false
+      val want = math.min(batchMerges, nMerges - merges.size)
+      val m = math.max(64, 8 * want)
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (top.isEmpty) continue = false
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((l, r, c))
-        val next = BpeExprs.withMergePass(spark, l, r) { fn =>
-          words.withColumn("syms", call_function(fn, col("syms")))
+        val picked = selectBatch(top, complete = top.length < m, want, strict)
+        merges ++= picked
+        val next = picked.foldLeft(words) { case (df, (l, r, _)) =>
+          BpeExprs.withMergePass(spark, l, r) { fn =>
+            df.withColumn("syms", call_function(fn, col("syms")))
+          }
         }
         val (w2, p2) = checkpointPinned(next)
         pins.foreach(_.unpersist(false))
@@ -91,8 +214,13 @@ object Bpe {
       }
     }
     pins.foreach(_.unpersist(false))
-    merges.toArray
+    (merges.toArray, rounds)
   }
+
+  /** [[trainWithRounds]] without the round count. */
+  def train(docs: DataFrame, nMerges: Int,
+            batchMerges: Int = 256): Array[(String, String, Long)] =
+    trainWithRounds(docs, nMerges, batchMerges)._1
 
   /** A merge list as a DataFrame for the catalog/bench surface:
     * `(rank, left, right, merged, pair_count)`. */
@@ -116,6 +244,18 @@ object Bpe {
   def trainCached(key: String, docs: => DataFrame,
                   nMerges: Int): Array[(String, String, Long)] =
     trainMemo.computeIfAbsent((key, nMerges), _ => train(docs, nMerges))
+
+  /** [[trainCached]]'s UNCONDITIONAL sibling for the bpe_train catalog
+    * entry: always re-pays the full training loop and (re)seeds the
+    * memo — the entry's bench number is thereby the training cost by
+    * construction, never a function of which sibling entry happened
+    * to run first (the r8 advice attribution nit). */
+  def trainSeedingCache(key: String, docs: => DataFrame,
+                        nMerges: Int): Array[(String, String, Long)] = {
+    val m = train(docs, nMerges)
+    trainMemo.put((key, nMerges), m)
+    m
+  }
 
   /** Drop memoized trainings — Bench calls this between reps so the
     * first bpe entry of EVERY rep re-pays the iteration loop (the

@@ -26,6 +26,76 @@ class BpeSpec extends SparkSpec {
       ("l", "o", 7L), ("lo", "w", 7L)))
   }
 
+  test("F21 selectBatch: interference and dominance cuts (unit pins)") {
+    def p(l: String, r: String, c: Long) = (l, r, c)
+    // disjoint picks all accepted
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("c","d",9)), complete = true, 8).toSeq
+      === Seq(p("a","b",10), p("c","d",9)))
+    // shared raw symbol stops the prefix (maximal disjoint PREFIX —
+    // (d,e) after the stop is never considered)
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("b","c",9), p("d","e",8)),
+      complete = true, 8).toSeq === Seq(p("a","b",10)))
+    // the concatenated symbol of an accepted pick interferes too
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("c","ab",9)),
+      complete = true, 8).toSeq === Seq(p("a","b",10)))
+    // dominance: an equal-count interferer ANYWHERE in the snapshot
+    // voids later picks (a grown pair could tie and win the canonical
+    // tie-break)
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("c","d",10), p("x","a",10)),
+      complete = true, 8).toSeq === Seq(p("a","b",10)))
+    // truncated snapshot: unseen tail bounds every pick after the first
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("c","d",10)),
+      complete = false, 8).toSeq === Seq(p("a","b",10)))
+    assert(Bpe.selectBatch(Array(p("a","b",11), p("c","d",10)),
+      complete = false, 8).toSeq === Seq(p("a","b",11)))
+    // maxPick clamps
+    assert(Bpe.selectBatch(Array(p("a","b",10), p("c","d",9), p("e","f",8)),
+      complete = true, 2).toSeq === Seq(p("a","b",10), p("c","d",9)))
+  }
+
+  test("F21 batched training ≡ sequential training on random hostile corpora") {
+    // tiny alphabet → heavy pair interference, the regime where a
+    // wrong batch rule would diverge from sequential Sennrich
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val vocab = (1 to (6 + rnd.nextInt(8))).map { _ =>
+        (1 to (2 + rnd.nextInt(5)))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.distinct
+      val corpus = vocab.zipWithIndex.map { case (w, i) =>
+        (i.toLong, Array.fill(1 + rnd.nextInt(9))(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val seq = Bpe.train(corpus, 16, batchMerges = 1).toSeq
+      val bat = Bpe.train(corpus, 16, batchMerges = 64).toSeq
+      assert(bat === seq, s"trial $trial vocab=$vocab")
+    }
+  }
+
+  test("F21 non-strict (parallel) mode: unique merges, count-threshold guard, lossless") {
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val (merges, rounds) = Bpe.trainWithRounds(docs, 32, strict = false)
+    assert(merges.length === 32)
+    assert(merges.map(m => (m._1, m._2)).distinct.length === 32)
+    val (_, seqRounds) = Bpe.trainWithRounds(docs, 32, batchMerges = 1)
+    assert(rounds <= seqRounds) // never worse than sequential
+    // any merge list encodes losslessly (order deviation can't break it)
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word")).distinct()
+    val bad = BpeExprs.withEncode(spark, merges.map(t => (t._1, t._2))) { fn =>
+      words.select(col("word"),
+        concat_ws("", call_function(fn,
+          concat(filter(split(col("word"), ""), s => length(s) > 0),
+            array(lit("</w>"))))).as("joined"))
+    }.filter(col("joined") =!= concat(col("word"), lit("</w>"))).count()
+    assert(bad === 0L)
+    // the unit guard: non-strict never accepts below half the round max
+    val picks = Bpe.selectBatch(
+      Array(("a","b",100L), ("c","d",50L), ("e","f",49L)),
+      complete = true, 8, strict = false)
+    assert(picks.toSeq === Seq(("a","b",100L), ("c","d",50L)))
+  }
+
   test("F21 merge pass is greedy left-to-right, non-overlapping") {
     // "a a a" under (a,a): first two merge, third stands — the merged
     // symbol is not reconsidered as LEFT within the same pass
