@@ -397,13 +397,43 @@ object Dedup {
     * O(size), connectivity survives for D8's transitive clustering
     * (the component still merges through the hub), and only the
     * size² full pair enumeration is given up. Kept buckets self-join
-    * exactly as before; the default cap is the identity at test scale
-    * and a hard per-key bound at 100 TB.
+    * exactly as before; `maxBucket = 0` (default) auto-sizes the cap
+    * from measured bucket density ([[resolvedMaxBucket]]) — the
+    * identity at test scale and a hard per-key bound at 100 TB.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                 maxBucket: Long = 1024L): DataFrame =
-    bandedPairs(cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
-      minhashBands(docs, numHashes, bands)), maxBucket)
+                 maxBucket: Long = 0L): DataFrame = {
+    val raw = cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
+      minhashBands(docs, numHashes, bands))
+    bandedPairs(raw, resolvedMaxBucket(raw, "bucket", maxBucket))
+  }
+
+  /** `maxBucket = 0` (the default) auto-sizes the hot-bucket cap from
+    * MEASURED bucket density — the E2/E3 auto-size posture (r8: fixed
+    * ANN configs degraded at ×10 corpus; a fixed cap has the twin
+    * failure): cap = max(1024, 64 × mean occupancy). "Hot" thereby
+    * means "64× denser than this corpus' typical bucket" — degenerate
+    * boilerplate clusters star-collapse, while buckets that are dense
+    * merely because the CORPUS is dense (simhash's fixed 2^16
+    * band-value space makes mean occupancy grow linearly with docs)
+    * keep their exact self-join instead of silently losing recall the
+    * way a fixed 1024 would once mean occupancy crosses it. One cheap
+    * aggregate on the (already cached) banded table, driver-side
+    * scalar — and the explicit escape hatch stays for callers that
+    * know their density. The FROZEN flows (mhOverwrite's bucketed
+    * table, minhashBatch's incremental appends) keep explicit caps:
+    * a per-batch density measurement would drift the collapse
+    * semantics between appends of one materialized table. */
+  private def resolvedMaxBucket(banded: DataFrame, bucketCol: String,
+                                maxBucket: Long,
+                                floor: Long = 1024L, k: Long = 64L): Long =
+    if (maxBucket != 0L) maxBucket
+    else {
+      val r = banded.agg(count(lit(1)).as("n"),
+        countDistinct(col("band"), col(bucketCol)).as("d")).head()
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      if (d == 0L) floor else math.max(floor, k * (n / d))
+    }
 
   /** The capped candidate self-join over banded rows `(doc_id, band,
     * bucket)` — shared by [[minhashLsh]] and [[minhashBatch]]'s
@@ -746,13 +776,18 @@ object Dedup {
     * share every band) — it collapses to a STAR around its min-id
     * member, each spoke exact-hamming-verified against the hub, so
     * per-bucket output is O(size) and connectivity survives for D8's
-    * transitive clustering. Only the size² full enumeration (and
+    * transitive clustering; `maxBucket = 0` (default) auto-sizes the
+    * cap from measured density ([[resolvedMaxBucket]] — which for
+    * simhash's fixed band-value space means the cap GROWS with corpus
+    * density instead of silently star-collapsing every normal bucket
+    * once mean occupancy crosses a fixed constant). Only the size²
+    * full enumeration (and
     * spokes whose hamming to the HUB exceeds the bound despite a
     * shared band) is given up. Identity at test scale; a hard
     * per-key bound at 100 TB.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Long = 1024L): DataFrame = {
+                   maxBucket: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming out of range for a 64-bit simhash")
     graft.functions.VecExprs.register(docs.sparkSession)
@@ -787,11 +822,13 @@ object Dedup {
     val banded =
       if (maxBucket == Long.MaxValue) banded0
       else cachedAs("simhashPairs_banded", banded0)
+    val cap = if (maxBucket == Long.MaxValue) maxBucket
+              else resolvedMaxBucket(banded, "band_val", maxBucket)
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (banded, None)
       else {
         val hot = banded.groupBy(col("band"), col("band_val"))
-          .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
           .select("band", "band_val")
         val kept = banded.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
         // hot buckets → star spokes around the min-id member; the hub
@@ -865,6 +902,19 @@ object Dedup {
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** D6 for the embedding pair operators (D5/D5b/D10): vectors that
+    * survive when every `(vec_a, vec_b)` pair drops its higher id —
+    * the DEPLOY output of embedding dedup. The pair LIST is the
+    * diagnostic artifact and inherently ~quadratic on clustered
+    * corpora (sf1 measured it); what a production run materializes is
+    * THIS — O(n) rows regardless of how clustered the corpus is.
+    * Zero-norm vectors never pair, so they survive by construction on
+    * both engines. Pairs ≪ corpus → AQE broadcasts the anti-join. */
+  def embeddingSurvivors(emb: DataFrame, pairs: DataFrame): DataFrame =
+    emb.select(col("vec_id")).join(
+      pairs.select(col("vec_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
 
   /** The shared decontamination finalize: joined gram hits grouped
     * per (corpus doc, bench doc), kept at ≥ minShared — one spelling

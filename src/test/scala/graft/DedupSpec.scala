@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 4L)))
   }
 
+  test("D6-for-embeddings: survivors drop each pair's higher id; zero-norm rows survive") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.9f, 0.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.0f, 0.0f)) // zero-norm: never pairs, must survive
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L, 0.99), (1L, 3L, 1.0))
+      .toDF("vec_a", "vec_b", "cos_sim")
+    assert(Dedup.embeddingSurvivors(emb, pairs)
+      .as[Long].collect().toSet === Set(1L, 4L, 5L))
+    // composed with the exact pair finder on the verify corpus:
+    // survivors + dropped partition the id space
+    val real = Tables.embeddings(spark, sfDir)
+    val realPairs = Dedup.embeddingCosine(real, 0.45)
+    val surv = Dedup.embeddingSurvivors(real, realPairs).count()
+    val dropped = realPairs.select("vec_b").distinct().count()
+    assert(surv + dropped === real.count())
+  }
+
   test("D4 md5Hash64 ≡ signed 64-bit value of the first 16 md5 hex chars (oracle bit contract)") {
     // the DuckDB mirror re-derives per-token bits from substr(md5,1,16);
     // this pins the Spark column to the same signed-long interpretation,
@@ -121,6 +140,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(Dedup.simhashPairs(docs, 3, 16L)
       .as[(Long, Long, Long)].collect().toSet === base)
+  }
+
+  test("auto maxBucket: ≡ explicit 1024 at verify density; tracks density on dense corpora") {
+    // verify corpus: mean bucket occupancy ~1 → auto resolves to the
+    // 1024 floor → results identical to the old fixed default
+    val real = Tables.documents(spark, sfDir)
+    assert(Dedup.simhashPairs(real).as[(Long, Long, Long)].collect().toSet
+      === Dedup.simhashPairs(real, 3, 1024L).as[(Long, Long, Long)].collect().toSet)
+    assert(Dedup.minhashLsh(real).as[(Long, Long)].collect().toSet
+      === Dedup.minhashLsh(real, maxBucket = 1024L).as[(Long, Long)].collect().toSet)
+    // dense corpus (80 identical docs → occupancy 80): auto lifts the
+    // cap to 64× measured occupancy, so the legit-dense buckets keep
+    // their exact self-join (≡ uncapped) where a fixed cap of 16
+    // star-collapses them — "hot" is now relative to measured density
+    val n = 80
+    val same = (1L to n.toLong).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(same).count() === n.toLong * (n - 1) / 2)
+    assert(Dedup.simhashPairs(same, 3, 16L).count() === (n - 1).toLong)
   }
 
   test("D3 hot-gram df cap: candidate count collapses O(n²)→O(n), identity at ∞") {
