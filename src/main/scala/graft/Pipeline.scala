@@ -132,13 +132,21 @@ object Pipeline {
   def run(spark: SparkSession, cfg: PipelineConfig,
           startedNanos: Long = System.nanoTime()): PipelineResult = {
     val runT0 = startedNanos
-    val paths = cfg.systems.map(cfg.ncPath)
+    val domains = cfg.runDomains
+    val primary = domains.head
+    // primary domain feeds the station/series/watermark path (the
+    // reference pushes only d03 series to the DB); the readiness and
+    // existence gates cover EVERY domain's files — a run must not
+    // start with d01 still uploading
+    val paths = cfg.systems.map(s => cfg.ncPath(primary.filePattern, s))
+    val allPaths = domains.flatMap(d =>
+      cfg.systems.map(s => cfg.ncPath(d.filePattern, s))).distinct
     if (cfg.waitReadyMs > 0L) { // is_netcdf_ready.sh semantics
-      val gate = graft.sources.ArrivalGate.awaitReady(paths, cfg.waitReadyMs)
+      val gate = graft.sources.ArrivalGate.awaitReady(allPaths, cfg.waitReadyMs)
       require(gate.ready,
         s"inputs not complete after ${gate.waitedMs}ms: ${gate.notReady.mkString(", ")}")
     }
-    val missing = paths.filterNot(p => new java.io.File(p).exists())
+    val missing = allPaths.filterNot(p => new java.io.File(p).exists())
     require(missing.isEmpty, s"missing netCDF inputs: ${missing.mkString(", ")}")
 
     // 1. read all systems' grids in one scan; tag each row with its
@@ -184,10 +192,38 @@ object Pipeline {
       Seq("sim_tag", "cell", "source", "variable", "unit"))
 
     // 4. sinks: per-timestep rfield files (ensemble mean across systems
-    //    per cell, gen_*_mean_rfields.py flavor) + DB upsert statement
-    val rfield = rain
+    //    per cell, gen_*_mean_rfields.py flavor) + DB upsert statement.
+    //    Per DOMAIN: the primary (and any bbox cut sharing its file
+    //    pattern, e.g. the Kelani basin) reuses the cached post-diff
+    //    table; other domains (d01's coarse grid) parse their own
+    //    files. A bbox cuts BEFORE the mean — identical cells, fewer.
+    def domainDiff(d: DomainConfig): org.apache.spark.sql.DataFrame =
+      if (d.filePattern == primary.filePattern) rain
+      else {
+        val dPaths = cfg.systems.map(s => cfg.ncPath(d.filePattern, s))
+        val sysOfPath = cfg.systems.zip(dPaths)
+          .foldLeft(lit(null).cast("string")) {
+            case (acc, (s, p)) => when(col("path") === p, lit(s)).otherwise(acc)
+          }
+        // system folded into the cell key exactly like the primary's —
+        // two systems sharing a (lat, lon) must diff as SEPARATE series
+        val dGrid = NetCdfClassic.readGrid(spark, dPaths)
+          .withColumn("system", sysOfPath)
+          .withColumn("cell", concat_ws("_", col("system"),
+            format_string("%.6f", col("lat")), format_string("%.6f", col("lon"))))
+        Timeseries.intervalDiff(dGrid, "cell", "epoch_s", "t_idx", "value")
+      }
+    def bboxCut(df: org.apache.spark.sql.DataFrame, d: DomainConfig) =
+      d.bbox.fold(df) { case (lonMin, latMin, lonMax, latMax) =>
+        df.filter(col("lon") >= lonMin && col("lon") <= lonMax &&
+          col("lat") >= latMin && col("lat") <= latMax)
+      }
+    def rfieldOf(d: DomainConfig) = bboxCut(domainDiff(d), d)
       .groupBy(col("epoch_s").as("t"), col("lon"), col("lat"))
       .agg(round(avg("delta"), 4).as("value"))
+    def rfieldDir(d: DomainConfig): String =
+      if (d.name.isEmpty) s"${cfg.outDir}/rfields"
+      else s"${cfg.outDir}/rfields/${d.name}"
 
     val upsertSql = JdbcUpsert.MySqlDialect.sql("curw_fcst.data",
       Seq("id", "time", "fgt", "value"), Seq("id", "time"))
@@ -208,17 +244,33 @@ object Pipeline {
     // action runs first, and a parse regression would masquerade as
     // an rfield-write regression in the stage breakdown
     timed("parse_diff")(rain.count())
-    timed("rfields")(RfieldSink.write(rfield, s"${cfg.outDir}/rfields", "t"))
+    timed("rfields")(domains.foreach(d =>
+      RfieldSink.write(rfieldOf(d), rfieldDir(d), "t")))
     if (cfg.packagedRfields) timed("rfield_pkg") {
-      // the reference's per-system bundles: each system's own diffs
-      // (one row per cell per step — the agg is shape-normalization)
-      cfg.systems.foreach { sysName =>
+      // the reference's per-system bundles — per DOMAIN (it zips d03,
+      // the basin cut, and d01 each per system): each system's own
+      // diffs (one row per cell per step — the agg normalizes shape).
+      // Non-primary-pattern domains carry no `system` column (their
+      // grids parse separately), so their per-system frame re-reads
+      // just that system's file — d01-class grids are coarse.
+      for (d <- domains; sysName <- cfg.systems) {
+        val sysDiff =
+          if (d.filePattern == primary.filePattern)
+            rain.filter(col("system") === sysName)
+          else {
+            val g = NetCdfClassic
+              .readGrid(spark, Seq(cfg.ncPath(d.filePattern, sysName)))
+              .withColumn("cell", concat_ws("_",
+                format_string("%.6f", col("lat")), format_string("%.6f", col("lon"))))
+            Timeseries.intervalDiff(g, "cell", "epoch_s", "t_idx", "value")
+          }
+        val dir = if (d.name.isEmpty) s"${cfg.outDir}/rfields_packaged/$sysName"
+                  else s"${cfg.outDir}/rfields_packaged/${d.name}/$sysName"
         RfieldSink.writePackaged(
-          rain.filter(col("system") === sysName)
+          bboxCut(sysDiff, d)
             .groupBy(col("epoch_s").as("t"), col("lon"), col("lat"))
             .agg(round(sum("delta"), 4).as("value")),
-          s"${cfg.outDir}/rfields_packaged/$sysName", "t",
-          cfg.model, sysName, cfg.version)
+          dir, "t", cfg.model, sysName, cfg.version)
       }
     }
     val nStations = timed("stations")(stations.count())

@@ -22,6 +22,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                        contract (xy.csv + value-only files + zip,
   *                        `gen_rfields.py:198-219`) next to the
   *                        ensemble-mean rfields.
+  * @param domains optional multi-domain run (`gen_rfields.py` emits
+  *                d03, a Kelani-basin BBOX CUT of d03, and d01 rfields
+  *                per run — `create_d01_rfields` at gen_rfields.py:232,
+  *                basin extents at :18-19): each entry names a domain,
+  *                gives its per-system file pattern, and optionally a
+  *                bbox cut. The FIRST domain is primary — it feeds the
+  *                station/series/watermark path (the reference pushes
+  *                only d03 series to the DB); the rest emit rfields
+  *                only. Empty = single-domain legacy behavior from
+  *                `filePattern` (outputs land at `outDir/rfields`
+  *                directly, exactly as before).
   */
 final case class PipelineConfig(
     ncDir: String,
@@ -35,16 +46,38 @@ final case class PipelineConfig(
     unitType: String = "Accumulative",
     filePattern: String = "d03_RAINNC_{system}.nc",
     waitReadyMs: Long = 0L,
-    packagedRfields: Boolean = false) {
+    packagedRfields: Boolean = false,
+    domains: Seq[DomainConfig] = Seq.empty) {
 
   require(systems.nonEmpty, "config needs at least one wrf system")
+  require(domains.map(_.name).distinct.size == domains.size,
+    s"domain names must be distinct: ${domains.map(_.name)}")
 
   /** reference: `source_name = "{model}_{system}"` (wrf_data_pusher.py:287). */
   def sourceName(system: String): String = s"${model}_$system"
 
-  def ncPath(system: String): String =
-    s"$ncDir/${filePattern.replace("{system}", system)}"
+  def ncPath(system: String): String = ncPath(filePattern, system)
+
+  def ncPath(pattern: String, system: String): String =
+    s"$ncDir/${pattern.replace("{system}", system)}"
+
+  /** The domain list the run actually processes: configured domains,
+    * or the implicit single legacy domain (empty name = outputs at
+    * the un-suffixed legacy paths). */
+  def runDomains: Seq[DomainConfig] =
+    if (domains.nonEmpty) domains
+    else Seq(DomainConfig("", filePattern, None))
 }
+
+/** One rfield domain of a run: `name` keys the output directory
+  * (`outDir/rfields/<name>`), `filePattern` its per-system netCDF
+  * name, `bbox` an optional `(lonMin, latMin, lonMax, latMax)` cut
+  * (the reference's extent order, gen_rfields.py:18-19) — the Kelani
+  * basin is d03's pattern + a bbox, so cut domains re-use the parsed
+  * grid instead of re-reading files. */
+final case class DomainConfig(
+    name: String, filePattern: String,
+    bbox: Option[(Double, Double, Double, Double)] = None)
 
 object PipelineConfig {
 
@@ -112,6 +145,39 @@ object PipelineConfig {
         require(s == "true" || s == "false",
           s"$path: packaged_rfields must be true/false, got '$s'")
         s.toBoolean
-      })
+      },
+      // domains: [{"name": "d03", "file_pattern": "d03_RAINNC_{system}.nc",
+      //            "bbox": [79.6, 6.6, 81.0, 7.4]}, ...] — bbox in the
+      // reference's extent order (lon_min, lat_min, lon_max, lat_max)
+      domains =
+        if (!node.hasNonNull("domains")) Seq.empty
+        else {
+          val n = node.get("domains")
+          require(n.isArray, s"$path: domains must be an array")
+          val it = n.elements()
+          val b = Seq.newBuilder[DomainConfig]
+          while (it.hasNext) {
+            val e = it.next()
+            require(e.isObject, s"$path: each domain must be an object")
+            require(e.hasNonNull("name") && e.get("name").isValueNode &&
+              e.get("name").asText().nonEmpty,
+              s"$path: domain needs a non-empty scalar 'name'")
+            require(e.hasNonNull("file_pattern") && e.get("file_pattern").isValueNode,
+              s"$path: domain '${e.get("name").asText()}' needs file_pattern")
+            val bbox =
+              if (!e.hasNonNull("bbox")) None
+              else {
+                val bb = e.get("bbox")
+                require(bb.isArray && bb.size() == 4 &&
+                  (0 until 4).forall(i => bb.get(i).isNumber),
+                  s"$path: bbox must be [lonMin, latMin, lonMax, latMax]")
+                Some((bb.get(0).asDouble(), bb.get(1).asDouble(),
+                  bb.get(2).asDouble(), bb.get(3).asDouble()))
+              }
+            b += DomainConfig(e.get("name").asText(),
+              e.get("file_pattern").asText(), bbox)
+          }
+          b.result()
+        })
   }
 }

@@ -45,6 +45,82 @@ class PipelineConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("no files matching"))
   }
 
+  test("multi-domain run: d03 + basin bbox cut + d01 each emit rfields and bundles") {
+    val dir = Files.createTempDirectory("graft_dom").toString
+    val systems = Seq("A", "C")
+    // d03: fine 3×4 grid (the generator's default pattern)
+    Pipeline.generateSyntheticRun(dir, ny = 3, nx = 4, nt = 5, systems = systems)
+    // d01: coarse 2×2 grid per system, same run
+    for ((sysName, k) <- systems.zipWithIndex) {
+      val values = Array.tabulate(5 * 4)(i => (1.0f + k) * (i / 4) * (i % 3))
+      graft.sources.NetCdfClassicWriter.writeWrfGrid(
+        s"$dir/d01_RAINNC_$sysName.nc",
+        Array(4.0f, 6.0f), Array(78.0f, 80.0f),
+        Array.tabulate(5)(t => 60.0f * t), "2020-01-01 00:00:00",
+        "RAINNC", values)
+    }
+    // basin = d03's files + a bbox keeping only lon ∈ [79.0, 79.031],
+    // i.e. the first 2 of 4 columns → 6 of 12 cells
+    val cfg = PipelineConfig(ncDir = dir, outDir = s"$dir/out",
+      systems = systems, packagedRfields = true,
+      domains = Seq(
+        DomainConfig("d03", "d03_RAINNC_{system}.nc"),
+        DomainConfig("basin", "d03_RAINNC_{system}.nc",
+          bbox = Some((79.0, 4.9, 79.031, 5.2))),
+        DomainConfig("d01", "d01_RAINNC_{system}.nc")))
+    val res = Pipeline.run(spark, cfg)
+    // series path runs on the PRIMARY domain only (reference pushes d03)
+    assert(res.stations === 12L && res.seriesRows === 2L * 4L * 12L)
+    // every domain emitted per-timestep rfields (t= partition dirs)
+    def stepCount(p: String) =
+      Option(new java.io.File(p).list()).getOrElse(Array.empty)
+        .count(_.startsWith("t="))
+    assert(stepCount(s"$dir/out/rfields/d03") === 4)   // nt-1 steps
+    assert(stepCount(s"$dir/out/rfields/basin") === 4)
+    assert(stepCount(s"$dir/out/rfields/d01") === 4)
+    // the bbox cut: basin xy.csv holds 6 cells vs d03's 12; d01's own
+    // coarse grid holds 4 — and BOTH packaged bundle trees exist per
+    // system (the r8 verdict's two-domain packaged ask)
+    for (sysName <- systems) {
+      def xyLines(dom: String) = Files.readAllLines(java.nio.file.Paths
+        .get(s"$dir/out/rfields_packaged/$dom/$sysName", "xy.csv")).size
+      assert(xyLines("d03") === 12)
+      assert(xyLines("basin") === 6)
+      assert(xyLines("d01") === 4)
+      assert(new java.io.File(
+        s"$dir/out/rfields_packaged/d01/$sysName.zip").exists())
+      assert(new java.io.File(
+        s"$dir/out/rfields_packaged/d03/$sysName.zip").exists())
+    }
+    // legacy single-domain configs keep their exact output layout
+    assert(PipelineConfig(ncDir = dir, outDir = "/o").runDomains
+      === Seq(DomainConfig("", "d03_RAINNC_{system}.nc", None)))
+  }
+
+  test("fromJson parses a domains list with bbox in reference extent order") {
+    val dir = Files.createTempDirectory("graft_cfg")
+    val p = dir.resolve("run.json")
+    Files.write(p,
+      """{"nc_dir": "/n", "out_dir": "/o",
+        | "domains": [
+        |   {"name": "d03", "file_pattern": "d03_RAINNC_{system}.nc"},
+        |   {"name": "kelani", "file_pattern": "d03_RAINNC_{system}.nc",
+        |    "bbox": [79.6, 6.6, 81.0, 7.4]},
+        |   {"name": "d01", "file_pattern": "d01_RAINNC_{system}.nc"}
+        |]}""".stripMargin.getBytes)
+    val cfg = PipelineConfig.fromJson(p.toString)
+    assert(cfg.domains.map(_.name) === Seq("d03", "kelani", "d01"))
+    assert(cfg.domains(1).bbox === Some((79.6, 6.6, 81.0, 7.4)))
+    assert(cfg.ncPath(cfg.domains(2).filePattern, "A") === "/n/d01_RAINNC_A.nc")
+    // malformed bbox fails loud, not quiet-default
+    Files.write(p,
+      """{"nc_dir": "/n", "out_dir": "/o",
+        | "domains": [{"name": "x", "file_pattern": "p", "bbox": [1, 2]}]}"""
+        .stripMargin.getBytes)
+    val e = intercept[IllegalArgumentException](PipelineConfig.fromJson(p.toString))
+    assert(e.getMessage.contains("bbox"))
+  }
+
   test("one config-driven invocation processes all systems; per-system counts sum to total") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val systems = Seq("A", "C", "E", "SE")
