@@ -58,14 +58,18 @@ object Bench {
     // round's bench line (the serve/pipeline benches already drop
     // failed entries); shared timeNoop so the timing bracket can't
     // drift between the catalog loop and the serve bench
+    // sorted-name order: catalog Map iteration is hash-arbitrary, and
+    // entries that share a memo (bpe_train/bpe_encode) would otherwise
+    // split their cost by whichever happened to run first — sorted
+    // order makes every entry's number reproducible run-over-run
     def runAll(dir: String, record: Boolean): Map[String, Double] =
-      SparkEntry.queries.flatMap { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         try Some(name -> timeNoop(() => fn(spark, dir)))
         catch { case scala.util.control.NonFatal(e) =>
           if (record) System.err.println(s"[bench] $name FAILED, no entry: ${e.getMessage}")
           None
         }
-      }
+      }.toMap
 
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001"))

@@ -76,14 +76,23 @@ object SparkEntry {
     * the Spark percentile() aggregates stay in lockstep. */
   private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.95)
 
-  /** F21: merges trained for the bpe_train/bpe_encode entries —
-    * shared via Bpe.trainCached so the iteration loop runs once per
-    * (dir, n) per JVM however many entries compose it. */
+  /** F21: merges trained for the bpe_train/bpe_encode entries.
+    * bpe_encode composes via Bpe.trainCached (trains only on a cold
+    * memo); bpe_train ALWAYS re-pays the loop (trainSeedingCache) so
+    * its bench number is the training cost by construction — the two
+    * run in sorted-name order (encode first), making both numbers
+    * deterministic. */
   private val BpeMerges = 48
 
   /** F22: the demo blocklist — tokens that occur in the synthetic
     * corpus, so both branches of the keep flag are exercised. */
   private val BlockWords = Seq("slow", "dup", "spam")
+
+  /** The F14 funnel's blocklist + quality threshold (see the
+    * corpus_prep_e2e entry comment for why they differ from the F22
+    * demo list / library default). Mirrored into funnelCtes. */
+  private val FunnelBlockWords = Seq("spam")
+  private val FunnelMinQuality = 0.45
 
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
@@ -346,6 +355,23 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) =>                                    // rows-only
       Similarity.semanticDedup(emb(s, d), 0.45, nlist = 8, assign = 2)),
 
+    // D6-for-embeddings, exact flavor: the per-corpus survivor set
+    // from D5's ground-truth pairs — hash-green, and the baseline the
+    // semantic flavor's recall gate joins against
+    "dedup_embedding_survivors" -> ((s, d) =>
+      Dedup.embeddingSurvivors(emb(s, d),
+        Dedup.embeddingCosine(emb(s, d), 0.45))),
+
+    // D10's DEPLOY contract (rows-only, recall-gated): survivors from
+    // the clustered pair finder — O(n) output however clustered the
+    // corpus (the pair list went ~quadratic at sf1 by contract; this
+    // is what a production run materializes). D10 pairs are a SUBSET
+    // of D5's (precision 1.0, spec-asserted), so this survivor set ⊇
+    // the exact one and the recall gate pins that containment at 1.0
+    "dedup_semantic_survivors" -> ((s, d) =>
+      Dedup.embeddingSurvivors(emb(s, d),
+        Similarity.semanticDedup(emb(s, d), 0.45, nlist = 8, assign = 2))),
+
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))
         .select(col("doc_id"), col("lang"), col("source"))),
@@ -559,13 +585,20 @@ object SparkEntry {
     // tie-break); rows-only with an EXACT-count gate (= nMerges —
     // BpeSpec pins the canonical Sennrich merges; no SQL mirror for
     // an iterative argmax loop)
+    // bpe_train ALWAYS pays the full training loop (seeding the memo
+    // for its encode sibling), so its bench number is the training
+    // cost deterministically — never a function of catalog iteration
+    // order (the r8 advice's attribution nit; Bench/Verify also run
+    // entries in sorted-name order now)
     "bpe_train" -> ((s, d) =>
-      Bpe.mergeTable(s, Bpe.trainCached(d, docs(s, d), BpeMerges))),
+      Bpe.mergeTable(s, Bpe.trainSeedingCache(d, docs(s, d), BpeMerges))),
 
     // F21b: encode the corpus with the learned merges — the batch's
     // distinct words encode once through the fused merge-list scan;
     // rows-only, exact-count gate = nDocs (losslessness + greedy
-    // semantics are spec-pinned)
+    // semantics are spec-pinned). Runs before bpe_train in sorted
+    // order with a cold memo each bench rep, so its number is
+    // train+encode COMPOSED — deterministic, documented here
     "bpe_encode" -> ((s, d) =>
       Bpe.encode(docs(s, d),
         Bpe.trainCached(d, docs(s, d), BpeMerges).map(t => (t._1, t._2)))),
@@ -588,12 +621,27 @@ object SparkEntry {
     "corpus_sample_exact" -> ((s, d) =>
       Corpus.sampleExact(docs(s, d), "lang", TakeN)),
 
-    // F14: the whole prep job (quality gate → exact dedup → near-dup
-    // survivors → packed sequences) as one benched composition; every
-    // stage is oracled/spec'd on its own, the e2e entry pins that the
-    // stages COMPOSE (and gives the driver one headline prep number)
+    // F14: the whole prep job as one benched composition — since r9
+    // the FULL modern funnel (bench holdout → lang-id → quality →
+    // blocklist → PII redact → exact dedup → near-dup survivors →
+    // Bloom decontamination → packed sequences); every stage is
+    // oracled/spec'd on its own, the e2e entry pins that the stages
+    // COMPOSE (and gives the driver one headline prep number).
+    // Params picked so the gates genuinely ENGAGE on the verify
+    // corpora (the ledger shows real drops, not no-ops): quality at
+    // 0.45 cuts the low tail (~6%); the blocklist is FunnelBlockWords
+    // — BlockWords minus 'slow' (df ≈ 0.8 — would drop most of the
+    // synthetic corpus) and minus 'dup' (the corpus' planted near-dup
+    // marker — blocklisting it would starve stage 7 of its signal)
     "corpus_prep_e2e" -> ((s, d) =>
-      Corpus.prepPipeline(docs(s, d))),
+      Corpus.prepFunnel(docs(s, d), col("doc_id") % 97 === 0,
+        FunnelBlockWords, minQuality = FunnelMinQuality)),
+
+    // F14's audit artifact: per-stage surviving-row ledger for the
+    // same funnel — the drop accounting a production prep publishes
+    "corpus_prep_ledger" -> ((s, d) =>
+      Corpus.prepFunnelLedger(docs(s, d), col("doc_id") % 97 === 0,
+        FunnelBlockWords, minQuality = FunnelMinQuality)),
 
     "text_compression_ratio" -> ((s, d) =>                            // rows-only
       TextAnalysis.compressionRatio(docs(s, d))),
@@ -754,7 +802,13 @@ object SparkEntry {
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
-    "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)))
+    "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)),
+    // containment gate, not a recall trade-off: D10 pairs ⊆ D5 pairs
+    // (precision 1.0) ⟹ semantic survivors ⊇ exact survivors ⟹ the
+    // measured value is exactly 1.0 — any dip means the clustered
+    // finder emitted a FALSE pair (a precision regression, the one
+    // failure mode the pair-recall gates above cannot see)
+    "dedup_semantic_survivors" -> (("dedup_embedding_survivors", 1.0)))
 
   // ---- DuckDB mirrors ---------------------------------------------------
 
@@ -766,6 +820,123 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+  /** The F14 funnel's shared CTE chain (corpus_prep_e2e +
+    * corpus_prep_ledger): every stage copied verbatim from its own
+    * hash-green mirror, chained in funnel order. CTE names are the
+    * ledger's stage handles — keep them in lockstep with
+    * [[graft.operators.Corpus.funnelStages]]. */
+  private def funnelCtes: String = {
+    val bl = FunnelBlockWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE NOT coalesce(doc_id % 97 = 0, FALSE)),
+       |lh AS (
+       |  SELECT doc_id, lang, text,
+       |    coalesce(len(list_filter($TOKS, x -> x IN ('the','a','of','and','to','in','is'))), 0) AS hits_en,
+       |    coalesce(len(list_filter($TOKS, x -> x IN ('der','die','das','und','ist','ein'))), 0) AS hits_de,
+       |    coalesce(len(list_filter($TOKS, x -> x IN ('el','la','de','que','y','es'))), 0) AS hits_es,
+       |    coalesce(len(list_filter($TOKS, x -> x IN ('le','la','les','et','est','un'))), 0) AS hits_fr,
+       |    coalesce(len(list_filter($TOKS, x -> x IN ('de','shi','le','bu','wo'))), 0) AS hits_zh
+       |  FROM corpus),
+       |lk AS (
+       |  SELECT doc_id, lang, text FROM lh
+       |  WHERE (CASE
+       |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+       |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+       |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+       |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+       |    ELSE 'zh' END) = 'en'),
+       |qb AS (
+       |  SELECT doc_id, lang, text, length(text) AS n_chars_c,
+       |    len($TOKS) AS wc,
+       |    len(list_filter($TOKS,
+       |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+       |  FROM lk),
+       |qk AS (
+       |  SELECT doc_id, lang, text FROM qb
+       |  WHERE (CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+       |           0.3 * least(1.0, wc / 120.0) +
+       |           0.3 * (stop_hits / wc) +
+       |           0.2 * (1.0 - digit_chars / n_chars_c) +
+       |           0.2 * (1.0 - punct_chars / n_chars_c)
+       |         ELSE 0.0 END) >= $FunnelMinQuality),
+       |bk AS (
+       |  SELECT doc_id, lang, text FROM qk
+       |  WHERE coalesce(len(list_filter($TOKS, x -> list_contains($bl, x))), 0) = 0),
+       |p1 AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(text,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |           '[EMAIL]', 'g') AS t1
+       |  FROM bk),
+       |p2 AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(t1, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+       |           '[IP]', 'g') AS t2
+       |  FROM p1),
+       |pk AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(t2, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+       |           '[PHONE]', 'g') AS text
+       |  FROM p2),
+       |ek AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM pk) WHERE rn = 1),
+       |g0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM (SELECT doc_id, $TOKS AS t FROM ek)),
+       |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
+       |g AS (SELECT g0.doc_id, g0.gram
+       |      FROM g0 JOIN dfs USING (gram) WHERE df <= 10000),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dups AS (
+       |  SELECT DISTINCT doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+       |surv AS (
+       |  SELECT doc_id, lang, text FROM ek d
+       |  WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_b = d.doc_id)),
+       |bg AS (
+       |  SELECT DISTINCT doc_id AS bench_id,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM (SELECT doc_id, $TOKS AS t FROM documents
+       |        WHERE coalesce(doc_id % 97 = 0, FALSE))),
+       |cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM (SELECT doc_id, $TOKS AS t FROM surv)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT cg.doc_id, bg.bench_id FROM cg JOIN bg USING (gram)
+       |    GROUP BY 1, 2 HAVING count(*) >= 3)),
+       |clean AS (
+       |  SELECT s.doc_id, s.lang, s.text FROM surv s
+       |  WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = s.doc_id)),
+       |packt AS (
+       |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
+       |  FROM clean),
+       |packc AS (
+       |  SELECT doc_id, lang, ws_tokens,
+       |    CAST(coalesce(sum(ws_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM packt)""".stripMargin
+  }
+
   /** DuckDB mirror of Timeseries.tmsEnc — the injective
     * `v<len>:<chars>` / `n:` tuple encoding behind tms_id. Edit in
     * lockstep with the Spark expression. */
@@ -1556,6 +1727,19 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.45""".stripMargin,
 
+    // D6-for-embeddings: every vec_id minus the exact pair set's
+    // dropped (higher-id) side; zero-norm vectors never pair → survive
+    "dedup_embedding_survivors" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                  CAST(embedding AS DOUBLE[])) > 0),
+         |p AS (
+         |  SELECT b.vec_id AS vec_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round($COS, 6) >= 0.45)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_b FROM p)""".stripMargin,
+
     // E4: one Lloyd step. Seed = smallest-md5 sample (engine-portable);
     // assignment argmin on 6dp-rounded cosine + c_id tie-break; update
     // mean = DECIMAL sum of 6dp-rounded elements (order-independent; a
@@ -1858,67 +2042,39 @@ object SparkEntry {
          |  FROM documents)
          |WHERE rnk <= $TakeN""".stripMargin,
 
-    // F14: each stage verbatim from its own hash-green mirror (F2
-    // quality CASE, D1 keep-lowest-id, D3b capped grams at the e2e
-    // defaults tau=0.5 / maxDf=10000, D6 NOT EXISTS, F7 window pack)
-    // — the composition is what this oracle pins
+    // F14: the full funnel, each stage verbatim from its own
+    // hash-green mirror (bench holdout coalesce, F1 lang CASE, F2
+    // quality CASE, F22 blocklist, F11 staged PII regexes, D1
+    // keep-lowest-id, D3b capped grams at tau=0.5 / maxDf=10000, D6
+    // NOT EXISTS, D9 gram-overlap decontam, F7 window pack) — the
+    // composition is what this oracle pins. The Bloom pre-cut is
+    // exact-equivalent to the plain join (false positives re-checked,
+    // no false negatives), so D9c mirrors as the join.
     "corpus_prep_e2e" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, lang, text, length(text) AS n_chars_c,
-         |    len($TOKS) AS wc,
-         |    len(list_filter($TOKS,
-         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
-         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
-         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
-         |  FROM documents),
-         |kept AS (
-         |  SELECT doc_id, lang, text FROM b
-         |  WHERE (CASE WHEN wc > 0 AND n_chars_c > 0 THEN
-         |           0.3 * least(1.0, wc / 120.0) +
-         |           0.3 * (stop_hits / wc) +
-         |           0.2 * (1.0 - digit_chars / n_chars_c) +
-         |           0.2 * (1.0 - punct_chars / n_chars_c)
-         |         ELSE 0.0 END) >= 0.2),
-         |ek AS (
-         |  SELECT doc_id, lang, text FROM (
-         |    SELECT doc_id, lang, text,
-         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM kept) WHERE rn = 1),
-         |g0 AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
-         |  FROM (SELECT doc_id, $TOKS AS t FROM ek)),
-         |dfs AS (SELECT gram, count(*) AS df FROM g0 GROUP BY 1),
-         |g AS (SELECT g0.doc_id, g0.gram
-         |      FROM g0 JOIN dfs USING (gram) WHERE df <= 10000),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |dups AS (
-         |  SELECT DISTINCT doc_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE inter / (sa.n + sb.n - inter) >= 0.5),
-         |surv AS (
-         |  SELECT doc_id, lang, text FROM ek d
-         |  WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_b = d.doc_id)),
-         |t AS (
-         |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
-         |  FROM surv),
-         |c AS (
-         |  SELECT doc_id, lang, ws_tokens,
-         |    CAST(coalesce(sum(ws_tokens) OVER (
-         |      PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS tok_offset
-         |  FROM t)
+      s"""WITH $funnelCtes
          |SELECT doc_id, lang, ws_tokens,
          |       tok_offset // 2048 AS seq_id,
          |       tok_offset % 2048 AS seq_offset
-         |FROM c""".stripMargin,
+         |FROM packc""".stripMargin,
+
+    // F14 ledger: surviving-doc counts per funnel stage, from the
+    // SAME CTE chain (pii_redact and pack pinned 1:1 by equality
+    // with their upstream counts)
+    "corpus_prep_ledger" ->
+      s"""WITH $funnelCtes
+         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_docs
+         |FROM (
+         |  SELECT 0 AS stage_idx, 'input' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'bench_holdout', (SELECT count(*) FROM corpus)
+         |  UNION ALL SELECT 2, 'lang_id',       (SELECT count(*) FROM lk)
+         |  UNION ALL SELECT 3, 'quality',       (SELECT count(*) FROM qk)
+         |  UNION ALL SELECT 4, 'blocklist',     (SELECT count(*) FROM bk)
+         |  UNION ALL SELECT 5, 'pii_redact',    (SELECT count(*) FROM pk)
+         |  UNION ALL SELECT 6, 'exact_dedup',   (SELECT count(*) FROM ek)
+         |  UNION ALL SELECT 7, 'near_dedup',    (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 8, 'decontam',      (SELECT count(*) FROM clean)
+         |  UNION ALL SELECT 9, 'pack',          (SELECT count(*) FROM packc))""".stripMargin,
 
     "corpus_pack_sequences" ->
       s"""WITH t AS (

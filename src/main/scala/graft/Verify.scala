@@ -95,8 +95,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val counts = scala.collection.mutable.Map.empty[String, Long]
     val queryFails = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sorted-name order for the same reproducibility reason as Bench:
+    // memo-sharing entries must split their cost deterministically
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter(kv => names.contains(kv._1)))
+      .toSeq.sortBy(_._1)
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -422,6 +422,139 @@ object Corpus {
         col(s"__s.$strataCol").as(strataCol), col("__s.text").as("text"))
     val pairs = Dedup.ngramJaccard(exactKept, tau, maxDf = maxDf)
     packSequences(Dedup.survivors(exactKept, pairs), strataCol, budgetTokens)
+  }
+
+  /** The FULL modern prep funnel (C4 / Dolma class) — [[prepPipeline]]
+    * extended with the four hygiene stages every production corpus
+    * prep also runs, in pipeline order:
+    *
+    *   1. bench holdout — eval-benchmark rows (`isBenchmark`) leave
+    *      the training stream entirely (they only feed stage 8);
+    *   2. language gate — F1's stopword-argmax label; keep
+    *      `pred_lang = keepLang` (C4 keeps English; Raffel et al.
+    *      2020 §2.2);
+    *   3. quality gate — F2's score ≥ `minQuality` (nulls exit here);
+    *   4. blocklist — F22: any blocklisted token occurrence drops the
+    *      doc (C4's "bad words" filter);
+    *   5. PII redaction — F11's staged email→IP→phone masking,
+    *      1:1 (redacts, never drops). Runs BEFORE the dedup hashes so
+    *      docs differing only in volatile PII spans dedup together;
+    *   6. exact dedup — D1 keep-lowest-id per content hash (of the
+    *      REDACTED text);
+    *   7. near-dup dedup — D3b df-capped gram-Jaccard at `tau`, D6
+    *      survivors;
+    *   8. decontamination — D9c's Bloom-pre-cut gram overlap against
+    *      the held-out benchmark docs (RAW bench text): any survivor
+    *      sharing ≥ `minShared` grams with any bench doc drops;
+    *   9. packing — F7 into `budgetTokens` sequences per stratum.
+    *
+    * Every stage is individually oracled/spec'd in the catalog; this
+    * composition is `corpus_prep_e2e` (one benched headline number)
+    * and [[prepFunnelLedger]] is its per-stage row accounting.
+    *
+    * Shuffle ledger at 100 TB, beyond [[prepPipeline]]'s: stages 1–5
+    * are all scan-fused per-row expression work — the funnel reaches
+    * its first exchange at exact dedup with the corpus already
+    * filtered; decontamination adds D9c's Bloom-guarded equi-join
+    * (bench grams ≪ corpus, sketch ships as plan bytes). */
+  def prepFunnel(docs: DataFrame, isBenchmark: Column,
+                 blocklist: Seq[String], keepLang: String = "en",
+                 minQuality: Double = 0.2, strataCol: String = "lang",
+                 budgetTokens: Int = 2048, tau: Double = 0.5,
+                 maxDf: Long = 10000L, minShared: Int = 3): DataFrame =
+    funnelStages(docs, isBenchmark, blocklist, keepLang, minQuality,
+      strataCol, budgetTokens, tau, maxDf, minShared).last._2
+
+  /** [[prepFunnel]]'s stage-by-stage row ledger: one row per stage,
+    * `(stage_idx, stage, n_docs)` = documents still alive AFTER that
+    * stage. The audit artifact a production funnel publishes with
+    * every run — "we dropped 4% at quality, 11% at near-dup" — and
+    * the regression tripwire: a stage silently emptying (bad regex,
+    * empty blocklist broadcast) moves its count to 0 while the final
+    * output may still look plausible. Identical 1:1 counts pin the
+    * redaction and packing stages as non-dropping.
+    *
+    * Cost shape: each stage count re-declares the prefix plan, but
+    * the expensive exchanges (exact-dedup aggregate, gram joins) are
+    * IDENTICAL subtrees across branches, so ReuseExchange collapses
+    * them at runtime — the ledger costs ~one funnel pass, not
+    * O(stages) passes. */
+  def prepFunnelLedger(docs: DataFrame, isBenchmark: Column,
+                       blocklist: Seq[String], keepLang: String = "en",
+                       minQuality: Double = 0.2, strataCol: String = "lang",
+                       budgetTokens: Int = 2048, tau: Double = 0.5,
+                       maxDf: Long = 10000L, minShared: Int = 3): DataFrame =
+    funnelStages(docs, isBenchmark, blocklist, keepLang, minQuality,
+      strataCol, budgetTokens, tau, maxDf, minShared)
+      .zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_))
+
+  /** The funnel's stage list: `(stage name, frame of rows alive after
+    * the stage)`, last = packed sequences. Single source for
+    * [[prepFunnel]] and [[prepFunnelLedger]]. */
+  private def funnelStages(docs: DataFrame, isBenchmark: Column,
+                           blocklist: Seq[String], keepLang: String,
+                           minQuality: Double, strataCol: String,
+                           budgetTokens: Int, tau: Double,
+                           maxDf: Long, minShared: Int): Seq[(String, DataFrame)] = {
+    require(minQuality > 0.0,
+      s"minQuality=$minQuality must be positive: the quality gate is " +
+        "what drops null/empty-text docs (score 0.0) before dedup")
+    // coalesce: a NULL bench flag means "corpus doc" on the holdout
+    // side but "check it" inside D9c (its own documented coalesce) —
+    // both reads keep the doc in play, never silently drop it
+    val bench = coalesce(isBenchmark, lit(false))
+    val corpus = docs.filter(!bench)
+    val langKept = TextAnalysis.withLangPred(corpus)
+      .filter(col("pred_lang") === keepLang)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val qualKept = TextAnalysis
+      .qualityScore(langKept, passthrough = Seq(strataCol, "text"))
+      .filter(col("score") >= minQuality)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val blockKept = qualKept
+      .filter(TextAnalysis.blocklistHits(blocklist) === 0)
+    val redacted = TextAnalysis
+      .piiRedact(blockKept, passthrough = Seq(strataCol))
+      .select(col("doc_id"), col(strataCol),
+        col("text_clean").as("text"))
+    // D1 spelled as min_by inside the SAME hash aggregate (the
+    // prepPipeline rationale: survivor's stratum+text ride along, no
+    // corpus-sized join back against a keep-list)
+    val exactKept = redacted
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col(strataCol), col("text")),
+        col("doc_id")).as("__s"))
+      .select(col("__s.doc_id").as("doc_id"),
+        col(s"__s.$strataCol").as(strataCol), col("__s.text").as("text"))
+    val surv = Dedup.survivors(exactKept,
+      Dedup.ngramJaccard(exactKept, tau, maxDf = maxDf))
+      .select(col("doc_id"), col(strataCol), col("text"))
+    // decontamination: survivors (redacted text) vs the held-out
+    // bench docs (RAW text — eval sets are not redacted); disjoint
+    // id spaces by construction (bench left at stage 1)
+    val benchDocs = docs.filter(bench)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val contaminated = Dedup.contaminationBloom(
+        surv.withColumn("__bench", lit(false))
+          .unionByName(benchDocs.withColumn("__bench", lit(true))),
+        col("__bench"), minShared = minShared)
+      .select(col("doc_id")).distinct()
+    val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq(
+      "input"         -> docs,
+      "bench_holdout" -> corpus,
+      "lang_id"       -> langKept,
+      "quality"       -> qualKept,
+      "blocklist"     -> blockKept,
+      "pii_redact"    -> redacted,
+      "exact_dedup"   -> exactKept,
+      "near_dedup"    -> surv,
+      "decontam"      -> clean,
+      "pack"          -> packSequences(clean, strataCol, budgetTokens))
   }
 
   /** F15: temperature-scaled mixing plan — the standard multilingual

@@ -24,10 +24,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
-  /** F1: language-ID — stopword-hit counts per language, argmax with
-    * deterministic list-order tie-break (chained CASE, not greatest(),
-    * so the oracle mirrors it trivially). */
-  def langId(docs: DataFrame): DataFrame = {
+  /** Shared F1 internals: append per-language stopword-hit columns
+    * (`hits_<lang>`) plus `pred_lang` to `docs`, leaving a temp
+    * `toks` column behind — [[langId]] keeps the hits (its output
+    * contract), [[withLangPred]] drops everything but the label.
+    * One spelling so the catalog entry and the funnel's language
+    * gate can never diverge on tie-break semantics. */
+  private def withHitsAndPred(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     // coalesce: NULL text must behave like EMPTY text (all hits 0 →
     // the documented first-list-entry tie-break → 'en'); un-coalesced
@@ -47,11 +50,23 @@ object TextAnalysis {
         .reduce(_ && _)
       when(geAll, lit(lang)).otherwise(elsePart)
     }
-    withHits
-      .withColumn("pred_lang", pred)
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** F1: language-ID — stopword-hit counts per language, argmax with
+    * deterministic list-order tie-break (chained CASE, not greatest(),
+    * so the oracle mirrors it trivially). */
+  def langId(docs: DataFrame): DataFrame =
+    withHitsAndPred(docs)
       .select(Seq(col("doc_id")) ++
         stopwords.map { case (l, _) => col(s"hits_$l") } :+ col("pred_lang"): _*)
-  }
+
+  /** F1 as an annotation: `docs` + one `pred_lang` column (hit
+    * columns dropped) — the funnel's language gate, which needs the
+    * label on the full row, not the per-language diagnostics. */
+  def withLangPred(docs: DataFrame): DataFrame =
+    withHitsAndPred(docs)
+      .drop((Seq("toks") ++ stopwords.map { case (l, _) => s"hits_$l" }): _*)
 
   /** F2: quality score — length / stopword / digit / punctuation
     * signals combined into one [0,1] score. Exact expression order is
@@ -140,7 +155,7 @@ object TextAnalysis {
     * of the F-block. The patterns are deliberately conservative
     * (precision over recall — a redaction pass must not shred clean
     * text); swap in stricter ones per deployment policy. */
-  def piiRedact(docs: DataFrame): DataFrame = {
+  def piiRedact(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val t1 = regexp_replace(col("text"), emailPattern, "[EMAIL]")
     docs
       .withColumn("n_emails", regexp_count(col("text"), lit(emailPattern)))
@@ -149,7 +164,8 @@ object TextAnalysis {
       .withColumn("t2", regexp_replace(col("t1"), ipv4Pattern, "[IP]"))
       .withColumn("n_phones", regexp_count(col("t2"), lit(phonePattern)))
       .withColumn("text_clean", regexp_replace(col("t2"), phonePattern, "[PHONE]"))
-      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+      .select((Seq("doc_id") ++ passthrough ++
+        Seq("n_emails", "n_ips", "n_phones", "text_clean")).map(col): _*)
   }
 
   /** F10: compression-ratio quality signal (rows-only) — deflate size
@@ -397,11 +413,17 @@ object TextAnalysis {
     * report what it dropped and why. */
   def blocklistFilter(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    val hits = coalesce(stopwordHits(tokens(col("text")), blocklist), lit(0))
+    val hits = blocklistHits(blocklist)
     docs.select(col("doc_id"),
       hits.cast("bigint").as("n_blocked"),
       (hits === 0).as("keep"))
   }
+
+  /** F22's occurrence count as a bare expression over `text` — shared
+    * with the funnel's blocklist gate (`keep` ⟺ hits = 0) so the
+    * catalog entry and the composed stage can't diverge. */
+  def blocklistHits(blocklist: Seq[String]): Column =
+    coalesce(stopwordHits(tokens(col("text")), blocklist), lit(0))
 
   // ── F19: Naive Bayes document classifier ─────────────────────────
 

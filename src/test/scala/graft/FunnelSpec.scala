@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+
+/** F14 full-funnel pins: a hand-built corpus where EVERY stage of
+  * [[Corpus.prepFunnel]] provably does its job — one doc dropped per
+  * gate, one exact-dup pair that only merges BECAUSE redaction runs
+  * before hashing, one near-dup pair, one benchmark-contaminated doc
+  * — and the per-stage ledger matches the hand count exactly. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the near-dup pair (from CorpusSpec's F14 premise): all grams
+  // shared but the final one → Jaccard 11/13 ≈ 0.846 ≥ 0.5
+  private val cleanDoc = "the quick brown fox jumps over the lazy dog " +
+    "and then the dog sleeps"
+  private val nearDoc = "the quick brown fox jumps over the lazy dog " +
+    "and then the dog barks"
+  // exact-dup pair AFTER redaction: identical except the email address
+  private val emailA = "contact alice@example.com about the fox and " +
+    "the dog in the morning of a day"
+  private val emailB = "contact bob.smith@test.org about the fox and " +
+    "the dog in the morning of a day"
+  // 6-token span shared doc8 ↔ bench100 → 4 shared 3-grams ≥ minShared 3
+  private val contaminated = "the answer is in the secret benchmark " +
+    "question is hidden here and the dog is of a fox"
+  private val benchDoc = "filler words here secret benchmark question " +
+    "is hidden here end"
+
+  private def corpus = Seq(
+    (1L, "le chat est un animal et les chiens est le chat", "en"), // pred 'fr' → lang gate
+    (2L, "4 8 15 16 23 42", "en"),                                 // digit junk → quality gate
+    (3L, "this badword text is about the fox and the dog in a tree of the forest", "en"),
+    (4L, emailA, "en"),
+    (5L, emailB, "en"),          // exact dup of 4 post-redaction → D1 keeps 4
+    (6L, cleanDoc, "en"),
+    (7L, nearDoc, "en"),         // near-dup pair (6,7) → D6 drops 7
+    (8L, contaminated, "en"),    // shares ≥3 grams with bench → decontam
+    (100L, benchDoc, "en")       // the held-out eval doc
+  ).toDF("doc_id", "text", "lang")
+
+  private val isBench = col("doc_id") === 100L
+  private val minQ = 0.3
+
+  test("funnel premises hold stage by stage (assert the setup, not just the outcome)") {
+    // lang: only doc 1 is non-English under F1's argmax
+    val preds = TextAnalysis.langId(corpus)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds(1L) === "fr")
+    assert(corpus.select("doc_id").as[Long].collect()
+      .filter(_ != 1L).forall(preds(_) === "en"))
+    // quality: only doc 2 falls under the gate (bench never scored)
+    val scores = TextAnalysis.qualityScore(corpus)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(scores(2L) < minQ)
+    assert(Seq(3L, 4L, 5L, 6L, 7L, 8L).forall(scores(_) >= minQ))
+    // redaction: A and B collapse to the same clean text
+    val red = TextAnalysis.piiRedact(corpus.filter(col("doc_id").isin(4L, 5L)))
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(red(4L) === red(5L) && red(4L).contains("[EMAIL]"))
+    // near-dup: (6,7) holds at tau 0.5; (4,5) is also a raw near-dup
+    // but merges at exact dedup first, so stage 7 only ever sees (6,7)
+    val pairs = Dedup.ngramJaccard(corpus.filter(!isBench), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((4L, 5L), (6L, 7L)))
+    // contamination: doc 8 shares ≥3 grams with the bench doc, others none
+    val contam = Dedup.contamination(corpus, isBench, minShared = 3)
+      .select("doc_id", "bench_id", "shared_grams")
+      .as[(Long, Long, Long)].collect()
+    assert(contam.map(c => (c._1, c._2)).toSet === Set((8L, 100L)))
+    assert(contam.head._3 >= 3L)
+  }
+
+  test("prepFunnelLedger: exact per-stage survivor counts; 1:1 stages pinned") {
+    val ledger = Corpus.prepFunnelLedger(corpus, isBench, Seq("badword"),
+        minQuality = minQ, budgetTokens = 16)
+      .orderBy("stage_idx")
+      .select("stage_idx", "stage", "n_docs")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(ledger === Seq(
+      (0, "input", 9L),
+      (1, "bench_holdout", 8L),  // bench 100 held out
+      (2, "lang_id", 7L),        // 1 (French) gated
+      (3, "quality", 6L),        // 2 (digit junk) gated
+      (4, "blocklist", 5L),      // 3 ('badword') gated
+      (5, "pii_redact", 5L),     // 1:1 — redacts, never drops
+      (6, "exact_dedup", 4L),    // 5 merges into 4 (post-redaction hash)
+      (7, "near_dedup", 3L),     // 7 drops (near-dup of 6)
+      (8, "decontam", 2L),       // 8 drops (bench overlap)
+      (9, "pack", 2L)))          // 1:1 — one packed row per doc
+  }
+
+  test("prepFunnel: survivors packed; exact-dedup merged on the REDACTED hash") {
+    val out = Corpus.prepFunnel(corpus, isBench, Seq("badword"),
+        minQuality = minQ, budgetTokens = 16)
+      .select("doc_id", "lang", "ws_tokens", "seq_id", "seq_offset")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 4 survives ONLY because 4/5 hash equal after [EMAIL] masking
+    // (raw texts differ); its redacted text is 14 tokens, as is doc 6's
+    assert(out === Seq(
+      (4L, "en", 14L, 0L, 0L),
+      (6L, "en", 14L, 0L, 14L)))
+  }
+
+  test("prepFunnel on the verify corpus: output = ledger's pack count, ledger monotone") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = col("doc_id") % 97 === 0
+    val ledger = Corpus.prepFunnelLedger(docs, bench, Seq("spam"), minQuality = 0.45)
+      .orderBy("stage_idx").select("stage", "n_docs")
+      .as[(String, Long)].collect().toSeq
+    val counts = ledger.map(_._2)
+    // non-increasing through the drop stages; 1:1 at redact and pack
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(counts(5) === counts(4) && counts(9) === counts(8))
+    val out = Corpus.prepFunnel(docs, bench, Seq("spam"), minQuality = 0.45)
+    assert(out.count() === counts.last)
+  }
+}
