@@ -543,6 +543,12 @@ object SparkEntry {
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistFilter(docs(s, d), BlockWords)),
 
+    // F23: the Gopher rule filter — every signal + composite keep;
+    // minWords=30 on the verify corpora so rule 1 genuinely engages
+    // (the synthetic docs run ~20-120 words)
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d), minWords = 30L)),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -1590,6 +1596,57 @@ object SparkEntry {
          |    AS keep
          |FROM documents""".stripMargin
     },
+
+    // F23 mirror: each Gopher signal spelled from the same
+    // normalized-token / whitespace-word primitives, int/int ratios
+    // rounded at 6 dp on both engines, NULL text failing rule 1 at
+    // n_words 0 exactly like the Spark coalesces
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TOKS AS t,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w,
+         |    text FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(t), 0) AS BIGINT) AS n_words,
+         |    coalesce(len(array_to_string(t, '')), 0) AS tok_chars,
+         |    coalesce(len(w), 0) AS n_raw,
+         |    coalesce(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))), 0)
+         |      AS n_alpha,
+         |    CAST(coalesce(len(list_filter(t,
+         |        x -> x IN ('the','a','of','and','to','in','is'))), 0) AS INTEGER)
+         |      AS stop_hits,
+         |    CAST(coalesce(greatest(len(t) - 2, 0), 0) AS BIGINT) AS total_grams,
+         |    CAST(coalesce(len(list_distinct(list_transform(range(1, len(t) - 1),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))), 0) AS BIGINT)
+         |      AS distinct_grams,
+         |    CAST(coalesce(len(text) - len(regexp_replace(text, '#', '', 'g')), 0)
+         |       + coalesce(len(regexp_extract_all(text, '\\.\\.\\.')), 0) AS BIGINT)
+         |      AS n_symbols
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0
+         |         THEN round(CAST(tok_chars AS DOUBLE) / n_words, 6)
+         |         ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN n_raw > 0
+         |         THEN round(CAST(n_alpha AS DOUBLE) / n_raw, 6)
+         |         ELSE 0.0 END AS alpha_ratio,
+         |    stop_hits,
+         |    CASE WHEN total_grams > 0
+         |         THEN round(1.0 - distinct_grams / CAST(total_grams AS DOUBLE), 6)
+         |         ELSE 0.0 END AS rep_ratio,
+         |    CASE WHEN n_words > 0
+         |         THEN round(CAST(n_symbols AS DOUBLE) / n_words, 6)
+         |         ELSE 0.0 END AS symbol_ratio
+         |  FROM b)
+         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+         |  rep_ratio, symbol_ratio,
+         |  (n_words >= 30 AND n_words <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   alpha_ratio >= 0.8 AND stop_hits >= 2 AND
+         |   rep_ratio <= 0.3 AND symbol_ratio <= 0.1) AS keep
+         |FROM r""".stripMargin,
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
     // per-class ln prior both round to scale-4 integers, per-doc

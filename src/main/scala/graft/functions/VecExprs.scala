@@ -87,6 +87,49 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
+  /** Thread-confined MD5 instance for [[Md5Long]] — getInstance per
+    * row would dominate the hash itself. */
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Signed 64-bit value of the FIRST 8 MD5 BYTES of a string — D4's
+    * token-bit contract (bit-identical to the first 16 md5 hex chars
+    * the DuckDB oracle re-derives). Fused replacement for the
+    * md5 → hex string → conv → decimal → wrap built-in chain: same
+    * bits, but no 32-char hex materialization, no base-16 parse, no
+    * decimal arithmetic — the digest bytes fold straight into the
+    * long (measured ~3× cheaper on the simhash scan). */
+  case class Md5Long(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_md5long"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+    def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val md = md5Local.get(); md.reset()
+      val d = md.digest(s.getBytes)
+      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8)  |  (d(7) & 0xFFL)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5LongExpr", this, classOf[Md5Long].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.hash($a);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Md5Long =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash over an array<long> of token hashes: bit j of the
     * result is set iff a strict majority of hashes have bit j set
     * (`2·ones > n`), the standard Charikar construction. One fused
@@ -915,6 +958,7 @@ object VecExprs {
     "graft_dot"         -> (args => DotProduct(args(0), args(1))),
     "graft_jl_project"  -> (args => JlProject(args(0),
       intLit(args(1), "outDim"), intLit(args(2), "inDim"))),
+    "graft_md5long"     -> (args => Md5Long(args(0))),
     "graft_simhash64"   -> (args => SimHash64(args(0))),
     "graft_minhash32"   -> (args => MinHashSig(args(0), 32)),
     "graft_hyperplane8" -> (args => HyperplaneBucket(args(0), 8)),

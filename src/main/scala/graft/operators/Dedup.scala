@@ -741,16 +741,12 @@ object Dedup {
     * first 16 hex chars of `md5(token)`. Chosen over xxhash64 for the
     * simhash bit matrix so the DuckDB oracle can recompute the EXACT
     * same bits (DuckDB ships md5; Spark's xxhash64 it does not).
-    * `conv` yields the unsigned decimal string; the wrap-to-signed
-    * subtraction is exact in decimal and the final cast is in-range
-    * by construction. All built-ins → stays inside codegen. */
-  private[graft] def md5Hash64(t: Column): Column = {
-    val dec = conv(substring(md5(t), 1, 16), 16, 10)
-      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
-    when(dec >= lit(BigDecimal("9223372036854775808")),
-      dec - lit(BigDecimal("18446744073709551616"))).otherwise(dec)
-      .cast("long")
-  }
+    * Runs as the fused [[graft.functions.VecExprs.Md5Long]] codegen
+    * expression (digest bytes → long directly; the built-in
+    * md5 → conv → decimal spelling computed the same bits ~3× slower).
+    * Caller must VecExprs.register first (simhashPairs does). */
+  private[graft] def md5Hash64(t: Column): Column =
+    call_function("graft_md5long", t)
 
   /** D4: SimHash near-dup pairs.
     *

@@ -425,6 +425,76 @@ object TextAnalysis {
   def blocklistHits(blocklist: Seq[String]): Column =
     coalesce(stopwordHits(tokens(col("text")), blocklist), lit(0))
 
+  /** F23: the Gopher quality rules (Rae et al. 2021, Appendix A1.1)
+    * — the rule-based document filter MassiveText/Gopher-class preps
+    * run alongside the score-based gate (F2), adapted to this
+    * engine's tokenizer:
+    *
+    *   1. word count ∈ [minWords, maxWords];
+    *   2. mean word length ∈ [3, 10] chars;
+    *   3. ≥ 80% of raw whitespace-words contain an alphabetic char;
+    *   4. ≥ 2 stopword hits (the F2 list);
+    *   5. duplicate 3-gram fraction ≤ 0.30 (F9's rep_ratio, spelled
+    *      verbatim — Gopher bounds several n-gram duplication ratios,
+    *      this engine's shingle primitive is the 3-gram);
+    *   6. symbol-to-word ratio ≤ 0.10 ('#' chars + '...' runs, the
+    *      paper's hash/ellipsis rule).
+    *
+    * Emits every signal plus the composite `keep` (audit-trail
+    * posture, like F22). NULL text fails rule 1 with n_words 0. One
+    * codegen'd projection — zero shuffle, scan-fused; every signal
+    * has an exact DuckDB mirror (int/int divisions rounded at 6 dp
+    * on both engines). */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    val toks = tokens(col("text"))
+    val rawWords = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val out = docs
+      .select(col("doc_id"), col("text"),
+        coalesce(size(toks).cast("bigint"), lit(0L)).as("n_words"),
+        // Σ token length without a higher-order aggregate: join-and-
+        // measure stays inside codegen
+        coalesce(length(array_join(toks, "")), lit(0)).as("tok_chars"),
+        coalesce(size(rawWords), lit(0)).as("n_raw"),
+        coalesce(size(filter(rawWords, w => w.rlike("[A-Za-z]"))), lit(0))
+          .as("n_alpha"),
+        coalesce(stopwordHits(toks, stopwords.head._2), lit(0)).as("stop_hits"),
+        greatest(size(toks) - 2, lit(0)).cast("bigint").as("total_grams"),
+        coalesce(size(call_function("graft_grams3h", toks)), lit(0))
+          .cast("bigint").as("distinct_grams"),
+        (coalesce(length(col("text")) -
+            length(regexp_replace(col("text"), "#", "")), lit(0)) +
+          coalesce(regexp_count(col("text"), lit("\\.\\.\\.")), lit(0)))
+          .cast("bigint").as("n_symbols"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          round(col("tok_chars").cast("double") / col("n_words"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(col("n_raw") > 0,
+          round(col("n_alpha").cast("double") / col("n_raw"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("rep_ratio",
+        when(col("total_grams") > 0,
+          round(lit(1.0) - col("distinct_grams").cast("double")
+            / col("total_grams"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          round(col("n_symbols").cast("double") / col("n_words"), 6))
+          .otherwise(lit(0.0)))
+    out.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("alpha_ratio"), col("stop_hits"), col("rep_ratio"),
+      col("symbol_ratio"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("alpha_ratio") >= 0.8 &&
+        col("stop_hits") >= 2 &&
+        col("rep_ratio") <= 0.3 &&
+        col("symbol_ratio") <= 0.1).as("keep"))
+  }
+
   // ── F19: Naive Bayes document classifier ─────────────────────────
 
   /** F19: the pipeline's QUALITY/DOMAIN CLASSIFIER stage — the role

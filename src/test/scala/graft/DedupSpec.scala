@@ -64,6 +64,7 @@ class DedupSpec extends SparkSpec {
     // the DuckDB mirror re-derives per-token bits from substr(md5,1,16);
     // this pins the Spark column to the same signed-long interpretation,
     // covering both sign regimes (first nibble < 8 and ≥ 8)
+    graft.functions.VecExprs.register(spark)
     val words = Seq("hello", "world", "a", "zz9", "the", "epsilon")
     def expected(t: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

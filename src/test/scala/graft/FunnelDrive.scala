@@ -26,11 +26,12 @@ object FunnelDrive {
     val ledger = Corpus.prepFunnelLedger(docs, bench, Seq("spam"), minQuality = 0.45)
     val rows = time("ledger collect") { ledger.collect().toSeq }
     println(s"funnel rows=$n ledger=${rows.map(r => r.getString(1) + "=" + r.getLong(2)).mkString(", ")}")
-    // the reuse evidence is the WALL CLOCK (ledger ≈ one funnel pass,
-    // measured 2.65 s vs 3.38 s at sf0.1): AQE reuses identical
-    // shuffle stages at runtime, which the static plan string can't
-    // show — without reuse the 4 count branches each re-running the
-    // gram join would multiply the time, not shave it
+    // the reuse evidence is the WALL CLOCK (ledger ≈ one funnel pass:
+    // 1.69 s vs 1.94 s at sf0.1 with the funnel stage caches; 2.65 vs
+    // 3.38 before them): cached stage frames + AQE shuffle-stage reuse
+    // mean the count branches share the expensive subtrees — without
+    // that the branches re-running the gram join would multiply the
+    // time, not shave it
     spark.stop()
   }
 }

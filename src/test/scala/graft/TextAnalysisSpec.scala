@@ -159,6 +159,40 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, true), (4L, 0L, true)))
   }
 
+  test("F23 Gopher rules: each rule drops its own planted doc, good doc keeps") {
+    // 47 distinct words (no gram repeats), stopword-rich, mean len ~5
+    val good = ((1 to 40).map(i => s"word$i") ++
+      Seq("the", "a", "of", "and", "to", "in", "is")).mkString(" ")
+    val fifty = (1 to 25).flatMap(_ => Seq("the", "weather"))
+    val df = Seq(
+      (1L, good),                                            // passes everything
+      (2L, "too few words here the a"),                      // r1: n_words < 30
+      (3L, (1 to 50).map(_ => "x").mkString(" ") +
+        " the a of and"),                                    // r2: mean len < 3
+      (4L, (1 to 50).map(i => s"$i").mkString(" ") +
+        " the a of and to in"),                              // r3: digits not alpha
+      (5L, (1 to 50).map(i => s"word$i").mkString(" ")),     // r4: no stopwords
+      (6L, (1 to 20).flatMap(_ => Seq("the", "cat", "sat"))
+        .mkString(" ")),                                     // r5: rep_ratio high
+      (7L, good + " " +
+        (1 to 20).map(_ => "#").mkString(" ")),              // r6: symbol ratio
+                                                             //     ONLY ('#' is
+                                                             //     not a token)
+      (8L, null.asInstanceOf[String])                        // null → r1 at 0 words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, minWords = 30L)
+      .orderBy("doc_id")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSeq
+    assert(out === Seq((1L, true), (2L, false), (3L, false), (4L, false),
+      (5L, false), (6L, false), (7L, false), (8L, false)))
+    // and the signals carry the WHY (audit-trail posture): the r5 doc
+    // fails on rep_ratio specifically, not some other rule
+    val r5 = TextAnalysis.gopherRules(df, minWords = 30L)
+      .filter(col("doc_id") === 6L)
+      .select("n_words", "rep_ratio", "stop_hits").head()
+    assert(r5.getLong(0) === 60L && r5.getDouble(1) > 0.3 && r5.getInt(2) >= 2)
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
