@@ -94,6 +94,11 @@ object SparkEntry {
   private val FunnelBlockWords = Seq("spam")
   private val FunnelMinQuality = 0.45
 
+  /** F24's demo query — corpus words spanning a df range ('dup' is
+    * rare, the rest common) so idf genuinely ranks. Mirrored into
+    * bm25Sql. */
+  private val Bm25Terms = Seq("spark", "window", "merge", "dup")
+
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
@@ -409,6 +414,14 @@ object SparkEntry {
       Dedup.contaminationBloom(docs(s, d), col("doc_id") % 97 === 0,
         minShared = 3)),
 
+    // D9d fuzzy: Jaccard-normalized near-dup contamination; bench =
+    // %89 so the flag set intersects the corpus' planted near-dup
+    // pairs and the entry is non-empty at every verify sf (3/3/5
+    // pairs at sf0.001/0.01/0.1 — %97 would make this vacuously
+    // empty at the gate sf)
+    "dedup_contamination_fuzzy" -> ((s, d) =>
+      Dedup.contaminationFuzzy(docs(s, d), col("doc_id") % 89 === 0, 0.5)),
+
     // --- E: similarity search ---
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
@@ -521,6 +534,10 @@ object SparkEntry {
 
     "text_top_tokens" -> ((s, d) => Corpus.topTokens(docs(s, d), "lang", 10)),
 
+    // F25: idf-weighted distinctive terms per stratum (F8's dual —
+    // raw counts find boilerplate, tf-idf finds what differs)
+    "text_tfidf_terms" -> ((s, d) => Corpus.tfidfTerms(docs(s, d), "lang", 15)),
+
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
 
     "text_vocab_exact" -> ((s, d) => TextAnalysis.vocabExact(docs(s, d))),
@@ -548,6 +565,12 @@ object SparkEntry {
     // (the synthetic docs run ~20-120 words)
     "text_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(docs(s, d), minWords = 30L)),
+
+    // F24: BM25 top-k retrieval over a fixed topical query (terms
+    // present in the corpus at different dfs, so idf genuinely
+    // differentiates)
+    "text_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)),
 
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
@@ -941,6 +964,48 @@ object SparkEntry {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |      AS tok_offset
        |  FROM packt)""".stripMargin
+  }
+
+  /** F24's mirror, generated from the SAME terms list: per-term df →
+    * scale-4 idf (ln here vs Math.log on the Spark driver — a 1-ulp
+    * wobble cannot move the ·1e4 rounding off a non-boundary value),
+    * exact-integer tf weight at k1=1.2/b=0.75 (22·tf·T over
+    * 10·T·tf + 3·T + 9·dl·N), one double multiply+divide in pinned
+    * order, 6-dp round into DECIMAL, exact decimal sum in term
+    * order. */
+  private def bm25Sql: String = {
+    val dfCtes = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""i$i AS (
+         |  SELECT CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |                    * 10000, 0) AS BIGINT) AS i4
+         |  FROM s, (SELECT count(*) AS df FROM d
+         |           WHERE list_contains(toks, '$term')) df)""".stripMargin
+    }.mkString(",\n")
+    val termSum = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""CAST(round((CAST((SELECT i4 FROM i$i) AS DOUBLE) / 10000.0) *
+         |  CAST(coalesce(len(list_filter(toks, x -> x = '$term')), 0)
+         |       * 22 * (SELECT t FROM s) AS DOUBLE) /
+         |  CAST(coalesce(len(list_filter(toks, x -> x = '$term')), 0)
+         |       * 10 * (SELECT t FROM s)
+         |       + 3 * (SELECT t FROM s)
+         |       + dl * 9 * (SELECT n FROM s) AS DOUBLE), 6)
+         |  AS DECIMAL(20,6))""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, $TOKS AS toks,
+       |    CAST(coalesce(len($TOKS), 0) AS BIGINT) AS dl
+       |  FROM documents),
+       |s AS (SELECT count(*) AS n, coalesce(sum(dl), 0) AS t FROM d),
+       |$dfCtes,
+       |scored AS (
+       |  SELECT doc_id, $termSum AS score_dec, dl FROM d),
+       |topk AS (
+       |  SELECT doc_id, CAST(score_dec AS DOUBLE) AS score
+       |  FROM scored WHERE score_dec > 0
+       |  ORDER BY score DESC, doc_id LIMIT 20)
+       |SELECT doc_id, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |FROM topk""".stripMargin
   }
 
   /** DuckDB mirror of Timeseries.tmsEnc — the injective
@@ -1532,6 +1597,33 @@ object SparkEntry {
          |FROM c JOIN b ON c.gram = b.gram
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
+    // D9d mirror: cross-set gram join + exact Jaccard over per-doc
+    // distinct-gram sizes (uncapped at the catalog defaults, so no
+    // dfs CTE), same raw int/int division as the D3 mirrors
+    "dedup_contamination_fuzzy" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g
+         |      WHERE coalesce(doc_id % 89 = 0, FALSE)),
+         |c AS (SELECT doc_id, gram FROM g
+         |      WHERE NOT coalesce(doc_id % 89 = 0, FALSE)),
+         |inter AS (
+         |  SELECT c.doc_id AS doc_id, b.bench_id, count(*) AS inter
+         |  FROM c JOIN b ON c.gram = b.gram
+         |  GROUP BY 1, 2)
+         |SELECT inter.doc_id AS doc_id, bench_id, inter,
+         |       sd.n AS n_doc, sb.n AS n_bench,
+         |       inter / (sd.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sd ON sd.doc_id = inter.doc_id
+         |JOIN sizes sb ON sb.doc_id = bench_id
+         |WHERE inter / (sd.n + sb.n - inter) >= 0.5""".stripMargin,
+
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
          |g AS (
@@ -1647,6 +1739,9 @@ object SparkEntry {
          |   alpha_ratio >= 0.8 AND stop_hits >= 2 AND
          |   rep_ratio <= 0.3 AND symbol_ratio <= 0.1) AS keep
          |FROM r""".stripMargin,
+
+    // F24 mirror — generated from the same Bm25Terms (see bm25Sql)
+    "text_bm25_topk" -> bm25Sql,
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
     // per-class ln prior both round to scale-4 integers, per-doc
@@ -1950,6 +2045,28 @@ object SparkEntry {
          |      AS rnk
          |  FROM counts)
          |WHERE rnk <= 10""".stripMargin,
+
+    // F25 mirror: same scale-4 idf rounding (ln ≥ 0 here, so HALF_UP
+    // and half-away agree), exact long tf·idf4, integer-ordered rank
+    "text_tfidf_terms" ->
+      s"""WITH base AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |tf AS (SELECT lang, token, count(*) AS tf
+         |       FROM (SELECT lang, unnest(t) AS token FROM base)
+         |       GROUP BY 1, 2),
+         |dft AS (SELECT token, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, unnest(t) AS token FROM base)
+         |        GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT lang, tf.token AS token, tf, df,
+         |        tf * CAST(round((ln((n.n + 1.0) / (df + 1.0)) + 1.0)
+         |                        * 10000, 0) AS BIGINT) AS score_i
+         |      FROM tf JOIN dft ON tf.token = dft.token, n)
+         |SELECT lang, token, tf, df,
+         |       CAST(score_i AS DOUBLE) / 10000 AS score, rnk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY lang ORDER BY score_i DESC, token) AS rnk
+         |      FROM s)
+         |WHERE rnk <= 15""".stripMargin,
 
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -519,24 +519,13 @@ object Corpus {
     // both reads keep the doc in play, never silently drop it
     val bench = coalesce(isBenchmark, lit(false))
     val corpus = docs.filter(!bench)
-    val langKept = TextAnalysis.withLangPred(corpus)
-      .filter(col("pred_lang") === keepLang)
-      .select(col("doc_id"), col(strataCol), col("text"))
-    val qualKept = TextAnalysis
-      .qualityScore(langKept, passthrough = Seq(strataCol, "text"))
-      .filter(col("score") >= minQuality)
-      .select(col("doc_id"), col(strataCol), col("text"))
-    val blockKept = qualKept
-      .filter(TextAnalysis.blocklistHits(blocklist) === 0)
+    val gates = gateStages(corpus, blocklist, keepLang, minQuality, strataCol)
     // cached: the whole narrow gate prefix materializes ONCE — the
     // exact-dedup aggregate, both gram branches of near-dup, the
     // decontamination union side, and every ledger count branch read
     // this frame (without the cache each re-runs tokenize+regex over
     // the corpus; with it the funnel+ledger pair costs ~one pass)
-    val redacted = funnelCaches("funnel_redacted", TextAnalysis
-      .piiRedact(blockKept, passthrough = Seq(strataCol))
-      .select(col("doc_id"), col(strataCol),
-        col("text_clean").as("text")))
+    val redacted = funnelCaches("funnel_redacted", gates.last._2)
     // D1 spelled as min_by inside the SAME hash aggregate (the
     // prepPipeline rationale: survivor's stratum+text ride along, no
     // corpus-sized join back against a keep-list)
@@ -563,17 +552,40 @@ object Corpus {
         col("__bench"), minShared = minShared)
       .select(col("doc_id")).distinct()
     val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
-    Seq(
-      "input"         -> docs,
-      "bench_holdout" -> corpus,
-      "lang_id"       -> langKept,
-      "quality"       -> qualKept,
-      "blocklist"     -> blockKept,
+    Seq("input" -> docs, "bench_holdout" -> corpus) ++
+      gates.init ++ Seq(
       "pii_redact"    -> redacted,
       "exact_dedup"   -> exactKept,
       "near_dedup"    -> surv,
       "decontam"      -> clean,
       "pack"          -> packSequences(clean, strataCol, budgetTokens))
+  }
+
+  /** The funnel's stateless per-row gate prefix (language gate →
+    * quality gate → blocklist → PII redact), ordered, each stage's
+    * surviving frame `(doc_id, strataCol, text)`. ONE spelling shared
+    * by [[funnelStages]] and the streaming arrival gate
+    * ([[graft.streaming.EventStream.streamingFunnelGate]]) so batch
+    * and stream can never diverge on gate semantics. All four stages
+    * are scan-fused per-row expression work — zero shuffle, zero
+    * state, which is exactly why they can run per micro-batch. */
+  private[graft] def gateStages(corpus: DataFrame, blocklist: Seq[String],
+                                keepLang: String, minQuality: Double,
+                                strataCol: String): Seq[(String, DataFrame)] = {
+    val langKept = TextAnalysis.withLangPred(corpus)
+      .filter(col("pred_lang") === keepLang)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val qualKept = TextAnalysis
+      .qualityScore(langKept, passthrough = Seq(strataCol, "text"))
+      .filter(col("score") >= minQuality)
+      .select(col("doc_id"), col(strataCol), col("text"))
+    val blockKept = qualKept
+      .filter(TextAnalysis.blocklistHits(blocklist) === 0)
+    val redacted = TextAnalysis
+      .piiRedact(blockKept, passthrough = Seq(strataCol))
+      .select(col("doc_id"), col(strataCol), col("text_clean").as("text"))
+    Seq("lang_id" -> langKept, "quality" -> qualKept,
+      "blocklist" -> blockKept, "pii_redact" -> redacted)
   }
 
   /** F15: temperature-scaled mixing plan — the standard multilingual
@@ -768,6 +780,55 @@ object Corpus {
     counts
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
+  }
+
+  /** F25: TF-IDF distinctive terms per stratum — [[topTokens]]'
+    * idf-weighted sibling: raw counts surface the SHARED boilerplate
+    * (the same stopwords top every stratum), tf-idf surfaces what
+    * makes each stratum DIFFERENT — the corpus-inspection dual a prep
+    * runs to sanity-check domain/language labels and spot
+    * cross-stratum leakage. Smooth idf (the sklearn form, finite even
+    * at df = N): idf = ln((N+1)/(df+1)) + 1, df counted over DOCS
+    * corpus-wide, tf summed per (stratum, token).
+    *
+    * Cross-engine exactness (SURVEY §5): idf rounds in-expression to
+    * a scale-4 integer (N+1 ≥ df+1 so ln ≥ 0 — positive halves round
+    * identically under HALF_UP and half-away; the 1-ulp ln() wobble
+    * argument covers the rest), score_i = tf·idf4 is exact long
+    * arithmetic, the rank orders on (score_i desc, token) — integers
+    * and strings only — and the reported score divides once by 1e4
+    * into a double.
+    *
+    * Scale shape: two partial-agg groupBys collapse the corpus to
+    * (strata × vocab) tf rows and vocab df rows before anything
+    * joins; the join key is the token — one row per distinct token
+    * however hot the token is in the corpus, so no skew; N rides as
+    * a broadcast one-row frame; the rank window partitions by stratum
+    * over vocab-sized groups with `WindowGroupLimit` keeping map
+    * output at k rows per stratum. Nothing downstream of the first
+    * aggregate is corpus-sized. */
+  def tfidfTerms(docs: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val base = docs.select(col(strataCol), col("doc_id"),
+      tokens(col("text")).as("toks"))
+    val tf = base
+      .select(col(strataCol), explode(col("toks")).as("token"))
+      .groupBy(col(strataCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = base
+      .select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("score_i").desc, col("token"))
+    tf.join(dfT, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score_i", col("tf") *
+        round((log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)) * lit(10000.0)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col(strataCol), col("token"), col("tf"), col("df"),
+        (col("score_i").cast("double") / lit(10000.0)).as("score"),
+        col("rnk"))
   }
 
   // ── F20: DSIR importance resampling ──────────────────────────────

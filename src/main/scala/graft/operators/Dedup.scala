@@ -985,6 +985,53 @@ object Dedup {
     * `fpp` trades sketch size for shuffle traffic (1% ≈ 9.6 bits/key).
     * `maxDf` caps gram document frequency exactly as in
     * [[contamination]]. */
+  /** D9d: FUZZY (Jaccard-normalized) decontamination — corpus docs
+    * whose df-capped 3-gram Jaccard against any single benchmark doc
+    * reaches `tau`: the paraphrase-robust sibling of [[contamination]]
+    * (an absolute shared-gram count can't tell a long doc quoting 3
+    * grams from a short doc that IS the benchmark lightly rewritten —
+    * GPT-3's decontamination removes fuzzy near-dups of eval docs for
+    * exactly this reason, Brown et al. 2020 App. C).
+    *
+    * Same scale posture as D9: the bench gram table broadcasts, the
+    * corpus gram stream equi-joins on the 64-bit gram hash, the
+    * (doc, bench) aggregation runs with map-side partials. `maxDf`
+    * drops boilerplate grams from BOTH sides and the denominators
+    * recompute over KEPT grams (the D3b exactness contract — the
+    * result stays an exact Jaccard over the informative gram
+    * subspace). Output: every offending pair with its set sizes and
+    * the Jaccard, ready for D6-style survivor composition. */
+  def contaminationFuzzy(docs: DataFrame, isBenchmark: Column, tau: Double,
+                         maxDf: Long = Long.MaxValue): DataFrame = {
+    graft.functions.VecExprs.register(docs.sparkSession)
+    // cachedAs: the hot-gram aggregate, the sizes aggregate, and both
+    // join sides read the exploded gram table (the contamination
+    // rationale); coalesce(flag): NULL = corpus doc, check it
+    val raw = cachedAs("contamination_fuzzy",
+      docs.select(col("doc_id"),
+        coalesce(isBenchmark, lit(false)).as("is_bench"),
+        explode(gramHashes(col("text"))).as("gh")))
+    val g = if (maxDf == Long.MaxValue) raw
+            else raw.join(broadcast(hotGrams(raw, maxDf)), Seq("gh"), "left_anti")
+    val sizes = g.groupBy(col("doc_id"), col("is_bench"))
+      .agg(count(lit(1)).as("n"))
+    val bench = g.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("gh"))
+    val corpus = g.filter(!col("is_bench")).select(col("doc_id"), col("gh"))
+    corpus.join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.filter(!col("is_bench"))
+        .select(col("doc_id"), col("n").as("n_doc")), Seq("doc_id"))
+      .join(broadcast(sizes.filter(col("is_bench"))
+        .select(col("doc_id").as("bench_id"), col("n").as("n_bench"))),
+        Seq("bench_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_doc") + col("n_bench") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_id", "bench_id", "inter", "n_doc", "n_bench", "jaccard")
+  }
+
   def contaminationBloom(docs: DataFrame, isBenchmark: Column,
                          minShared: Int,
                          maxDf: Long = Long.MaxValue,

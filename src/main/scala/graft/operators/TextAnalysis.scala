@@ -425,6 +425,136 @@ object TextAnalysis {
   def blocklistHits(blocklist: Seq[String]): Column =
     coalesce(stopwordHits(tokens(col("text")), blocklist), lit(0))
 
+  /** F24: BM25 top-k retrieval (Robertson & Zaragoza 2009) at the
+    * standard k1 = 1.2, b = 0.75 — the ranked-search primitive a
+    * curation pipeline uses to pull topical slices out of a crawl
+    * ("find the docs most about X, keep/drop them"). Okapi BM25:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene form)
+    *
+    * Two passes, like any BM25 engine: ONE bounded-metadata aggregate
+    * collects N, total tokens T, and per-term dfs (a row of |terms|+2
+    * longs to the driver — index statistics, the FAISS-centroid
+    * posture), then one scan scores and TakeOrderedAndProject takes
+    * the global top-k (no single-task window: rank is computed on the
+    * k survivors only).
+    *
+    * Cross-engine exactness (SURVEY §5): idf pre-rounds to a scale-4
+    * integer (a 1-ulp ln() wobble cannot move the rounding off a
+    * non-boundary value — the mixTemperature argument); the tf weight
+    * at k1=1.2, b=0.75 clears denominators into EXACT integer
+    * arithmetic (num = 22·tf·T, denom = 10·T·tf + 3·T + 9·dl·N), so
+    * each term's contribution is one double multiply+divide in pinned
+    * order, rounded at 6 dp into DECIMAL; the per-doc score is an
+    * exact decimal sum in term order. Ties rank by doc_id. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k=$k must be positive")
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+    val statsRow = base.agg(count(lit(1)).as("n"),
+      (coalesce(sum(col("dl")), lit(0L)).as("t") +:
+        terms.map(t => coalesce(
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)),
+          lit(0L)))): _*).head()
+    val n = statsRow.getLong(0)
+    val t = statsRow.getLong(1)
+    require(t > 0L, "bm25TopK: corpus has no tokens (avgdl undefined)")
+    val idf4 = terms.indices.map { i =>
+      val df = statsRow.getLong(2 + i)
+      math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4)
+    }
+    bm25Rank(base, terms, idf4, n, t, k)
+  }
+
+  /** The shared BM25 scoring tail: `base` is `(doc_id, toks, dl)`,
+    * `idf4` the scale-4 idf per term (parallel to `terms`), `n`/`t`
+    * the corpus stats. One scan + TakeOrderedAndProject — see
+    * [[bm25TopK]] for the exact-arithmetic contract. */
+  private def bm25Rank(base: DataFrame, terms: Seq[String],
+                       idf4: Seq[Long], n: Long, t: Long,
+                       k: Int): DataFrame = {
+    val termDec = terms.zip(idf4).map { case (term, i4) =>
+      val tf = coalesce(size(filter(col("toks"), x => x === term)), lit(0))
+        .cast("long")
+      round((lit(i4).cast("double") / lit(10000.0)) *
+          (tf * lit(22L) * lit(t)).cast("double") /
+          (tf * lit(10L) * lit(t) + lit(3L * t) + col("dl") * lit(9L * n))
+            .cast("double"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val topk = base
+      .withColumn("score_dec", termDec.reduce(_ + _))
+      .filter(col("score_dec") > 0)
+      .select(col("doc_id"), col("score_dec").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    topk.withColumn("rank", // k rows by now — the window is trivial
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
+  /** F24's deploy flow: freeze the corpus' BM25 INDEX STATISTICS —
+    * what a search engine's index segment metadata holds — as
+    * `<table>_df (tok, df)` bucketed+sorted on `tok` (per-token
+    * document frequency over the WHOLE vocabulary, so serve-time
+    * queries are not limited to a pre-declared term list) and a
+    * one-row `<table>_meta (n, t)` (doc count, total tokens). The
+    * same freeze-the-trained-artifact shape as [[writeLmModel]] /
+    * [[writeNbModel]]: the training corpus is scanned once at build
+    * time and never again at serve time. */
+  def writeBm25Stats(docs: DataFrame, table: String, path: String,
+                     buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+    base.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
+      .option("path", s"${path}_df").mode("overwrite")
+      .saveAsTable(s"${table}_df")
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .write.format("parquet").option("path", s"${path}_meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Rank a document batch against FROZEN BM25 stats
+    * ([[writeBm25Stats]]) — identical semantics (and identical
+    * rounding path, spec-pinned) to [[bm25TopK]] when the stats were
+    * built from the same corpus, but the serve pass never touches the
+    * training corpus: per-term dfs come from ≤ |terms| bucketed-table
+    * rows and `n`/`t` from the one-row meta (bounded metadata — the
+    * [[bm25TopK]] statsRow posture, read from artifacts instead of
+    * recomputed). A query term the training vocabulary never saw
+    * keeps df = 0 — the Lucene idf form stays finite there
+    * (ln(2N+...) — maximal rarity), so arrivals CONTAINING the new
+    * term still rank instead of erroring. */
+  def bm25TopKAgainst(spark: org.apache.spark.sql.SparkSession,
+                      table: String, docs: DataFrame,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKAgainst needs at least one query term")
+    require(k > 0, s"k=$k must be positive")
+    // ≤ |terms| rows + one meta row: index statistics to the driver
+    val dfs = spark.table(s"${table}_df")
+      .filter(col("tok").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = spark.table(s"${table}_meta").head()
+    val (n, t) = (meta.getLong(0), meta.getLong(1))
+    require(t > 0L, "bm25TopKAgainst: frozen stats have no tokens")
+    val idf4 = terms.map { term =>
+      val df = dfs.getOrElse(term, 0L)
+      math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4)
+    }
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+    bm25Rank(base, terms, idf4, n, t, k)
+  }
+
   /** F23: the Gopher quality rules (Rae et al. 2021, Appendix A1.1)
     * — the rule-based document filter MassiveText/Gopher-class preps
     * run alongside the score-based gate (F2), adapted to this

@@ -242,6 +242,26 @@ object EventStream {
           batch.sparkSession, table, batch, k))
       }
 
+  /** F24-as-a-stream: arrival-time BM25 ranking against FROZEN index
+    * statistics ([[graft.operators.TextAnalysis.writeBm25Stats]]) —
+    * the curation-queue shape: each arriving micro-batch is ranked
+    * for the standing topical query and `onRanked` receives that
+    * batch's top-k (doc_id, score, rank). Zero state growth, the
+    * [[streamingLmScore]] posture: dfs and corpus stats are frozen
+    * artifacts (idf never drifts as arrivals flow — scores stay
+    * comparable across batches), so a restart needs only the tables.
+    * Terms the frozen vocabulary never saw keep the finite maximal
+    * Lucene idf instead of erroring. */
+  def streamingBm25Rank(docs: DataFrame, table: String,
+                        terms: Seq[String], k: Int,
+                        onRanked: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onRanked(batchId, graft.operators.TextAnalysis.bm25TopKAgainst(
+          batch.sparkSession, table, batch, terms, k))
+      }
+
   /** F19-as-a-stream: arrival-time quality/domain CLASSIFICATION
     * against the frozen Naive Bayes model
     * ([[graft.operators.TextAnalysis.writeNbModel]]) — the same
@@ -310,6 +330,50 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onFlags(batchId, graft.operators.Dedup.contaminationAgainst(
           batch, benchPath, sketch, minShared))
+      }
+
+  /** F14-as-a-stream: the ARRIVAL-TIME hygiene funnel — the batch
+    * funnel's stateless gate prefix ([[graft.operators.Corpus]]'s
+    * language gate → quality gate → blocklist → PII redact, the same
+    * spelling via `gateStages` so batch and stream cannot diverge)
+    * plus Bloom decontamination against a FROZEN bench signature
+    * ([[graft.operators.Dedup.writeBenchSignature]]). Each
+    * micro-batch emits its clean redacted docs AND a per-batch stage
+    * ledger (the prepFunnelLedger accounting, per arrival window).
+    *
+    * Zero state growth: every gate is per-row expression work and
+    * the bench signature is a frozen artifact — a restart needs
+    * nothing. The STATEFUL funnel stages (exact/near dedup) compose
+    * DOWNSTREAM on this stream via the table-as-state flows
+    * ([[streamingDedup]]/[[streamingMinhashDedup]]) — dedup needs
+    * cross-batch memory by nature and its state store is the
+    * bucketed signature table, not this operator. */
+  def streamingFunnelGate(docs: DataFrame, blocklist: Seq[String],
+                          benchPath: String, sketch: Array[Byte],
+                          keepLang: String = "en", minQuality: Double = 0.2,
+                          strataCol: String = "lang", minShared: Int = 3,
+                          onBatch: (Long, DataFrame, Seq[(String, Long)]) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cachedBatch = batch.cache()
+        try {
+          val stages = graft.operators.Corpus.gateStages(
+            cachedBatch, blocklist, keepLang, minQuality, strataCol)
+          val redacted = stages.last._2.cache()
+          try {
+            val contaminated = graft.operators.Dedup.contaminationAgainst(
+                redacted, benchPath, sketch, minShared)
+              .select(col("doc_id")).distinct()
+            val clean = redacted.join(contaminated, Seq("doc_id"), "left_anti")
+            val ledger =
+              (("input", cachedBatch.count()) +:
+                stages.init.map { case (n, df) => (n, df.count()) }) ++
+              Seq(("pii_redact", redacted.count()),
+                ("decontam", clean.count()))
+            onBatch(batchId, clean, ledger)
+          } finally redacted.unpersist()
+        } finally cachedBatch.unpersist()
       }
 
   /** ANN-as-a-stream — the embedding dual of [[streamingDedup]]: each

@@ -144,6 +144,26 @@ class CorpusSpec extends SparkSpec {
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined)
   }
 
+  test("F25 tfidfTerms: idf re-ranks what raw counts cannot, integer score path") {
+    // N=5; df: beta 3, alpha 2, uno 2, the rest 1 each
+    // idf4 = round((ln(6/(df+1)) + 1)·1e4): df1→20986, df2→16931, df3→14055
+    val out = Corpus.tfidfTerms(docs, "lang", k = 3)
+      .select("lang", "token", "tf", "df", "score", "rnk")
+      .as[(String, String, Long, Long, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("en", "beta", 5L, 3L, 5 * 14055 / 10000.0, 1L),
+      ("en", "alpha", 3L, 2L, 3 * 16931 / 10000.0, 2L),
+      // gamma/delta tie at 20986 — token asc picks delta
+      ("en", "delta", 1L, 1L, 20986 / 10000.0, 3L),
+      ("es", "uno", 5L, 2L, 5 * 16931 / 10000.0, 1L),
+      ("es", "cinco", 1L, 1L, 20986 / 10000.0, 2L),
+      ("es", "cuatro", 1L, 1L, 20986 / 10000.0, 3L)))
+    // the idf CONTRAST vs F8: alpha (df 2) outscores-per-occurrence
+    // beta (df 3) — 16931 > 14055 — while raw counts can only see tf
+    val perOcc = out.map(r => (r._2, r._5 / r._3)).toMap
+    assert(perOcc("alpha") > perOcc("beta"))
+  }
+
   test("F12 splitAssign covers every doc, is deterministic, and tracks weights") {
     val n = 2000
     val many = (1L to n).map(i => (i, s"doc $i", "en", "web"))

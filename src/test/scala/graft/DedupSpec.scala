@@ -41,6 +41,31 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 4L)))
   }
 
+  test("D9d fuzzy contamination: cross-set Jaccard with exact set math; within-set pairs excluded") {
+    // doc 10 is a light rewrite of bench 100 (all but the final gram
+    // shared); docs 11/12 are identical to EACH OTHER (corpus-corpus
+    // near-dup — must NOT appear); bench 100/101 share grams with
+    // each other (bench-bench — must not appear either)
+    val df = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and then sleeps"),
+      (11L, "completely different words appear in this other document"),
+      (12L, "completely different words appear in this other document"),
+      (100L, "the quick brown fox jumps over the lazy dog and then barks"),
+      (101L, "the quick brown fox jumps over the lazy dog and then barks")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFuzzy(df, col("doc_id") >= 100L, 0.5)
+      .select("doc_id", "bench_id", "inter", "n_doc", "n_bench", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    // 12 tokens → 10 grams, 9 shared → jaccard 9/11
+    assert(out === Seq(
+      (10L, 100L, 9L, 10L, 10L, 9.0 / 11),
+      (10L, 101L, 9L, 10L, 10L, 9.0 / 11)))
+    // df cap drops the shared grams (each has df 3 across 10/100/101)
+    // → denominators recompute over kept grams and the pairs vanish
+    assert(Dedup.contaminationFuzzy(df, col("doc_id") >= 100L, 0.5,
+      maxDf = 2L).count() === 0L)
+  }
+
   test("D6-for-embeddings: survivors drop each pair's higher id; zero-norm rows survive") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),

@@ -627,6 +627,45 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lm_s_meta")
   }
 
+  test("streamingBm25Rank ranks each batch against the frozen stats, idf never drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_sbm").toString
+    val all = Tables.documents(spark, sfDir)
+    TextAnalysis.writeBm25Stats(all.filter(col("doc_id") < 150),
+      "bm25_s", s"$wh/bm25_s", buckets = 4)
+    val terms = Seq("spark", "window", "merge", "dup")
+
+    val nDfBefore = spark.table("bm25_s_df").count()
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingBm25Rank(mem.toDF().toDF("doc_id", "text"),
+      "bm25_s", terms, k = 5,
+      onRanked = (id, df) => got(id) = df.orderBy("rank")
+        .collect().toSeq.map(_.toSeq)).start()
+    def slice(lo: Long, hi: Long) =
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+    def expFor(lo: Long, hi: Long) =
+      TextAnalysis.bm25TopKAgainst(spark, "bm25_s", slice(lo, hi), terms, 5)
+        .orderBy("rank").collect().toSeq.map(_.toSeq)
+    mem.addData(slice(150, 300).as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(slice(300, 450).as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // each batch ≡ the direct frozen-stats ranking of that slice —
+    // scores comparable ACROSS batches because idf is frozen
+    assert(got(0L) === expFor(150, 300) && got(1L) === expFor(300, 450))
+    assert(got(0L).size === 5 && got(1L).size === 5)
+    // zero state growth: arrivals never feed back into the stats
+    spark.catalog.refreshTable("bm25_s_df")
+    assert(spark.table("bm25_s_df").count() === nDfBefore)
+    spark.sql("DROP TABLE IF EXISTS bm25_s_df")
+    spark.sql("DROP TABLE IF EXISTS bm25_s_meta")
+  }
+
   test("streamingNbScore classifies each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -737,6 +776,62 @@ class SinkStreamSpec extends SparkSpec {
     val plan = Dedup.contaminationAgainst(slice(0, 250), s"$wh/sig", sketch, 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
+  test("streamingFunnelGate: per-batch gates + frozen decontam ≡ the batch funnel prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Corpus, Dedup}
+    val wh = java.nio.file.Files.createTempDirectory("graft_sfunnel").toString
+    val all = Tables.documents(spark, sfDir)
+    val isBench = col("doc_id") % 89 === 0
+    val sketch = Dedup.writeBenchSignature(all.filter(isBench), s"$wh/sig")
+    // batch-side expectation over a corpus slice: the SAME gate
+    // prefix + broadcast contamination restricted to the slice
+    def expectedFor(lo: Long, hi: Long): (Seq[Seq[Any]], Long) = {
+      val slice = all.filter(!isBench &&
+        col("doc_id") >= lo && col("doc_id") < hi)
+      val redacted = Corpus.gateStages(slice, Seq("spam"), "en", 0.45, "lang")
+        .last._2
+      val contaminated = Dedup.contamination(
+          redacted.select(col("doc_id"), col("text"))
+            .unionByName(all.filter(isBench).select(col("doc_id"), col("text"))),
+          isBench, minShared = 3)
+        .select(col("doc_id")).distinct()
+      val clean = redacted.join(contaminated, Seq("doc_id"), "left_anti")
+      (clean.orderBy("doc_id").collect().toSeq.map(_.toSeq), slice.count())
+    }
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "lang", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val ledgers = scala.collection.mutable.Map.empty[Long, Seq[(String, Long)]]
+    val q = EventStream.streamingFunnelGate(stream, Seq("spam"),
+        s"$wh/sig", sketch, minQuality = 0.45,
+        onBatch = (id, clean, ledger) => {
+          got(id) = clean.orderBy("doc_id").collect().toSeq.map(_.toSeq)
+          ledgers(id) = ledger
+        })
+      .start()
+    def feed(lo: Long, hi: Long) = mem.addData(
+      all.filter(!isBench && col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "lang", "text")
+        .as[(Long, String, String)].collect().toIndexedSeq)
+    feed(0, 250); q.processAllAvailable()
+    feed(250, 500); q.processAllAvailable()
+    q.stop()
+    val (exp0, n0) = expectedFor(0, 250)
+    val (exp1, n1) = expectedFor(250, 500)
+    assert(got(0L) === exp0 && got(1L) === exp1)
+    assert(exp0.nonEmpty && exp0.size < n0.toInt,
+      "fixture must both keep and drop docs through the gate")
+    // the per-batch ledger: stage order pinned, counts monotone,
+    // input = the fed slice, decontam = the emitted clean frame
+    for ((id, n, exp) <- Seq((0L, n0, exp0), (1L, n1, exp1))) {
+      val l = ledgers(id)
+      assert(l.map(_._1) === Seq("input", "lang_id", "quality",
+        "blocklist", "pii_redact", "decontam"))
+      assert(l.head._2 === n && l.last._2 === exp.size.toLong)
+      assert(l.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a })
+    }
   }
 
   test("streamingAnnIngest serves each batch from the index, then appends it for the next") {

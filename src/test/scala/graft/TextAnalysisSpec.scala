@@ -193,6 +193,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r5.getLong(0) === 60L && r5.getDouble(1) > 0.3 && r5.getInt(2) >= 2)
   }
 
+  test("F24 BM25: tf, idf, and length normalization each rank as Okapi says") {
+    val filler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"spark $filler"),                      // tf 1, short
+      (2L, s"spark spark $filler"),                // tf 2 → above doc 1
+      (3L, s"spark $filler $filler $filler"),      // tf 1, long → below doc 1
+      (4L, s"rare $filler"),                       // rare term (df 1) beats
+      (5L, s"$filler no match here at all"),       // no query term → absent
+      (6L, s"spark $filler")                       // identical to 1 → doc_id tie
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, Seq("spark", "rare"), 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(!byId.contains(5L))                     // non-matching absent
+    assert(byId(2L) > byId(1L))                    // higher tf wins
+    assert(byId(1L) > byId(3L))                    // length normalization
+    assert(byId(4L) > byId(1L))                    // df 1 idf beats df 4 idf
+    assert(byId(1L) === byId(6L))                  // identical docs tie exactly
+    assert(out.filter(r => r._1 == 1L || r._1 == 6L).map(_._1)
+      === Seq(1L, 6L))                             // tie ranks by doc_id
+    assert(out.map(_._3) === (1 to out.size))     // ranks dense from 1
+    // k truncates deterministically
+    assert(TextAnalysis.bm25TopK(df, Seq("spark", "rare"), 2).count() === 2L)
+  }
+
+  test("F24 deploy flow: frozen stats reproduce self-ranking; OOV term gets maximal idf") {
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    TextAnalysis.writeBm25Stats(corpus, "bm25_m", s"$wh/bm25_m", buckets = 4)
+    val terms = Seq("spark", "window", "merge", "dup")
+
+    // ranking the training corpus against its own frozen stats is
+    // exactly the one-pass self-ranking (same rounding path)
+    val a = TextAnalysis.bm25TopKAgainst(spark, "bm25_m", corpus, terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val b = TextAnalysis.bm25TopK(corpus, terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+
+    // a query term the frozen vocabulary never saw keeps df = 0 (the
+    // finite maximal Lucene idf) and an ARRIVAL containing it ranks:
+    // with one 2-token doc, score = round(idf4/1e4 · 22T/(10T+3T+18N), 6)
+    val meta = spark.table("bm25_m_meta").head()
+    val (n, t) = (meta.getLong(0), meta.getLong(1))
+    val arrivals = Seq((9000L, "zzqq wwrr")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25TopKAgainst(spark, "bm25_m", arrivals, Seq("zzqq"), 5)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+    val i4 = math.round(math.log((n + 0.5) / 0.5 + 1.0) * 1e4)
+    val expected = BigDecimal((i4 / 10000.0) * (22.0 * t) /
+        (10.0 * t + 3.0 * t + 2.0 * 9.0 * n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq((9000L, expected, 1)))
+
+    spark.sql("DROP TABLE IF EXISTS bm25_m_df")
+    spark.sql("DROP TABLE IF EXISTS bm25_m_meta")
+  }
+
   test("F9 repetition scores repeated 3-grams, zero for short/unique docs") {
     val df = Seq(
       (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct (abc, bca, cab)
