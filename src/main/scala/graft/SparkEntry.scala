@@ -517,6 +517,11 @@ object SparkEntry {
           col("digit_chars").cast("bigint").as("digit_chars"),
           col("punct_chars").cast("bigint").as("punct_chars"), col("score"))),
 
+    // F2b: the gate-tuning sweep — survivor count + keep rate at
+    // every candidate quality cutoff, computed in one corpus pass
+    "quality_threshold_sweep" -> ((s, d) =>
+      TextAnalysis.qualityThresholdSweep(docs(s, d))),
+
     "text_token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(docs(s, d))
         .select(col("doc_id"), col("ws_tokens").cast("bigint").as("ws_tokens"),
@@ -1988,6 +1993,36 @@ object SparkEntry {
          |    0.2 * (1.0 - punct_chars / n_chars_c)
          |  ELSE 0.0 END AS score
          |FROM b""".stripMargin,
+
+    // F2b mirror: F2's score CTE verbatim → scale-6 histogram →
+    // integer τ compare → half-up integer keep_rate quotient
+    "quality_threshold_sweep" ->
+      s"""WITH b AS (
+         |  SELECT length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |s AS (
+         |  SELECT CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |    0.3 * least(1.0, wc / 120.0) +
+         |    0.3 * (stop_hits / wc) +
+         |    0.2 * (1.0 - digit_chars / n_chars_c) +
+         |    0.2 * (1.0 - punct_chars / n_chars_c)
+         |  ELSE 0.0 END AS score FROM b),
+         |h AS (SELECT CAST(round(score * 1000000, 0) AS BIGINT) AS score6,
+         |             count(*) AS cnt
+         |      FROM s GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |t AS (SELECT unnest(range(0, 21)) AS i),
+         |k AS (SELECT i, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_keep
+         |      FROM t LEFT JOIN h ON score6 >= i * 50000 GROUP BY 1)
+         |SELECT CAST(i AS DOUBLE) / 20 AS tau, n_keep,
+         |  CAST((n_keep * 2000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+         |    / 1000000 AS keep_rate
+         |FROM k, n""".stripMargin,
 
     "text_token_count" ->
       s"""SELECT doc_id, len($TOKS) AS ws_tokens,

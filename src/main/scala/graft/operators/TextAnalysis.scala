@@ -102,6 +102,41 @@ object TextAnalysis {
         "digit_chars", "punct_chars", "score"): _*)
   }
 
+  /** F2b: quality-gate threshold sweep — the survivor count and keep
+    * rate at every candidate cutoff τ ∈ {0, 1/steps, …, 1}: the
+    * tuning artifact you compute ONCE before burning a 100 TB pass
+    * with the wrong gate (pick τ off this table, then run the funnel).
+    *
+    * Scale shape: the corpus-sized work is exactly one [[qualityScore]]
+    * scan + one partial-agg groupBy collapsing it to the DISTINCT-score
+    * histogram (scores are sums of coarse ratios — the histogram is
+    * ≪ corpus); the τ fan-out joins the histogram against a broadcast
+    * (steps+1)-row frame, so the ≥-comparison never multiplies corpus
+    * rows. Exactness: scores round to scale-6 integers (bit-identical
+    * doubles on both engines — the F2 hash-green contract — so the ·1e6
+    * rounding agrees), the τ compare is integer-only (score6 ≥ i·1e6/steps),
+    * and keep_rate is the house half-up integer quotient
+    * floor((2k·1e6 + n)/(2n)) — no double ever hits a rounding
+    * boundary. */
+  def qualityThresholdSweep(docs: DataFrame, steps: Int = 20): DataFrame = {
+    require(steps > 0 && 1000000 % steps == 0,
+      s"steps=$steps must divide 1e6 so thresholds are exact scale-6 ints")
+    val step6 = 1000000L / steps
+    val hist = qualityScore(docs)
+      .select(round(col("score") * lit(1000000.0)).cast("long").as("score6"))
+      .groupBy("score6").agg(count(lit(1)).as("cnt"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val taus = docs.sparkSession.range(0, steps + 1).select(col("id").as("i"))
+    broadcast(taus)
+      .join(hist, col("score6") >= col("i") * lit(step6), "left")
+      .groupBy("i").agg(coalesce(sum(col("cnt")), lit(0L)).as("n_keep"))
+      .crossJoin(broadcast(n))
+      .select((col("i").cast("double") / lit(steps.toDouble)).as("tau"),
+        col("n_keep"),
+        (expr("(n_keep * 2000000 + n_docs) div (2 * n_docs)")
+          .cast("double") / lit(1000000.0)).as("keep_rate"))
+  }
+
   /** F3: token counting — whitespace tokens vs a BPE-ish lexer count
     * (letter runs / digit runs / single non-alnum marks, the classic
     * pre-tokenizer shape). regexp_count keeps it codegen'd. */

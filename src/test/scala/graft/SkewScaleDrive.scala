@@ -118,6 +118,15 @@ object SkewScaleDrive {
         // drops it and cost must stay ~linear
         "D11_substring_capped" -> (() =>
           Dedup.substringDedup(docs, 16, 8, maxDf = 50L)),
+        // D9d: ~1% of docs are the "benchmark"; EVERY corpus doc
+        // shares the header grams with EVERY bench doc, so uncapped
+        // the gram equi-join fans out n_corpus × n_bench pairs — the
+        // df cap must drop the header from BOTH sides (denominators
+        // recompute over kept grams) and leave only tail collisions,
+        // keeping cost ~linear in n
+        "D9d_contam_fuzzy" -> (() =>
+          Dedup.contaminationFuzzy(docs,
+            pmod(col("doc_id"), lit(97)) === 0, tau = 0.5, maxDf = 50L)),
         "F7_pack_sequences" -> (() => Corpus.packSequences(docs, "lang", 2048)),
         // F16: every doc shares the 16-token header, so its 15 bigrams
         // each have count ≈ n — the count tables still hold ONE row

@@ -193,6 +193,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r5.getLong(0) === 60L && r5.getDouble(1) > 0.3 && r5.getInt(2) >= 2)
   }
 
+  test("F2b threshold sweep matches brute-force per-tau counts, monotone, exact rates") {
+    import graft.operators.TextAnalysis
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    val out = TextAnalysis.qualityThresholdSweep(corpus, steps = 4)
+      .select("tau", "n_keep", "keep_rate")
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    val n = corpus.count()
+    // brute force: per-τ count over the same scale-6 scores
+    val score6 = TextAnalysis.qualityScore(corpus)
+      .select(round(col("score") * 1000000).cast("long").as("s6"))
+      .as[Long].collect()
+    for ((tau, k, rate) <- out) {
+      assert(k === score6.count(_ >= (tau * 1000000).toLong).toLong)
+      assert(rate === math.floor((k * 2000000.0 + n) / (2 * n)) / 1000000.0)
+    }
+    assert(out.head._2 === n)                       // τ=0 keeps everything
+    assert(out.map(_._2).sliding(2).forall {
+      case Array(a, b) => b <= a })                 // monotone non-increasing
+    // the fixture must actually separate: some τ keeps a strict subset
+    assert(out.last._2 < n && out.map(_._2).distinct.size >= 2)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.qualityThresholdSweep(corpus, steps = 7))
+  }
+
   test("F24 BM25: tf, idf, and length normalization each rank as Okapi says") {
     val filler = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq(
