@@ -594,6 +594,40 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS fp_s")
   }
 
+  test("ShardSink writes balanced ordered shards; round-robin read rebuilds the epoch order") {
+    import graft.sinks.ShardSink
+    val base = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val rep = ShardSink.writeShards(docs, s"$base/a", nShards = 8)
+    // accounting: every row lands, one data file per shard, ±1 balance
+    assert(rep.nShards === 8 && rep.rows === n && rep.files === 8L)
+    assert(rep.byShard.keySet === (0L until 8L).toSet)
+    assert(rep.maxRows - rep.minRows <= 1L)
+    val back = spark.read.parquet(s"$base/a")
+    assert(back.select("doc_id").as[Long].collect().toSet ===
+      docs.select("doc_id").as[Long].collect().toSet)
+    assert(back.columns.toSet === Set("doc_id", "text", "pos", "shard"))
+    // the routing law: shard = pos % nShards, every global pos exactly once
+    assert(back.filter(pmod(col("pos"), lit(8)) =!= col("shard")).count() === 0L)
+    assert(back.select("pos").as[Long].collect().toSet === (0L until n).toSet)
+    // FILE order inside each shard is ascending pos — the data-loader
+    // contract: no sort needed at read time, round-robin across shard
+    // files replays the global shuffle order
+    for (k <- 0 until 8) {
+      val pos = spark.read.parquet(s"$base/a/shard=$k")
+        .select("pos").as[Long].collect().toSeq
+      assert(pos === pos.sorted && pos.nonEmpty)
+    }
+    // deterministic: a re-write is the identical assignment
+    ShardSink.writeShards(docs, s"$base/b", nShards = 8)
+    assert(spark.read.parquet(s"$base/b")
+      .select(col("doc_id"), col("pos"), col("shard").cast("long"))
+      .collect().toSet ===
+      back.select(col("doc_id"), col("pos"), col("shard").cast("long"))
+        .collect().toSet)
+  }
+
   test("streamingLmScore scores each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
