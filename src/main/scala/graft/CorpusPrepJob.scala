@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.sinks.ShardSink
+
+/** The corpus-prep job that LANDS ARTIFACTS — where [[CorpusPipeline]]
+  * demos the clean-dedup-mix-pack chain and prints a funnel line,
+  * this job runs the FULL modern funnel
+  * ([[graft.operators.Corpus.prepFunnel]] — bench holdout → lang-id →
+  * quality → blocklist → PII → exact dedup → near-dup → Bloom
+  * decontamination; the `corpus_prep_e2e` composition the driver gate
+  * verifies) and writes the THREE artifacts a production prep
+  * publishes per run:
+  *
+  *   1. `<out>/shards/` — the clean corpus as balanced pos-ordered
+  *      training shards ([[graft.sinks.ShardSink]]);
+  *   2. `<out>/manifest/` — the F7 packed-sequence assignment
+  *      (doc → seq_id/seq_offset per stratum at the token budget),
+  *      the map a sequence-building data-loader consumes;
+  *   3. `<out>/ledger/` — the per-stage survivor-count ledger
+  *      (the F14b audit artifact + regression tripwire).
+  *
+  * Everything here is composition of catalog operators (each oracled
+  * or spec'd on its own); this object only sequences them, times the
+  * phases, and prints ONE machine-readable JSON line — the
+  * [[Pipeline]] posture. One funnel pass feeds ledger AND clean frame
+  * (the funnel's stage caches make the count branches share the
+  * expensive subtrees).
+  *
+  *   sbt "runMain graft.CorpusPrepJob [docsDir] [outDir] [nShards]"
+  */
+object CorpusPrepJob {
+
+  final case class PrepResult(
+      docsIn: Long, cleanDocs: Long, shards: ShardSink.ShardReport,
+      manifestRows: Long, ledger: Seq[(String, Long)],
+      funnelSec: Double, shardSec: Double, manifestSec: Double)
+
+  /** Run the prep against `docsDir`'s documents table, artifacts under
+    * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
+    * entry so the funnel exercised here is the exact composition the
+    * driver gate verifies. */
+  def run(spark: SparkSession, docsDir: String, outDir: String,
+          nShards: Int = 8, blocklist: Seq[String] = Seq("spam"),
+          keepLang: String = "en", minQuality: Double = 0.45,
+          budgetTokens: Int = 2048): PrepResult = {
+    val docs = Tables.documents(spark, docsDir)
+    val isBench = col("doc_id") % 97 === 0
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((ledger, clean), funnelSec) = timed {
+      val stages = Corpus.funnelStages(docs, isBench, blocklist,
+        keepLang, minQuality, "lang", budgetTokens, tau = 0.5,
+        maxDf = 10000L, minShared = 3)
+      // ledger over the doc-count stages (pack is phase 3's artifact)
+      val led = stages.init.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_))
+      led.coalesce(1).write.mode("overwrite").parquet(s"$outDir/ledger")
+      val ledgerRows = spark.read.parquet(s"$outDir/ledger")
+        .orderBy("stage_idx").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      (ledgerRows, stages.collectFirst { case ("decontam", df) => df }.get)
+    }
+    val (shardRep, shardSec) = timed {
+      ShardSink.writeShards(clean, s"$outDir/shards", nShards,
+        payload = Seq("lang", "text"))
+    }
+    val (manifestRows, manifestSec) = timed {
+      Corpus.packSequences(clean, "lang", budgetTokens)
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+      spark.read.parquet(s"$outDir/manifest").count()
+    }
+    Corpus.releaseCaches()
+    PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
+      shardRep.rows, shardRep, manifestRows, ledger,
+      funnelSec, shardSec, manifestSec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docsDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_prep_out").toString)
+    val nShards = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    try {
+      val r = run(spark, docsDir, outDir, nShards)
+      r.ledger.zipWithIndex.foreach { case ((stage, n), i) =>
+        println(f"[prep] stage $i%2d $stage%-14s $n%9d docs")
+      }
+      println(f"[prep] shards: ${r.shards.files}%d files, " +
+        f"rows ${r.shards.minRows}%d..${r.shards.maxRows}%d per shard")
+      println(s"""{"metric":"corpus_prep_job","docs_in":${r.docsIn},""" +
+        s""""clean_docs":${r.cleanDocs},"shards":${r.shards.nShards},""" +
+        s""""manifest_rows":${r.manifestRows},""" +
+        s""""funnel_sec":${Jsons.num(r.funnelSec, 3)},""" +
+        s""""shard_sec":${Jsons.num(r.shardSec, 3)},""" +
+        s""""manifest_sec":${Jsons.num(r.manifestSec, 3)},"out":"$outDir"}""")
+    } finally spark.stop()
+  }
+}

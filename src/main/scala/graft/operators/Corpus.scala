@@ -506,7 +506,7 @@ object Corpus {
   /** The funnel's stage list: `(stage name, frame of rows alive after
     * the stage)`, last = packed sequences. Single source for
     * [[prepFunnel]] and [[prepFunnelLedger]]. */
-  private def funnelStages(docs: DataFrame, isBenchmark: Column,
+  private[graft] def funnelStages(docs: DataFrame, isBenchmark: Column,
                            blocklist: Seq[String], keepLang: String,
                            minQuality: Double, strataCol: String,
                            budgetTokens: Int, tau: Double,

@@ -11,6 +11,27 @@ import graft.operators.{Corpus, Dedup, TextAnalysis}
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CorpusPrepJob lands consistent shards + manifest + ledger from one run") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 4)
+    // the ledger covers the full gate sequence, in order, monotone
+    assert(r.ledger.map(_._1) === Seq("input", "bench_holdout", "lang_id",
+      "quality", "blocklist", "pii_redact", "exact_dedup", "near_dedup",
+      "decontam"))
+    assert(r.ledger.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(r.docsIn === r.ledger.head._2 && r.docsIn > 0L)
+    // clean docs == shard rows == the decontam stage's ledger count
+    assert(r.cleanDocs === r.ledger.last._2 && r.cleanDocs > 0L)
+    assert(r.shards.rows === r.cleanDocs && r.shards.files === 4L)
+    assert(r.shards.maxRows - r.shards.minRows <= 1L)
+    // the packing manifest is 1:1 with the clean docs
+    assert(r.manifestRows === r.cleanDocs)
+    // artifacts actually landed and agree with the report
+    assert(spark.read.parquet(s"$out/shards").count() === r.cleanDocs)
+    assert(spark.read.parquet(s"$out/manifest").count() === r.manifestRows)
+    assert(spark.read.parquet(s"$out/ledger").count() === 9L)
+  }
+
   // the near-dup pair (from CorpusSpec's F14 premise): all grams
   // shared but the final one → Jaccard 11/13 ≈ 0.846 ≥ 0.5
   private val cleanDoc = "the quick brown fox jumps over the lazy dog " +
