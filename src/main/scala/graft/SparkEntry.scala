@@ -590,6 +590,15 @@ object SparkEntry {
     "corpus_pack_sequences" -> ((s, d) =>
       Corpus.packSequences(docs(s, d), "lang", PackBudget)),
 
+    // F7b: per-stratum packing audit (docs/seqs/token mass/fill rate)
+    "corpus_pack_stats" -> ((s, d) =>
+      Corpus.packStats(docs(s, d), "lang", PackBudget)),
+
+    // cross-modal referential-integrity audit: dangling refs, dup
+    // ids, degenerate payloads — one row of exact counts
+    "corpus_integrity" -> ((s, d) =>
+      Corpus.integrity(docs(s, d), emb(s, d))),
+
     "corpus_mix_plan" -> ((s, d) =>
       Corpus.mixPlan(docs(s, d), "lang", MixShares)),
 
@@ -2300,6 +2309,60 @@ object SparkEntry {
          |       tok_offset // $PackBudget AS seq_id,
          |       tok_offset % $PackBudget AS seq_offset
          |FROM c""".stripMargin,
+
+    // F7b mirror: the pack CTE + one aggregate; fill_rate is one
+    // double division of exact longs rounded at 6 dp (no double sits
+    // exactly on a 6-dp half — see packStats scaladoc)
+    "corpus_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS ws_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, ws_tokens,
+         |    CAST(coalesce(sum(ws_tokens) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t),
+         |p AS (
+         |  SELECT lang, ws_tokens, tok_offset // $PackBudget AS seq_id
+         |  FROM c)
+         |SELECT lang,
+         |  count(*) AS n_docs,
+         |  max(seq_id) + 1 AS n_seqs,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(ws_tokens) AS DOUBLE)
+         |        / ((max(seq_id) + 1) * $PackBudget), 6) AS fill_rate
+         |FROM p GROUP BY 1""".stripMargin,
+
+    // integrity mirror: same exact-count semantics (count DISTINCT
+    // ignores NULL on both engines; a NULL id joins nothing, so it
+    // counts as an orphan on both sides)
+    "corpus_integrity" ->
+      s"""WITH d AS (
+         |  SELECT count(*) AS n_docs,
+         |    count(*) - count(DISTINCT doc_id) AS dup_doc_ids,
+         |    count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+         |      AS empty_text_docs
+         |  FROM documents),
+         |e AS (
+         |  SELECT count(*) AS n_vectors,
+         |    count(*) - count(DISTINCT vec_id) AS dup_vec_ids,
+         |    count(CASE WHEN embedding IS NULL THEN 1 END) AS null_vectors
+         |  FROM embeddings),
+         |od AS (
+         |  SELECT count(*) AS docs_without_vector
+         |  FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |  LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) ee
+         |    ON dd.doc_id = ee.vec_id
+         |  WHERE ee.vec_id IS NULL),
+         |oe AS (
+         |  SELECT count(*) AS vectors_without_doc
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings) ee
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM documents) dd
+         |    ON ee.vec_id = dd.doc_id
+         |  WHERE dd.doc_id IS NULL)
+         |SELECT * FROM d, e, od, oe""".stripMargin,
 
     "text_corpus_stats" ->
       s"""WITH b AS (

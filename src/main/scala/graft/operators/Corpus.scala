@@ -588,6 +588,65 @@ object Corpus {
       "blocklist" -> blockKept, "pii_redact" -> redacted)
   }
 
+  /** F7b: per-stratum PACKING statistics — the sequence-budget audit
+    * read off [[packSequences]]' assignment: docs, sequences, token
+    * mass, and the fill rate (token mass over sequence capacity) per
+    * stratum. The number that tells you whether `budgetTokens` wastes
+    * capacity (fill ≪ 1 — tiny docs, consider a bigger budget or doc
+    * concatenation) before sequences ever get built.
+    *
+    * Scale shape: the pack assignment's two-phase prefix sum runs as
+    * is; this adds ONE partial-agg groupBy to O(strata) rows.
+    * Exactness: counts and token sums are exact longs; the fill rate
+    * is one double division of exact longs rounded at 6 dp — a 6-dp
+    * half is (2a+1)/(2·10^6), which no double equals exactly (the
+    * denominator carries 5^6 — not dyadic), so both engines round the
+    * identical quotient identically. */
+  def packStats(docs: DataFrame, strataCol: String,
+                budgetTokens: Int): DataFrame =
+    packSequences(docs, strataCol, budgetTokens)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("seq_id")) + 1).as("n_seqs"),
+        sum(col("ws_tokens")).as("n_tokens"))
+      .withColumn("fill_rate",
+        round(col("n_tokens").cast("double") /
+          (col("n_seqs") * budgetTokens).cast("double"), 6))
+
+  /** Corpus REFERENTIAL-INTEGRITY audit — the cross-modal sanity pass
+    * a multi-table corpus (text + embeddings here; images/audio the
+    * same way) runs before training: one row of counts for dangling
+    * references (docs with no vector, vectors with no doc), duplicate
+    * primary ids on either side, and degenerate payloads (null/empty
+    * text, null vectors). Silent referential drift — an embedding job
+    * that skipped a shard — is invisible to every per-table operator;
+    * this is the tripwire.
+    *
+    * Scale shape: two whole-table aggregates (exact, partial-agg) +
+    * two anti-joins over the DISTINCT id sets (id-keyed exchanges on
+    * frames already collapsed to one row per id); the four one-row
+    * results cross-broadcast into the single output row. */
+  def integrity(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_doc_ids"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("empty_text_docs"))
+    val e = emb.agg(
+      count(lit(1)).as("n_vectors"),
+      (count(lit(1)) - countDistinct(col("vec_id"))).as("dup_vec_ids"),
+      count(when(col("embedding").isNull, 1)).as("null_vectors"))
+    val docOrphans = docs.select("doc_id").distinct()
+      .join(emb.select(col("vec_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vector"))
+    val vecOrphans = emb.select("vec_id").distinct()
+      .join(docs.select(col("doc_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("vectors_without_doc"))
+    d.crossJoin(e).crossJoin(docOrphans).crossJoin(vecOrphans)
+  }
+
   /** F15: temperature-scaled mixing plan — the standard multilingual
     * rebalance (T5/mT5's α-sampling): target share `p_s ∝ n_s^α`, so
     * α = 1 keeps natural proportions, α → 0 flattens toward uniform,

@@ -144,6 +144,42 @@ class CorpusSpec extends SparkSpec {
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined)
   }
 
+  test("F7b packStats aggregates the assignment; fill rate counts start-sequence capacity") {
+    val out = Corpus.packStats(docs, "lang", budgetTokens = 7)
+      .select("lang", "n_docs", "n_seqs", "n_tokens", "fill_rate")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    // en stream (doc_id order): 4+3+3 tokens → offsets 0/4/7 → seqs 0/0/1
+    // es stream: 6+4 → offsets 0/6 → both start in seq 0 (the straddle
+    // convention: a doc belongs to the sequence it STARTS in, so fill
+    // can exceed 1 when the last doc spills past the boundary)
+    assert(out === Set(
+      ("en", 3L, 2L, 10L, math.rint(10.0 / 14 * 1e6) / 1e6),
+      ("es", 2L, 1L, 10L, math.rint(10.0 / 7 * 1e6) / 1e6)))
+  }
+
+  test("integrity counts dangling refs, dup ids, and degenerate payloads exactly") {
+    val d = Seq(
+      (1L, "alpha beta", "en"), (2L, "gamma delta", "en"),
+      (2L, "gamma delta", "en"),          // dup doc_id
+      (3L, "", "en"),                     // empty text
+      (4L, null.asInstanceOf[String], "en"), // null text
+      (9L, "orphan doc", "en")            // no vector
+    ).toDF("doc_id", "text", "lang")
+    val e = Seq(
+      (1L, Array(1.0f)), (2L, Array(2.0f)),
+      (2L, Array(2.5f)),                  // dup vec_id
+      (3L, null.asInstanceOf[Array[Float]]), // null vector
+      (4L, Array(4.0f)),
+      (77L, Array(7.0f))                  // no doc
+    ).toDF("vec_id", "embedding")
+    val out = Corpus.integrity(d, e).collect().head
+    val byName = out.schema.fieldNames.zip(out.toSeq).toMap
+    assert(byName === Map(
+      "n_docs" -> 6L, "dup_doc_ids" -> 1L, "empty_text_docs" -> 2L,
+      "n_vectors" -> 6L, "dup_vec_ids" -> 1L, "null_vectors" -> 1L,
+      "docs_without_vector" -> 1L, "vectors_without_doc" -> 1L))
+  }
+
   test("F25 tfidfTerms: idf re-ranks what raw counts cannot, integer score path") {
     // N=5; df: beta 3, alpha 2, uno 2, the rest 1 each
     // idf4 = round((ln(6/(df+1)) + 1)·1e4): df1→20986, df2→16931, df3→14055
