@@ -432,6 +432,10 @@ object SparkEntry {
     // (integer micro-unit sums, integer ÷√k rounding)
     "emb_project" -> ((s, d) => Similarity.randomProject(emb(s, d))),
 
+    // E8: corpus mean-centering + unit-norm — integer mean, exact
+    // long Σc², single-op double tail; fully oracled
+    "emb_normalize" -> ((s, d) => Similarity.normalizeEmbeddings(emb(s, d))),
+
     // E7b: serving THROUGH the projection — 16-dim shortlist
     // auto-sized to a constant corpus fraction (the isotropic
     // regime's price; clustered corpora take a fixed overfetch),
@@ -1957,6 +1961,29 @@ object SparkEntry {
          |                                     CAST(dim AS VARCHAR)), 1, 1) < '8'
          |                 THEN 1 ELSE -1 END))) AS BIGINT) AS s
          |  FROM e CROSS JOIN d)""".stripMargin,
+
+    // E8 mirror: same scale-6 coordinate rounding, sign-adjusted
+    // integer mean, exact BIGINT sum of squares, identical double
+    // tail (c/sqrt(ss), sqrt(ss)/1e6) rounded at 6 dp
+    "emb_normalize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |        CAST(round(v[dim + 1] * 1e6, 0) AS BIGINT) AS x6
+         |      FROM e, (SELECT unnest(range(0, 64)) AS dim) d),
+         |m AS (SELECT dim, CAST(sign(sum(x6)) AS BIGINT) *
+         |        ((2 * abs(sum(x6)) + count(*)) // (2 * count(*))) AS m6
+         |      FROM x GROUP BY 1),
+         |c AS (SELECT vec_id, x.dim AS dim, x6 - m6 AS c6
+         |      FROM x JOIN m ON x.dim = m.dim),
+         |n AS (SELECT vec_id, CAST(sum(c6 * c6) AS BIGINT) AS ss
+         |      FROM c GROUP BY 1)
+         |SELECT c.vec_id AS vec_id, dim,
+         |  CASE WHEN ss > 0
+         |       THEN round(CAST(c6 AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)), 6)
+         |       ELSE 0.0 END AS value,
+         |  round(sqrt(CAST(ss AS DOUBLE)) / 1e6, 6) AS norm
+         |FROM c JOIN n ON c.vec_id = n.vec_id""".stripMargin,
 
     // zero-norm exclusion mirrors the operator (NaN cosine would rank
     // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)

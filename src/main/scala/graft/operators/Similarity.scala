@@ -1511,6 +1511,50 @@ object Similarity {
     })
   }
 
+  /** E8: embedding NORMALIZATION — corpus mean-centering + unit-norm,
+    * the standard preprocessing before cosine-family work (centering
+    * removes the corpus' common direction that inflates every pairwise
+    * cosine; unit-norm makes dot product = cosine so downstream dedup/
+    * ANN (D5/D10/E-block) can use the cheaper product). Long-format
+    * output like [[randomProject]]: `(vec_id, dim, value, norm)` with
+    * `value` the normalized coordinate and `norm` the centered L2
+    * norm (0-norm vectors emit value 0.0 — flagged by norm, never a
+    * NaN).
+    *
+    * Exactness (SURVEY §5): coordinates round once to scale-6 longs,
+    * the per-dim mean is the sign-adjusted half-away integer quotient
+    * (the F16 integer-mean rule), centered coords are exact longs,
+    * and the squared norm Σc² is an EXACT LONG (no float sum, no
+    * order sensitivity; long-safe while |value|·√dims ≲ 3e3 — any
+    * embedding-scale input). `value = c/√ss` and `norm = √ss/1e6` are
+    * single double ops on identical operands, rounded at 6 dp (a 6-dp
+    * half is non-dyadic — no double sits on it).
+    *
+    * Scale shape: one posexplode scan → per-dim partial-agg sums
+    * (O(dims) rows, broadcast back) → per-vector partial-agg Σc²
+    * (vec-keyed) → one vec-keyed equi-join. Nothing wider than the
+    * exploded scan, no window, no driver-side data. */
+  def normalizeEmbeddings(emb: DataFrame): DataFrame = {
+    val x6 = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("x6"))
+    val mean = x6.groupBy("dim")
+      .agg(sum(col("x6")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr(
+        "cast(sign(s) as bigint) * ((2 * abs(s) + n) div (2 * n))").as("m6"))
+    val centered = x6.join(broadcast(mean), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("x6") - col("m6")).as("c6"))
+    val norms = centered.groupBy("vec_id")
+      .agg(sum(col("c6") * col("c6")).as("ss"))
+    centered.join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("dim"),
+        when(col("ss") > 0,
+          round(col("c6").cast("double") / sqrt(col("ss").cast("double")), 6))
+          .otherwise(lit(0.0)).as("value"),
+        round(sqrt(col("ss").cast("double")) / lit(1e6), 6).as("norm"))
+  }
+
   /** E7b: ANN serving THROUGH the projection — JL shortlist + exact
     * rerank, the composition a pipeline actually deploys dimension
     * reduction for: score all candidates in the k-dim projected space

@@ -14,6 +14,32 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f), "c")
   ).toDF("vec_id", "embedding", "label")
 
+  test("E8 normalizeEmbeddings: integer mean-centering, exact-long norms, zero-norm guarded") {
+    // dims mean 0 → centering is identity; norms 5, 5, 0
+    val v = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(-3.0f, -4.0f)),
+      (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.normalizeEmbeddings(v)
+      .select("vec_id", "dim", "value", "norm")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 0.6, 5.0), (1L, 1L, 0.8, 5.0),
+      (2L, 0L, -0.6, 5.0), (2L, 1L, -0.8, 5.0),
+      // the all-mean vector: norm 0, values 0.0 — flagged, never NaN
+      (3L, 0L, 0.0, 0.0), (3L, 1L, 0.0, 0.0)))
+    // a nonzero mean actually centers: dim0 mean 2, dim1 mean 1
+    val w = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(3.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.normalizeEmbeddings(w)
+      .select("vec_id", "dim", "value", "norm")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, -1.0, 1.0), (1L, 1L, 0.0, 1.0),
+      (2L, 0L, 1.0, 1.0), (2L, 1L, 0.0, 1.0)))
+  }
+
   test("E1 bruteForceTopK ranks by exact cosine, deterministic tie-break") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 3)
       .orderBy("rank").select("n_id").as[Long].collect()
