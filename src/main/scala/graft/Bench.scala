@@ -63,7 +63,8 @@ object Bench {
     // split their cost by whichever happened to run first — sorted
     // order makes every entry's number reproducible run-over-run
     def runAll(dir: String, record: Boolean): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(kv => SparkEntry.runOrderKey(kv._1))
+        .flatMap { case (name, fn) =>
         try Some(name -> timeNoop(() => fn(spark, dir)))
         catch { case scala.util.control.NonFatal(e) =>
           if (record) System.err.println(s"[bench] $name FAILED, no entry: ${e.getMessage}")

@@ -114,6 +114,15 @@ object SparkEntry {
 
   // ---- the catalog ------------------------------------------------------
 
+  /** Deterministic run order for Bench/Verify: sorted names, with ONE
+    * documented exception — bpe_train runs BEFORE bpe_encode, so the
+    * entry that TIMES the training loop is the one that seeds the
+    * shared memo and bpe_encode's number is pure encoding (the r8
+    * advice attribution nit, closed both ways: order-independent AND
+    * honestly labeled). */
+  def runOrderKey(name: String): String =
+    if (name == "bpe_encode") "bpe_train~encode" else name // '~' sorts after 'z'
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A: timeseries / ETL core ---
     "ts_interval_diff" -> ((s, d) =>
@@ -643,9 +652,10 @@ object SparkEntry {
     // F21b: encode the corpus with the learned merges — the batch's
     // distinct words encode once through the fused merge-list scan;
     // rows-only, exact-count gate = nDocs (losslessness + greedy
-    // semantics are spec-pinned). Runs before bpe_train in sorted
-    // order with a cold memo each bench rep, so its number is
-    // train+encode COMPOSED — deterministic, documented here
+    // semantics are spec-pinned). runOrderKey places this AFTER
+    // bpe_train in Bench/Verify, so its number is pure ENCODING off
+    // the memo bpe_train seeded (a subset run without bpe_train still
+    // works — encode trains its own memo, composed)
     "bpe_encode" -> ((s, d) =>
       Bpe.encode(docs(s, d),
         Bpe.trainCached(d, docs(s, d), BpeMerges).map(t => (t._1, t._2)))),

@@ -99,7 +99,7 @@ object Verify {
     // memo-sharing entries must split their cost deterministically
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter(kv => names.contains(kv._1)))
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(kv => SparkEntry.runOrderKey(kv._1))
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
