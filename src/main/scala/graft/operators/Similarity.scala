@@ -1555,6 +1555,61 @@ object Similarity {
         round(sqrt(col("ss").cast("double")) / lit(1e6), 6).as("norm"))
   }
 
+  /** E8's deploy flow: freeze the TRAINING corpus' per-dim scale-6
+    * mean as a tiny `(dim, m6)` table + one-row meta (n) — the
+    * serving rule for normalization: arrivals center by the FROZEN
+    * training mean (recomputing the mean per batch would make two
+    * batches of the same vector normalize differently — the idf-drift
+    * problem, vector edition), norms are per-row and need no state.
+    * The [[graft.operators.TextAnalysis.writeLmModel]] artifact
+    * shape. */
+  def writeEmbStats(emb: DataFrame, table: String, path: String): Unit = {
+    val x6 = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("x6"))
+    x6.groupBy("dim")
+      .agg(sum(col("x6")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr(
+        "cast(sign(s) as bigint) * ((2 * abs(s) + n) div (2 * n))").as("m6"))
+      .coalesce(1)
+      .write.format("parquet").option("path", s"${path}_mean")
+      .mode("overwrite").saveAsTable(s"${table}_mean")
+    emb.agg(count(lit(1)).as("n"))
+      .write.format("parquet").option("path", s"${path}_meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Normalize a vector batch against FROZEN stats ([[writeEmbStats]])
+    * — identical output (and identical integer path, spec-pinned) to
+    * [[normalizeEmbeddings]] when the stats came from the same corpus;
+    * arrivals longer than the frozen dimensionality reject loudly
+    * (inner join drops unknown dims silently otherwise — a schema
+    * drift tripwire, not a degrade). */
+  def normalizeAgainst(spark: org.apache.spark.sql.SparkSession,
+                       table: String, emb: DataFrame): DataFrame = {
+    val mean = spark.table(s"${table}_mean")
+    val x6 = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("x6"))
+    val centered = x6.join(broadcast(mean), Seq("dim"), "left")
+      .select(col("vec_id"), col("dim"),
+        // a dim the frozen stats never saw → fail loudly, not softly
+        when(col("m6").isNull,
+          raise_error(concat(lit("normalizeAgainst: dim "),
+            col("dim").cast("string"),
+            lit(" absent from frozen stats " + table))))
+          .otherwise(col("x6") - col("m6")).as("c6"))
+    val norms = centered.groupBy("vec_id")
+      .agg(sum(col("c6") * col("c6")).as("ss"))
+    centered.join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("dim"),
+        when(col("ss") > 0,
+          round(col("c6").cast("double") / sqrt(col("ss").cast("double")), 6))
+          .otherwise(lit(0.0)).as("value"),
+        round(sqrt(col("ss").cast("double")) / lit(1e6), 6).as("norm"))
+  }
+
   /** E7b: ANN serving THROUGH the projection — JL shortlist + exact
     * rerank, the composition a pipeline actually deploys dimension
     * reduction for: score all candidates in the k-dim projected space

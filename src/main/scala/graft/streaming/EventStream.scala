@@ -242,6 +242,23 @@ object EventStream {
           batch.sparkSession, table, batch, k))
       }
 
+  /** E8-as-a-stream: arrival-time embedding NORMALIZATION against the
+    * FROZEN training-corpus mean
+    * ([[graft.operators.Similarity.writeEmbStats]]) — the serving
+    * rule: centering by a per-batch mean would normalize the same
+    * vector differently across batches; the frozen mean keeps the
+    * embedding space stable for every downstream dedup/ANN consumer.
+    * Per-row norms need no state, so zero state growth — a restart
+    * needs only the stats tables. */
+  def streamingNormalize(emb: DataFrame, table: String,
+                         onNormalized: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onNormalized(batchId, graft.operators.Similarity.normalizeAgainst(
+          batch.sparkSession, table, batch))
+      }
+
   /** F24-as-a-stream: arrival-time BM25 ranking against FROZEN index
     * statistics ([[graft.operators.TextAnalysis.writeBm25Stats]]) —
     * the curation-queue shape: each arriving micro-batch is ranked

@@ -40,6 +40,27 @@ class SimilaritySpec extends SparkSpec {
       (2L, 0L, 1.0, 1.0), (2L, 1L, 0.0, 1.0)))
   }
 
+  test("E8 deploy flow: frozen mean reproduces self-normalization; unknown dim fails loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    Similarity.writeEmbStats(corpus, "emb_m", s"$wh/emb_m")
+    val a = Similarity.normalizeAgainst(spark, "emb_m", corpus)
+      .orderBy("vec_id", "dim").collect().toSeq.map(_.toSeq)
+    val b = Similarity.normalizeEmbeddings(corpus)
+      .orderBy("vec_id", "dim").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    // an arrival with MORE dims than the frozen stats is schema
+    // drift — loud failure, not a silent drop
+    import spark.implicits._
+    val wide = Seq((9000L, Array.fill(100)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.normalizeAgainst(spark, "emb_m", wide).collect())
+    assert(e.getMessage.contains("absent from frozen stats") ||
+      Option(e.getCause).exists(_.getMessage.contains("absent from frozen stats")))
+    spark.sql("DROP TABLE IF EXISTS emb_m_mean")
+    spark.sql("DROP TABLE IF EXISTS emb_m_meta")
+  }
+
   test("E1 bruteForceTopK ranks by exact cosine, deterministic tie-break") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 3)
       .orderBy("rank").select("n_id").as[Long].collect()

@@ -700,6 +700,36 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_s_meta")
   }
 
+  test("streamingNormalize centers each batch by the frozen corpus mean") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val wh = java.nio.file.Files.createTempDirectory("graft_snorm").toString
+    val all = Tables.embeddings(spark, sfDir)
+    Similarity.writeEmbStats(all.filter(col("vec_id") < 300),
+      "emb_s", s"$wh/emb_s")
+    val nMeanBefore = spark.table("emb_s_mean").count()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingNormalize(
+      mem.toDF().toDF("vec_id", "embedding"), "emb_s",
+      onNormalized = (id, df) => got(id) = df.orderBy("vec_id", "dim")
+        .collect().toSeq.map(_.toSeq)).start()
+    val b0 = all.filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      .select("vec_id", "embedding")
+    val exp0 = Similarity.normalizeAgainst(spark, "emb_s", b0)
+      .orderBy("vec_id", "dim").collect().toSeq.map(_.toSeq)
+    mem.addData(b0.as[(Long, Array[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L) === exp0 && got(0L).nonEmpty)
+    // zero state growth: arrivals never move the frozen mean
+    spark.catalog.refreshTable("emb_s_mean")
+    assert(spark.table("emb_s_mean").count() === nMeanBefore)
+    spark.sql("DROP TABLE IF EXISTS emb_s_mean")
+    spark.sql("DROP TABLE IF EXISTS emb_s_meta")
+  }
+
   test("streamingNbScore classifies each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
