@@ -49,6 +49,7 @@ object Bench {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Similarity.releaseCaches()
       graft.operators.Corpus.releaseCaches()
+      graft.operators.TextAnalysis.releaseCaches()
       graft.operators.Bpe.clearCache()
       spark.sharedState.cacheManager.clearCache()
     }

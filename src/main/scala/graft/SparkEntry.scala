@@ -55,6 +55,18 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame  = Tables.embeddings(s, d)
 
+  /** D12/D13's gate corpus: documents plus a deterministic replica of
+    * every 15th doc re-keyed at +30,000,000 (far above the id domain;
+    * ≡ 0 mod 3 so replicas stay image-kind). The corpus ships no
+    * byte-identical texts, so the exact-image truth set must plant
+    * its own duplicates — the DuckDB mirror applies the identical
+    * union in SQL. */
+  private def imageDupDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(15)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(30000000L)))
+  }
+
   /** The catalog's ANN query-vector predicate — shared with the serve
     * bench so the idx_* numbers can never silently bench a different
     * query set than the ann_* entries and the recall gates. */
@@ -351,6 +363,26 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
 
+    // D12: exact image dedup over REAL rendered PNGs — payload byte
+    // equality (md5 equi-join). renderTextImages is injective on the
+    // corpus texts, so the DuckDB mirror is plain text equality over
+    // the image-kind docs — hash-green without DuckDB decoding a
+    // single pixel. The corpus ships NO byte-identical texts (its
+    // planted duplicates are near-dups), so the gate corpus plants
+    // its own: [[imageDupDocs]] replicates every 15th doc re-keyed
+    // far above the id domain, and the mirror applies the same union
+    // in SQL — a 0-row truth set would gate nothing
+    "dedup_image_exact" -> ((s, d) =>
+      Dedup.imageExactPairs(Multimodal.renderTextImages(imageDupDocs(s, d)))),
+
+    // D13: perceptual image near-dup (rows-only, recall-gated 1.0 vs
+    // D12): real dHash per rendered PNG, then D4's banded hamming
+    // self-join — byte-identical payloads share a dHash, so the
+    // perceptual pair set must CONTAIN every exact pair (the
+    // containment gate, semantic-survivors posture)
+    "dedup_image_phash" -> ((s, d) =>
+      Dedup.imagePhashPairs(Multimodal.renderTextImages(imageDupDocs(s, d)))),
+
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
     // tables=6/probes=2/occupancy=128: the r8 D5bTuneDrive pick — the
@@ -565,6 +597,11 @@ object SparkEntry {
     // round + DECIMAL sum keeps both engines bit-identical
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
 
+    // F26: CCNet head/middle/tail perplexity buckets — integer
+    // count-threshold cuts over the bounded (lang, score) frame, no
+    // corpus-wide sort, no quantile interpolation to diverge
+    "text_ccnet_bucket" -> ((s, d) => TextAnalysis.ccnetBuckets(docs(s, d))),
+
     // F19: the quality/domain classifier stage (fastText's role in
     // GPT-3/LLaMA curation) as multinomial Naive Bayes trained on the
     // corpus' source labels — fully oracled: scale-4-integer ln terms
@@ -706,6 +743,12 @@ object SparkEntry {
     // --- G: multimodal ---
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
 
+    // G5 (rows-only, exact-count nImages): perceptual hash over REAL
+    // rendered PNGs — every row takes the pixel dHash path at the
+    // gate, not the stub
+    "mm_phash" -> ((s, d) =>
+      Multimodal.imagePhash(Multimodal.renderTextImages(docs(s, d)))),
+
     "mm_frame_sample" -> ((s, d) =>                                      // rows-only
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
@@ -802,6 +845,7 @@ object SparkEntry {
         "bpe_encode"              -> nDocs,
         "mm_decode_meta"          -> nDocs,
         "mm_feature_extract"      -> nDocs,
+        "mm_phash"                -> nImages,
         "text_compression_ratio"  -> nDocs,
         "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
@@ -865,7 +909,12 @@ object SparkEntry {
     // measured value is exactly 1.0 — any dip means the clustered
     // finder emitted a FALSE pair (a precision regression, the one
     // failure mode the pair-recall gates above cannot see)
-    "dedup_semantic_survivors" -> (("dedup_embedding_survivors", 1.0)))
+    "dedup_semantic_survivors" -> (("dedup_embedding_survivors", 1.0)),
+    // containment, not a recall trade-off: byte-identical payloads
+    // share a dHash (hamming 0, banding recall-exact, cap disengaged
+    // at verify scale) ⟹ the perceptual pair set ⊇ the exact pair
+    // set — any dip is a dropped true duplicate
+    "dedup_image_phash"        -> (("dedup_image_exact", 1.0)))
 
   // ---- DuckDB mirrors ---------------------------------------------------
 
@@ -877,6 +926,39 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+
+  /** F16's CTE chain (tokens → doc bigrams → count tables → per-doc
+    * exact integer ln-sum `g(doc_id, n_bigrams, a)`) — ONE definition
+    * shared by the score mirror and F26's bucket mirror so the two
+    * can never drift. DuckDB t[i] is 1-BASED (Spark subscripts are
+    * 0-based) and range() is end-exclusive, so i ∈ [2, len] reads
+    * (t[i−1], t[i]). Each ln rounds to a scale-4 INTEGER; the mean
+    * rounds via floor((2A+n)/(2n)) = half-up(A/n) in exact integer
+    * arithmetic — the rational S/n lands on exact half boundaries
+    * often (e.g. n=24) where double rounding is engine-dependent. */
+  private def lmCtes: String =
+    s"""t AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |pc AS (
+       |  SELECT doc_id, bg.prev AS prev, bg.cur AS cur
+       |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+       |          i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg
+       |        FROM t WHERE len(t) >= 2)),
+       |db AS (SELECT doc_id, prev, cur, count(*) AS m
+       |       FROM pc GROUP BY 1, 2, 3),
+       |big AS (SELECT prev, cur, sum(m) AS c_big FROM db GROUP BY 1, 2),
+       |uni AS (SELECT u AS tok, count(*) AS c_uni
+       |        FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM uni),
+       |s AS (SELECT doc_id, m,
+       |        CAST(round(ln((c_big + 0.5) / (c_uni + 0.5 * v)) * 10000, 0)
+       |          AS BIGINT) AS lnp_i
+       |      FROM db
+       |      JOIN big USING (prev, cur)
+       |      JOIN uni ON uni.tok = db.prev
+       |      CROSS JOIN v),
+       |g AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |        CAST(-sum(m * lnp_i) AS BIGINT) AS a
+       |      FROM s GROUP BY 1)""".stripMargin
   /** The F14 funnel's shared CTE chain (corpus_prep_e2e +
     * corpus_prep_ledger): every stage copied verbatim from its own
     * hash-green mirror, chained in funnel order. CTE names are the
@@ -1553,6 +1635,22 @@ object SparkEntry {
          |FROM sv a JOIN sv b ON a.doc_id < b.doc_id
          |WHERE len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) <= 3""".stripMargin,
 
+    // D12 mirror: renderTextImages is injective on NUL-free texts
+    // (distinct text bytes → distinct pixel rasters → distinct PNGs;
+    // identical texts → byte-identical PNGs, ImageIO's encoder being
+    // deterministic), so payload-md5 equality over the rendered
+    // image-kind docs IS text equality — DuckDB never decodes a
+    // pixel. The UNION plants the same +30,000,000 re-keyed replicas
+    // as [[imageDupDocs]]
+    "dedup_image_exact" ->
+      s"""WITH img0 AS (SELECT doc_id, coalesce(text, '') AS t
+         |             FROM documents WHERE doc_id % 3 = 0),
+         |img AS (SELECT doc_id, t FROM img0
+         |        UNION ALL
+         |        SELECT doc_id + 30000000, t FROM img0 WHERE doc_id % 15 = 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM img a JOIN img b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
+
     "dedup_survivors" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |g AS (
@@ -1672,39 +1770,41 @@ object SparkEntry {
          |FROM (SELECT lang, unnest($TOKS) AS t FROM documents)
          |GROUP BY lang""".stripMargin,
 
-    // F16 mirror: DuckDB t[i] is 1-BASED (Spark subscripts are
-    // 0-based) and range() is end-exclusive, so i ∈ [2, len] reads
-    // (t[i−1], t[i]). Each ln rounds to a scale-4 INTEGER; the mean
-    // rounds via floor((2A+n)/(2n)) = half-up(A/n) in exact integer
-    // arithmetic — the rational S/n lands on exact half boundaries
-    // often (e.g. n=24) where double rounding is engine-dependent
+    // F16 mirror over the shared [[lmCtes]] chain
     "text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |pc AS (
-         |  SELECT doc_id, bg.prev AS prev, bg.cur AS cur
-         |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
-         |          i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg
-         |        FROM t WHERE len(t) >= 2)),
-         |db AS (SELECT doc_id, prev, cur, count(*) AS m
-         |       FROM pc GROUP BY 1, 2, 3),
-         |big AS (SELECT prev, cur, sum(m) AS c_big FROM db GROUP BY 1, 2),
-         |uni AS (SELECT u AS tok, count(*) AS c_uni
-         |        FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
-         |v AS (SELECT count(*) AS v FROM uni),
-         |s AS (SELECT doc_id, m,
-         |        CAST(round(ln((c_big + 0.5) / (c_uni + 0.5 * v)) * 10000, 0)
-         |          AS BIGINT) AS lnp_i
-         |      FROM db
-         |      JOIN big USING (prev, cur)
-         |      JOIN uni ON uni.tok = db.prev
-         |      CROSS JOIN v),
-         |g AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-         |        CAST(-sum(m * lnp_i) AS BIGINT) AS a
-         |      FROM s GROUP BY 1)
+      s"""WITH $lmCtes
          |SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams,
          |       CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
          |         / 10000 AS lm_score
          |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // F26 mirror: the same score chain, then integer count-threshold
+    // cuts per (lang, score) — `above` = docs of the lang scoring
+    // strictly higher; head iff 3·above < n, middle iff 3·above < 2n.
+    // IS NOT DISTINCT FROM on lang (the null-lang stratum must match
+    // its own cut rows); n_lang IS NULL marks the unmatched
+    // (unscored) docs — cuts.lang can be legitimately NULL on a
+    // matched row
+    "text_ccnet_bucket" ->
+      s"""WITH $lmCtes,
+         |sc AS (SELECT d.doc_id, d.lang, coalesce(g.n_bigrams, 0) AS n_bigrams,
+         |        CAST(-((2 * g.a + g.n_bigrams) // (2 * g.n_bigrams)) AS DOUBLE)
+         |          / 10000 AS lm_score
+         |       FROM documents d LEFT JOIN g USING (doc_id)),
+         |bysc AS (SELECT lang, lm_score, count(*) AS c
+         |         FROM sc WHERE n_bigrams > 0 GROUP BY 1, 2),
+         |cuts AS (SELECT lang, lm_score,
+         |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY lm_score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above,
+         |    sum(c) OVER (PARTITION BY lang) AS n_lang
+         |  FROM bysc)
+         |SELECT sc.doc_id, sc.lang, sc.lm_score,
+         |  CASE WHEN cuts.n_lang IS NULL THEN 'unscored'
+         |       WHEN 3 * cuts.above < cuts.n_lang THEN 'head'
+         |       WHEN 3 * cuts.above < 2 * cuts.n_lang THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc LEFT JOIN cuts ON sc.lang IS NOT DISTINCT FROM cuts.lang
+         |  AND sc.lm_score = cuts.lm_score""".stripMargin,
 
     // F22 mirror: occurrence count over the same normalized tokens
     "text_blocklist" -> {

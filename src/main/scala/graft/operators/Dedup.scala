@@ -799,6 +799,20 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("simhash", call_function("graft_simhash64", col("hs")))
       .select(col("doc_id"), col("simhash"))
+    bandedHammingPairs(withSim, "simhash", maxHamming, maxBucket,
+      "simhashPairs")
+  }
+
+  /** The pigeonhole-banded hamming self-join over one 64-bit hash per
+    * doc — D4's candidate machinery factored out so every 64-bit
+    * fingerprint family (simhash over tokens, dHash over pixels) gets
+    * the identical recall-exact banding, exact bit_count verify, and
+    * hot-bucket star collapse. `hashed` = (doc_id, `hashCol`); output
+    * (doc_a, doc_b, hamming ≤ maxHamming), doc_a < doc_b except star
+    * spokes where doc_a is the hub (= bucket min, so still <). */
+  private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
+                                        maxHamming: Int, maxBucket: Long,
+                                        cacheTag: String): DataFrame = {
     // bands+1 boundaries over [0, 64); widths differ by ≤1 bit when
     // bands doesn't divide 64 — pigeonhole only needs a partition
     val bands = maxHamming + 1
@@ -806,9 +820,9 @@ object Dedup {
     val bandVals = (0 until bands).map { b =>
       val lo = bounds(b); val w = bounds(b + 1) - bounds(b)
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
+      shiftright(col(hashCol), lo).bitwiseAND(lit(mask))
     }
-    val banded0 = withSim.select(col("doc_id"), col("simhash"),
+    val banded0 = hashed.select(col("doc_id"), col(hashCol),
       posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
     // capped path: banded feeds FIVE branches (hot aggregate, kept
     // anti-join, members twice, self-join sides) — uncached, each
@@ -817,7 +831,7 @@ object Dedup {
     // sides collapse via exchange reuse — no cache needed.
     val banded =
       if (maxBucket == Long.MaxValue) banded0
-      else cachedAs("simhashPairs_banded", banded0)
+      else cachedAs(s"${cacheTag}_banded", banded0)
     val cap = if (maxBucket == Long.MaxValue) maxBucket
               else resolvedMaxBucket(banded, "band_val", maxBucket)
     val (buckets, hotStar) =
@@ -828,26 +842,62 @@ object Dedup {
           .select("band", "band_val")
         val kept = banded.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
         // hot buckets → star spokes around the min-id member; the hub
-        // travels with its simhash so spokes still get the exact
+        // travels with its hash so spokes still get the exact
         // hamming verify below (doc_a = hub = min, so doc_a < doc_b)
         val members = banded.join(broadcast(hot), Seq("band", "band_val"))
         val star = members
           .groupBy(col("band"), col("band_val"))
-          .agg(min_by(struct(col("doc_id"), col("simhash")), col("doc_id")).as("hub"))
+          .agg(min_by(struct(col("doc_id"), col(hashCol)), col("doc_id")).as("hub"))
           .join(members, Seq("band", "band_val"))
           .filter(col("doc_id") =!= col("hub.doc_id"))
           .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-            bit_count(col("hub.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+            bit_count(col(s"hub.$hashCol").bitwiseXOR(col(hashCol))).as("hamming"))
         (kept, Some(star))
       }
     val keptPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).as("hamming"))
     hotStar.fold(keptPairs)(keptPairs.unionByName(_))
       .filter(col("hamming") <= maxHamming) // before distinct: only survivors shuffle
       .distinct()
+  }
+
+  /** D12: exact image dedup — pairs of image payloads with IDENTICAL
+    * bytes, via one content-hash equi-join (doc_a < doc_b). The
+    * pixel-space ground truth [[imagePhashPairs]] is recall-gated
+    * against: byte-identical payloads necessarily share a dHash, so
+    * the perceptual pair set must contain every exact pair. Pair
+    * output is the gate-scale contract (D5's posture) — a deploy
+    * flow composes survivors per content-hash group like D1. */
+  def imageExactPairs(media: DataFrame): DataFrame = {
+    val hashed = media.filter(col("kind") === "image")
+      .select(col("doc_id"), md5(col("payload")).as("h"))
+    hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** D13: perceptual image near-dup pairs — dHash per image payload
+    * ([[Multimodal.imagePhash]]: real pixel hash for decodable images,
+    * deterministic stub otherwise — byte-identical payloads get equal
+    * hashes on BOTH paths, so exact dups are never lost to a codec
+    * gap), then the same recall-exact banded hamming self-join D4
+    * uses ([[bandedHammingPairs]]): hamming ≤ maxHamming ⟹ one of
+    * maxHamming+1 bands identical, candidates equi-join on
+    * (band, band_val), exact bit_count verify, hot buckets
+    * star-collapse at the measured-density cap. Catches re-encoded /
+    * rescaled / lightly-edited images that byte equality (D12)
+    * cannot. */
+  def imagePhashPairs(media: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming out of range for a 64-bit dHash")
+    val hashed = Multimodal.imagePhash(media)
+      .select(col("doc_id"), col("phash"))
+    bandedHammingPairs(hashed, "phash", maxHamming, maxBucket,
+      "imagePhashPairs")
   }
 
   /** D5: embedding near-dup pairs — cosine ≥ tau over the `embeddings`

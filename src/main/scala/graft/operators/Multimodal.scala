@@ -170,6 +170,67 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** REAL perceptual hash — dHash (difference hash, the public
+      * horizontal-gradient fingerprint): full pixel decode (same
+      * decompression-bomb refusal as [[imageFeatures]] — None BEFORE
+      * the pixel allocation), BT.601 luminance mean-pooled onto a
+      * 9-wide × 8-high grid through the same one-row streaming loop,
+      * then bit (y·8 + x) set iff cell(y, x+1) > cell(y, x) — 64 bits
+      * of gradient signs. Gradient signs survive rescaling and
+      * re-encoding (what pooling absorbs), which is exactly the
+      * robustness byte hashing lacks and image near-dedup needs.
+      * None when the payload isn't a decodable image. */
+    def dHash(bytes: Array[Byte]): Option[Long] =
+      try {
+        val declared = imageSize(bytes)
+        if (declared.isEmpty ||
+            declared.exists { case (w, h) => w.toLong * h > maxDecodePixels })
+          return None
+        val img =
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val gw = 9; val gh = 8
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Double](gw * gh)
+          val counts = new Array[Long](gw * gh)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            // long multiply: the imageFeatures overflow guard
+            val gy = (y.toLong * gh / h).toInt
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val lum = (0.299 * ((p >> 16) & 0xff) +
+                0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)) / 255.0
+              val c = gy * gw + (x.toLong * gw / w).toInt
+              sums(c) += lum; counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // empty cells (w < 9 or h < 8) read 0.0 — the imageFeatures
+          // empty-cell convention; comparisons on zeros yield 0 bits
+          def cell(yy: Int, xx: Int): Double = {
+            val c = yy * gw + xx
+            if (counts(c) == 0L) 0.0 else sums(c) / counts(c)
+          }
+          var bits = 0L
+          var yy = 0
+          while (yy < gh) {
+            var xx = 0
+            while (xx < 8) {
+              if (cell(yy, xx + 1) > cell(yy, xx)) bits |= 1L << (yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          Some(bits)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Cap on CUMULATIVE decoded pixels across an animation's frames
       * (sum of per-frame w·h). A hostile stream packs thousands of
       * LZW frames into a tiny payload — per-frame size alone doesn't
@@ -885,6 +946,76 @@ object Multimodal {
           }
       })
       .toDF()
+  }
+
+  /** One row of [[imagePhash]] output: 64-bit perceptual hash;
+    * `is_real` marks an actual pixel dHash vs the deterministic stub
+    * for undecodable payloads. */
+  final case class PHashed(doc_id: Long, phash: Long, is_real: Boolean)
+
+  /** G5: perceptual hash per image payload — REAL dHash
+    * ([[Codec.dHash]]) for payloads `javax.imageio` decodes,
+    * deterministic murmur-derived 64-bit stub otherwise (the
+    * featureExtract posture: refused bombs and unrecognized bytes
+    * stay filterable, never indistinguishable). Byte-identical
+    * payloads get equal hashes on EITHER path, so exact duplicates
+    * survive a codec gap. Narrow op: payload bytes never leave their
+    * partition; the hash is the only thing that shuffles downstream
+    * (8 bytes/doc — the whole point of fingerprint dedup at 100 TB). */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, bytes0) =>
+        val bytes = Codec.nonNull(bytes0)
+        Codec.dHash(bytes) match {
+          case Some(hash) => PHashed(id, hash, is_real = true)
+          case None =>
+            val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 13)
+            val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 29)
+            PHashed(id, (h0.toLong << 32) | (h1.toLong & 0xffffffffL),
+              is_real = false)
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic REAL-PNG media frame over the documents table's
+    * image-kind docs: each doc's utf-8 text bytes rastered row-major
+    * into a 16-wide grayscale PNG (height = ⌈len/16⌉, zero-padded
+    * tail; empty/null text → one black row). INJECTIVE on NUL-free
+    * texts — distinct texts give distinct rasters, identical texts
+    * give byte-identical payloads (ImageIO's PNG encoder is
+    * deterministic: pixels in, no timestamps out) — which is what
+    * lets D12's payload-equality pairs be mirrored in DuckDB as text
+    * equality, and puts REAL decodable pixels (not stub bytes) under
+    * the G5/D13 gate entries. */
+  def renderTextImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 16
+        val h = math.max(1, (b.length + w - 1) / w)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0,
+            if (i < b.length) b(i) & 0xff else 0)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      })
+      .toDF("doc_id", "kind", "payload")
   }
 
   /** G1: attach an opaque binary payload (here: utf-8 bytes of `text`,

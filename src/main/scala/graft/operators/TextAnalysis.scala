@@ -15,6 +15,14 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** One live cached frame per operator (shared [[CacheSlots]]
+    * lifecycle) — F26's scored table feeds both the cut computation
+    * and the output join. */
+  private val liveCaches = new CacheSlots
+
+  /** Drop every cache this object holds (end-of-job cleanup). */
+  def releaseCaches(): Unit = liveCaches.release()
+
   /** Per-language stopword lists for the n-gram/stopword-hit language
     * heuristic. Tie-break is the fixed list order below (first wins). */
   val stopwords: Seq[(String, Seq[String])] = Seq(
@@ -314,6 +322,57 @@ object TextAnalysis {
       .join(bigCounts(docBig), Seq("prev", "cur"))
       .join(uni.withColumnRenamed("tok", "prev"), Seq("prev"))
       .crossJoin(broadcast(vocab)), k, docs)
+  }
+
+  /** F26: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3)
+    * — label every doc `head`/`middle`/`tail` by where its [[lmScore]]
+    * sits in its language's score distribution thirds (head = best
+    * scores = lowest self-perplexity, the slice CCNet keeps;
+    * `unscored` for docs with <2 tokens). Buckets are THRESHOLD-based
+    * on pure integer count comparisons, not NTILE: a doc is `head`
+    * when strictly fewer than ⌈n/3⌉ docs of its lang score higher
+    * (3·above < n), `middle` below 2n/3, else `tail` — so ties share
+    * a bucket (no doc_id tie-break inside equal scores, unlike NTILE,
+    * whose boundary assignment would also make bucket sizes
+    * row-order-trivia) and no float quantile interpolation exists to
+    * diverge between engines.
+    *
+    * Scale shape — this is why it is NOT spelled ntile() over the
+    * corpus: lm_score is a scale-4 integer in a bounded range
+    * (ln-probability means), so distinct (lang, score) values are
+    * bounded (~10⁵ per lang) REGARDLESS of corpus size. The window
+    * runs over that bounded aggregate frame, never a full-corpus
+    * per-lang sort, and the cut table broadcasts back — two
+    * aggregates + one broadcast join at any scale. */
+  def ccnetBuckets(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the scored table feeds BOTH the cut computation and the
+    // output join — uncached, the whole F16 pipeline (two count
+    // aggregates + three joins) would run twice
+    val scored = liveCaches("ccnetBuckets_scored", lmScore(docs, k)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val byScore = scored.filter(col("n_bigrams") > 0)
+      .groupBy(col("lang"), col("lm_score"))
+      .agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col("lang"))
+    val cuts = byScore
+      .withColumn("above", coalesce(
+        sum(col("c")).over(byLang.orderBy(col("lm_score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum(col("c")).over(byLang))
+      .select(col("lang").as("c_lang"), col("lm_score").as("c_score"),
+        when(lit(3) * col("above") < col("n_lang"), "head")
+          .when(lit(3) * col("above") < lit(2) * col("n_lang"), "middle")
+          .otherwise("tail").as("bucket"))
+    // null-safe on lang (a null-lang stratum must match its own cut
+    // rows, not fall through to `unscored`); plain equality on the
+    // score — unscored docs carry NULL lm_score, never match, and
+    // take the coalesce arm
+    scored.join(broadcast(cuts),
+        col("lang") <=> col("c_lang") && col("lm_score") === col("c_score"),
+        "left")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        coalesce(col("bucket"), lit("unscored")).as("bucket"))
   }
 
   /** Corpus unigram counts `(tok, c_uni)` — ONE definition shared by

@@ -24,6 +24,7 @@ object EntryScaleDrive {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Similarity.releaseCaches()
       graft.operators.Corpus.releaseCaches()
+      graft.operators.TextAnalysis.releaseCaches()
       graft.operators.Bpe.clearCache()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -1,0 +1,127 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+
+/** D12/D13/G5: image dedup — the REAL dHash codec path on crafted
+  * pixels, the rendered-PNG media frame's injectivity contract (what
+  * lets D12's DuckDB mirror compare texts instead of pixels), and the
+  * banded-hamming pair operators' containment + perceptual-recall
+  * properties. */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Horizontal grayscale gradient: column x at level `lo + x·step`
+    * (strictly monotone along x when step ≠ 0). */
+  private def gradient(w: Int, h: Int, lo: Int, step: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val v = lo + x * step
+      val p = (v << 16) | (v << 8) | v
+      var y = 0
+      while (y < h) { img.setRGB(x, y, p); y += 1 }
+      x += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: rising gradient sets all 64 bits, falling none — hamming 64 apart") {
+    val up = Multimodal.Codec.dHash(gradient(63, 56, 0, 4))
+    val down = Multimodal.Codec.dHash(gradient(63, 56, 252, -4))
+    assert(up === Some(-1L))  // every cell(x+1) > cell(x): all bits set
+    assert(down === Some(0L)) // strictly falling: no bit set
+    assert(hamming(up.get, down.get) === 64)
+    // not an image at all → None (stub path upstream)
+    assert(Multimodal.Codec.dHash("just text".getBytes("UTF-8")) === None)
+  }
+
+  test("dHash survives rescale + re-encode — the property byte equality lacks") {
+    val a = gradient(64, 64, 0, 3)
+    val b = Multimodal.Codec.resizeImage(a, 32, 32).get
+    assert(!java.util.Arrays.equals(a, b)) // bytes differ...
+    val (ha, hb) = (Multimodal.Codec.dHash(a).get, Multimodal.Codec.dHash(b).get)
+    assert(hamming(ha, hb) <= 3)           // ...the perceptual hash doesn't
+  }
+
+  test("G5 imagePhash: real for decodable pixels, deterministic stub for garbage; byte-identical payloads share a hash on BOTH paths") {
+    val img = gradient(40, 30, 10, 5)
+    val junk = "no codec recognizes this".getBytes("UTF-8")
+    val media = Seq((1L, "image", img), (2L, "image", img),
+        (3L, "image", junk), (4L, "image", junk), (5L, "audio", img))
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.imagePhash(media).orderBy("doc_id").collect()
+    assert(out.length === 4) // audio-kind rows are not phashed
+    assert(out(0).getAs[Boolean]("is_real") && out(1).getAs[Boolean]("is_real"))
+    assert(out(0).getAs[Long]("phash") === out(1).getAs[Long]("phash"))
+    assert(!out(2).getAs[Boolean]("is_real") && !out(3).getAs[Boolean]("is_real"))
+    assert(out(2).getAs[Long]("phash") === out(3).getAs[Long]("phash"))
+  }
+
+  test("renderTextImages: deterministic, injective on distinct texts, decodable 16-wide PNGs, null text renders") {
+    val docs = Seq((0L, "alpha beta"), (3L, "alpha beta"), (6L, "alpha betb"),
+        (9L, "x" * 40), (12L, null.asInstanceOf[String]), (7L, "not image kind"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.renderTextImages(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 3L, 6L, 9L, 12L)) // pmod 3 filter
+    val p = out.map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(java.util.Arrays.equals(p(0L), p(3L)))  // identical text → identical bytes
+    assert(!java.util.Arrays.equals(p(0L), p(6L))) // one char off → different bytes
+    assert(Multimodal.Codec.imageSize(p(9L)) === Some((16, 3)))  // ⌈40/16⌉ rows
+    assert(Multimodal.Codec.imageSize(p(12L)) === Some((16, 1))) // null → one black row
+  }
+
+  /** The catalog's planted-duplicate construction (the corpus ships no
+    * byte-identical texts): every 15th doc replicated at +30,000,000. */
+  private def withReplicas(docs: org.apache.spark.sql.DataFrame) =
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(30000000L)))
+
+  test("D12 imageExactPairs over rendered docs ≡ text-equality pairs (the mirror's contract)") {
+    val docs = withReplicas(Tables.documents(spark, sfDir))
+    val got = Dedup.imageExactPairs(Multimodal.renderTextImages(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val img = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    val expected = img.as("a").join(img.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected && got.nonEmpty)
+    // exactly the planted (d, d+30M) pairs — nothing natural exists
+    assert(got.forall { case (a, b) => b === a + 30000000L })
+  }
+
+  test("D13 imagePhashPairs: contains every exact pair at hamming 0, and catches the rescaled copy D12 misses") {
+    // containment on the verify corpus (the catalog recall gate's claim)
+    val docs = withReplicas(Tables.documents(spark, sfDir).filter(col("doc_id") < 300))
+    val media = Multimodal.renderTextImages(docs)
+    val exact = Dedup.imageExactPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val phash = Dedup.imagePhashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val pairs = phash.map(t => (t._1, t._2)).toSet
+    assert(exact.subsetOf(pairs) && exact.nonEmpty)
+    assert(phash.filter(t => exact((t._1, t._2))).forall(_._3 === 0))
+    // the perceptual win: a rescaled re-encode pairs with its original
+    val a = gradient(64, 64, 0, 3)
+    val b = Multimodal.Codec.resizeImage(a, 32, 32).get
+    val c = gradient(64, 64, 252, -3)
+    val crafted = Seq((1L, "image", a), (2L, "image", b), (3L, "image", c))
+      .toDF("doc_id", "kind", "payload")
+    assert(Dedup.imageExactPairs(crafted).count() === 0)
+    val soft = Dedup.imagePhashPairs(crafted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(soft.contains((1L, 2L)) && !soft.contains((1L, 3L)) &&
+      !soft.contains((2L, 3L)))
+  }
+}

@@ -146,6 +146,43 @@ class TextAnalysisSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lm_m_meta")
   }
 
+  test("F26 ccnet buckets match the integer-threshold reference; ties share a bucket; unscored = <2 tokens") {
+    import graft.operators.TextAnalysis
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    val out = TextAnalysis.ccnetBuckets(corpus)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))))
+      .toMap
+
+    // reference: recompute the cuts doc-by-doc from the (oracled) F16
+    // scores — above = same-lang docs scoring strictly higher
+    val sc = TextAnalysis.lmScore(corpus)
+      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString),
+        r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val scoredByLang = sc.filter(_._3 > 0).groupBy(_._2)
+    for ((id, lang, nBig, score) <- sc) {
+      val expected =
+        if (nBig == 0) "unscored"
+        else {
+          val peers = scoredByLang(lang)
+          val n = peers.length.toLong
+          val above = peers.count(_._4.get > score.get).toLong
+          if (3 * above < n) "head"
+          else if (3 * above < 2 * n) "middle"
+          else "tail"
+        }
+      assert(out(id) === ((lang, score, expected)), s"doc $id")
+    }
+    // ties share a bucket by construction (no doc_id tie-break): every
+    // (lang, score) group carries exactly one distinct label
+    val byScore = sc.filter(_._3 > 0).groupBy(t => (t._2, t._4))
+    assert(byScore.forall { case (_, ds) => ds.map(d => out(d._1)._3).toSet.size == 1 })
+    assert(Set("head", "middle", "tail").subsetOf(out.values.map(_._3).toSet))
+  }
+
   test("F22 blocklist counts occurrences and flags clean docs") {
     val df = Seq(
       (1L, "clean text here"),
