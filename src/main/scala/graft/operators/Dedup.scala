@@ -810,20 +810,24 @@ object Dedup {
     * hot-bucket star collapse. `hashed` = (doc_id, `hashCol`); output
     * (doc_a, doc_b, hamming ≤ maxHamming), doc_a < doc_b except star
     * spokes where doc_a is the hub (= bucket min, so still <). */
-  private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
-                                        maxHamming: Int, maxBucket: Long,
-                                        cacheTag: String): DataFrame = {
-    // bands+1 boundaries over [0, 64); widths differ by ≤1 bit when
-    // bands doesn't divide 64 — pigeonhole only needs a partition
+  /** The pigeonhole band values of a 64-bit hash column: bands+1
+    * boundaries over [0, 64), widths differing by ≤1 bit when bands
+    * doesn't divide 64 — the partition is all pigeonhole needs. */
+  private def bandCols(hashCol: String, maxHamming: Int): Seq[Column] = {
     val bands = maxHamming + 1
     val bounds = (0 to bands).map(b => b * 64 / bands)
-    val bandVals = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val lo = bounds(b); val w = bounds(b + 1) - bounds(b)
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       shiftright(col(hashCol), lo).bitwiseAND(lit(mask))
     }
+  }
+
+  private[graft] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
+                                        maxHamming: Int, maxBucket: Long,
+                                        cacheTag: String): DataFrame = {
     val banded0 = hashed.select(col("doc_id"), col(hashCol),
-      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+      posexplode(array(bandCols(hashCol, maxHamming): _*)).as(Seq("band", "band_val")))
     // capped path: banded feeds FIVE branches (hot aggregate, kept
     // anti-join, members twice, self-join sides) — uncached, each
     // would re-tokenize + re-hash the corpus (the minhashLsh cache
@@ -898,6 +902,90 @@ object Dedup {
       .select(col("doc_id"), col("phash"))
     bandedHammingPairs(hashed, "phash", maxHamming, maxBucket,
       "imagePhashPairs")
+  }
+
+  /** D13's banded table rows: `(doc_id, phash, bucket)` with
+    * bucket = xxhash64(band, band_val) — the two-part pigeonhole key
+    * folded into ONE 64-bit column so a single `bucketBy` spec covers
+    * the whole candidate-join key (a fold collision merely adds a
+    * candidate the exact hamming verify removes). Unlike the text
+    * families' signature rows, the full phash TRAVELS with its bucket
+    * rows: every read path exact-verifies `bit_count(xor) ≤
+    * maxHamming`, so served pairs are VERIFIED pairs, never band
+    * candidates. */
+  private def phashBanded(media: DataFrame, maxHamming: Int): DataFrame =
+    Multimodal.imagePhash(media)
+      .select(col("doc_id"), col("phash"),
+        posexplode(array(bandCols("phash", maxHamming): _*))
+          .as(Seq("band", "band_val")))
+      .select(col("doc_id"), col("phash"),
+        xxhash64(col("band"), col("band_val")).as("bucket"))
+
+  /** Materialize D13's banded dHash rows BUCKETED on the folded band
+    * key — the image family's deploy table, completing the dedup table
+    * story ([[writeSignatureTable]] D3, [[writeMinhashTable]] D2,
+    * [[writeFingerprintTable]] D11): payloads are decoded and hashed
+    * ONCE, every later self-join or arrival batch joins co-located
+    * buckets with zero exchange on the key, and only 8-byte hashes
+    * ever shuffle — the payload bytes never leave their scan.
+    * Partitioned by `ingest_batch` (base = −1) for [[phashBatch]]'s
+    * replay-idempotent appends. */
+  def writePhashTable(media: DataFrame, table: String, path: String,
+                      buckets: Int = 64, maxHamming: Int = 3): Unit =
+    phashBanded(media, maxHamming)
+      // pin column order: appends resolve positionally (the
+      // writeMinhashTable rationale)
+      .select(col("doc_id"), col("phash"), col("bucket"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.format("parquet").partitionBy("ingest_batch")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** D13 over the materialized table: identical VERIFIED pair
+    * semantics to [[imagePhashPairs]] (uncapped), but the candidate
+    * self-join reads the bucketed table — no re-decode, no shuffle on
+    * the bucket key (plan-proved in ImageDedupSpec). */
+  def phashFromTable(spark: org.apache.spark.sql.SparkSession,
+                     table: String, maxHamming: Int = 3): DataFrame = {
+    val t = spark.table(table).hint("merge")
+    t.as("a").join(t.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** One micro-batch of the arrival-time D13 flow (the [[minhashBatch]]
+    * shape, image edition): hash + band the batch ONCE, (a) verified
+    * pairs vs the corpus table — excluding this batch's own replayed
+    * partition, (b) verified within-batch pairs, (c) the replay-safe
+    * static-partition append. Per-batch cost is O(batch × bucket
+    * density), independent of corpus size; `maxHamming` MUST match the
+    * table build or the band spaces are disjoint (zero pairs, no error
+    * to catch it). */
+  def phashBatch(spark: org.apache.spark.sql.SparkSession,
+                 table: String, batch: DataFrame, ingestBatch: Long,
+                 maxHamming: Int = 3): DataFrame = {
+    val raw = cachedAs("phashBatch_raw", phashBanded(batch, maxHamming))
+    val corpus = spark.table(table)
+      .filter(col("ingest_batch") =!= lit(ingestBatch)).hint("merge")
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .filter(col("hamming") <= maxHamming)
+    val vsCorpus = verified(corpus.as("a")
+      .join(raw.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming")))
+    val within = verified(raw.as("a")
+      .join(raw.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming")))
+    partitionOverwrite(raw.select(col("doc_id"), col("phash"), col("bucket")),
+      table, ingestBatch, Seq("doc_id", "phash", "bucket"))
+    vsCorpus.unionByName(within).distinct()
   }
 
   /** D5: embedding near-dup pairs — cosine ≥ tau over the `embeddings`

@@ -200,6 +200,26 @@ object EventStream {
           numHashes, bands, maxBucket))
       }
 
+  /** D13-as-a-stream: arrival-time perceptual IMAGE dedup — the fourth
+    * candidate family's streaming dual. Each micro-batch of media rows
+    * (doc_id, kind, payload) is pixel-hashed and banded ONCE
+    * ([[graft.operators.Dedup.phashBatch]]), exact-verified against
+    * the MATERIALIZED bucket table (exchange-free on the corpus side;
+    * payload bytes never leave the batch's scan — only 8-byte hashes
+    * travel), self-verified within the batch, and appended
+    * replay-safely. The bucket table IS the state store, restart
+    * resumes from the table as-is; `maxHamming` must match the table
+    * build (the streamingMinhashDedup caveat). */
+  def streamingImageDedup(media: DataFrame, table: String,
+                          maxHamming: Int = 3,
+                          onPairs: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(batchId, graft.operators.Dedup.phashBatch(
+          batch.sparkSession, table, batch, batchId, maxHamming))
+      }
+
   /** D11-as-a-stream: arrival-time exact-substring detection. Each
     * micro-batch is winnow-fingerprinted ONCE
     * ([[graft.operators.Dedup.substringBatch]]), joined against the

@@ -124,4 +124,59 @@ class ImageDedupSpec extends SparkSpec {
     assert(soft.contains((1L, 2L)) && !soft.contains((1L, 3L)) &&
       !soft.contains((2L, 3L)))
   }
+
+  test("D13 deploy table: phashFromTable ≡ imagePhashPairs, zero exchange on the bucket key") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ph").toString
+    val media = Multimodal.renderTextImages(
+      withReplicas(Tables.documents(spark, sfDir).filter(col("doc_id") < 300)))
+    Dedup.writePhashTable(media, "ph_b", s"$wh/ph_b", buckets = 8)
+
+    val fromTable = Dedup.phashFromTable(spark, "ph_b")
+    val plan = fromTable.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(_.startsWith("bucket")),
+      s"bucket key should be co-located by bucketing, got exchanges on: $exchanges")
+
+    val a = fromTable.orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val b = Dedup.imagePhashPairs(media, maxBucket = Long.MaxValue)
+      .orderBy("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS ph_b")
+  }
+
+  test("D13 arrival batch: verified pairs vs corpus + within batch; append replay-idempotent") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_phb").toString
+    val a = gradient(64, 64, 0, 3)
+    val c = gradient(64, 64, 252, -3)
+    val corpus = Seq((1L, "image", a), (3L, "image", c))
+      .toDF("doc_id", "kind", "payload")
+    Dedup.writePhashTable(corpus, "ph_i", s"$wh/ph_i", buckets = 4)
+
+    // batch: a rescaled re-encode of corpus doc 1 + two identical new docs
+    val b = Multimodal.Codec.resizeImage(a, 32, 32).get
+    val junk = "same undecodable payload".getBytes("UTF-8")
+    val batch = Seq((10L, "image", b), (11L, "image", junk), (12L, "image", junk))
+      .toDF("doc_id", "kind", "payload")
+    val pairs = Dedup.phashBatch(spark, "ph_i", batch, ingestBatch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)))  // rescaled copy found vs corpus
+    assert(pairs.contains((11L, 12L))) // within-batch stub-identical pair
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L)) // reverse gradient unrelated
+    val rowsAfterFirst = spark.table("ph_i").count()
+
+    // replay the SAME ingest batch: identical pairs, no row growth
+    val replay = Dedup.phashBatch(spark, "ph_i", batch, ingestBatch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.refreshTable("ph_i")
+    assert(replay === pairs)
+    assert(spark.table("ph_i").count() === rowsAfterFirst)
+
+    // a LATER batch pairs against batch-0 docs through the table
+    val batch2 = Seq((20L, "image", junk)).toDF("doc_id", "kind", "payload")
+    val p2 = Dedup.phashBatch(spark, "ph_i", batch2, ingestBatch = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((11L, 20L), (12L, 20L)))
+    spark.sql("DROP TABLE IF EXISTS ph_i")
+  }
 }

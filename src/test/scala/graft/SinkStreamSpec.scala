@@ -730,6 +730,52 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS emb_s_meta")
   }
 
+  test("streamingImageDedup: arrivals pair vs corpus and across batches; the bucket table is the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    def gradient(lo: Int, step: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = lo + x * step
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft_sph").toString
+    val a = gradient(0, 3)
+    val corpus = Seq((1L, "image", a), (3L, "image", gradient(252, -3)))
+      .toDF("doc_id", "kind", "payload")
+    Dedup.writePhashTable(corpus, "ph_s", s"$wh/ph_s", buckets = 4)
+
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = EventStream.streamingImageDedup(
+      mem.toDF().toDF("doc_id", "kind", "payload"), "ph_s",
+      onPairs = (id, p) => got(id) = p.select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet).start()
+
+    // batch 0: a rescaled re-encode of corpus doc 1 — found vs corpus
+    val b = Multimodal.Codec.resizeImage(a, 32, 32).get
+    mem.addData((10L, "image", b))
+    q.processAllAvailable()
+    assert(got(0L) === Set((1L, 10L)))
+
+    // batch 1: byte-identical to batch 0's arrival — pairs with the
+    // corpus doc AND batch 0's doc through the table (cross-batch
+    // memory lives in the table, not executor state)
+    mem.addData((20L, "image", b))
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1L) === Set((1L, 20L), (10L, 20L)))
+    spark.catalog.refreshTable("ph_s")
+    assert(spark.table("ph_s").filter(col("ingest_batch") >= 0L).count() > 0)
+    spark.sql("DROP TABLE IF EXISTS ph_s")
+  }
+
   test("streamingNbScore classifies each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
