@@ -477,6 +477,14 @@ object SparkEntry {
     // long Σc², single-op double tail; fully oracled
     "emb_normalize" -> ((s, d) => Similarity.normalizeEmbeddings(emb(s, d))),
 
+    // E9: SQ8 scalar quantization — fully ORACLED integer encode path
+    "emb_sq_encode" -> ((s, d) => Similarity.sqEncode(emb(s, d))),
+
+    // E9 serving (rows-only, recall-gated vs brute force): quantized
+    // shortlist, exact rerank — served scores are exact
+    "ann_sq_topk" -> ((s, d) =>
+      Similarity.sqTopK(emb(s, d), annIsQuery, 5)),
+
     // E7b: serving THROUGH the projection — 16-dim shortlist
     // auto-sized to a constant corpus fraction (the isotropic
     // regime's price; clustered corpora take a fixed overfetch),
@@ -900,6 +908,9 @@ object SparkEntry {
     // Floor 0.9× the smaller verify sf
     "ann_project_topk"        -> (("ann_bruteforce_topk", 0.55)),
     "ann_pq_topk"             -> (("ann_bruteforce_topk", 0.88)),
+    // SQ8 keeps 256 levels per dim — near-lossless on this corpus:
+    // measured 1.00 at BOTH verify sfs (rerank=16); floor 0.9×
+    "ann_sq_topk"             -> (("ann_bruteforce_topk", 0.90)),
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
@@ -2094,6 +2105,30 @@ object SparkEntry {
          |       ELSE 0.0 END AS value,
          |  round(sqrt(CAST(ss AS DOUBLE)) / 1e6, 6) AS norm
          |FROM c JOIN n ON c.vec_id = n.vec_id""".stripMargin,
+
+    // E9 mirror: the same scale-6 integer path — exact per-dim
+    // min/max, code and recon6 via non-negative half-up integer
+    // quotients (// ≡ div on non-negative operands), one double cast
+    // at the end
+    "emb_sq_encode" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |        CAST(round(v[dim + 1] * 1e6, 0) AS BIGINT) AS x6
+         |      FROM e, (SELECT unnest(range(0, 64)) AS dim) d),
+         |r AS (SELECT dim, min(x6) AS min6, max(x6) AS max6
+         |      FROM x GROUP BY 1),
+         |c AS (SELECT vec_id, x.dim AS dim, x6, min6, max6 - min6 AS d
+         |      FROM x JOIN r ON x.dim = r.dim),
+         |k AS (SELECT vec_id, dim, min6, d,
+         |        CASE WHEN d = 0 THEN 0
+         |             ELSE (2 * 255 * (x6 - min6) + d) // (2 * d) END AS code
+         |      FROM c)
+         |SELECT vec_id, dim, CAST(code AS BIGINT) AS code,
+         |  CAST(min6 + CASE WHEN d = 0 THEN 0
+         |       ELSE (2 * code * d + 255) // (2 * 255) END AS DOUBLE) / 1e6
+         |    AS recon
+         |FROM k""".stripMargin,
 
     // zero-norm exclusion mirrors the operator (NaN cosine would rank
     // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)

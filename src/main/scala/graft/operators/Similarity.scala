@@ -1610,6 +1610,87 @@ object Similarity {
         round(sqrt(col("ss").cast("double")) / lit(1e6), 6).as("norm"))
   }
 
+  /** E9: SCALAR quantization (SQ8 — FAISS `ScalarQuantizer` QT_8bit
+    * shape): each dimension compressed INDEPENDENTLY to an 8-bit code
+    * against per-dim [min, max] trained on the corpus — 64-dim float
+    * embeddings drop 4× (256 B → 64 B) while every dim keeps 256
+    * levels (vs PQ's m subspaces sharing ks centroids): the standard
+    * middle point on the compression/recall curve, with NO training
+    * iterations and no codebook state beyond 2·dims longs.
+    *
+    * Exactness (SURVEY §5): coordinates round once to scale-6 longs,
+    * per-dim min/max are exact, `code` = half-up(255·(x6−min6)/Δ) in
+    * pure long arithmetic (non-negative numerator: (2·255·(x6−min6)
+    * + Δ) div (2Δ)), `recon6` = min6 + half-up(code·Δ/255) likewise,
+    * and `recon` = recon6/1e6 is ONE double op on exact operands —
+    * every value hash-matches DuckDB. A flat dimension (Δ = 0)
+    * encodes 0 and reconstructs min6.
+    *
+    * Scale shape: posexplode scan → O(dims) min/max aggregate
+    * broadcast back → per-row integer expressions. No window, no
+    * driver-side data. */
+  def sqEncode(emb: DataFrame): DataFrame = {
+    val x6 = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("x6"))
+    val rng = x6.groupBy("dim")
+      .agg(min(col("x6")).as("min6"), max(col("x6")).as("max6"))
+    x6.join(broadcast(rng), Seq("dim"))
+      .withColumn("d", col("max6") - col("min6"))
+      .withColumn("code", when(col("d") === 0, lit(0L))
+        .otherwise(expr("(2 * 255 * (x6 - min6) + d) div (2 * d)")))
+      .withColumn("recon6", col("min6") + when(col("d") === 0, lit(0L))
+        .otherwise(expr("(2 * code * d + 255) div (2 * 255)")))
+      .select(col("vec_id"), col("dim"), col("code"),
+        (col("recon6").cast("double") / lit(1e6)).as("recon"))
+  }
+
+  /** E9 serving: ANN THROUGH the SQ8 codes — asymmetric, the FAISS
+    * rule: the query keeps full precision, every candidate scores by
+    * its RECONSTRUCTED vector (decoded once into an array so the scan
+    * is the same codegen dot as E1), top `rerank` per query by
+    * quantized cosine (scalar-only rows through the sort, the E2/E7b
+    * rationale), then exact full-precision rerank to k — served
+    * `cos_sim` is EXACT, only the shortlist is approximate. Same
+    * visit-every-pair guard as E1/E5: SQ shrinks per-pair cost and
+    * index bytes, not the pair space — compose with E3's lists for
+    * sub-linear scans exactly as PQ does in E6. */
+  def sqTopK(emb: DataFrame, isQuery: Column, k: Int,
+             rerank: Int = 16): DataFrame = {
+    graft.functions.VecExprs.register(emb.sparkSession)
+    val n = emb.count()
+    val nQ = emb.filter(isQuery).count()
+    // divide, never multiply (overflow fails the guard open — see E1)
+    require(nQ == 0L || n <= pairCeiling / nQ,
+      s"sqTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
+        "compose with IVF lists (the E6 pattern) at this scale")
+    val recon = sqEncode(emb)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("recon")))),
+        s => s.getField("recon")).as("rv"))
+      .withColumn("rn2", norm2(col("rv")))
+      .filter(col("rn2") > 0)
+    val p = preparedNonZero(emb)
+    val q = p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
+    val short = recon.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("sq_sim",
+        cosineFromParts(dot(col("q_v"), col("rv")), col("q_n2"), col("rn2")))
+      .withColumn("srank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("sq_sim").desc, col("vec_id"))))
+      .filter(col("srank") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short.join(p.as("c"), Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
   /** E7b: ANN serving THROUGH the projection — JL shortlist + exact
     * rerank, the composition a pipeline actually deploys dimension
     * reduction for: score all candidates in the k-dim projected space

@@ -61,6 +61,34 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS emb_m_meta")
   }
 
+  test("E9 sqEncode: codes span 0..255, reconstruction within half a level; corpus-covering rerank ≡ brute force") {
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val enc = Similarity.sqEncode(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(enc.forall(t => t._3 >= 0L && t._3 <= 255L))
+    // reconstruction error ≤ half a quantization level per dim
+    val x6 = corpus.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long"),
+        round(col("v").cast("double") * 1e6).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val width = enc.groupBy(_._2).map { case (d, rows) =>
+      val xs = rows.map(t => x6((t._1, d)))
+      d -> (xs.max - xs.min)
+    }
+    assert(enc.forall { t =>
+      math.abs(t._4 * 1e6 - x6((t._1, t._2))) <= width(t._2) / 510.0 + 1
+    })
+    // the exactness pin (the E3x/E6x posture): a rerank window
+    // covering the whole corpus reproduces exact brute force
+    val isQ = col("vec_id") < 3
+    val a = Similarity.sqTopK(corpus, isQ, 5, rerank = 1000)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.bruteForceTopK(corpus, isQ, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+  }
+
   test("E1 bruteForceTopK ranks by exact cosine, deterministic tie-break") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 3)
       .orderBy("rank").select("n_id").as[Long].collect()
