@@ -375,6 +375,57 @@ object TextAnalysis {
         coalesce(col("bucket"), lit("unscored")).as("bucket"))
   }
 
+  /** F26's deploy flow, freeze side: the frozen n-gram model
+    * ([[writeLmModel]], same `table`/`path`) PLUS per-lang bucket
+    * THRESHOLDS at `<table>_cuts` — `(lang, t_head, t_mid)`, the
+    * minimum self-score of each bucket. Buckets are monotone in
+    * score, so threshold comparison reproduces the training labels
+    * exactly AND generalizes to arrival scores the training corpus
+    * never produced (a frozen (lang, score)→bucket map would not).
+    * A lang whose scored set is a single doc has no middle bucket —
+    * t_mid freezes as t_head (everything below the head cut is tail,
+    * which is what the count rule degenerates to). */
+  def writeCcnetModel(docs: DataFrame, table: String, path: String,
+                      buckets: Int = 64, k: Double = 0.5): Unit = {
+    writeLmModel(docs, table, path, buckets)
+    ccnetBuckets(docs, k)
+      .filter(col("bucket").isin("head", "middle"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("bucket") === "head", col("lm_score"))).as("t_head"),
+        min(when(col("bucket") === "middle", col("lm_score"))).as("t_mid"))
+      .select(col("lang"), col("t_head"),
+        coalesce(col("t_mid"), col("t_head")).as("t_mid"))
+      .coalesce(1)
+      .write.format("parquet").option("path", s"${path}_cuts")
+      .mode("overwrite").saveAsTable(s"${table}_cuts")
+  }
+
+  /** F26's deploy flow, serve side: bucket ARRIVALS by the frozen
+    * model + frozen thresholds — scores via [[lmScoreAgainst]] (OOV
+    * backs off exactly as F16's deploy does), labels by per-lang
+    * threshold compare (null-safe on lang — the null-lang stratum
+    * matches its own frozen cuts). Scoring the training corpus
+    * reproduces [[ccnetBuckets]] exactly (spec-pinned). A lang the
+    * training corpus never saw has no thirds to place into —
+    * `unscored`, the conservative label, never a guess (documented,
+    * spec-asserted); <2-token docs are `unscored` as in the one-pass
+    * operator. Per-row work + two broadcast joins: zero state, the
+    * [[lmScoreAgainst]] scale shape. */
+  def ccnetBucketAgainst(spark: org.apache.spark.sql.SparkSession,
+                         table: String, docs: DataFrame,
+                         k: Double = 0.5): DataFrame = {
+    val cuts = spark.table(s"${table}_cuts")
+      .select(col("lang").as("c_lang"), col("t_head"), col("t_mid"))
+    lmScoreAgainst(spark, table, docs, k)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(broadcast(cuts), col("lang") <=> col("c_lang"), "left")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("n_bigrams") === 0 || col("t_head").isNull, "unscored")
+          .when(col("lm_score") >= col("t_head"), "head")
+          .when(col("lm_score") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Corpus unigram counts `(tok, c_uni)` — ONE definition shared by
     * the one-pass score and the model writer, so the frozen-model ≡
     * self-score invariant can't drift on a one-sided edit. */

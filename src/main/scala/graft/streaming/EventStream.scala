@@ -279,6 +279,22 @@ object EventStream {
           batch.sparkSession, table, batch))
       }
 
+  /** F26-as-a-stream: arrival-time CCNet bucketing against the FROZEN
+    * model + thresholds
+    * ([[graft.operators.TextAnalysis.writeCcnetModel]]) — the serving
+    * rule: per-batch thirds would put the same doc in different
+    * buckets depending on what it arrived with; the frozen cuts keep
+    * labels comparable across batches (the F16/F24 frozen-artifact
+    * posture). Zero state growth — a restart needs only the tables. */
+  def streamingCcnetBucket(docs: DataFrame, table: String,
+                           onBucketed: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBucketed(batchId, graft.operators.TextAnalysis.ccnetBucketAgainst(
+          batch.sparkSession, table, batch))
+      }
+
   /** F24-as-a-stream: arrival-time BM25 ranking against FROZEN index
     * statistics ([[graft.operators.TextAnalysis.writeBm25Stats]]) —
     * the curation-queue shape: each arriving micro-batch is ranked

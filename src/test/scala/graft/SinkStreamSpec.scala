@@ -776,6 +776,37 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ph_s")
   }
 
+  test("streamingCcnetBucket labels each batch by the frozen cuts, zero state growth") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_scc").toString
+    val all = Tables.documents(spark, sfDir)
+    TextAnalysis.writeCcnetModel(all.filter(col("doc_id") < 300),
+      "cc_s", s"$wh/cc_s", buckets = 4)
+    val nCutsBefore = spark.table("cc_s_cuts").count()
+
+    val mem = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingCcnetBucket(
+      mem.toDF().toDF("doc_id", "lang", "text"), "cc_s",
+      onBucketed = (id, df) => got(id) = df.orderBy("doc_id")
+        .collect().toSeq.map(_.toSeq)).start()
+    val b0 = all.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+      .select("doc_id", "lang", "text")
+    val exp0 = TextAnalysis.ccnetBucketAgainst(spark, "cc_s", b0)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    mem.addData(b0.as[(Long, String, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L) === exp0 && got(0L).nonEmpty)
+    // arrivals never move the frozen cuts
+    spark.catalog.refreshTable("cc_s_cuts")
+    assert(spark.table("cc_s_cuts").count() === nCutsBefore)
+    Seq("cc_s_uni", "cc_s_big", "cc_s_meta", "cc_s_cuts")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streamingNbScore classifies each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

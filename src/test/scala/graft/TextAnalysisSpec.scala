@@ -183,6 +183,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Set("head", "middle", "tail").subsetOf(out.values.map(_._3).toSet))
   }
 
+  test("F26 deploy flow: frozen cuts reproduce self-buckets; unseen lang stays unscored") {
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_ccnet").toString
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    TextAnalysis.writeCcnetModel(corpus, "cc_m", s"$wh/cc_m", buckets = 4)
+
+    // bucketing the training corpus against its own frozen artifacts
+    // is exactly the one-pass operator
+    val a = TextAnalysis.ccnetBucketAgainst(spark, "cc_m", corpus)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val b = TextAnalysis.ccnetBuckets(corpus)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+
+    // a lang the training corpus never saw: no frozen thirds to place
+    // into — conservative `unscored`, never a guess
+    import spark.implicits._
+    val alien = Seq((9000L, "xx", "some words that do score bigrams"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ccnetBucketAgainst(spark, "cc_m", alien)
+      .select("bucket").as[String].head()
+    assert(got === "unscored")
+
+    Seq("cc_m_uni", "cc_m_big", "cc_m_meta", "cc_m_cuts")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("F22 blocklist counts occurrences and flags clean docs") {
     val df = Seq(
       (1L, "clean text here"),
