@@ -125,6 +125,20 @@ class ImageDedupSpec extends SparkSpec {
       !soft.contains((2L, 3L)))
   }
 
+  test("D13 star-collapse: a mega bucket of identical images emits O(size) hub spokes, not size²") {
+    // 40 byte-identical payloads: one 40-member bucket in EVERY band
+    // (the boilerplate-image posture — thumbnails, logos, tracking
+    // pixels repeated wholesale across a crawl)
+    val img = gradient(40, 30, 5, 6)
+    val media = (1L to 40L).map(i => (i, "image", img))
+      .toDF("doc_id", "kind", "payload")
+    val pairs = Dedup.imagePhashPairs(media, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hub (min id) pairs each member once — connectivity survives
+    // for transitive clustering, the size² enumeration is given up
+    assert(pairs === (2L to 40L).map(j => (1L, j)).toSet)
+  }
+
   test("D13 deploy table: phashFromTable ≡ imagePhashPairs, zero exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ph").toString
     val media = Multimodal.renderTextImages(
