@@ -485,6 +485,20 @@ object SparkEntry {
     "ann_sq_topk" -> ((s, d) =>
       Similarity.sqTopK(emb(s, d), annIsQuery, 5)),
 
+    // E9b: IVF+SQ sub-linear composition — same probing config as
+    // ann_ivf_topk (nlist=32/nprobe=8), so its recall ceiling is the
+    // probing's; SQ8 reconstruction loses nothing at rr=16 (rows-only,
+    // recall-gated at the IVF floor)
+    "ann_ivfsq_topk" -> ((s, d) =>
+      Similarity.ivfSqTopK(emb(s, d), annIsQuery, 5, nlist = 32, nprobe = 8)),
+
+    // E9b exhaustive pin: every list probed + corpus-covering rerank
+    // must reproduce brute force row-for-row — same oracle as E1
+    "ann_ivfsq_exhaustive" -> ((s, d) =>
+      Similarity.ivfSqTopK(emb(s, d), annIsQuery, 5, nlist = 16,
+        nprobe = 16, rerank = Int.MaxValue)
+        .withColumn("rank", col("rank").cast("bigint"))),
+
     // E7b: serving THROUGH the projection — 16-dim shortlist
     // auto-sized to a constant corpus fraction (the isotropic
     // regime's price; clustered corpora take a fixed overfetch),
@@ -911,6 +925,8 @@ object SparkEntry {
     // SQ8 keeps 256 levels per dim — near-lossless on this corpus:
     // measured 1.00 at BOTH verify sfs (rerank=16); floor 0.9×
     "ann_sq_topk"             -> (("ann_bruteforce_topk", 0.90)),
+    // probing-ceiling-bound like the other IVF serves (same config)
+    "ann_ivfsq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
@@ -2138,6 +2154,7 @@ object SparkEntry {
     // the rerank window) — the SAME oracle pins both invariants
     "ann_ivf_exhaustive" -> annExactTopkSql,
     "ann_ivfpq_exhaustive" -> annExactTopkSql,
+    "ann_ivfsq_exhaustive" -> annExactTopkSql,
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -1658,13 +1658,51 @@ object Similarity {
     * sub-linear scans exactly as PQ does in E6. */
   def sqTopK(emb: DataFrame, isQuery: Column, k: Int,
              rerank: Int = 16): DataFrame = {
-    graft.functions.VecExprs.register(emb.sparkSession)
     val n = emb.count()
     val nQ = emb.filter(isQuery).count()
     // divide, never multiply (overflow fails the guard open — see E1)
     require(nQ == 0L || n <= pairCeiling / nQ,
       s"sqTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
-        "compose with IVF lists (the E6 pattern) at this scale")
+        "use ivfSqTopK (the E6 pattern) at this scale")
+    sqCore(emb, isQuery, k, rerank, candidates = None)
+  }
+
+  /** E9b: IVF + SQ — FAISS's `IndexIVFScalarQuantizer`: E3's coarse
+    * quantizer restricts candidates to the query's `nprobe` probed
+    * inverted lists, SQ8 reconstruction scores ONLY those candidates
+    * (scan work ∝ nprobe/nlist of the corpus), exact rerank on top —
+    * the sub-linear serve for the quantizer that keeps 256 levels per
+    * dim. Exhaustive probing (nprobe = nlist) with a corpus-covering
+    * rerank reproduces brute force row-for-row (the E3x/E6x pin —
+    * catalog entry `ann_ivfsq_exhaustive` holds it hash-green against
+    * E1's oracle). */
+  def ivfSqTopK(emb: DataFrame, isQuery: Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, rerank: Int = 16,
+                trainIters: Int = 5): DataFrame = {
+    val nl = autoNlist(emb, nlist)
+    val p = prepared(emb)
+    val cents0 = collectCentroids(p, nl)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    val assigned = ivfAssignPrepared(p, cents)
+      .select(col("vec_id"), col("c_id"))
+    // zero-norm queries out before probing (the E6 rationale)
+    val probes = probeList(p.filter(col("n2") > 0), isQuery, cents, nprobe)
+      .select(col("q_id"), col("c_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    sqCore(emb, isQuery, k, rerank, candidates = Some(candidates))
+  }
+
+  /** Shared E9 serving core: quantized shortlist (reconstructed
+    * candidates, scalar-only rows through the sort) + exact rerank.
+    * `candidates = None` scores every (query, candidate) pair (E9's
+    * guarded flat scan); `Some(frame)` restricts scoring to the given
+    * (q_id, vec_id) pairs (E9b's probed lists). */
+  private def sqCore(emb: DataFrame, isQuery: Column, k: Int, rerank: Int,
+                     candidates: Option[DataFrame]): DataFrame = {
+    graft.functions.VecExprs.register(emb.sparkSession)
     val recon = sqEncode(emb)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("recon")))),
@@ -1674,7 +1712,11 @@ object Similarity {
     val p = preparedNonZero(emb)
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
-    val short = recon.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    val scored = candidates match {
+      case None => recon.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      case Some(c) => recon.join(c, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+    }
+    val short = scored
       .withColumn("sq_sim",
         cosineFromParts(dot(col("q_v"), col("rv")), col("q_n2"), col("rn2")))
       .withColumn("srank", row_number().over(Window.partitionBy(col("q_id"))

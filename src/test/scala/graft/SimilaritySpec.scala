@@ -89,6 +89,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("E9b ivfSqTopK: exhaustive probing + covering rerank ≡ brute force; probed flavor serves k rows per query") {
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val isQ = col("vec_id") < 3
+    val a = Similarity.ivfSqTopK(corpus, isQ, 5, nlist = 8, nprobe = 8,
+        rerank = Int.MaxValue)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.bruteForceTopK(corpus, isQ, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    val probed = Similarity.ivfSqTopK(corpus, isQ, 5, nlist = 8, nprobe = 2)
+    assert(probed.groupBy("q_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("E1 bruteForceTopK ranks by exact cosine, deterministic tie-break") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 3)
       .orderBy("rank").select("n_id").as[Long].collect()
