@@ -649,6 +649,17 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)),
 
+    // F27: hybrid retrieval — RRF of F24's lexical top-20 and the
+    // embedding-cosine top-20 of doc 0's vector (vec_id ≡ doc_id, the
+    // corpus_integrity contract); rank-only fusion, fully ORACLED
+    // from the two green mirrors
+    "retrieval_hybrid_rrf" -> ((s, d) =>
+      TextAnalysis.rrfFuse(
+        TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)
+          .select(col("doc_id"), col("rank")),
+        Similarity.bruteForceTopK(emb(s, d), col("vec_id") === 0, 20)
+          .select(col("n_id").as("doc_id"), col("rank")))),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -1110,7 +1121,10 @@ object SparkEntry {
     * 10·T·tf + 3·T + 9·dl·N), one double multiply+divide in pinned
     * order, 6-dp round into DECIMAL, exact decimal sum in term
     * order. */
-  private def bm25Sql: String = {
+  /** The F24 CTE chain through `topk` — ONE definition shared by the
+    * BM25 mirror and F27's fusion mirror (the lmCtes pattern: the two
+    * can never drift). */
+  private def bm25Ctes: String = {
     val dfCtes = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"""i$i AS (
          |  SELECT CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
@@ -1128,7 +1142,7 @@ object SparkEntry {
          |       + dl * 9 * (SELECT n FROM s) AS DOUBLE), 6)
          |  AS DECIMAL(20,6))""".stripMargin
     }.mkString(" +\n")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, $TOKS AS toks,
        |    CAST(coalesce(len($TOKS), 0) AS BIGINT) AS dl
        |  FROM documents),
@@ -1139,11 +1153,14 @@ object SparkEntry {
        |topk AS (
        |  SELECT doc_id, CAST(score_dec AS DOUBLE) AS score
        |  FROM scored WHERE score_dec > 0
-       |  ORDER BY score DESC, doc_id LIMIT 20)
+       |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+  }
+
+  private def bm25Sql: String =
+    s"""WITH $bm25Ctes
        |SELECT doc_id, score,
        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |FROM topk""".stripMargin
-  }
 
   /** DuckDB mirror of Timeseries.tmsEnc — the injective
     * `v<len>:<chars>` / `n:` tuple encoding behind tms_id. Edit in
@@ -1897,6 +1914,38 @@ object SparkEntry {
 
     // F24 mirror — generated from the same Bm25Terms (see bm25Sql)
     "text_bm25_topk" -> bm25Sql,
+
+    // F27 mirror: the SAME bm25Ctes chain (lex ranks), E1's cosine
+    // spelling for the semantic ranks of vec 0, then rank-only RRF —
+    // each term the scale-6 half-up integer 1e6/(60+rank) (60+r
+    // divides 2e6 at r=40: the rational sum's 6-dp rounding is
+    // engine-dependent exactly there), summed in exact BIGINTs
+    "retrieval_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |        FROM topk),
+         |em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                              CAST(embedding AS DOUBLE[])) > 0),
+         |sem AS (SELECT doc_id, rank FROM (
+         |    SELECT a.vec_id AS doc_id,
+         |           row_number() OVER (ORDER BY round($COS, 6) DESC, a.vec_id)
+         |             AS rank
+         |    FROM em a JOIN em b ON b.vec_id = 0 AND a.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |u AS (SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM lex
+         |      UNION ALL
+         |      SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM sem),
+         |f AS (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6
+         |      FROM u GROUP BY 1)
+         |SELECT doc_id, CAST(s6 AS DOUBLE) / 1e6 AS rrf_score,
+         |  row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
+         |FROM f QUALIFY rank <= 20""".stripMargin,
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
     // per-class ln prior both round to scale-4 integers, per-doc

@@ -678,6 +678,40 @@ object TextAnalysis {
     * keeps df = 0 — the Lucene idf form stays finite there
     * (ln(2N+...) — maximal rarity), so arrivals CONTAINING the new
     * term still rank instead of erroring. */
+  /** F27: reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009)
+    * — the standard hybrid-retrieval combiner: fuse a LEXICAL ranking
+    * (BM25) with a SEMANTIC ranking (embedding cosine) using RANKS
+    * only, score(d) = Σ_lists 1/(kRrf + rank_d). BM25 scores and
+    * cosines are incommensurable — RRF never compares them, which is
+    * why it needs no calibration and is the default fusion in hybrid
+    * search engines. A doc on one list only gets that list's term.
+    *
+    * Exactness: each term is the scale-6 half-up integer quotient
+    * 1e6/(kRrf+r) — the rational sum's 6-dp rounding lands on half
+    * boundaries whenever kRrf+r divides 2e6 (r=40 at the default k
+    * does), where double rounding is engine-dependent — summed in
+    * exact longs, ranked by (score desc, doc_id).
+    *
+    * Scale shape: inputs are two top-k frames, so everything here is
+    * O(k) rows — the single-partition rank window is bounded by
+    * construction (≤ 2k candidates), never a corpus sort. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, kRrf: Int = 60,
+              topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def scored(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        expr(s"(2 * 1000000 + ($kRrf + rank)) div (2 * ($kRrf + rank))")
+          .as("s6"))
+    scored(lex).unionByName(scored(sem))
+      .groupBy(col("doc_id")).agg(sum(col("s6")).as("s6"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("s6").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"),
+        (col("s6").cast("double") / lit(1e6)).as("rrf_score"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   def bm25TopKAgainst(spark: org.apache.spark.sql.SparkSession,
                       table: String, docs: DataFrame,
                       terms: Seq[String], k: Int): DataFrame = {

@@ -210,6 +210,19 @@ class TextAnalysisSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("F27 rrfFuse: hand-computed integer RRF terms, one-list docs score one term, rank by (score, id)") {
+    import graft.operators.TextAnalysis
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(lex, sem)
+      .orderBy("rank").as[(Long, Double, Long)].collect().toSeq
+    // half-up(1e6/61) = 16393 (0.44 rounds down), half-up(1e6/62) = 16129
+    assert(out === Seq(
+      (20L, (16393L + 16129L) / 1e6, 1L), // both lists
+      (10L, 16393L / 1e6, 2L),            // lexical only
+      (30L, 16129L / 1e6, 3L)))           // semantic only
+  }
+
   test("F22 blocklist counts occurrences and flags clean docs") {
     val df = Seq(
       (1L, "clean text here"),
