@@ -55,15 +55,17 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame  = Tables.embeddings(s, d)
 
-  /** D12/D13's gate corpus: documents plus a deterministic replica of
-    * every 15th doc re-keyed at +30,000,000 (far above the id domain;
-    * ≡ 0 mod 3 so replicas stay image-kind). The corpus ships no
-    * byte-identical texts, so the exact-image truth set must plant
-    * its own duplicates — the DuckDB mirror applies the identical
-    * union in SQL. */
-  private def imageDupDocs(s: SparkSession, d: String): DataFrame = {
+  /** The media-dedup gate corpus (D12/D13/D14): documents plus a
+    * deterministic replica of every 5th doc re-keyed at +30,000,000
+    * (far above the id domain; the offset is ≡ 0 mod 3, so each
+    * replica stays in its source's modality stratum, and %5 hits
+    * every mod-3 class — images AND audio get planted duplicates).
+    * The corpus ships no byte-identical texts, so the exact-media
+    * truth sets must plant their own — the DuckDB mirrors apply the
+    * identical union in SQL. */
+  private def mediaDupDocs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    base.unionByName(base.filter(pmod(col("doc_id"), lit(15)) === 0)
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
       .withColumn("doc_id", col("doc_id") + lit(30000000L)))
   }
 
@@ -369,11 +371,11 @@ object SparkEntry {
     // the image-kind docs — hash-green without DuckDB decoding a
     // single pixel. The corpus ships NO byte-identical texts (its
     // planted duplicates are near-dups), so the gate corpus plants
-    // its own: [[imageDupDocs]] replicates every 15th doc re-keyed
+    // its own: [[mediaDupDocs]] replicates every 5th doc re-keyed
     // far above the id domain, and the mirror applies the same union
     // in SQL — a 0-row truth set would gate nothing
     "dedup_image_exact" -> ((s, d) =>
-      Dedup.imageExactPairs(Multimodal.renderTextImages(imageDupDocs(s, d)))),
+      Dedup.imageExactPairs(Multimodal.renderTextImages(mediaDupDocs(s, d)))),
 
     // D13: perceptual image near-dup (rows-only, recall-gated 1.0 vs
     // D12): real dHash per rendered PNG, then D4's banded hamming
@@ -381,7 +383,17 @@ object SparkEntry {
     // perceptual pair set must CONTAIN every exact pair (the
     // containment gate, semantic-survivors posture)
     "dedup_image_phash" -> ((s, d) =>
-      Dedup.imagePhashPairs(Multimodal.renderTextImages(imageDupDocs(s, d)))),
+      Dedup.imagePhashPairs(Multimodal.renderTextImages(mediaDupDocs(s, d)))),
+
+    // D14a: exact AUDIO dedup over REAL rendered WAVs — same planted
+    // replicas + text-equality mirror as D12, audio-kind stratum
+    "dedup_audio_exact" -> ((s, d) =>
+      Dedup.audioExactPairs(Multimodal.renderTextAudio(mediaDupDocs(s, d)))),
+
+    // D14: perceptual audio near-dup (rows-only, recall-gated 1.0 vs
+    // D14a by containment — byte-identical ⟹ envelope-hash identical)
+    "dedup_audio_phash" -> ((s, d) =>
+      Dedup.audioPhashPairs(Multimodal.renderTextAudio(mediaDupDocs(s, d)))),
 
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
@@ -782,6 +794,11 @@ object SparkEntry {
     "mm_phash" -> ((s, d) =>
       Multimodal.imagePhash(Multimodal.renderTextImages(docs(s, d)))),
 
+    // G5 audio (rows-only, exact-count nAudio): envelope hash over
+    // REAL rendered WAVs — the pixel-path posture, audio edition
+    "mm_audio_phash" -> ((s, d) =>
+      Multimodal.audioPhash(Multimodal.renderTextAudio(docs(s, d)))),
+
     "mm_frame_sample" -> ((s, d) =>                                      // rows-only
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
@@ -879,6 +896,7 @@ object SparkEntry {
         "mm_decode_meta"          -> nDocs,
         "mm_feature_extract"      -> nDocs,
         "mm_phash"                -> nImages,
+        "mm_audio_phash"          -> (nDocs - nImages - nVideos),
         "text_compression_ratio"  -> nDocs,
         "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
@@ -952,7 +970,9 @@ object SparkEntry {
     // share a dHash (hamming 0, banding recall-exact, cap disengaged
     // at verify scale) ⟹ the perceptual pair set ⊇ the exact pair
     // set — any dip is a dropped true duplicate
-    "dedup_image_phash"        -> (("dedup_image_exact", 1.0)))
+    "dedup_image_phash"        -> (("dedup_image_exact", 1.0)),
+    // same containment argument, audio modality
+    "dedup_audio_phash"        -> (("dedup_audio_exact", 1.0)))
 
   // ---- DuckDB mirrors ---------------------------------------------------
 
@@ -1685,15 +1705,28 @@ object SparkEntry {
     // deterministic), so payload-md5 equality over the rendered
     // image-kind docs IS text equality — DuckDB never decodes a
     // pixel. The UNION plants the same +30,000,000 re-keyed replicas
-    // as [[imageDupDocs]]
+    // as [[mediaDupDocs]]
     "dedup_image_exact" ->
       s"""WITH img0 AS (SELECT doc_id, coalesce(text, '') AS t
          |             FROM documents WHERE doc_id % 3 = 0),
          |img AS (SELECT doc_id, t FROM img0
          |        UNION ALL
-         |        SELECT doc_id + 30000000, t FROM img0 WHERE doc_id % 15 = 0)
+         |        SELECT doc_id + 30000000, t FROM img0 WHERE doc_id % 5 = 0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM img a JOIN img b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
+
+    // D14a mirror: renderTextAudio is injective (samples ARE the text
+    // bytes; the 44-byte header is a function of the length), so WAV
+    // byte equality IS text equality over the audio-kind stratum —
+    // same planted replicas as D12 (+30M ≡ 0 mod 3 keeps the kind)
+    "dedup_audio_exact" ->
+      s"""WITH au0 AS (SELECT doc_id, coalesce(text, '') AS t
+         |            FROM documents WHERE doc_id % 3 = 1),
+         |au AS (SELECT doc_id, t FROM au0
+         |       UNION ALL
+         |       SELECT doc_id + 30000000, t FROM au0 WHERE doc_id % 5 = 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM au a JOIN au b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

@@ -875,12 +875,40 @@ object Dedup {
     * the perceptual pair set must contain every exact pair. Pair
     * output is the gate-scale contract (D5's posture) — a deploy
     * flow composes survivors per content-hash group like D1. */
-  def imageExactPairs(media: DataFrame): DataFrame = {
-    val hashed = media.filter(col("kind") === "image")
+  def imageExactPairs(media: DataFrame): DataFrame =
+    exactPayloadPairs(media, "image")
+
+  /** D14a: exact AUDIO dedup — [[imageExactPairs]]' contract on the
+    * audio modality; the ground truth [[audioPhashPairs]] is
+    * containment-gated against (byte-identical ⟹ envelope-hash
+    * identical). */
+  def audioExactPairs(media: DataFrame): DataFrame =
+    exactPayloadPairs(media, "audio")
+
+  /** Byte-identical payload pairs of one modality via a content-hash
+    * equi-join — ONE definition for every exact media-dedup flavor. */
+  private def exactPayloadPairs(media: DataFrame, kind: String): DataFrame = {
+    val hashed = media.filter(col("kind") === kind)
       .select(col("doc_id"), md5(col("payload")).as("h"))
     hashed.as("a").join(hashed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** D14: perceptual AUDIO near-dup pairs — envelope dHash per audio
+    * payload ([[Multimodal.audioPhash]]: real RMS-contour hash for
+    * JDK-decodable audio, deterministic stub otherwise), then the
+    * same recall-exact banded hamming machinery as D4/D13
+    * ([[bandedHammingPairs]]). Catches resampled/re-encoded copies
+    * byte equality can't. */
+  def audioPhashPairs(media: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming out of range for a 64-bit envelope hash")
+    val hashed = Multimodal.audioPhash(media)
+      .select(col("doc_id"), col("phash"))
+    bandedHammingPairs(hashed, "phash", maxHamming, maxBucket,
+      "audioPhashPairs")
   }
 
   /** D13: perceptual image near-dup pairs — dHash per image payload

@@ -712,6 +712,25 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+    /** REAL audio perceptual hash — the dHash idea on the ENERGY
+      * ENVELOPE: decode to 65 equal time windows of RMS level
+      * ([[audioFeatures]] at dim 130, same bomb refusal), then bit j
+      * set iff rms(j+1) > rms(j) — 64 gradient-sign bits of the
+      * loudness contour. Windows are equal TIME fractions, so the
+      * envelope shape survives resampling and re-encoding — the
+      * robustness byte equality lacks and audio near-dedup needs.
+      * None when the payload isn't decodable audio. */
+    def audioPhash(bytes: Array[Byte]): Option[Long] =
+      audioFeatures(bytes, 130).map { f =>
+        var bits = 0L
+        var j = 0
+        while (j < 64) {
+          if (f(2 * (j + 1)) > f(2 * j)) bits |= 1L << j
+          j += 1
+        }
+        bits
+      }
+
     /** One payload's decode: real header probe for images, real
       * frame-count probe for video payloads that are animated streams
       * the JDK decodes (animated GIF), [[stubMeta]] otherwise. The
@@ -980,6 +999,66 @@ object Multimodal {
         }
       })
       .toDF()
+  }
+
+  /** G5 for audio: perceptual hash per audio payload — REAL envelope
+    * dHash ([[Codec.audioPhash]]) for payloads the JDK decodes
+    * (WAV/AIFF/AU), deterministic murmur stub otherwise. Same posture
+    * as [[imagePhash]]: byte-identical payloads hash equal on either
+    * path; only 8-byte hashes shuffle. */
+  def audioPhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, bytes0) =>
+        val bytes = Codec.nonNull(bytes0)
+        Codec.audioPhash(bytes) match {
+          case Some(hash) => PHashed(id, hash, is_real = true)
+          case None =>
+            val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 17)
+            val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 31)
+            PHashed(id, (h0.toLong << 32) | (h1.toLong & 0xffffffffL),
+              is_real = false)
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic REAL-WAV media frame over the documents table's
+    * audio-kind docs: each doc's utf-8 text bytes become unsigned
+    * 8-bit PCM samples at 8 kHz mono (empty/null text → one zero
+    * sample). INJECTIVE on texts — the sample stream IS the byte
+    * stream, the 44-byte RIFF header is a pure function of the length
+    * — which is what lets the audio-exact mirror compare texts, and
+    * puts REAL decodable samples under the audio gate entries (the
+    * [[renderTextImages]] posture, audio edition). */
+  def renderTextAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val b0 = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = if (b0.isEmpty) Array[Byte](0) else b0
+        val n = samples.length
+        val bos = new java.io.ByteArrayOutputStream(44 + n)
+        def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        def le32(v: Int): Unit =
+          { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+            bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+        def le16(v: Int): Unit =
+          { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        ascii("RIFF"); le32(36 + n); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(1) // PCM, mono
+        le32(8000); le32(8000)                    // rate, byte rate
+        le16(1); le16(8)                          // block align, 8-bit
+        ascii("data"); le32(n); bos.write(samples)
+        (id, "audio", bos.toByteArray)
+      })
+      .toDF("doc_id", "kind", "payload")
   }
 
   /** Deterministic REAL-PNG media frame over the documents table's

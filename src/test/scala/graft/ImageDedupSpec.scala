@@ -81,9 +81,10 @@ class ImageDedupSpec extends SparkSpec {
   }
 
   /** The catalog's planted-duplicate construction (the corpus ships no
-    * byte-identical texts): every 15th doc replicated at +30,000,000. */
+    * byte-identical texts): every 5th doc replicated at +30,000,000 —
+    * the offset keeps each replica in its source's modality stratum. */
   private def withReplicas(docs: org.apache.spark.sql.DataFrame) =
-    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       .withColumn("doc_id", col("doc_id") + lit(30000000L)))
 
   test("D12 imageExactPairs over rendered docs ≡ text-equality pairs (the mirror's contract)") {
@@ -123,6 +124,55 @@ class ImageDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(soft.contains((1L, 2L)) && !soft.contains((1L, 3L)) &&
       !soft.contains((2L, 3L)))
+  }
+
+  /** 16-bit PCM mono WAV from raw samples (little-endian RIFF). */
+  private def wav16(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val n = samples.length * 2
+    val bos = new ByteArrayOutputStream(44 + n)
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(36 + n); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1)
+    le32(rate); le32(rate * 2); le16(2); le16(16)
+    ascii("data"); le32(n)
+    samples.foreach(s => le16(s & 0xffff))
+    bos.toByteArray
+  }
+
+  test("D14 audio: envelope dHash survives resampling; render is injective; exact ≡ text equality; phash ⊇ exact") {
+    // codec: a rising-amplitude tone has a rising envelope at ANY rate
+    def ramp(rate: Int): Array[Byte] = {
+      val n = (rate * 0.8125).toInt // 65 windows × ≥100 samples each
+      wav16(rate, Array.tabulate[Short](n)(i =>
+        (math.sin(2 * math.Pi * 440 * i / rate) * 30000.0 * (i + 1) / n).toShort))
+    }
+    val (h8, h16) = (Multimodal.Codec.audioPhash(ramp(8000)).get,
+      Multimodal.Codec.audioPhash(ramp(16000)).get)
+    assert(hamming(h8, h16) <= 3)  // resample + re-encode tolerant
+    assert(Multimodal.Codec.audioPhash("not audio".getBytes("UTF-8")) === None)
+
+    // render: audio-kind stratum only, decodable 8 kHz WAV, injective
+    val small = Seq((1L, "abc"), (4L, "abc"), (7L, "abd"), (3L, "image kind"))
+      .toDF("doc_id", "text")
+    val r = Multimodal.renderTextAudio(small).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 4L, 7L))
+    val p = r.map(x => x.getLong(0) -> x.getAs[Array[Byte]]("payload")).toMap
+    assert(java.util.Arrays.equals(p(1L), p(4L)))
+    assert(!java.util.Arrays.equals(p(1L), p(7L)))
+    assert(Multimodal.Codec.audioMeta(p(1L)) === Some((8000, 1, 3L)))
+
+    // gate contracts on the verify corpus + planted replicas
+    val media = Multimodal.renderTextAudio(
+      withReplicas(Tables.documents(spark, sfDir).filter(col("doc_id") < 300)))
+    val exact = Dedup.audioExactPairs(media)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty && exact.forall { case (a, b) => b === a + 30000000L })
+    val soft = Dedup.audioPhashPairs(media)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.subsetOf(soft))
   }
 
   test("D13 star-collapse: a mega bucket of identical images emits O(size) hub spokes, not size²") {
