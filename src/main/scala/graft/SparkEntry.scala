@@ -395,6 +395,17 @@ object SparkEntry {
     "dedup_audio_phash" -> ((s, d) =>
       Dedup.audioPhashPairs(Multimodal.renderTextAudio(mediaDupDocs(s, d)))),
 
+    // D15a: exact VIDEO dedup over REAL rendered animated GIFs — same
+    // planted replicas + text-equality mirror, video-kind stratum
+    "dedup_video_exact" -> ((s, d) =>
+      Dedup.videoExactPairs(Multimodal.renderTextVideo(mediaDupDocs(s, d)))),
+
+    // D15: video near-dup by shared frame fingerprints (rows-only,
+    // recall-gated 1.0 vs D15a — byte-identical videos share every
+    // frame hash)
+    "dedup_video_phash" -> ((s, d) =>
+      Dedup.videoPhashPairs(Multimodal.renderTextVideo(mediaDupDocs(s, d)))),
+
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(emb(s, d), 0.45)),
 
     // tables=6/probes=2/occupancy=128: the r8 D5bTuneDrive pick — the
@@ -799,6 +810,12 @@ object SparkEntry {
     "mm_audio_phash" -> ((s, d) =>
       Multimodal.audioPhash(Multimodal.renderTextAudio(docs(s, d)))),
 
+    // G5 video (rows-only, exact-count = Σ⌈utf8 bytes/256⌉ over the
+    // video stratum): per-frame hashes over REAL rendered animated
+    // GIFs — every row takes the composite-decode path at the gate
+    "mm_video_phash" -> ((s, d) =>
+      Multimodal.videoPhash(Multimodal.renderTextVideo(docs(s, d)))),
+
     "mm_frame_sample" -> ((s, d) =>                                      // rows-only
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
@@ -878,6 +895,15 @@ object SparkEntry {
     val nTokenLangs = mRow.getLong(4) + mRow.getInt(6)
     val nLangs = mRow.getLong(5) + mRow.getInt(7)
     val topk = 5L * emb(spark, sfDir).filter(annIsQuery).count()
+    // G5-video's exact row count: one hash row per rendered frame =
+    // ⌈utf8 bytes / 256⌉ (min 1) summed over the video stratum —
+    // renderTextVideo's chunking, recomputed from the raw table
+    val nVideoFrames = docs(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .agg(sum(greatest(lit(1L),
+        expr("(octet_length(encode(coalesce(text, ''), 'UTF-8')) + 255) div 256")
+          .cast("long"))))
+      .head().getLong(0)
     RowChecks(
       exact = Map(
         "ann_lsh_topk"            -> topk,
@@ -897,6 +923,7 @@ object SparkEntry {
         "mm_feature_extract"      -> nDocs,
         "mm_phash"                -> nImages,
         "mm_audio_phash"          -> (nDocs - nImages - nVideos),
+        "mm_video_phash"          -> nVideoFrames,
         "text_compression_ratio"  -> nDocs,
         "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
@@ -972,7 +999,10 @@ object SparkEntry {
     // set — any dip is a dropped true duplicate
     "dedup_image_phash"        -> (("dedup_image_exact", 1.0)),
     // same containment argument, audio modality
-    "dedup_audio_phash"        -> (("dedup_audio_exact", 1.0)))
+    "dedup_audio_phash"        -> (("dedup_audio_exact", 1.0)),
+    // byte-identical videos share EVERY frame hash — the df cap can't
+    // engage at verify scale, so exact pairs always surface
+    "dedup_video_phash"        -> (("dedup_video_exact", 1.0)))
 
   // ---- DuckDB mirrors ---------------------------------------------------
 
@@ -1727,6 +1757,19 @@ object SparkEntry {
          |       SELECT doc_id + 30000000, t FROM au0 WHERE doc_id % 5 = 0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM au a JOIN au b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
+
+    // D15a mirror: renderTextVideo is injective (GIF is lossless at
+    // ≤256 colors; the frames ARE the text-byte chunks), so payload
+    // equality IS text equality over the video-kind stratum — same
+    // planted replicas
+    "dedup_video_exact" ->
+      s"""WITH vi0 AS (SELECT doc_id, coalesce(text, '') AS t
+         |            FROM documents WHERE doc_id % 3 = 2),
+         |vi AS (SELECT doc_id, t FROM vi0
+         |       UNION ALL
+         |       SELECT doc_id + 30000000, t FROM vi0 WHERE doc_id % 5 = 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM vi a JOIN vi b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

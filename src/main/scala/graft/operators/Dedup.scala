@@ -885,6 +885,48 @@ object Dedup {
   def audioExactPairs(media: DataFrame): DataFrame =
     exactPayloadPairs(media, "audio")
 
+  /** D15a: exact VIDEO dedup — [[imageExactPairs]]' contract on the
+    * video modality; [[videoPhashPairs]] is containment-gated against
+    * it. */
+  def videoExactPairs(media: DataFrame): DataFrame =
+    exactPayloadPairs(media, "video")
+
+  /** D15: video near-dup pairs by SHARED FRAME FINGERPRINTS — the
+    * standard keyframe-hash approach: per-frame dHashes
+    * ([[Multimodal.videoPhash]]), one equi-join on the 64-bit frame
+    * hash, pairs ranked by their count of distinct shared frames
+    * (≥ `minShared`). Byte-identical videos share every frame hash,
+    * so exact dups always pair (the containment gate); re-encoded or
+    * trimmed copies pair on the frames they kept — what byte equality
+    * can't see.
+    *
+    * `maxDf` caps a frame hash's video count before the self-join: a
+    * boilerplate frame (intro card, black frame) shared by thousands
+    * of videos would otherwise fan out df² candidate rows — dropped
+    * hot hashes cost recall only on pairs whose EVERY shared frame is
+    * boilerplate (which is what the cap is for). One aggregate + one
+    * broadcast anti-join, the D3 df-cap shape. */
+  def videoPhashPairs(media: DataFrame, step: Int = 1,
+                      minShared: Long = 1L, maxDf: Long = 1024L): DataFrame = {
+    require(minShared >= 1L, s"minShared=$minShared must be ≥ 1")
+    // distinct: a frame repeated WITHIN one video must count once
+    // toward every pair (n_shared is over distinct shared hashes)
+    val frames = cachedAs("videoPhashPairs_frames",
+      Multimodal.videoPhash(media, step)
+        .select(col("doc_id"), col("phash")).distinct())
+    val hot = frames.groupBy(col("phash"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("phash")
+    val kept = frames.join(broadcast(hot), Seq("phash"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ph"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("ph")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Byte-identical payload pairs of one modality via a content-hash
     * equi-join — ONE definition for every exact media-dedup flavor. */
   private def exactPayloadPairs(media: DataFrame, kind: String): DataFrame = {

@@ -1026,6 +1026,93 @@ object Multimodal {
       .toDF()
   }
 
+  /** One row of [[videoPhash]] output: a sampled frame's perceptual
+    * hash (frame_idx −1 = the undecodable-payload stub row). */
+  final case class FramePHash(doc_id: Long, frame_idx: Int, phash: Long,
+                              is_real: Boolean)
+
+  /** G5 for video: per-FRAME perceptual hashes — the REAL path for
+    * multi-frame streams the JDK decodes (animated GIF via the GIF89a
+    * compositing sampler, MJPEG-in-AVI via the RIFF walk): every
+    * `step`-th COMPOSITED frame is dHashed, one row per sampled frame.
+    * Undecodable payloads keep ONE deterministic stub row
+    * (frame_idx −1, is_real = false) — filterable, and byte-identical
+    * undecodable payloads still share a hash, so exact dups survive
+    * the codec gap (the imagePhash posture). Narrow op: frames decode
+    * and hash inside the scan; only (doc_id, idx, 8-byte hash) rows
+    * ever leave the partition. */
+  def videoPhash(media: DataFrame, step: Int = 1,
+                 fps: Double = 24.0): DataFrame = {
+    require(step > 0, s"step=$step must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, _, bytes0) =>
+        val bytes = Codec.nonNull(bytes0)
+        val real = Codec.sampleFrames(bytes, step, fps).map { case (_, sampled) =>
+          sampled.flatMap(s =>
+            Codec.dHash(s.png).map(h => FramePHash(id, s.idx, h, is_real = true)))
+        }.filter(_.nonEmpty)
+        real.getOrElse {
+          val h0 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 19)
+          val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 37)
+          Vector(FramePHash(id, -1,
+            (h0.toLong << 32) | (h1.toLong & 0xffffffffL), is_real = false))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic REAL animated-GIF media frame over the documents
+    * table's video-kind docs: the doc's utf-8 bytes rastered into
+    * 16×16 grayscale frames, one frame per 256-byte chunk
+    * (zero-padded tail; empty/null text → one black frame), written
+    * as a multi-frame GIF via the stock `javax.imageio` sequence
+    * writer. Full-rect frames with default disposal make every
+    * composite equal its own frame, so the GIF89a sampler's
+    * composited pixels ARE the chunk rasters. INJECTIVE on NUL-free
+    * texts (GIF is lossless at ≤256 colors; distinct rasters decode
+    * distinct, so the encoder cannot emit equal bytes for them) —
+    * the D15 exact mirror compares texts, never pixels. */
+  def renderTextVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nFrames = math.max(1, (b.length + 255) / 256)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          w.setOutput(ios)
+          w.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < 256) {
+              val gi = f * 256 + i
+              raster.setSample(i % 16, i / 16, 0,
+                if (gi < b.length) b(gi) & 0xff else 0)
+              i += 1
+            }
+            w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          w.endWriteSequence()
+        } finally { w.dispose(); ios.close() }
+        (id, "video", bos.toByteArray)
+      })
+      .toDF("doc_id", "kind", "payload")
+  }
+
   /** Deterministic REAL-WAV media frame over the documents table's
     * audio-kind docs: each doc's utf-8 text bytes become unsigned
     * 8-bit PCM samples at 8 kHz mono (empty/null text → one zero

@@ -175,6 +175,45 @@ class ImageDedupSpec extends SparkSpec {
     assert(exact.subsetOf(soft))
   }
 
+  test("D15 video: rendered GIFs decode frame-exact; frame hashes pair exact dups and a shared-prefix copy; exact ⊆ phash") {
+    val base = Seq((2L, "ab" * 200), (5L, "ab" * 200), (8L, "zq" * 80),
+        (11L, null.asInstanceOf[String]), (1L, "not video kind"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.renderTextVideo(base)
+    val r = media.orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L, 5L, 8L, 11L)) // pmod 3 = 2
+    val p = r.map(x => x.getLong(0) -> x.getAs[Array[Byte]]("payload")).toMap
+    assert(Multimodal.Codec.frameProbe(p(2L)) === Some((16, 16, 2))) // 400 B → 2 frames
+    assert(Multimodal.Codec.frameProbe(p(11L)) === Some((16, 16, 1))) // null → 1 black
+    assert(java.util.Arrays.equals(p(2L), p(5L)))   // identical text → identical GIF
+    assert(!java.util.Arrays.equals(p(2L), p(8L)))
+
+    val fh = Multimodal.videoPhash(media).collect()
+    assert(fh.forall(_.getAs[Boolean]("is_real"))) // every frame takes the decode path
+    assert(fh.count(_.getLong(0) === 2L) === 2)    // one hash row per frame
+
+    val pairs = Dedup.videoPhashPairs(media).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(pairs.contains((2L, 5L, 2L))) // identical videos share BOTH frames
+
+    // a shared-prefix copy ("ab"×128 = exactly doc 2's first chunk)
+    // pairs on the one frame it kept — what byte equality can't see
+    val withTrim = base.unionByName(Seq((14L, "ab" * 128)).toDF("doc_id", "text"))
+    val trimmed = Dedup.videoPhashPairs(Multimodal.renderTextVideo(withTrim))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(trimmed.contains((2L, 14L)) && trimmed.contains((5L, 14L)))
+
+    // containment on the verify corpus + planted replicas
+    val gate = Multimodal.renderTextVideo(
+      withReplicas(Tables.documents(spark, sfDir).filter(col("doc_id") < 300)))
+    val exact = Dedup.videoExactPairs(gate).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val soft = Dedup.videoPhashPairs(gate).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty && exact.forall { case (a, b) => b === a + 30000000L })
+    assert(exact.subsetOf(soft))
+  }
+
   test("D13 star-collapse: a mega bucket of identical images emits O(size) hub spokes, not size²") {
     // 40 byte-identical payloads: one 40-member bucket in EVERY band
     // (the boilerplate-image posture — thumbnails, logos, tracking
