@@ -491,6 +491,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), annIsQuery, 5)
         .withColumn("rank", col("rank").cast("bigint"))),
 
+    // E10: exact k-NN GRAPH — every vector's top-5 neighbors (the
+    // all-queries E1; declared O(n²) exactness baseline, fully
+    // oracled). The graph backbone of SemDeDup-style curation.
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(emb(s, d), 5)),
+
+    // E10b deploy path (rows-only, recall-gated vs knn_graph):
+    // candidates within shared trained k-means lists only, assign=2
+    // build-side multi-probe, exact cosines on every reported edge
+    "knn_graph_ann" -> ((s, d) => Similarity.knnGraphAnn(emb(s, d), 5)),
+
     // E7: JL sign random projection 64→16 — per-row scan-fused
     // expression, driver-computed ±1 literal matrix; fully oracled
     // (integer micro-unit sums, integer ÷√k rounding)
@@ -985,6 +995,12 @@ object SparkEntry {
     "ann_ivfsq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
+    // E10b edge recall vs the exact graph (directed (q_id, n_id)
+    // join keys): trained lists + assign=2 build-side multi-probe
+    // measured .927/.931 at sf0.001/sf0.01 (.941 at sf0.1 — coverage
+    // RISES with density, unlike the fixed-probe serves: every list a
+    // vector lands in contributes candidates); floor 0.9× the smaller
+    "knn_graph_ann"           -> (("knn_graph", 0.83)),
     "dedup_embedding_lsh"     -> (("dedup_embedding_cosine", 0.90)),
     "dedup_semantic"          -> (("dedup_embedding_cosine", 0.70)),
     // containment gate, not a recall trade-off: D10 pairs ⊆ D5 pairs
@@ -1277,8 +1293,9 @@ object SparkEntry {
 
   /** Exact cosine top-5 ground truth — E1's oracle, shared verbatim by
     * the exhaustive IVF/IVFPQ rows (their exactness invariants say
-    * they must equal it). */
-  private def annExactTopkSql: String =
+    * they must equal it). `queryPred` restricts the query side: E1's
+    * %50 sample, or every vector for E10's k-NN graph. */
+  private def annExactTopkSql(queryPred: String = "b.vec_id % 50 = 0 AND "): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
        |                                  CAST(embedding AS DOUBLE[])) > 0)
@@ -1286,7 +1303,7 @@ object SparkEntry {
        |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, round($COS, 6) AS cos_sim,
        |         row_number() OVER (
        |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
-       |  FROM e a JOIN e b ON b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+       |  FROM e a JOIN e b ON ${queryPred}a.vec_id <> b.vec_id)
        |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -2273,13 +2290,15 @@ object SparkEntry {
 
     // zero-norm exclusion mirrors the operator (NaN cosine would rank
     // FIRST in the desc sort — phantom top hits; see dedup_embedding_cosine)
-    "ann_bruteforce_topk" -> annExactTopkSql,
+    "ann_bruteforce_topk" -> annExactTopkSql(),
     // exhaustive IVF / IVFPQ must reproduce brute force row-for-row
     // (every list probed; for PQ additionally every candidate inside
     // the rerank window) — the SAME oracle pins both invariants
-    "ann_ivf_exhaustive" -> annExactTopkSql,
-    "ann_ivfpq_exhaustive" -> annExactTopkSql,
-    "ann_ivfsq_exhaustive" -> annExactTopkSql,
+    "ann_ivf_exhaustive" -> annExactTopkSql(),
+    "ann_ivfpq_exhaustive" -> annExactTopkSql(),
+    "ann_ivfsq_exhaustive" -> annExactTopkSql(),
+    // E10: the same spelling with every vector as a query
+    "knn_graph" -> annExactTopkSql(queryPred = ""),
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -318,16 +318,32 @@ object Similarity {
                     trainIters: Int = 5, maxList: Long = 1L << 16,
                     assign: Int = 1): DataFrame = {
     require(assign >= 1, s"assign=$assign must be at least 1")
+    val p0 = preparedNonZero(emb)
+    val raw = trainedListAssignment(emb, p0, nlist, trainIters, assign,
+      "semanticDedup")
+    val cand0 = bucketedCandidates(raw, Seq("c_id"), maxList)
+    // multi-assignment can meet the same pair in up to `assign`
+    // shared lists; single-assignment provably cannot duplicate
+    val cand = if (assign <= 1) cand0 else cand0.dropDuplicates("a_id", "b_id")
+    verifyPairs(p0, cand, tau)
+  }
+
+  /** Trained-coarse-quantizer list assignment shared by D10 and E10b:
+    * auto-sized list count (mean occupancy ~4096 — the semanticDedup
+    * scale rationale), driver-trained centroids, and a ZERO-shuffle
+    * multi-assignment scan (each vector lands in its `assign` nearest
+    * lists). Returns the cached ids-only (vec_id, c_id) table: narrow
+    * cache footprint, feeds the hot-list aggregate, the star branch,
+    * and both self-join sides (slot lifecycle, see cachedAs). */
+  private def trainedListAssignment(emb: DataFrame, p0: DataFrame, nlist: Int,
+                                    trainIters: Int, assign: Int,
+                                    cacheKey: String): DataFrame = {
     val nl =
       if (nlist > 0) nlist
       else math.max(4, ((emb.count() - 1L) / 4096L).toInt + 1)
-    val p0 = preparedNonZero(emb)
     val cents0 = collectCentroids(p0, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
-    // ids-only assignment table: narrow cache footprint, feeds the
-    // hot-list aggregate, the anti-join, the star branch, and both
-    // self-join sides (slot lifecycle, see cachedAs)
     val assigned =
       if (cents.isEmpty) // empty input: no lists (ivfAssignPrepared rationale)
         p0.filter(lit(false)).select(col("vec_id"), lit(0).as("c_id"))
@@ -338,12 +354,71 @@ object Similarity {
           assign) { fn =>
           p0.select(col("vec_id"), explode(call_function(fn, col("v"))).as("c_id"))
         }
-    val raw = cachedAs("semanticDedup", assigned)
+    cachedAs(cacheKey, assigned)
+  }
+
+  /** E10: the exact k-NN GRAPH — every non-zero vector's top-k cosine
+    * neighbors, the all-queries generalization of [[bruteForceTopK]]
+    * and the ground truth for graph-based corpus curation (SemDeDup's
+    * cluster step, NN-Descent-style graph builds — Dong et al. 2011,
+    * WWW '11). O(n²) by nature, so it carries the same explicit guard
+    * and declared-baseline contract as [[cosinePairs]]: the deploy
+    * path at scale is [[knnGraphAnn]]. Deterministic rank:
+    * (cos desc, neighbor id) — identical to E1, so the two oracles
+    * share their spelling. */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame = {
+    guardQuadratic(emb, "knnGraph", "Similarity.knnGraphAnn list bucketing")
+    val p = preparedNonZero(emb)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    p.as("a").join(p.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        round(cosTo("a", "b"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** E10b: the k-NN graph at corpus scale — candidates only within
+    * shared trained k-means lists (the SemDeDup partition applied to
+    * GRAPH construction instead of tau-pairs), each undirected
+    * candidate scored exactly ONCE, then mirrored into directed edges
+    * and ranked per source vector. `assign` is the recall knob
+    * (build-side multi-probe: a true neighbor straddling a list
+    * boundary still meets in the runner-up list); precision of the
+    * reported cosines is exact — only graph COVERAGE is approximate,
+    * measured against [[knnGraph]] by the verify recall gate.
+    *
+    * At 100 TB: Σ(listᵢ²) replaces n² (auto-sized lists hold mean
+    * occupancy ~4096 — see [[semanticDedup]]), the one shuffle is the
+    * candidate equi-join keyed by list id, `maxList` star-collapses
+    * runaway lists, and the final rank is a window over per-vector
+    * candidate sets (≤ assign·occupancy rows each), never the corpus. */
+  def knnGraphAnn(emb: DataFrame, k: Int, nlist: Int = 0,
+                  trainIters: Int = 5, assign: Int = 2,
+                  maxList: Long = 1L << 16): DataFrame = {
+    require(assign >= 1, s"assign=$assign must be at least 1")
+    val p0 = preparedNonZero(emb)
+    val raw = trainedListAssignment(emb, p0, nlist, trainIters, assign,
+      "knnGraphAnn")
     val cand0 = bucketedCandidates(raw, Seq("c_id"), maxList)
-    // multi-assignment can meet the same pair in up to `assign`
-    // shared lists; single-assignment provably cannot duplicate
     val cand = if (assign <= 1) cand0 else cand0.dropDuplicates("a_id", "b_id")
-    verifyPairs(p0, cand, tau)
+    val scored = cand
+      .join(p0.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(p0.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineFromParts(dot(col("a_v"), col("b_v")),
+          col("a_n2"), col("b_n2")), 6).as("cos_sim"))
+    val directed = scored
+      .select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
+      .unionByName(scored
+        .select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    directed
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
   }
 
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED

@@ -663,4 +663,66 @@ class SimilaritySpec extends SparkSpec {
     // and the top brute-force hit shares the query's bucket (cos .994 → same signs)
     assert(lsh.map(_._1).contains(1L))
   }
+
+  test("E10 knnGraph: complete ranked graph, consistent with E1 on its query set") {
+    val real = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val g = Similarity.knnGraph(real, k)
+    val n = real.count()
+    // every vector is a source with exactly k ranked neighbors,
+    // ranks dense 1..k, never a self-edge
+    assert(g.count() === n * k)
+    assert(g.select("q_id").distinct().count() === n)
+    assert(g.filter(col("q_id") === col("n_id")).count() === 0L)
+    val badRank = g.groupBy("q_id")
+      .agg(countDistinct(col("rank")).as("nr"), max(col("rank")).as("mx"))
+      .filter(col("nr") =!= k || col("mx") =!= k)
+    assert(badRank.count() === 0L)
+    // restricted to E1's query sample, the graph IS bruteForceTopK —
+    // one spelling, two entry points
+    val e1 = Similarity.bruteForceTopK(real, col("vec_id") % 50 === 0, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gq = g.filter(col("q_id") % 50 === 0)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gq === e1)
+  }
+
+  test("E10b knnGraphAnn: exact scores on every edge, nlist=1 reproduces the graph") {
+    val real = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val exact = Similarity.knnGraph(real, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, nn, c) => (q, nn) -> c }.toMap
+    val ann = Similarity.knnGraphAnn(real, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+    // every recovered true edge carries the IDENTICAL exact cosine
+    // (candidates are exactly verified — coverage, not scores, is
+    // what list bucketing trades)
+    ann.foreach { case (q, nn, c) =>
+      exact.get((q, nn)).foreach(t => assert(t === c, s"edge ($q,$nn)")) }
+    val recall = ann.count { case (q, nn, _) => exact.contains((q, nn)) }
+      .toDouble / exact.size
+    info(f"E10b edge recall vs exact graph, assign=2: $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f below spec floor 0.8")
+    // one list = all candidates: the ann graph IS the exact graph,
+    // ranks and all (same tie-break, same rounding)
+    val annFull = Similarity.knnGraphAnn(real, k, nlist = 1, assign = 1)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exactFull = Similarity.knnGraph(real, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(annFull === exactFull)
+    // a planted zero vector surfaces on neither side of any edge
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    val zero = spark.range(1).select(lit(999999L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
+    val z = Similarity.knnGraphAnn(real.unionByName(zero), k)
+      .filter(col("q_id") === 999999L || col("n_id") === 999999L)
+    assert(z.count() === 0L)
+  }
 }
