@@ -693,6 +693,12 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb(s, d), col("vec_id") === 0, 20)
           .select(col("n_id").as("doc_id"), col("rank")))),
 
+    // F28: MMR diversified rerank of doc 0's cosine top-20 (λ = 1/2)
+    // — greedy argmax over EXACT scale-6 integers, so the unrolled
+    // CTE oracle hash-matches bit-for-bit
+    "retrieval_mmr" -> ((s, d) =>
+      Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -1305,6 +1311,61 @@ object SparkEntry {
        |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
        |  FROM e a JOIN e b ON ${queryPred}a.vec_id <> b.vec_id)
        |WHERE rank <= 5""".stripMargin
+
+  /** F28's mirror: the SAME greedy MMR selection unrolled into `kOut`
+    * chained CTE steps (p_i = integer argmax over the remaining
+    * candidates, sel_i = the selected set so far) — no recursive CTE,
+    * so every engine executes it deterministically. All comparisons
+    * are on exact BIGINTs (`lamN·rel_u − (lamD−lamN)·maxSim_u`), the
+    * one double is the final reported score. */
+  private def mmrSql(kCand: Int, kOut: Int, lamN: Long, lamD: Long): String = {
+    val steps = (2 to kOut).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT r.n_id,
+         |    $lamN * r.rel_u - ${lamD - lamN} * (
+         |      SELECT max(s.sim_u) FROM simfull s
+         |      WHERE s.a_id = r.n_id
+         |        AND s.b_id IN (SELECT n_id FROM sel${i - 1})) AS num
+         |  FROM rel r WHERE r.n_id NOT IN (SELECT n_id FROM sel${i - 1})
+         |  ORDER BY num DESC, r.n_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT n_id FROM sel${i - 1} UNION ALL SELECT n_id FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to kOut)
+      .map(i => s"SELECT n_id, num, $i AS rank FROM p$i")
+      .mkString("\n  UNION ALL\n  ")
+    // every CTE is MATERIALIZED: the chained steps reference their
+    // predecessors twice each, and an engine that inlines CTEs would
+    // expand the plan EXPONENTIALLY in kOut (found as an fd-exhaustion
+    // crash at kOut=10 before the hint)
+    s"""WITH em AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                   CAST(embedding AS DOUBLE[])) > 0),
+       |cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS n_id, round($COS, 6) AS cos_sim,
+       |         row_number() OVER (
+       |           ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
+       |  FROM em a JOIN em b ON b.vec_id = 0 AND a.vec_id <> 0
+       |  QUALIFY rank <= $kCand),
+       |rel AS MATERIALIZED (SELECT n_id, CAST(round(cos_sim * 1e6, 0) AS BIGINT) AS rel_u
+       |        FROM cand),
+       |sim AS MATERIALIZED (
+       |  SELECT x.n_id AS a_id, y.n_id AS b_id,
+       |         CAST(round(round($COS, 6) * 1e6, 0) AS BIGINT) AS sim_u
+       |  FROM cand x JOIN cand y ON x.n_id < y.n_id
+       |  JOIN em a ON a.vec_id = x.n_id
+       |  JOIN em b ON b.vec_id = y.n_id),
+       |simfull AS MATERIALIZED (SELECT a_id, b_id, sim_u FROM sim
+       |            UNION ALL SELECT b_id, a_id, sim_u FROM sim),
+       |p1 AS MATERIALIZED (SELECT r.n_id, $lamN * r.rel_u AS num FROM rel r
+       |       ORDER BY num DESC, r.n_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT n_id FROM p1),
+       |$steps
+       |SELECT CAST(0 AS BIGINT) AS q_id, n_id AS doc_id,
+       |       CAST(num AS DOUBLE) / ${lamD * 1000000L}.0 AS mmr_score,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ($unions)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "ts_interval_diff" ->
@@ -2299,6 +2360,8 @@ object SparkEntry {
     "ann_ivfsq_exhaustive" -> annExactTopkSql(),
     // E10: the same spelling with every vector as a query
     "knn_graph" -> annExactTopkSql(queryPred = ""),
+    // F28: greedy MMR unrolled into chained integer-argmax CTEs
+    "retrieval_mmr" -> mmrSql(kCand = 20, kOut = 10, lamN = 1, lamD = 2),
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -378,6 +378,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** F28: MMR — maximal-marginal-relevance diversified retrieval
+    * (Carbonell & Goldstein, SIGIR '98): greedily select `kOut` of the
+    * query's `kCand` nearest candidates maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the standard rerank that
+    * stops a result page from being `kOut` copies of the same answer
+    * (exactly the failure mode a near-dup-heavy corpus produces).
+    *
+    * Split of labor at scale: relevance (the corpus-wide top-kCand
+    * scan) and the candidate×candidate sim matrix are DISTRIBUTED —
+    * the greedy argmax loop runs on the driver over the collected
+    * O(nQ·kCand²) scale-6 integer frame, which is bounded METADATA by
+    * the same argument as BM25's index stats or the trained centroids
+    * (kCand is a page-size knob, guarded below — never corpus-sized).
+    * An in-engine spelling would be `kOut` chained jobs over the same
+    * tiny frame: pure scheduling latency for zero distribution win.
+    *
+    * Exactness: λ = lamN/lamD rational; the argmax compares
+    * `lamN·rel_u − (lamD−lamN)·maxSim_u` — EXACT 64-bit integers on
+    * scale-6 cosines (both engines round the 6-dp cosine once, then
+    * all arithmetic is integral; ties break on doc id), so the oracle
+    * (the same greedy unrolled into `kOut` chained CTEs) hash-matches
+    * bit-for-bit. The reported score divides by lamD·1e6 as the ONE
+    * double op at the end. */
+  def mmrTopK(emb: DataFrame, isQuery: Column, kCand: Int = 20,
+              kOut: Int = 10, lamN: Long = 1, lamD: Long = 2): DataFrame = {
+    require(kCand > 0 && kCand <= 1024,
+      s"kCand=$kCand out of range: the greedy frame is O(kCand²) driver rows")
+    require(kOut > 0 && kOut <= kCand, s"kOut=$kOut must be in [1, $kCand]")
+    require(lamD > 0 && lamN >= 0 && lamN <= lamD,
+      s"λ=$lamN/$lamD must be a rational in [0, 1]")
+    val spark = emb.sparkSession
+    val p = preparedNonZero(emb)
+    val cand = cachedAs("mmrCand",
+      bruteForceTopK(emb, isQuery, kCand)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos_sim") * 1e6, 0).cast("long").as("rel_u")))
+    // candidate×candidate cosine matrix, same-query pairs only —
+    // computed distributed (codegen dot), collected as scale-6 longs
+    val ids = cand.select(col("q_id"), col("n_id"))
+    val sims = ids.as("x").join(ids.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.n_id") < col("y.n_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("a_id"),
+        col("y.n_id").as("b_id"))
+      .join(p.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(p.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(round(cosineFromParts(dot(col("a_v"), col("b_v")),
+          col("a_n2"), col("b_n2")), 6) * 1e6, 0).cast("long").as("sim_u"))
+    // bounded collects: ≤ nQ·kCand and ≤ nQ·kCand² rows of longs
+    val rels = cand.select(col("q_id"), col("n_id"), col("rel_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    def sim(q: Long, a: Long, b: Long): Long =
+      if (a < b) simMap((q, a, b)) else simMap((q, b, a))
+    val out = rels.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      val relOf = rows.map(r => r._2 -> r._3).toMap
+      var remaining = rows.map(_._2).sorted.toVector
+      var picked = Vector.empty[Long]
+      val acc = Vector.newBuilder[(Long, Long, Double, Long)]
+      var step = 1L
+      while (picked.size < kOut && remaining.nonEmpty) {
+        // argmax of the exact integer objective, doc-id tie-break
+        val best = remaining.map { d =>
+          val maxSim = if (picked.isEmpty) 0L
+            else picked.map(s => sim(q, d, s)).max
+          (d, lamN * relOf(d) - (lamD - lamN) * maxSim)
+        }.maxBy { case (d, num) => (num, -d) }
+        acc += ((q, best._1, best._2.toDouble / (lamD * 1e6), step))
+        picked :+= best._1
+        remaining = remaining.filterNot(_ == best._1)
+        step += 1
+      }
+      acc.result()
+    }
+    import spark.implicits._
+    out.toDF("q_id", "doc_id", "mmr_score", "rank")
+      .repartition(1)
+  }
+
   /** E10b: the k-NN graph at corpus scale — candidates only within
     * shared trained k-means lists (the SemDeDup partition applied to
     * GRAPH construction instead of tau-pairs), each undirected

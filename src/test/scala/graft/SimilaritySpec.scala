@@ -664,6 +664,39 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.map(_._1).contains(1L))
   }
 
+  test("F28 mmrTopK: diversity beats a near-dup at λ=1/2, λ=1 is pure relevance") {
+    // query [1,0,0]; A and A' are near-identical top hits, C is a
+    // weaker but DIFFERENT answer — the page-of-copies setup MMR exists for
+    val v = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "q"),
+      (1L, Array(0.98f, 0.2f, 0.0f), "a"),   // A    cos≈0.98
+      (2L, Array(0.97f, 0.22f, 0.0f), "a2"), // A'   cos≈0.975, sim(A,A')≈1
+      (3L, Array(0.7f, 0.0f, 0.7f), "c")     // C    cos≈0.70, dissimilar to A
+    ).toDF("vec_id", "embedding", "label")
+    val mmr = Similarity.mmrTopK(v, col("vec_id") === 0, kCand = 3, kOut = 2)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect().toMap
+    // pick 1 = the top hit A; pick 2 = C, NOT the near-dup A'
+    assert(mmr === Map(1L -> 1L, 3L -> 2L))
+    // λ=1 (lamN=lamD): the diversity term vanishes — MMR IS the
+    // relevance ranking, A' back at rank 2
+    val rel = Similarity.mmrTopK(v, col("vec_id") === 0, kCand = 3, kOut = 2,
+      lamN = 1, lamD = 1)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect().toMap
+    assert(rel.get(1L).contains(1L) && rel.get(2L).contains(2L))
+    // real corpus: selected ⊆ candidates, ranks dense 1..kOut, and
+    // pick 1 is always the global top hit
+    val real = Tables.embeddings(spark, sfDir)
+    val cand = Similarity.bruteForceTopK(real, col("vec_id") === 0, 20)
+      .select("n_id").as[Long].collect().toSet
+    val out = Similarity.mmrTopK(real, col("vec_id") === 0)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect()
+    assert(out.length === 10 && out.map(_._2).sorted.toSeq === (1L to 10L))
+    assert(out.map(_._1).forall(cand.contains))
+    val top1 = Similarity.bruteForceTopK(real, col("vec_id") === 0, 1)
+      .select("n_id").as[Long].head()
+    assert(out.find(_._2 === 1L).map(_._1).contains(top1))
+  }
+
   test("E10 knnGraph: complete ranked graph, consistent with E1 on its query set") {
     val real = Tables.embeddings(spark, sfDir)
     val k = 5
