@@ -138,6 +138,42 @@ object Relational {
         col("o_orderdate"), col("total_qty").cast("double").as("total_qty"))
   }
 
+  /** C7: volume shipping between a nation pair — the TPC-H Q7 shape:
+    * supplier-side and customer-side nation dims are each FILTERED to
+    * the pair BEFORE their broadcast joins (the pair disjunction then
+    * only has to reject the two same-nation combinations), so
+    * non-qualifying lineitem rows fall out at the first dimension
+    * join instead of surviving to the aggregate. The only big-table
+    * shuffle is orders⋈lineitem; year buckets come straight from the
+    * ship date. Exact decimal revenue, one cast to double at the end.
+    */
+  def q7VolumeShipping(nation: DataFrame, customer: DataFrame,
+                       supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame,
+                       nationA: String, nationB: String): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n1 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

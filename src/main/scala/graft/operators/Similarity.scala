@@ -329,18 +329,28 @@ object Similarity {
   }
 
   /** Trained-coarse-quantizer list assignment shared by D10 and E10b:
-    * auto-sized list count (mean occupancy ~4096 — the semanticDedup
-    * scale rationale), driver-trained centroids, and a ZERO-shuffle
-    * multi-assignment scan (each vector lands in its `assign` nearest
-    * lists). Returns the cached ids-only (vec_id, c_id) table: narrow
-    * cache footprint, feeds the hot-list aggregate, the star branch,
-    * and both self-join sides (slot lifecycle, see cachedAs). */
+    * auto-sized list count (mean occupancy ~`targetList`),
+    * driver-trained centroids, and a ZERO-shuffle multi-assignment
+    * scan (each vector lands in its `assign` nearest lists). Returns
+    * the cached ids-only (vec_id, c_id) table: narrow cache
+    * footprint, feeds the hot-list aggregate, the star branch, and
+    * both self-join sides (slot lifecycle, see cachedAs).
+    *
+    * `targetList` is the SELF-JOIN cost dial: candidate pairs are
+    * ~n·targetList·assign²/2 — linear in n at any fixed target, so
+    * the target trades candidate volume (cost) for within-list reach
+    * (recall). D10 keeps 4096 (pair-finding at tau must reach every
+    * near-dup, and its sf1 posture is priced on that); the kNN-graph
+    * build uses 512 (each vector only needs a top-k-sized candidate
+    * pool, and ×10-corpus wall measured ×43.7 → ~linear after the
+    * change — PERF.md round 9e). */
   private def trainedListAssignment(emb: DataFrame, p0: DataFrame, nlist: Int,
                                     trainIters: Int, assign: Int,
-                                    cacheKey: String): DataFrame = {
+                                    cacheKey: String,
+                                    targetList: Long = 4096L): DataFrame = {
     val nl =
       if (nlist > 0) nlist
-      else math.max(4, ((emb.count() - 1L) / 4096L).toInt + 1)
+      else math.max(4, ((emb.count() - 1L) / targetList).toInt + 1)
     val cents0 = collectCentroids(p0, nl)
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p0, cents0, trainIters, 1e-4) else cents0
@@ -471,18 +481,25 @@ object Similarity {
     * reported cosines is exact — only graph COVERAGE is approximate,
     * measured against [[knnGraph]] by the verify recall gate.
     *
-    * At 100 TB: Σ(listᵢ²) replaces n² (auto-sized lists hold mean
-    * occupancy ~4096 — see [[semanticDedup]]), the one shuffle is the
-    * candidate equi-join keyed by list id, `maxList` star-collapses
-    * runaway lists, and the final rank is a window over per-vector
-    * candidate sets (≤ assign·occupancy rows each), never the corpus. */
+    * At 100 TB: Σ(listᵢ²) replaces n² — auto-sized lists hold mean
+    * occupancy ~`targetList`, and for a GRAPH build that target is
+    * 512, not D10's 4096: a build's cost is n·target·assign² scored
+    * pairs (linear in n at fixed target), and each vector only needs
+    * a candidate pool a couple of orders above k, not a tau-reach
+    * pair sweep (the ×10-corpus drive measured the 4096 target at
+    * wall ×43.7; 512 brings the build to ~linear at held recall —
+    * PERF.md round 9e). The one shuffle is the candidate equi-join
+    * keyed by list id, `maxList` star-collapses runaway lists, and
+    * the final rank is a window over per-vector candidate sets
+    * (≤ assign·occupancy rows each), never the corpus. */
   def knnGraphAnn(emb: DataFrame, k: Int, nlist: Int = 0,
                   trainIters: Int = 5, assign: Int = 2,
-                  maxList: Long = 1L << 16): DataFrame = {
+                  maxList: Long = 1L << 16,
+                  targetList: Long = 512L): DataFrame = {
     require(assign >= 1, s"assign=$assign must be at least 1")
     val p0 = preparedNonZero(emb)
     val raw = trainedListAssignment(emb, p0, nlist, trainIters, assign,
-      "knnGraphAnn")
+      "knnGraphAnn", targetList)
     val cand0 = bucketedCandidates(raw, Seq("c_id"), maxList)
     val cand = if (assign <= 1) cand0 else cand0.dropDuplicates("a_id", "b_id")
     val scored = cand
@@ -502,6 +519,33 @@ object Similarity {
     directed
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+  }
+
+  /** E11: MUTUAL-kNN components — semantic corpus clusters from any
+    * k-NN graph: keep only RECIPROCATED edges (a lists b AND b lists
+    * a — the standard mutual-kNN sparsification that drops hub
+    * one-way edges; Brito et al. 1997's mutual-neighborhood graph),
+    * then label connected components with the D8 min-label machinery
+    * ([[Dedup.clusters]] — checkpoint-pinned doubling rounds, salted
+    * min for mega-hubs). Output one row per VECTOR (vec_id,
+    * cluster_id = min member id, cluster_size); vectors with no
+    * mutual edge — including zero-norm vectors, which never enter the
+    * graph — are singletons by definition. The graph argument decides
+    * the cost contract: [[knnGraph]] for the oracled exact baseline,
+    * [[knnGraphAnn]] for the trained-list deploy path (both verify
+    * flavors ship; label agreement between them is the recall gate).
+    * Scale shape: the mutual join is an equi-self-join of an O(n·k)
+    * edge list on (q_id, n_id) — never quadratic regardless of which
+    * builder fed it. */
+  def knnComponents(emb: DataFrame, graph: DataFrame): DataFrame = {
+    val g = graph.select(col("q_id"), col("n_id"))
+    val mutual = g.as("a").join(g.as("b"),
+        col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
+          col("a.q_id") < col("a.n_id"))
+      .select(col("a.q_id").as("doc_a"), col("a.n_id").as("doc_b"))
+    Dedup.clusters(emb.select(col("vec_id").as("doc_id")), mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
   }
 
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED
@@ -536,6 +580,79 @@ object Similarity {
       .withColumn("cos_sim",
         round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** E12: FILTERED exact top-k — each query ranks only candidates
+    * sharing ITS OWN label (the "search within my tenant/domain"
+    * shape every production vector store serves; labels stand in for
+    * any equality predicate). Same guard, zero-norm doctrine, 6 dp
+    * round, and (cos desc, id) tie-break as [[bruteForceTopK]] — the
+    * label equality is part of the JOIN predicate, so filtered-out
+    * candidates never reach the scorer, and rank is dense over the
+    * per-query filtered set. Declared exactness baseline; the deploy
+    * path is [[ivfTopKFiltered]]. */
+  def filteredTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val n = emb.count()
+    val nQ = emb.filter(isQuery).count()
+    require(nQ == 0L || n <= pairCeiling / nQ,
+      s"filteredTopK would score $nQ × $n pairs (ceiling $pairCeiling); " +
+        "use Similarity.ivfTopKFiltered (E12b) at this scale")
+    val p = preparedNonZero(emb)
+    val q = p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    p.as("c").join(broadcast(q),
+        col("q_id") =!= col("vec_id") && col("q_label") === col("c.label"))
+      .withColumn("cos_sim",
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** E12b: filtered IVF serve — trained coarse quantizer, probed
+    * lists, and the label predicate applied POST-assignment with
+    * SELECTIVITY-AWARE PROBE WIDENING: post-filtering discards
+    * ~(1 − 1/L) of every probed list (L = corpus label cardinality,
+    * one bounded-metadata aggregate), so the probe count widens to
+    * min(nlist, nprobe·L) — the standard filtered-search correction
+    * (a fixed nprobe under a 1% filter returns near-empty lists and
+    * silently starves top-k). At the verify corpora the widened probe
+    * is exhaustive (recall 1.0 vs [[filteredTopK]] by construction);
+    * at scale it stays a fixed fraction of lists. 100 TB layout: the
+    * on-disk variant of this is the IVF index partitioned by
+    * (c_id, label-bucket) so the predicate PRUNES partitions instead
+    * of post-filtering rows — the writeIvfIndex partitioning column
+    * list is the one knob. */
+  def ivfTopKFiltered(emb: DataFrame, isQuery: Column, k: Int,
+                      nlist: Int = 0, nprobe: Int = 4,
+                      trainIters: Int = 5): DataFrame = {
+    val nl = autoNlist(emb, nlist)
+    val p = preparedNonZero(emb)
+    val nLabels = math.max(1L,
+      p.agg(countDistinct(col("label"))).first().getLong(0))
+    val probeN = math.min(nl.toLong, nprobe * nLabels).toInt
+    val cents0 = collectCentroids(p, nl)
+    val cents = if (trainIters > 0)
+      trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
+    val assigned = ivfAssignPrepared(p, cents)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"))
+    val probes = probeList(p, isQuery, cents, probeN)
+      .join(p.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.as("c").join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id") &&
+        col("q_label") === col("c.label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineFromParts(dot(col("q_v"), col("c.v")), col("q_n2"), col("c.n2")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
   }

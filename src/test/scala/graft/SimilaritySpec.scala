@@ -758,4 +758,88 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("q_id") === 999999L || col("n_id") === 999999L)
     assert(z.count() === 0L)
   }
+
+  test("E11 knnComponents: labels are exact connected components of the mutual graph") {
+    val real = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val g = Similarity.knnGraph(real, k)
+    val comp = Similarity.knnComponents(real, g)
+    val n = real.count()
+    // one row per vector — zero-norm vectors (absent from the graph)
+    // included as singletons
+    assert(comp.count() === n)
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    val zero = spark.range(1).select(lit(999999L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
+    val withZero = real.unionByName(zero)
+    val zRow = Similarity.knnComponents(withZero,
+        Similarity.knnGraph(withZero, k))
+      .filter(col("vec_id") === 999999L)
+      .select(col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long)].head()
+    assert(zRow === ((999999L, 1L)))
+    // cluster_size is the exact member count of its label
+    val sizeBad = comp.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cnt"), max(col("cluster_size")).as("mx"),
+        countDistinct(col("cluster_size")).as("nd"))
+      .filter(col("cnt") =!= col("mx") || col("nd") =!= 1L)
+    assert(sizeBad.count() === 0L)
+    // ground truth by driver-side union-find over the SAME mutual
+    // edge list (tiny at spec scale): labels must match exactly —
+    // over-merged AND split components both fail
+    val edges = g.select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = comp.select(col("vec_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (v, lbl) => assert(lbl === find(v), s"vec $v") }
+  }
+
+  test("E12 filteredTopK: per-label restriction of E1, exact; E12b widened probe reproduces it") {
+    val real = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val isQ = col("vec_id") % 50 === 0
+    val f = Similarity.filteredTopK(real, isQ, k)
+    // every neighbor carries the query's own label
+    val lbl = real.select(col("vec_id"), col("label"))
+    val crossLabel = f
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("nl")), Seq("n_id"))
+      .filter(col("ql") =!= col("nl"))
+    assert(crossLabel.count() === 0L)
+    // per label, the filtered serve IS bruteForceTopK over that
+    // label's sub-corpus — one exactness pin per stratum
+    val labels = real.select(col("label")).distinct().as[Int].collect().sorted
+    labels.take(3).foreach { l =>
+      val sub = Similarity.bruteForceTopK(
+          real.filter(col("label") === l), isQ, k)
+        .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val viaFilter = f
+        .join(lbl.select(col("vec_id").as("q_id"), col("label")), Seq("q_id"))
+        .filter(col("label") === l)
+        .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(viaFilter === sub, s"label $l")
+    }
+    // E12b: at spec scale the selectivity-widened probe is exhaustive
+    // (probeN = nlist), so the ivf serve reproduces the exact result,
+    // ranks and all
+    val ivf = Similarity.ivfTopKFiltered(real, isQ, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = f
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivf === exact)
+  }
 }
