@@ -1065,6 +1065,26 @@ object Multimodal {
       .toDF()
   }
 
+  /** The rendered-media injectivity tripwire: the image/video rasters
+    * zero-pad their final chunk, so a text whose UTF-8 bytes contain
+    * NUL could render byte-identical to a different text — and the
+    * DuckDB exact mirrors compare raw texts. Rather than assume the
+    * corpus is NUL-free (true of the synthetic tables today, not a
+    * law), every rendered byte array is scanned and a NUL fails the
+    * render loudly with the doc id. O(len) over bytes already in
+    * cache — free next to the PNG/GIF encode that follows. */
+  private def requireNulFree(id: Long, b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == 0) throw new IllegalArgumentException(
+        s"renderText*: doc $id contains a NUL byte at offset $i — " +
+          "zero-padded rasters are only injective on NUL-free texts " +
+          "(the exact-dedup mirrors would silently diverge)")
+      i += 1
+    }
+    b
+  }
+
   /** Deterministic REAL animated-GIF media frame over the documents
     * table's video-kind docs: the doc's utf-8 bytes rastered into
     * 16×16 grayscale frames, one frame per 256-byte chunk
@@ -1075,7 +1095,10 @@ object Multimodal {
     * composited pixels ARE the chunk rasters. INJECTIVE on NUL-free
     * texts (GIF is lossless at ≤256 colors; distinct rasters decode
     * distinct, so the encoder cannot emit equal bytes for them) —
-    * the D15 exact mirror compares texts, never pixels. */
+    * the D15 exact mirror compares texts, never pixels. The NUL-free
+    * precondition is CHECKED ([[requireNulFree]]): trailing NULs
+    * would render identical to their truncation via the zero-padded
+    * final chunk. */
   def renderTextVideo(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1083,7 +1106,7 @@ object Multimodal {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = requireNulFree(id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val nFrames = math.max(1, (b.length + 255) / 256)
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -1157,7 +1180,11 @@ object Multimodal {
     * deterministic: pixels in, no timestamps out) — which is what
     * lets D12's payload-equality pairs be mirrored in DuckDB as text
     * equality, and puts REAL decodable pixels (not stub bytes) under
-    * the G5/D13 gate entries. */
+    * the G5/D13 gate entries. The NUL-free precondition is CHECKED,
+    * not assumed ([[requireNulFree]]): a text ending in NUL bytes
+    * would render byte-identical to its truncation (the zero-padded
+    * tail), silently diverging from the text-equality mirror — such a
+    * corpus fails loudly here instead. */
   def renderTextImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1165,7 +1192,7 @@ object Multimodal {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = requireNulFree(id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val w = 16
         val h = math.max(1, (b.length + w - 1) / w)
         val img = new java.awt.image.BufferedImage(

@@ -419,6 +419,16 @@ object Similarity {
     require(lamD > 0 && lamN >= 0 && lamN <= lamD,
       s"λ=$lamN/$lamD must be a rational in [0, 1]")
     val spark = emb.sparkSession
+    // the driver frame is nQ·kCand² longs — kCand's cap alone doesn't
+    // bound it (a many-query corpus at large kCand still OOMs the
+    // driver), so bound the PRODUCT explicitly, divide-don't-multiply
+    // (the pairCeiling overflow rationale)
+    val nQ = emb.filter(isQuery).count()
+    val simCeiling = 64L << 20 // ~64M longs ≈ 512 MB of driver rows, max
+    require(nQ == 0L ||
+        kCand.toLong * kCand <= simCeiling / math.max(1L, nQ),
+      s"mmrTopK would collect $nQ × $kCand² sim rows to the driver " +
+        s"(ceiling $simCeiling); page the query set or lower kCand")
     val p = preparedNonZero(emb)
     val cand = cachedAs("mmrCand",
       bruteForceTopK(emb, isQuery, kCand)
@@ -624,10 +634,11 @@ object Similarity {
     * silently starves top-k). At the verify corpora the widened probe
     * is exhaustive (recall 1.0 vs [[filteredTopK]] by construction);
     * at scale it stays a fixed fraction of lists. 100 TB layout: the
-    * on-disk variant of this is the IVF index partitioned by
-    * (c_id, label-bucket) so the predicate PRUNES partitions instead
-    * of post-filtering rows — the writeIvfIndex partitioning column
-    * list is the one knob. */
+    * on-disk variant is [[writeIvfIndex]] with `labelBuckets > 0`
+    * (lists partitioned by (c_id, lbl)) served by
+    * [[filteredTopKFromIndex]], where the predicate PRUNES partitions
+    * instead of post-filtering rows — spec-proved PartitionFilters +
+    * file-set shrink. */
   def ivfTopKFiltered(emb: DataFrame, isQuery: Column, k: Int,
                       nlist: Int = 0, nprobe: Int = 4,
                       trainIters: Int = 5): DataFrame = {
@@ -844,8 +855,21 @@ object Similarity {
     if (nlist > 0) nlist
     else math.max(4, math.round(math.sqrt(emb.count().toDouble)).toInt)
 
+  /** `labelBuckets > 0` is E12's on-disk FILTERED layout: each list
+    * subpartitions by `lbl = pmod(xxhash64(label), B)` —
+    * `lists/c_id=…/lbl=…/ingest_batch=…` — so a label-equality serve
+    * ([[filteredTopKFromIndex]]) PRUNES to its query labels' buckets
+    * instead of post-filtering rows: the scan reads ~1/B of every
+    * probed list for a single-tenant query batch, which is what makes
+    * the selectivity-widened probe affordable at 100 TB (widening
+    * multiplies probed lists by ~L; bucket pruning divides the bytes
+    * per list by ~B — net list bytes ≈ the unfiltered serve's).
+    * `meta/` freezes (label_buckets, n_labels): B so appends land in
+    * the SAME bucket space, n_labels so serve-time probe widening is
+    * a frozen build-time statistic, not a per-query corpus scan.
+    * `labelBuckets = 0` (default) keeps the label-free layout. */
   def writeIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
-                    trainIters: Int = 5): Unit = {
+                    trainIters: Int = 5, labelBuckets: Int = 0): Unit = {
     // the index writer is where the auto-size matters most (the
     // serve's probe cost is fixed by what was built)
     val nl = autoNlist(emb, nlist)
@@ -860,12 +884,25 @@ object Similarity {
     // base corpus is ingest batch −1; appendToIvfIndex adds later
     // batches under their own ingest_batch= subpartitions (one
     // consistent partition depth for the whole directory)
-    ivfAssignPrepared(p, cents)
+    val assigned = ivfAssignPrepared(p, cents)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"),
         lit(-1L).as("ingest_batch"))
-      .write.partitionBy("c_id", "ingest_batch")
-      .mode("overwrite").parquet(s"$path/lists")
+    if (labelBuckets > 0) {
+      val nLabels = p.agg(countDistinct(col("label"))).first().getLong(0)
+      Seq((labelBuckets, nLabels)).toDF("label_buckets", "n_labels")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      assigned.withColumn("lbl", labelBucket(col("label"), labelBuckets))
+        .write.partitionBy("c_id", "lbl", "ingest_batch")
+        .mode("overwrite").parquet(s"$path/lists")
+    } else
+      assigned.write.partitionBy("c_id", "ingest_batch")
+        .mode("overwrite").parquet(s"$path/lists")
   }
+
+  /** The ONE spelling of the label-bucket key (write side and serve
+    * side must hash identically or pruning silently misses rows). */
+  private def labelBucket(label: Column, buckets: Int): Column =
+    pmod(xxhash64(label), lit(buckets.toLong))
 
   /** The stored coarse quantizer, back as the in-memory matrix every
     * assignment/probing kernel takes (bounded: nlist × dim doubles). */
@@ -922,12 +959,22 @@ object Similarity {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
-    ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
+    val assigned = ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"),
         lit(ingestBatch).as("ingest_batch"))
-      .write.partitionBy("c_id", "ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/lists")
+    // a label-bucketed index (E12 layout) buckets arrivals with the
+    // FROZEN build-time B from meta/ — a drifted bucket count would
+    // scatter one label across buckets and break serve-time pruning
+    if (existing.fieldNames.contains("lbl")) {
+      val bkts = spark.read.parquet(s"$path/meta").head().getAs[Int]("label_buckets")
+      assigned.withColumn("lbl", labelBucket(col("label"), bkts))
+        .write.partitionBy("c_id", "lbl", "ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/lists")
+    } else
+      assigned.write.partitionBy("c_id", "ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/lists")
   }
 
   /** Incremental IVFPQ index maintenance: assign with the stored
@@ -993,11 +1040,15 @@ object Similarity {
       }
     }
     // repartition on the list id: one shuffle sized by nlist, one
-    // output file per list — the ideal serve layout
-    spark.read.parquet(lists.toString)
+    // output file per list — the ideal serve layout (a label-bucketed
+    // E12 layout keeps its lbl subpartitioning through compaction)
+    val folded = spark.read.parquet(lists.toString)
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("c_id"))
-      .write.partitionBy("c_id", "ingest_batch")
+    val partCols =
+      if (folded.columns.contains("lbl")) Seq("c_id", "lbl", "ingest_batch")
+      else Seq("c_id", "ingest_batch")
+    folded.write.partitionBy(partCols: _*)
       .mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
     require(fs.rename(lists, old), s"rename $lists -> $old failed")
@@ -1083,6 +1134,84 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** E12's on-disk serve: label-FILTERED top-k from an index written
+    * with `labelBuckets > 0` — the predicate PRUNES partitions instead
+    * of post-filtering rows. Three prunings compose on the one list
+    * scan: `c_id IN (probed)` (IVF's "read nprobe/nlist"), `lbl IN
+    * (query labels' buckets)` (the filter's "read ~1/B of each probed
+    * list"), and the optional replayed-batch exclusion — all
+    * PartitionFilters, spec-proved with the input-file set. Probe
+    * count widens by the FROZEN build-time label cardinality from
+    * `meta/` (nprobe·L, capped at nlist — [[ivfTopKFiltered]]'s
+    * selectivity correction without its per-serve corpus aggregate);
+    * within a bucket, exact label equality re-checks candidates (B is
+    * a hash space — collisions share a bucket but never a result).
+    * Queries must carry (vec_id, embedding, label); null-label
+    * queries return nothing (null equals no label — the
+    * [[filteredTopK]] contract). */
+  def filteredTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame, k: Int,
+                            nprobe: Int = 4, selfExclude: Boolean = true,
+                            excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (probes, lists) =
+      filteredPrune(spark, path, queries, nprobe, excludeIngestBatch)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    lists.as("c").join(broadcast(probes.as("p")),
+        col("c.c_id") === col("p.c_id") && col("c.lbl") === col("p.q_lbl"))
+      .filter(col("c.label") === col("p.q_label") &&
+        (if (selfExclude) col("p.q_id") =!= col("c.vec_id") else lit(true)))
+      .select(col("p.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        round(cosineFromParts(dot(col("p.q_v"), col("c.v")),
+          col("p.q_n2"), col("c.n2")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** The probe-widen-and-doubly-prune spelling [[filteredTopKFromIndex]]
+    * and [[filteredListFiles]] share (the [[probeAndPrune]] rationale:
+    * the audit must MEASURE the same scan the serve PLANS). Returns
+    * (probes with q_label/q_lbl attached, doubly-pruned lists). */
+  private def filteredPrune(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame, nprobe: Int,
+                            excludeIngestBatch: Option[Long])
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val bkts = meta.getAs[Int]("label_buckets")
+    val nLabels = math.max(1L, meta.getAs[Long]("n_labels"))
+    val cents = readCentroids(spark, path)
+    val probeN = math.min(cents.length.toLong, nprobe.toLong * nLabels).toInt
+    val q = prepared(queries).filter(col("n2") > 0 && col("label").isNotNull)
+    val probes = probeList(q, lit(true), cents, probeN)
+      .join(q.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        labelBucket(col("label"), bkts).as("q_lbl")), Seq("q_id"))
+    // both collected sets are bounded metadata: probed ids by nlist,
+    // query buckets by min(distinct query labels, B)
+    val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
+    val qLbls = q.select(labelBucket(col("label"), bkts))
+      .distinct().as[Long].collect().toSeq
+    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
+        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
+      .filter(col("c_id").isin(probedIds: _*) && col("lbl").isin(qLbls: _*))
+      .filter(col("n2") > 0)
+    (probes, lists)
+  }
+
+  /** Pruning audit for the filtered serve — the [[probedListFiles]]
+    * dual over the SAME scan [[filteredTopKFromIndex]] plans: the
+    * list files a filtered serve actually reads. The spec asserts
+    * this shrinks against the unfiltered probed set for a
+    * single-label query batch — the ~1/B claim, measured. */
+  def filteredListFiles(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame,
+                        nprobe: Int = 4): Array[String] = {
+    import spark.implicits._
+    val (_, lists) = filteredPrune(spark, path, queries, nprobe, None)
+    lists.select(input_file_name()).distinct().as[String].collect()
   }
 
   /** Full IVFPQ index on disk — the FAISS index file re-expressed as

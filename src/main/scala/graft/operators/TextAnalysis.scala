@@ -589,7 +589,8 @@ object TextAnalysis {
     * integer (a 1-ulp ln() wobble cannot move the rounding off a
     * non-boundary value — the mixTemperature argument); the tf weight
     * at k1=1.2, b=0.75 clears denominators into EXACT integer
-    * arithmetic (num = 22·tf·T, denom = 10·T·tf + 3·T + 9·dl·N), so
+    * arithmetic (num = 22·tf·T, denom = 10·T·tf + 3·T + 9·dl·N) held
+    * in DECIMAL(38,0) so 100 TB-scale T·tf cannot wrap a long, so
     * each term's contribution is one double multiply+divide in pinned
     * order, rounded at 6 dp into DECIMAL; the per-doc score is an
     * exact decimal sum in term order. Ties rank by doc_id. */
@@ -621,12 +622,21 @@ object TextAnalysis {
   private def bm25Rank(base: DataFrame, terms: Seq[String],
                        idf4: Seq[Long], n: Long, t: Long,
                        k: Int): DataFrame = {
+    // cleared-denominator products in DECIMAL(38,0), not LONG: at the
+    // 100 TB posture (T ~ 1e13 total tokens) a doc with tf > ~4e4
+    // silently wraps 22·tf·T past Long.MaxValue — wrong scores, no
+    // guard. Decimal holds 38 digits (22·1e5·1e13 ≈ 2e19 needs 20),
+    // and at gate scale every product is ≪ 2^53, so the one
+    // double cast at the end is value-identical to the old long path
+    // (the oracle mirror is unchanged).
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val termDec = terms.zip(idf4).map { case (term, i4) =>
       val tf = coalesce(size(filter(col("toks"), x => x === term)), lit(0))
-        .cast("long")
+        .cast(D38)
       round((lit(i4).cast("double") / lit(10000.0)) *
           (tf * lit(22L) * lit(t)).cast("double") /
-          (tf * lit(10L) * lit(t) + lit(3L * t) + col("dl") * lit(9L * n))
+          (tf * lit(10L) * lit(t) + lit(3L * t).cast(D38) +
+            col("dl").cast(D38) * lit(9L * n))
             .cast("double"), 6)
         .cast(org.apache.spark.sql.types.DecimalType(20, 6))
     }

@@ -629,6 +629,70 @@ class SimilaritySpec extends SparkSpec {
     assert(healed === before)
   }
 
+  test("E12 filtered index on disk: (c_id, lbl) partition pruning, exhaustive regime ≡ exact filtered top-k, appends land in frozen buckets") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+    Similarity.writeIvfIndex(real, path, nlist = 16, trainIters = 5,
+      labelBuckets = 8)
+    val queries = real.filter(isQ).select("vec_id", "embedding", "label")
+    // nprobe=2 widens by the FROZEN n_labels=10 to min(16, 20) = 16 —
+    // exhaustive probing, and the query set spans every label, so the
+    // serve must reproduce the exact filtered baseline row-for-row
+    val fromIdx = Similarity.filteredTopKFromIndex(spark, path, queries, 5,
+      nprobe = 2)
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    // BOTH partition keys prune the list scan
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id") &&
+      plan.contains("lbl"),
+      s"expected c_id AND lbl partition filters on the lists scan:\n$plan")
+    val a = fromIdx.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.filteredTopK(real, isQ, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    // the ~1/B claim, measured: a single-label query batch reads a
+    // strict fraction of the files the unfiltered serve at the SAME
+    // effective probe count reads (10 labels hash into 8 buckets, so
+    // one label needs exactly one lbl= subdirectory per probed list)
+    val oneLabel = real.filter(col("label") === 3 && isQ)
+      .select("vec_id", "embedding", "label")
+    val filtered = Similarity.filteredListFiles(spark, path, oneLabel,
+      nprobe = 2) // widened to 16 = exhaustive
+    val unfiltered = Similarity.probedListFiles(spark, path,
+      oneLabel.select("vec_id", "embedding"), nprobe = 16)
+    assert(filtered.nonEmpty &&
+      filtered.forall(f => f.contains("c_id=") && f.contains("lbl=")))
+    assert(filtered.toSet.subsetOf(unfiltered.toSet))
+    assert(filtered.length * 4 <= unfiltered.length,
+      s"label pruning read ${filtered.length}/${unfiltered.length} files — " +
+        "expected ~1/8")
+    // appends bucket with the FROZEN B from meta/: planted same-label
+    // twins must surface at nprobe=1 (the appendToIvfIndex contract,
+    // filtered edition), and replaying the batch must not duplicate
+    val twins = real.filter(isQ)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.appendToIvfIndex(twins, path, ingestBatch = 0L)
+    Similarity.appendToIvfIndex(twins, path, ingestBatch = 0L)
+    assert(spark.read.parquet(s"$path/lists").count() ===
+      real.count() + twins.count())
+    val hits = Similarity.filteredTopKFromIndex(spark, path, queries, 1,
+        nprobe = 1)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, n, c) =>
+      assert(n === q + 1000000L && c === 1.0, s"query $q") }
+    // compaction preserves the lbl subpartitioning and the serve
+    Similarity.compactIvfIndex(spark, path)
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.columns.contains("lbl"))
+    assert(lists.count() === real.count() + twins.count())
+    val afterCmp = Similarity.filteredTopKFromIndex(spark, path, queries, 5,
+        nprobe = 2)
+      .filter(col("n_id") < 1000000L) // twins now outrank the originals
+      .orderBy("q_id", "rank").collect()
+    assert(afterCmp.nonEmpty)
+  }
+
   test("IVFPQ index append: stored-codebook codes stay comparable — twins at rank 1") {
     val real = Tables.embeddings(spark, sfDir)
       .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
