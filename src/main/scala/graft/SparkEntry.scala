@@ -360,7 +360,9 @@ object SparkEntry {
     // --- D: deduplication ---
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),  // rows-only
+    // D2: hash-green since r10 — md5-derived slot hashes let the
+    // mirror recompute the exact signature matrix and band buckets
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
 
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
 
@@ -453,7 +455,9 @@ object SparkEntry {
       Dedup.survivors(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))
         .select(col("doc_id"), col("lang"), col("source"))),
 
-    "dedup_corpus_sim" -> ((s, d) =>                                  // rows-only
+    // D7: hash-green since r10 (merged md5-derived signatures — the
+    // mirror recomputes per-slot corpus mins and the agreement count)
+    "dedup_corpus_sim" -> ((s, d) =>
       Dedup.corpusSimilarity(docs(s, d), "source")),
 
     "dedup_cluster" -> ((s, d) =>
@@ -917,11 +921,11 @@ object SparkEntry {
     * documents/embeddings tables, so each floor is the smaller of the
     * two measured pair counts — which makes it TIGHT (equality, zero
     * slack) at one of the two sfs, where any pair-collapse regression
-    * trips immediately. Measured r6: minhash 28/25, embedding-lsh
-    * 7/14, semantic 6/11 at sf0.001/sf0.01. (dedup_simhash left r9
-    * with a full DuckDB mirror — the hash gate owns it now.) */
+    * trips immediately. Measured r6: embedding-lsh 7/14, semantic
+    * 6/11 at sf0.001/sf0.01. (dedup_simhash left r9, and
+    * dedup_minhash_lsh + dedup_corpus_sim left r10, with full DuckDB
+    * mirrors — the hash gate owns them now.) */
   def rowFloors: Map[String, Long] = Map(
-    "dedup_minhash_lsh"   -> 25L,
     "dedup_embedding_lsh" -> 7L,
     "dedup_semantic"      -> 6L)
     // corpus_prep_e2e carries no floor: it has a full DuckDB oracle
@@ -959,8 +963,10 @@ object SparkEntry {
       coalesce(max(when(col("lang").isNull &&
         lower(col("text")).rlike("[a-z0-9]"), 1).otherwise(0)), lit(0)),
       coalesce(max(when(col("lang").isNull, 1).otherwise(0)), lit(0))).head()
-    val (nDocs, nSources, nImages, nVideos) =
-      (mRow.getLong(0), mRow.getLong(1), mRow.getLong(2), mRow.getLong(3))
+    // mRow(1) = countDistinct(source), retired with dedup_corpus_sim's
+    // r10 oracle (the hash gate owns its pair count now)
+    val (nDocs, nImages, nVideos) =
+      (mRow.getLong(0), mRow.getLong(2), mRow.getLong(3))
     val nTokenLangs = mRow.getLong(4) + mRow.getInt(6)
     val nLangs = mRow.getLong(5) + mRow.getInt(7)
     val topk = 5L * emb(spark, sfDir).filter(annIsQuery).count()
@@ -1006,8 +1012,7 @@ object SparkEntry {
         "text_compression_ratio"  -> nDocs,
         "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
-        "corpus_token_quantiles_approx" -> nLangs,
-        "dedup_corpus_sim"        -> nSources * (nSources - 1) / 2),
+        "corpus_token_quantiles_approx" -> nLangs),
       floors = Map("mm_frame_sample" -> nVideos))
   }
 
@@ -1114,6 +1119,36 @@ object SparkEntry {
   // vs wc=1 would diverge (NaN score vs finite) on such rows
   private val TOKS =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+
+  /** 16 hex chars → HUGEINT (DuckDB has no wrapping 64-bit signed
+    * arithmetic, so the minhash mirrors run the slot-hash recurrence
+    * in non-negative HUGEINT — bit-identical to the Java unsigned
+    * arithmetic, see [[graft.functions.VecExprs.MinHashSigMd5]]). */
+  private def hex16Hug(col: String): String =
+    s"list_sum(list_transform(range(1,17), i -> (strpos('0123456789abcdef', " +
+      s"substr($col, CAST(i AS INTEGER), 1)) - 1)::HUGEINT * " +
+      "(1::HUGEINT << (4*(16 - CAST(i AS INTEGER))))))"
+
+  /** The md5-derived minhash slot-value CTE chain shared by the D2
+    * and D7 mirrors (one definition — the two can't drift): per
+    * (doc, slot) the min over the doc's 3-grams of
+    * ((h1 + s·h2) mod 2⁶⁴) ÷ 2, where h1/h2 are the two 8-byte halves
+    * of md5 of the space-joined gram — the EXACT MinHashSigMd5
+    * arithmetic. Docs with < 3 tokens have no grams and drop out,
+    * mirroring the Spark-side filter. */
+  private lazy val minhashSigCtes: String =
+    s"""toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+       |g AS (SELECT doc_id, source,
+       |        unnest(list_transform(range(1, len(t) - 1),
+       |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |      FROM toks WHERE len(t) >= 3),
+       |hh AS (SELECT doc_id, source,
+       |         ${hex16Hug("substr(md5(gram),1,16)")} AS h1,
+       |         ${hex16Hug("substr(md5(gram),17,16)")} AS h2 FROM g),
+       |sv AS (SELECT doc_id, source, s,
+       |         min(((h1 + s::HUGEINT * h2) % 18446744073709551616::HUGEINT) // 2) AS v
+       |       FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS s)
+       |       GROUP BY doc_id, source, s)""".stripMargin
 
   /** F16's CTE chain (tokens → doc bigrams → count tables → per-doc
     * exact integer ln-sum `g(doc_id, n_bigrams, a)`) — ONE definition
@@ -1904,6 +1939,39 @@ object SparkEntry {
          |    AS INTEGER) AS hamming
          |FROM sv a JOIN sv b ON a.doc_id < b.doc_id
          |WHERE len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) <= 3""".stripMargin,
+
+    // D2 mirror: recompute the EXACT md5-derived signature matrix
+    // (Dedup's MinHashSigMd5 — h1/h2 = the two md5 halves of the gram
+    // string, slot s = ((h1 + s·h2) mod 2⁶⁴) ÷ 2, Kirsch–Mitzenmacher)
+    // and brute-force the band buckets: docs sharing any 4-slot band
+    // slice pair up. Equal to the banded Spark plan because the band
+    // bucket is a hash OF the slice (collision odds ~2⁻⁶⁴) and the
+    // auto bucket cap (floor 1024) cannot engage at gate corpus sizes
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashSigCtes,
+         |sig AS (SELECT doc_id, list(v ORDER BY s) AS sg FROM sv GROUP BY doc_id),
+         |banded AS (SELECT doc_id, b, sg[b*4+1 : b*4+4] AS slice
+         |           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id""".stripMargin,
+
+    // D7 mirror: the merged per-source signature is the per-slot min
+    // over every member doc's grams (min is merge-order-free), and
+    // est_jaccard = agreeing slots / 32 — an exact dyadic rational,
+    // no cross-engine float risk. n_docs counts member docs WITH
+    // grams (the Spark filter)
+    "dedup_corpus_sim" ->
+      s"""WITH $minhashSigCtes,
+         |msig AS (SELECT source, s, min(v) AS v FROM sv GROUP BY source, s),
+         |csig AS (SELECT source, list(v ORDER BY s) AS sg FROM msig GROUP BY source),
+         |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY source),
+         |j AS (SELECT source, sg, n_docs FROM csig JOIN nd USING (source))
+         |SELECT a.source AS group_a, b.source AS group_b,
+         |       a.n_docs AS n_a, b.n_docs AS n_b,
+         |  CAST(len(list_filter(range(1, 33), i -> a.sg[i] = b.sg[i]))
+         |    AS DOUBLE) / 32.0 AS est_jaccard
+         |FROM j a JOIN j b ON a.source < b.source""".stripMargin,
 
     // D12 mirror: renderTextImages is injective on NUL-free texts
     // (distinct text bytes → distinct pixel rasters → distinct PNGs;

@@ -233,6 +233,74 @@ object VecExprs {
       copy(child = c)
   }
 
+  /** k-slot MinHash signature DIRECTLY from the token array with
+    * md5-DERIVED slot hashes — D2/D7's oracle-recomputable signature
+    * (the D4 [[graft.operators.Dedup.md5Hash64]] move applied to
+    * minhash): gram i is tokens (i, i+1, i+2) joined with ' ' — the
+    * exact string the DuckDB mirror md5s — its digest's first/second
+    * 8 bytes (big-endian) are h1/h2, and slot s draws
+    * v_s = (h1 + s·h2) >>> 1, Kirsch–Mitzenmacher double hashing
+    * (ESA 2006: two base hashes give k pairwise-independent-enough
+    * permutations). The >>> 1 keeps every slot value non-negative, so
+    * the signed Long min here ≡ the mirror's non-negative HUGEINT min
+    * (DuckDB has no wrapping 64-bit signed arithmetic; it recomputes
+    * (h1 + s·h2) mod 2⁶⁴ ÷ 2 in HUGEINT). sig[s] = min over grams —
+    * duplicate grams can't move a min, so no distinct pass is needed.
+    * One md5 per gram replaces the xxh64 chain + k hashLong calls of
+    * the retired xxh64 spelling. Slots stay Long.MaxValue for < 3
+    * tokens; callers filter those docs (no grams = no signature). */
+  case class MinHashSigMd5(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_md5"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectArrays(prettyName, child -> StringType)
+
+    def sig(toks: ArrayData): GenericArrayData = {
+      val n = toks.numElements()
+      val out = Array.fill(k)(Long.MaxValue)
+      if (n >= 3) {
+        val md = md5Local.get()
+        var i = 0
+        while (i < n - 2) {
+          md.reset()
+          md.update(toks.getUTF8String(i).getBytes)
+          md.update(' '.toByte)
+          md.update(toks.getUTF8String(i + 1).getBytes)
+          md.update(' '.toByte)
+          md.update(toks.getUTF8String(i + 2).getBytes)
+          val d = md.digest()
+          var h1 = 0L; var h2 = 0L; var j = 0
+          while (j < 8) {
+            h1 = (h1 << 8) | (d(j) & 0xFFL)
+            h2 = (h2 << 8) | (d(j + 8) & 0xFFL)
+            j += 1
+          }
+          var s = 0
+          while (s < k) {
+            val v = (h1 + s * h2) >>> 1
+            if (v < out(s)) out(s) = v
+            s += 1
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      sig(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashMd5Expr", this,
+        classOf[MinHashSigMd5].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sig($a);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSigMd5 =
+      copy(child = c)
+  }
+
   /** Distinct word-3-gram hashes from a token array, one fused pass:
     * gram i is tokens (i, i+1, i+2); its hash is the xxh64 seed-chain
     * over the three UTF8 tokens (tokens contain no spaces, so the
@@ -961,6 +1029,7 @@ object VecExprs {
     "graft_md5long"     -> (args => Md5Long(args(0))),
     "graft_simhash64"   -> (args => SimHash64(args(0))),
     "graft_minhash32"   -> (args => MinHashSig(args(0), 32)),
+    "graft_minhash32_md5" -> (args => MinHashSigMd5(args(0), 32)),
     "graft_hyperplane8" -> (args => HyperplaneBucket(args(0), 8)),
     // 3-arg variant: (vector, planes literal, table-index literal) —
     // each table draws an independent plane set (OR-construction)

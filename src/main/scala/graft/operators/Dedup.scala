@@ -463,12 +463,17 @@ object Dedup {
     * batches all live in the same bucket space (the
     * [[winnowFingerprints]] role for minhash). Whole signature per row
     * in one codegen'd pass — no explode/groupBy shuffle for signature
-    * construction at all; docs with no grams (<3 tokens) are excluded,
-    * as with the exploded formulation. Band bucket = hash of the
-    * band's signature slice (+ band index so identical slices in
-    * different bands can't collide) — the band is FOLDED INTO the
-    * 64-bit bucket value, which is what lets the materialized flow
-    * join on `bucket` alone. */
+    * construction at all; docs with no grams (<3 tokens) are excluded.
+    * Slot hashes are md5-DERIVED ([[graft.functions.VecExprs
+    * .MinHashSigMd5]] — the D4 move applied to minhash in r10) so the
+    * DuckDB oracle recomputes the EXACT signature matrix and
+    * brute-forces the band buckets: D2 is hash-green, not rows-only.
+    * Band bucket = hash of the band's signature slice (+ band index so
+    * identical slices in different bands can't collide) — the band is
+    * FOLDED INTO the 64-bit bucket value, which is what lets the
+    * materialized flow join on `bucket` alone (the mirror joins on
+    * the raw slice instead — same pair set modulo 2⁻⁶⁴ xxhash64
+    * collisions, the D4 oracle argument). */
   private def minhashBands(docs: DataFrame, numHashes: Int,
                            bands: Int): DataFrame = {
     require(numHashes == 32, "registered signature variant is 32-slot")
@@ -478,9 +483,10 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     graft.functions.VecExprs.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), gramHashes(col("text")).as("ghs"))
-      .filter(size(col("ghs")) > 0)
-      .select(col("doc_id"), call_function("graft_minhash32", col("ghs")).as("sig"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3) // < 3 tokens = no grams = no signature
+      .select(col("doc_id"),
+        call_function("graft_minhash32_md5", col("toks")).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -1080,10 +1086,15 @@ object Dedup {
     * 100 TB. */
   def corpusSimilarity(docs: DataFrame, groupCol: String): DataFrame = {
     graft.functions.VecExprs.register(docs.sparkSession)
+    // md5-derived slot hashes (the minhashBands signature): the merged
+    // per-group signature is the per-slot min over every member doc's
+    // grams, which the DuckDB mirror recomputes exactly — D7 is
+    // hash-green (est_jaccard is an integer count / 32, no float risk)
     val sigs = docs
-      .select(col(groupCol), gramHashes(col("text")).as("ghs"))
-      .filter(size(col("ghs")) > 0)
-      .select(col(groupCol), call_function("graft_minhash32", col("ghs")).as("sig"))
+      .select(col(groupCol), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(groupCol),
+        call_function("graft_minhash32_md5", col("toks")).as("sig"))
       .groupBy(col(groupCol))
       .agg(call_function("graft_minhash_merge32", col("sig")).as("corpus_sig"),
         count(lit(1)).as("n_docs"))
