@@ -13,11 +13,18 @@ import graft.operators.Bpe
   * measuring batched rounds at production vocab sizes. This drive
   * builds a 20k-word random-character vocabulary with Zipf-ish
   * counts, the regime a real crawl's word table lives in.
-  * Run: `sbt "Test/runMain graft.BpeScaleDrive [nMerges] [vocab]"` */
+  * Run: `sbt "Test/runMain graft.BpeScaleDrive [nMerges] [vocab] [mode]"`
+  * — mode `greedy` skips the strict run + quality diff (r10's
+  * production-merge-count measurement: strict at 4096 merges is
+  * ~1400 driver rounds by design, the very cost the greedy mode
+  * exists to avoid; wall-per-merge flatness 1k → 4k is the claim
+  * under test, and the piece-delta vs strict is measured once at the
+  * common 1024 vocab where strict is affordable). */
 object BpeScaleDrive {
   def main(args: Array[String]): Unit = {
     val nMerges = args.headOption.map(_.toInt).getOrElse(1024)
     val vocabSize = args.lift(1).map(_.toInt).getOrElse(20000)
+    val greedyOnly = args.lift(2).contains("greedy")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
@@ -42,10 +49,12 @@ object BpeScaleDrive {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"bpe_scale[$label]: nMerges=$nMerges merges=${merges.length} " +
         f"rounds=$rounds (sequential would be ${merges.length}) " +
-        f"speedup=${merges.length.toDouble / rounds}%.1fx wall=$secs%.1f s")
+        f"speedup=${merges.length.toDouble / rounds}%.1fx wall=$secs%.1f s " +
+        f"wall_per_merge=${1000.0 * secs / merges.length}%.1f ms")
       merges
     }
     val greedy = run("greedy", strict = false)
+    if (greedyOnly) { spark.stop(); return }
     val strictM = run("strict", strict = true)
     // quality parity: pieces produced over the corpus by each vocab —
     // the number that matters for a tokenizer (merge ORDER deviation
