@@ -756,6 +756,23 @@ object SparkEntry {
     "retrieval_mmr" -> ((s, d) =>
       Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
 
+    // The composed SERVE flow (r10, rows-only, exact-count = kOut):
+    // frozen BM25 stats + written IVF index built per call (an honest
+    // build+serve number), then lexical-against-frozen → pruned index
+    // probe → RRF fuse → MMR diversify — the production page path;
+    // every stage spec-pinned ≡ its catalog sibling at exhaustive
+    // probing (RetrievalServeSpec)
+    "retrieval_serve" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_rserve")
+        .toString
+      operators.Retrieval.buildArtifacts(docs(s, d), emb(s, d),
+        "serve_bm25_cat", path, nlist = 8)
+      operators.Retrieval.serve(s, "serve_bm25_cat", path,
+        docs(s, d), emb(s, d),
+        emb(s, d).filter(col("vec_id") === 0).select("vec_id", "embedding"),
+        operators.Retrieval.ServeConfig(Bm25Terms, nprobe = 8))
+    }),
+
     // F15b: rows-only (a sketch estimate has no cross-engine mirror);
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
@@ -998,6 +1015,9 @@ object SparkEntry {
         // E12c: same argument from the on-disk index (widened probe
         // exhaustive, every label stratum ≥ k members)
         "ann_ivf_filtered_indexed" -> topk,
+        // the composed serve emits exactly kOut = 10 diversified rows
+        // (the fused page is ≥ kSem = 20 docs at every verify sf)
+        "retrieval_serve"         -> 10L,
         // BPE: merges-allowed-at-count-1 means the loop can only stop
         // short when every word is one symbol — impossible at these
         // corpora, so the merge table is exactly nMerges rows; encode

@@ -434,6 +434,35 @@ object Similarity {
       bruteForceTopK(emb, isQuery, kCand)
         .select(col("q_id"), col("n_id"),
           round(col("cos_sim") * 1e6, 0).cast("long").as("rel_u")))
+    mmrGreedy(spark, p, cand, kOut, lamN, lamD)
+  }
+
+  /** The MMR greedy core over an EXPLICIT candidate frame
+    * `(q_id, n_id, rel_u)` — rel_u any scale-6 integer relevance
+    * ([[mmrTopK]] passes the scale-6 cosine; the composed
+    * [[graft.operators.Retrieval]] serve passes the RRF s6 score, the
+    * standard MMR-over-fused-page composition). Same split of labor,
+    * exactness, and output contract as [[mmrTopK]]'s scaladoc: the
+    * candidate×candidate sim matrix is computed DISTRIBUTED from the
+    * prepared vector frame `p`, collected as scale-6 longs (bounded —
+    * guarded below on the exact Σ per-query candidates² the collect
+    * materializes), and the greedy argmax compares exact BIGINTs with
+    * doc-id tie-break. */
+  private[graft] def mmrGreedy(spark: org.apache.spark.sql.SparkSession,
+                               p: DataFrame, cand: DataFrame, kOut: Int,
+                               lamN: Long, lamD: Long): DataFrame = {
+    require(kOut > 0, s"kOut=$kOut must be positive")
+    require(lamD > 0 && lamN >= 0 && lamN <= lamD,
+      s"λ=$lamN/$lamD must be a rational in [0, 1]")
+    // exact driver-frame bound: Σ_q c_q² sim rows + Σ_q c_q rel rows
+    val szRow = cand.groupBy(col("q_id")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)),
+        coalesce(sum(col("c")), lit(0L))).head()
+    val simCeiling = 64L << 20
+    require(szRow.getLong(0) <= simCeiling,
+      s"mmrGreedy would collect ${szRow.getLong(0)} sim rows to the " +
+        s"driver (ceiling $simCeiling); page the query set or shrink " +
+        "the candidate pages")
     // candidate×candidate cosine matrix, same-query pairs only —
     // computed distributed (codegen dot), collected as scale-6 longs
     val ids = cand.select(col("q_id"), col("n_id"))
@@ -448,14 +477,20 @@ object Similarity {
       .select(col("q_id"), col("a_id"), col("b_id"),
         round(round(cosineFromParts(dot(col("a_v"), col("b_v")),
           col("a_n2"), col("b_n2")), 6) * 1e6, 0).cast("long").as("sim_u"))
-    // bounded collects: ≤ nQ·kCand and ≤ nQ·kCand² rows of longs
+    // bounded collects, guarded above
     val rels = cand.select(col("q_id"), col("n_id"), col("rel_u"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val simMap = sims.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
       .toMap
+    // a candidate with no (non-zero) vector in `p` has no sim rows —
+    // possible for lexical-only docs in the composed serve; its
+    // similarity to anything is unknown, so it carries no diversity
+    // penalty (sim 0). mmrTopK's candidates always have vectors (they
+    // come from bruteForceTopK), so there this default never fires.
     def sim(q: Long, a: Long, b: Long): Long =
-      if (a < b) simMap((q, a, b)) else simMap((q, b, a))
+      if (a < b) simMap.getOrElse((q, a, b), 0L)
+      else simMap.getOrElse((q, b, a), 0L)
     val out = rels.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
       val relOf = rows.map(r => r._2 -> r._3).toMap
       var remaining = rows.map(_._2).sorted.toVector
@@ -480,6 +515,11 @@ object Similarity {
     out.toDF("q_id", "doc_id", "mmr_score", "rank")
       .repartition(1)
   }
+
+  /** [[prepared]] exposed for [[graft.operators.Retrieval]]'s MMR
+    * rerank (zero-norm rows excluded — the cosine doctrine). */
+  private[operators] def preparedNonZeroFrame(emb: DataFrame): DataFrame =
+    preparedNonZero(emb)
 
   /** E10b: the k-NN graph at corpus scale — candidates only within
     * shared trained k-means lists (the SemDeDup partition applied to

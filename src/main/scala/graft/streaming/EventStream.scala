@@ -315,6 +315,44 @@ object EventStream {
           batch.sparkSession, table, batch, terms, k))
       }
 
+  /** The composed page serve as a stream (r10): micro-batches of
+    * arriving QUERY VECTORS `(vec_id, embedding)` are each answered a
+    * fused, diversified page from the FROZEN serve artifacts
+    * ([[graft.operators.Retrieval.buildArtifacts]] — BM25 stats + the
+    * written IVF index; `cfg.terms` is the stream's standing lexical
+    * query, the curation-channel shape). Zero state growth: every
+    * batch reads the same artifacts, a restart needs nothing else.
+    * Per-query driver loop, deliberately: a page serve is an
+    * interactive request — a micro-batch's query list is bounded
+    * metadata by contract, and each query's serve is itself a
+    * composition of bounded frames. `onPages` receives each batch's
+    * union of pages `(q_id, doc_id, rrf_score, mmr_score, rank)`. */
+  def streamingRetrievalServe(queries: DataFrame, table: String,
+                              path: String, docs: DataFrame,
+                              emb: DataFrame,
+                              cfg: graft.operators.Retrieval.ServeConfig,
+                              onPages: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.select(col("vec_id"))
+          .collect().map(_.getLong(0)).sorted
+        val pages = ids.toSeq.map { id =>
+          graft.operators.Retrieval.serve(spark, table, path, docs, emb,
+            batch.filter(col("vec_id") === lit(id)), cfg)
+        }
+        onPages(batchId, pages.reduceOption(_.unionByName(_)).getOrElse {
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("q_id", LongType),
+              StructField("doc_id", LongType),
+              StructField("rrf_score", DoubleType),
+              StructField("mmr_score", DoubleType),
+              StructField("rank", LongType))))
+        })
+      }
+
   /** F19-as-a-stream: arrival-time quality/domain CLASSIFICATION
     * against the frozen Naive Bayes model
     * ([[graft.operators.TextAnalysis.writeNbModel]]) — the same
