@@ -1090,11 +1090,14 @@ object SparkEntry {
     "ann_ivfpq_topk"          -> (("ann_bruteforce_topk", 0.55)),
     "ann_ivfpq_residual_topk" -> (("ann_bruteforce_topk", 0.55)),
     // E10b edge recall vs the exact graph (directed (q_id, n_id)
-    // join keys): trained lists + assign=2 build-side multi-probe
-    // measured .927/.931 at sf0.001/sf0.01 (.941 at sf0.1 — coverage
-    // RISES with density, unlike the fixed-probe serves: every list a
-    // vector lands in contributes candidates); floor 0.9× the smaller
-    "knn_graph_ann"           -> (("knn_graph", 0.83)),
+    // join keys): trained lists + assign=2 build-side multi-probe +
+    // one NN-DESCENT refinement round (r10) measured .940/.943 at
+    // sf0.001/sf0.01 (up from .927/.931 unrefined; the isotropic
+    // verify corpora plateau there — further rounds add ≤ .001, and
+    // the clustered deploy-regime corpus is at 1.00 with or without
+    // refinement, NnDescentDrive → PERF.md r10); floor 0.9× the
+    // smaller measured
+    "knn_graph_ann"           -> (("knn_graph", 0.85)),
     // E11b: label-AGREEMENT gate (overlap on (vec_id, cluster_id)) —
     // stricter than edge recall: one missed mutual edge can split a
     // component and relabel every member of the split half. Measured

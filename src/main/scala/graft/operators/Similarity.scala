@@ -545,8 +545,10 @@ object Similarity {
   def knnGraphAnn(emb: DataFrame, k: Int, nlist: Int = 0,
                   trainIters: Int = 5, assign: Int = 2,
                   maxList: Long = 1L << 16,
-                  targetList: Long = 512L): DataFrame = {
+                  targetList: Long = 512L,
+                  refine: Int = 1): DataFrame = {
     require(assign >= 1, s"assign=$assign must be at least 1")
+    require(refine >= 0, s"refine=$refine must be non-negative")
     val p0 = preparedNonZero(emb)
     val raw = trainedListAssignment(emb, p0, nlist, trainIters, assign,
       "knnGraphAnn", targetList)
@@ -566,7 +568,51 @@ object Similarity {
         .select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
-    directed
+    val g0 = directed
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+    (1 to refine).foldLeft(g0) { (g, i) =>
+      nnDescentRound(p0, cachedAs(s"knnGraphAnn_g$i", g), k)
+    }
+  }
+
+  /** One NN-DESCENT refinement round (Dong et al., WWW '11 — the
+    * paper's local join over current neighborhoods): candidates are
+    * each vector's neighbors-of-neighbors through the UNDIRECTED
+    * current graph (forward + reverse edges, the paper's
+    * B(v) ∪ R(v)), exact-rescored and merged with the current edges,
+    * top-k kept. Why it lifts recall: a true neighbor missed by the
+    * list partition is usually a neighbor OF a found neighbor —
+    * "the neighbor of my neighbor is likely my neighbor" is the
+    * paper's convergence engine. Cost: ≤ n·(2k)² candidate rows per
+    * round (k² through a 2k-wide undirected neighborhood), one
+    * equi-join shuffle keyed by the middle vector id, exact scoring
+    * only on NEW pairs (the anti-join) — per-vector work stays O(k²),
+    * never corpus-shaped, at any n. The input graph is cached by the
+    * caller: this plan reads it four times (two neighborhood sides,
+    * the anti-join, the merge union). */
+  private def nnDescentRound(p: DataFrame, g: DataFrame, k: Int): DataFrame = {
+    val und = g.select(col("q_id"), col("n_id"))
+      .unionByName(g.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
+      .distinct()
+    val cand = und.as("x").join(und.as("y"),
+        col("x.n_id") === col("y.q_id") && col("x.q_id") =!= col("y.n_id"))
+      .select(col("x.q_id").as("q_id"), col("y.n_id").as("n_id"))
+      .distinct()
+      .join(g.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_anti")
+    val scored = cand
+      .join(p.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2")), Seq("q_id"))
+      .join(p.select(col("vec_id").as("n_id"), col("v").as("n_v"),
+        col("n2").as("n_n2")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineFromParts(dot(col("q_v"), col("n_v")),
+          col("q_n2"), col("n_n2")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    g.select(col("q_id"), col("n_id"), col("cos_sim"))
+      .unionByName(scored)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
