@@ -756,12 +756,13 @@ object SparkEntry {
     "retrieval_mmr" -> ((s, d) =>
       Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
 
-    // The composed SERVE flow (r10, rows-only, exact-count = kOut):
-    // frozen BM25 stats + written IVF index built per call (an honest
-    // build+serve number), then lexical-against-frozen → pruned index
-    // probe → RRF fuse → MMR diversify — the production page path;
-    // every stage spec-pinned ≡ its catalog sibling at exhaustive
-    // probing (RetrievalServeSpec)
+    // The composed SERVE flow (r10, HASH-GREEN — serveSql unrolls the
+    // whole composition): frozen BM25 stats + written IVF index built
+    // per call (an honest build+serve number), then
+    // lexical-against-frozen → pruned index probe → RRF fuse → MMR
+    // diversify — the production page path; every stage additionally
+    // spec-pinned ≡ its catalog sibling at exhaustive probing
+    // (RetrievalServeSpec)
     "retrieval_serve" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft_rserve")
         .toString
@@ -1015,9 +1016,6 @@ object SparkEntry {
         // E12c: same argument from the on-disk index (widened probe
         // exhaustive, every label stratum ≥ k members)
         "ann_ivf_filtered_indexed" -> topk,
-        // the composed serve emits exactly kOut = 10 diversified rows
-        // (the fused page is ≥ kSem = 20 docs at every verify sf)
-        "retrieval_serve"         -> 10L,
         // BPE: merges-allowed-at-count-1 means the loop can only stop
         // short when every word is one symbol — impossible at these
         // corpora, so the merge table is exactly nMerges rows; encode
@@ -1432,6 +1430,69 @@ object SparkEntry {
   private val TAX1  = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
   private val COS =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** F29 mirror generator: the WHOLE composed serve unrolled — the
+    * bm25Ctes lexical ranks, E1's cosine semantic ranks (the serve's
+    * nlist = nprobe = 8 probing is exhaustive, hence ≡ exact at any
+    * sf), the F27 integer RRF fusion over the full fused page, then
+    * the F28 greedy MATERIALIZED-CTE chain with the RRF s6 as rel_u.
+    * One deviation from mmrSql: the per-step max-sim subquery wraps in
+    * coalesce(…, 0) — a fused doc with no (non-zero) vector has no
+    * sim rows and carries no diversity penalty (the mmrGreedy default;
+    * mmrSql's cosine candidates always have vectors, so it never needs
+    * the guard). rrf_score joins back from the fused frame. */
+  private def serveSql(kOut: Int, lamN: Long, lamD: Long): String = {
+    val steps = (2 to kOut).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT r.n_id,
+         |    $lamN * r.rel_u - ${lamD - lamN} * coalesce((
+         |      SELECT max(s.sim_u) FROM simfull s
+         |      WHERE s.a_id = r.n_id
+         |        AND s.b_id IN (SELECT n_id FROM sel${i - 1})), 0) AS num
+         |  FROM rel r WHERE r.n_id NOT IN (SELECT n_id FROM sel${i - 1})
+         |  ORDER BY num DESC, r.n_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT n_id FROM sel${i - 1} UNION ALL SELECT n_id FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to kOut)
+      .map(i => s"SELECT n_id, num, $i AS rank FROM p$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |        FROM topk),
+       |em AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                             CAST(embedding AS DOUBLE[])) > 0),
+       |sem AS (SELECT doc_id, rank FROM (
+       |    SELECT a.vec_id AS doc_id,
+       |           row_number() OVER (ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
+       |    FROM em a JOIN em b ON b.vec_id = 0 AND a.vec_id <> 0)
+       |  WHERE rank <= 20),
+       |u AS (SELECT doc_id,
+       |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6 FROM lex
+       |      UNION ALL
+       |      SELECT doc_id,
+       |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6 FROM sem),
+       |f AS MATERIALIZED (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6 FROM u GROUP BY 1),
+       |rel AS MATERIALIZED (SELECT doc_id AS n_id, s6 AS rel_u FROM f),
+       |cem AS MATERIALIZED (SELECT f.doc_id AS n_id, em.v FROM f JOIN em ON em.vec_id = f.doc_id),
+       |sim AS MATERIALIZED (
+       |  SELECT a.n_id AS a_id, b.n_id AS b_id,
+       |         CAST(round(round($COS, 6) * 1e6, 0) AS BIGINT) AS sim_u
+       |  FROM cem a JOIN cem b ON a.n_id < b.n_id),
+       |simfull AS MATERIALIZED (SELECT a_id, b_id, sim_u FROM sim
+       |            UNION ALL SELECT b_id, a_id, sim_u FROM sim),
+       |p1 AS MATERIALIZED (SELECT r.n_id, $lamN * r.rel_u AS num FROM rel r
+       |       ORDER BY num DESC, r.n_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT n_id FROM p1),
+       |$steps
+       |SELECT CAST(0 AS BIGINT) AS q_id, pk.n_id AS doc_id,
+       |       CAST(f.s6 AS DOUBLE) / 1e6 AS rrf_score,
+       |       CAST(pk.num AS DOUBLE) / ${lamD * 1000000L}.0 AS mmr_score,
+       |       CAST(pk.rank AS BIGINT) AS rank
+       |FROM ($unions) pk JOIN f ON f.doc_id = pk.n_id""".stripMargin
+  }
 
   /** Exact cosine top-5 ground truth — E1's oracle, shared verbatim by
     * the exhaustive IVF/IVFPQ rows (their exactness invariants say
@@ -2598,6 +2659,12 @@ object SparkEntry {
          |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin,
     // F28: greedy MMR unrolled into chained integer-argmax CTEs
     "retrieval_mmr" -> mmrSql(kCand = 20, kOut = 10, lamN = 1, lamD = 2),
+
+    // F29 mirror: the whole composed serve, end-to-end (exhaustive
+    // probing makes the index side ≡ exact; frozen stats ≡ self-stats
+    // by the bm25TopKAgainst contract) — hash-green, prototyped
+    // bit-identical before wiring
+    "retrieval_serve" -> serveSql(kOut = 10, lamN = 1, lamD = 2),
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
