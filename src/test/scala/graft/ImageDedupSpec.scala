@@ -80,6 +80,29 @@ class ImageDedupSpec extends SparkSpec {
     assert(Multimodal.Codec.imageSize(p(12L)) === Some((16, 1))) // null → one black row
   }
 
+  test("renderText* CHECKS the NUL-free injectivity precondition (fails loudly, never silently collides)") {
+    // "a\u0000" would raster byte-identical to "a" (zero-padded tail)
+    // while the exact mirrors compare raw texts — the render must
+    // refuse such a corpus instead of silently diverging
+    val nul = Seq((0L, "a\u0000b"), (2L, "c\u0000")).toDF("doc_id", "text")
+    val eImg = intercept[org.apache.spark.SparkException] {
+      Multimodal.renderTextImages(nul).collect()
+    }
+    assert(eImg.getMessage.contains("NUL") ||
+      Option(eImg.getCause).exists(_.getMessage.contains("NUL")))
+    val eVid = intercept[org.apache.spark.SparkException] {
+      Multimodal.renderTextVideo(nul).collect()
+    }
+    assert(eVid.getMessage.contains("NUL") ||
+      Option(eVid.getCause).exists(_.getMessage.contains("NUL")))
+    // audio needs no check: the WAV length header makes it injective
+    // on ALL texts, NULs included
+    val wav = Multimodal.renderTextAudio(Seq((1L, "a\u0000"), (4L, "a"))
+        .toDF("doc_id", "text")).orderBy("doc_id").collect()
+    assert(!java.util.Arrays.equals(wav(0).getAs[Array[Byte]]("payload"),
+      wav(1).getAs[Array[Byte]]("payload")))
+  }
+
   /** The catalog's planted-duplicate construction (the corpus ships no
     * byte-identical texts): every 5th doc replicated at +30,000,000 —
     * the offset keeps each replica in its source's modality stratum. */
