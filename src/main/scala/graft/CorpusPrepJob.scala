@@ -37,16 +37,24 @@ object CorpusPrepJob {
   final case class PrepResult(
       docsIn: Long, cleanDocs: Long, shards: ShardSink.ShardReport,
       manifestRows: Long, ledger: Seq[(String, Long)],
-      funnelSec: Double, shardSec: Double, manifestSec: Double)
+      funnelSec: Double, shardSec: Double, manifestSec: Double,
+      indexSec: Double = 0.0)
 
   /** Run the prep against `docsDir`'s documents table, artifacts under
     * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
     * entry so the funnel exercised here is the exact composition the
     * driver gate verifies. */
+  /** `buildIndex = true` adds the fourth artifact (r10): the serve
+    * index over the CLEAN corpus — frozen BM25 stats
+    * (`<out>/index/bm25*`, catalog table `prep_bm25`) + the written
+    * IVF index over the SURVIVORS' embeddings (`<out>/index/ivf`) —
+    * so [[graft.operators.Retrieval.serve]] can answer queries
+    * against exactly the corpus the shards hold (indexing pre-funnel
+    * docs would serve junk the trainer never sees). */
   def run(spark: SparkSession, docsDir: String, outDir: String,
           nShards: Int = 8, blocklist: Seq[String] = Seq("spam"),
           keepLang: String = "en", minQuality: Double = 0.45,
-          budgetTokens: Int = 2048): PrepResult = {
+          budgetTokens: Int = 2048, buildIndex: Boolean = false): PrepResult = {
     val docs = Tables.documents(spark, docsDir)
     val isBench = col("doc_id") % 97 === 0
     def timed[T](f: => T): (T, Double) = {
@@ -79,10 +87,23 @@ object CorpusPrepJob {
         .write.mode("overwrite").parquet(s"$outDir/manifest")
       spark.read.parquet(s"$outDir/manifest").count()
     }
+    val (_, indexSec) =
+      if (!buildIndex) ((), 0.0)
+      else timed {
+        graft.operators.TextAnalysis.writeBm25Stats(clean, "prep_bm25",
+          s"$outDir/index/bm25")
+        // survivors' embeddings only: the index must answer from
+        // exactly the corpus the shards hold
+        val embClean = Tables.embeddings(spark, docsDir)
+          .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        graft.operators.Similarity.writeIvfIndex(embClean,
+          s"$outDir/index/ivf", nlist = 0)
+      }
     Corpus.releaseCaches()
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,
-      funnelSec, shardSec, manifestSec)
+      funnelSec, shardSec, manifestSec, indexSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +113,7 @@ object CorpusPrepJob {
     val nShards = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     try {
-      val r = run(spark, docsDir, outDir, nShards)
+      val r = run(spark, docsDir, outDir, nShards, buildIndex = true)
       r.ledger.zipWithIndex.foreach { case ((stage, n), i) =>
         println(f"[prep] stage $i%2d $stage%-14s $n%9d docs")
       }
@@ -103,7 +124,8 @@ object CorpusPrepJob {
         s""""manifest_rows":${r.manifestRows},""" +
         s""""funnel_sec":${Jsons.num(r.funnelSec, 3)},""" +
         s""""shard_sec":${Jsons.num(r.shardSec, 3)},""" +
-        s""""manifest_sec":${Jsons.num(r.manifestSec, 3)},"out":"$outDir"}""")
+        s""""manifest_sec":${Jsons.num(r.manifestSec, 3)},""" +
+        s""""index_sec":${Jsons.num(r.indexSec, 3)},"out":"$outDir"}""")
     } finally spark.stop()
   }
 }

@@ -32,6 +32,39 @@ class FunnelSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/ledger").count() === 9L)
   }
 
+  test("CorpusPrepJob buildIndex: the landed serve index answers only from the clean corpus") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cpi").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 4,
+      buildIndex = true)
+    assert(r.indexSec > 0.0)
+    // the fourth artifact landed: frozen BM25 stats + the IVF index
+    assert(spark.read.parquet(s"$out/index/bm25_meta").count() === 1L)
+    assert(spark.read.parquet(s"$out/index/ivf/lists").count() > 0L)
+    val cleanIds = spark.read.parquet(s"$out/shards")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the BM25 stats were trained on exactly the clean doc count
+    assert(spark.read.parquet(s"$out/index/bm25_meta")
+      .head().getLong(0) === r.cleanDocs)
+    // the IVF index holds only survivors' vectors
+    val idxIds = spark.read.parquet(s"$out/index/ivf/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds.subsetOf(cleanIds) && idxIds.nonEmpty)
+    // a page served from the landed artifacts returns only clean docs
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(cleanIds.toSeq.take(1).map(Long.box): _*))
+      .select("vec_id", "embedding")
+    val page = graft.operators.Retrieval.serve(spark, "prep_bm25",
+      s"$out/index", Tables.documents(spark, sfDir)
+        .join(spark.read.parquet(s"$out/shards").select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+      Tables.embeddings(spark, sfDir), q,
+      graft.operators.Retrieval.ServeConfig(
+        Seq("spark", "window", "merge", "dup"), nprobe = 64))
+      .collect()
+    assert(page.nonEmpty &&
+      page.forall(row => cleanIds.contains(row.getAs[Long]("doc_id"))))
+  }
+
   // the near-dup pair (from CorpusSpec's F14 premise): all grams
   // shared but the final one → Jaccard 11/13 ≈ 0.846 ≥ 0.5
   private val cleanDoc = "the quick brown fox jumps over the lazy dog " +
