@@ -242,12 +242,31 @@ object Bench {
         def servIvf() = S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = nprobe)
         def servPq() = S.ivfpqTopKFromIndex(spark, pqPath, queries, 5, nprobe = nprobe)
         def servIvfAuto() = S.ivfTopKFromIndex(spark, ivfAutoPath, queries, 5, nprobe = nprobe)
+        // the composed retrieval page path, SERVE-ONLY (the catalog's
+        // retrieval_serve number pays the artifact build each rep —
+        // this is its attribution dual, the r10 F29 cost a standing
+        // deployment actually pays per page)
+        val rsrvPath = java.nio.file.Files.createTempDirectory("graft_bench_rsrv").toString
+        val docs = Tables.documents(spark, sfDir)
+        graft.operators.Retrieval.buildArtifacts(docs, Tables.embeddings(spark, sfDir),
+          "bench_rsrv_bm25", rsrvPath, nlist = 8)
+        val rsrvCfg = graft.operators.Retrieval.ServeConfig(
+          Seq("spark", "window", "merge", "dup"), nprobe = 8)
+        val rsrvQ = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") === 0).select("vec_id", "embedding")
+        def servPage() = graft.operators.Retrieval.serve(spark,
+          "bench_rsrv_bm25", rsrvPath, docs,
+          Tables.embeddings(spark, sfDir), rsrvQ, rsrvCfg)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
-        timeNoop(() => servIvfAuto())
-        Map(
+        timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
+        val out = Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
-          "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))))
+          "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
+          "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))))
+        val hp = new org.apache.hadoop.fs.Path(rsrvPath)
+        hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+        out
       } finally {
         import org.apache.hadoop.fs.Path
         Seq(ivfPath, pqPath, ivfAutoPath).foreach { p =>
