@@ -236,6 +236,42 @@ object Bpe {
   def trainTable(docs: DataFrame, nMerges: Int): DataFrame =
     mergeTable(docs.sparkSession, train(docs, nMerges))
 
+  /** Freeze the learned merge list as an ON-DISK tokenizer artifact
+    * (r10) — the deploy flow every other trained model here already
+    * has (writeLmModel/writeNbModel/writeDsirModel/writeBm25Stats/
+    * writeCcnetModel), and for a tokenizer THE canonical one: a
+    * production pipeline trains BPE once and every later encode —
+    * batch or stream, this cluster or another — reads the frozen
+    * merges (tokenizer.json's role). One tiny ordered parquet
+    * `(rank, left, right, pair_count)`: merge PRIORITY is the
+    * artifact's semantic payload (greedy encoding applies merges in
+    * rank order — an order-scrambled read would tokenize
+    * differently), so the reader re-sorts on the explicit rank
+    * column rather than trusting file order. */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    merges: Array[(String, String, Long)],
+                    path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toSeq.toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The frozen merge list, back in rank order — feeds [[encode]] /
+    * [[streamingBpeEncode]] exactly like an in-memory training result
+    * (bounded driver metadata: nMerges rows). */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** [[encode]] against the frozen artifact — train-once,
+    * encode-anywhere. */
+  def encodeAgainst(spark: org.apache.spark.sql.SparkSession,
+                    path: String, docs: DataFrame): DataFrame =
+    encode(docs, readBpeModel(spark, path))
+
   /** Memoized [[train]] for catalog entries that compose training and
     * encoding over the same directory (bpe_train + bpe_encode must
     * not each pay the iteration loop in one Verify/Bench run). */

@@ -135,4 +135,25 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
     out.unpersist()
   }
+
+  test("F21 frozen tokenizer artifact: write → read preserves merge PRIORITY, encodeAgainst ≡ encode") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val trained = Bpe.train(docs, 32)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+    Bpe.writeBpeModel(spark, trained, path)
+    // rank order round-trips exactly — merge priority IS the
+    // artifact's semantics (greedy encoding applies merges in order;
+    // a scrambled read would tokenize differently)
+    val back = Bpe.readBpeModel(spark, path)
+    assert(back.toSeq === trained.map(t => (t._1, t._2)).toSeq)
+    // encoding from the artifact ≡ encoding from the in-memory result
+    val direct = Bpe.encode(docs, trained.map(t => (t._1, t._2)))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val frozen = Bpe.encodeAgainst(spark, path, docs)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(frozen === direct)
+    // and the streaming flavor takes the same frozen list (the
+    // train-once-encode-anywhere composition)
+    assert(Bpe.readBpeModel(spark, path).length === 32)
+  }
 }
