@@ -1016,12 +1016,8 @@ object SparkEntry {
         // E12c: same argument from the on-disk index (widened probe
         // exhaustive, every label stratum ≥ k members)
         "ann_ivf_filtered_indexed" -> topk,
-        // BPE: merges-allowed-at-count-1 means the loop can only stop
-        // short when every word is one symbol — impossible at these
-        // corpora, so the merge table is exactly nMerges rows; encode
-        // keeps one row per doc (token-less docs included)
-        "bpe_train"               -> BpeMerges.toLong,
-        "bpe_encode"              -> nDocs,
+        // (bpe_train/bpe_encode left this map in r10 — the hash gate
+        // owns them now, and floorFailures skips oracled queries)
         "mm_decode_meta"          -> nDocs,
         "mm_feature_extract"      -> nDocs,
         "mm_phash"                -> nImages,
@@ -1430,6 +1426,79 @@ object SparkEntry {
   private val TAX1  = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
   private val COS =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** F21 mirror machinery (r10): SEQUENTIAL Sennrich BPE training
+    * unrolled into k materialized CTE rounds — possible because the
+    * catalog trains in `strict` mode, which is PROVABLY equal to
+    * sequential argmax (the selectBatch soundness argument,
+    * property-spec'd against literal sequential training), so the
+    * sequential mirror is the ground truth for the batched engine.
+    *
+    * Representation: each vocab word is a symbol string with a
+    * DOUBLE-space separator and single-space borders
+    * (' l  o  w  </w> '). One plain (non-regex) replace of
+    * ' l  r ' → ' lr ' is then EXACTLY the greedy left-to-right
+    * non-overlapping merge pass: the single-space borders make every
+    * match a whole-symbol match, and consuming the shared border
+    * space is what stops overlapping re-matches — while the double
+    * separators keep ADJACENT disjoint occurrences matchable
+    * ('a b a b' merges both pairs, which a single-space encoding
+    * would miss; found in the prototype). Pair counts are OVERLAPPING
+    * adjacent pairs (list_zip of the symbol array with its own tail —
+    * the pairCounts spelling), argmax ties on (count desc, l, r). */
+  private def bpeRoundCtes(k: Int): String =
+    (1 to k).map { i =>
+      val prev = s"v${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT p[1] AS l, p[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p
+         |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM $prev)
+         |    WHERE len(sy) >= 2) GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT word, cnt, replace(s,
+         |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  /** The shared head of both BPE mirrors: tokenized docs, the
+    * distinct-word table, and the double-space symbol encoding. */
+  private def bpeBaseCtes: String =
+    s"""dt AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |w AS (SELECT word, count(*) AS cnt
+       |      FROM (SELECT unnest(t) AS word FROM dt) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s
+       |  FROM w)""".stripMargin
+
+  private def bpeTrainSql(k: Int): String = {
+    val unions = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m$i"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH $bpeBaseCtes,
+       |${bpeRoundCtes(k)}
+       |SELECT * FROM ($unions)""".stripMargin
+  }
+
+  /** bpe_encode's mirror rides the SAME chain: the catalog encodes
+    * the training corpus itself, and rank-order greedy encoding of a
+    * training-vocab word reproduces exactly the training rewrites —
+    * so the final round's symbol strings ARE the encodings, and
+    * per-doc piece counts are occurrence-weighted sums over them.
+    * Token-less docs keep their (0, 0) row via the left join. */
+  private def bpeEncodeSql(k: Int): String =
+    s"""WITH $bpeBaseCtes,
+       |${bpeRoundCtes(k)},
+       |pieces AS (SELECT word, len(string_split(trim(s), '  ')) AS np FROM v$k),
+       |dw AS (SELECT doc_id, unnest(t) AS word FROM dt),
+       |agg AS (SELECT doc_id, sum(np) AS n_pieces
+       |        FROM dw JOIN pieces USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_toks,
+       |       CAST(coalesce(agg.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM dt d LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** F29 mirror generator: the WHOLE composed serve unrolled — the
     * bm25Ctes lexical ranks, E1's cosine semantic ranks (the serve's
@@ -2665,6 +2734,13 @@ object SparkEntry {
     // by the bm25TopKAgainst contract) — hash-green, prototyped
     // bit-identical before wiring
     "retrieval_serve" -> serveSql(kOut = 10, lamN = 1, lamD = 2),
+
+    // F21 mirrors (r10): the learned tokenizer is ORACLED — training
+    // unrolled into BpeMerges sequential rounds (strict batching ≡
+    // sequential, property-spec'd), encoding from the final round's
+    // symbol state. Prototyped bit-identical at both verify sfs
+    "bpe_train" -> bpeTrainSql(BpeMerges),
+    "bpe_encode" -> bpeEncodeSql(BpeMerges),
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
