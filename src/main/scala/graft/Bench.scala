@@ -210,6 +210,10 @@ object Bench {
       // configuration — benched ALONGSIDE the fixed nlist=16 layout,
       // not instead of it, so idx_* stays round-over-round comparable
       val ivfAutoPath = java.nio.file.Files.createTempDirectory("graft_bench_ivfa").toString
+      // created alongside the other index dirs so the shared finally
+      // sweeps it even when a rep throws (r10 ADVICE: the old
+      // post-success delete leaked the dir on failure)
+      val rsrvPath = java.nio.file.Files.createTempDirectory("graft_bench_rsrv").toString
       try {
         S.writeIvfIndex(emb, ivfPath, nlist = 16)
         S.writeIvfPqIndex(emb, pqPath, nlist = 16)
@@ -246,7 +250,6 @@ object Bench {
         // retrieval_serve number pays the artifact build each rep —
         // this is its attribution dual, the r10 F29 cost a standing
         // deployment actually pays per page)
-        val rsrvPath = java.nio.file.Files.createTempDirectory("graft_bench_rsrv").toString
         val docs = Tables.documents(spark, sfDir)
         graft.operators.Retrieval.buildArtifacts(docs, Tables.embeddings(spark, sfDir),
           "bench_rsrv_bm25", rsrvPath, nlist = 8)
@@ -255,21 +258,18 @@ object Bench {
         val rsrvQ = Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") === 0).select("vec_id", "embedding")
         def servPage() = graft.operators.Retrieval.serve(spark,
-          "bench_rsrv_bm25", rsrvPath, docs,
+          "bench_rsrv_bm25", rsrvPath,
           Tables.embeddings(spark, sfDir), rsrvQ, rsrvCfg)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
         timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
-        val out = Map(
+        Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
           "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))))
-        val hp = new org.apache.hadoop.fs.Path(rsrvPath)
-        hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
-        out
       } finally {
         import org.apache.hadoop.fs.Path
-        Seq(ivfPath, pqPath, ivfAutoPath).foreach { p =>
+        Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath).foreach { p =>
           val hp = new Path(p)
           hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
         }

@@ -74,6 +74,31 @@ object SparkEntry {
     * query set than the ann_* entries and the recall gates. */
   private[graft] val annIsQuery: Column = col("vec_id") % 50 === 0
 
+  /** Temp dirs created by index-building catalog entries
+    * (retrieval_serve, ann_ivf_filtered_indexed), swept by ONE JVM
+    * shutdown hook (r10 ADVICE: per-invocation dirs used to
+    * accumulate in /tmp across verify+bench reps forever). Deletion
+    * can't happen inside the entry itself — the returned frame is
+    * LAZY and still reads the index when the driver materializes it —
+    * so exit-time sweep is the earliest safe point. */
+  private val tempIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val tempSweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempIndexDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }))
+  private def tempIndexDir(prefix: String): String = {
+    tempSweepHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempIndexDirs.add(p)
+    p.toString
+  }
+
   /** F6 mixing rates: downsample dominant en hard, fr lightly, keep
     * 90% of everything else. Thresholds are generated from these by
     * [[Corpus.hexThreshold]] for BOTH engines (see sampleCaseSql). */
@@ -362,7 +387,11 @@ object SparkEntry {
 
     // D2: hash-green since r10 — md5-derived slot hashes let the
     // mirror recompute the exact signature matrix and band buckets
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    // failOnHot: the mirror brute-forces every band bucket, so a
+    // gated run must PROVE no bucket exceeds the star-collapse cap
+    // (r10 ADVICE — a corpus regen can no longer silently diverge)
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), failOnHot = true)),
 
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
 
@@ -524,8 +553,7 @@ object SparkEntry {
     // construction (the ivfTopKFiltered argument, storage edition).
     // The entry pays the index WRITE too — an honest build+serve cost
     "ann_ivf_filtered_indexed" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_e12idx")
-        .toString
+      val path = tempIndexDir("graft_e12idx")
       Similarity.writeIvfIndex(emb(s, d), path, nlist = 0, trainIters = 5,
         labelBuckets = 8)
       Similarity.filteredTopKFromIndex(s, path,
@@ -757,19 +785,19 @@ object SparkEntry {
       Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
 
     // The composed SERVE flow (r10, HASH-GREEN — serveSql unrolls the
-    // whole composition): frozen BM25 stats + written IVF index built
-    // per call (an honest build+serve number), then
-    // lexical-against-frozen → pruned index probe → RRF fuse → MMR
-    // diversify — the production page path; every stage additionally
-    // spec-pinned ≡ its catalog sibling at exhaustive probing
-    // (RetrievalServeSpec)
+    // whole composition): frozen BM25 index (dfs + meta + the r11
+    // posting table) + written IVF index built per call (an honest
+    // build+serve number), then posting-list lexical top-k → pruned
+    // index probe → RRF fuse → MMR diversify — the production page
+    // path, docs table never read at serve time; every stage
+    // additionally spec-pinned ≡ its catalog sibling at exhaustive
+    // probing (RetrievalServeSpec)
     "retrieval_serve" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_rserve")
-        .toString
+      val path = tempIndexDir("graft_rserve")
       operators.Retrieval.buildArtifacts(docs(s, d), emb(s, d),
         "serve_bm25_cat", path, nlist = 8)
       operators.Retrieval.serve(s, "serve_bm25_cat", path,
-        docs(s, d), emb(s, d),
+        emb(s, d),
         emb(s, d).filter(col("vec_id") === 0).select("vec_id", "embedding"),
         operators.Retrieval.ServeConfig(Bm25Terms, nprobe = 8))
     }),
@@ -1507,9 +1535,14 @@ object SparkEntry {
     * the F28 greedy MATERIALIZED-CTE chain with the RRF s6 as rel_u.
     * One deviation from mmrSql: the per-step max-sim subquery wraps in
     * coalesce(…, 0) — a fused doc with no (non-zero) vector has no
-    * sim rows and carries no diversity penalty (the mmrGreedy default;
-    * mmrSql's cosine candidates always have vectors, so it never needs
-    * the guard). rrf_score joins back from the fused frame. */
+    * sim rows, and the penalty is the max over EXISTING sim rows,
+    * 0 only when there are none. Since r11 the Spark greedy spells
+    * this identically (missing pairs are SKIPPED in the max, not
+    * injected as 0 — the r10 ADVICE corner where all known sims are
+    * negative now agrees bit-for-bit; mmrSql's cosine candidates
+    * always have vectors, so it never needs the guard). rrf_score
+    * joins back from the fused frame (= rel_u/1e6 on the Spark side —
+    * same s6 integer). */
   private def serveSql(kOut: Int, lamN: Long, lamD: Long): String = {
     val steps = (2 to kOut).map { i =>
       s"""p$i AS MATERIALIZED (

@@ -401,11 +401,21 @@ object Dedup {
     * from measured bucket density ([[resolvedMaxBucket]]) — the
     * identity at test scale and a hard per-key bound at 100 TB.
     */
+  /** `failOnHot = true` (the GATED-run mode, r10 ADVICE): instead of
+    * star-collapsing a bucket past the cap, THROW. The D2/D7 DuckDB
+    * mirrors brute-force every band bucket — their parity with the
+    * Spark side rests on the invariant that no gate-corpus bucket
+    * exceeds the resolved cap (so the collapse never fires). A corpus
+    * regen that plants >cap near-identical docs now fails loudly at
+    * verify time instead of flipping the hash gate red with no code
+    * change. Deploy flows keep the default (collapse, never throw). */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                 maxBucket: Long = 0L): DataFrame = {
+                 maxBucket: Long = 0L,
+                 failOnHot: Boolean = false): DataFrame = {
     val raw = cachedAs("minhashLsh_raw", // both join sides read this (see ngramJaccard)
       minhashBands(docs, numHashes, bands))
-    bandedPairs(raw, resolvedMaxBucket(raw, "bucket", maxBucket))
+    bandedPairs(raw, resolvedMaxBucket(raw, "bucket", maxBucket),
+      failOnHot = failOnHot)
   }
 
   /** `maxBucket = 0` (the default) auto-sizes the hot-bucket cap from
@@ -438,13 +448,25 @@ object Dedup {
   /** The capped candidate self-join over banded rows `(doc_id, band,
     * bucket)` — shared by [[minhashLsh]] and [[minhashBatch]]'s
     * within-batch path so collapse semantics can never diverge. */
-  private def bandedPairs(raw: DataFrame, maxBucket: Long): DataFrame = {
+  private def bandedPairs(raw: DataFrame, maxBucket: Long,
+                          failOnHot: Boolean = false): DataFrame = {
     val (buckets, hotStar) =
       if (maxBucket == Long.MaxValue) (raw, None)
       else {
-        val hot = raw.groupBy(col("band"), col("bucket"))
+        val hotSized = raw.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
-          .select("band", "bucket")
+        if (failOnHot) {
+          // gated-run invariant (see minhashLsh scaladoc): one small
+          // job over the grouped frame; when it passes, `hot` below is
+          // empty and the anti-join is the identity
+          val h = hotSized.limit(1).collect()
+          require(h.isEmpty,
+            s"minhashLsh gated run: bucket (band=${h.headOption.map(_.getInt(0))
+              .getOrElse(-1)}) holds ${h.headOption.map(_.getLong(2)).getOrElse(0L)} " +
+              s"docs > cap $maxBucket — the DuckDB mirror brute-forces all " +
+              "pairs and would diverge from the star-collapse")
+        }
+        val hot = hotSized.select("band", "bucket")
         val kept = raw.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
         // hot buckets → star candidates around the min member (doc_a
         // is the min, so doc_a < doc_b holds by construction)

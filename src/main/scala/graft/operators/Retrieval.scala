@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   * oracle gate, but production retrieval answers a query from FROZEN
   * artifacts built once at index time:
   *
-  *   - BM25 index statistics ([[TextAnalysis.writeBm25Stats]] —
-  *     bucketed whole-vocabulary df table + one-row n/t meta);
+  *   - the BM25 index ([[TextAnalysis.writeBm25Stats]] — bucketed
+  *     whole-vocabulary df table, one-row n/t meta, and the
+  *     token-bucketed POSTING table `(tok, doc_id, tf, dl)` — r11);
   *   - the written IVF index ([[Similarity.writeIvfIndex]] — lists
   *     partitioned by c_id, trained centroids alongside);
-  *   - the corpus tables themselves (docs for the lexical scoring
-  *     scan, embeddings for the MMR rerank's sim matrix).
+  *   - the embeddings table (the MMR rerank's sim matrix). The DOCS
+  *     table is never touched at serve time (r11 — the r10 verdict's
+  *     one scale-killer): lexical tf comes from the posting rows.
   *
   * [[serve]] then runs the standard hybrid page pipeline for ONE
   * query (a term list + a query vector, the interactive-request
-  * shape): lexical top-k against the frozen stats
-  * ([[TextAnalysis.bm25TopKAgainst]] — per-term dfs from ≤|terms|
-  * bucketed rows, never a stats recompute), semantic top-k from the
+  * shape): lexical top-k from the inverted index
+  * ([[TextAnalysis.bm25TopKFromIndex]] — stats from ≤|terms|+1
+  * bucketed rows in one job, scoring over the query terms'
+  * bucket-pruned Σ df(term) posting rows), semantic top-k from the
   * written index ([[Similarity.ivfTopKFromIndex]] — partition-pruned
   * probed lists), rank-only RRF fusion ([[TextAnalysis.rrfFuse]] —
   * BM25 scores and cosines are incommensurable), and MMR
@@ -29,12 +32,11 @@ import org.apache.spark.sql.functions._
   * MMR-over-fused-page composition; the sim matrix reads only the
   * page's ≤ kLex+kSem vectors via a pushed-down id filter).
   *
-  * Scale posture: serve-time work is one corpus scan (lexical — the
-  * posting-list index that would remove it is a different storage
-  * engine; the frozen-stats scan is what the repo's BM25 contract
-  * ships), nprobe/nlist of the vector index (pruned at the storage
-  * layer), and O(page²) driver integers for the greedy — no
-  * training-corpus aggregate anywhere at serve time.
+  * Scale posture: serve-time work is Σ df(term) posting rows
+  * (bucket-pruned), nprobe/nlist of the vector index (pruned at the
+  * storage layer), and O(page²) driver integers for the greedy — no
+  * corpus scan and no training-corpus aggregate anywhere at serve
+  * time.
   *
   * Spec contract (RetrievalServeSpec): with exhaustive probing the
   * frozen-path stages reproduce the self-contained catalog entries
@@ -66,14 +68,23 @@ object Retrieval {
   /** Serve one query from the frozen artifacts: ranked, fused,
     * diversified page `(q_id, doc_id, rrf_score, mmr_score, rank)` —
     * kOut rows (fewer only if the fused page itself is smaller).
-    * `queryVec` is a one-row (vec_id, embedding) frame; its vec_id
-    * becomes q_id. In-corpus query ids exclude themselves on the
-    * semantic side (the ivfTopKFromIndex contract). */
+    * `queryVec` is a one-row (vec_id, embedding) frame — enforced
+    * (a multi-row frame would silently duplicate probe rows inside
+    * the per-query rank window); its vec_id becomes q_id. In-corpus
+    * query ids exclude themselves on the semantic side (the
+    * ivfTopKFromIndex contract).
+    *
+    * Driver-job shape (r11, the r10 verdict's latency ask): one
+    * stats job (lexical dfs+meta), one qId job, the semantic probe,
+    * then mmrGreedy's two bounded collects — the fused-page lineage
+    * runs ONCE (the old guard aggregate and rrf_score join-back are
+    * gone; rrf_score = rel_u/1e6 exactly, since rel_u = s6 and
+    * s6 ≤ ~2e6·k is held exactly by the double). */
   def serve(spark: SparkSession, table: String, path: String,
-            docs: DataFrame, emb: DataFrame, queryVec: DataFrame,
+            emb: DataFrame, queryVec: DataFrame,
             cfg: ServeConfig): DataFrame = {
     require(cfg.terms.nonEmpty, "serve needs at least one query term")
-    val lex = TextAnalysis.bm25TopKAgainst(spark, table, docs,
+    val lex = TextAnalysis.bm25TopKFromIndex(spark, table,
       cfg.terms, cfg.kLex).select(col("doc_id"), col("rank"))
     val sem = Similarity.ivfTopKFromIndex(spark, s"$path/ivf", queryVec,
         cfg.kSem, nprobe = cfg.nprobe)
@@ -83,14 +94,17 @@ object Retrieval {
     // exactly, so s6 recovers exactly
     val fused = TextAnalysis.rrfFuse(lex, sem, cfg.kRrf,
       topK = cfg.kLex + cfg.kSem)
-    val qId = queryVec.select(col("vec_id")).head().getLong(0)
+    val qRows = queryVec.select(col("vec_id")).limit(2).collect()
+    require(qRows.length == 1,
+      s"serve answers exactly ONE query vector, got ${qRows.length} rows")
+    val qId = qRows(0).getLong(0)
     val cand = fused.select(lit(qId).as("q_id"), col("doc_id").as("n_id"),
       round(col("rrf_score") * 1e6, 0).cast("long").as("rel_u"))
-    val page = Similarity.mmrGreedy(spark,
-      Similarity.preparedNonZeroFrame(emb), cand,
-      cfg.kOut, cfg.lamN, cfg.lamD)
-    page.join(fused.select(col("doc_id"), col("rrf_score")), Seq("doc_id"))
-      .select(col("q_id"), col("doc_id"), col("rrf_score"),
+    Similarity.mmrGreedy(spark,
+        Similarity.preparedNonZeroFrame(emb), cand,
+        cfg.kOut, cfg.lamN, cfg.lamD)
+      .select(col("q_id"), col("doc_id"),
+        (col("rel_u").cast("double") / lit(1e6)).as("rrf_score"),
         col("mmr_score"), col("rank"))
       .orderBy(col("rank"))
   }

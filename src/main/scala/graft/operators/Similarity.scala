@@ -419,22 +419,17 @@ object Similarity {
     require(lamD > 0 && lamN >= 0 && lamN <= lamD,
       s"λ=$lamN/$lamD must be a rational in [0, 1]")
     val spark = emb.sparkSession
-    // the driver frame is nQ·kCand² longs — kCand's cap alone doesn't
-    // bound it (a many-query corpus at large kCand still OOMs the
-    // driver), so bound the PRODUCT explicitly, divide-don't-multiply
-    // (the pairCeiling overflow rationale)
-    val nQ = emb.filter(isQuery).count()
-    val simCeiling = 64L << 20 // ~64M longs ≈ 512 MB of driver rows, max
-    require(nQ == 0L ||
-        kCand.toLong * kCand <= simCeiling / math.max(1L, nQ),
-      s"mmrTopK would collect $nQ × $kCand² sim rows to the driver " +
-        s"(ceiling $simCeiling); page the query set or lower kCand")
+    // the driver frame is nQ·kCand² longs — mmrGreedy's EXACT Σ c_q²
+    // ceiling (computed from the collected candidate frame itself)
+    // bounds it; no pre-guard corpus scan here (r10 ADVICE: the
+    // isQuery count was a redundant aggregate re-checking what
+    // mmrGreedy already checks exactly)
     val p = preparedNonZero(emb)
-    val cand = cachedAs("mmrCand",
-      bruteForceTopK(emb, isQuery, kCand)
-        .select(col("q_id"), col("n_id"),
-          round(col("cos_sim") * 1e6, 0).cast("long").as("rel_u")))
+    val cand = bruteForceTopK(emb, isQuery, kCand)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos_sim") * 1e6, 0).cast("long").as("rel_u"))
     mmrGreedy(spark, p, cand, kOut, lamN, lamD)
+      .select(col("q_id"), col("doc_id"), col("mmr_score"), col("rank"))
   }
 
   /** The MMR greedy core over an EXPLICIT candidate frame
@@ -454,18 +449,34 @@ object Similarity {
     require(kOut > 0, s"kOut=$kOut must be positive")
     require(lamD > 0 && lamN >= 0 && lamN <= lamD,
       s"λ=$lamN/$lamD must be a rational in [0, 1]")
-    // exact driver-frame bound: Σ_q c_q² sim rows + Σ_q c_q rel rows
-    val szRow = cand.groupBy(col("q_id")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * col("c")), lit(0L)),
-        coalesce(sum(col("c")), lit(0L))).head()
-    val simCeiling = 64L << 20
-    require(szRow.getLong(0) <= simCeiling,
-      s"mmrGreedy would collect ${szRow.getLong(0)} sim rows to the " +
-        s"driver (ceiling $simCeiling); page the query set or shrink " +
+    import spark.implicits._
+    // guard fold (r10 verdict ask #2): the candidate frame is
+    // collected ONCE through a hard limit (so the collect itself is
+    // bounded), then the exact Σ_q c_q² sim ceiling is checked on the
+    // driver from the rows in hand — the old separate guard aggregate
+    // job is gone, and the candidate lineage (in the composed serve,
+    // the whole fused page pipeline) executes exactly once instead of
+    // once per downstream branch.
+    val relCeiling = 4 << 20 // ~4M (q, n, rel) rows ≈ 100 MB, max
+    val simCeiling = 64L << 20 // ~64M sim longs ≈ 512 MB of rows, max
+    val relRows = cand.select(col("q_id"), col("n_id"), col("rel_u"))
+      .limit(relCeiling + 1).collect()
+    require(relRows.length <= relCeiling,
+      s"mmrGreedy would collect more than $relCeiling candidate rows " +
+        "to the driver; page the query set or shrink the candidate pages")
+    val rels = relRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rels.groupBy(_._1)
+    val simRows = byQ.valuesIterator
+      .map(rows => rows.length.toLong * rows.length).sum
+    require(simRows <= simCeiling,
+      s"mmrGreedy would collect $simRows sim rows to the driver " +
+        s"(ceiling $simCeiling); page the query set or shrink " +
         "the candidate pages")
-    // candidate×candidate cosine matrix, same-query pairs only —
-    // computed distributed (codegen dot), collected as scale-6 longs
-    val ids = cand.select(col("q_id"), col("n_id"))
+    // candidate×candidate cosine matrix, same-query pairs only — the
+    // pair list is built from the ALREADY-COLLECTED ids (a local
+    // frame, broadcast against `p`), so only the vector joins and the
+    // codegen dot run distributed
+    val ids = rels.map(r => (r._1, r._2)).toSeq.toDF("q_id", "n_id")
     val sims = ids.as("x").join(ids.as("y"),
         col("x.q_id") === col("y.q_id") && col("x.n_id") < col("y.n_id"))
       .select(col("x.q_id").as("q_id"), col("x.n_id").as("a_id"),
@@ -477,48 +488,53 @@ object Similarity {
       .select(col("q_id"), col("a_id"), col("b_id"),
         round(round(cosineFromParts(dot(col("a_v"), col("b_v")),
           col("a_n2"), col("b_n2")), 6) * 1e6, 0).cast("long").as("sim_u"))
-    // bounded collects, guarded above
-    val rels = cand.select(col("q_id"), col("n_id"), col("rel_u"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val simMap = sims.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
       .toMap
     // a candidate with no (non-zero) vector in `p` has no sim rows —
-    // possible for lexical-only docs in the composed serve; its
-    // similarity to anything is unknown, so it carries no diversity
-    // penalty (sim 0). mmrTopK's candidates always have vectors (they
-    // come from bruteForceTopK), so there this default never fires.
-    def sim(q: Long, a: Long, b: Long): Long =
-      if (a < b) simMap.getOrElse((q, a, b), 0L)
-      else simMap.getOrElse((q, b, a), 0L)
-    val out = rels.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+    // possible for lexical-only docs in the composed serve. A missing
+    // pair is SKIPPED in the max (unknown similarity contributes no
+    // information, not a 0); only when a candidate has no known pair
+    // at all does the penalty default to 0 — exactly the serveSql
+    // mirror's max-over-existing-rows + coalesce(…, 0) spelling
+    // (r10 ADVICE: the old inject-0-per-missing-pair spelling floored
+    // the max at 0 whenever ANY picked doc lacked a vector, which
+    // diverges from the mirror when all known sims are negative).
+    // mmrTopK's candidates always have vectors (they come from
+    // bruteForceTopK), so there the distinction never fires.
+    def sim(q: Long, a: Long, b: Long): Option[Long] =
+      if (a < b) simMap.get((q, a, b)) else simMap.get((q, b, a))
+    val out = byQ.toSeq.flatMap { case (q, rows) =>
       val relOf = rows.map(r => r._2 -> r._3).toMap
       var remaining = rows.map(_._2).sorted.toVector
       var picked = Vector.empty[Long]
-      val acc = Vector.newBuilder[(Long, Long, Double, Long)]
+      val acc = Vector.newBuilder[(Long, Long, Long, Double, Long)]
       var step = 1L
       while (picked.size < kOut && remaining.nonEmpty) {
         // argmax of the exact integer objective, doc-id tie-break
         val best = remaining.map { d =>
-          val maxSim = if (picked.isEmpty) 0L
-            else picked.map(s => sim(q, d, s)).max
+          val known = picked.flatMap(s => sim(q, d, s))
+          val maxSim = if (known.isEmpty) 0L else known.max
           (d, lamN * relOf(d) - (lamD - lamN) * maxSim)
         }.maxBy { case (d, num) => (num, -d) }
-        acc += ((q, best._1, best._2.toDouble / (lamD * 1e6), step))
+        acc += ((q, best._1, relOf(best._1),
+          best._2.toDouble / (lamD * 1e6), step))
         picked :+= best._1
         remaining = remaining.filterNot(_ == best._1)
         step += 1
       }
       acc.result()
     }
-    import spark.implicits._
-    out.toDF("q_id", "doc_id", "mmr_score", "rank")
+    // rel_u rides along so the composed serve can recover its
+    // rrf_score without a join-back; mmrTopK drops it
+    out.toDF("q_id", "doc_id", "rel_u", "mmr_score", "rank")
       .repartition(1)
   }
 
   /** [[prepared]] exposed for [[graft.operators.Retrieval]]'s MMR
-    * rerank (zero-norm rows excluded — the cosine doctrine). */
-  private[operators] def preparedNonZeroFrame(emb: DataFrame): DataFrame =
+    * rerank and the mmrGreedy specs (zero-norm rows excluded — the
+    * cosine doctrine). */
+  private[graft] def preparedNonZeroFrame(emb: DataFrame): DataFrame =
     preparedNonZero(emb)
 
   /** E10b: the k-NN graph at corpus scale — candidates only within

@@ -328,7 +328,7 @@ object EventStream {
     * composition of bounded frames. `onPages` receives each batch's
     * union of pages `(q_id, doc_id, rrf_score, mmr_score, rank)`. */
   def streamingRetrievalServe(queries: DataFrame, table: String,
-                              path: String, docs: DataFrame,
+                              path: String,
                               emb: DataFrame,
                               cfg: graft.operators.Retrieval.ServeConfig,
                               onPages: (Long, DataFrame) => Unit)
@@ -336,11 +336,18 @@ object EventStream {
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val ids = batch.select(col("vec_id"))
-          .collect().map(_.getLong(0)).sorted
+        // distinct BEFORE the per-id serve loop (r10 ADVICE): a
+        // duplicate vec_id in one micro-batch would otherwise hand
+        // serve a multi-row queryVec — duplicated probe rows inside
+        // the per-query rank window and a double-emitted page. serve
+        // itself now also REQUIRES a one-row frame; dropDuplicates
+        // keeps the first (vec_id, embedding) row per id.
+        val dedup = batch.dropDuplicates("vec_id")
+        val ids = dedup.select(col("vec_id"))
+          .collect().map(_.getLong(0)).distinct.sorted
         val pages = ids.toSeq.map { id =>
-          graft.operators.Retrieval.serve(spark, table, path, docs, emb,
-            batch.filter(col("vec_id") === lit(id)), cfg)
+          graft.operators.Retrieval.serve(spark, table, path, emb,
+            dedup.filter(col("vec_id") === lit(id)), cfg)
         }
         onPages(batchId, pages.reduceOption(_.unionByName(_)).getOrElse {
           import org.apache.spark.sql.types._

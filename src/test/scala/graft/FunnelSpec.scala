@@ -53,10 +53,11 @@ class FunnelSpec extends SparkSpec {
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(cleanIds.toSeq.take(1).map(Long.box): _*))
       .select("vec_id", "embedding")
+    // the posting artifact landed alongside dfs+meta (r11): the
+    // serve below reads it — never the docs table
+    assert(spark.read.parquet(s"$out/index/bm25_post").count() > 0L)
     val page = graft.operators.Retrieval.serve(spark, "prep_bm25",
-      s"$out/index", Tables.documents(spark, sfDir)
-        .join(spark.read.parquet(s"$out/shards").select("doc_id"),
-          Seq("doc_id"), "left_semi"),
+      s"$out/index",
       Tables.embeddings(spark, sfDir), q,
       graft.operators.Retrieval.ServeConfig(
         Seq("spark", "window", "merge", "dup"), nprobe = 64))

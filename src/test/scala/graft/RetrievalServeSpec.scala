@@ -31,6 +31,11 @@ class RetrievalServeSpec extends SparkSpec {
     val lexSelf = TextAnalysis.bm25TopK(docs, terms, 20)
       .orderBy("rank").collect().toSeq.map(_.toSeq)
     assert(lexFrozen === lexSelf && lexFrozen.nonEmpty)
+    // lexical from the POSTING index (r11) ≡ both of the above —
+    // score-identical without ever reading a document
+    val lexIdx = TextAnalysis.bm25TopKFromIndex(spark, "serve_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(lexIdx === lexSelf)
     // semantic from the written index at nprobe = nlist ≡ brute force
     val semIdx = Similarity.ivfTopKFromIndex(spark, s"$servePath/ivf",
         query, 20, nprobe = 8)
@@ -55,7 +60,7 @@ class RetrievalServeSpec extends SparkSpec {
   test("serve: kOut diversified rows, rank-1 = fused argmax, deterministic") {
     val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
     val page = Retrieval.serve(spark, "serve_spec_bm25", servePath,
-      docs, emb, query, cfg).collect()
+      emb, query, cfg).collect()
     assert(page.length === cfg.kOut)
     assert(page.map(_.getAs[Long]("rank")).toSeq === (1L to cfg.kOut))
     assert(page.forall(_.getAs[Long]("q_id") === 0L))
@@ -76,8 +81,78 @@ class RetrievalServeSpec extends SparkSpec {
     assert(pageDocs.subsetOf(fusedDocs))
     // deterministic re-serve
     val again = Retrieval.serve(spark, "serve_spec_bm25", servePath,
-      docs, emb, query, cfg).collect()
+      emb, query, cfg).collect()
     assert(again.map(_.toSeq).toSeq === page.map(_.toSeq).toSeq)
+  }
+
+  test("posting-list serve reads Σ df(term) rows through pruned buckets, never the corpus") {
+    val p = servePath // force artifact build
+    assert(p.nonEmpty)
+    // the serve's posting scan reads exactly Σ df(term) rows: one
+    // (tok, doc) posting per doc containing the term
+    val post = spark.table("serve_spec_bm25_post")
+    val scanned = post.filter(col("tok").isin(terms: _*))
+    val sumDf = spark.table("serve_spec_bm25_df")
+      .filter(col("tok").isin(terms: _*))
+      .agg(sum(col("df"))).head().getLong(0)
+    assert(scanned.count() === sumDf && sumDf > 0L)
+    // ... a small slice of the index, not the whole vocabulary's
+    // postings (the r10 scale-killer was worse still: the old lexical
+    // leg re-tokenized every full document per query). Σ df(term)
+    // CAN exceed the doc count — common terms post in most docs — so
+    // the scale claim is rows-of-index, not rows-vs-corpus.
+    assert(sumDf < post.count())
+    // bucket pruning: the tok IN filter reaches the scan as bucket
+    // selection — the filtered read touches strictly fewer bucket
+    // files than the table holds
+    val allFiles = post.select(input_file_name()).distinct().count()
+    val readFiles = scanned.select(input_file_name()).distinct().count()
+    assert(readFiles < allFiles,
+      s"expected bucket pruning: read $readFiles of $allFiles files")
+    // exchange-free probe: no join anywhere in the lexical leg (dl is
+    // denormalized onto the posting row) — the only exchange is the
+    // Σ df(term)-row groupBy(doc_id)
+    val plan = TextAnalysis.bm25TopKFromIndex(spark, "serve_spec_bm25",
+      terms, 20).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"lexical serve plan has a join:\n$plan")
+  }
+
+  test("serve refuses a multi-row query frame") {
+    val p = servePath
+    assert(p.nonEmpty)
+    val two = emb.filter(col("vec_id").isin(0L, 50L))
+      .select("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.serve(spark, "serve_spec_bm25", p, emb, two,
+        Retrieval.ServeConfig(terms, nprobe = 8))
+    }
+    assert(e.getMessage.contains("exactly ONE query vector"))
+  }
+
+  test("streaming serve dedups a duplicate vec_id within one micro-batch") {
+    import spark.implicits._
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].head()
+    implicit val sqlCtx = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val input = stream.toDS().toDF("vec_id", "embedding")
+    val got = scala.collection.mutable.Map[Long, Seq[Seq[Any]]]()
+    val writer = graft.streaming.EventStream.streamingRetrievalServe(
+      input, "serve_spec_bm25", servePath, emb, cfg,
+      (id, pages) => got(id) =
+        pages.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq))
+    val q = writer.start()
+    try {
+      stream.addData(Seq(q0, q0)) // the same query twice in one batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val direct = Retrieval.serve(spark, "serve_spec_bm25", servePath, emb,
+        emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"), cfg)
+      .collect().toSeq.map(_.toSeq)
+    // ONE page, not two — and identical to the direct serve
+    assert(got.values.flatten.toSeq === direct && direct.size === cfg.kOut)
   }
 
   test("streaming serve: micro-batch pages ≡ direct serve calls, batch-isolated") {
@@ -91,7 +166,7 @@ class RetrievalServeSpec extends SparkSpec {
     val input = stream.toDS().toDF("vec_id", "embedding")
     val got = scala.collection.mutable.Map[Long, Seq[Seq[Any]]]()
     val writer = graft.streaming.EventStream.streamingRetrievalServe(
-      input, "serve_spec_bm25", servePath, docs, emb, cfg,
+      input, "serve_spec_bm25", servePath, emb, cfg,
       (id, pages) => got(id) =
         pages.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq))
     val q = writer.start()
@@ -100,7 +175,7 @@ class RetrievalServeSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val direct = Seq(0L, 50L).flatMap { id =>
-      Retrieval.serve(spark, "serve_spec_bm25", servePath, docs, emb,
+      Retrieval.serve(spark, "serve_spec_bm25", servePath, emb,
           emb.filter(col("vec_id") === id).select("vec_id", "embedding"), cfg)
         .collect().toSeq.map(_.toSeq)
     }

@@ -761,6 +761,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.find(_._2 === 1L).map(_._1).contains(top1))
   }
 
+  test("mmrGreedy skips UNKNOWN sim pairs in the max (the serveSql mirror corner)") {
+    // the r10 ADVICE corner: a lexical-only doc (10 — no vector) is
+    // picked, and a later candidate's only KNOWN sims are negative.
+    // The mirror takes max over EXISTING sim rows (coalesce to 0 only
+    // when all are missing); injecting 0 for the missing pair would
+    // floor the max at 0 and flip this argmax.
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(-1.0f, 0.0f), "b"),  // cos(2,1) = -1
+      (3L, Array(0.05f, 1.0f), "c")   // cos(3,1) ≈ +0.05
+    ).toDF("vec_id", "embedding", "label")
+    val cand = Seq(
+      (0L, 10L, 2000000L), // lexical-only: no vector at all
+      (0L, 1L, 1900000L),
+      (0L, 3L, 900000L),
+      (0L, 2L, 800000L)
+    ).toDF("q_id", "n_id", "rel_u")
+    val out = Similarity.mmrGreedy(spark,
+        Similarity.preparedNonZeroFrame(v), cand, kOut = 3,
+        lamN = 1, lamD = 2)
+      .orderBy("rank")
+      .select(col("doc_id"), col("mmr_score")).as[(Long, Double)].collect()
+    // picks: 10 (pure relevance), 1 (no known sims to 10 → penalty 0),
+    // then 2 — its known sim is cos(2,1) = -1, so its objective is
+    // 800000 − (−1000000) = 1.8e6, beating 3's ≈ 850k. The old
+    // inject-0 spelling would have scored 2 at 800000/2e6 = 0.4 and
+    // picked 3 instead.
+    assert(out.map(_._1).toSeq === Seq(10L, 1L, 2L))
+    assert(out(2)._2 === 1800000.0 / 2e6)
+  }
+
   test("E10 knnGraph: complete ranked graph, consistent with E1 on its query set") {
     val real = Tables.embeddings(spark, sfDir)
     val k = 5
