@@ -368,6 +368,14 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d),
         "NATION_1", "NATION_2")),
 
+    // C8 (r11): the NOT-EXISTS/anti-join OLAP headline — TPC-H Q21
+    // flavor; LeftSemi + LeftAnti equi-joins on the order key (no
+    // BNLJ, plan-pinned in GridRelationalSpec)
+    "q21_waiting_orders" -> ((s, d) =>
+      Relational.q21WaitingOrders(
+        Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), "NATION_19")),
+
     "q18_large_orders" -> ((s, d) =>
       Relational.q18LargeOrders(
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), 140)),
@@ -2028,6 +2036,30 @@ object SparkEntry {
          |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // C8 mirror: the same two correlated quantifiers as SQL
+    // subqueries — DuckDB plans them as semi/anti hash joins, Spark
+    // as LeftSemi/LeftAnti; "late" spelled identically on both sides
+    // (timestamp + interval arithmetic, no date truncation)
+    "q21_waiting_orders" ->
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM supplier
+         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         |JOIN orders ON o_orderkey = l1.l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F' AND n_name = 'NATION_19'
+         |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND o3.o_orderstatus = 'F'
+         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY 1
+         |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q14_promo_revenue" ->
       s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'

@@ -174,6 +174,59 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** C8: waiting orders — the TPC-H Q21 anti-join shape (suppliers
+    * who were the SOLE late supplier on a multi-supplier finished
+    * order), adapted to this schema's dates: "late" is
+    * l_shipdate > o_orderdate + lateDays (the tables carry no
+    * commit/receipt dates). The two correlated subqueries become the
+    * two dedicated join types Spark plans for them:
+    *
+    *   - EXISTS (another supplier on the order)     → LeftSemi;
+    *   - NOT EXISTS (another LATE supplier on it)   → LeftAnti;
+    *
+    * both EQUI-joins on the order key with the supplier inequality as
+    * a residual condition — never a BNLJ/CartesianProduct (spec-pinned
+    * in GridRelationalSpec). At 100 TB: one lineitem⋈orders shuffle on
+    * the order key computes the late flag; the semi and anti probes
+    * reuse that same key (co-partitioned exchanges), the nation-
+    * filtered supplier dim broadcasts and prunes l1 BEFORE the
+    * self-joins, and the final aggregate runs on the tiny survivor
+    * set. */
+  def q21WaitingOrders(nation: DataFrame, supplier: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame,
+                       nationName: String, lateDays: Int = 60): DataFrame = {
+    val lateCut = col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
+    val lines = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val lateAll = lines.filter(col("l_shipdate") > lateCut)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val natSupp = broadcast(supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")))
+    // l1: this nation's late lines (dim filter applied before the
+    // self-joins — EXISTS/NOT EXISTS don't depend on the nation, so
+    // filtering early is equivalence-preserving and prunes the probes)
+    val l1 = lines.filter(col("l_shipdate") > lateCut)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+    l1
+      .join(lineitem.select(col("l_orderkey").as("k2"),
+          col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateAll.select(col("l_orderkey").as("k3"),
+          col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

@@ -120,6 +120,49 @@ class GridRelationalSpec extends SparkSpec {
     assert(out.count() === keys.size)
   }
 
+  test("C8 q21: semi/anti planned as equi-joins (no BNLJ), brute-force parity") {
+    import graft.operators.Relational
+    val out = Relational.q21WaitingOrders(
+      Tables.nation(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      "NATION_19")
+    // plan pin: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both as
+    // hash/sort-merge EQUI-joins on the order key with the supplier
+    // inequality as residual — never a nested-loop product
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    // brute-force parity on sf0.001: recompute the sole-late-supplier
+    // property per (order, supplier) with plain collections
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_shipdate").cast("long")).as[(Long, Long, Long)].collect()
+    val ordF = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").cast("long"), col("o_orderdate").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val suppName = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_19"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long"), col("s_name"))
+      .as[(Long, String)].collect().toMap
+    val byOrder = li.groupBy(_._1)
+    val lateBy = 60L * 86400L // 60 days in seconds (timestamp cast long = epoch s)
+    val want = li.iterator.flatMap { case (ok, sk, ship) =>
+      ordF.get(ok).toSeq.flatMap { od =>
+        val others = byOrder(ok).filter(_._2 != sk)
+        val late = ship > od + lateBy
+        val othersExist = others.nonEmpty
+        val otherLate = others.exists(r => r._3 > od + lateBy)
+        if (late && othersExist && !otherLate) suppName.get(sk) else None
+      }
+    }.toSeq.groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    val got = out.select(col("s_name"), col("numwait"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)
