@@ -924,7 +924,11 @@ object SparkEntry {
       TextAnalysis.compressionRatio(docs(s, d))),
 
     // --- G: multimodal ---
-    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),   // rows-only
+    // G1: HASH-GREEN since r11 — the stub dims are md5-derived
+    // (Codec.stubMeta), so the mirror recomputes every column from
+    // the raw text (the D12 injective-render argument, metadata
+    // edition: the payload IS the utf-8 text at this entry)
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(docs(s, d))),
 
     // G5 (rows-only, exact-count nImages): perceptual hash over REAL
     // rendered PNGs — every row takes the pixel dHash path at the
@@ -943,26 +947,36 @@ object SparkEntry {
     "mm_video_phash" -> ((s, d) =>
       Multimodal.videoPhash(Multimodal.renderTextVideo(docs(s, d)))),
 
-    "mm_frame_sample" -> ((s, d) =>                                      // rows-only
+    // G2: HASH-GREEN since r11 — stub frame counts are md5-derived,
+    // so the mirror unrolls the same sampled index sequence in SQL
+    "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.decodeMeta(docs(s, d)))),
 
-    // rows-only; payload projected to a digest (binary column kept out
-    // of the harness canonicalization, like mm_feature_extract)
+    // G4: HASH-GREEN since r11 — payload projected to an md5-over-hex
+    // digest both engines can compute (binary column kept out of the
+    // harness canonicalization); the stub byte-subsample is a prefix
+    // of the utf-8 text, which the mirror slices in hex space
     "mm_resize" -> ((s, d) =>
       Multimodal.resize(docs(s, d))
         .select(col("doc_id"), col("src_w"), col("src_h"),
           col("dst_w"), col("dst_h"), col("n_bytes"),
-          xxhash64(col("payload")).as("payload_digest"))),
+          md5(hex(col("payload"))).as("payload_digest"))),
 
-    // rows-only; the raw array<float> vector is projected to a
-    // deterministic digest because the driver harness canonicalizes by
-    // sorting every column — numpy arrays aren't sortable/hashable there.
+    // G3: HASH-GREEN since r11 — the raw array<float> is projected to
+    // a comma-joined SCALE-6 INTEGER string (the harness canonicalizes
+    // by sorting every column — numpy arrays aren't sortable there,
+    // and integer strings dodge engine float-printing differences);
+    // the md5-derived stub values are exact in float and double with
+    // no 6-dp half boundary, so the mirror reproduces the string
+    // bit-for-bit
     "mm_feature_extract" -> ((s, d) =>
       Multimodal.featureExtract(docs(s, d))
-        .select(col("doc_id"), size(col("embedding")).as("dim"),
-          xxhash64(array_join(
-            transform(col("embedding"), x => round(x.cast("double"), 6).cast("string")),
-            ",")).as("vec_digest"), col("is_real")))
+        .select(col("doc_id"), size(col("embedding")).cast("bigint").as("dim"),
+          concat_ws(",",
+            transform(col("embedding"),
+              x => round(x.cast("double") * lit(1e6), 0).cast("long")
+                .cast("string"))).as("vec_s6"),
+          col("is_real")))
   )
 
   /** Minimum row counts for rows-only queries (no oracle mirror), by
@@ -1052,18 +1066,17 @@ object SparkEntry {
         // E12c: same argument from the on-disk index (widened probe
         // exhaustive, every label stratum ≥ k members)
         "ann_ivf_filtered_indexed" -> topk,
-        // (bpe_train/bpe_encode left this map in r10 — the hash gate
-        // owns them now, and floorFailures skips oracled queries)
-        "mm_decode_meta"          -> nDocs,
-        "mm_feature_extract"      -> nDocs,
+        // (bpe_train/bpe_encode left this map in r10, and
+        // mm_decode_meta/mm_feature_extract/mm_resize/mm_frame_sample
+        // in r11 — the hash gate owns them now, and floorFailures
+        // skips oracled queries)
         "mm_phash"                -> nImages,
         "mm_audio_phash"          -> (nDocs - nImages - nVideos),
         "mm_video_phash"          -> nVideoFrames,
         "text_compression_ratio"  -> nDocs,
-        "mm_resize"               -> nImages,
         "text_vocab_hll"          -> nTokenLangs,
         "corpus_token_quantiles_approx" -> nLangs),
-      floors = Map("mm_frame_sample" -> nVideos))
+      floors = Map.empty)
   }
 
   /** Approximate-query recall gates: query → (exact baseline query,
@@ -1673,6 +1686,23 @@ object SparkEntry {
        |       CAST(rank AS BIGINT) AS rank
        |FROM ($unions)""".stripMargin
   }
+
+  /** G-block mirror fragments (r11): the mm_* stub values are
+    * md5-derived (Multimodal.Codec.stubMeta / featureExtractPayloads),
+    * so the mirror recomputes them from the raw text — payload =
+    * utf-8 text bytes at the catalog entries, md5(VARCHAR) hashes
+    * exactly those bytes, and DuckDB's hex-slice→BIGINT arithmetic
+    * mirrors md5Long. Edit in lockstep with the Scala stubs. */
+  private val MmT = "coalesce(text, '')"
+  private val MmM = s"(('0x' || substr(md5($MmT), 1, 15))::BIGINT)"
+  private val MmW = s"(64 + ($MmM % 1856))"
+  private val MmH = s"(64 + (($MmM // 2048) % 1016))"
+  private val MmKind =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  private val MmFrames =
+    s"""CASE doc_id % 3 WHEN 2 THEN 1 + (($MmM // 4194304) % 240)
+       |     WHEN 1 THEN 1 + (($MmM // 4194304) % 48000) ELSE 1 END"""
+      .stripMargin.linesIterator.mkString(" ")
 
   def oracleSql: Map[String, String] = Map(
     "ts_interval_diff" ->
@@ -2799,6 +2829,67 @@ object SparkEntry {
     // by the bm25TopKAgainst contract) — hash-green, prototyped
     // bit-identical before wiring
     "retrieval_serve" -> serveSql(kOut = 10, lamN = 1, lamD = 2),
+
+    // G1 mirror (r11): every column of the typed decode row from the
+    // raw text — md5-derived stub dims, modality from doc_id mod 3,
+    // audio fields 0 (the stub path carries none), is_real false (a
+    // text payload is no recognizable codec stream on any modality)
+    "mm_decode_meta" ->
+      s"""SELECT doc_id, $MmKind AS kind,
+         |  CAST(octet_length(encode($MmT)) AS INTEGER) AS n_bytes,
+         |  CAST($MmW AS INTEGER) AS width, CAST($MmH AS INTEGER) AS height,
+         |  CAST($MmFrames AS INTEGER) AS frames,
+         |  CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels,
+         |  CAST(0.0 AS DOUBLE) AS duration_s, FALSE AS is_real
+         |FROM documents""".stripMargin,
+
+    // G2 mirror (r11): the sampled index sequence unrolled per video
+    // doc from the md5-derived frame count (step 30, fps 24)
+    "mm_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id, CAST($MmFrames AS INTEGER) AS frames
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |e AS (SELECT doc_id, frames,
+         |        unnest(generate_series(0, frames - 1, 30)) AS f FROM v)
+         |SELECT doc_id, frames, CAST(f AS INTEGER) AS frame_idx,
+         |       CAST(f AS DOUBLE) / 24.0 AS t_offset_s
+         |FROM e""".stripMargin,
+
+    // G3 mirror (r11): the 16-dim md5 stub — 4 hex chars per dim from
+    // md5(t) || md5(t || ':1'), (k − 32768)/2¹⁵, scale-6 integer join
+    // (exact in both engines; no half boundary — see the entry)
+    "mm_feature_extract" ->
+      s"""WITH p AS (SELECT doc_id, md5($MmT) || md5($MmT || ':1') AS hx
+         |           FROM documents)
+         |SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+         |  array_to_string(
+         |    [CAST(CAST(round(((('0x' || substr(hx, 4 * d + 1, 4))::BIGINT
+         |        - 32768) / 32768.0) * 1000000.0, 0) AS BIGINT) AS VARCHAR)
+         |     for d in range(16)], ',') AS vec_s6,
+         |  FALSE AS is_real
+         |FROM p""".stripMargin,
+
+    // G4 mirror (r11): stub resize arithmetic replayed in SQL — md5
+    // src dims, aspect-fit scale in the same least/greatest order,
+    // byte-subsample length via the same double mult-then-divide, and
+    // the payload prefix sliced in HEX space (blob slicing isn't in
+    // DuckDB; both engines md5 the identical uppercase hex string).
+    // scale ≥ 1 passes the whole payload through untouched.
+    "mm_resize" ->
+      s"""WITH b AS (SELECT doc_id, octet_length(encode($MmT)) AS len,
+         |             hex(encode($MmT)) AS hx, $MmW AS w, $MmH AS h
+         |           FROM documents WHERE doc_id % 3 = 0),
+         |s AS (SELECT *, least(1.0, least(224.0 / w, 224.0 / h)) AS scale FROM b),
+         |d AS (SELECT *, greatest(1, CAST(floor(w * scale) AS INTEGER)) AS dw,
+         |        greatest(1, CAST(floor(h * scale) AS INTEGER)) AS dh FROM s),
+         |o AS (SELECT *, CASE WHEN scale >= 1.0 THEN len
+         |        ELSE least(len, greatest(1, CAST(ceil(
+         |          (CAST(len AS DOUBLE) * (CAST(dw AS BIGINT) * dh))
+         |            / (CAST(w AS BIGINT) * h)) AS INTEGER))) END AS outlen
+         |      FROM d)
+         |SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+         |  dw AS dst_w, dh AS dst_h, CAST(outlen AS INTEGER) AS n_bytes,
+         |  md5(substr(hx, 1, 2 * outlen)) AS payload_digest
+         |FROM o""".stripMargin,
 
     // F21 mirrors (r10): the learned tokenizer is ORACLED — training
     // unrolled into BpeMerges sequential rounds (strict batching ≡

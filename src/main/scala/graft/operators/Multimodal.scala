@@ -592,20 +592,39 @@ object Multimodal {
     def nonNull(bytes: Array[Byte]): Array[Byte] =
       if (bytes == null) Array.emptyByteArray else bytes
 
+    /** Lowercase md5 hex of `bytes` — the stub-value seed. md5, not
+      * murmur (r11, the D2/D4 move applied to the G-block): DuckDB has
+      * md5() and hex-slice→BIGINT arithmetic, so every stub-derived
+      * number becomes EXACTLY recomputable in the oracle mirror —
+      * which is what flips the mm_* gate entries from exact-count to
+      * hash-green. */
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+
+    /** First 15 hex chars of md5 as a NON-NEGATIVE long (60 bits) —
+      * mirrored in SQL as ('0x' || substr(md5(t), 1, 15))::BIGINT. */
+    def md5Long(bytes: Array[Byte]): Long =
+      java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
+
     /** STUB — deterministic fake metadata for the modalities whose
       * codecs are absent in this container (audio/video) and for
       * payloads `javax.imageio` doesn't recognize (the synthetic
       * text-bytes stand-ins). Derived purely from the payload bytes
-      * (stable hash + length) so the operator stays deterministic and
-      * testable; a production build replaces this integration point. */
+      * (md5 + length) so the operator stays deterministic, testable,
+      * and EXACTLY mirrorable in the DuckDB gate (divide-and-mod
+      * extraction on the non-negative [[md5Long]] — no bit shifts on
+      * signed values, no murmur); a production build replaces this
+      * integration point. */
     def stubMeta(id: Long, kind: String, bytes0: Array[Byte]): MediaMeta = {
       val bytes = nonNull(bytes0)
-      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-      val w = 64 + math.floorMod(h, 1856)          // 64..1919
-      val hgt = 64 + math.floorMod(h >> 11, 1016)  // 64..1079
+      val m = md5Long(bytes)
+      val w = 64 + (m % 1856L).toInt                 // 64..1919
+      val hgt = 64 + ((m / 2048L) % 1016L).toInt     // 64..1079
       val frames = kind match {
-        case "video" => 1 + math.floorMod(h >> 22, 240)
-        case "audio" => 1 + math.floorMod(h >> 22, 48000)
+        case "video" => 1 + ((m / 4194304L) % 240L).toInt
+        case "audio" => 1 + ((m / 4194304L) % 48000L).toInt
         case _       => 1
       }
       MediaMeta(id, kind, bytes.length, w, hgt, frames, is_real = false)
@@ -867,10 +886,21 @@ object Multimodal {
         real match {
           case Some(v) => (id, v, true)
           case None =>
-            val h0 = scala.util.hashing.MurmurHash3.bytesHash(b, 7)
+            // md5-derived stub (r11, see stubMeta): 4 hex chars per
+            // dim from chained salted digests → k ∈ [0, 65536) →
+            // (k − 32768)/2¹⁵ ∈ [−1, 1). Exact in float AND double
+            // (small-int ÷ power of two), and no 6-dp half boundary
+            // exists (k/2¹⁵ never lands on x.xxxxxx5 — 5⁶∤2⁸·odd),
+            // so the mirror's integer arithmetic reproduces the
+            // catalog digest bit-for-bit.
+            val hx = Iterator.from(0)
+              .map(i => if (i == 0) Codec.md5Hex(b)
+                else Codec.md5Hex(b ++ s":$i".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)))
+              .take((4 * dim + 31) / 32).mkString
             val v = Array.tabulate(dim) { d =>
-              val h = scala.util.hashing.MurmurHash3.productHash((h0, d))
-              (h.toFloat / Int.MaxValue.toFloat)
+              val k = Integer.parseInt(hx.substring(4 * d, 4 * d + 4), 16)
+              (k - 32768) / 32768.0f
             }
             (id, v, false)
         }

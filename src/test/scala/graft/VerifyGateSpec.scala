@@ -68,11 +68,14 @@ class VerifyGateSpec extends AnyFunSuite {
     assert(fails.size === 1 && fails.head.contains("!= exact expected 50"))
   }
 
-  test("a computed floor (videos for mm_frame_sample) breached fails; met passes") {
-    val fl = Map("mm_frame_sample" -> 167L)
-    assert(Verify.floorFailures(greenCounts.updated("mm_frame_sample", 100L),
+  test("a computed floor breached fails; met passes (rows-only entry)") {
+    // mm_frame_sample carried this floor until its r11 oracle (the
+    // hash gate owns it now — floorFailures SKIPS oracled queries, so
+    // the mechanism is exercised on a still-rows-only entry)
+    val fl = Map("mm_video_phash" -> 167L)
+    assert(Verify.floorFailures(greenCounts.updated("mm_video_phash", 100L),
       computedFloors = fl).size === 1)
-    assert(Verify.floorFailures(greenCounts.updated("mm_frame_sample", 167L),
+    assert(Verify.floorFailures(greenCounts.updated("mm_video_phash", 167L),
       computedFloors = fl) === Seq.empty)
   }
 
