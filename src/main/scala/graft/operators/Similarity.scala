@@ -1034,7 +1034,13 @@ object Similarity {
     * break any later read that materializes it. */
   private def withLabel(emb: DataFrame,
                         existing: org.apache.spark.sql.types.StructType): DataFrame =
-    if (emb.columns.contains("label")) emb
+    if (emb.columns.contains("label"))
+      // cast a PRESENT label to the lists' stored type too (r11):
+      // labelBucket hashes by physical type, so an int-labeled index
+      // appended with string labels would bucket "2" away from 2 —
+      // rows landing in partitions no serve ever prunes to, a silent
+      // recall hole rather than an error
+      emb.withColumn("label", col("label").cast(existing("label").dataType))
     else emb.withColumn("label",
       lit(null).cast(existing("label").dataType))
 
@@ -1287,7 +1293,14 @@ object Similarity {
     val nLabels = math.max(1L, meta.getAs[Long]("n_labels"))
     val cents = readCentroids(spark, path)
     val probeN = math.min(cents.length.toLong, nprobe.toLong * nLabels).toInt
-    val q = prepared(queries).filter(col("n2") > 0 && col("label").isNotNull)
+    // query labels cast to the lists' stored type (the withLabel
+    // rationale, serve side): a string-typed query label would hash
+    // into a different bucket space and prune to nothing
+    val storedLabelType =
+      spark.read.parquet(s"$path/lists").schema("label").dataType
+    val q = prepared(queries.withColumn("label",
+        col("label").cast(storedLabelType)))
+      .filter(col("n2") > 0 && col("label").isNotNull)
     val probes = probeList(q, lit(true), cents, probeN)
       .join(q.select(col("vec_id").as("q_id"), col("label").as("q_label"),
         labelBucket(col("label"), bkts).as("q_lbl")), Seq("q_id"))

@@ -514,6 +514,33 @@ object EventStream {
         Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
       }
 
+  /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout
+    * (r11): micro-batches of `(vec_id, embedding, label)` are served
+    * label-FILTERED from the written index
+    * ([[graft.operators.Similarity.filteredTopKFromIndex]] — the
+    * (c_id, lbl) partition pruning, frozen-n_labels probe widening,
+    * exact label re-check), then appended into the SAME frozen bucket
+    * space ([[graft.operators.Similarity.appendToIvfIndex]] reads B
+    * from `meta/` — a drifted bucket count would scatter a label
+    * across buckets and break serve-time pruning). Same crash-replay
+    * posture as the unfiltered flavor: the current batch's ingest
+    * partition is excluded from its own serve, and the append's
+    * dynamic partition overwrite makes replay idempotent. The index
+    * is the state store; nothing lives in executor memory. */
+  def streamingFilteredAnnIngest(emb: DataFrame, indexPath: String, k: Int,
+                                 nprobe: Int = 4,
+                                 onNeighbors: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        onNeighbors(batchId, Similarity.filteredTopKFromIndex(spark, indexPath,
+          batch.select("vec_id", "embedding", "label"), k, nprobe,
+          selfExclude = false, excludeIngestBatch = Some(batchId)))
+        Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
+      }
+
   /** One cumulative reading (the shape RAINNC arrives in). `id` is the
     * per-station event id that breaks timestamp ties — the batch
     * flavors order by (time, id), and carrying it here lets the

@@ -1013,6 +1013,74 @@ class SinkStreamSpec extends SparkSpec {
       assert(n === qid - 1000000L && c === 1.0, s"query $qid") }
   }
 
+  test("streamingFilteredAnnIngest: same-label twins surface through the label-pruned path; replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val real = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val path = java.nio.file.Files.createTempDirectory("graft_sfann").toString
+    Similarity.writeIvfIndex(real.filter(col("vec_id") < 400), path,
+      nlist = 16, trainIters = 5, labelBuckets = 8)
+    val base = spark.read.parquet(s"$path/lists").count()
+
+    // batch 0: new arrivals (shifted ids, labels kept); batch 1: their
+    // SAME-LABEL twins under further-shifted ids — each twin's
+    // nprobe=1 filtered top hit must be its batch-0 arrival at cos
+    // 1.0, which proves the append landed in the frozen (c_id, lbl)
+    // bucket space AND is visible through the label-pruned serve
+    val b0 = real.filter(col("vec_id") >= 400)
+      .select(col("vec_id") + lit(500000L), col("embedding"), col("label"))
+      .toDF("vec_id", "embedding", "label")
+    val b0n = b0.count()
+    // label is int32 in the embeddings table — the stream must carry
+    // the same type (xxhash64 of a STRING label would bucket into a
+    // different space than the index and prune to nothing)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
+    val q = EventStream.streamingFilteredAnnIngest(stream, path, 1, nprobe = 1,
+      (id, nbrs) => got(id) = nbrs.select("q_id", "n_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSeq)
+      .start()
+    mem.addData(b0.as[(Long, Seq[Float], Int)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    assert(got(0L).nonEmpty) // served against the base index, filtered
+    assert(spark.read.parquet(s"$path/lists").count() === base + b0n)
+    mem.addData(b0.withColumn("vec_id", col("vec_id") + lit(500000L))
+      .as[(Long, Seq[Float], Int)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val hits = got(1L)
+    assert(hits.nonEmpty)
+    hits.foreach { case (qid, n, c) =>
+      assert(n === qid - 500000L && c === 1.0, s"query $qid") }
+
+    // replay idempotence: re-running batch 0's append REPLACES its
+    // ingest partition (dynamic overwrite) — row count unchanged, and
+    // the filtered serve returns the identical frame
+    val before = Similarity.filteredTopKFromIndex(spark, path,
+        b0.limit(5), 1, nprobe = 1)
+      .orderBy("q_id").collect().toSeq.map(_.toSeq)
+    Similarity.appendToIvfIndex(b0, path, ingestBatch = 0L)
+    assert(spark.read.parquet(s"$path/lists").count() === base + 2 * b0n)
+    val after = Similarity.filteredTopKFromIndex(spark, path,
+        b0.limit(5), 1, nprobe = 1)
+      .orderBy("q_id").collect().toSeq.map(_.toSeq)
+    assert(after === before)
+
+    // the label-pruned READ path holds across appended partitions: a
+    // single-label query's serve reads only its label bucket's files
+    val oneLabel = b0.orderBy("vec_id").limit(1)
+    val lbl = oneLabel.select(pmod(xxhash64(col("label")), lit(8L)))
+      .head().getLong(0)
+    val files = Similarity.filteredListFiles(spark, path, oneLabel, nprobe = 1)
+    assert(files.nonEmpty && files.forall(_.contains(s"lbl=$lbl")),
+      s"expected only lbl=$lbl files, got:\n${files.mkString("\n")}")
+    // and some of those files are post-build ingest partitions — the
+    // pruning claim covers the appended data, not just the base write
+    assert(files.exists(f => !f.contains("ingest_batch=-1")), files.mkString("\n"))
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
