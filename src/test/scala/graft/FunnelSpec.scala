@@ -54,8 +54,12 @@ class FunnelSpec extends SparkSpec {
       .filter(col("vec_id").isin(cleanIds.toSeq.take(1).map(Long.box): _*))
       .select("vec_id", "embedding")
     // the posting artifact landed alongside dfs+meta (r11): the
-    // serve below reads it — never the docs table
-    assert(spark.read.parquet(s"$out/index/bm25_post").count() > 0L)
+    // serve below reads it — never the docs table — and its rows
+    // cover exactly the survivor corpus (a dropped doc leaking into
+    // the postings would let a serve page resurface it)
+    val postIds = spark.read.parquet(s"$out/index/bm25_post")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(postIds.nonEmpty && postIds === cleanIds)
     val page = graft.operators.Retrieval.serve(spark, "prep_bm25",
       s"$out/index",
       Tables.embeddings(spark, sfDir), q,
