@@ -83,6 +83,33 @@ object Bench {
       runAll(sfDir, record = true)
     }
     clearCaches() // nor does the last rep donate to the serve bench
+
+    // the D3 family (ngram-jaccard lineage) swings ±26% between
+    // identical-code runs on this box (PERF.md r10: same-day A/B) —
+    // enough to read as a regression when it is ambient load. These
+    // three get an ISOLATED re-measure: back-to-back reps of only the
+    // entry, more of them, medianed — the number future rounds should
+    // diff, carried as its own block so the headline totals stay
+    // comparable with r1-r10 lines.
+    val driftIso = {
+      val names = Seq("dedup_ngram_jaccard", "dedup_survivors", "dedup_cluster")
+      val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISO_REPS", "7").toInt.max(3)
+      names.flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          try {
+            val times = (1 to isoReps).map { _ =>
+              clearCaches()
+              timeNoop(() => fn(spark, sfDir))
+            }
+            Some(name -> median(times))
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] isolated $name FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      }.toMap
+    }
+    clearCaches()
     // median over the reps that SUCCEEDED; a query that failed every
     // rep is absent from the line (stderr carries the failures)
     val results = SparkEntry.queries.keys
@@ -113,8 +140,12 @@ object Bench {
       val qs = inline.sortBy(_._1)
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
         .mkString("{", ",", "}")
+      val iso = driftIso.toSeq.sortBy(_._1)
+        .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
-        s""""omitted":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}"""
+        s""""isolated":$iso,"omitted":$omitted,"full":"BENCH_FULL.json",""" +
+        s""""sf":"$sfDir","reps":$reps}"""
     }
     val byCost = results.toSeq.sortBy(-_._2)
     // largest prefix (by cost rank) whose rendered line fits the tail

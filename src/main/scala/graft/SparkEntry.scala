@@ -775,6 +775,22 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)),
 
+    // F24c (r11): the INCREMENTAL lexical index — freeze the index on
+    // half the corpus, append the other half as a delta segment
+    // (df/meta increments + pbkt-partitioned postings), serve from
+    // base+delta. The oracle is the UNSPLIT corpus' one-pass BM25
+    // mirror, so the hash gate holds the append path's
+    // equality-to-rebuild contract end-to-end
+    "text_bm25_incremental" -> ((s, d) => {
+      val path = tempIndexDir("graft_bm25inc")
+      val dd = docs(s, d)
+      TextAnalysis.writeBm25Stats(dd.filter(col("doc_id") % 2 === 0),
+        "bm25inc_cat", s"$path/bm25")
+      TextAnalysis.appendToBm25Index(dd.filter(col("doc_id") % 2 =!= 0),
+        "bm25inc_cat", ingestBatch = 0L)
+      TextAnalysis.bm25TopKFromIndex(s, "bm25inc_cat", Bm25Terms, 20)
+    }),
+
     // F27: hybrid retrieval — RRF of F24's lexical top-20 and the
     // embedding-cosine top-20 of doc 0's vector (vec_id ≡ doc_id, the
     // corpus_integrity contract); rank-only fusion, fully ORACLED
@@ -2482,6 +2498,12 @@ object SparkEntry {
 
     // F24 mirror — generated from the same Bm25Terms (see bm25Sql)
     "text_bm25_topk" -> bm25Sql,
+
+    // F24c mirror — the SAME unsplit-corpus SQL: the Spark side
+    // builds the index on half the docs and appends the rest, so
+    // hash-matching the one-pass mirror IS the append path's
+    // equality-to-rebuild proof
+    "text_bm25_incremental" -> bm25Sql,
 
     // F27 mirror: the SAME bm25Ctes chain (lex ranks), E1's cosine
     // spelling for the semantic ranks of vec 0, then rank-only RRF —

@@ -679,10 +679,7 @@ object TextAnalysis {
     * time and never again at serve time ([[bm25TopKFromIndex]]). */
   def writeBm25Stats(docs: DataFrame, table: String, path: String,
                      buckets: Int = 64): Unit = {
-    val spark = docs.sparkSession
-    val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+    val base = bm25DocStats(docs)
     base.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
@@ -701,6 +698,111 @@ object TextAnalysis {
       .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
       .option("path", s"${path}_post").mode("overwrite")
       .saveAsTable(s"${table}_post")
+  }
+
+  /** `(doc_id, toks, dl)` — the ONE tokenization every BM25 artifact
+    * builder shares ([[writeBm25Stats]], [[appendToBm25Index]]): a
+    * drifted tokenizer between build and append would make appended
+    * postings incomparable with the base index. */
+  private def bm25DocStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+
+  /** Token-hash partition count for the DELTA segment layout — a
+    * CONSTANT, deliberately not a knob: the serve prunes delta
+    * partitions by recomputing each query term's bucket, and a
+    * build/serve disagreement on B would prune to the WRONG
+    * partitions — silently missing postings, not erroring. */
+  private val Bm25DeltaBuckets = 64L
+
+  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                            name: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .location.toString
+
+  /** The `<table>_{post,df,meta}` delta-segment dirs live NEXT TO
+    * their base artifact (`<location>_delta`); absent until the first
+    * append. Explicit schema — a crash-orphaned empty dir must read
+    * as zero rows, not fail inference. */
+  private def readDelta(spark: org.apache.spark.sql.SparkSession,
+                        baseTable: String,
+                        schema: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val dir = tableLocation(spark, baseTable) + "_delta"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      Some(spark.read.schema(schema).parquet(dir))
+    else None
+  }
+
+  /** Append NEW documents into a frozen BM25 index
+    * ([[writeBm25Stats]]'s three artifacts) WITHOUT rebuilding it —
+    * the lexical dual of
+    * [[graft.operators.Similarity.appendToIvfIndex]] (r11). Each
+    * append lands a DELTA SEGMENT next to each base artifact:
+    *
+    *   - `<post>_delta (tok, doc_id, tf, dl)` partitioned by
+    *     `(ingest_batch, pbkt = xxhash64(tok) mod 64)` — the serve
+    *     prunes to the query terms' pbkt partitions, so delta reads
+    *     stay Σ df(term)-shaped like the bucketed base;
+    *   - `<df>_delta (tok, df)`, same partitioning: per-token df
+    *     INCREMENTS (serve sums base + deltas per term);
+    *   - `<meta>_delta (n, t)` one row per batch (serve sums).
+    *
+    * Correctness is equality-to-rebuild: df/n/t sums and the
+    * postings union reproduce EXACTLY the numbers a full
+    * [[writeBm25Stats]] over base ∪ appended would freeze, and BM25
+    * arithmetic reads nothing else — so [[bm25TopKFromIndex]] after
+    * appends is score-identical to a rebuilt index (spec-pinned, and
+    * the text_bm25_incremental catalog entry holds it against the
+    * UNSPLIT corpus' DuckDB mirror). Caller contract: appended
+    * doc_ids are NEW (a re-sent doc would double-count df mass —
+    * same contract as the IVF append's vec_ids).
+    *
+    * Replay-idempotent: partitions carry `ingest_batch` and writes
+    * use dynamic partition overwrite, so a crashed-and-replayed
+    * batch REPLACES its own segment (the
+    * [[graft.operators.Similarity.appendToIvfIndex]] posture). An
+    * empty batch is a no-op — never a schema-less empty dir.
+    *
+    * Scale posture: delta segments accumulate per batch; serve cost
+    * grows by the terms' delta-partition rows only (pbkt-pruned).
+    * The compaction story is periodic re-index ([[writeBm25Stats]]
+    * over the full corpus — the Lucene segment-merge role): deltas
+    * are a freshness layer between re-indexes, not an ever-growing
+    * primary. */
+  def appendToBm25Index(docs: DataFrame, table: String,
+                        ingestBatch: Long = 0L): Unit = {
+    val spark = docs.sparkSession
+    val base = bm25DocStats(docs)
+    if (base.isEmpty) return
+    val pbkt = pmod(xxhash64(col("tok")), lit(Bm25DeltaBuckets))
+    base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
+      .write.partitionBy("ingest_batch", "pbkt")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(tableLocation(spark, s"${table}_post") + "_delta")
+    base.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"),
+        lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
+      .write.partitionBy("ingest_batch", "pbkt")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(tableLocation(spark, s"${table}_df") + "_delta")
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .select(col("n"), col("t"), lit(ingestBatch).as("ingest_batch"))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(tableLocation(spark, s"${table}_meta") + "_delta")
   }
 
   /** Rank a document batch against FROZEN BM25 stats
@@ -795,26 +897,56 @@ object TextAnalysis {
     * the exact sum bm25TopK's per-occurrence term list produces. Docs
     * containing no query term score 0 in both spellings (every BM25
     * term needs tf > 0), so scoring only posting-bearing docs loses
-    * nobody. */
+    * nobody.
+    *
+    * After [[appendToBm25Index]] calls, the serve additionally folds
+    * the delta segments — df/meta sums driver-side, delta postings
+    * pbkt-partition-pruned into the same union — and remains
+    * score-identical to a full rebuild over base ∪ appended (the
+    * append's equality-to-rebuild contract). */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, terms: Seq[String],
                         k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
     require(k > 0, s"k=$k must be positive")
     val uniq = terms.distinct
-    // one job: per-term dfs + the meta row, unioned (tok NULL = meta)
-    val statRows = spark.table(s"${table}_df")
-      .filter(col("tok").isin(uniq: _*))
-      .select(col("tok"), col("df").as("a"), lit(null).cast("long").as("b"))
-      .unionByName(spark.table(s"${table}_meta")
-        .select(lit(null).cast("string").as("tok"),
-          col("n").as("a"), col("t").as("b")))
+    // the query terms' delta partitions: pbkt recomputed per term as
+    // a FOLDABLE expression (pmod(xxhash64(lit), 64) constant-folds),
+    // so the delta scans partition-prune exactly like the base
+    // tables bucket-prune
+    def pbPrune =
+      uniq.map(tm => col("pbkt") === pmod(xxhash64(lit(tm)),
+        lit(Bm25DeltaBuckets))).reduce(_ || _)
+    // one job: per-term dfs + meta rows, base ∪ delta segments,
+    // unioned (tok NULL = meta); sums fold driver-side — after
+    // appends a term's df is the SUM of its base row and per-batch
+    // increments, and (n, t) the sum over base + batch metas
+    val dfDelta = readDelta(spark, s"${table}_df",
+        "tok string, df long, ingest_batch long, pbkt long")
+      .map(_.filter(pbPrune && col("tok").isin(uniq: _*))
+        .select(col("tok"), col("df").as("a"),
+          lit(null).cast("long").as("b")))
+    val metaDelta = readDelta(spark, s"${table}_meta",
+        "n long, t long, ingest_batch long")
+      .map(_.select(lit(null).cast("string").as("tok"),
+        col("n").as("a"), col("t").as("b")))
+    val statRows = (Seq(
+        spark.table(s"${table}_df")
+          .filter(col("tok").isin(uniq: _*))
+          .select(col("tok"), col("df").as("a"),
+            lit(null).cast("long").as("b")),
+        spark.table(s"${table}_meta")
+          .select(lit(null).cast("string").as("tok"),
+            col("n").as("a"), col("t").as("b"))
+      ) ++ dfDelta ++ metaDelta)
+      .reduce(_.unionByName(_))
       .collect()
     val dfs = statRows.filter(_.getString(0) != null)
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val meta = statRows.find(_.getString(0) == null)
-      .getOrElse(sys.error(s"bm25TopKFromIndex: ${table}_meta is empty"))
-    val (n, t) = (meta.getLong(1), meta.getLong(2))
+      .groupBy(_.getString(0))
+      .map { case (tok, rs) => tok -> rs.map(_.getLong(1)).sum }
+    val metas = statRows.filter(_.getString(0) == null)
+    require(metas.nonEmpty, s"bm25TopKFromIndex: ${table}_meta is empty")
+    val (n, t) = (metas.map(_.getLong(1)).sum, metas.map(_.getLong(2)).sum)
     require(t > 0L, "bm25TopKFromIndex: frozen stats have no tokens")
     val idf4 = uniq.map { term =>
       val df = dfs.getOrElse(term, 0L)
@@ -836,8 +968,22 @@ object TextAnalysis {
           (tfD * lit(10L) * lit(t) + lit(3L * t).cast(D38) +
             col("dl").cast(D38) * lit(9L * n)).cast("double"), 6)
         .cast(org.apache.spark.sql.types.DecimalType(20, 6))
-    val scored = spark.table(s"${table}_post")
+    val postBase = spark.table(s"${table}_post")
       .filter(col("tok").isin(uniq: _*)) // bucket-pruned: Σ df(term) rows
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    // delta segments ride the same shape: pbkt partition-pruned to
+    // the query terms' buckets, still Σ df(term) rows — appended
+    // doc_ids are new by the append contract, so the union is
+    // disjoint and the groupBy(doc_id) sum is exactly the rebuilt
+    // index's per-doc score
+    val postAll = readDelta(spark, s"${table}_post",
+        "tok string, doc_id long, tf long, dl long, " +
+          "ingest_batch long, pbkt long")
+      .map(d => postBase.unionByName(
+        d.filter(pbPrune && col("tok").isin(uniq: _*))
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"))))
+      .getOrElse(postBase)
+    val scored = postAll
       .select(col("doc_id"),
         (contrib * multCol.cast(org.apache.spark.sql.types
           .DecimalType(20, 6))).as("c"))

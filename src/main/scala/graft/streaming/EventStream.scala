@@ -541,6 +541,34 @@ object EventStream {
         Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
       }
 
+  /** F24-as-a-LIVE-index (r11): the lexical dual of
+    * [[streamingAnnIngest]]. Each micro-batch of `(doc_id, text)`
+    * arrivals is APPENDED into the frozen BM25 index as a delta
+    * segment ([[graft.operators.TextAnalysis.appendToBm25Index]] —
+    * df/meta increments + pbkt-partitioned postings), then the
+    * STANDING query's page is re-served from the now-fresh index
+    * ([[graft.operators.TextAnalysis.bm25TopKFromIndex]] — base
+    * buckets + the terms' pruned delta partitions) and handed to
+    * `onPage` — the continuous-query shape: a curation channel whose
+    * ranked page tracks the corpus as it grows, scores at every
+    * batch EXACTLY what a full re-index would produce. The index is
+    * the state store; replay overwrites the batch's own delta
+    * partitions (dynamic partition overwrite), so recovery is
+    * idempotent. Contrast [[streamingBm25Rank]], which ranks the
+    * ARRIVALS against frozen stats and never updates the index. */
+  def streamingBm25Ingest(docs: DataFrame, table: String,
+                          terms: Seq[String], k: Int,
+                          onPage: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.TextAnalysis.appendToBm25Index(
+          batch.select("doc_id", "text"), table, ingestBatch = batchId)
+        onPage(batchId, graft.operators.TextAnalysis.bm25TopKFromIndex(
+          spark, table, terms, k))
+      }
+
   /** One cumulative reading (the shape RAINNC arrives in). `id` is the
     * per-station event id that breaks timestamp ties — the batch
     * flavors order by (time, id), and carrying it here lets the

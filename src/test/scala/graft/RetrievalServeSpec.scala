@@ -117,6 +117,59 @@ class RetrievalServeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"lexical serve plan has a join:\n$plan")
   }
 
+  test("appendToBm25Index: serve after appends ≡ full rebuild, replay-idempotent, delta reads pruned") {
+    val p = java.nio.file.Files.createTempDirectory("graft_bm25inc_spec").toString
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    TextAnalysis.writeBm25Stats(half, "inc_spec_bm25", s"$p/bm25")
+    // two delta segments on top of the half-corpus base
+    val b0 = docs.filter(col("doc_id") % 4 === 1)
+    val b1 = docs.filter(col("doc_id") % 4 === 3)
+    TextAnalysis.appendToBm25Index(b0, "inc_spec_bm25", ingestBatch = 0L)
+    TextAnalysis.appendToBm25Index(b1, "inc_spec_bm25", ingestBatch = 1L)
+    // equality-to-rebuild: base + two deltas ≡ one pass over ALL docs
+    val served = TextAnalysis.bm25TopKFromIndex(spark, "inc_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    val full = TextAnalysis.bm25TopK(docs, terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(served === full && served.nonEmpty)
+    // replay idempotence: re-running batch 0's append REPLACES its
+    // delta partitions — same page, and df/meta masses unchanged
+    TextAnalysis.appendToBm25Index(b0, "inc_spec_bm25", ingestBatch = 0L)
+    val again = TextAnalysis.bm25TopKFromIndex(spark, "inc_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(again === full)
+    val metaDelta = spark.read.parquet(s"$p/bm25_meta_delta")
+    assert(metaDelta.count() === 2L) // one row per batch, not three
+    assert(metaDelta.agg(sum(col("n"))).head().getLong(0) ===
+      b0.count() + b1.count())
+    // the serve's delta read prunes to the query terms' pbkt
+    // partitions: for a single term, only files under its bucket
+    val term = terms.head
+    val bkt = spark.range(1)
+      .select(pmod(xxhash64(lit(term)), lit(64L))).head().getLong(0)
+    val pruned = spark.read.parquet(s"$p/bm25_post_delta")
+      .filter(col("pbkt") === pmod(xxhash64(lit(term)), lit(64L)) &&
+        col("tok") === term)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(pruned.nonEmpty && pruned.forall(_.contains(s"pbkt=$bkt")),
+      s"expected only pbkt=$bkt delta files, got:\n${pruned.mkString("\n")}")
+    // df sums: a term present in base AND deltas serves the full
+    // corpus' document frequency (the arithmetic's only df input)
+    val dfBase = spark.table("inc_spec_bm25_df")
+      .filter(col("tok") === term).agg(sum(col("df"))).head().getLong(0)
+    val dfDelta = spark.read.parquet(s"$p/bm25_df_delta")
+      .filter(col("tok") === term && col("ingest_batch") >= 0)
+      .agg(sum(col("df"))).head().getLong(0)
+    val dfFull = docs.select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      .filter(col("tok") === term).count()
+    assert(dfBase + dfDelta === dfFull && dfBase > 0L && dfDelta > 0L)
+    // an empty append is a no-op (no schema-less dir, no meta row)
+    TextAnalysis.appendToBm25Index(docs.filter(lit(false)),
+      "inc_spec_bm25", ingestBatch = 9L)
+    assert(spark.read.parquet(s"$p/bm25_meta_delta").count() === 2L)
+  }
+
   test("serve refuses a multi-row query frame") {
     val p = servePath
     assert(p.nonEmpty)

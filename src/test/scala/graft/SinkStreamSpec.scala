@@ -1081,6 +1081,55 @@ class SinkStreamSpec extends SparkSpec {
     assert(files.exists(f => !f.contains("ingest_batch=-1")), files.mkString("\n"))
   }
 
+  test("streamingBm25Ingest: the standing page tracks arrivals, scores ≡ full rebuild, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wh = java.nio.file.Files.createTempDirectory("graft_sbmi").toString
+    val all = Tables.documents(spark, sfDir)
+    val base = all.filter(col("doc_id") < 150)
+    TextAnalysis.writeBm25Stats(base, "bm25_si", s"$wh/bm25_si", buckets = 4)
+    val terms = Seq("spark", "window", "merge", "dup")
+
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingBm25Ingest(mem.toDF().toDF("doc_id", "text"),
+      "bm25_si", terms, k = 5,
+      onPage = (id, df) => got(id) = df.orderBy("rank")
+        .collect().toSeq.map(_.toSeq)).start()
+    val b0 = all.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .select("doc_id", "text")
+    // batch 1 plants a doc saturated in every query term — the live
+    // page must surface it, which proves the append LANDED and the
+    // standing serve reads the delta segments
+    val planted = 999999L -> ("spark window merge dup " * 10).trim
+    mem.addData(b0.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(IndexedSeq(planted))
+    q.processAllAvailable()
+    q.stop()
+    // every page ≡ a full one-pass rebuild over base ∪ arrivals so
+    // far — the append's equality-to-rebuild contract, live
+    val base2 = base.select("doc_id", "text")
+    val exp0 = TextAnalysis.bm25TopK(base2.unionByName(b0), terms, 5)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val exp1 = TextAnalysis.bm25TopK(
+        base2.unionByName(b0).unionByName(
+          Seq(planted).toDF("doc_id", "text")), terms, 5)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(got(0L) === exp0 && got(1L) === exp1)
+    assert(got(1L).exists(_.head === planted._1))
+    // replay idempotence: re-running batch 0's append replaces its
+    // delta partitions — the served page is unchanged
+    TextAnalysis.appendToBm25Index(b0, "bm25_si", ingestBatch = 0L)
+    val again = TextAnalysis.bm25TopKFromIndex(spark, "bm25_si", terms, 5)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(again === exp1)
+    spark.sql("DROP TABLE IF EXISTS bm25_si_df")
+    spark.sql("DROP TABLE IF EXISTS bm25_si_meta")
+    spark.sql("DROP TABLE IF EXISTS bm25_si_post")
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
