@@ -170,6 +170,38 @@ class RetrievalServeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/bm25_meta_delta").count() === 2L)
   }
 
+  test("live hybrid: arrivals appended to BOTH indexes serve the full-build page (exhaustive probing)") {
+    // build the serve artifacts on HALF the corpus, append the other
+    // half to both legs (appendToBm25Index delta segments +
+    // appendToIvfIndex frozen-quantizer lists), then serve: at
+    // nprobe = nlist the probe is exhaustive, so centroid drift
+    // between the half-trained and full-trained quantizers cannot
+    // matter — the page must equal the full-build page row-for-row.
+    // This is the freshness contract of the whole composed path: a
+    // corpus that grew since index time serves EXACTLY as if
+    // re-indexed.
+    val p = java.nio.file.Files.createTempDirectory("graft_livehyb").toString
+    val halfD = docs.filter(col("doc_id") % 2 === 0)
+    val halfE = emb.filter(col("vec_id") % 2 === 0)
+    Retrieval.buildArtifacts(halfD, halfE, "live_hyb_bm25", p, nlist = 8)
+    TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+      "live_hyb_bm25", ingestBatch = 0L)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+      s"$p/ivf", ingestBatch = 0L)
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val live = Retrieval.serve(spark, "live_hyb_bm25", p, emb, query, cfg)
+      .collect().toSeq.map(_.toSeq)
+    // the reference page: both artifacts built over the FULL corpus
+    val pf = java.nio.file.Files.createTempDirectory("graft_livehyb_f").toString
+    Retrieval.buildArtifacts(docs, emb, "live_hyb_full_bm25", pf, nlist = 8)
+    val full = Retrieval.serve(spark, "live_hyb_full_bm25", pf, emb, query, cfg)
+      .collect().toSeq.map(_.toSeq)
+    assert(live === full && live.nonEmpty)
+    Seq("live_hyb_bm25", "live_hyb_full_bm25").foreach { t =>
+      Seq("_df", "_meta", "_post").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")) }
+  }
+
   test("serve refuses a multi-row query frame") {
     val p = servePath
     assert(p.nonEmpty)
