@@ -376,6 +376,12 @@ object SparkEntry {
         Tables.nation(s, d), Tables.supplier(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), "NATION_19")),
 
+    // C9 (r11): TPC-H Q22 shape — global scalar threshold (cross-
+    // multiplied, division-free) + LeftAnti dormancy quantifier
+    "q22_dormant_capital" -> ((s, d) =>
+      Relational.q22DormantCapital(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     "q18_large_orders" -> ((s, d) =>
       Relational.q18LargeOrders(
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), 140)),
@@ -2106,6 +2112,23 @@ object SparkEntry {
          |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
          |GROUP BY 1
          |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // C9 mirror: same cross-multiplied threshold (no division on
+    // either side) + NOT EXISTS over the date-pruned orders slice
+    "q22_dormant_capital" ->
+      s"""WITH pos AS (
+         |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s_pos,
+         |         count(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+         |FROM customer, pos
+         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > s_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin,
 
     "q14_promo_revenue" ->
       s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'

@@ -227,6 +227,42 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** C9 (r11): dormant-capital — the TPC-H Q22 shape (global scalar
+    * threshold + anti-join), adapted to this schema's dates: per
+    * nation, count and total the balances of customers whose balance
+    * exceeds the average POSITIVE balance and who placed no order on
+    * or after `cutoff`.
+    *
+    * Exactness: the threshold compare is cross-multiplied —
+    * `bal · n_pos > Σ_pos` in exact DECIMAL/long arithmetic — so no
+    * division (and no engine-dependent rounding) exists anywhere in
+    * the predicate; the per-nation totals are DECIMAL sums cast to
+    * double once.
+    *
+    * Plan: the positive-balance aggregate is ONE row broadcast-
+    * crossed onto the customer scan (the threshold filter stays
+    * scan-fused — Q22's scalar subquery without a second customer
+    * pass at the probe); the dormancy quantifier is a LeftAnti
+    * equi-join on custkey against the date-pruned orders projection
+    * (filter + 1-column prune reach the orders scan; at scale both
+    * sides shuffle on custkey — no BNLJ, plan-pinned in spec); the
+    * final aggregate has ≤ |nations| keys. */
+  def q22DormantCapital(customer: DataFrame, orders: DataFrame,
+                        cutoff: String = "2000-01-01"): DataFrame = {
+    val pos = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2("c_acctbal")).as("s_pos"), count(lit(1)).as("n_pos"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(pos))
+      .filter(dec2("c_acctbal") * col("n_pos") > col("s_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec2("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

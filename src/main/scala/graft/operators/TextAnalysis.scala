@@ -775,6 +775,8 @@ object TextAnalysis {
     * primary. */
   def appendToBm25Index(docs: DataFrame, table: String,
                         ingestBatch: Long = 0L): Unit = {
+    require(ingestBatch != -1L,
+      "ingest_batch -1 is reserved for compacted segments (compactBm25Index)")
     val spark = docs.sparkSession
     val base = bm25DocStats(docs)
     if (base.isEmpty) return
@@ -803,6 +805,85 @@ object TextAnalysis {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(tableLocation(spark, s"${table}_meta") + "_delta")
+  }
+
+  /** Compact a BM25 index's delta segments: fold every append
+    * batch's partitions into the single reserved `ingest_batch = -1`
+    * consolidated segment — one file per pbkt for postings, df
+    * increments AGGREGATED per token (N batch rows collapse to one),
+    * metas summed to one row. The
+    * [[graft.operators.Similarity.compactIvfIndex]] role for the
+    * lexical side: after a thousand streaming appends each delta dir
+    * holds a thousand batches' small files and the serve's pruned
+    * read amplifies; compaction bounds it WITHOUT touching the
+    * bucketed base artifacts (which stay in their ideal layout —
+    * the heavy compaction remains a full re-index via
+    * [[writeBm25Stats]]). Serve results are unchanged: sums are
+    * associative, and the serve already folds whatever partitions
+    * the delta dirs hold.
+    *
+    * Same swap discipline and caveats as the IVF compaction: each
+    * delta dir is rewritten to `<dir>_compacting`, the old dir moved
+    * aside, the new one moved in — run it in a maintenance window,
+    * not concurrently with serves or appends (and never replay a
+    * pre-compaction batch afterwards: its rows are already folded
+    * into -1, and a replay would re-add them as a fresh segment —
+    * also why -1 is reserved). A crash between renames is healed on
+    * the next call: a missing live dir next to a complete
+    * `_compacting` resumes forward, next to only `_old` rolls
+    * back. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tableLocation(spark, s"${table}_post"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def heal(live: Path, tmp: Path, old: Path): Unit =
+      if (!fs.exists(live)) {
+        if (fs.exists(tmp)) {
+          require(fs.rename(tmp, live), s"recovery rename $tmp -> $live failed")
+          if (fs.exists(old)) require(fs.delete(old, true),
+            s"recovered but could not delete $old")
+        } else if (fs.exists(old))
+          require(fs.rename(old, live), s"recovery rename $old -> $live failed")
+      }
+    def swap(live: Path, tmp: Path, old: Path): Unit = {
+      if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
+      require(fs.rename(live, old), s"rename $live -> $old failed")
+      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+      require(fs.delete(old, true), s"compacted but could not delete $old")
+    }
+    def compactDir(baseTable: String, schema: String)
+                  (fold: DataFrame => DataFrame): Unit = {
+      val live = new Path(tableLocation(spark, baseTable) + "_delta")
+      val tmp = new Path(s"${live}_compacting")
+      val old = new Path(s"${live}_old")
+      heal(live, tmp, old)
+      if (!fs.exists(live)) return // never appended — nothing to fold
+      fold(spark.read.schema(schema).parquet(live.toString)
+          .withColumn("ingest_batch", lit(-1L)))
+        .write.partitionBy("ingest_batch" +:
+          (if (schema.contains("pbkt")) Seq("pbkt") else Nil): _*)
+        .mode("overwrite").parquet(tmp.toString)
+      swap(live, tmp, old)
+    }
+    compactDir(s"${table}_post",
+      "tok string, doc_id long, tf long, dl long, " +
+        "ingest_batch long, pbkt long") {
+      // one output file per pbkt partition — the pruned-read layout
+      _.repartition(col("pbkt"))
+    }
+    compactDir(s"${table}_df",
+      "tok string, df long, ingest_batch long, pbkt long") {
+      _.groupBy(col("tok"), col("pbkt"), col("ingest_batch"))
+        .agg(sum(col("df")).as("df"))
+        .select(col("tok"), col("df"), col("ingest_batch"), col("pbkt"))
+        .repartition(col("pbkt"))
+    }
+    compactDir(s"${table}_meta", "n long, t long, ingest_batch long") {
+      _.groupBy(col("ingest_batch"))
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+        .select(col("n"), col("t"), col("ingest_batch"))
+    }
   }
 
   /** Rank a document batch against FROZEN BM25 stats

@@ -163,6 +163,41 @@ class GridRelationalSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("C9 q22: scalar-threshold cross is the only BNLJ, anti-join planned, brute-force parity") {
+    import graft.operators.Relational
+    val out = Relational.q22DormantCapital(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    // NOT EXISTS → LeftAnti equi-join; the single BNLJ is the
+    // declared one-row scalar-aggregate broadcast cross (the Q22
+    // scalar-subquery spelling), never a row-by-row product
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoop".r.findAllIn(plan).size <= 1, plan)
+    // brute-force parity with plain collections + BigDecimal (the
+    // same scale-2 HALF_UP rounding as the dec2 cast)
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("int"),
+        col("c_acctbal")).as[(Long, Int, Double)].collect()
+    val pos = cust.filter(_._3 > 0)
+    val (sPos, nPos) = (pos.map(c => d2(c._3)).sum, pos.length)
+    val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime / 1000L
+    val active = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("long"), col("o_orderdate").cast("long"))
+      .as[(Long, Long)].collect()
+      .filter(_._2 >= cutoff).map(_._1).toSet
+    val want = cust.iterator
+      .filter(c => d2(c._3) * nPos > sPos && !active.contains(c._1))
+      .toSeq.groupBy(_._2)
+      .map { case (nk, cs) =>
+        nk -> (cs.size.toLong, cs.map(c => d2(c._3)).sum.toDouble) }
+    val got = out.select(col("c_nationkey"), col("n_cust"), col("total_bal"))
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)

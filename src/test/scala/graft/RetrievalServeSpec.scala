@@ -170,6 +170,54 @@ class RetrievalServeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/bm25_meta_delta").count() === 2L)
   }
 
+  test("compactBm25Index folds delta batches into one segment: serve unchanged, files bounded, appends continue") {
+    val p = java.nio.file.Files.createTempDirectory("graft_bm25cmp").toString
+    TextAnalysis.writeBm25Stats(docs.filter(col("doc_id") % 2 === 0),
+      "cmp_spec_bm25", s"$p/bm25")
+    // three delta batches, then compact
+    Seq(1L, 3L, 5L).zipWithIndex.foreach { case (m, i) =>
+      TextAnalysis.appendToBm25Index(
+        docs.filter(col("doc_id") % 8 === m), "cmp_spec_bm25",
+        ingestBatch = i.toLong) }
+    val before = TextAnalysis.bm25TopKFromIndex(spark, "cmp_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    def files(dir: String) = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val postFilesBefore = files(s"$p/bm25_post_delta")
+    val dfRowsBefore = spark.read.parquet(s"$p/bm25_df_delta").count()
+    TextAnalysis.compactBm25Index(spark, "cmp_spec_bm25")
+    // serve identical; everything folded into the -1 segment
+    val after = TextAnalysis.bm25TopKFromIndex(spark, "cmp_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(after === before && after.nonEmpty)
+    val post = spark.read.parquet(s"$p/bm25_post_delta")
+    assert(post.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(files(s"$p/bm25_post_delta") < postFilesBefore)
+    // df increments aggregated: strictly fewer rows, same mass
+    assert(spark.read.parquet(s"$p/bm25_df_delta").count() < dfRowsBefore)
+    assert(spark.read.parquet(s"$p/bm25_meta_delta").count() === 1L)
+    // a fresh append after compaction still serves correctly
+    TextAnalysis.appendToBm25Index(
+      docs.filter(col("doc_id") % 8 === 7), "cmp_spec_bm25",
+      ingestBatch = 3L)
+    val grown = TextAnalysis.bm25TopKFromIndex(spark, "cmp_spec_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    val expect = TextAnalysis.bm25TopK(
+        docs.filter(col("doc_id") % 2 === 0 || col("doc_id") % 8 === 1 ||
+          col("doc_id") % 8 === 3 || col("doc_id") % 8 === 5 ||
+          col("doc_id") % 8 === 7), terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(grown === expect)
+    // the reserved segment id refuses direct appends
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(docs.limit(1), "cmp_spec_bm25",
+        ingestBatch = -1L) }
+    assert(e.getMessage.contains("reserved"))
+    Seq("_df", "_meta", "_post").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS cmp_spec_bm25$sfx"))
+  }
+
   test("live hybrid: arrivals appended to BOTH indexes serve the full-build page (exhaustive probing)") {
     // build the serve artifacts on HALF the corpus, append the other
     // half to both legs (appendToBm25Index delta segments +
