@@ -563,8 +563,14 @@ object EventStream {
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // dedup BEFORE the append (the streamingRetrievalServe r10
+        // lesson): a doc_id duplicated within one micro-batch would
+        // double-count its df/n/t mass in the delta segment — a
+        // silent score skew, not an error. First (doc_id, text) row
+        // per id wins, matching the append's new-doc_ids contract.
         graft.operators.TextAnalysis.appendToBm25Index(
-          batch.select("doc_id", "text"), table, ingestBatch = batchId)
+          batch.select("doc_id", "text").dropDuplicates("doc_id"),
+          table, ingestBatch = batchId)
         onPage(batchId, graft.operators.TextAnalysis.bm25TopKFromIndex(
           spark, table, terms, k))
       }

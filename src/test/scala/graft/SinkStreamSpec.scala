@@ -1105,7 +1105,9 @@ class SinkStreamSpec extends SparkSpec {
     val planted = 999999L -> ("spark window merge dup " * 10).trim
     mem.addData(b0.as[(Long, String)].collect().toIndexedSeq)
     q.processAllAvailable()
-    mem.addData(IndexedSeq(planted))
+    // the planted doc arrives DUPLICATED in its batch — the ingest
+    // must dedup before appending, or its df/n/t mass double-counts
+    mem.addData(IndexedSeq(planted, planted))
     q.processAllAvailable()
     q.stop()
     // every page ≡ a full one-pass rebuild over base ∪ arrivals so

@@ -37,7 +37,11 @@ object StreamDrive {
     import graft.streaming.EventStream.CumulReading
     val cum = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .select(concat(lit("s"), (col("value") % 3).cast("string")).as("station"),
-        col("timestamp").as("ts"), col("value").cast("double").as("value"))
+        col("timestamp").as("ts"), col("value").cast("double").as("value"),
+        // the encoder wants every CumulReading field even with its
+        // default; the rate source is strictly increasing per station
+        // so the tie-break id can stay constant
+        lit(0L).as("id"))
       .as[CumulReading]
     val q2 = EventStream.streamingIntervalDiff(cum)
       .writeStream.format("memory").queryName("drive_diffs")
