@@ -75,27 +75,31 @@ object SparkEntry {
   private[graft] val annIsQuery: Column = col("vec_id") % 50 === 0
 
   /** Temp dirs created by index-building catalog entries
-    * (retrieval_serve, ann_ivf_filtered_indexed), swept by ONE JVM
-    * shutdown hook (r10 ADVICE: per-invocation dirs used to
-    * accumulate in /tmp across verify+bench reps forever). Deletion
-    * can't happen inside the entry itself — the returned frame is
-    * LAZY and still reads the index when the driver materializes it —
-    * so exit-time sweep is the earliest safe point. */
+    * (retrieval_serve, ann_ivf_filtered_indexed,
+    * text_bm25_incremental), swept by ONE JVM shutdown hook (r10
+    * ADVICE: per-invocation dirs used to accumulate in /tmp across
+    * verify+bench reps forever). Deletion can't happen inside the
+    * entry itself — the returned frame is LAZY and still reads the
+    * index when the driver materializes it. A bench run with reps×
+    * entries invocations would still hold every copy until exit, so
+    * creating a NEW dir for a prefix sweeps that prefix's PREVIOUS
+    * dir (r11): safe because the driver contract materializes each
+    * invocation's frame (Verify's parquet write, Bench's noop save)
+    * before the next invocation of the same entry runs — at most one
+    * live copy per entry plus the final one for the exit hook. */
   private val tempIndexDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
   private lazy val tempSweepHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempIndexDirs.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(p.toFile)
-      }))
+      tempIndexDirs.values.forEach(p => rmTree(p.toFile))))
   private def tempIndexDir(prefix: String): String = {
     tempSweepHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    tempIndexDirs.add(p)
+    Option(tempIndexDirs.put(prefix, p)).foreach(prev => rmTree(prev.toFile))
     p.toString
   }
 

@@ -1034,14 +1034,27 @@ object Similarity {
     * break any later read that materializes it. */
   private def withLabel(emb: DataFrame,
                         existing: org.apache.spark.sql.types.StructType): DataFrame =
-    if (emb.columns.contains("label"))
+    if (emb.columns.contains("label")) {
       // cast a PRESENT label to the lists' stored type too (r11):
       // labelBucket hashes by physical type, so an int-labeled index
       // appended with string labels would bucket "2" away from 2 —
       // rows landing in partitions no serve ever prunes to, a silent
-      // recall hole rather than an error
-      emb.withColumn("label", col("label").cast(existing("label").dataType))
-    else emb.withColumn("label",
+      // recall hole rather than an error. And the cast itself must
+      // fail LOUDLY: an uncastable label (say "cat-a" into an int
+      // index) would cast to null and write rows no filtered serve's
+      // label equality can ever match — permanently unreachable, the
+      // very hole the cast exists to close. Batches are bounded by
+      // the ingest contract, so the integrity job is cheap.
+      val t = existing("label").dataType
+      // try_cast for the probe: under ANSI the plain cast THROWS on
+      // malformed input mid-write — this require fires first with
+      // the targeted message (and catches non-ANSI silent nulls too)
+      require(emb.filter(col("label").isNotNull &&
+          expr(s"try_cast(label AS ${t.sql})").isNull).isEmpty,
+        s"label values not castable to the index's stored type $t " +
+          "would become unreachable null-label rows — fix the batch")
+      emb.withColumn("label", col("label").cast(t))
+    } else emb.withColumn("label",
       lit(null).cast(existing("label").dataType))
 
   /** Incremental IVF index maintenance — the ANN dual of
@@ -1298,6 +1311,13 @@ object Similarity {
     // into a different bucket space and prune to nothing
     val storedLabelType =
       spark.read.parquet(s"$path/lists").schema("label").dataType
+    // loud, not silent (the withLabel rationale): an uncastable query
+    // label would cast to null and fall to the isNotNull filter — an
+    // empty page instead of an error. Query frames are bounded.
+    require(queries.filter(col("label").isNotNull &&
+        expr(s"try_cast(label AS ${storedLabelType.sql})").isNull).isEmpty,
+      s"query label values not castable to the index's stored type " +
+        s"$storedLabelType would silently prune to nothing — fix the query")
     val q = prepared(queries.withColumn("label",
         col("label").cast(storedLabelType)))
       .filter(col("n2") > 0 && col("label").isNotNull)

@@ -679,22 +679,19 @@ object TextAnalysis {
     * time and never again at serve time ([[bm25TopKFromIndex]]). */
   def writeBm25Stats(docs: DataFrame, table: String, path: String,
                      buckets: Int = 64): Unit = {
+    // three artifact builds = three scans of the corpus, deliberately
+    // UNCACHED here: at index-build scale, persisting the tokenized
+    // corpus trades three cheap parallel scans for a cluster-wide
+    // spill (contrast appendToBm25Index, whose batches are bounded)
     val base = bm25DocStats(docs)
-    base.select(explode(array_distinct(col("toks"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25DfCounts(base)
       .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
       .option("path", s"${path}_df").mode("overwrite")
       .saveAsTable(s"${table}_df")
-    base.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("t"))
+    bm25Meta(base)
       .write.format("parquet").option("path", s"${path}_meta")
       .mode("overwrite").saveAsTable(s"${table}_meta")
-    // postings: one shuffle on (tok, doc_id); dl rides the groupBy
-    // (functionally dependent on doc_id) so serve needs no dl join
-    base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    bm25Postings(base)
       .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
       .option("path", s"${path}_post").mode("overwrite")
       .saveAsTable(s"${table}_post")
@@ -703,10 +700,29 @@ object TextAnalysis {
   /** `(doc_id, toks, dl)` — the ONE tokenization every BM25 artifact
     * builder shares ([[writeBm25Stats]], [[appendToBm25Index]]): a
     * drifted tokenizer between build and append would make appended
-    * postings incomparable with the base index. */
+    * postings incomparable with the base index. The three builders
+    * below are shared for the same reason — the append path's
+    * equality-to-rebuild contract rests on the delta segments being
+    * built by the very spellings that built the base artifacts. */
   private def bm25DocStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long"))
+
+  /** Postings: one shuffle on (tok, doc_id); dl rides the groupBy
+    * (functionally dependent on doc_id) so serve needs no dl join. */
+  private def bm25Postings(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+
+  private def bm25DfCounts(base: DataFrame): DataFrame =
+    base.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  private def bm25Meta(base: DataFrame): DataFrame =
+    base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("t"))
 
   /** Token-hash partition count for the DELTA segment layout — a
     * CONSTANT, deliberately not a knob: the serve prunes delta
@@ -778,33 +794,36 @@ object TextAnalysis {
     require(ingestBatch != -1L,
       "ingest_batch -1 is reserved for compacted segments (compactBm25Index)")
     val spark = docs.sparkSession
+    // batches are bounded by the ingest contract, so the tokenized
+    // frame is persisted for the emptiness probe + three delta
+    // builds — one tokenization pass, not four (contrast
+    // writeBm25Stats, where caching the whole corpus would spill)
     val base = bm25DocStats(docs)
-    if (base.isEmpty) return
-    val pbkt = pmod(xxhash64(col("tok")), lit(Bm25DeltaBuckets))
-    base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
-      .write.partitionBy("ingest_batch", "pbkt")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(tableLocation(spark, s"${table}_post") + "_delta")
-    base.select(explode(array_distinct(col("toks"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .select(col("tok"), col("df"),
-        lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
-      .write.partitionBy("ingest_batch", "pbkt")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(tableLocation(spark, s"${table}_df") + "_delta")
-    base.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("t"))
-      .select(col("n"), col("t"), lit(ingestBatch).as("ingest_batch"))
-      .write.partitionBy("ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(tableLocation(spark, s"${table}_meta") + "_delta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (base.isEmpty) return
+      val pbkt = pmod(xxhash64(col("tok")), lit(Bm25DeltaBuckets))
+      bm25Postings(base)
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
+        .write.partitionBy("ingest_batch", "pbkt")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tableLocation(spark, s"${table}_post") + "_delta")
+      bm25DfCounts(base)
+        .select(col("tok"), col("df"),
+          lit(ingestBatch).as("ingest_batch"), pbkt.as("pbkt"))
+        .write.partitionBy("ingest_batch", "pbkt")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tableLocation(spark, s"${table}_df") + "_delta")
+      bm25Meta(base)
+        .select(col("n"), col("t"), lit(ingestBatch).as("ingest_batch"))
+        .write.partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tableLocation(spark, s"${table}_meta") + "_delta")
+    } finally base.unpersist()
   }
 
   /** Compact a BM25 index's delta segments: fold every append

@@ -336,15 +336,15 @@ object EventStream {
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // distinct BEFORE the per-id serve loop (r10 ADVICE): a
+        // dedup BEFORE the per-id serve loop (r10 ADVICE): a
         // duplicate vec_id in one micro-batch would otherwise hand
         // serve a multi-row queryVec — duplicated probe rows inside
-        // the per-query rank window and a double-emitted page. serve
-        // itself now also REQUIRES a one-row frame; dropDuplicates
-        // keeps the first (vec_id, embedding) row per id.
-        val dedup = batch.dropDuplicates("vec_id")
+        // the per-query rank window and a double-emitted page.
+        // dedupById picks the max-payload row, so a replay serves
+        // the SAME page the original attempt did.
+        val dedup = dedupById(batch, "vec_id")
         val ids = dedup.select(col("vec_id"))
-          .collect().map(_.getLong(0)).distinct.sorted
+          .collect().map(_.getLong(0)).sorted
         val pages = ids.toSeq.map { id =>
           graft.operators.Retrieval.serve(spark, table, path, emb,
             dedup.filter(col("vec_id") === lit(id)), cfg)
@@ -492,6 +492,22 @@ object EventStream {
     * store, sharded on the coarse list, nothing lives in executor
     * memory, and a restart resumes from the index as-is.
     */
+  /** Deterministic per-id dedup for micro-batch INGESTION: one row
+    * per id, the max of the remaining columns' struct. At-least-once
+    * sources may repeat an id within a batch — identical payloads
+    * (the common case) collapse to that payload, and a conflicting
+    * re-send still resolves to the SAME winner on every replay.
+    * `dropDuplicates` would keep a partition-order-dependent row,
+    * so a crash-replay could emit a different page (and append a
+    * different vector) than the original attempt — breaking the
+    * replay-idempotence the ingest functions promise. */
+  private def dedupById(df: DataFrame, id: String): DataFrame = {
+    val others = df.columns.filter(_ != id).toSeq
+    df.groupBy(col(id))
+      .agg(max(struct(others.map(col): _*)).as("__s"))
+      .select(col(id) +: others.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
   def streamingAnnIngest(emb: DataFrame, indexPath: String, k: Int,
                          nprobe: Int = 4,
                          onNeighbors: (Long, DataFrame) => Unit)
@@ -500,18 +516,24 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
+        // in-batch id dedup BEFORE serve and append: a duplicated
+        // vec_id would otherwise be written twice into the ingest
+        // partition — permanently occupying two of every later
+        // page's k slots (dynamic overwrite dedups whole-batch
+        // replays, not rows within one batch)
+        val b = dedupById(batch, "vec_id")
         // excludeIngestBatch: under crash-replay this batch's vectors
         // are already in the index — without the exclusion every
         // replayed query would match its own copy at cos 1.0 rank 1
         onNeighbors(batchId, Similarity.ivfTopKFromIndex(spark, indexPath,
-          batch.select("vec_id", "embedding"), k, nprobe,
+          b.select("vec_id", "embedding"), k, nprobe,
           selfExclude = false, excludeIngestBatch = Some(batchId)))
         // keyed by the streaming batch id: a crash-replay of this
         // batch REPLACES its ingest partition instead of duplicating
         // the vectors (dynamic partition overwrite — see the append's
         // scaladoc); this is what makes "restart resumes from the
         // index as-is" true under at-least-once foreachBatch
-        Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
+        Similarity.appendToIvfIndex(b, indexPath, ingestBatch = batchId)
       }
 
   /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout
@@ -535,10 +557,13 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
+        // same in-batch id dedup as the unfiltered flavor — a
+        // duplicated arrival would permanently hold two index rows
+        val b = dedupById(batch, "vec_id")
         onNeighbors(batchId, Similarity.filteredTopKFromIndex(spark, indexPath,
-          batch.select("vec_id", "embedding", "label"), k, nprobe,
+          b.select("vec_id", "embedding", "label"), k, nprobe,
           selfExclude = false, excludeIngestBatch = Some(batchId)))
-        Similarity.appendToIvfIndex(batch, indexPath, ingestBatch = batchId)
+        Similarity.appendToIvfIndex(b, indexPath, ingestBatch = batchId)
       }
 
   /** F24-as-a-LIVE-index (r11): the lexical dual of
@@ -566,10 +591,10 @@ object EventStream {
         // dedup BEFORE the append (the streamingRetrievalServe r10
         // lesson): a doc_id duplicated within one micro-batch would
         // double-count its df/n/t mass in the delta segment — a
-        // silent score skew, not an error. First (doc_id, text) row
-        // per id wins, matching the append's new-doc_ids contract.
+        // silent score skew, not an error. dedupById's deterministic
+        // winner keeps replays appending the identical segment.
         graft.operators.TextAnalysis.appendToBm25Index(
-          batch.select("doc_id", "text").dropDuplicates("doc_id"),
+          dedupById(batch.select("doc_id", "text"), "doc_id"),
           table, ingestBatch = batchId)
         onPage(batchId, graft.operators.TextAnalysis.bm25TopKFromIndex(
           spark, table, terms, k))

@@ -1079,6 +1079,18 @@ class SinkStreamSpec extends SparkSpec {
     // and some of those files are post-build ingest partitions — the
     // pruning claim covers the appended data, not just the base write
     assert(files.exists(f => !f.contains("ingest_batch=-1")), files.mkString("\n"))
+
+    // an UNCASTABLE label fails loudly at both entry points (r11
+    // review): silently cast-to-null rows would be unreachable by
+    // every filtered serve — the hole the cast exists to close
+    val badBatch = b0.limit(2).withColumn("label", lit("cat-a"))
+    val eA = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(badBatch, path, ingestBatch = 7L) }
+    assert(eA.getMessage.contains("unreachable"))
+    val eS = intercept[IllegalArgumentException] {
+      Similarity.filteredTopKFromIndex(spark, path, badBatch, 1, nprobe = 1)
+        .collect() }
+    assert(eS.getMessage.contains("prune to nothing"))
   }
 
   test("streamingBm25Ingest: the standing page tracks arrivals, scores ≡ full rebuild, replay-idempotent") {
