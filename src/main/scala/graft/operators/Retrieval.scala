@@ -82,7 +82,32 @@ object Retrieval {
     * s6 ≤ ~2e6·k is held exactly by the double). */
   def serve(spark: SparkSession, table: String, path: String,
             emb: DataFrame, queryVec: DataFrame,
-            cfg: ServeConfig): DataFrame = {
+            cfg: ServeConfig): DataFrame =
+    page(spark, table, path, Similarity.preparedNonZeroFrame(emb),
+      queryVec, cfg)
+
+  /** [[serve]] with the INDEX ITSELF as the MMR vector source: the
+    * written IVF lists already hold every vector in prepared form
+    * `(vec_id, label, v, n2)` — base and appended alike — so the
+    * serve needs NO external embeddings table at all. This is the
+    * live-ingest serve shape ([[graft.streaming.EventStream
+    * .streamingHybridIngest]]): after arrivals append to both legs,
+    * the page re-serves from exactly three artifacts (BM25 index +
+    * IVF index + nothing else), and a restart needs only them. */
+  def serveFromIndex(spark: SparkSession, table: String, path: String,
+                     queryVec: DataFrame, cfg: ServeConfig): DataFrame =
+    page(spark, table, path,
+      spark.read.parquet(s"$path/ivf/lists")
+        .select(col("vec_id"), col("label"), col("v"), col("n2"))
+        .filter(col("n2") > 0),
+      queryVec, cfg)
+
+  /** The shared page pipeline; `vecs` is a prepared non-zero vector
+    * frame (the [[graft.operators.Similarity.prepared]] shape) for
+    * the MMR rerank's sim matrix. */
+  private def page(spark: SparkSession, table: String, path: String,
+                   vecs: DataFrame, queryVec: DataFrame,
+                   cfg: ServeConfig): DataFrame = {
     require(cfg.terms.nonEmpty, "serve needs at least one query term")
     val lex = TextAnalysis.bm25TopKFromIndex(spark, table,
       cfg.terms, cfg.kLex).select(col("doc_id"), col("rank"))
@@ -100,9 +125,7 @@ object Retrieval {
     val qId = qRows(0).getLong(0)
     val cand = fused.select(lit(qId).as("q_id"), col("doc_id").as("n_id"),
       round(col("rrf_score") * 1e6, 0).cast("long").as("rel_u"))
-    Similarity.mmrGreedy(spark,
-        Similarity.preparedNonZeroFrame(emb), cand,
-        cfg.kOut, cfg.lamN, cfg.lamD)
+    Similarity.mmrGreedy(spark, vecs, cand, cfg.kOut, cfg.lamN, cfg.lamD)
       .select(col("q_id"), col("doc_id"),
         (col("rel_u").cast("double") / lit(1e6)).as("rrf_score"),
         col("mmr_score"), col("rank"))

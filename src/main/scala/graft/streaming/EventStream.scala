@@ -600,6 +600,40 @@ object EventStream {
           spark, table, terms, k))
       }
 
+  /** The fully-LIVE hybrid channel (r11): micro-batches of
+    * `(doc_id, text, embedding)` arrivals append to BOTH serve legs —
+    * BM25 delta segments ([[graft.operators.TextAnalysis
+    * .appendToBm25Index]]) and the frozen-quantizer IVF lists
+    * ([[graft.operators.Similarity.appendToIvfIndex]], vec_id ≡
+    * doc_id, the corpus_integrity contract) — then the STANDING
+    * query's diversified page re-serves from the indexes alone
+    * ([[graft.operators.Retrieval.serveFromIndex]] — the IVF lists
+    * double as the MMR vector source, so there is NO side
+    * embeddings table). The two indexes are the entire state;
+    * replays overwrite their own batch partitions on both legs, and
+    * a restart needs only the artifacts. The streaming capstone of
+    * the live-hybrid freshness contract (RetrievalServeSpec): at
+    * exhaustive probing every page ≡ the page a full re-index would
+    * serve. */
+  def streamingHybridIngest(arrivals: DataFrame, table: String,
+                            path: String, queryVec: DataFrame,
+                            cfg: graft.operators.Retrieval.ServeConfig,
+                            onPage: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = dedupById(batch.select("doc_id", "text", "embedding"),
+          "doc_id")
+        graft.operators.TextAnalysis.appendToBm25Index(
+          b.select("doc_id", "text"), table, ingestBatch = batchId)
+        graft.operators.Similarity.appendToIvfIndex(
+          b.select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$path/ivf", ingestBatch = batchId)
+        onPage(batchId, graft.operators.Retrieval.serveFromIndex(
+          spark, table, path, queryVec, cfg))
+      }
+
   /** One cumulative reading (the shape RAINNC arrives in). `id` is the
     * per-station event id that breaks timestamp ties — the batch
     * flavors order by (time, id), and carrying it here lets the

@@ -245,6 +245,12 @@ class RetrievalServeSpec extends SparkSpec {
     val full = Retrieval.serve(spark, "live_hyb_full_bm25", pf, emb, query, cfg)
       .collect().toSeq.map(_.toSeq)
     assert(live === full && live.nonEmpty)
+    // serveFromIndex: the IVF lists as the MMR vector source — no
+    // side embeddings table — must produce the identical page (the
+    // lists hold every vector, base and appended, in prepared form)
+    val fromIdx = Retrieval.serveFromIndex(spark, "live_hyb_bm25", p,
+      query, cfg).collect().toSeq.map(_.toSeq)
+    assert(fromIdx === full)
     Seq("live_hyb_bm25", "live_hyb_full_bm25").foreach { t =>
       Seq("_df", "_meta", "_post").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")) }

@@ -1144,6 +1144,54 @@ class SinkStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_si_post")
   }
 
+  test("streamingHybridIngest: both legs go live, every page ≡ the full re-index's page") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Retrieval, TextAnalysis}
+    val terms = Seq("spark", "window", "merge", "dup")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val p = java.nio.file.Files.createTempDirectory("graft_shyb").toString
+    Retrieval.buildArtifacts(docs.filter(col("doc_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 0), "shyb_bm25", p, nlist = 8)
+
+    // the other half arrives in two batches: (doc_id, text, embedding)
+    def slice(m: Long) = docs.filter(col("doc_id") % 4 === m)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .select("doc_id", "text", "embedding")
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingHybridIngest(
+      mem.toDF().toDF("doc_id", "text", "embedding"), "shyb_bm25", p,
+      query, cfg,
+      onPage = (id, df) => got(id) = df.collect().toSeq.map(_.toSeq)).start()
+    mem.addData(slice(1).as[(Long, String, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(slice(3).as[(Long, String, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // every live page ≡ the page full-built artifacts over the same
+    // corpus state would serve (exhaustive probing: quantizer drift
+    // can't matter) — the freshness contract, live on both legs
+    def fullPage(keep: String => org.apache.spark.sql.Column): Seq[Seq[Any]] = {
+      val pf = java.nio.file.Files.createTempDirectory("graft_shyb_f").toString
+      Retrieval.buildArtifacts(docs.filter(keep("doc_id")),
+        emb.filter(keep("vec_id")), "shyb_full_bm25", pf, nlist = 8)
+      Retrieval.serve(spark, "shyb_full_bm25", pf, emb, query, cfg)
+        .collect().toSeq.map(_.toSeq)
+    }
+    // page 0: evens + %4==1; page 1: evens + all odds = everything
+    val exp0 = fullPage(c => col(c) % 2 === 0 || col(c) % 4 === 1)
+    assert(got(0L) === exp0 && got(0L).nonEmpty)
+    val exp1 = fullPage(_ => lit(true))
+    assert(got(1L) === exp1)
+    Seq("shyb_bm25", "shyb_full_bm25").foreach { t =>
+      Seq("_df", "_meta", "_post").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")) }
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
