@@ -1048,11 +1048,14 @@ object Similarity {
       val t = existing("label").dataType
       // try_cast for the probe: under ANSI the plain cast THROWS on
       // malformed input mid-write — this require fires first with
-      // the targeted message (and catches non-ANSI silent nulls too)
-      require(emb.filter(col("label").isNotNull &&
-          expr(s"try_cast(label AS ${t.sql})").isNull).isEmpty,
-        s"label values not castable to the index's stored type $t " +
-          "would become unreachable null-label rows — fix the batch")
+      // the targeted message (and catches non-ANSI silent nulls too).
+      // Skipped when the types already match (the steady state): an
+      // identity cast cannot null, and the probe is a full-batch job
+      if (emb.schema("label").dataType != t)
+        require(emb.filter(col("label").isNotNull &&
+            expr(s"try_cast(label AS ${t.sql})").isNull).isEmpty,
+          s"label values not castable to the index's stored type $t " +
+            "would become unreachable null-label rows — fix the batch")
       emb.withColumn("label", col("label").cast(t))
     } else emb.withColumn("label",
       lit(null).cast(existing("label").dataType))
@@ -1077,6 +1080,15 @@ object Similarity {
     * ids; [[writeIvfIndex]] writes the base corpus as batch −1. */
   def appendToIvfIndex(emb: DataFrame, path: String,
                        ingestBatch: Long): Unit = {
+    // -1 is the BASE partition ([[writeIvfIndex]]'s write, and what
+    // [[compactIvfIndex]] folds into): dynamic overwrite keyed on it
+    // would REPLACE base-corpus rows in every touched list — silent
+    // recall destruction, the worst failure mode an append can have
+    // (the appendToBm25Index guard, where the blast radius is merely
+    // a duplicated segment, exists for the same reason)
+    require(ingestBatch != -1L,
+      "ingest_batch -1 is reserved for the base/compacted lists — " +
+        "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
@@ -1105,6 +1117,9 @@ object Similarity {
     * at write time; `ingestBatch` as in [[appendToIvfIndex]]. */
   def appendToIvfPqIndex(emb: DataFrame, path: String,
                          ingestBatch: Long): Unit = {
+    require(ingestBatch != -1L,
+      "ingest_batch -1 is reserved for the base/compacted lists — " +
+        "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val cbMat = readCodebookMat(spark, path)
@@ -1148,18 +1163,8 @@ object Similarity {
     val old = new Path(s"$path/lists_old")
     val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
     // crash recovery from a previous compaction that died mid-swap
-    if (!fs.exists(lists)) {
-      if (fs.exists(tmp)) {
-        // the old lists were already moved away, the compacted dir is
-        // complete (tmp is only ever renamed-from AFTER its write
-        // finished) — finish the swap
-        require(fs.rename(tmp, lists), s"recovery rename $tmp -> $lists failed")
-        if (fs.exists(old)) require(fs.delete(old, true),
-          s"recovered but could not delete $old")
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, lists), s"recovery rename $old -> $lists failed")
-      }
-    }
+    // (the shared protocol — see IndexMaintenance)
+    IndexMaintenance.heal(fs, lists, tmp, old)
     // repartition on the list id: one shuffle sized by nlist, one
     // output file per list — the ideal serve layout (a label-bucketed
     // E12 layout keeps its lbl subpartitioning through compaction)
@@ -1171,10 +1176,7 @@ object Similarity {
       else Seq("c_id", "ingest_batch")
     folded.write.partitionBy(partCols: _*)
       .mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
-    require(fs.rename(lists, old), s"rename $lists -> $old failed")
-    require(fs.rename(tmp, lists), s"rename $tmp -> $lists failed")
-    require(fs.delete(old, true), s"compacted but could not delete $old")
+    IndexMaintenance.swap(fs, lists, tmp, old)
   }
 
   /** The ONE probe-and-prune spelling every index serve and the
@@ -1314,10 +1316,11 @@ object Similarity {
     // loud, not silent (the withLabel rationale): an uncastable query
     // label would cast to null and fall to the isNotNull filter — an
     // empty page instead of an error. Query frames are bounded.
-    require(queries.filter(col("label").isNotNull &&
-        expr(s"try_cast(label AS ${storedLabelType.sql})").isNull).isEmpty,
-      s"query label values not castable to the index's stored type " +
-        s"$storedLabelType would silently prune to nothing — fix the query")
+    if (queries.schema("label").dataType != storedLabelType)
+      require(queries.filter(col("label").isNotNull &&
+          expr(s"try_cast(label AS ${storedLabelType.sql})").isNull).isEmpty,
+        s"query label values not castable to the index's stored type " +
+          s"$storedLabelType would silently prune to nothing — fix the query")
     val q = prepared(queries.withColumn("label",
         col("label").cast(storedLabelType)))
       .filter(col("n2") > 0 && col("label").isNotNull)

@@ -729,7 +729,7 @@ object TextAnalysis {
     * partitions by recomputing each query term's bucket, and a
     * build/serve disagreement on B would prune to the WRONG
     * partitions — silently missing postings, not erroring. */
-  private val Bm25DeltaBuckets = 64L
+  private[graft] val Bm25DeltaBuckets = 64L
 
   private def tableLocation(spark: org.apache.spark.sql.SparkSession,
                             name: String): String =
@@ -856,34 +856,19 @@ object TextAnalysis {
     import org.apache.hadoop.fs.Path
     val fs = new Path(tableLocation(spark, s"${table}_post"))
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def heal(live: Path, tmp: Path, old: Path): Unit =
-      if (!fs.exists(live)) {
-        if (fs.exists(tmp)) {
-          require(fs.rename(tmp, live), s"recovery rename $tmp -> $live failed")
-          if (fs.exists(old)) require(fs.delete(old, true),
-            s"recovered but could not delete $old")
-        } else if (fs.exists(old))
-          require(fs.rename(old, live), s"recovery rename $old -> $live failed")
-      }
-    def swap(live: Path, tmp: Path, old: Path): Unit = {
-      if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
-      require(fs.rename(live, old), s"rename $live -> $old failed")
-      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-      require(fs.delete(old, true), s"compacted but could not delete $old")
-    }
     def compactDir(baseTable: String, schema: String)
                   (fold: DataFrame => DataFrame): Unit = {
       val live = new Path(tableLocation(spark, baseTable) + "_delta")
       val tmp = new Path(s"${live}_compacting")
       val old = new Path(s"${live}_old")
-      heal(live, tmp, old)
+      IndexMaintenance.heal(fs, live, tmp, old)
       if (!fs.exists(live)) return // never appended — nothing to fold
       fold(spark.read.schema(schema).parquet(live.toString)
           .withColumn("ingest_batch", lit(-1L)))
         .write.partitionBy("ingest_batch" +:
           (if (schema.contains("pbkt")) Seq("pbkt") else Nil): _*)
         .mode("overwrite").parquet(tmp.toString)
-      swap(live, tmp, old)
+      IndexMaintenance.swap(fs, live, tmp, old)
     }
     compactDir(s"${table}_post",
       "tok string, doc_id long, tf long, dl long, " +

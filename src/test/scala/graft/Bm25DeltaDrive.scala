@@ -38,9 +38,13 @@ object Bm25DeltaDrive {
       if (!new java.io.File(dir).isDirectory) (0L, 0L)
       else {
         // the serve's own pruned read shape: terms' pbkt partitions
+        // the ONE bucket-count spelling (TextAnalysis.Bm25DeltaBuckets):
+        // a second literal here would silently read the wrong
+        // partitions if the constant ever moved
         val d = spark.read.parquet(dir)
           .filter(terms.map(t => col("pbkt") ===
-            pmod(xxhash64(lit(t)), lit(64L))).reduce(_ || _) &&
+            pmod(xxhash64(lit(t)),
+              lit(TextAnalysis.Bm25DeltaBuckets))).reduce(_ || _) &&
             col("tok").isin(terms: _*))
         (d.count(), d.select(input_file_name()).distinct().count())
       }
@@ -75,6 +79,14 @@ object Bm25DeltaDrive {
     val full = TextAnalysis.bm25TopK(docs, terms, 20)
       .orderBy("rank").collect().toSeq.map(_.toSeq)
     println(s"bm25_delta[parity]: ${if (served == full) "EXACT" else "MISMATCH"}")
+    // sweep the index copy — a measurement drive must not leave half
+    // a corpus' postings in /tmp per run (the r10 ADVICE lesson)
+    Seq("_df", "_meta", "_post").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS bm25_dd$sfx"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path))
     spark.stop()
   }
 }
