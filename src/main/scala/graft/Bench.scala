@@ -93,7 +93,11 @@ object Bench {
     // comparable with r1-r10 lines.
     val driftIso = {
       val names = Seq("dedup_ngram_jaccard", "dedup_survivors", "dedup_cluster")
-      val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISO_REPS", "7").toInt.max(3)
+      // toIntOption: a malformed env value degrades to the default
+      // like every other failure in this block, instead of killing
+      // the whole bench run outside the per-entry handler
+      val isoReps = sys.env.get("SPARK_GRAFT_ISO_REPS")
+        .flatMap(_.toIntOption).getOrElse(7).max(3)
       names.flatMap { name =>
         SparkEntry.queries.get(name).flatMap { fn =>
           try {

@@ -82,24 +82,36 @@ object SparkEntry {
     * entry itself — the returned frame is LAZY and still reads the
     * index when the driver materializes it. A bench run with reps×
     * entries invocations would still hold every copy until exit, so
-    * creating a NEW dir for a prefix sweeps that prefix's PREVIOUS
-    * dir (r11): safe because the driver contract materializes each
-    * invocation's frame (Verify's parquet write, Bench's noop save)
-    * before the next invocation of the same entry runs — at most one
-    * live copy per entry plus the final one for the exit hook. */
+    * creating a NEW dir for a prefix sweeps all but the TWO most
+    * recent dirs (r12 — keep-1 assumed the materialize-before-
+    * reinvoke driver contract, which a caller comparing two lazy
+    * frames from the same entry breaks): the previous frame stays
+    * readable, the bench's disk footprint stays bounded at two
+    * copies per entry, and the exit hook sweeps the rest. */
   private val tempIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[java.nio.file.Path]]()
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
   private lazy val tempSweepHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempIndexDirs.values.forEach(p => rmTree(p.toFile))))
+      tempIndexDirs.values.forEach(_.foreach(p => rmTree(p.toFile)))))
   private def tempIndexDir(prefix: String): String = {
     tempSweepHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Option(tempIndexDirs.put(prefix, p)).foreach(prev => rmTree(prev.toFile))
+    // keep the TWO most recent dirs per prefix: the previous
+    // invocation's lazy frame stays readable even when a caller holds
+    // two frames from the same entry side by side (r11 ADVICE — the
+    // keep-1 sweep deleted the path under the older frame at action
+    // time), while a reps × entries bench run still holds at most
+    // two copies per prefix instead of accumulating all of them
+    val stale = tempIndexDirs.synchronized {
+      val all = p :: tempIndexDirs.getOrDefault(prefix, Nil)
+      tempIndexDirs.put(prefix, all.take(2))
+      all.drop(2)
+    }
+    stale.foreach(prev => rmTree(prev.toFile))
     p.toString
   }
 

@@ -460,11 +460,16 @@ object Dedup {
           // job over the grouped frame; when it passes, `hot` below is
           // empty and the anti-join is the identity
           val h = hotSized.limit(1).collect()
-          require(h.isEmpty,
-            s"minhashLsh gated run: bucket (band=${h.headOption.map(_.getInt(0))
-              .getOrElse(-1)}) holds ${h.headOption.map(_.getLong(2)).getOrElse(0L)} " +
-              s"docs > cap $maxBucket — the DuckDB mirror brute-forces all " +
-              "pairs and would diverge from the star-collapse")
+          // named accessors: column drift in the grouped frame must
+          // surface as the intended diagnostic, not a ClassCastException
+          // thrown while rendering it — and the bucket id is the datum
+          // an operator needs to inspect the hot key
+          require(h.isEmpty, h.headOption.map(r =>
+            s"minhashLsh gated run: bucket (band=${r.get(r.fieldIndex("band"))}, " +
+              s"bucket=${r.get(r.fieldIndex("bucket"))}) holds " +
+              s"${r.get(r.fieldIndex("sz"))} docs > cap $maxBucket — the DuckDB " +
+              "mirror brute-forces all pairs and would diverge from the " +
+              "star-collapse").getOrElse(""))
         }
         val hot = hotSized.select("band", "bucket")
         val kept = raw.join(broadcast(hot), Seq("band", "bucket"), "left_anti")

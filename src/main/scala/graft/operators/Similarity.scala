@@ -1060,6 +1060,19 @@ object Similarity {
     } else emb.withColumn("label",
       lit(null).cast(existing("label").dataType))
 
+  /** Append-side half of the no-concurrent-maintenance contract: a
+    * compaction holds the index's sentinel lock for its whole run
+    * (see [[IndexMaintenance]]); an append that slipped in mid-swap
+    * would recreate `lists/` and strand the pre-compaction segments
+    * in `lists_old` — silent recall loss. Fail loudly instead. */
+  private def assertNoMaintenance(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, what: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    IndexMaintenance.assertUnlocked(fs, IndexMaintenance.lockFile(root), what)
+  }
+
   /** Incremental IVF index maintenance — the ANN dual of
     * [[graft.operators.Dedup.appendToSignatureTable]]: a new vector
     * batch is assigned with the STORED coarse quantizer (never
@@ -1090,6 +1103,7 @@ object Similarity {
       "ingest_batch -1 is reserved for the base/compacted lists — " +
         "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
+    assertNoMaintenance(spark, path, "appendToIvfIndex")
     val cents = readCentroids(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
     val assigned = ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
@@ -1121,6 +1135,7 @@ object Similarity {
       "ingest_batch -1 is reserved for the base/compacted lists — " +
         "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
+    assertNoMaintenance(spark, path, "appendToIvfPqIndex")
     val cents = readCentroids(spark, path)
     val cbMat = readCodebookMat(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
@@ -1149,7 +1164,11 @@ object Similarity {
     *
     * The swap is rename-based (write `lists_compacting`, move the old
     * dir away, move the new one in) — run it in a maintenance window,
-    * not concurrently with serves or appends; a failed rename throws
+    * not concurrently with serves or appends. No-overlap is ENFORCED
+    * against appends (r12): the whole run holds the index's
+    * maintenance-lock sentinel, which [[appendToIvfIndex]] /
+    * [[appendToIvfPqIndex]] check at entry — see
+    * [[IndexMaintenance]]; a failed rename throws
     * with both paths intact, and a crash BETWEEN the renames is
     * healed on the next call: `lists/` missing next to a complete
     * `lists_compacting/` (the rename order guarantees the tmp write
@@ -1162,21 +1181,26 @@ object Similarity {
     val tmp = new Path(s"$path/lists_compacting")
     val old = new Path(s"$path/lists_old")
     val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
-    // crash recovery from a previous compaction that died mid-swap
-    // (the shared protocol — see IndexMaintenance)
-    IndexMaintenance.heal(fs, lists, tmp, old)
-    // repartition on the list id: one shuffle sized by nlist, one
-    // output file per list — the ideal serve layout (a label-bucketed
-    // E12 layout keeps its lbl subpartitioning through compaction)
-    val folded = spark.read.parquet(lists.toString)
-      .withColumn("ingest_batch", lit(-1L))
-      .repartition(col("c_id"))
-    val partCols =
-      if (folded.columns.contains("lbl")) Seq("c_id", "lbl", "ingest_batch")
-      else Seq("c_id", "ingest_batch")
-    folded.write.partitionBy(partCols: _*)
-      .mode("overwrite").parquet(tmp.toString)
-    IndexMaintenance.swap(fs, lists, tmp, old)
+    // the maintenance lock: appends check it at entry, so a
+    // mis-scheduled concurrent append dies loudly instead of
+    // recreating `lists` between the swap's renames (r11 ADVICE)
+    IndexMaintenance.withLock(fs, IndexMaintenance.lockFile(new Path(path))) {
+      // crash recovery from a previous compaction that died mid-swap
+      // (the shared protocol — see IndexMaintenance)
+      IndexMaintenance.heal(fs, lists, tmp, old)
+      // repartition on the list id: one shuffle sized by nlist, one
+      // output file per list — the ideal serve layout (a label-bucketed
+      // E12 layout keeps its lbl subpartitioning through compaction)
+      val folded = spark.read.parquet(lists.toString)
+        .withColumn("ingest_batch", lit(-1L))
+        .repartition(col("c_id"))
+      val partCols =
+        if (folded.columns.contains("lbl")) Seq("c_id", "lbl", "ingest_batch")
+        else Seq("c_id", "ingest_batch")
+      folded.write.partitionBy(partCols: _*)
+        .mode("overwrite").parquet(tmp.toString)
+      IndexMaintenance.swap(fs, lists, tmp, old)
+    }
   }
 
   /** The ONE probe-and-prune spelling every index serve and the

@@ -753,6 +753,15 @@ object TextAnalysis {
     else None
   }
 
+  /** The BM25 index family's maintenance-lock sentinel — a sibling
+    * of the three `_delta` dirs ([[IndexMaintenance]] contract:
+    * [[compactBm25Index]] holds it, [[appendToBm25Index]] refuses
+    * while it is held). */
+  private def bm25Lock(spark: org.apache.spark.sql.SparkSession,
+                       table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      tableLocation(spark, s"${table}_post") + "_delta_maintenance_lock")
+
   /** Append NEW documents into a frozen BM25 index
     * ([[writeBm25Stats]]'s three artifacts) WITHOUT rebuilding it —
     * the lexical dual of
@@ -783,6 +792,19 @@ object TextAnalysis {
     * [[graft.operators.Similarity.appendToIvfIndex]] posture). An
     * empty batch is a no-op — never a schema-less empty dir.
     *
+    * Atomicity (r11 ADVICE): the three delta writes cannot be one
+    * filesystem transaction, so the META segment is the batch's
+    * COMMIT RECORD — written LAST, and [[bm25TopKFromIndex]] /
+    * [[compactBm25Index]] ignore any delta batch with no meta row.
+    * A crash after the postings/df writes but before the meta write
+    * therefore leaves the batch INVISIBLE (its posting rows never
+    * fold without their df/n/t mass — the silent score skew this
+    * ordering exists to prevent) until the replay completes it;
+    * compaction DISCARDS such uncommitted segments, after which the
+    * same batch id may safely be replayed in full (a COMMITTED
+    * pre-compaction batch must still never be replayed — its rows
+    * are already folded into the reserved -1 segment).
+    *
     * Scale posture: delta segments accumulate per batch; serve cost
     * grows by the terms' delta-partition rows only (pbkt-pruned).
     * The compaction story is periodic re-index ([[writeBm25Stats]]
@@ -794,6 +816,10 @@ object TextAnalysis {
     require(ingestBatch != -1L,
       "ingest_batch -1 is reserved for compacted segments (compactBm25Index)")
     val spark = docs.sparkSession
+    // no-concurrent-maintenance contract: see IndexMaintenance
+    IndexMaintenance.assertUnlocked(
+      bm25Lock(spark, table).getFileSystem(spark.sessionState.newHadoopConf()),
+      bm25Lock(spark, table), "appendToBm25Index")
     // batches are bounded by the ingest contract, so the tokenized
     // frame is persisted for the emptiness probe + three delta
     // builds — one tokenization pass, not four (contrast
@@ -817,6 +843,9 @@ object TextAnalysis {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(tableLocation(spark, s"${table}_df") + "_delta")
+      // the batch's COMMIT RECORD — must stay the LAST of the three
+      // writes (serve and compaction treat a meta-less batch as
+      // uncommitted and skip its postings/df segments)
       bm25Meta(base)
         .select(col("n"), col("t"), lit(ingestBatch).as("ingest_batch"))
         .write.partitionBy("ingest_batch")
@@ -844,7 +873,15 @@ object TextAnalysis {
     * Same swap discipline and caveats as the IVF compaction: each
     * delta dir is rewritten to `<dir>_compacting`, the old dir moved
     * aside, the new one moved in — run it in a maintenance window,
-    * not concurrently with serves or appends (and never replay a
+    * not concurrently with serves or appends. No-overlap is ENFORCED
+    * against appends (r12): the whole run holds the index's
+    * maintenance-lock sentinel, which [[appendToBm25Index]] checks —
+    * see [[IndexMaintenance]]. Uncommitted batches (postings/df
+    * segments whose meta commit record never landed — a crashed
+    * append) are DISCARDED, not folded: their rows were never
+    * serve-visible, and folding them into -1 would make the missing
+    * df/n/t mass permanent; the discarded batch id may then be
+    * replayed in full. Never replay a
     * pre-compaction batch afterwards: its rows are already folded
     * into -1, and a replay would re-add them as a fresh segment —
     * also why -1 is reserved). A crash between renames is healed on
@@ -856,6 +893,18 @@ object TextAnalysis {
     import org.apache.hadoop.fs.Path
     val fs = new Path(tableLocation(spark, s"${table}_post"))
       .getFileSystem(spark.sessionState.newHadoopConf())
+    IndexMaintenance.withLock(fs, bm25Lock(spark, table)) {
+    // only COMMITTED batches fold (those whose meta commit record
+    // landed — see appendToBm25Index): folding a crash-orphaned
+    // partial batch into -1 would make its serve-invisible posting
+    // rows permanent with their df/n/t mass missing. -1 itself (a
+    // previous compaction's output, produced under this lock from
+    // committed batches only) is always committed.
+    val committed: Seq[Long] = (readDelta(spark, s"${table}_meta",
+        "n long, t long, ingest_batch long")
+      .map(_.select(col("ingest_batch")).distinct()
+        .collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty) :+ -1L).distinct
     def compactDir(baseTable: String, schema: String)
                   (fold: DataFrame => DataFrame): Unit = {
       val live = new Path(tableLocation(spark, baseTable) + "_delta")
@@ -864,6 +913,7 @@ object TextAnalysis {
       IndexMaintenance.heal(fs, live, tmp, old)
       if (!fs.exists(live)) return // never appended — nothing to fold
       fold(spark.read.schema(schema).parquet(live.toString)
+          .filter(col("ingest_batch").isin(committed: _*))
           .withColumn("ingest_batch", lit(-1L)))
         .write.partitionBy("ingest_batch" +:
           (if (schema.contains("pbkt")) Seq("pbkt") else Nil): _*)
@@ -887,6 +937,7 @@ object TextAnalysis {
       _.groupBy(col("ingest_batch"))
         .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
         .select(col("n"), col("t"), col("ingest_batch"))
+    }
     }
   }
 
@@ -1006,30 +1057,40 @@ object TextAnalysis {
     // unioned (tok NULL = meta); sums fold driver-side — after
     // appends a term's df is the SUM of its base row and per-batch
     // increments, and (n, t) the sum over base + batch metas
+    // `ib` tags each stat row's provenance: -1 for the base
+    // artifacts AND the compacted -1 segment (both always
+    // committed), the batch id for per-append delta rows. The meta
+    // rows' ib set IS the committed-batch set (meta is the append's
+    // commit record): df/posting rows from a batch with no meta row
+    // are a crash-orphaned partial append — fold them and the score
+    // silently skews by the missing df/n/t mass, so they are skipped
+    // until the replay completes the batch (r11 ADVICE).
     val dfDelta = readDelta(spark, s"${table}_df",
         "tok string, df long, ingest_batch long, pbkt long")
       .map(_.filter(pbPrune && col("tok").isin(uniq: _*))
         .select(col("tok"), col("df").as("a"),
-          lit(null).cast("long").as("b")))
+          lit(null).cast("long").as("b"), col("ingest_batch").as("ib")))
     val metaDelta = readDelta(spark, s"${table}_meta",
         "n long, t long, ingest_batch long")
       .map(_.select(lit(null).cast("string").as("tok"),
-        col("n").as("a"), col("t").as("b")))
+        col("n").as("a"), col("t").as("b"), col("ingest_batch").as("ib")))
     val statRows = (Seq(
         spark.table(s"${table}_df")
           .filter(col("tok").isin(uniq: _*))
           .select(col("tok"), col("df").as("a"),
-            lit(null).cast("long").as("b")),
+            lit(null).cast("long").as("b"), lit(-1L).as("ib")),
         spark.table(s"${table}_meta")
           .select(lit(null).cast("string").as("tok"),
-            col("n").as("a"), col("t").as("b"))
+            col("n").as("a"), col("t").as("b"), lit(-1L).as("ib"))
       ) ++ dfDelta ++ metaDelta)
       .reduce(_.unionByName(_))
       .collect()
-    val dfs = statRows.filter(_.getString(0) != null)
+    val metas = statRows.filter(_.getString(0) == null)
+    val committed = metas.map(_.getLong(3)).toSet + -1L
+    val dfs = statRows.filter(r => r.getString(0) != null &&
+        committed(r.getLong(3)))
       .groupBy(_.getString(0))
       .map { case (tok, rs) => tok -> rs.map(_.getLong(1)).sum }
-    val metas = statRows.filter(_.getString(0) == null)
     require(metas.nonEmpty, s"bm25TopKFromIndex: ${table}_meta is empty")
     val (n, t) = (metas.map(_.getLong(1)).sum, metas.map(_.getLong(2)).sum)
     require(t > 0L, "bm25TopKFromIndex: frozen stats have no tokens")
@@ -1061,11 +1122,15 @@ object TextAnalysis {
     // doc_ids are new by the append contract, so the union is
     // disjoint and the groupBy(doc_id) sum is exactly the rebuilt
     // index's per-doc score
+    // ingest_batch is a partition column, so the committed-batch
+    // filter (meta-as-commit-record — see the stats read above)
+    // partition-prunes uncommitted segments away for free
     val postAll = readDelta(spark, s"${table}_post",
         "tok string, doc_id long, tf long, dl long, " +
           "ingest_batch long, pbkt long")
       .map(d => postBase.unionByName(
-        d.filter(pbPrune && col("tok").isin(uniq: _*))
+        d.filter(pbPrune && col("tok").isin(uniq: _*) &&
+            col("ingest_batch").isin(committed.toSeq: _*))
           .select(col("tok"), col("doc_id"), col("tf"), col("dl"))))
       .getOrElse(postBase)
     val scored = postAll

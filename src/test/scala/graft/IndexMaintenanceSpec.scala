@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** The no-concurrent-maintenance contract (r11 ADVICE medium): a
+  * compaction holds a lock sentinel the appends check, heal refuses
+  * the poison state where deleting `_old` would lose data, and the
+  * BM25 meta delta is the append's commit record — a crash-orphaned
+  * partial append is invisible to serves and discarded (not
+  * resurrected) by compaction. */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+    .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+  private def docs = Tables.documents(spark, sfDir)
+  private val terms = Seq("spark", "window", "merge", "dup")
+
+  private def fs(path: String) = new Path(path)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("IVF: appends refuse while the maintenance lock is held; compactions refuse a held lock") {
+    val path = java.nio.file.Files.createTempDirectory("graft_imx_lock").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 8, trainIters = 3)
+    val f = fs(path)
+    val lock = new Path(path, "_maintenance_lock")
+    require(f.createNewFile(lock))
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(batch, path, ingestBatch = 0L)
+    }
+    assert(e.getMessage.contains("maintenance lock"), e.getMessage)
+    // nothing landed: the refused append left the index untouched
+    assert(spark.read.parquet(s"$path/lists")
+      .filter(col("ingest_batch") =!= -1L).isEmpty)
+    // a compaction finding the lock held (a crashed or concurrent
+    // owner) also dies loudly instead of double-swapping
+    val c = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, path)
+    }
+    assert(c.getMessage.contains("already held"), c.getMessage)
+    f.delete(lock, false)
+    // lock released: the same append goes through
+    Similarity.appendToIvfIndex(batch, path, ingestBatch = 0L)
+    assert(!spark.read.parquet(s"$path/lists")
+      .filter(col("ingest_batch") === 0L).isEmpty)
+    // a successful compaction releases its own lock on the way out
+    Similarity.compactIvfIndex(spark, path)
+    assert(!f.exists(lock))
+    Similarity.appendToIvfIndex(batch, path, ingestBatch = 1L)
+  }
+
+  test("IVF heal: refuses the live+old+tmp poison state and preserves _old; clears the completed-swap tail") {
+    val path = java.nio.file.Files.createTempDirectory("graft_imx_heal").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 8, trainIters = 3)
+    val f = fs(path)
+    def p(s: String) = new Path(s"$path/$s")
+    val lists = spark.read.parquet(s"$path/lists")
+    val nRows = lists.count() // materialized NOW — compaction rewrites the files
+    // poison state: a writer recreated lists/ mid-swap — old holds
+    // segments live does not, tmp is the unswapped compacted copy
+    lists.write.partitionBy("c_id", "ingest_batch").parquet(s"$path/lists_old")
+    lists.write.partitionBy("c_id", "ingest_batch")
+      .parquet(s"$path/lists_compacting")
+    val e = intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, path)
+    }
+    assert(e.getMessage.contains("refusing to heal"), e.getMessage)
+    assert(f.exists(p("lists_old")),
+      "_old was deleted in the poison state — permanent data loss")
+    // and the refusal released the lock (no wedged index)
+    assert(!f.exists(p("_maintenance_lock")))
+    // completed-swap tail: old exists, tmp does not — old is a stale
+    // pre-compaction copy, cleared by heal and the compaction proceeds
+    require(f.delete(p("lists_compacting"), true))
+    Similarity.compactIvfIndex(spark, path)
+    assert(!f.exists(p("lists_old")) && !f.exists(p("lists_compacting")))
+    assert(spark.read.parquet(s"$path/lists").count() === nRows)
+  }
+
+  test("BM25: meta is the commit record — a partial append is serve-invisible until replayed") {
+    val p = java.nio.file.Files.createTempDirectory("graft_imx_bm25").toString
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    TextAnalysis.writeBm25Stats(half, "imx_bm25", s"$p/bm25")
+    val baseline = TextAnalysis.bm25TopKFromIndex(spark, "imx_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    // a full append, then simulate the crash-before-commit by
+    // removing the batch's meta segment (the LAST-written artifact —
+    // any earlier crash point leaves a subset of this state)
+    val batch = docs.filter(col("doc_id") % 4 === 1)
+    TextAnalysis.appendToBm25Index(batch, "imx_bm25", ingestBatch = 5L)
+    require(fs(p).delete(new Path(s"$p/bm25_meta_delta/ingest_batch=5"), true))
+    // uncommitted: postings/df segments exist but must not fold —
+    // folding them would skew every score by the missing df/n/t mass
+    val partial = TextAnalysis.bm25TopKFromIndex(spark, "imx_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(partial === baseline)
+    // the replay completes the batch (commit record lands last) and
+    // the serve now equals a one-pass rebuild over base ∪ batch
+    TextAnalysis.appendToBm25Index(batch, "imx_bm25", ingestBatch = 5L)
+    val served = TextAnalysis.bm25TopKFromIndex(spark, "imx_bm25",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    val full = TextAnalysis.bm25TopK(half.unionByName(batch), terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(served === full)
+    assert(served !== baseline)
+  }
+
+  test("BM25 compaction: discards uncommitted segments, folds committed ones; appends refuse under its lock") {
+    val p = java.nio.file.Files.createTempDirectory("graft_imx_bmc").toString
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    TextAnalysis.writeBm25Stats(half, "imx_bmc", s"$p/bm25")
+    val committed = docs.filter(col("doc_id") % 4 === 1)
+    val orphan = docs.filter(col("doc_id") % 8 === 3)
+    TextAnalysis.appendToBm25Index(committed, "imx_bmc", ingestBatch = 0L)
+    TextAnalysis.appendToBm25Index(orphan, "imx_bmc", ingestBatch = 7L)
+    require(fs(p).delete(new Path(s"$p/bm25_meta_delta/ingest_batch=7"), true))
+    val expect = TextAnalysis.bm25TopK(half.unionByName(committed), terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    TextAnalysis.compactBm25Index(spark, "imx_bmc")
+    // batch 7's serve-invisible rows were NOT resurrected into -1
+    assert(spark.read.parquet(s"$p/bm25_post_delta")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    val afterCompact = TextAnalysis.bm25TopKFromIndex(spark, "imx_bmc",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(afterCompact === expect)
+    // the discarded batch id is now safe to replay in full
+    TextAnalysis.appendToBm25Index(orphan, "imx_bmc", ingestBatch = 7L)
+    val replayed = TextAnalysis.bm25TopKFromIndex(spark, "imx_bmc",
+      terms, 20).orderBy("rank").collect().toSeq.map(_.toSeq)
+    val fullAll = TextAnalysis.bm25TopK(
+        half.unionByName(committed).unionByName(orphan), terms, 20)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(replayed === fullAll)
+    // the lexical lock: an append mid-compaction dies loudly
+    val lock = new Path(s"$p/bm25_post_delta_maintenance_lock")
+    require(fs(p).createNewFile(lock))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(orphan, "imx_bmc", ingestBatch = 8L)
+    }
+    assert(e.getMessage.contains("maintenance lock"), e.getMessage)
+    fs(p).delete(lock, false)
+  }
+}
