@@ -1060,6 +1060,64 @@ object Similarity {
     } else emb.withColumn("label",
       lit(null).cast(existing("label").dataType))
 
+  /** Commit-record ledger for the IVF append family (r12 — the
+    * [[graft.operators.TextAnalysis.appendToBm25Index]]
+    * meta-as-commit-record posture, applied to the ANN side): an
+    * append's `lists/` write lands one partition per touched coarse
+    * list, so a crash mid-write leaves a PARTIAL batch — some lists
+    * hold the batch's vectors, others never got theirs. Nothing is
+    * mis-scored (every written vector ranks correctly), but a
+    * filtered serve would SILENTLY miss the unwritten ones — a
+    * recall hole no gate sees. The ledger makes the batch's
+    * visibility atomic: `commits/ingest_batch=N` is written LAST,
+    * and the serves' prune helpers read only committed batches
+    * (base -1 is always committed), so a crashed append stays
+    * invisible until its replay re-lands the batch in full. The
+    * `rows` column is read back from the landed partition —
+    * observability for ingest audits, not a correctness input. */
+  private def writeCommitRecord(spark: org.apache.spark.sql.SparkSession,
+                                path: String, ingestBatch: Long): Unit = {
+    val rows = spark.read.parquet(s"$path/lists")
+      .filter(col("ingest_batch") === ingestBatch).count()
+    spark.range(1)
+      .select(lit(rows).as("rows"), lit(ingestBatch).as("ingest_batch"))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/commits")
+  }
+
+  /** The committed ingest-batch ids (always including the base /
+    * compacted -1) — bounded metadata, one id per append since the
+    * last compaction. An index with no ledger dir has no committed
+    * appends: only the base is served. */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/commits")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val appended =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else spark.read.schema("rows long, ingest_batch long")
+        .parquet(dir.toString)
+        .select(col("ingest_batch")).distinct()
+        .collect().toSeq.map(_.getLong(0))
+    (appended :+ -1L).distinct
+  }
+
+  /** The serve-side lists scan: committed batches only (see
+    * [[writeCommitRecord]]), with the optional replayed-batch
+    * exclusion the streaming flows use. ingest_batch is a partition
+    * column, so both filters prune partitions — an uncommitted
+    * partial batch costs the serve nothing, not even its files. */
+  private def committedLists(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             excludeIngestBatch: Option[Long]): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("ingest_batch").isin(committedBatches(spark, path): _*))
+    excludeIngestBatch.fold(lists)(b =>
+      lists.filter(col("ingest_batch") =!= lit(b)))
+  }
+
   /** Append-side half of the no-concurrent-maintenance contract: a
     * compaction holds the index's sentinel lock for its whole run
     * (see [[IndexMaintenance]]); an append that slipped in mid-swap
@@ -1090,7 +1148,13 @@ object Similarity {
     * .streamingAnnIngest]] needs under foreachBatch's at-least-once
     * replay (a plain append would permanently duplicate a replayed
     * batch's vectors in the index). Distinct batches use distinct
-    * ids; [[writeIvfIndex]] writes the base corpus as batch −1. */
+    * ids; [[writeIvfIndex]] writes the base corpus as batch −1.
+    *
+    * Atomicity (r12): the batch's visibility is gated on its
+    * [[writeCommitRecord commit record]], written LAST — a crash
+    * mid-append leaves the partial batch invisible to every serve
+    * (instead of a silent recall hole) until the replay re-lands it
+    * in full, and compaction discards it. */
   def appendToIvfIndex(emb: DataFrame, path: String,
                        ingestBatch: Long): Unit = {
     // -1 is the BASE partition ([[writeIvfIndex]]'s write, and what
@@ -1122,6 +1186,9 @@ object Similarity {
       assigned.write.partitionBy("c_id", "ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/lists")
+    // the batch's COMMIT RECORD — last, so a crash above leaves the
+    // partial batch invisible to serves instead of a silent recall hole
+    writeCommitRecord(spark, path, ingestBatch)
   }
 
   /** Incremental IVFPQ index maintenance: assign with the stored
@@ -1150,6 +1217,8 @@ object Similarity {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/lists")
     }
+    // commit record last — see appendToIvfIndex
+    writeCommitRecord(spark, path, ingestBatch)
   }
 
   /** Compact an index's ingest partitions: fold every batch's files
@@ -1188,10 +1257,15 @@ object Similarity {
       // crash recovery from a previous compaction that died mid-swap
       // (the shared protocol — see IndexMaintenance)
       IndexMaintenance.heal(fs, lists, tmp, old)
+      // only COMMITTED batches fold (writeCommitRecord contract):
+      // folding a crash-orphaned partial batch into -1 would make its
+      // serve-invisible partial membership permanent. The discarded
+      // batch id may then be replayed in full.
       // repartition on the list id: one shuffle sized by nlist, one
       // output file per list — the ideal serve layout (a label-bucketed
       // E12 layout keeps its lbl subpartitioning through compaction)
       val folded = spark.read.parquet(lists.toString)
+        .filter(col("ingest_batch").isin(committedBatches(spark, path): _*))
         .withColumn("ingest_batch", lit(-1L))
         .repartition(col("c_id"))
       val partCols =
@@ -1200,6 +1274,10 @@ object Similarity {
       folded.write.partitionBy(partCols: _*)
         .mode("overwrite").parquet(tmp.toString)
       IndexMaintenance.swap(fs, lists, tmp, old)
+      // every committed batch now lives in -1 (always committed), so
+      // the ledger resets; a crash before this delete only leaves
+      // stale ids that match no partition — harmless to serves
+      fs.delete(new Path(s"$path/commits"), true): Unit
     }
   }
 
@@ -1223,8 +1301,7 @@ object Similarity {
     val probes = probeList(preparedQueries(queries).filter(col("n2") > 0),
       lit(true), cents, nprobe)
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
-    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
-        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
+    val lists = committedLists(spark, path, excludeIngestBatch)
       .filter(col("c_id").isin(probedIds: _*))
     (probes, lists)
   }
@@ -1356,8 +1433,7 @@ object Similarity {
     val probedIds = probes.select(col("c_id")).distinct().as[Int].collect().toSeq
     val qLbls = q.select(labelBucket(col("label"), bkts))
       .distinct().as[Long].collect().toSeq
-    val lists = excludeIngestBatch.fold(spark.read.parquet(s"$path/lists"))(b =>
-        spark.read.parquet(s"$path/lists").filter(col("ingest_batch") =!= lit(b)))
+    val lists = committedLists(spark, path, excludeIngestBatch)
       .filter(col("c_id").isin(probedIds: _*) && col("lbl").isin(qLbls: _*))
       .filter(col("n2") > 0)
     (probes, lists)

@@ -82,6 +82,51 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/lists").count() === nRows)
   }
 
+  test("IVF: the commit ledger makes appends atomic — a partial batch is serve-invisible, compaction discards it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_imx_ivfc").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 8, trainIters = 3)
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    def serve() = Similarity.ivfTopKFromIndex(spark, path, queries, 5,
+      nprobe = 8).orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val baseline = serve()
+    // a full append, then simulate the crash-before-commit by
+    // removing the ledger row (the LAST-written artifact — any
+    // earlier crash point leaves a subset of this state: some lists'
+    // partitions written, others not)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    Similarity.appendToIvfIndex(batch, path, ingestBatch = 3L)
+    require(fs(path).delete(new Path(s"$path/commits/ingest_batch=3"), true))
+    // uncommitted: the batch's vectors exist under lists/ but must
+    // not serve — a partial batch is a silent recall hole, visible
+    // here as nondeterministic membership
+    assert(serve() === baseline)
+    // committed (replay re-lands the batch, ledger row last): visible
+    Similarity.appendToIvfIndex(batch, path, ingestBatch = 3L)
+    val withBatch = serve()
+    assert(withBatch !== baseline)
+    // a second uncommitted batch, then compaction: the committed
+    // batch folds into -1, the orphan is discarded (not resurrected)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 360), path,
+      ingestBatch = 4L)
+    require(fs(path).delete(new Path(s"$path/commits/ingest_batch=4"), true))
+    Similarity.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(s"$path/lists")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(!fs(path).exists(new Path(s"$path/commits")),
+      "compaction folds every committed batch into -1 — the ledger resets")
+    assert(serve() === withBatch)
+    // the discarded batch id is now safe to replay in full
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 360), path,
+      ingestBatch = 4L)
+    assert(spark.read.parquet(s"$path/lists")
+      .filter(col("ingest_batch") === 4L).count() > 0)
+  }
+
   test("BM25: meta is the commit record — a partial append is serve-invisible until replayed") {
     val p = java.nio.file.Files.createTempDirectory("graft_imx_bm25").toString
     val half = docs.filter(col("doc_id") % 2 === 0)
