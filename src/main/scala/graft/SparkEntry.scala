@@ -830,6 +830,24 @@ object SparkEntry {
     "retrieval_mmr" -> ((s, d) =>
       Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
 
+    // F30 (r12): the retrieval EVALUATION layer — recall@20 / MRR /
+    // binary nDCG@20 of the lexical and fused rankings against the
+    // exact semantic top-20 (vec 0's query, the F27 reference).
+    // Every metric is an exact scale-6 integer quotient and the
+    // log2 discounts are shared literals (Retrieval.disc6), so the
+    // whole eval hash-matches the DuckDB mirror
+    "eval_retrieval_metrics" -> ((s, d) => {
+      val lexRank = TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)
+        .select(col("doc_id"), col("rank"))
+      val ref = Similarity.bruteForceTopK(emb(s, d), col("vec_id") === 0, 20)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      val cand = lexRank
+        .select(lit("bm25").as("system"), col("doc_id"), col("rank"))
+        .unionByName(operators.TextAnalysis.rrfFuse(lexRank, ref)
+          .select(lit("rrf").as("system"), col("doc_id"), col("rank")))
+      operators.Retrieval.evalTopK(cand, ref, 20).orderBy("system")
+    }),
+
     // The composed SERVE flow (r10, HASH-GREEN — serveSql unrolls the
     // whole composition): frozen BM25 index (dfs + meta + the r11
     // posting table) + written IVF index built per call (an honest
@@ -2575,6 +2593,67 @@ object SparkEntry {
          |SELECT doc_id, CAST(s6 AS DOUBLE) / 1e6 AS rrf_score,
          |  row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
          |FROM f QUALIFY rank <= 20""".stripMargin,
+
+    // F30 mirror: the SAME lex/ref/fused spellings as the F24/F27
+    // mirrors, then the metric arithmetic — binary relevance via a
+    // LEFT JOIN on the reference membership, the position discounts
+    // as the IDENTICAL scale-6 literals Retrieval.disc6 renders on
+    // the Spark side, every metric an integer half-up quotient
+    "eval_retrieval_metrics" -> {
+      val d6 = operators.Retrieval.disc6(20)
+      val discVals = d6.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val idcg6 = d6.sum
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |        FROM topk),
+         |em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                              CAST(embedding AS DOUBLE[])) > 0),
+         |ref AS (SELECT doc_id, rank FROM (
+         |    SELECT a.vec_id AS doc_id,
+         |           row_number() OVER (ORDER BY round($COS, 6) DESC, a.vec_id)
+         |             AS rank
+         |    FROM em a JOIN em b ON b.vec_id = 0 AND a.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |u AS (SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM lex
+         |      UNION ALL
+         |      SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM ref),
+         |f AS (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6
+         |      FROM u GROUP BY 1),
+         |fused AS (SELECT doc_id,
+         |            row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
+         |          FROM f QUALIFY rank <= 20),
+         |cand AS (SELECT 'bm25' AS system, doc_id, rank FROM lex
+         |         UNION ALL
+         |         SELECT 'rrf' AS system, doc_id, rank FROM fused),
+         |disc(i, d6) AS (VALUES $discVals),
+         |j AS (SELECT c.system, c.rank,
+         |        (r.doc_id IS NOT NULL) AS rel, disc.d6
+         |      FROM cand c
+         |      LEFT JOIN ref r USING (doc_id)
+         |      LEFT JOIN disc ON disc.i = c.rank),
+         |agg AS (SELECT system,
+         |          CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS hits,
+         |          min(CASE WHEN rel THEN rank END) AS fr,
+         |          CAST(sum(CASE WHEN rel THEN d6 ELSE 0 END) AS BIGINT)
+         |            AS dcg6
+         |        FROM j GROUP BY 1)
+         |SELECT system, hits,
+         |  CAST((2 * 1000000 * hits + 20) // (2 * 20) AS DOUBLE) / 1e6
+         |    AS recall,
+         |  coalesce(CAST((2 * 1000000 + fr) // (2 * fr) AS DOUBLE) / 1e6, 0.0)
+         |    AS mrr,
+         |  CAST((2 * 1000000 * dcg6 + $idcg6) // (2 * $idcg6) AS DOUBLE) / 1e6
+         |    AS ndcg
+         |FROM agg ORDER BY system""".stripMargin
+    },
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
     // per-class ln prior both round to scale-4 integers, per-doc

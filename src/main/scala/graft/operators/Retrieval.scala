@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed retrieval SERVE path (r10, VERDICT r9 ask #6).
@@ -101,6 +101,65 @@ object Retrieval {
         .select(col("vec_id"), col("label"), col("v"), col("n2"))
         .filter(col("n2") > 0),
       queryVec, cfg)
+
+  /** Scale-6 half-up position discounts `1e6 / log2(i + 1)` for
+    * i = 1..k — computed ONCE here and injected as LITERALS into both
+    * engines (SparkEntry renders the same longs into the DuckDB
+    * mirror's VALUES list), so the nDCG arithmetic never depends on
+    * two libm `ln` implementations rounding alike. */
+  def disc6(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => BigDecimal(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+
+  /** F30: retrieval-quality metrics — the evaluation layer every
+    * retrieval stack runs over its own serves (TREC-style offline
+    * eval): recall@k, MRR and binary nDCG@k of one or more candidate
+    * rankings against a reference ranking.
+    *
+    *   - `cand (system, doc_id, rank)`: the rankings under test,
+    *     keyed by a system name (a q_id folds into the key for
+    *     multi-query eval — the group-by is the key column);
+    *   - `ref (doc_id, ...)`: the reference set (its doc membership
+    *     defines binary relevance; e.g. exact cosine top-k judging
+    *     an ANN/lexical/fused serve).
+    *
+    * Exactness (the cross-engine rules, PERF.md): every metric is an
+    * integer quotient rounded half-up at scale 6 — recall6 =
+    * 1e6·hits/|ref|, mrr6 = 1e6/first_rel_rank, ndcg6 =
+    * 1e6·dcg6/idcg6 with dcg6 a sum of the [[disc6]] literals over
+    * relevant positions and idcg6 their prefix sum (the ideal
+    * ranking: all |ref| relevant docs first) — emitted as the exact
+    * doubles those scale-6 integers recover to.
+    *
+    * Scale shape: the reference is a top-k frame, so the join is a
+    * BROADCAST equi-join on doc_id and the aggregate is one
+    * map-side-combined pass over |cand| rows — no shuffle larger
+    * than the system-key cardinality, no driver loop. */
+  def evalTopK(cand: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val d6 = disc6(k)
+    val nRef = ref.count() // bounded: a top-k reference frame
+    require(nRef > 0L, "evalTopK: empty reference ranking")
+    val denom = math.min(nRef, k.toLong)
+    val idcg6 = d6.take(denom.toInt).sum
+    val discCol: Column = element_at(
+      map(d6.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(i + 1), lit(v)) }: _*), col("rank").cast("int"))
+    cand.filter(col("rank") <= k)
+      .join(broadcast(ref.select(col("doc_id"), lit(1L).as("rel"))),
+        Seq("doc_id"), "left")
+      .groupBy(col("system"))
+      .agg(sum(coalesce(col("rel"), lit(0L))).as("hits"),
+        min(when(col("rel") === 1L, col("rank").cast("long"))).as("fr"),
+        sum(when(col("rel") === 1L, discCol).otherwise(lit(0L))).as("dcg6"))
+      .select(col("system"), col("hits"),
+        (expr(s"(2 * 1000000 * hits + $denom) div (2 * $denom)")
+          .cast("double") / lit(1e6)).as("recall"),
+        (coalesce(expr("(2 * 1000000 + fr) div (2 * fr)"), lit(0L))
+          .cast("double") / lit(1e6)).as("mrr"),
+        (expr(s"(2 * 1000000 * dcg6 + $idcg6) div (2 * $idcg6)")
+          .cast("double") / lit(1e6)).as("ndcg"))
+  }
 
   /** The shared page pipeline; `vecs` is a prepared non-zero vector
     * frame (the [[graft.operators.Similarity.prepared]] shape) for

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** F30 — the retrieval evaluation layer: recall@k / MRR / binary
+  * nDCG@k as exact scale-6 integer quotients (the cross-engine
+  * arithmetic the catalog oracle hash-matches). */
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(sys: String, ids: Seq[Long]) =
+    ids.zipWithIndex.toDF("doc_id", "r0")
+      .select(lit(sys).as("system"), col("doc_id"),
+        (col("r0") + 1).cast("bigint").as("rank"))
+
+  private def ref(ids: Seq[Long]) =
+    ids.zipWithIndex.toDF("doc_id", "r0")
+      .select(col("doc_id"), (col("r0") + 1).cast("bigint").as("rank"))
+
+  test("perfect, disjoint and single-hit candidates: hand-computed metrics") {
+    val r = ref(Seq(1L, 2L, 3L))
+    val cand = frame("perfect", Seq(1L, 2L, 3L))
+      .unionByName(frame("disjoint", Seq(7L, 8L, 9L)))
+      .unionByName(frame("hit_at_3", Seq(7L, 8L, 1L)))
+      .unionByName(frame("hit_at_1", Seq(1L, 8L, 9L)))
+    val out = Retrieval.evalTopK(cand, r, 3)
+      .orderBy("system").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(out("perfect") === ((3L, 1.0, 1.0, 1.0)))
+    assert(out("disjoint") === ((0L, 0.0, 0.0, 0.0)))
+    // disc6(3) = [1000000, 630930, 500000], idcg6 = 2130930; one hit
+    // at rank 3: recall = mrr = halfUp(1e6/3), ndcg = halfUp
+    // (1e6·500000/2130930) — pinned from the shared literals
+    assert(out("hit_at_3") === ((1L, 0.333333, 0.333333, 0.234639)))
+    // the same single hit at rank 1 scores the full discount — the
+    // ordering sensitivity binary recall alone can't see
+    assert(out("hit_at_1") === ((1L, 0.333333, 1.0, 0.469279)))
+  }
+
+  test("binary nDCG is order-blind only when every position is relevant") {
+    val r = ref(Seq(1L, 2L, 3L))
+    val out = Retrieval.evalTopK(
+      frame("reversed", Seq(3L, 2L, 1L)), r, 3).collect().head
+    // all three positions relevant: dcg = idcg regardless of order
+    assert((out.getLong(1), out.getDouble(2), out.getDouble(3),
+      out.getDouble(4)) === ((3L, 1.0, 1.0, 1.0)))
+  }
+
+  test("candidate rows beyond rank k are ignored; short references set the denominator") {
+    val r = ref(Seq(1L, 2L))
+    // k = 3 but only 2 reference docs: recall denominator is |ref|,
+    // idcg the 2-position prefix — a perfect 2-row candidate is 1.0
+    val out = Retrieval.evalTopK(frame("p", Seq(1L, 2L)), r, 3)
+      .collect().head
+    assert((out.getLong(1), out.getDouble(2), out.getDouble(4)) ===
+      ((2L, 1.0, 1.0)))
+    // rank-4 rows never score (rank > k filter)
+    val out2 = Retrieval.evalTopK(frame("q", Seq(7L, 8L, 9L, 1L)), r, 3)
+      .collect().head
+    assert(out2.getLong(1) === 0L)
+  }
+
+  test("catalog entry: one row per system, fused page retrieves semantic mass bm25 alone may not") {
+    val out = SparkEntry.queries("eval_retrieval_metrics")(spark, sfDir)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(out.keySet === Set("bm25", "rrf"))
+    // rrf fuses the reference list itself into the page, so its
+    // recall is bounded below by the fused page's semantic half
+    assert(out("rrf") > 0.0 && out("rrf") >= out("bm25"))
+  }
+}
