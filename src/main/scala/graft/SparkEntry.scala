@@ -47,6 +47,11 @@ object SparkEntry {
 
   private def bucket15 = Timeseries.bucketEpochSec("ts_us", 900L, 1000000L)
 
+  /** layout_zorder's rectangle: the generator's first event day —
+    * present at every sf (epoch-µs of 2024-01-01T00/01). */
+  private val ZorderT0 = 1704067200000000L
+  private val ZorderT1 = ZorderT0 + 86400L * 1000000L
+
   /** 15-min resample of one event_type's series, exact decimal sums. */
   private def resampled(s: SparkSession, d: String, eventType: String): DataFrame =
     Timeseries.resample(ev(s, d).filter(col("event_type") === eventType),
@@ -870,6 +875,26 @@ object SparkEntry {
     // gated by the exact lang-count invariant + VocabSketchSpec's 5%
     // error and shard-merge bounds against F15
     "text_vocab_hll" -> ((s, d) => TextAnalysis.vocabHll(docs(s, d))),
+
+    // H+ (r12): Z-ORDER layout — events re-clustered on the Morton
+    // key of (user_id, ts) buckets, then a 2-D rectangle query
+    // answered FROM THE ZORDERED TABLE. The result is layout-
+    // independent, so the raw-parquet DuckDB mirror hash-gates the
+    // whole write-read round trip; the point of the layout — files
+    // pruned on BOTH dims — is measured in LayoutSpec and PERF.md
+    "layout_zorder" -> ((s, d) => {
+      val path = tempIndexDir("graft_zorder")
+      operators.Layout.writeZordered(
+        ev(s, d).select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("value_dec")),
+        path, "user_id", "ts_us", files = 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(40, 59) &&
+          col("ts_us") >= ZorderT0 && col("ts_us") < ZorderT1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_dec")).cast("double").as("value"))
+    }),
 
     // --- F6/F7: corpus preparation (training-batch shaping) ---
     "corpus_sample_stratified" -> ((s, d) =>
@@ -1778,6 +1803,18 @@ object SparkEntry {
       s"""SELECT user_id, $B AS bucket,
          |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // layout_zorder mirror: the same rectangle aggregate over the RAW
+    // events parquet — the zordered copy must be row-identical, so
+    // the hash gate holds the whole cluster-write-read round trip
+    "layout_zorder" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value
+         |FROM events
+         |WHERE user_id BETWEEN 40 AND 59
+         |  AND epoch_us(ts) >= 1704067200000000
+         |  AND epoch_us(ts) < 1704153600000000
+         |GROUP BY 1""".stripMargin,
 
     "ts_resample_salted" ->
       s"""SELECT user_id, $B AS bucket,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) data layout — the multi-dimensional
+  * clustering lever lakehouse tables run under `OPTIMIZE ZORDER BY`:
+  * a table range-partitioned and sorted on ONE key prunes files for
+  * predicates on that key only; clustered on the INTERLEAVED bits of
+  * two keys, every file covers a small rectangle of the (a, b) space,
+  * so parquet footer min/max stats on the ORIGINAL columns prune
+  * files (and row groups, via the pushed-down filters) for rectangle
+  * predicates on EITHER or BOTH dims.
+  *
+  * At 100 TB this is a WRITE-TIME investment with read-time payoff:
+  * one range shuffle on the z-key when the table lands (or is
+  * periodically re-clustered), then every selective 2-D query reads
+  * ~the matching rectangle's files instead of the full table. The
+  * z-key itself never persists — it exists only to drive the
+  * partitioner and the within-partition sort; queries filter on the
+  * original columns and the layout does the rest (no BIGMIN range
+  * translation needed, which is what makes this spelling robust:
+  * pruning comes from per-file column stats, not z-key range math).
+  *
+  * Everything here is codegen'd integer bit arithmetic — no UDF, no
+  * shuffle beyond the one repartitionByRange. */
+object Layout {
+
+  /** Spread the low 16 bits of `x` (a non-negative bucketed
+    * coordinate) into the even bit positions of a 32-bit lane — the
+    * classic mask-shift ladder, as Column ops so it stays inside
+    * whole-stage codegen. */
+  private def spread16(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+        (1, 0x55555555L))
+      .foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (acc, (s, mask)) =>
+          acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(mask))
+      }
+
+  /** Morton key of two bucketed coordinates (each in [0, 2^16)):
+    * `a`'s bits land in the even positions, `b`'s in the odd. */
+  def zkey2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Bucket a long column into [0, 2^bits) over [min, max] with pure
+    * integer arithmetic — and NORMALIZED: a narrow dim (say 150
+    * user ids) must still fill the whole bucket range, or its bits
+    * sit above the wide dim's in the interleave and that dim stops
+    * pruning (found by LayoutDrive: user-only predicates hit 64/64
+    * files before this scaling). Small spans scale UP via an exact
+    * (off · 2^bits) div span (the product fits a long whenever
+    * span ≤ Long.Max >> bits — true for µs timestamps over
+    * millennia); astronomically wide spans fall back to fixed
+    * ceil-width chunks. Integral `div`, never `/` — the double it
+    * returns is not exact at these magnitudes. */
+  def rangeBucket(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(bits > 0 && bits <= 16, s"bits=$bits must be in [1, 16]")
+    val span = math.max(1L, max - min + 1L)
+    val off = c.cast("long") - lit(min)
+    if (span <= (Long.MaxValue >> bits))
+      call_function("div", off * lit(1L << bits), lit(span))
+    else {
+      val width = (span + (1L << bits) - 1) / (1L << bits)
+      call_function("div", off, lit(width))
+    }
+  }
+
+  /** Write `df` clustered on the z-curve of two long-typed dims:
+    * bucket each dim by its own min/max (one bounded agg job — the
+    * index-build cost), interleave, range-partition into `files`
+    * output files, sort within partitions, drop the key. The written
+    * table is row-identical to `df`; only the file layout changes. */
+  def writeZordered(df: DataFrame, path: String, dimA: String,
+                    dimB: String, files: Int, bits: Int = 16): Unit = {
+    require(files > 0, s"files=$files must be positive")
+    val r = df.agg(min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
+    require(!r.anyNull, s"writeZordered: $dimA/$dimB must be non-null")
+    val z = zkey2(
+      rangeBucket(col(dimA), r.getLong(0), r.getLong(1), bits),
+      rangeBucket(col(dimB), r.getLong(2), r.getLong(3), bits))
+    df.withColumn("__zkey", z)
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}
