@@ -97,8 +97,7 @@ object Retrieval {
   def serveFromIndex(spark: SparkSession, table: String, path: String,
                      queryVec: DataFrame, cfg: ServeConfig): DataFrame =
     page(spark, table, path,
-      spark.read.parquet(s"$path/ivf/lists")
-        .select(col("vec_id"), col("label"), col("v"), col("n2"))
+      Similarity.readIndexVectors(spark, s"$path/ivf")
         .filter(col("n2") > 0),
       queryVec, cfg)
 

@@ -1118,6 +1118,18 @@ object Similarity {
       lists.filter(col("ingest_batch") =!= lit(b)))
   }
 
+  /** The written index's vector rows — COMMITTED batches only (the
+    * [[writeCommitRecord]] contract), in the prepared
+    * `(vec_id, label, v, n2)` shape. The read every non-serve
+    * consumer of the lists should use (e.g.
+    * [[graft.operators.Retrieval.serveFromIndex]]'s MMR vector
+    * source), so an uncommitted partial batch is invisible there
+    * exactly as it is to the serves. */
+  def readIndexVectors(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    committedLists(spark, path, None)
+      .select(col("vec_id"), col("label"), col("v"), col("n2"))
+
   /** Append-side half of the no-concurrent-maintenance contract: a
     * compaction holds the index's sentinel lock for its whole run
     * (see [[IndexMaintenance]]); an append that slipped in mid-swap
