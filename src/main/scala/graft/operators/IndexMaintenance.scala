@@ -13,32 +13,34 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * healed by [[heal]] on the next call: `live` missing next to a
   * complete `tmp` (the caller only ever swaps AFTER the tmp write
   * finished) resumes the swap forward; missing next to only `old`
-  * rolls back. Under the swap's own ordering the rollback branch is
-  * unreachable (tmp always exists once live has been moved) — it is
-  * kept as a defensive recovery for states produced OUTSIDE the
-  * protocol, e.g. an operator deleting a tmp dir they judged corrupt.
+  * rolls back.
   *
   * Concurrency enforcement (r11 ADVICE): appends and compactions on
   * the same index MUST NOT overlap — an append that recreates `live`
   * between swap's two renames strands the pre-compaction segments in
-  * `old`, where a delete would be permanent silent data loss. Two
+  * `old`, where a delete would be permanent silent data loss. Three
   * independent guards close that window:
   *
-  *   1. the LOCK: compaction holds a sentinel file for its whole
-  *      run ([[withLock]]) and every append calls
-  *      [[assertUnlocked]] first, so a mis-scheduled overlap dies
-  *      loudly at the append instead of racing the renames;
-  *   2. REFUSE-LOUD recovery: even if a writer slips past the lock
-  *      (the assert-then-write window, or a hand-run job), [[heal]]
-  *      recognizes the poison state — `live`, `old` AND `tmp` all
-  *      present — and throws instead of deleting `old`, so the
-  *      stranded segments survive for a manual merge. The only
-  *      state where `old` is deleted next to a live dir is the
-  *      completed swap's unfinished tail (`tmp` already renamed
-  *      away), where `old` is a stale pre-compaction copy by
-  *      construction.
+  *   1. the LOCK: compaction holds a sentinel file for its whole run
+  *      ([[withLock]]) and every append calls [[assertUnlocked]]
+  *      first, so a mis-scheduled overlap dies loudly at the append
+  *      instead of racing the renames. A compaction that FAILS keeps
+  *      the lock (the index needs attention — releasing would let
+  *      appends write into a half-swapped layout);
+  *   2. NEST DETECTION in the swap itself: on HDFS-semantics
+  *      filesystems `rename(tmp, live)` with a recreated `live` does
+  *      not fail — it moves tmp INSIDE live (r12 review: the
+  *      "rename fails, tmp survives" assumption was wrong there).
+  *      [[renameIntoPlace]] checks for the nested dir, un-nests it
+  *      back to `tmp`, and refuses — `old` survives;
+  *   3. REFUSE-LOUD recovery: [[heal]] never deletes `old` next to a
+  *      live dir. The completed-swap tail (old stale, live good) is
+  *      indistinguishable from an operator who deleted only `tmp`
+  *      out of the poison state (old = the ONLY copy of the stranded
+  *      segments), so both read as "operator must look": delete
+  *      `old` by hand after confirming `live` serves correctly.
   */
-private[operators] object IndexMaintenance {
+private[graft] object IndexMaintenance {
 
   /** The compaction-in-progress sentinel for an index rooted at
     * `root` (underscore-prefixed: parquet readers ignore it). */
@@ -46,30 +48,33 @@ private[operators] object IndexMaintenance {
 
   /** Append-side guard: refuse to write into an index a compaction
     * is rewriting. Checked at append ENTRY — a compaction that
-    * starts after the check is the residual race [[heal]]'s
-    * refuse-loud branch covers. */
+    * starts after the check is the residual race guards 2 and 3
+    * cover. */
   def assertUnlocked(fs: FileSystem, lock: Path, what: String): Unit =
     require(!fs.exists(lock),
       s"$what refused: maintenance lock $lock is held — a compaction " +
-        "is rewriting this index, and an append landing mid-swap " +
-        "would recreate the live dir and strand the pre-compaction " +
-        "segments (silent data loss). Retry after the compaction " +
-        "finishes, or delete the lock file if its owner crashed.")
+        "is rewriting this index (or one failed holding the lock), " +
+        "and an append landing now could strand or corrupt segments. " +
+        "Retry after the compaction finishes; if its owner crashed, " +
+        "verify the index state (heal runs on the next compaction) " +
+        "and delete the lock file.")
 
   /** Compaction-side guard: hold the sentinel for the body's whole
     * run. Creation is atomic (createNewFile) — a second concurrent
-    * compaction, or one crashed holding the lock, fails loudly here
-    * instead of double-swapping. A crashed owner's lock is released
-    * by the operator deleting the file after verifying nothing is
-    * live; the next compaction's [[heal]] then repairs any
-    * half-swapped state. */
+    * compaction, or one that previously failed, dies loudly here.
+    * The lock is released ONLY on success: after a mid-swap failure
+    * the index needs heal/operator attention, and releasing would
+    * reopen it to appends that could manufacture the poison state
+    * (r12 review). */
   def withLock[A](fs: FileSystem, lock: Path)(body: => A): A = {
     require(fs.createNewFile(lock),
       s"maintenance lock $lock already held — another compaction is " +
-        "running (or one crashed holding it: verify no compaction is " +
-        "live, then delete the lock file and re-run)")
-    try body
-    finally { fs.delete(lock, false); () }
+        "running, or a previous one failed and kept the lock: verify " +
+        "the index (the next compaction's heal repairs in-protocol " +
+        "crash states), then delete the lock file and re-run")
+    val out = body // a throw deliberately keeps the lock (see above)
+    fs.delete(lock, false)
+    out
   }
 
   def heal(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit =
@@ -80,35 +85,55 @@ private[operators] object IndexMaintenance {
           s"recovered but could not delete $old")
       } else if (fs.exists(old))
         require(fs.rename(old, live), s"recovery rename $old -> $live failed")
-    } else if (fs.exists(old)) {
-      if (fs.exists(tmp))
-        // live + old + tmp: a writer recreated `live` after swap moved
-        // it to `old` (the rename(tmp, live) then failed, which is why
-        // tmp survives). `old` holds every pre-compaction segment the
-        // recreated `live` does NOT — deleting it here (or letting
-        // swap() clear it) would be PERMANENT silent data loss.
-        sys.error(s"refusing to heal: $live, $old and $tmp all exist — " +
-          s"a writer recreated $live mid-swap, so $old holds segments " +
-          s"$live does not. Merge $old's batch partitions back into " +
-          s"$live (or run a full rebuild), delete $old and $tmp " +
-          "manually, then re-run the compaction")
-      else
-        // live + old, no tmp: the previous swap COMPLETED its renames
-        // and crashed before the final delete — old is a stale
-        // pre-compaction copy, safe to clear
-        require(fs.delete(old, true),
-          s"could not delete completed-swap leftover $old")
+    } else if (fs.exists(old))
+      // live + old: either a writer recreated `live` mid-swap (old
+      // holds segments live does NOT — deleting it is permanent
+      // silent data loss) or the previous swap completed its renames
+      // and crashed before the final delete (old is stale). The two
+      // are not reliably distinguishable here — an operator acting on
+      // the poison-state instructions may already have removed tmp —
+      // so NEVER delete: refuse with the manual protocol (r12 review;
+      // the r11 ADVICE's "refuse loudly when both live and old
+      // exist").
+      sys.error(s"refusing to heal: $live and $old both exist" +
+        (if (fs.exists(tmp)) s" (with $tmp — a writer recreated the " +
+          "live dir mid-swap; old holds segments live does not)"
+         else " (either a completed swap's leftover, or a manual " +
+          "recovery that removed only the tmp dir)") +
+        s". Verify which holds the full segment set, merge $old's " +
+        s"batch partitions into $live if live is missing any, then " +
+        "delete the old (and any tmp) dir by hand and re-run")
+
+  /** rename(tmp, live) with HDFS move-into-directory semantics
+    * guarded: if a writer recreated `live` after swap moved it away,
+    * the rename NESTS tmp inside live instead of failing — detect
+    * that, un-nest, and refuse with `old` intact. */
+  private[graft] def renameIntoPlace(fs: FileSystem, tmp: Path,
+                                     live: Path): Unit = {
+    if (!fs.rename(tmp, live))
+      sys.error(s"rename $tmp -> $live failed (a writer may have " +
+        s"recreated $live mid-swap); both dirs left intact")
+    val nested = new Path(live, tmp.getName)
+    if (fs.exists(nested)) {
+      require(fs.rename(nested, tmp),
+        s"could not un-nest $nested back to $tmp")
+      sys.error(s"a writer recreated $live mid-swap: rename moved the " +
+        s"compacted dir INSIDE it (un-nested back to $tmp). The old " +
+        "dir still holds the full pre-compaction segments — merge " +
+        s"$live's new batch partitions into it (or re-append them " +
+        "after restoring), then re-run the compaction")
     }
+  }
 
   def swap(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
-    // heal() ran first: old absent, or heal threw / cleared it. An
-    // old dir appearing here means the protocol was bypassed — refuse
-    // rather than delete what might be the only copy of its segments.
+    // heal() ran first: old absent, or heal threw. An old dir
+    // appearing here means the protocol was bypassed — refuse rather
+    // than delete what might be the only copy of its segments.
     require(!fs.exists(old),
       s"$old exists at swap time — run heal() (and resolve what it " +
         "refuses) before swapping")
     require(fs.rename(live, old), s"rename $live -> $old failed")
-    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    renameIntoPlace(fs, tmp, live)
     require(fs.delete(old, true), s"compacted but could not delete $old")
   }
 }

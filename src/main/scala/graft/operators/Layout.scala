@@ -56,6 +56,16 @@ object Layout {
     * returns is not exact at these magnitudes. */
   def rangeBucket(c: Column, min: Long, max: Long, bits: Int): Column = {
     require(bits > 0 && bits <= 16, s"bits=$bits must be in [1, 16]")
+    require(min <= max, s"rangeBucket: min=$min > max=$max")
+    // (max - min + 1) must fit a long, and (c - min) must not
+    // overflow under ANSI either — a dim spanning most of the signed
+    // 64-bit range (e.g. raw hashes) needs pre-bucketing by the
+    // caller; silently wrapped spans would cluster rows randomly and
+    // the promised pruning would never materialize (r12 review)
+    require(BigInt(max) - BigInt(min) + 1 <= BigInt(Long.MaxValue),
+      s"rangeBucket: span of [$min, $max] overflows a long — " +
+        "pre-bucket the dimension (e.g. shift raw hashes to " +
+        "unsigned-scaled longs) before z-ordering on it")
     val span = math.max(1L, max - min + 1L)
     val off = c.cast("long") - lit(min)
     if (span <= (Long.MaxValue >> bits))

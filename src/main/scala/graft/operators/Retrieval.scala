@@ -144,13 +144,22 @@ object Retrieval {
     val discCol: Column = element_at(
       map(d6.zipWithIndex.flatMap { case (v, i) =>
         Seq(lit(i + 1), lit(v)) }: _*), col("rank").cast("int"))
-    cand.filter(col("rank") <= k)
+    // every system present in cand gets a row — a system whose
+    // ranking is empty past the rank filter must REPORT zeros, not
+    // vanish from the eval (r12 review: the worst-performing system
+    // disappearing from the report is the failure mode an eval layer
+    // exists to expose)
+    val systems = cand.select(col("system")).distinct()
+    val scored = cand.filter(col("rank") <= k)
       .join(broadcast(ref.select(col("doc_id"), lit(1L).as("rel"))),
         Seq("doc_id"), "left")
       .groupBy(col("system"))
       .agg(sum(coalesce(col("rel"), lit(0L))).as("hits"),
         min(when(col("rel") === 1L, col("rank").cast("long"))).as("fr"),
         sum(when(col("rel") === 1L, discCol).otherwise(lit(0L))).as("dcg6"))
+    systems.join(scored, Seq("system"), "left")
+      .select(col("system"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("fr"), coalesce(col("dcg6"), lit(0L)).as("dcg6"))
       .select(col("system"), col("hits"),
         (expr(s"(2 * 1000000 * hits + $denom) div (2 * $denom)")
           .cast("double") / lit(1e6)).as("recall"),

@@ -999,6 +999,9 @@ object Similarity {
     } else
       assigned.write.partitionBy("c_id", "ingest_batch")
         .mode("overwrite").parquet(s"$path/lists")
+    // an EMPTY ledger dir marks a ledgered index from birth — absent
+    // means pre-ledger legacy (see committedBatches)
+    initCommitLedger(spark, path)
   }
 
   /** The ONE spelling of the label-bucket key (write side and serve
@@ -1069,39 +1072,70 @@ object Similarity {
     * mis-scored (every written vector ranks correctly), but a
     * filtered serve would SILENTLY miss the unwritten ones — a
     * recall hole no gate sees. The ledger makes the batch's
-    * visibility atomic: `commits/ingest_batch=N` is written LAST,
-    * and the serves' prune helpers read only committed batches
-    * (base -1 is always committed), so a crashed append stays
-    * invisible until its replay re-lands the batch in full. The
-    * `rows` column is read back from the landed partition —
-    * observability for ingest audits, not a correctness input. */
+    * visibility atomic: the zero-byte marker
+    * `commits/ingest_batch=N` is created LAST (one atomic filesystem
+    * call — no Spark job, r12 review), and the serves' prune helpers
+    * read only committed batches (base -1 is always committed), so a
+    * crashed append stays invisible until its replay re-lands the
+    * batch in full. Marker re-creation is the replay's idempotence. */
   private def writeCommitRecord(spark: org.apache.spark.sql.SparkSession,
                                 path: String, ingestBatch: Long): Unit = {
-    val rows = spark.read.parquet(s"$path/lists")
-      .filter(col("ingest_batch") === ingestBatch).count()
-    spark.range(1)
-      .select(lit(rows).as("rows"), lit(ingestBatch).as("ingest_batch"))
-      .write.partitionBy("ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/commits")
+    val (fs, dir) = commitsDir(spark, path)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$ingestBatch"),
+      true).close()
+  }
+
+  /** An EMPTY ledger dir, created at base-write time: marks the index
+    * as ledgered from birth, so "ledger absent" is unambiguous — a
+    * PRE-LEDGER legacy index whose appends were all visible by
+    * construction, not a fresh index whose first append crashed. */
+  private def initCommitLedger(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    val (fs, dir) = commitsDir(spark, path)
+    fs.delete(dir, true) // a base REWRITE invalidates old batch ids
+    fs.mkdirs(dir): Unit
+  }
+
+  private def commitsDir(spark: org.apache.spark.sql.SparkSession,
+                         path: String) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/commits")
+    (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
+  /** First append to a PRE-LEDGER legacy index: back-fill a marker
+    * for every batch already in the lists (they were all visible
+    * before the ledger existed — ledgering only the new batch would
+    * silently drop them from serves). One-time, append-path only:
+    * serves never pay this. */
+  private def adoptLegacyLedger(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val (fs, dir) = commitsDir(spark, path)
+    if (!fs.exists(dir)) {
+      // cast: partition-value inference may type the column INT
+      val ids = spark.read.parquet(s"$path/lists")
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).filter(_ != -1L)
+      fs.mkdirs(dir)
+      ids.foreach(b => fs.create(
+        new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$b"), true).close())
+    }
   }
 
   /** The committed ingest-batch ids (always including the base /
-    * compacted -1) — bounded metadata, one id per append since the
-    * last compaction. An index with no ledger dir has no committed
-    * appends: only the base is served. */
+    * compacted -1) — read straight from the marker-file names with
+    * ONE filesystem listing, no Spark job on the serve path (r12
+    * review). None = a legacy index written before the ledger
+    * existed: every batch stays visible, exactly as it was then
+    * (gating them would silently drop long-lived streaming ingests
+    * on upgrade). */
   private def committedBatches(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Seq[Long] = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(s"$path/commits")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val appended =
-      if (!fs.exists(dir)) Seq.empty[Long]
-      else spark.read.schema("rows long, ingest_batch long")
-        .parquet(dir.toString)
-        .select(col("ingest_batch")).distinct()
-        .collect().toSeq.map(_.getLong(0))
-    (appended :+ -1L).distinct
+                               path: String): Option[Seq[Long]] = {
+    val (fs, dir) = commitsDir(spark, path)
+    if (!fs.exists(dir)) None
+    else Some((fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong) :+ -1L).distinct)
   }
 
   /** The serve-side lists scan: committed batches only (see
@@ -1112,8 +1146,9 @@ object Similarity {
   private def committedLists(spark: org.apache.spark.sql.SparkSession,
                              path: String,
                              excludeIngestBatch: Option[Long]): DataFrame = {
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("ingest_batch").isin(committedBatches(spark, path): _*))
+    val base = spark.read.parquet(s"$path/lists")
+    val lists = committedBatches(spark, path).fold(base)(ids =>
+      base.filter(col("ingest_batch").isin(ids: _*)))
     excludeIngestBatch.fold(lists)(b =>
       lists.filter(col("ingest_batch") =!= lit(b)))
   }
@@ -1180,6 +1215,7 @@ object Similarity {
         "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
     assertNoMaintenance(spark, path, "appendToIvfIndex")
+    adoptLegacyLedger(spark, path)
     val cents = readCentroids(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
     val assigned = ivfAssignPrepared(prepared(withLabel(emb, existing)), cents)
@@ -1215,6 +1251,7 @@ object Similarity {
         "an append keyed on it would overwrite base index data")
     val spark = emb.sparkSession
     assertNoMaintenance(spark, path, "appendToIvfPqIndex")
+    adoptLegacyLedger(spark, path)
     val cents = readCentroids(spark, path)
     val cbMat = readCodebookMat(spark, path)
     val existing = spark.read.parquet(s"$path/lists").schema
@@ -1276,8 +1313,10 @@ object Similarity {
       // repartition on the list id: one shuffle sized by nlist, one
       // output file per list — the ideal serve layout (a label-bucketed
       // E12 layout keeps its lbl subpartitioning through compaction)
-      val folded = spark.read.parquet(lists.toString)
-        .filter(col("ingest_batch").isin(committedBatches(spark, path): _*))
+      val folded = committedBatches(spark, path)
+        .fold(spark.read.parquet(lists.toString))(ids =>
+          spark.read.parquet(lists.toString)
+            .filter(col("ingest_batch").isin(ids: _*)))
         .withColumn("ingest_batch", lit(-1L))
         .repartition(col("c_id"))
       val partCols =
@@ -1287,9 +1326,11 @@ object Similarity {
         .mode("overwrite").parquet(tmp.toString)
       IndexMaintenance.swap(fs, lists, tmp, old)
       // every committed batch now lives in -1 (always committed), so
-      // the ledger resets; a crash before this delete only leaves
-      // stale ids that match no partition — harmless to serves
-      fs.delete(new Path(s"$path/commits"), true): Unit
+      // the ledger resets to EMPTY — not absent, which would flip the
+      // index into pre-ledger legacy mode where a future crashed
+      // append becomes visible (r12 review). A crash before this
+      // reset only leaves stale ids matching no partition — harmless.
+      initCommitLedger(spark, path)
     }
   }
 
@@ -1503,6 +1544,7 @@ object Similarity {
         .write.partitionBy("c_id", "ingest_batch")
         .mode("overwrite").parquet(s"$path/lists")
     }
+    initCommitLedger(spark, path) // see writeIvfIndex
   }
 
   /** Query a written IVFPQ index: probe the stored coarse quantizer,

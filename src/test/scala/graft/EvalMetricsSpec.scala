@@ -64,6 +64,25 @@ class EvalMetricsSpec extends SparkSpec {
     assert(out2.getLong(1) === 0L)
   }
 
+  test("a system whose rows all fall past rank k reports zeros instead of vanishing") {
+    val r = ref(Seq(1L, 2L, 3L))
+    // system "late" has candidates only at ranks 4-5: the eval must
+    // still emit its row with zero metrics — a broken serve
+    // disappearing from the report is the failure an eval exposes
+    val late = Seq((1L, 4L), (2L, 5L)).toDF("doc_id", "rank")
+      .select(lit("late").as("system"), col("doc_id"),
+        col("rank").cast("bigint").as("rank"))
+    val out = Retrieval.evalTopK(
+        frame("ok", Seq(1L, 2L, 3L)).unionByName(late), r, 3)
+      .orderBy("system").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(out.keySet === Set("ok", "late"))
+    assert(out("late") === ((0L, 0.0, 0.0, 0.0)))
+    assert(out("ok") === ((3L, 1.0, 1.0, 1.0)))
+  }
+
   test("catalog entry: one row per system, fused page retrieves semantic mass bm25 alone may not") {
     val out = SparkEntry.queries("eval_retrieval_metrics")(spark, sfDir)
       .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap

@@ -72,13 +72,32 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to heal"), e.getMessage)
     assert(f.exists(p("lists_old")),
       "_old was deleted in the poison state — permanent data loss")
-    // and the refusal released the lock (no wedged index)
-    assert(!f.exists(p("_maintenance_lock")))
-    // completed-swap tail: old exists, tmp does not — old is a stale
-    // pre-compaction copy, cleared by heal and the compaction proceeds
+    // the failed compaction KEEPS the lock: the index needs operator
+    // attention, and a released lock would let appends write into the
+    // half-recovered state (r12 review)
+    assert(f.exists(p("_maintenance_lock")))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, path)
+    }
+    assert(e2.getMessage.contains("already held"), e2.getMessage)
+    // live + old WITHOUT tmp is still a refusal — it is
+    // indistinguishable from an operator who deleted only the tmp dir
+    // out of the poison state, where old is the ONLY copy (r12
+    // review: the old delete branch was itself a loss path)
     require(f.delete(p("lists_compacting"), true))
+    require(f.delete(p("_maintenance_lock"), false))
+    val e3 = intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, path)
+    }
+    assert(e3.getMessage.contains("refusing to heal"), e3.getMessage)
+    assert(f.exists(p("lists_old")))
+    // the manual protocol: verify live, delete old + lock by hand —
+    // then compaction proceeds
+    require(f.delete(p("lists_old"), true))
+    require(f.delete(p("_maintenance_lock"), false))
     Similarity.compactIvfIndex(spark, path)
     assert(!f.exists(p("lists_old")) && !f.exists(p("lists_compacting")))
+    assert(!f.exists(p("_maintenance_lock")))
     assert(spark.read.parquet(s"$path/lists").count() === nRows)
   }
 
@@ -116,8 +135,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/lists")
       .select(col("ingest_batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq === Seq(-1L))
-    assert(!fs(path).exists(new Path(s"$path/commits")),
-      "compaction folds every committed batch into -1 — the ledger resets")
+    // the ledger resets to EMPTY — never absent, which would flip the
+    // index into pre-ledger legacy mode where a crashed append is
+    // visible (r12 review)
+    assert(fs(path).exists(new Path(s"$path/commits")) &&
+      fs(path).listStatus(new Path(s"$path/commits")).isEmpty,
+      "compaction folds every committed batch into -1 — empty ledger")
     assert(serve() === withBatch)
     // the discarded batch id is now safe to replay in full
     Similarity.appendToIvfIndex(
@@ -125,6 +148,33 @@ class IndexMaintenanceSpec extends SparkSpec {
       ingestBatch = 4L)
     assert(spark.read.parquet(s"$path/lists")
       .filter(col("ingest_batch") === 4L).count() > 0)
+  }
+
+  test("IVF legacy indexes: no ledger means every batch serves; the first new append adopts them") {
+    val path = java.nio.file.Files.createTempDirectory("graft_imx_leg").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 8, trainIters = 3)
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    def serve() = Similarity.ivfTopKFromIndex(spark, path, queries, 5,
+      nprobe = 8).orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 350), path,
+      ingestBatch = 0L)
+    val withBatch = serve()
+    // simulate a pre-ledger index: the upgrade must NOT drop batches
+    // that were visible before the ledger existed (r12 review)
+    require(fs(path).delete(new Path(s"$path/commits"), true))
+    assert(serve() === withBatch, "legacy batches vanished from serves")
+    // the next append back-fills markers for the legacy batches
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 360), path,
+      ingestBatch = 1L)
+    val ledgered = fs(path).listStatus(new Path(s"$path/commits"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(ledgered === Seq("ingest_batch=0", "ingest_batch=1"))
+    assert(Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 8)
+      .count() === withBatch.size.toLong)
   }
 
   test("BM25: meta is the commit record — a partial append is serve-invisible until replayed") {
