@@ -430,6 +430,18 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
 
+    // r12: the eval layer's PAIR flavor — precision/recall/F1 of the
+    // D2 LSH candidate set against exact-Jaccard truth, the
+    // band/threshold tuning audit. τ=0.05 (below D3's dedup cut) so
+    // the truth set includes marginal pairs the 8×4 bands genuinely
+    // miss — the metric SHOWS the collision curve instead of pinning
+    // 1.0. Hash-green: both pair sets have exact mirrors, and the
+    // metrics are half-up scale-6 integer quotients
+    "eval_dedup_metrics" -> ((s, d) =>
+      Dedup.evalPairs(
+        Dedup.minhashLsh(docs(s, d), failOnHot = true),
+        Dedup.ngramJaccard(docs(s, d), 0.05))),
+
     // D3 with the hot-gram df cap ON — the 100 TB-safe flavor (bounded
     // per-key join fan-out); maxDf=5 actually bites on this corpus
     // (its df tail reaches 7), so the oracle exercises the capped
@@ -2313,6 +2325,56 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
          |  ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id""".stripMargin,
+
+    // eval_dedup_metrics mirror: the D2 cand spelling + the D3 ref
+    // spelling (g2/sizes2/inter2 — renamed: minhashSigCtes already
+    // owns g), one FULL OUTER join on the pair key, then the same
+    // half-up scale-6 integer quotients the Spark side computes.
+    // `prec`/`rec` names: PRECISION is a reserved SQL keyword
+    "eval_dedup_metrics" ->
+      s"""WITH $minhashSigCtes,
+         |sig AS (SELECT doc_id, list(v ORDER BY s) AS sg FROM sv GROUP BY doc_id),
+         |banded AS (SELECT doc_id, b, sg[b*4+1 : b*4+4] AS slice
+         |           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b
+         |           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id),
+         |g2 AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |       FROM toks),
+         |sizes2 AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY 1),
+         |inter2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS inter
+         |           FROM g2 a JOIN g2 b
+         |             ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |ref AS (SELECT doc_a, doc_b FROM inter2
+         |        JOIN sizes2 sa ON sa.doc_id = doc_a
+         |        JOIN sizes2 sb ON sb.doc_id = doc_b
+         |        WHERE inter / (sa.n + sb.n - inter) >= 0.05),
+         |m AS (SELECT c.doc_a IS NOT NULL AS ic, r.doc_a IS NOT NULL AS ir
+         |      FROM cand c FULL OUTER JOIN ref r
+         |        ON c.doc_a = r.doc_a AND c.doc_b = r.doc_b),
+         |a AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN ic AND ir THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS tp,
+         |  CAST(coalesce(sum(CASE WHEN ic AND NOT ir THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS fp,
+         |  CAST(coalesce(sum(CASE WHEN NOT ic AND ir THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS fn
+         |  FROM m)
+         |SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+         |    CAST((2 * 1000000 * tp + (tp + fp)) // (2 * (tp + fp))
+         |      AS DOUBLE) / 1e6 END AS prec,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE
+         |    CAST((2 * 1000000 * tp + (tp + fn)) // (2 * (tp + fn))
+         |      AS DOUBLE) / 1e6 END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE
+         |    CAST((2 * 1000000 * 2 * tp + (2 * tp + fp + fn))
+         |      // (2 * (2 * tp + fp + fn)) AS DOUBLE) / 1e6 END AS f1
+         |FROM a""".stripMargin,
 
     // D7 mirror: the merged per-source signature is the per-slot min
     // over every member doc's grams (min is merge-order-free), and

@@ -1362,6 +1362,51 @@ object Dedup {
       minShared)
   }
 
+  /** Dedup-candidate quality (r12) — the pair flavor of the eval
+    * layer ([[graft.operators.Retrieval.evalTopK]] is the ranking
+    * flavor): precision / recall / F1 of a candidate pair set
+    * against a reference pair set, the offline audit every dedup
+    * deploy runs when tuning bands/thresholds (how much does the LSH
+    * shortlist miss, and how much junk does it admit, vs exact
+    * Jaccard truth).
+    *
+    * Both inputs are `(doc_a, doc_b)` frames with the canonical
+    * doc_a < doc_b orientation every pair generator here emits.
+    * tp/fp/fn come from ONE full-outer equi-join on the pair key
+    * (scale shape: a shuffle on the pair key, never a cross);
+    * precision6 = 1e6·tp/(tp+fp), recall6 = 1e6·tp/(tp+fn) and
+    * f16 = 1e6·2tp/(2tp+fp+fn) — F1's harmonic mean collapses to
+    * that single exact quotient — all half-up scale-6 integers (the
+    * cross-engine arithmetic), zero when the denominator is empty. */
+  def evalPairs(cand: DataFrame, ref: DataFrame): DataFrame = {
+    val c = cand.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("ic", lit(1L))
+    val r = ref.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("ir", lit(1L))
+    c.join(r, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("ic") === 1L && col("ir") === 1L, 1L).otherwise(0L))
+          .as("tp0"),
+        sum(when(col("ic") === 1L && col("ir").isNull, 1L).otherwise(0L))
+          .as("fp0"),
+        sum(when(col("ic").isNull && col("ir") === 1L, 1L).otherwise(0L))
+          .as("fn0"))
+      .select(coalesce(col("tp0"), lit(0L)).as("tp"),
+        coalesce(col("fp0"), lit(0L)).as("fp"),
+        coalesce(col("fn0"), lit(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(expr("(2 * 1000000 * tp + (tp + fp)) div (2 * (tp + fp))")
+            .cast("double") / lit(1e6)).as("prec"),
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(expr("(2 * 1000000 * tp + (tp + fn)) div (2 * (tp + fn))")
+            .cast("double") / lit(1e6)).as("rec"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(0.0))
+          .otherwise(expr(
+            "(2 * 1000000 * 2 * tp + (2 * tp + fp + fn)) div (2 * (2 * tp + fp + fn))")
+            .cast("double") / lit(1e6)).as("f1"))
+  }
+
   /** D8: duplicate clustering — connected components over a candidate
     * pair list, labeling every document with the smallest doc_id in
     * its component (the canonical representative) plus the component

@@ -83,6 +83,33 @@ class EvalMetricsSpec extends SparkSpec {
     assert(out("ok") === ((3L, 1.0, 1.0, 1.0)))
   }
 
+  test("evalPairs: hand-computed precision/recall/F1, duplicate and empty inputs") {
+    import graft.operators.Dedup
+    def pairs(p: (Long, Long)*) = p.toSeq.toDF("doc_a", "doc_b")
+    // cand {AB, AC, AD}, ref {AB, AC, AE}: tp=2 fp=1 fn=1
+    // prec = rec = 2/3 -> 0.666667 (half-up), f1 = 4/6 -> 0.666667
+    val out = Dedup.evalPairs(
+      pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 2L)), // dup row collapses
+      pairs((1L, 2L), (1L, 3L), (1L, 5L))).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((2L, 1L, 1L)))
+    assert((out.getDouble(3), out.getDouble(4), out.getDouble(5)) ===
+      ((0.666667, 0.666667, 0.666667)))
+    // empty candidate set: zeros, not a divide-by-zero error
+    val z = Dedup.evalPairs(pairs(), pairs((1L, 2L))).collect().head
+    assert((z.getLong(0), z.getDouble(3), z.getDouble(4), z.getDouble(5)) ===
+      ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("catalog entry (pairs): LSH is high-precision against sub-threshold truth, misses marginal pairs") {
+    val out = SparkEntry.queries("eval_dedup_metrics")(spark, sfDir)
+      .collect().head
+    val (tp, fp, fn) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(tp > 0L, "no true positives — the corpus should have near-dups")
+    // at τ=0.05 the truth set includes pairs below the bands'
+    // collision knee: recall may dip, precision stays high here
+    assert(out.getDouble(3) > 0.9, s"precision tp=$tp fp=$fp fn=$fn")
+  }
+
   test("catalog entry: one row per system, fused page retrieves semantic mass bm25 alone may not") {
     val out = SparkEntry.queries("eval_retrieval_metrics")(spark, sfDir)
       .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
