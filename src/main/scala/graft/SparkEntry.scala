@@ -430,6 +430,24 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.2)),
 
+    // r12: the eval layer's CLUSTERING flavor — Adjusted Rand Index
+    // between the lexical near-dup components (D8 over n-gram Jaccard
+    // τ=0.2) and the semantic ones (the same walk over embedding
+    // cosine ≥ 0.45 pairs): do the two dedup signals agree beyond
+    // chance before we commit to one? Exact rational arithmetic —
+    // hash-green vs a mirror composing the two recursive-CTE
+    // component chains
+    "eval_clustering_ari" -> ((s, d) => {
+      val dd = docs(s, d)
+      val lex = Dedup.clusters(dd, Dedup.ngramJaccard(dd, 0.2))
+        .select(col("doc_id"), col("cluster_id"))
+      val sem = Dedup.clusters(dd,
+        Dedup.embeddingCosine(emb(s, d), 0.45)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id"), col("cluster_id"))
+      Dedup.evalClustering(lex, sem)
+    }),
+
     // r12: the eval layer's PAIR flavor — precision/recall/F1 of the
     // D2 LSH candidate set against exact-Jaccard truth, the
     // band/threshold tuning audit. τ=0.05 (below D3's dedup cut) so
@@ -2325,6 +2343,82 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
          |  ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id""".stripMargin,
+
+    // eval_clustering_ari mirror: the D8 recursive component chain
+    // (lexical, the dedup_cluster spelling) + the same walk over the
+    // D5 cosine pairs (semantic), singletons coalesced to their own
+    // doc_id on both sides, then the exact rational ARI — num2/den2
+    // in BIGINTs, half-up scale-6 on the ABSOLUTE value in HUGEINT
+    // (floor-division negativity is engine-dependent), den2 = 0 → 1.0
+    "eval_clustering_ari" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairsL AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE inter / (sa.n + sb.n - inter) >= 0.2),
+         |edgesL AS (SELECT doc_a AS src, doc_b AS dst FROM pairsL
+         |           UNION ALL SELECT doc_b, doc_a FROM pairsL),
+         |walkL(node, lbl) AS (
+         |  SELECT src, src FROM edgesL
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walkL w JOIN edgesL e ON e.src = w.node),
+         |compL AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |          FROM walkL GROUP BY 1),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[])) > 0),
+         |pairsS AS (SELECT * FROM (
+         |    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |           round($COS, 6) AS cos_sim
+         |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.45),
+         |edgesS AS (SELECT doc_a AS src, doc_b AS dst FROM pairsS
+         |           UNION ALL SELECT doc_b, doc_a FROM pairsS),
+         |walkS(node, lbl) AS (
+         |  SELECT src, src FROM edgesS
+         |  UNION
+         |  SELECT e2.dst, w.lbl FROM walkS w JOIN edgesS e2 ON e2.src = w.node),
+         |compS AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |          FROM walkS GROUP BY 1),
+         |jj AS (SELECT coalesce(cl.cluster_id, d.doc_id) AS la,
+         |              coalesce(cs.cluster_id, d.doc_id) AS lb
+         |       FROM documents d
+         |       LEFT JOIN compL cl ON cl.doc_id = d.doc_id
+         |       LEFT JOIN compS cs ON cs.doc_id = d.doc_id),
+         |cells AS (SELECT la, lb, count(*) AS nij FROM jj GROUP BY 1, 2),
+         |s1 AS (SELECT CAST(coalesce(sum((nij * (nij - 1)) // 2), 0)
+         |         AS BIGINT) AS s_ab FROM cells),
+         |ra AS (SELECT la, sum(nij) AS ai FROM cells GROUP BY 1),
+         |s2 AS (SELECT CAST(coalesce(sum((ai * (ai - 1)) // 2), 0)
+         |         AS BIGINT) AS s_a FROM ra),
+         |rb AS (SELECT lb, sum(nij) AS bj FROM cells GROUP BY 1),
+         |s3 AS (SELECT CAST(coalesce(sum((bj * (bj - 1)) // 2), 0)
+         |         AS BIGINT) AS s_b FROM rb),
+         |nn AS (SELECT count(*) AS n FROM jj),
+         |x AS (SELECT n, s_ab, s_a, s_b, (n * (n - 1)) // 2 AS t
+         |      FROM nn, s1, s2, s3),
+         |y AS (SELECT n, s_ab, s_a, s_b,
+         |        2 * t * s_ab - 2 * s_a * s_b AS num2,
+         |        t * (s_a + s_b) - 2 * s_a * s_b AS den2 FROM x)
+         |SELECT n, s_ab, s_a, s_b,
+         |  CASE WHEN den2 = 0 THEN 1.0 ELSE
+         |    CAST((CASE WHEN num2 < 0 THEN -1 ELSE 1 END) *
+         |      ((2 * 1000000 * CAST(abs(num2) AS HUGEINT)
+         |          + CAST(den2 AS HUGEINT))
+         |        // (2 * CAST(den2 AS HUGEINT))) AS DOUBLE) / 1e6
+         |  END AS ari
+         |FROM y""".stripMargin,
 
     // eval_dedup_metrics mirror: the D2 cand spelling + the D3 ref
     // spelling (g2/sizes2/inter2 — renamed: minhashSigCtes already

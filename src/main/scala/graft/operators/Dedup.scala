@@ -1407,6 +1407,55 @@ object Dedup {
             .cast("double") / lit(1e6)).as("f1"))
   }
 
+  /** Clustering agreement (r12) — the third flavor of the eval layer
+    * (ranking: [[graft.operators.Retrieval.evalTopK]]; pairs:
+    * [[evalPairs]]): the Adjusted Rand Index between two labelings of
+    * the same id universe, the standard audit for "do two clusterings
+    * agree beyond chance" (Hubert & Arabie 1985) — e.g. lexical vs
+    * semantic near-dup components before committing to one dedup
+    * signal.
+    *
+    * Inputs are `(doc_id, cluster_id)` frames covering the SAME ids.
+    * Work: one equi-join on doc_id, one contingency aggregate
+    * (cells ≤ |labels_a|·|labels_b|, in practice ≪ n), and bounded
+    * one-row reductions — scale shape is two shuffles over n rows.
+    *
+    * Exactness: ARI is a RATIONAL in pair counts — with T = C(n,2),
+    * Sij = Σ C(n_ij,2), Sa = Σ C(a_i,2), Sb = Σ C(b_j,2):
+    * num2 = 2·T·Sij − 2·Sa·Sb, den2 = T·(Sa+Sb) − 2·Sa·Sb, ARI =
+    * num2/den2 — computed in longs (bounds: |num2|, den2 ≤ 2T² <
+    * 2^63 up to n ≈ 3M; ANSI throws loudly past that, and a corpus
+    * that size should sample before auditing), rounded half-up at
+    * scale 6 on the ABSOLUTE value in DECIMAL(38,0) so the floor
+    * division never sees a negative operand (Spark `div` and DuckDB
+    * `//` disagree on negatives). den2 = 0 (two trivial partitions)
+    * returns the identical-partition convention 1.0. */
+  def evalClustering(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("doc_id"), col("cluster_id").as("la"))
+      .join(b.select(col("doc_id"), col("cluster_id").as("lb")), Seq("doc_id"))
+    val cells = cachedAs("evalClustering_cells",
+      j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij")))
+    val sij = cells.agg(coalesce(
+      sum(expr("(nij * (nij - 1)) div 2")), lit(0L)).as("s_ab"))
+    val sa = cells.groupBy(col("la")).agg(sum(col("nij")).as("ai"))
+      .agg(coalesce(sum(expr("(ai * (ai - 1)) div 2")), lit(0L)).as("s_a"))
+    val sb = cells.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
+      .agg(coalesce(sum(expr("(bj * (bj - 1)) div 2")), lit(0L)).as("s_b"))
+    val n = j.agg(count(lit(1)).as("n"))
+    // four 1-row frames (the Corpus count-cross pattern)
+    n.crossJoin(sij).crossJoin(sa).crossJoin(sb)
+      .withColumn("t", expr("(n * (n - 1)) div 2"))
+      .withColumn("num2", expr("2 * t * s_ab - 2 * s_a * s_b"))
+      .withColumn("den2", expr("t * (s_a + s_b) - 2 * s_a * s_b"))
+      .select(col("n"), col("s_ab"), col("s_a"), col("s_b"),
+        when(col("den2") === 0L, lit(1.0)).otherwise(
+          expr("""CAST((CASE WHEN num2 < 0 THEN -1 ELSE 1 END) *
+                 |  ((2 * 1000000 * CAST(abs(num2) AS DECIMAL(38,0))
+                 |      + CAST(den2 AS DECIMAL(38,0)))
+                 |    div (2 * CAST(den2 AS DECIMAL(38,0)))) AS DOUBLE)
+                 |""".stripMargin) / lit(1e6)).as("ari"))
+  }
+
   /** D8: duplicate clustering — connected components over a candidate
     * pair list, labeling every document with the smallest doc_id in
     * its component (the canonical representative) plus the component

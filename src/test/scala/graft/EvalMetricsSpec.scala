@@ -100,6 +100,35 @@ class EvalMetricsSpec extends SparkSpec {
       ((0L, 0.0, 0.0, 0.0)))
   }
 
+  test("evalClustering: hand-computed ARI — identical 1.0, crossed -0.5, chance-level 0.0") {
+    import graft.operators.Dedup
+    def lab(p: (Long, Long)*) = p.toSeq.toDF("doc_id", "cluster_id")
+    val a = lab(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L)
+    assert(Dedup.evalClustering(a, a).collect().head.getDouble(4) === 1.0)
+    // {12|34} vs {13|24}: the classic fully-crossed 2×2 case, ARI -1/2
+    val b = lab(1L -> 7L, 3L -> 7L, 2L -> 9L, 4L -> 9L)
+    assert(Dedup.evalClustering(a, b).collect().head.getDouble(4) === -0.5)
+    // {12|34} vs {123|4}: Sij·T = Sa·Sb exactly -> ARI 0 (chance level)
+    val c = lab(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 6L)
+    val row = Dedup.evalClustering(a, c).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((4L, 1L, 2L, 3L)))
+    assert(row.getDouble(4) === 0.0)
+    // den2 = 0 (both all-singletons): the identical-trivial convention
+    val s = lab(1L -> 1L, 2L -> 2L)
+    assert(Dedup.evalClustering(s, s).collect().head.getDouble(4) === 1.0)
+  }
+
+  test("catalog entry (ARI): lexical vs semantic near-dup components over the corpus") {
+    val out = SparkEntry.queries("eval_clustering_ari")(spark, sfDir)
+      .collect().head
+    assert(out.getLong(0) > 0L)
+    // an ARI is always in [-1, 1]; the synthetic corpus plants its
+    // lexical and semantic near-dups on disjoint docs, so agreement
+    // sits at chance level — the honest reading
+    assert(out.getDouble(4) >= -1.0 && out.getDouble(4) <= 1.0)
+  }
+
   test("catalog entry (pairs): LSH is high-precision against sub-threshold truth, misses marginal pairs") {
     val out = SparkEntry.queries("eval_dedup_metrics")(spark, sfDir)
       .collect().head
