@@ -21,7 +21,11 @@ import graft.sinks.ShardSink
   *      (doc → seq_id/seq_offset per stratum at the token budget),
   *      the map a sequence-building data-loader consumes;
   *   3. `<out>/ledger/` — the per-stage survivor-count ledger
-  *      (the F14b audit artifact + regression tripwire).
+  *      (the F14b audit artifact + regression tripwire);
+  *   4. (`buildIndex`) `<out>/index/` — the serve index over the
+  *      clean corpus (r10);
+  *   5. (`auditFrac`) `<out>/audit/` — the dedup-quality self-audit
+  *      over a deterministic sample (r12, see [[run]]).
   *
   * Everything here is composition of catalog operators (each oracled
   * or spec'd on its own); this object only sequences them, times the
@@ -38,7 +42,9 @@ object CorpusPrepJob {
       docsIn: Long, cleanDocs: Long, shards: ShardSink.ShardReport,
       manifestRows: Long, ledger: Seq[(String, Long)],
       funnelSec: Double, shardSec: Double, manifestSec: Double,
-      indexSec: Double = 0.0)
+      indexSec: Double = 0.0,
+      audit: Option[(Long, Long, Long, Double, Double, Double)] = None,
+      auditSec: Double = 0.0)
 
   /** Run the prep against `docsDir`'s documents table, artifacts under
     * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
@@ -51,10 +57,19 @@ object CorpusPrepJob {
     * so [[graft.operators.Retrieval.serve]] can answer queries
     * against exactly the corpus the shards hold (indexing pre-funnel
     * docs would serve junk the trainer never sees). */
+  /** `auditFrac > 0` adds the FIFTH artifact (r12): `<out>/audit/` —
+    * the dedup-quality self-audit. Exact-Jaccard truth over 100 TB is
+    * unaffordable, but over a deterministic md5-coin sample it is
+    * exactly [[graft.operators.Dedup.evalPairs]]: the LSH shortlist's
+    * precision/recall/F1 against exact truth on the sample, landed as
+    * one row next to the ledger — the band/threshold drift tripwire a
+    * prep run should publish about itself (truth τ = 0.05, below the
+    * dedup cut, so recall reports the collision-curve misses). */
   def run(spark: SparkSession, docsDir: String, outDir: String,
           nShards: Int = 8, blocklist: Seq[String] = Seq("spam"),
           keepLang: String = "en", minQuality: Double = 0.45,
-          budgetTokens: Int = 2048, buildIndex: Boolean = false): PrepResult = {
+          budgetTokens: Int = 2048, buildIndex: Boolean = false,
+          auditFrac: Double = 0.0): PrepResult = {
     val docs = Tables.documents(spark, docsDir)
     val isBench = col("doc_id") % 97 === 0
     def timed[T](f: => T): (T, Double) = {
@@ -100,10 +115,26 @@ object CorpusPrepJob {
         graft.operators.Similarity.writeIvfIndex(embClean,
           s"$outDir/index/ivf", nlist = 0)
       }
+    val (audit, auditSec) =
+      if (auditFrac <= 0.0) (None, 0.0)
+      else timed {
+        // the corpus_split md5-coin spelling: deterministic, seedless,
+        // replayable — the same sample every re-run audits
+        val coin = substring(md5(concat(
+          col("doc_id").cast("string"), lit(":audit"))), 1, 8)
+        val sample = docs.filter(coin < lit(Corpus.hexThreshold(auditFrac)))
+        graft.operators.Dedup.evalPairs(
+            graft.operators.Dedup.minhashLsh(sample),
+            graft.operators.Dedup.ngramJaccard(sample, 0.05))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/audit")
+        spark.read.parquet(s"$outDir/audit").collect().headOption.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      }
     Corpus.releaseCaches()
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,
-      funnelSec, shardSec, manifestSec, indexSec)
+      funnelSec, shardSec, manifestSec, indexSec, audit, auditSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,7 +144,11 @@ object CorpusPrepJob {
     val nShards = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     try {
-      val r = run(spark, docsDir, outDir, nShards, buildIndex = true)
+      val r = run(spark, docsDir, outDir, nShards, buildIndex = true,
+        auditFrac = 0.25)
+      r.audit.foreach { case (tp, fp, fn, prec, rec, f1) =>
+        println(f"[prep] audit: tp=$tp fp=$fp fn=$fn " +
+          f"prec=$prec%.6f rec=$rec%.6f f1=$f1%.6f") }
       r.ledger.zipWithIndex.foreach { case ((stage, n), i) =>
         println(f"[prep] stage $i%2d $stage%-14s $n%9d docs")
       }
@@ -125,7 +160,10 @@ object CorpusPrepJob {
         s""""funnel_sec":${Jsons.num(r.funnelSec, 3)},""" +
         s""""shard_sec":${Jsons.num(r.shardSec, 3)},""" +
         s""""manifest_sec":${Jsons.num(r.manifestSec, 3)},""" +
-        s""""index_sec":${Jsons.num(r.indexSec, 3)},"out":"$outDir"}""")
+        s""""index_sec":${Jsons.num(r.indexSec, 3)},""" +
+        s""""audit_sec":${Jsons.num(r.auditSec, 3)}""" +
+        r.audit.fold("")(a => s""","audit_f1":${Jsons.num(a._6, 6)}""") +
+        s""","out":"$outDir"}""")
     } finally spark.stop()
   }
 }

@@ -32,6 +32,32 @@ class FunnelSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/ledger").count() === 9L)
   }
 
+  test("CorpusPrepJob auditFrac: the dedup self-audit lands as one metrics row over a deterministic sample") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_cpau").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 2,
+      auditFrac = 1.0) // frac 1.0: the audit covers the whole corpus
+    val a = r.audit.get
+    assert(spark.read.parquet(s"$out/audit").count() === 1L)
+    // at frac 1.0 the audit equals evalPairs over the full input —
+    // the sample coin is deterministic, not a fresh random draw
+    val full = Dedup.evalPairs(
+      Dedup.minhashLsh(Tables.documents(spark, sfDir)),
+      Dedup.ngramJaccard(Tables.documents(spark, sfDir), 0.05))
+      .collect().head
+    assert(a === ((full.getLong(0), full.getLong(1), full.getLong(2),
+      full.getDouble(3), full.getDouble(4), full.getDouble(5))))
+    assert(a._1 > 0L, "the corpus plants near-dups — tp must be > 0")
+    // a re-run lands the identical audit (replayable sample)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cpau2").toString
+    val r2 = CorpusPrepJob.run(spark, sfDir, out2, nShards = 2,
+      auditFrac = 0.5)
+    val r3 = CorpusPrepJob.run(spark, sfDir, out2 + "_b", nShards = 2,
+      auditFrac = 0.5)
+    assert(r2.audit === r3.audit)
+  }
+
   test("CorpusPrepJob buildIndex: the landed serve index answers only from the clean corpus") {
     val out = java.nio.file.Files.createTempDirectory("graft_cpi").toString
     val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 4,
