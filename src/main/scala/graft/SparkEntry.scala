@@ -2409,8 +2409,11 @@ object SparkEntry {
          |x AS (SELECT n, s_ab, s_a, s_b, (n * (n - 1)) // 2 AS t
          |      FROM nn, s1, s2, s3),
          |y AS (SELECT n, s_ab, s_a, s_b,
-         |        2 * t * s_ab - 2 * s_a * s_b AS num2,
-         |        t * (s_a + s_b) - 2 * s_a * s_b AS den2 FROM x)
+         |        2 * CAST(t AS HUGEINT) * CAST(s_ab AS HUGEINT)
+         |          - 2 * CAST(s_a AS HUGEINT) * CAST(s_b AS HUGEINT) AS num2,
+         |        CAST(t AS HUGEINT) * CAST(s_a + s_b AS HUGEINT)
+         |          - 2 * CAST(s_a AS HUGEINT) * CAST(s_b AS HUGEINT) AS den2
+         |      FROM x)
          |SELECT n, s_ab, s_a, s_b,
          |  CASE WHEN den2 = 0 THEN 1.0 ELSE
          |    CAST((CASE WHEN num2 < 0 THEN -1 ELSE 1 END) *

@@ -1423,37 +1423,54 @@ object Dedup {
     * Exactness: ARI is a RATIONAL in pair counts — with T = C(n,2),
     * Sij = Σ C(n_ij,2), Sa = Σ C(a_i,2), Sb = Σ C(b_j,2):
     * num2 = 2·T·Sij − 2·Sa·Sb, den2 = T·(Sa+Sb) − 2·Sa·Sb, ARI =
-    * num2/den2 — computed in longs (bounds: |num2|, den2 ≤ 2T² <
-    * 2^63 up to n ≈ 3M; ANSI throws loudly past that, and a corpus
-    * that size should sample before auditing), rounded half-up at
-    * scale 6 on the ABSOLUTE value in DECIMAL(38,0) so the floor
-    * division never sees a negative operand (Spark `div` and DuckDB
-    * `//` disagree on negatives). den2 = 0 (two trivial partitions)
-    * returns the identical-partition convention 1.0. */
+    * num2/den2 — the products run in DECIMAL(38,0) from the start
+    * (r12 review: in longs, 2·T·Sij overflows ANSI-loud already at
+    * n ≈ 65k with one mega-cluster — T must stay under 2^31 for
+    * 2T² < 2^63; decimals hold any realistic corpus), rounded
+    * half-up at scale 6 on the ABSOLUTE value so the floor division
+    * never sees a negative operand (Spark `div` and DuckDB `//`
+    * disagree on negatives). den2 = 0 (two trivial partitions)
+    * returns the identical-partition convention 1.0.
+    *
+    * Contract: the two labelings must cover the SAME id universe —
+    * ENFORCED (an inner join silently computing the ARI of the
+    * intersection would report on a different population than
+    * asked). */
   def evalClustering(a: DataFrame, b: DataFrame): DataFrame = {
     val j = a.select(col("doc_id"), col("cluster_id").as("la"))
       .join(b.select(col("doc_id"), col("cluster_id").as("lb")), Seq("doc_id"))
     val cells = cachedAs("evalClustering_cells",
       j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij")))
+    // n from the CACHED cells (Σ nij ≡ |join|), never a second
+    // execution of the n-row join — and the id-universe check rides
+    // the same numbers: |a| = |b| = |a ⋈ b| iff both label exactly
+    // the same ids (doc_id unique per labeling)
+    val n = cells.agg(coalesce(sum(col("nij")), lit(0L)).as("n"))
+    val nJ = n.head().getLong(0)
+    val (nA, nB) = (a.count(), b.count())
+    require(nA == nJ && nB == nJ,
+      s"evalClustering: labelings must cover the same id universe — " +
+        s"|a|=$nA, |b|=$nB, |a ⋈ b|=$nJ (an intersection ARI would " +
+        "report on a different population than asked)")
     val sij = cells.agg(coalesce(
       sum(expr("(nij * (nij - 1)) div 2")), lit(0L)).as("s_ab"))
     val sa = cells.groupBy(col("la")).agg(sum(col("nij")).as("ai"))
       .agg(coalesce(sum(expr("(ai * (ai - 1)) div 2")), lit(0L)).as("s_a"))
     val sb = cells.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
       .agg(coalesce(sum(expr("(bj * (bj - 1)) div 2")), lit(0L)).as("s_b"))
-    val n = j.agg(count(lit(1)).as("n"))
     // four 1-row frames (the Corpus count-cross pattern)
+    val D = "DECIMAL(38,0)"
     n.crossJoin(sij).crossJoin(sa).crossJoin(sb)
-      .withColumn("t", expr("(n * (n - 1)) div 2"))
-      .withColumn("num2", expr("2 * t * s_ab - 2 * s_a * s_b"))
-      .withColumn("den2", expr("t * (s_a + s_b) - 2 * s_a * s_b"))
+      .withColumn("t", expr(s"CAST((n * (n - 1)) div 2 AS $D)"))
+      .withColumn("num2",
+        expr(s"2 * t * CAST(s_ab AS $D) - 2 * CAST(s_a AS $D) * CAST(s_b AS $D)"))
+      .withColumn("den2",
+        expr(s"t * CAST(s_a + s_b AS $D) - 2 * CAST(s_a AS $D) * CAST(s_b AS $D)"))
       .select(col("n"), col("s_ab"), col("s_a"), col("s_b"),
-        when(col("den2") === 0L, lit(1.0)).otherwise(
+        when(col("den2") === lit(0), lit(1.0)).otherwise(
           expr("""CAST((CASE WHEN num2 < 0 THEN -1 ELSE 1 END) *
-                 |  ((2 * 1000000 * CAST(abs(num2) AS DECIMAL(38,0))
-                 |      + CAST(den2 AS DECIMAL(38,0)))
-                 |    div (2 * CAST(den2 AS DECIMAL(38,0)))) AS DOUBLE)
-                 |""".stripMargin) / lit(1e6)).as("ari"))
+                 |  ((2 * 1000000 * abs(num2) + den2) div (2 * den2))
+                 |  AS DOUBLE)""".stripMargin) / lit(1e6)).as("ari"))
   }
 
   /** D8: duplicate clustering — connected components over a candidate

@@ -102,7 +102,9 @@ private[graft] object IndexMaintenance {
           "recovery that removed only the tmp dir)") +
         s". Verify which holds the full segment set, merge $old's " +
         s"batch partitions into $live if live is missing any, then " +
-        "delete the old (and any tmp) dir by hand and re-run")
+        "delete the old (and any tmp) dir AND the index's " +
+        "_maintenance_lock file by hand (the failed compaction kept " +
+        "the lock) and re-run")
 
   /** rename(tmp, live) with HDFS move-into-directory semantics
     * guarded: if a writer recreated `live` after swap moved it away,

@@ -1093,8 +1093,14 @@ object Similarity {
   private def initCommitLedger(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
     val (fs, dir) = commitsDir(spark, path)
-    fs.delete(dir, true) // a base REWRITE invalidates old batch ids
-    fs.mkdirs(dir): Unit
+    // mkdirs-then-clear, never delete-then-recreate: a crash between
+    // a delete and a recreate would leave the dir ABSENT, flipping
+    // the index into pre-ledger legacy mode where a future crashed
+    // append is serve-visible (r12 review). mkdirs is idempotent and
+    // the clear invalidates old batch ids one marker at a time.
+    fs.mkdirs(dir)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
   }
 
   private def commitsDir(spark: org.apache.spark.sql.SparkSession,
@@ -1116,9 +1122,32 @@ object Similarity {
       val ids = spark.read.parquet(s"$path/lists")
         .select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).filter(_ != -1L)
-      fs.mkdirs(dir)
+      // ATOMIC adoption (r12 review): build the full marker set in a
+      // temp dir and rename it in — a crash (or a concurrent append)
+      // mid-backfill must never leave a ledger that exists but lacks
+      // some legacy batch's marker, which would silently drop that
+      // batch from serves and let compaction DELETE it
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/commits_adopting")
+      fs.delete(tmp, true) // a previous adoption's crash orphan
+      fs.mkdirs(tmp)
       ids.foreach(b => fs.create(
-        new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$b"), true).close())
+        new org.apache.hadoop.fs.Path(tmp, s"ingest_batch=$b"), true).close())
+      if (!fs.rename(tmp, dir)) {
+        // lost the adoption race to a concurrent append — its ledger
+        // (same fs listing, same ids) is already in place
+        require(fs.exists(dir),
+          s"legacy-ledger adoption rename $tmp -> $dir failed with no " +
+            "ledger present — inspect the index before appending")
+        fs.delete(tmp, true): Unit
+      } else {
+        // HDFS move-into-dir semantics: a racing creator's dir made
+        // the rename NEST tmp inside it. Every creator path runs this
+        // adoption first, so the winner's marker set is complete —
+        // the nested copy is redundant (markers filter on the
+        // ingest_batch= prefix, so it is invisible either way)
+        val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true): Unit
+      }
     }
   }
 
