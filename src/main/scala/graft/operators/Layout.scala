@@ -43,6 +43,28 @@ object Layout {
   def zkey2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Morton key of N bucketed coordinates (2 ≤ N ≤ 4, each in
+    * [0, 2^(64/N))): dim j's bit i lands at position i·N + j. The
+    * generic spread is an unrolled shift/mask/or chain per bit —
+    * ~3·(64/N) Column ops per dim, all inside whole-stage codegen;
+    * paid once at write time, like the rest of the layout. N = 2
+    * takes the mask-ladder fast path. */
+  def zkeyN(dims: Seq[Column]): Column = {
+    require(dims.size >= 2 && dims.size <= 4,
+      s"zkeyN takes 2 to 4 dims, got ${dims.size}")
+    if (dims.size == 2) zkey2(dims.head, dims(1))
+    else {
+      val n = dims.size
+      val bits = 64 / n
+      dims.zipWithIndex.map { case (d, j) =>
+        val x = d.cast("long").bitwiseAND(lit((1L << bits) - 1))
+        (0 until bits).map(i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n + j))
+          .reduce(_.bitwiseOR(_))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
   /** Bucket a long column into [0, 2^bits) over [min, max] with pure
     * integer arithmetic — and NORMALIZED: a narrow dim (say 150
     * user ids) must still fill the whole bucket range, or its bits
@@ -76,20 +98,30 @@ object Layout {
     }
   }
 
-  /** Write `df` clustered on the z-curve of two long-typed dims:
-    * bucket each dim by its own min/max (one bounded agg job — the
-    * index-build cost), interleave, range-partition into `files`
+  /** Write `df` clustered on the z-curve of two to four long-typed
+    * dims: bucket each dim by its own min/max (one bounded agg job —
+    * the index-build cost), interleave, range-partition into `files`
     * output files, sort within partitions, drop the key. The written
-    * table is row-identical to `df`; only the file layout changes. */
+    * table is row-identical to `df`; only the file layout changes.
+    * Each dim gets 64/N key bits (N = 2 → the full 16-bit ladder). */
   def writeZordered(df: DataFrame, path: String, dimA: String,
-                    dimB: String, files: Int, bits: Int = 16): Unit = {
+                    dimB: String, files: Int, bits: Int = 16): Unit =
+    writeZorderedN(df, path, Seq(dimA, dimB), files)
+
+  def writeZorderedN(df: DataFrame, path: String, dims: Seq[String],
+                     files: Int): Unit = {
     require(files > 0, s"files=$files must be positive")
-    val r = df.agg(min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
-      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
-    require(!r.anyNull, s"writeZordered: $dimA/$dimB must be non-null")
-    val z = zkey2(
-      rangeBucket(col(dimA), r.getLong(0), r.getLong(1), bits),
-      rangeBucket(col(dimB), r.getLong(2), r.getLong(3), bits))
+    require(dims.size >= 2 && dims.size <= 4,
+      s"writeZorderedN takes 2 to 4 dims, got ${dims.size}")
+    val bits = math.min(16, 64 / dims.size)
+    val r = df.agg(
+      dims.flatMap(d => Seq(min(col(d)).cast("long"),
+        max(col(d)).cast("long"))).head,
+      dims.flatMap(d => Seq(min(col(d)).cast("long"),
+        max(col(d)).cast("long"))).tail: _*).head()
+    require(!r.anyNull, s"writeZordered: ${dims.mkString("/")} must be non-null")
+    val z = zkeyN(dims.zipWithIndex.map { case (d, i) =>
+      rangeBucket(col(d), r.getLong(2 * i), r.getLong(2 * i + 1), bits) })
     df.withColumn("__zkey", z)
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")

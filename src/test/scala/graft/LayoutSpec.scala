@@ -35,6 +35,32 @@ class LayoutSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < (1L << 10)))
   }
 
+  test("zkeyN: 3-dim interleave bit positions; every dim of a 3-D box prunes") {
+    // dim j's bit i lands at position i*3 + j
+    val keys = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
+        (2L, 0L, 0L)).toDF("a", "b", "c")
+      .select(Layout.zkeyN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys === Seq(1L, 2L, 4L, 7L, 8L))
+    // a 50×50×8 grid clustered on all three dims: a narrow slab on
+    // ANY single dim reads a strict subset of the files
+    val df3 = spark.range(20000).select(
+      (col("id") % 50).as("x"), ((col("id") / 50) % 50).cast("long").as("y"),
+      ((col("id") / 2500) % 8).cast("long").as("zz"), col("id"))
+    val base = java.nio.file.Files.createTempDirectory("graft_l3").toString
+    Layout.writeZorderedN(df3, s"$base/z3", Seq("x", "y", "zz"), files = 27)
+    val z3 = spark.read.parquet(s"$base/z3")
+    assert(z3.count() === 20000L)
+    def hit(p: org.apache.spark.sql.Column): Long =
+      z3.filter(p).select(input_file_name()).distinct().count()
+    val (hx, hy, hz) =
+      (hit(col("x") < 7), hit(col("y") < 7), hit(col("zz") === 0))
+    assert(hx < 27 && hy < 27 && hz < 27, s"$hx/$hy/$hz of 27")
+    // the 3-D box reads no more files than its loosest single-dim slab
+    val box = hit(col("x") < 7 && col("y") < 7 && col("zz") === 0)
+    assert(box <= Seq(hx, hy, hz).min, s"box=$box vs $hx/$hy/$hz")
+  }
+
   test("writeZordered round-trips content and prunes 2-D rectangles where a linear sort cannot") {
     val sf01 = "/root/testdata/sf0.01" // 10k events: enough rows for 16 files
     val e = Tables.events(spark, sf01)
