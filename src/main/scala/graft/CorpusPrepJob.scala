@@ -131,6 +131,10 @@ object CorpusPrepJob {
           (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       }
+    // the audit pins Dedup's slot caches (gram/signature tables,
+    // sample-sized) — release them with the Corpus ones so a
+    // long-lived session doing repeated preps doesn't hold them
+    if (auditFrac > 0.0) graft.operators.Dedup.releaseCaches()
     Corpus.releaseCaches()
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,

@@ -1426,16 +1426,21 @@ object Dedup {
     * num2/den2 — the products run in DECIMAL(38,0) from the start
     * (r12 review: in longs, 2·T·Sij overflows ANSI-loud already at
     * n ≈ 65k with one mega-cluster — T must stay under 2^31 for
-    * 2T² < 2^63; decimals hold any realistic corpus), rounded
+    * 2T² < 2^63; decimals extend that to the REQUIRED n ≤ 6e7
+    * bound, where 2e6·2T² still fits 38 digits), rounded
     * half-up at scale 6 on the ABSOLUTE value so the floor division
     * never sees a negative operand (Spark `div` and DuckDB `//`
     * disagree on negatives). den2 = 0 (two trivial partitions)
     * returns the identical-partition convention 1.0.
     *
-    * Contract: the two labelings must cover the SAME id universe —
-    * ENFORCED (an inner join silently computing the ARI of the
-    * intersection would report on a different population than
-    * asked). */
+    * Contract: the two labelings must each label every id ONCE and
+    * cover the SAME id universe — ENFORCED via distinct counts (an
+    * inner join silently computing the ARI of the intersection, or a
+    * duplicated id double-counting its row, would report on a
+    * different population than asked). Size bound: the exact scale-6
+    * rounding needs 2e6·|num2| ≤ 2e6·2T² inside DECIMAL(38,0), so
+    * n ≤ 6e7 ids — REQUIRED loudly; an audit at larger n should
+    * sample first (the CorpusPrepJob audit posture). */
   def evalClustering(a: DataFrame, b: DataFrame): DataFrame = {
     val j = a.select(col("doc_id"), col("cluster_id").as("la"))
       .join(b.select(col("doc_id"), col("cluster_id").as("lb")), Seq("doc_id"))
@@ -1443,15 +1448,26 @@ object Dedup {
       j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij")))
     // n from the CACHED cells (Σ nij ≡ |join|), never a second
     // execution of the n-row join — and the id-universe check rides
-    // the same numbers: |a| = |b| = |a ⋈ b| iff both label exactly
-    // the same ids (doc_id unique per labeling)
+    // distinct counts, so duplicate ids can't fake a matching total
+    // (second review pass)
     val n = cells.agg(coalesce(sum(col("nij")), lit(0L)).as("n"))
     val nJ = n.head().getLong(0)
-    val (nA, nB) = (a.count(), b.count())
+    def sides(df: DataFrame) = {
+      val r = df.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val ((nA, dA), (nB, dB)) = (sides(a), sides(b))
+    require(nA == dA && nB == dB,
+      s"evalClustering: labelings must label each id once — " +
+        s"|a|=$nA distinct=$dA, |b|=$nB distinct=$dB")
     require(nA == nJ && nB == nJ,
       s"evalClustering: labelings must cover the same id universe — " +
         s"|a|=$nA, |b|=$nB, |a ⋈ b|=$nJ (an intersection ARI would " +
         "report on a different population than asked)")
+    require(nJ <= 60000000L,
+      s"evalClustering: n=$nJ exceeds the exact-rounding bound " +
+        "(2e6·2T² must fit DECIMAL(38,0), so n ≤ 6e7) — sample the " +
+        "labelings before auditing, as the prep-job audit does")
     val sij = cells.agg(coalesce(
       sum(expr("(nij * (nij - 1)) div 2")), lit(0L)).as("s_ab"))
     val sa = cells.groupBy(col("la")).agg(sum(col("nij")).as("ai"))

@@ -44,9 +44,13 @@ object Layout {
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
   /** Morton key of N bucketed coordinates (2 ≤ N ≤ 4, each in
-    * [0, 2^(64/N))): dim j's bit i lands at position i·N + j. The
-    * generic spread is an unrolled shift/mask/or chain per bit —
-    * ~3·(64/N) Column ops per dim, all inside whole-stage codegen;
+    * [0, 2^(63/N))): dim j's bit i lands at position i·N + j. 63/N,
+    * not 64/N — bit 63 is the long's SIGN bit, and a key landing
+    * there would sort the top half of that dim FIRST under the
+    * signed range-partition, splitting the curve into two swapped
+    * halves (second review pass; N = 4 therefore gets 15 bits per
+    * dim, max position 59). The generic spread is an unrolled
+    * shift/mask/or chain per bit, all inside whole-stage codegen;
     * paid once at write time, like the rest of the layout. N = 2
     * takes the mask-ladder fast path. */
   def zkeyN(dims: Seq[Column]): Column = {
@@ -55,7 +59,7 @@ object Layout {
     if (dims.size == 2) zkey2(dims.head, dims(1))
     else {
       val n = dims.size
-      val bits = 64 / n
+      val bits = 63 / n
       dims.zipWithIndex.map { case (d, j) =>
         val x = d.cast("long").bitwiseAND(lit((1L << bits) - 1))
         (0 until bits).map(i =>
@@ -77,7 +81,8 @@ object Layout {
     * ceil-width chunks. Integral `div`, never `/` — the double it
     * returns is not exact at these magnitudes. */
   def rangeBucket(c: Column, min: Long, max: Long, bits: Int): Column = {
-    require(bits > 0 && bits <= 16, s"bits=$bits must be in [1, 16]")
+    // 21 = the widest z-key lane (N = 3); 2-dim keys use ≤ 16
+    require(bits > 0 && bits <= 21, s"bits=$bits must be in [1, 21]")
     require(min <= max, s"rangeBucket: min=$min > max=$max")
     // (max - min + 1) must fit a long, and (c - min) must not
     // overflow under ANSI either — a dim spanning most of the signed
@@ -103,17 +108,24 @@ object Layout {
     * the index-build cost), interleave, range-partition into `files`
     * output files, sort within partitions, drop the key. The written
     * table is row-identical to `df`; only the file layout changes.
-    * Each dim gets 64/N key bits (N = 2 → the full 16-bit ladder). */
+    * Each dim gets a sign-safe 63/N-bit lane (N = 2 → the 16-bit
+    * mask ladder). */
   def writeZordered(df: DataFrame, path: String, dimA: String,
                     dimB: String, files: Int, bits: Int = 16): Unit =
-    writeZorderedN(df, path, Seq(dimA, dimB), files)
+    writeZorderedN(df, path, Seq(dimA, dimB), files, bits)
 
+  /** `bits = 0` (the default) auto-sizes to the widest sign-safe
+    * per-dim width (16/21/15 for N = 2/3/4); an explicit value must
+    * fit the key's per-dim lane. */
   def writeZorderedN(df: DataFrame, path: String, dims: Seq[String],
-                     files: Int): Unit = {
+                     files: Int, bits: Int = 0): Unit = {
     require(files > 0, s"files=$files must be positive")
     require(dims.size >= 2 && dims.size <= 4,
       s"writeZorderedN takes 2 to 4 dims, got ${dims.size}")
-    val bits = math.min(16, 64 / dims.size)
+    val lane = if (dims.size == 2) 16 else 63 / dims.size
+    val width = if (bits == 0) lane else bits
+    require(width > 0 && width <= lane,
+      s"bits=$bits must be in [1, $lane] for ${dims.size} dims")
     val r = df.agg(
       dims.flatMap(d => Seq(min(col(d)).cast("long"),
         max(col(d)).cast("long"))).head,
@@ -121,7 +133,7 @@ object Layout {
         max(col(d)).cast("long"))).tail: _*).head()
     require(!r.anyNull, s"writeZordered: ${dims.mkString("/")} must be non-null")
     val z = zkeyN(dims.zipWithIndex.map { case (d, i) =>
-      rangeBucket(col(d), r.getLong(2 * i), r.getLong(2 * i + 1), bits) })
+      rangeBucket(col(d), r.getLong(2 * i), r.getLong(2 * i + 1), width) })
     df.withColumn("__zkey", z)
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")

@@ -135,12 +135,29 @@ object Retrieval {
     * map-side-combined pass over |cand| rows — no shuffle larger
     * than the system-key cardinality, no driver loop. */
   def evalTopK(cand: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    require(ref.limit(1).count() > 0L, "evalTopK: empty reference ranking")
+    // one SHARED reference for every system: key it by each system
+    // present in cand (a bounded small cross — |systems| × k rows)
+    // and run the grouped evaluation
+    val systems = cand.select(col("system")).distinct()
+    evalTopKGrouped(cand, systems.crossJoin(ref.select(col("doc_id"))), k)
+  }
+
+  /** [[evalTopK]] with PER-SYSTEM references: both frames carry
+    * `system`, the join runs on (system, doc_id), and every system's
+    * denominator/idcg comes from ITS OWN reference size — so
+    * multi-query evaluation really is ONE call and one job with
+    * system = q_id (or q_id folded into a composite key), never a
+    * driver loop over queries (second review pass: the loop the
+    * scaladoc used to hand-wave is now the operator). Systems present
+    * in `cand` but absent from `ref` are a contract violation —
+    * enforced, since a metric against no reference is undefined. */
+  def evalTopKGrouped(cand: DataFrame, ref: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val d6 = disc6(k)
-    val nRef = ref.count() // bounded: a top-k reference frame
-    require(nRef > 0L, "evalTopK: empty reference ranking")
-    val denom = math.min(nRef, k.toLong)
-    val idcg6 = d6.take(denom.toInt).sum
+    val prefix = d6.scanLeft(0L)(_ + _).tail // idcg6 at denom = i
+    val idcgMap: Column = map((1 to k).flatMap(i =>
+      Seq(lit(i), lit(prefix(i - 1)))): _*)
     val discCol: Column = element_at(
       map(d6.zipWithIndex.flatMap { case (v, i) =>
         Seq(lit(i + 1), lit(v)) }: _*), col("rank").cast("int"))
@@ -150,22 +167,30 @@ object Retrieval {
     // disappearing from the report is the failure mode an eval layer
     // exists to expose)
     val systems = cand.select(col("system")).distinct()
+    val refCnt = ref.groupBy(col("system")).agg(count(lit(1)).as("n_ref"))
+    require(systems.join(refCnt, Seq("system"), "left_anti")
+        .limit(1).count() == 0L,
+      "evalTopKGrouped: every candidate system needs reference rows — " +
+        "a metric against an empty reference is undefined")
     val scored = cand.filter(col("rank") <= k)
-      .join(broadcast(ref.select(col("doc_id"), lit(1L).as("rel"))),
-        Seq("doc_id"), "left")
+      .join(ref.select(col("system"), col("doc_id"), lit(1L).as("rel")),
+        Seq("system", "doc_id"), "left")
       .groupBy(col("system"))
       .agg(sum(coalesce(col("rel"), lit(0L))).as("hits"),
         min(when(col("rel") === 1L, col("rank").cast("long"))).as("fr"),
         sum(when(col("rel") === 1L, discCol).otherwise(lit(0L))).as("dcg6"))
     systems.join(scored, Seq("system"), "left")
+      .join(refCnt, Seq("system"))
       .select(col("system"), coalesce(col("hits"), lit(0L)).as("hits"),
-        col("fr"), coalesce(col("dcg6"), lit(0L)).as("dcg6"))
+        col("fr"), coalesce(col("dcg6"), lit(0L)).as("dcg6"),
+        least(lit(k.toLong), col("n_ref")).as("denom"))
+      .withColumn("idcg6", element_at(idcgMap, col("denom").cast("int")))
       .select(col("system"), col("hits"),
-        (expr(s"(2 * 1000000 * hits + $denom) div (2 * $denom)")
+        (expr("(2 * 1000000 * hits + denom) div (2 * denom)")
           .cast("double") / lit(1e6)).as("recall"),
         (coalesce(expr("(2 * 1000000 + fr) div (2 * fr)"), lit(0L))
           .cast("double") / lit(1e6)).as("mrr"),
-        (expr(s"(2 * 1000000 * dcg6 + $idcg6) div (2 * $idcg6)")
+        (expr("(2 * 1000000 * dcg6 + idcg6) div (2 * idcg6)")
           .cast("double") / lit(1e6)).as("ndcg"))
   }
 

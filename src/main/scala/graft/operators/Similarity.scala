@@ -1126,9 +1126,14 @@ object Similarity {
       // temp dir and rename it in — a crash (or a concurrent append)
       // mid-backfill must never leave a ledger that exists but lacks
       // some legacy batch's marker, which would silently drop that
-      // batch from serves and let compaction DELETE it
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/commits_adopting")
-      fs.delete(tmp, true) // a previous adoption's crash orphan
+      // batch from serves and let compaction DELETE it. The tmp name
+      // is PER-ATTEMPT unique (second review pass: a shared tmp path
+      // lets a racing adopter wipe this one's half-built set, whose
+      // remaining creates then rename an INCOMPLETE ledger in); a
+      // crashed attempt's orphan dir is tiny and swept by the next
+      // base rewrite's overwrite of the index dir
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path/commits_adopting-${java.util.UUID.randomUUID()}")
       fs.mkdirs(tmp)
       ids.foreach(b => fs.create(
         new org.apache.hadoop.fs.Path(tmp, s"ingest_batch=$b"), true).close())

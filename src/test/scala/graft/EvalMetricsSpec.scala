@@ -116,21 +116,26 @@ class EvalMetricsSpec extends SparkSpec {
     def keyed(df: org.apache.spark.sql.DataFrame) =
       df.select(col("q_id").cast("string").as("system"),
         col("n_id").as("doc_id"), col("rank"))
-    // per-query references differ, so evaluate query-by-query with
-    // the SAME keyed-candidate frame each time — the eval layer's
-    // group-by key carries the query id through untouched
-    val out = qs.map { q =>
-      val row = graft.operators.Retrieval.evalTopK(
-          keyed(approx).filter(col("system") === q.toString),
-          exact.filter(col("q_id") === q).select(col("n_id").as("doc_id")),
-          5).collect().head
-      q -> row.getDouble(2)
-    }.toMap
+    // ONE grouped call, system = q_id, per-query references — no
+    // driver loop over queries
+    val out = graft.operators.Retrieval.evalTopKGrouped(
+        keyed(approx), keyed(exact), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === qs.map(_.toString).toSet,
+      "one metrics row per query")
     // every per-query recall is a fraction of 5 in [0, 1], and the
     // macro average sits in the LSH gate's plausible band
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
     val macroAvg = out.values.sum / out.size
     assert(macroAvg > 0.2, s"macro recall $macroAvg — LSH should find some")
+    // and the grouped call agrees with the per-query loop exactly
+    qs.take(3).foreach { q =>
+      val one = graft.operators.Retrieval.evalTopK(
+          keyed(approx).filter(col("system") === q.toString),
+          exact.filter(col("q_id") === q).select(col("n_id").as("doc_id")),
+          5).collect().head.getDouble(2)
+      assert(one === out(q.toString), s"query $q")
+    }
   }
 
   test("evalClustering: hand-computed ARI — identical 1.0, crossed -0.5, chance-level 0.0") {
