@@ -140,7 +140,10 @@ object Retrieval {
     // present in cand (a bounded small cross — |systems| × k rows)
     // and run the grouped evaluation
     val systems = cand.select(col("system")).distinct()
-    evalTopKGrouped(cand, systems.crossJoin(ref.select(col("doc_id"))), k)
+    // coverage holds BY CONSTRUCTION (every system is crossed with
+    // the ref), so the grouped coverage job is skipped
+    evalGrouped(cand, systems.crossJoin(ref.select(col("doc_id"))), k,
+      checkCoverage = false)
   }
 
   /** [[evalTopK]] with PER-SYSTEM references: both frames carry
@@ -152,7 +155,11 @@ object Retrieval {
     * scaladoc used to hand-wave is now the operator). Systems present
     * in `cand` but absent from `ref` are a contract violation —
     * enforced, since a metric against no reference is undefined. */
-  def evalTopKGrouped(cand: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+  def evalTopKGrouped(cand: DataFrame, ref: DataFrame, k: Int): DataFrame =
+    evalGrouped(cand, ref, k, checkCoverage = true)
+
+  private def evalGrouped(cand: DataFrame, ref: DataFrame, k: Int,
+                          checkCoverage: Boolean): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val d6 = disc6(k)
     val prefix = d6.scanLeft(0L)(_ + _).tail // idcg6 at denom = i
@@ -168,10 +175,11 @@ object Retrieval {
     // exists to expose)
     val systems = cand.select(col("system")).distinct()
     val refCnt = ref.groupBy(col("system")).agg(count(lit(1)).as("n_ref"))
-    require(systems.join(refCnt, Seq("system"), "left_anti")
-        .limit(1).count() == 0L,
-      "evalTopKGrouped: every candidate system needs reference rows — " +
-        "a metric against an empty reference is undefined")
+    if (checkCoverage)
+      require(systems.join(refCnt, Seq("system"), "left_anti")
+          .limit(1).count() == 0L,
+        "evalTopKGrouped: every candidate system needs reference rows — " +
+          "a metric against an empty reference is undefined")
     val scored = cand.filter(col("rank") <= k)
       .join(ref.select(col("system"), col("doc_id"), lit(1L).as("rel")),
         Seq("system", "doc_id"), "left")
