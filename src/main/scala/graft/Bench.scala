@@ -92,7 +92,12 @@ object Bench {
     // diff, carried as its own block so the headline totals stay
     // comparable with r1-r10 lines.
     val driftIso = {
-      val names = Seq("dedup_ngram_jaccard", "dedup_survivors", "dedup_cluster")
+      // knn_* joined r13 (r12 verdict #3): the 8.78→10.54 s
+      // knn_components_ann driver-run delta read as a regression while
+      // the same-day local run said improved — isolated medians settle
+      // variance-vs-code for the whole family round-over-round
+      val names = Seq("dedup_ngram_jaccard", "dedup_survivors", "dedup_cluster",
+        "knn_graph", "knn_graph_ann", "knn_components", "knn_components_ann")
       // toIntOption: a malformed env value degrades to the default
       // like every other failure in this block, instead of killing
       // the whole bench run outside the per-entry handler
@@ -249,10 +254,18 @@ object Bench {
       // sweeps it even when a rep throws (r10 ADVICE: the old
       // post-success delete leaked the dir on failure)
       val rsrvPath = java.nio.file.Files.createTempDirectory("graft_bench_rsrv").toString
+      // the LABEL-BUCKETED filtered index (r12 verdict #2: the catalog's
+      // ann_ivf_filtered_indexed pays a full train+write per rep, so its
+      // 6 s read as a serve regression when ~5.5 s was construction —
+      // this is the serve-only attribution dual, the idx_ivf_serve_auto
+      // pattern)
+      val fidxPath = java.nio.file.Files.createTempDirectory("graft_bench_fidx").toString
       try {
         S.writeIvfIndex(emb, ivfPath, nlist = 16)
         S.writeIvfPqIndex(emb, pqPath, nlist = 16)
         S.writeIvfIndex(emb, ivfAutoPath, nlist = 0)
+        S.writeIvfIndex(emb, fidxPath, nlist = 0, trainIters = 5,
+          labelBuckets = 8)
         // pruning audit: one query probes nprobe=4 of 16 lists, so the
         // serve reads strictly fewer list files than the index holds
         // (measured post-pruning via input_file_name — inputFiles
@@ -281,6 +294,12 @@ object Bench {
         def servIvf() = S.ivfTopKFromIndex(spark, ivfPath, queries, 5, nprobe = nprobe)
         def servPq() = S.ivfpqTopKFromIndex(spark, pqPath, queries, 5, nprobe = nprobe)
         def servIvfAuto() = S.ivfTopKFromIndex(spark, ivfAutoPath, queries, 5, nprobe = nprobe)
+        // the catalog entry's serve spelling verbatim (label predicate
+        // prunes the lbl= partitions), minus its per-rep index build
+        val fQueries = emb.filter(SparkEntry.annIsQuery)
+          .select("vec_id", "embedding", "label")
+        def servFiltered() = S.filteredTopKFromIndex(spark, fidxPath,
+          fQueries, 5, nprobe = nprobe)
         // the composed retrieval page path, SERVE-ONLY (the catalog's
         // retrieval_serve number pays the artifact build each rep —
         // this is its attribution dual, the r10 F29 cost a standing
@@ -297,14 +316,16 @@ object Bench {
           Tables.embeddings(spark, sfDir), rsrvQ, rsrvCfg)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
         timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
+        timeNoop(() => servFiltered())
         Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
+          "idx_filtered_serve" -> median((1 to reps).map(_ => timeNoop(() => servFiltered()))),
           "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))))
       } finally {
         import org.apache.hadoop.fs.Path
-        Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath).foreach { p =>
+        Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath, fidxPath).foreach { p =>
           val hp = new Path(p)
           hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
         }

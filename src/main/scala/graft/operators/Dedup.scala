@@ -1370,8 +1370,12 @@ object Dedup {
     * shortlist miss, and how much junk does it admit, vs exact
     * Jaccard truth).
     *
-    * Both inputs are `(doc_a, doc_b)` frames with the canonical
-    * doc_a < doc_b orientation every pair generator here emits.
+    * Both inputs are `(doc_a, doc_b)` frames; orientation is
+    * NORMALIZED here (least/greatest before the distinct), so a
+    * caller passing one side unordered is scored on the undirected
+    * pair set it meant, never double-penalized as both fp and fn
+    * (r12 ADVICE — for the canonical doc_a < doc_b sets every
+    * generator here emits, the normalization is a no-op).
     * tp/fp/fn come from ONE full-outer equi-join on the pair key
     * (scale shape: a shuffle on the pair key, never a cross);
     * precision6 = 1e6·tp/(tp+fp), recall6 = 1e6·tp/(tp+fn) and
@@ -1379,10 +1383,11 @@ object Dedup {
     * that single exact quotient — all half-up scale-6 integers (the
     * cross-engine arithmetic), zero when the denominator is empty. */
   def evalPairs(cand: DataFrame, ref: DataFrame): DataFrame = {
-    val c = cand.select(col("doc_a"), col("doc_b")).distinct()
-      .withColumn("ic", lit(1L))
-    val r = ref.select(col("doc_a"), col("doc_b")).distinct()
-      .withColumn("ir", lit(1L))
+    def canon(df: DataFrame) = df.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b")).distinct()
+    val c = canon(cand).withColumn("ic", lit(1L))
+    val r = canon(ref).withColumn("ir", lit(1L))
     c.join(r, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         sum(when(col("ic") === 1L && col("ir") === 1L, 1L).otherwise(0L))

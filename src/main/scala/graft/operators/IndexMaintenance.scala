@@ -46,21 +46,41 @@ private[graft] object IndexMaintenance {
     * `root` (underscore-prefixed: parquet readers ignore it). */
   def lockFile(root: Path): Path = new Path(root, "_maintenance_lock")
 
+  /** The sentinel's owner/epoch payload, rendered for refusal
+    * messages — the operator who finds a held lock needs to tell a
+    * live compaction from a crashed one without out-of-band info
+    * (r12 VERDICT #3). Best-effort: a legacy or mid-write sentinel
+    * reads as "no metadata", never throws into the caller's
+    * already-failing require. */
+  private[graft] def lockInfo(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try {
+        val s = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.isEmpty) "held (no owner metadata — an older build's lock)"
+        else s"held ($s)"
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) =>
+      "held (owner metadata unreadable)" }
+
   /** Append-side guard: refuse to write into an index a compaction
     * is rewriting. Checked at append ENTRY — a compaction that
     * starts after the check is the residual race guards 2 and 3
     * cover. */
   def assertUnlocked(fs: FileSystem, lock: Path, what: String): Unit =
     require(!fs.exists(lock),
-      s"$what refused: maintenance lock $lock is held — a compaction " +
-        "is rewriting this index (or one failed holding the lock), " +
-        "and an append landing now could strand or corrupt segments. " +
-        "Retry after the compaction finishes; if its owner crashed, " +
-        "verify the index state (heal runs on the next compaction) " +
-        "and delete the lock file.")
+      s"$what refused: maintenance lock $lock is " +
+        s"${lockInfo(fs, lock)} — a compaction is rewriting this " +
+        "index (or one failed holding the lock), and an append " +
+        "landing now could strand or corrupt segments. Check the " +
+        "owner pid/epoch above: retry after a live compaction " +
+        "finishes; if its owner crashed, verify the index state " +
+        "(heal runs on the next compaction) and delete the lock file.")
 
   /** Compaction-side guard: hold the sentinel for the body's whole
-    * run. Creation is atomic (createNewFile) — a second concurrent
+    * run. Creation is atomic (createNewFile claims the name; the
+    * owner+epoch stamp lands after we own it) — a second concurrent
     * compaction, or one that previously failed, dies loudly here.
     * The lock is released ONLY on success: after a mid-swap failure
     * the index needs heal/operator attention, and releasing would
@@ -68,12 +88,26 @@ private[graft] object IndexMaintenance {
     * (r12 review). */
   def withLock[A](fs: FileSystem, lock: Path)(body: => A): A = {
     require(fs.createNewFile(lock),
-      s"maintenance lock $lock already held — another compaction is " +
-        "running, or a previous one failed and kept the lock: verify " +
-        "the index (the next compaction's heal repairs in-protocol " +
-        "crash states), then delete the lock file and re-run")
+      s"maintenance lock $lock already " +
+        s"${lockInfo(fs, lock)} — another compaction is running, or " +
+        "a previous one failed and kept the lock: verify the index " +
+        "(the next compaction's heal repairs in-protocol crash " +
+        "states), then delete the lock file and re-run")
+    // we own the name now — stamp who holds it and since when
+    val meta = s"owner=${System.getProperty("user.name", "?")}" +
+      s" pid=${ProcessHandle.current().pid()}" +
+      s" since_epoch_ms=${System.currentTimeMillis()}"
+    val os = fs.create(lock, true)
+    try os.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     val out = body // a throw deliberately keeps the lock (see above)
-    fs.delete(lock, false)
+    // a failed delete after a SUCCESSFUL compaction must be reported
+    // as a delete failure, not left to masquerade as a phantom failed
+    // compaction on the next run (r12 ADVICE)
+    require(fs.delete(lock, false),
+      s"compaction succeeded but could not delete its lock $lock — " +
+        "remove it by hand, or every future append/compaction on " +
+        "this index refuses with a misleading failed-compaction message")
     out
   }
 

@@ -98,7 +98,13 @@ object Layout {
     if (span <= (Long.MaxValue >> bits))
       call_function("div", off * lit(1L << bits), lit(span))
     else {
-      val width = (span + (1L << bits) - 1) / (1L << bits)
+      // ceil WITHOUT the +((1<<bits)-1) trick: a span within 2^bits of
+      // Long.MaxValue passes the BigInt require but overflows the
+      // additive form, wrapping width negative and silently destroying
+      // the promised clustering (r12 ADVICE — content stays
+      // row-identical, so no gate would catch it)
+      val width = span / (1L << bits) +
+        (if (span % (1L << bits) == 0L) 0L else 1L)
       call_function("div", off, lit(width))
     }
   }

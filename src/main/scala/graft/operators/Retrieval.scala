@@ -124,11 +124,16 @@ object Retrieval {
     *
     * Exactness (the cross-engine rules, PERF.md): every metric is an
     * integer quotient rounded half-up at scale 6 — recall6 =
-    * 1e6·hits/|ref|, mrr6 = 1e6/first_rel_rank, ndcg6 =
-    * 1e6·dcg6/idcg6 with dcg6 a sum of the [[disc6]] literals over
-    * relevant positions and idcg6 their prefix sum (the ideal
-    * ranking: all |ref| relevant docs first) — emitted as the exact
-    * doubles those scale-6 integers recover to.
+    * 1e6·hits/min(k, |ref|) (the CAPPED-recall convention: a ranking
+    * of k slots can hold at most k of the reference docs, so a
+    * reference larger than k is scored against the k retrievable
+    * slots and a perfect system reaches 1.0 — recall@k, not absolute
+    * recall; r12 ADVICE pinned this in both scaladocs), mrr6 =
+    * 1e6/first_rel_rank, ndcg6 = 1e6·dcg6/idcg6 with dcg6 a sum of
+    * the [[disc6]] literals over relevant positions and idcg6 their
+    * prefix sum (the ideal ranking: the min(k, |ref|) relevant docs
+    * first — the same cap) — emitted as the exact doubles those
+    * scale-6 integers recover to.
     *
     * Scale shape: the reference is a top-k frame, so the join is a
     * BROADCAST equi-join on doc_id and the aggregate is one
@@ -154,7 +159,10 @@ object Retrieval {
     * driver loop over queries (second review pass: the loop the
     * scaladoc used to hand-wave is now the operator). Systems present
     * in `cand` but absent from `ref` are a contract violation —
-    * enforced, since a metric against no reference is undefined. */
+    * enforced, since a metric against no reference is undefined.
+    * Recall/idcg denominators follow the same min(k, n_ref)
+    * capped-recall convention as [[evalTopK]] — a per-system
+    * reference larger than k scores the k retrievable slots. */
   def evalTopKGrouped(cand: DataFrame, ref: DataFrame, k: Int): DataFrame =
     evalGrouped(cand, ref, k, checkCoverage = true)
 

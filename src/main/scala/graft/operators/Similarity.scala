@@ -1169,7 +1169,17 @@ object Similarity {
     if (!fs.exists(dir)) None
     else Some((fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("ingest_batch="))
-      .map(_.stripPrefix("ingest_batch=").toLong) :+ -1L).distinct)
+      .map { name =>
+        // refuse-loud, not skip: a foreign/truncated marker name
+        // (e.g. `ingest_batch=3.tmp` left by tooling) would otherwise
+        // throw a bare NumberFormatException on EVERY serve with no
+        // protocol-level diagnostic (r12 ADVICE)
+        name.stripPrefix("ingest_batch=").toLongOption.getOrElse(
+          sys.error(s"foreign marker file '$name' in commits dir $dir " +
+            "— this ledger holds only ingest_batch=<long> marker " +
+            "files (see writeCommitRecord); remove the stray file " +
+            "before serving"))
+      } :+ -1L).distinct)
   }
 
   /** The serve-side lists scan: committed batches only (see

@@ -98,6 +98,15 @@ class EvalMetricsSpec extends SparkSpec {
     val z = Dedup.evalPairs(pairs(), pairs((1L, 2L))).collect().head
     assert((z.getLong(0), z.getDouble(3), z.getDouble(4), z.getDouble(5)) ===
       ((0L, 0.0, 0.0, 0.0)))
+    // orientation is NORMALIZED, not assumed: a caller passing one
+    // side unordered is scored on the undirected pair set it meant,
+    // never double-penalized as both fp and fn (r12 ADVICE)
+    val flipped = Dedup.evalPairs(
+      pairs((2L, 1L), (1L, 3L), (4L, 1L)), // AB + AD flipped
+      pairs((1L, 2L), (3L, 1L), (1L, 5L))) // AC flipped on the ref side
+      .collect().head
+    assert((flipped.getLong(0), flipped.getLong(1), flipped.getLong(2)) ===
+      ((2L, 1L, 1L)))
   }
 
   test("multi-query eval: q_id folds into the system key; per-query recall matches the gate's per-query fractions") {

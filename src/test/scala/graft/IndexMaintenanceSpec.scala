@@ -33,6 +33,10 @@ class IndexMaintenanceSpec extends SparkSpec {
       Similarity.appendToIvfIndex(batch, path, ingestBatch = 0L)
     }
     assert(e.getMessage.contains("maintenance lock"), e.getMessage)
+    // an empty sentinel (created out-of-band, like this spec's, or by
+    // an older build) renders as metadata-less — the refusal still
+    // tells the operator what it knows (r12 verdict #3)
+    assert(e.getMessage.contains("no owner metadata"), e.getMessage)
     // nothing landed: the refused append left the index untouched
     assert(spark.read.parquet(s"$path/lists")
       .filter(col("ingest_batch") =!= -1L).isEmpty)
@@ -76,10 +80,24 @@ class IndexMaintenanceSpec extends SparkSpec {
     // attention, and a released lock would let appends write into the
     // half-recovered state (r12 review)
     assert(f.exists(p("_maintenance_lock")))
+    // ... and the kept lock carries WHO held it and SINCE WHEN, so the
+    // operator who finds it can tell a crashed run from a live one
+    // without out-of-band info (r12 verdict #3)
+    val lockBody = {
+      val in = f.open(p("_maintenance_lock"))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(lockBody.contains("owner=") && lockBody.contains("pid=") &&
+      lockBody.contains("since_epoch_ms="), lockBody)
     val e2 = intercept[IllegalArgumentException] {
       Similarity.compactIvfIndex(spark, path)
     }
     assert(e2.getMessage.contains("already held"), e2.getMessage)
+    // the refusal message renders the sentinel's owner metadata
+    assert(e2.getMessage.contains("owner=") &&
+      e2.getMessage.contains("since_epoch_ms="), e2.getMessage)
     // live + old WITHOUT tmp is still a refusal — it is
     // indistinguishable from an operator who deleted only the tmp dir
     // out of the poison state, where old is the ONLY copy (r12
@@ -175,6 +193,32 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ledgered === Seq("ingest_batch=0", "ingest_batch=1"))
     assert(Similarity.ivfTopKFromIndex(spark, path, queries, 5, nprobe = 8)
       .count() === withBatch.size.toLong)
+  }
+
+  test("IVF ledger: a foreign marker name in the commits dir fails loud, naming the file") {
+    val path = java.nio.file.Files.createTempDirectory("graft_imx_fmk").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 8, trainIters = 3)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 320), path,
+      ingestBatch = 0L)
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    def serve() = Similarity.ivfTopKFromIndex(spark, path, queries, 5,
+      nprobe = 8).count()
+    val n = serve()
+    // tooling litter: a truncated/foreign marker must be a named
+    // protocol diagnostic, not a bare NumberFormatException on every
+    // serve (r12 ADVICE)
+    require(fs(path).createNewFile(
+      new Path(s"$path/commits/ingest_batch=3.tmp")))
+    val e = intercept[RuntimeException] { serve() }
+    assert(e.getMessage.contains("ingest_batch=3.tmp") &&
+      e.getMessage.contains("foreign marker"), e.getMessage)
+    // removing the stray file restores the serve unchanged
+    require(fs(path).delete(new Path(s"$path/commits/ingest_batch=3.tmp"),
+      false))
+    assert(serve() === n)
   }
 
   test("BM25: meta is the commit record — a partial append is serve-invisible until replayed") {

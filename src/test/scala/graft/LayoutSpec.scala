@@ -35,6 +35,19 @@ class LayoutSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < (1L << 10)))
   }
 
+  test("rangeBucket: a span within 2^bits of Long.MaxValue buckets without overflow") {
+    // passes the BigInt span require, but the additive ceil trick
+    // (span + 2^bits - 1) wraps negative here — the width must come
+    // from overflow-free division (r12 ADVICE)
+    val hi = Long.MaxValue - 2L
+    val b = Seq(0L, hi / 2, hi).toDF("c")
+      .select(Layout.rangeBucket(col("c"), 0L, hi, 16).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b.forall(x => x >= 0 && x < (1L << 16)), b.toString)
+    assert(b === b.sorted && b.head === 0L && b.last === (1L << 16) - 1,
+      b.toString)
+  }
+
   test("zkeyN: 3-dim interleave bit positions; every dim of a 3-D box prunes") {
     // dim j's bit i lands at position i*3 + j
     val keys = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
