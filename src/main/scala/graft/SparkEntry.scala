@@ -159,6 +159,22 @@ object SparkEntry {
     * bm25Sql. */
   private val Bm25Terms = Seq("spark", "window", "merge", "dup")
 
+  /** F30d's multi-query eval workload: three term-set queries keyed
+    * q1/q2/q3 (q1 = the F24 terms), each judged against ITS OWN
+    * relevance set — docs whose total occurrence count of the query's
+    * terms ≥ [[GroupedEvalMinCount]]. The threshold was swept so the
+    * three reference sizes genuinely DIFFER (15/47/39 at sf0.001,
+    * 6/52/44 at sf0.01), every reference is non-empty at every verify
+    * sf (the grouped coverage contract), the min(k, n_ref) recall cap
+    * engages on both sides of k=20, and no per-query recall pins at
+    * 1.0 (BM25's length normalization genuinely diverges from the
+    * raw-count truth — a pinned metric would gate nothing). */
+  private val GroupedEvalQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "window", "merge", "dup"),
+    "q2" -> Seq("join", "hash", "batch", "scan"),
+    "q3" -> Seq("stream", "filter", "sort", "query"))
+  private val GroupedEvalMinCount = 14
+
   /** F6b target mixture: rebalance to 40/30/30 en/es/de, excluding the
     * other strata (share 0 → rate 0). Mirrored into SQL by mixCaseSql. */
   private val MixShares = Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.3)
@@ -893,6 +909,30 @@ object SparkEntry {
       operators.Retrieval.evalTopK(cand, ref, 20).orderBy("system")
     }),
 
+    // F30d (r13, the r12 verdict's #4): evalTopKGrouped exercised
+    // END-TO-END — three term-set queries (system = q_id), each
+    // BM25-served page judged against its OWN reference whose size
+    // differs per query (see GroupedEvalQueries), so the per-system
+    // denominator/idcg path — the thing the grouped contract adds
+    // over evalTopK's shared-reference cross — is what the oracle
+    // hashes. ONE grouped call, never a driver loop over queries
+    "eval_grouped_metrics" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = GroupedEvalQueries.map { case (q, ts) =>
+        TextAnalysis.bm25TopK(dd, ts, 20)
+          .select(lit(q).as("system"), col("doc_id"), col("rank"))
+      }.reduce(_.unionByName(_))
+      val toks = dd.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      val ref = GroupedEvalQueries.map { case (q, ts) =>
+        toks.filter(
+            ts.map(t => size(filter(col("toks"), x => x === lit(t))))
+              .reduce(_ + _) >= lit(GroupedEvalMinCount))
+          .select(lit(q).as("system"), col("doc_id"))
+      }.reduce(_.unionByName(_))
+      operators.Retrieval.evalTopKGrouped(cand, ref, 20).orderBy("system")
+    }),
+
     // The composed SERVE flow (r10, HASH-GREEN — serveSql unrolls the
     // whole composition): frozen BM25 index (dfs + meta + the r11
     // posting table) + written IVF index built per call (an honest
@@ -1493,19 +1533,29 @@ object SparkEntry {
     * 10·T·tf + 3·T + 9·dl·N), one double multiply+divide in pinned
     * order, 6-dp round into DECIMAL, exact decimal sum in term
     * order. */
-  /** The F24 CTE chain through `topk` — ONE definition shared by the
-    * BM25 mirror and F27's fusion mirror (the lmCtes pattern: the two
-    * can never drift). */
-  private def bm25Ctes: String = {
-    val dfCtes = Bm25Terms.zipWithIndex.map { case (term, i) =>
-      s"""i$i AS (
+  /** The shared tokenized-docs + corpus-stats CTEs (d, s) every BM25
+    * chain scores against. */
+  private def bm25DocsCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, $TOKS AS toks,
+       |    CAST(coalesce(len($TOKS), 0) AS BIGINT) AS dl
+       |  FROM documents),
+       |s AS (SELECT count(*) AS n, coalesce(sum(dl), 0) AS t FROM d)""".stripMargin
+
+  /** One BM25 scoring chain (idf CTEs + scored$sfx + topk$sfx) for a
+    * term set, over the shared d/s CTEs — parameterized (r13) so the
+    * grouped-eval mirror can run one chain per query without the
+    * three copies drifting from the F24 spelling. */
+  private def bm25ChainFor(terms: Seq[String], sfx: String): String = {
+    val dfCtes = terms.zipWithIndex.map { case (term, i) =>
+      s"""i$sfx$i AS (
          |  SELECT CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
          |                    * 10000, 0) AS BIGINT) AS i4
          |  FROM s, (SELECT count(*) AS df FROM d
          |           WHERE list_contains(toks, '$term')) df)""".stripMargin
     }.mkString(",\n")
-    val termSum = Bm25Terms.zipWithIndex.map { case (term, i) =>
-      s"""CAST(round((CAST((SELECT i4 FROM i$i) AS DOUBLE) / 10000.0) *
+    val termSum = terms.zipWithIndex.map { case (term, i) =>
+      s"""CAST(round((CAST((SELECT i4 FROM i$sfx$i) AS DOUBLE) / 10000.0) *
          |  CAST(coalesce(len(list_filter(toks, x -> x = '$term')), 0)
          |       * 22 * (SELECT t FROM s) AS DOUBLE) /
          |  CAST(coalesce(len(list_filter(toks, x -> x = '$term')), 0)
@@ -1514,19 +1564,21 @@ object SparkEntry {
          |       + dl * 9 * (SELECT n FROM s) AS DOUBLE), 6)
          |  AS DECIMAL(20,6))""".stripMargin
     }.mkString(" +\n")
-    s"""d AS (
-       |  SELECT doc_id, $TOKS AS toks,
-       |    CAST(coalesce(len($TOKS), 0) AS BIGINT) AS dl
-       |  FROM documents),
-       |s AS (SELECT count(*) AS n, coalesce(sum(dl), 0) AS t FROM d),
-       |$dfCtes,
-       |scored AS (
+    s"""$dfCtes,
+       |scored$sfx AS (
        |  SELECT doc_id, $termSum AS score_dec, dl FROM d),
-       |topk AS (
+       |topk$sfx AS (
        |  SELECT doc_id, CAST(score_dec AS DOUBLE) AS score
-       |  FROM scored WHERE score_dec > 0
+       |  FROM scored$sfx WHERE score_dec > 0
        |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
   }
+
+  /** The F24 CTE chain through `topk` — ONE definition shared by the
+    * BM25 mirror and F27's fusion mirror (the lmCtes pattern: the two
+    * can never drift). */
+  private def bm25Ctes: String =
+    s"""$bm25DocsCtes,
+       |${bm25ChainFor(Bm25Terms, "")}""".stripMargin
 
   private def bm25Sql: String =
     s"""WITH $bm25Ctes
@@ -2859,6 +2911,69 @@ object SparkEntry {
          |  CAST((2 * 1000000 * dcg6 + $idcg6) // (2 * $idcg6) AS DOUBLE) / 1e6
          |    AS ndcg
          |FROM agg ORDER BY system""".stripMargin
+    },
+
+    // F30d mirror: one bm25ChainFor chain per query (the F24 spelling,
+    // suffixed _g0/_g1/_g2), the raw-count relevance rule as plain
+    // list_filter sums, then the GROUPED metric arithmetic — the
+    // per-system denominator comes from EACH query's own reference
+    // count via least(k, n_ref), and idcg6 is the disc6 prefix sum AT
+    // that denominator (a VALUES lookup mirroring the Spark side's
+    // idcgMap literal), so the capped-recall convention is what gets
+    // hash-checked
+    "eval_grouped_metrics" -> {
+      val d6 = operators.Retrieval.disc6(20)
+      val discVals = d6.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val idcgVals = d6.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val chains = GroupedEvalQueries.zipWithIndex
+        .map { case ((_, ts), i) => bm25ChainFor(ts, s"_g$i") }
+        .mkString(",\n")
+      val candU = GroupedEvalQueries.zipWithIndex.map { case ((q, _), i) =>
+        s"""SELECT '$q' AS system, doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM topk_g$i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val refU = GroupedEvalQueries.map { case (q, ts) =>
+        val cnt = ts
+          .map(t => s"coalesce(len(list_filter(toks, x -> x = '$t')), 0)")
+          .mkString(" + ")
+        s"""SELECT '$q' AS system, doc_id FROM d
+           |  WHERE ($cnt) >= $GroupedEvalMinCount""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $bm25DocsCtes,
+         |${chains},
+         |cand AS (
+         |  $candU),
+         |ref AS (
+         |  $refU),
+         |refc AS (SELECT system, count(*) AS n_ref FROM ref GROUP BY 1),
+         |disc(i, d6) AS (VALUES $discVals),
+         |idcg(denom, idcg6) AS (VALUES $idcgVals),
+         |j AS (SELECT c.system, c.rank,
+         |        (r.doc_id IS NOT NULL) AS rel, disc.d6
+         |      FROM cand c
+         |      LEFT JOIN ref r ON r.system = c.system AND r.doc_id = c.doc_id
+         |      LEFT JOIN disc ON disc.i = c.rank),
+         |agg AS (SELECT system,
+         |          CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS hits,
+         |          min(CASE WHEN rel THEN rank END) AS fr,
+         |          CAST(sum(CASE WHEN rel THEN d6 ELSE 0 END) AS BIGINT)
+         |            AS dcg6
+         |        FROM j GROUP BY 1)
+         |SELECT a.system, a.hits,
+         |  CAST((2 * 1000000 * a.hits + i2.denom) // (2 * i2.denom)
+         |       AS DOUBLE) / 1e6 AS recall,
+         |  coalesce(CAST((2 * 1000000 + a.fr) // (2 * a.fr) AS DOUBLE) / 1e6,
+         |           0.0) AS mrr,
+         |  CAST((2 * 1000000 * a.dcg6 + i2.idcg6) // (2 * i2.idcg6)
+         |       AS DOUBLE) / 1e6 AS ndcg
+         |FROM agg a
+         |JOIN refc USING (system)
+         |JOIN idcg i2 ON i2.denom = least(20, refc.n_ref)
+         |ORDER BY system""".stripMargin
     },
 
     // F19 mirror: multinomial NB — per-(tok, class) ln term and
