@@ -22,6 +22,18 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                        contract (xy.csv + value-only files + zip,
   *                        `gen_rfields.py:198-219`) next to the
   *                        ensemble-mean rfields.
+  * @param landSeries also land the post-diff series table as a
+  *                    Z-ORDERED parquet artifact at `outDir/series`
+  *                    (`Pipeline.landSeries` — clustered on
+  *                    (lat, lon, time) so the standing consumer
+  *                    queries, bbox × time-window fetches of the
+  *                    gen_rfields/basin-cut shape, prune files on any
+  *                    of the three dims). Off by default: the landing
+  *                    is an extra write stage, and pipeline_e2e's
+  *                    bench number stays comparable round-over-round.
+  * @param landSeriesFiles target file count for the landed series
+  *                        table (the z-order pruning grain — more
+  *                        files = finer pruning, more open() calls).
   * @param domains optional multi-domain run (`gen_rfields.py` emits
   *                d03, a Kelani-basin BBOX CUT of d03, and d01 rfields
   *                per run — `create_d01_rfields` at gen_rfields.py:232,
@@ -47,9 +59,13 @@ final case class PipelineConfig(
     filePattern: String = "d03_RAINNC_{system}.nc",
     waitReadyMs: Long = 0L,
     packagedRfields: Boolean = false,
+    landSeries: Boolean = false,
+    landSeriesFiles: Int = 32,
     domains: Seq[DomainConfig] = Seq.empty) {
 
   require(systems.nonEmpty, "config needs at least one wrf system")
+  require(landSeriesFiles > 0,
+    s"land_series_files=$landSeriesFiles must be positive")
   require(domains.map(_.name).distinct.size == domains.size,
     s"domain names must be distinct: ${domains.map(_.name)}")
 
@@ -145,6 +161,18 @@ object PipelineConfig {
         require(s == "true" || s == "false",
           s"$path: packaged_rfields must be true/false, got '$s'")
         s.toBoolean
+      },
+      landSeries = {
+        val s = str("land_series", "false")
+        require(s == "true" || s == "false",
+          s"$path: land_series must be true/false, got '$s'")
+        s.toBoolean
+      },
+      landSeriesFiles = {
+        val s = str("land_series_files", "32")
+        require(s.matches("[0-9]+"),
+          s"$path: land_series_files must be a positive integer, got '$s'")
+        s.toInt
       },
       // domains: [{"name": "d03", "file_pattern": "d03_RAINNC_{system}.nc",
       //            "bbox": [79.6, 6.6, 81.0, 7.4]}, ...] — bbox in the

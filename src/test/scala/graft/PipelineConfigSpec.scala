@@ -97,6 +97,62 @@ class PipelineConfigSpec extends SparkSpec {
       === Seq(DomainConfig("", "d03_RAINNC_{system}.nc", None)))
   }
 
+  test("landSeries: the run lands a z-ordered series artifact; the bbox-window consumer is exact and prunes files") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_land").toString
+    // 16×16 grid × 25 cumulative steps × 2 systems → 12288 series rows
+    Pipeline.generateSyntheticRun(dir, ny = 16, nx = 16, nt = 25)
+    val cfg = PipelineConfig(ncDir = dir, outDir = s"$dir/out",
+      landSeries = true, landSeriesFiles = 32)
+    val res = Pipeline.run(spark, cfg)
+    assert(res.stageSeconds.contains("series_land"))
+    val landed = spark.read.parquet(s"$dir/out/series")
+    assert(landed.count() === res.seriesRows)
+    val total = landed.inputFiles.length
+    assert(total >= 16, s"expected a multi-file landing, got $total")
+    // micro-degree dims are exactly their source doubles' 6-dp keys
+    assert(landed.filter(
+      col("lat_u") =!= round(col("lat") * 1e6, 0).cast("long") ||
+        col("lon_u") =!= round(col("lon") * 1e6, 0).cast("long")).isEmpty)
+    // the standing consumer (the gen_rfields basin-cut shape): the
+    // 4×4-cell corner bbox over intervals 1..7 of the 24
+    val t0 = 1577836800L // 2020-01-01T00:00Z, the generator's base
+    val bbox = (79.0, 5.0, 79.091, 5.091)
+    val (t0Us, t1Us) = ((t0 + 900L) * 1000000L, (t0 + 900L * 8) * 1000000L)
+    val out = Pipeline.seriesWindow(spark, s"$dir/out/series", bbox,
+        t0Us, t1Us)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // first-principles oracle: the generator's cumulative value is
+    // base·t·(c%5) with base 1/2 for systems A/C and c = yi·nx + xi,
+    // so every interval's delta is base·(c%5) and the ensemble mean
+    // is 1.5·(c%5) — 16 cells × 7 steps
+    val expect = (for {
+      step <- 1 to 7; yi <- 0 until 4; xi <- 0 until 4
+    } yield ((t0 + 900L * step) * 1000000L,
+        math.round((5.0f + 0.03f * yi).toDouble * 1e6),
+        math.round((79.0f + 0.03f * xi).toDouble * 1e6),
+        1.5 * ((yi * 16 + xi) % 5))).sorted
+    assert(out === expect)
+    // pruning: each dim's own predicate skips files, and the consumer
+    // slice reads no more than its loosest single-dim slab
+    def hit(p: org.apache.spark.sql.Column): Long =
+      landed.filter(p).select(input_file_name()).distinct().count()
+    val pT = col("ts_us") >= t0Us && col("ts_us") < t1Us
+    val pLat = col("lat_u").between(5000000L, 5091000L)
+    val pLon = col("lon_u").between(79000000L, 79091000L)
+    val (hT, hLat, hLon) = (hit(pT), hit(pLat), hit(pLon))
+    assert(hT < total && hLat < total && hLon < total,
+      s"$hT/$hLat/$hLon of $total")
+    val hBox = hit(pT && pLat && pLon)
+    assert(hBox <= Seq(hT, hLat, hLon).min, s"box=$hBox vs $hT/$hLat/$hLon")
+    // and the consumer's predicates reach the parquet scan
+    val plan = Pipeline.seriesWindow(spark, s"$dir/out/series", bbox,
+      t0Us, t1Us).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lat_u"),
+      s"expected pushed filters in:\n$plan")
+  }
+
   test("fromJson parses a domains list with bbox in reference extent order") {
     val dir = Files.createTempDirectory("graft_cfg")
     val p = dir.resolve("run.json")
