@@ -25,7 +25,10 @@ import graft.sinks.ShardSink
   *   4. (`buildIndex`) `<out>/index/` — the serve index over the
   *      clean corpus (r10);
   *   5. (`auditFrac`) `<out>/audit/` — the dedup-quality self-audit
-  *      over a deterministic sample (r12, see [[run]]).
+  *      over a deterministic sample (r12, see [[run]]);
+  *   6. (`evalQueries`) `<out>/eval/` — the retrieval-quality
+  *      self-audit over the landed index (r13, the F30 dual of the
+  *      dedup audit, see [[run]]).
   *
   * Everything here is composition of catalog operators (each oracled
   * or spec'd on its own); this object only sequences them, times the
@@ -44,7 +47,9 @@ object CorpusPrepJob {
       funnelSec: Double, shardSec: Double, manifestSec: Double,
       indexSec: Double = 0.0,
       audit: Option[(Long, Long, Long, Double, Double, Double)] = None,
-      auditSec: Double = 0.0)
+      auditSec: Double = 0.0,
+      serveEval: Option[(Long, Double)] = None,
+      evalSec: Double = 0.0)
 
   /** Run the prep against `docsDir`'s documents table, artifacts under
     * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
@@ -65,11 +70,26 @@ object CorpusPrepJob {
     * one row next to the ledger — the band/threshold drift tripwire a
     * prep run should publish about itself (truth τ = 0.05, below the
     * dedup cut, so recall reports the collision-curve misses). */
+  /** `evalQueries > 0` (requires `buildIndex`) adds the SIXTH
+    * artifact (r13, VERDICT r12 #6): `<out>/eval/` — the
+    * retrieval-quality self-audit, the F30 dual of the dedup audit.
+    * A deterministic panel of the lowest-id nonzero survivor vectors
+    * queries the LANDED index at serve configuration (`evalNprobe`
+    * probes), judged by [[graft.operators.Retrieval.evalTopKGrouped]]
+    * against exhaustive cosine truth over the clean embeddings — one
+    * metrics row per query (recall@k / MRR / nDCG of the probed serve
+    * vs exact). This is the "how much recall does my nprobe give up"
+    * number a prep run should publish about its own index; at 100 TB
+    * the panel stays a bounded sample (q·n work by declaration, the
+    * auditFrac posture). */
   def run(spark: SparkSession, docsDir: String, outDir: String,
           nShards: Int = 8, blocklist: Seq[String] = Seq("spam"),
           keepLang: String = "en", minQuality: Double = 0.45,
           budgetTokens: Int = 2048, buildIndex: Boolean = false,
-          auditFrac: Double = 0.0): PrepResult = {
+          auditFrac: Double = 0.0, evalQueries: Int = 0,
+          evalK: Int = 10, evalNprobe: Int = 4): PrepResult = {
+    require(evalQueries <= 0 || buildIndex,
+      "evalQueries needs buildIndex — the retrieval audit judges the landed index")
     val docs = Tables.documents(spark, docsDir)
     val isBench = col("doc_id") % 97 === 0
     def timed[T](f: => T): (T, Double) = {
@@ -131,6 +151,36 @@ object CorpusPrepJob {
           (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       }
+    val (serveEval, evalSec) =
+      if (evalQueries <= 0) (None, 0.0)
+      else timed {
+        val S = graft.operators.Similarity
+        // survivors' embeddings — the universe the landed index holds
+        val embClean = Tables.embeddings(spark, docsDir)
+          .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        // deterministic panel: the lowest-id nonzero survivor vectors
+        // (zero-norm vectors have no cosine ranking to audit)
+        val qIds = embClean
+          .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+          .select(col("vec_id")).orderBy(col("vec_id")).limit(evalQueries)
+          .collect().map(_.getLong(0)).toSeq
+        require(qIds.nonEmpty, "serve eval: no nonzero survivor vectors")
+        val isQ = col("vec_id").isin(qIds.map(Long.box): _*)
+        val cand = S.ivfTopKFromIndex(spark, s"$outDir/index/ivf",
+          embClean.filter(isQ).select("vec_id", "embedding"), evalK,
+          nprobe = evalNprobe)
+        val ref = S.bruteForceTopK(embClean, isQ, evalK)
+        def keyed(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("q_id").cast("string").as("system"),
+            col("n_id").as("doc_id"), col("rank"))
+        graft.operators.Retrieval.evalTopKGrouped(keyed(cand), keyed(ref),
+            evalK)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/eval")
+        val rows = spark.read.parquet(s"$outDir/eval").collect()
+        Some((rows.length.toLong,
+          rows.map(_.getAs[Double]("recall")).sum / rows.length))
+      }
     // the audit pins Dedup's slot caches (gram/signature tables,
     // sample-sized) — release them with the Corpus ones so a
     // long-lived session doing repeated preps doesn't hold them
@@ -138,7 +188,8 @@ object CorpusPrepJob {
     Corpus.releaseCaches()
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,
-      funnelSec, shardSec, manifestSec, indexSec, audit, auditSec)
+      funnelSec, shardSec, manifestSec, indexSec, audit, auditSec,
+      serveEval, evalSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -149,10 +200,13 @@ object CorpusPrepJob {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     try {
       val r = run(spark, docsDir, outDir, nShards, buildIndex = true,
-        auditFrac = 0.25)
+        auditFrac = 0.25, evalQueries = 8)
       r.audit.foreach { case (tp, fp, fn, prec, rec, f1) =>
         println(f"[prep] audit: tp=$tp fp=$fp fn=$fn " +
           f"prec=$prec%.6f rec=$rec%.6f f1=$f1%.6f") }
+      r.serveEval.foreach { case (nq, macroRecall) =>
+        println(f"[prep] serve eval: $nq%d queries, " +
+          f"macro recall@10 = $macroRecall%.6f") }
       r.ledger.zipWithIndex.foreach { case ((stage, n), i) =>
         println(f"[prep] stage $i%2d $stage%-14s $n%9d docs")
       }
@@ -167,6 +221,9 @@ object CorpusPrepJob {
         s""""index_sec":${Jsons.num(r.indexSec, 3)},""" +
         s""""audit_sec":${Jsons.num(r.auditSec, 3)}""" +
         r.audit.fold("")(a => s""","audit_f1":${Jsons.num(a._6, 6)}""") +
+        s""","eval_sec":${Jsons.num(r.evalSec, 3)}""" +
+        r.serveEval.fold("")(e =>
+          s""","eval_recall":${Jsons.num(e._2, 6)}""") +
         s""","out":"$outDir"}""")
     } finally spark.stop()
   }

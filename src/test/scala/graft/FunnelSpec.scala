@@ -96,6 +96,45 @@ class FunnelSpec extends SparkSpec {
       page.forall(row => cleanIds.contains(row.getAs[Long]("doc_id"))))
   }
 
+  test("CorpusPrepJob evalQueries: the retrieval self-audit artifact equals a direct grouped eval on the landed index") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cpe").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 2,
+      buildIndex = true, evalQueries = 4, evalK = 10, evalNprobe = 4)
+    assert(r.evalSec > 0.0)
+    assert(r.serveEval.exists(_._1 === 4L), s"got ${r.serveEval}")
+    val landed = spark.read.parquet(s"$out/eval")
+      .orderBy("system").collect().toSeq.map(_.toSeq)
+    assert(landed.size === 4)
+    // the artifact IS evalTopKGrouped over the landed index vs
+    // exhaustive truth on the clean embeddings — recompute directly
+    val S = graft.operators.Similarity
+    val cleanIds = spark.read.parquet(s"$out/shards")
+      .select(col("doc_id").as("vec_id")).distinct()
+    val embClean = Tables.embeddings(spark, sfDir)
+      .join(cleanIds, Seq("vec_id"), "left_semi")
+    val qIds = embClean
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+      .select("vec_id").orderBy("vec_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val isQ = col("vec_id").isin(qIds.map(Long.box): _*)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("string").as("system"),
+        col("n_id").as("doc_id"), col("rank"))
+    val direct = graft.operators.Retrieval.evalTopKGrouped(
+        keyed(S.ivfTopKFromIndex(spark, s"$out/index/ivf",
+          embClean.filter(isQ).select("vec_id", "embedding"), 10,
+          nprobe = 4)),
+        keyed(S.bruteForceTopK(embClean, isQ, 10)), 10)
+      .orderBy("system").collect().toSeq.map(_.toSeq)
+    assert(landed === direct)
+    // the audit is informative: every per-query recall in (0, 1], and
+    // the macro number the job reports is their mean
+    val recalls = spark.read.parquet(s"$out/eval")
+      .collect().map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.forall(x => x > 0.0 && x <= 1.0), recalls.toString)
+    assert(math.abs(r.serveEval.get._2 - recalls.sum / recalls.size) < 1e-12)
+  }
+
   // the near-dup pair (from CorpusSpec's F14 premise): all grams
   // shared but the final one → Jaccard 11/13 ≈ 0.846 ≥ 0.5
   private val cleanDoc = "the quick brown fox jumps over the lazy dog " +
