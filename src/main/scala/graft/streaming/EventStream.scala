@@ -634,6 +634,60 @@ object EventStream {
           spark, table, path, queryVec, cfg))
       }
 
+  /** [[streamingHybridIngest]] with LIVE QUALITY SCORING (r13, VERDICT
+    * r12 #8): after each micro-batch appends to both legs, EVERY
+    * standing query's diversified page re-serves from the indexes
+    * alone, and the whole page set is scored in one
+    * [[graft.operators.Retrieval.evalTopKGrouped]] call against a
+    * FROZEN reference (system = the query's vec_id as string;
+    * per-query reference sizes free to differ — the grouped
+    * contract). This is the live quality-regression tripwire for the
+    * hybrid ingest path: an ingest batch that poisons an index leg
+    * (bad embeddings, a skewed df append) surfaces as a falling
+    * recall/MRR/nDCG row within ONE batch, instead of waiting for the
+    * next offline eval run.
+    *
+    * `queryVecs` is the bounded standing panel `(vec_id, embedding)`
+    * — ids collected once at wiring time (serveFromIndex's contract
+    * is one vector per call, so the panel loops driver-side over a
+    * handful of standing queries; the per-query work is the indexed
+    * serve, never a corpus scan). `ref` is the frozen `(system,
+    * doc_id)` judgment set (e.g. the exhaustive-serve pages at freeze
+    * time, or editorial labels). `onMetrics` receives (batchId, the
+    * union of the pages keyed by system, the per-query metrics
+    * frame). */
+  def streamingServeEval(arrivals: DataFrame, table: String, path: String,
+                         queryVecs: DataFrame,
+                         cfg: graft.operators.Retrieval.ServeConfig,
+                         ref: DataFrame, k: Int,
+                         onMetrics: (Long, DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val qIds = queryVecs.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSeq
+    require(qIds.nonEmpty && qIds.distinct.size == qIds.size,
+      s"streamingServeEval needs a non-empty panel of DISTINCT standing " +
+        s"query vec_ids, got $qIds")
+    arrivals.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = dedupById(batch.select("doc_id", "text", "embedding"),
+          "doc_id")
+        graft.operators.TextAnalysis.appendToBm25Index(
+          b.select("doc_id", "text"), table, ingestBatch = batchId)
+        graft.operators.Similarity.appendToIvfIndex(
+          b.select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$path/ivf", ingestBatch = batchId)
+        val pages = qIds.map { qid =>
+          graft.operators.Retrieval.serveFromIndex(spark, table, path,
+              queryVecs.filter(col("vec_id") === qid), cfg)
+            .select(lit(qid.toString).as("system"), col("doc_id"),
+              col("rank"))
+        }.reduce(_.unionByName(_))
+        onMetrics(batchId, pages,
+          graft.operators.Retrieval.evalTopKGrouped(pages, ref, k))
+      }
+  }
+
   /** One cumulative reading (the shape RAINNC arrives in). `id` is the
     * per-station event id that breaks timestamp ties — the batch
     * flavors order by (time, id), and carrying it here lets the

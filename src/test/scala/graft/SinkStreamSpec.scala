@@ -1192,6 +1192,75 @@ class SinkStreamSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")) }
   }
 
+  test("streamingServeEval: per-batch page metrics ≡ a direct grouped eval on the same page") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Retrieval, Similarity}
+    val terms = Seq("spark", "window", "merge", "dup")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir)
+    // a two-query standing panel (the lowest-id nonzero vectors) with
+    // DIFFERING frozen reference sizes — the grouped denominators
+    val qIds = emb
+      .filter(expr("aggregate(embedding, 0D, (a, x) -> a + x*x) > 0"))
+      .select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val queries = emb.filter(col("vec_id").isin(qIds.map(Long.box): _*))
+      .select("vec_id", "embedding")
+    // frozen judgments: exact cosine top-5 / top-8 over the FULL
+    // corpus (what an offline freeze would publish)
+    def refOf(qid: Long, n: Int) =
+      Similarity.bruteForceTopK(emb, col("vec_id") === qid, n)
+        .select(lit(qid.toString).as("system"), col("n_id").as("doc_id"))
+    val ref = refOf(qIds(0), 5).unionByName(refOf(qIds(1), 8))
+      .cache()
+    assert(ref.count() === 13L) // sizes genuinely differ: 5 + 8
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val p = java.nio.file.Files.createTempDirectory("graft_seval").toString
+    Retrieval.buildArtifacts(docs.filter(col("doc_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 0), "seval_bm25", p, nlist = 8)
+    def slice(m: Long) = docs.filter(col("doc_id") % 4 === m)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .select("doc_id", "text", "embedding")
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val gotPages = scala.collection.mutable.Map.empty[Long, Seq[(String, Long, Long)]]
+    val gotMetrics = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = EventStream.streamingServeEval(
+      mem.toDF().toDF("doc_id", "text", "embedding"), "seval_bm25", p,
+      queries, cfg, ref, k = 10,
+      onMetrics = (id, pages, metrics) => {
+        gotPages(id) = pages
+          .select(col("system"), col("doc_id"), col("rank").cast("long"))
+          .as[(String, Long, Long)].collect().toSeq
+        gotMetrics(id) = metrics.orderBy("system")
+          .collect().toSeq.map(_.toSeq)
+      }).start()
+    mem.addData(slice(1).as[(Long, String, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(slice(3).as[(Long, String, Seq[Float])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(gotMetrics.keySet === Set(0L, 1L))
+    for (id <- Seq(0L, 1L)) {
+      // one metrics row per standing query, every metric in [0, 1]
+      val m = gotMetrics(id)
+      assert(m.map(_.head) === qIds.map(_.toString).sorted)
+      assert(m.forall(_.drop(2).forall {
+        case d: Double => d >= 0.0 && d <= 1.0; case _ => false }), m)
+      // the judge's contract: per-batch metrics ≡ a DIRECT grouped
+      // eval on the same page the callback received
+      val direct = Retrieval.evalTopKGrouped(
+          gotPages(id).toDF("system", "doc_id", "rank"), ref, 10)
+        .orderBy("system").collect().toSeq.map(_.toSeq)
+      assert(m === direct, s"batch $id")
+      // pages are real serves: kOut rows per standing query
+      assert(gotPages(id).groupBy(_._1).values.forall(_.size === cfg.kOut))
+    }
+    ref.unpersist()
+    Seq("_df", "_meta", "_post").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS seval_bm25$sfx"))
+  }
+
   test("formatReport renders the reference-style Email Content report for a mixed run") {
     import graft.sinks.JdbcUpsert
     val result = JdbcUpsert.UpsertResult(rowsWritten = 90, rowsFailed = 15,
