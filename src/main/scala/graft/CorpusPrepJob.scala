@@ -173,11 +173,21 @@ object CorpusPrepJob {
         val ref = S.bruteForceTopK(embClean, isQ, evalK)
         def keyed(df: org.apache.spark.sql.DataFrame) =
           df.select(col("q_id").cast("string").as("system"),
-            col("n_id").as("doc_id"), col("rank"))
-        graft.operators.Retrieval.evalTopKGrouped(keyed(cand), keyed(ref),
-            evalK)
+            col("n_id").as("doc_id"), col("rank").cast("long"))
+        // past-k sentinel per panel query (the streamingServeEval
+        // posture, r13 review): a query whose probed serve returns
+        // NOTHING must land a zeros row in the artifact — dropping it
+        // would shrink the macro denominator and overstate quality
+        // exactly when a query collapsed
+        import spark.implicits._
+        val sentinels = qIds.map(q => (q.toString, -1L, evalK.toLong + 1L))
+          .toDF("system", "doc_id", "rank")
+        graft.operators.Retrieval.evalTopKGrouped(
+            keyed(cand).unionByName(sentinels), keyed(ref), evalK)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/eval")
         val rows = spark.read.parquet(s"$outDir/eval").collect()
+        // rows.length == qIds.size by the sentinel construction — the
+        // macro denominator is the PANEL, never the surviving subset
         Some((rows.length.toLong,
           rows.map(_.getAs[Double]("recall")).sum / rows.length))
       }

@@ -336,7 +336,13 @@ object Pipeline {
                    bbox: (Double, Double, Double, Double),
                    t0Us: Long, t1Us: Long): org.apache.spark.sql.DataFrame = {
     val (lonMin, latMin, lonMax, latMax) = bbox
-    def u(d: Double): Long = math.round(d * 1e6)
+    // HALF_UP away from zero — the SAME rounding landSeries's Spark
+    // `round` applies to the landed keys (math.round rounds toward
+    // +∞, which disagrees at negative half-micro-degrees and could
+    // exclude a station from a bbox bound equal to its own
+    // coordinate — r13 review)
+    def u(d: Double): Long = BigDecimal(d * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     spark.read.parquet(path)
       .filter(col("lat_u") >= u(latMin) && col("lat_u") <= u(latMax) &&
         col("lon_u") >= u(lonMin) && col("lon_u") <= u(lonMax) &&

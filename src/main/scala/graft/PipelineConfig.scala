@@ -170,9 +170,15 @@ object PipelineConfig {
       },
       landSeriesFiles = {
         val s = str("land_series_files", "32")
-        require(s.matches("[0-9]+"),
+        // toIntOption, not a digit regex + toInt: a value past
+        // Int.MaxValue would pass the regex and die in toInt with a
+        // raw NumberFormatException that names neither the config
+        // path nor the key (r13 review); > 0 here keeps the failure
+        // attributed to the file instead of the case-class require
+        val n = s.toIntOption
+        require(n.exists(_ > 0),
           s"$path: land_series_files must be a positive integer, got '$s'")
-        s.toInt
+        n.get
       },
       // domains: [{"name": "d03", "file_pattern": "d03_RAINNC_{system}.nc",
       //            "bbox": [79.6, 6.6, 81.0, 7.4]}, ...] — bbox in the

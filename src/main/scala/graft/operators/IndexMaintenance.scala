@@ -79,25 +79,29 @@ private[graft] object IndexMaintenance {
         "(heal runs on the next compaction) and delete the lock file.")
 
   /** Compaction-side guard: hold the sentinel for the body's whole
-    * run. Creation is atomic (createNewFile claims the name; the
-    * owner+epoch stamp lands after we own it) — a second concurrent
-    * compaction, or one that previously failed, dies loudly here.
-    * The lock is released ONLY on success: after a mid-swap failure
-    * the index needs heal/operator attention, and releasing would
-    * reopen it to appends that could manufacture the poison state
-    * (r12 review). */
+    * run. Claim and owner/epoch stamp are ONE create-exclusive call
+    * (`create(lock, overwrite = false)` — atomic fail-if-exists on
+    * HDFS-class filesystems): a claim-then-restamp two-step would
+    * open a no-lock window on filesystems whose overwrite is
+    * delete-then-recreate, letting an append's assertUnlocked pass
+    * mid-compaction (r13 review). A second concurrent compaction, or
+    * one that previously failed, dies loudly here. The lock is
+    * released ONLY on success: after a mid-swap failure the index
+    * needs heal/operator attention, and releasing would reopen it to
+    * appends that could manufacture the poison state (r12 review). */
   def withLock[A](fs: FileSystem, lock: Path)(body: => A): A = {
-    require(fs.createNewFile(lock),
-      s"maintenance lock $lock already " +
-        s"${lockInfo(fs, lock)} — another compaction is running, or " +
-        "a previous one failed and kept the lock: verify the index " +
-        "(the next compaction's heal repairs in-protocol crash " +
-        "states), then delete the lock file and re-run")
-    // we own the name now — stamp who holds it and since when
     val meta = s"owner=${System.getProperty("user.name", "?")}" +
       s" pid=${ProcessHandle.current().pid()}" +
       s" since_epoch_ms=${System.currentTimeMillis()}"
-    val os = fs.create(lock, true)
+    val os = try fs.create(lock, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(
+        s"requirement failed: maintenance lock $lock already " +
+          s"${lockInfo(fs, lock)} — another compaction is running, or " +
+          "a previous one failed and kept the lock: verify the index " +
+          "(the next compaction's heal repairs in-protocol crash " +
+          "states), then delete the lock file and re-run", e)
+    }
     try os.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
     val out = body // a throw deliberately keeps the lock (see above)

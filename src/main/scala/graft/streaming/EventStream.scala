@@ -622,17 +622,29 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     arrivals.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = dedupById(batch.select("doc_id", "text", "embedding"),
-          "doc_id")
-        graft.operators.TextAnalysis.appendToBm25Index(
-          b.select("doc_id", "text"), table, ingestBatch = batchId)
-        graft.operators.Similarity.appendToIvfIndex(
-          b.select(col("doc_id").as("vec_id"), col("embedding")),
-          s"$path/ivf", ingestBatch = batchId)
+        appendHybrid(batch, table, path, batchId)
         onPage(batchId, graft.operators.Retrieval.serveFromIndex(
-          spark, table, path, queryVec, cfg))
+          batch.sparkSession, table, path, queryVec, cfg))
       }
+
+  /** The ONE spelling of the hybrid dual append ([[streamingHybridIngest]]
+    * and [[streamingServeEval]] share it — r13 review: two copies of
+    * the dedup + both-leg append prologue would silently drift):
+    * dedup within the micro-batch (a doc_id duplicated in one batch
+    * would double-count its df/n/t mass), then append the lexical
+    * delta segments and the frozen-quantizer IVF lists (vec_id ≡
+    * doc_id, the corpus_integrity contract). Replays overwrite their
+    * own batch partitions on both legs. */
+  private def appendHybrid(batch: DataFrame, table: String, path: String,
+                           batchId: Long): Unit = {
+    val b = dedupById(batch.select("doc_id", "text", "embedding"),
+      "doc_id")
+    graft.operators.TextAnalysis.appendToBm25Index(
+      b.select("doc_id", "text"), table, ingestBatch = batchId)
+    graft.operators.Similarity.appendToIvfIndex(
+      b.select(col("doc_id").as("vec_id"), col("embedding")),
+      s"$path/ivf", ingestBatch = batchId)
+  }
 
   /** [[streamingHybridIngest]] with LIVE QUALITY SCORING (r13, VERDICT
     * r12 #8): after each micro-batch appends to both legs, EVERY
@@ -648,43 +660,56 @@ object EventStream {
     * next offline eval run.
     *
     * `queryVecs` is the bounded standing panel `(vec_id, embedding)`
-    * — ids collected once at wiring time (serveFromIndex's contract
-    * is one vector per call, so the panel loops driver-side over a
+    * — collected ONCE at wiring time (serveFromIndex's contract is
+    * one vector per call, so the panel loops driver-side over a
     * handful of standing queries; the per-query work is the indexed
-    * serve, never a corpus scan). `ref` is the frozen `(system,
-    * doc_id)` judgment set (e.g. the exhaustive-serve pages at freeze
-    * time, or editorial labels). `onMetrics` receives (batchId, the
-    * union of the pages keyed by system, the per-query metrics
-    * frame). */
+    * serve, never a corpus scan, and no panel lineage re-executes
+    * per batch). Each page is served ONCE and held as a bounded
+    * local relation (N·kOut rows), so the callback reading both
+    * frames re-runs no serves (r13 review). A standing query whose
+    * page comes back EMPTY still reports — a zero-metrics row, never
+    * a vanished one: the worst regression is exactly what the
+    * tripwire exists to expose (the r12 evalGrouped lesson). `ref`
+    * is the frozen `(system, doc_id)` judgment set (e.g. the
+    * exhaustive-serve pages at freeze time, or editorial labels).
+    * `onMetrics` receives (batchId, the union of the pages keyed by
+    * system, the per-query metrics frame). */
   def streamingServeEval(arrivals: DataFrame, table: String, path: String,
                          queryVecs: DataFrame,
                          cfg: graft.operators.Retrieval.ServeConfig,
                          ref: DataFrame, k: Int,
                          onMetrics: (Long, DataFrame, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val qIds = queryVecs.select(col("vec_id")).collect()
-      .map(_.getLong(0)).toSeq
+    val qSchema = queryVecs.select(col("vec_id"), col("embedding")).schema
+    val qRows = queryVecs.select(col("vec_id"), col("embedding")).collect()
+    val qIds = qRows.map(_.getLong(0)).toSeq
     require(qIds.nonEmpty && qIds.distinct.size == qIds.size,
       s"streamingServeEval needs a non-empty panel of DISTINCT standing " +
         s"query vec_ids, got $qIds")
     arrivals.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = dedupById(batch.select("doc_id", "text", "embedding"),
-          "doc_id")
-        graft.operators.TextAnalysis.appendToBm25Index(
-          b.select("doc_id", "text"), table, ingestBatch = batchId)
-        graft.operators.Similarity.appendToIvfIndex(
-          b.select(col("doc_id").as("vec_id"), col("embedding")),
-          s"$path/ivf", ingestBatch = batchId)
-        val pages = qIds.map { qid =>
+        appendHybrid(batch, table, path, batchId)
+        // one serve per standing query, page collected (bounded kOut
+        // rows) — the pages/metrics frames below are local relations
+        val pageRows: Seq[(String, Long, Long)] = qRows.toSeq.flatMap { q =>
           graft.operators.Retrieval.serveFromIndex(spark, table, path,
-              queryVecs.filter(col("vec_id") === qid), cfg)
-            .select(lit(qid.toString).as("system"), col("doc_id"),
-              col("rank"))
-        }.reduce(_.unionByName(_))
+              spark.createDataFrame(java.util.Arrays.asList(q), qSchema),
+              cfg)
+            .select(col("doc_id"), col("rank").cast("long"))
+            .collect()
+            .map(r => (q.getLong(0).toString, r.getLong(0), r.getLong(1)))
+        }
+        // past-k sentinel per panel query: never scores (the rank ≤ k
+        // filter drops it) but keeps every system PRESENT, so an
+        // empty page reports zeros instead of vanishing
+        val sentinels = qIds.map(q => (q.toString, -1L, k.toLong + 1L))
+        import spark.implicits._
+        val pages = pageRows.toDF("system", "doc_id", "rank")
         onMetrics(batchId, pages,
-          graft.operators.Retrieval.evalTopKGrouped(pages, ref, k))
+          graft.operators.Retrieval.evalTopKGrouped(
+            (pageRows ++ sentinels).toDF("system", "doc_id", "rank"),
+            ref, k))
       }
   }
 
