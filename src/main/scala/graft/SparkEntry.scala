@@ -677,6 +677,18 @@ object SparkEntry {
       Similarity.knnComponents(emb(s, d),
         Similarity.knnGraphAnn(emb(s, d), 5))),
 
+    // E13: PageRank centrality over the exact k-NN graph — the
+    // graph-based representativeness weight for curation sampling;
+    // 10 integral rounds, fully oracled (chained-CTE unroll)
+    "knn_pagerank" -> ((s, d) =>
+      Similarity.knnPagerank(emb(s, d), Similarity.knnGraph(emb(s, d), 5))),
+
+    // E13 deploy path (rows-only): the same recurrence over the
+    // trained-list ANN graph; exact-count gate (one row per vector),
+    // top-decile centrality agreement pinned in the spec
+    "knn_pagerank_ann" -> ((s, d) =>
+      Similarity.knnPagerank(emb(s, d), Similarity.knnGraphAnn(emb(s, d), 5))),
+
     // E7: JL sign random projection 64→16 — per-row scan-fused
     // expression, driver-computed ±1 literal matrix; fully oracled
     // (integer micro-unit sums, integer ÷√k rounding)
@@ -891,6 +903,18 @@ object SparkEntry {
     "retrieval_mmr" -> ((s, d) =>
       Similarity.mmrTopK(emb(s, d), col("vec_id") === 0)),
 
+    // F32: two-stage serve — the F27 fused page rescored by the
+    // frozen linear LTR model (RRF + quality + cosine features, all
+    // exact scale-6 longs; fully oracled)
+    "retrieval_ltr_rerank" -> ((s, d) =>
+      Retrieval.ltrRerank(
+        TextAnalysis.rrfFuse(
+          TextAnalysis.bm25TopK(docs(s, d), Bm25Terms, 20)
+            .select(col("doc_id"), col("rank")),
+          Similarity.bruteForceTopK(emb(s, d), col("vec_id") === 0, 20)
+            .select(col("n_id").as("doc_id"), col("rank"))),
+        docs(s, d), emb(s, d), queryVec = 0L)),
+
     // F30 (r12): the retrieval EVALUATION layer — recall@20 / MRR /
     // binary nDCG@20 of the lexical and fused rankings against the
     // exact semantic top-20 (vec 0's query, the F27 reference).
@@ -1004,6 +1028,11 @@ object SparkEntry {
     // numbering (the oracle keeps the single-task window spelling)
     "corpus_global_shuffle" -> ((s, d) =>
       Corpus.globalShuffle(docs(s, d), nShards = 8)),
+
+    // F31: curriculum ordering — quality-banded stages (0 = best),
+    // F17's md5 shuffle within each band, same two-phase numbering
+    "corpus_curriculum" -> ((s, d) =>
+      Corpus.curriculum(docs(s, d), nStages = 4)),
 
     // F18: overlapping token-window chunking (32-token windows,
     // 8-token overlap — small enough that verify docs multi-chunk)
@@ -1220,6 +1249,9 @@ object SparkEntry {
         "ann_ivfpq_residual_topk" -> topk,
         "ann_project_topk"        -> topk,
         "knn_components_ann"      -> nVecs,
+        // E13b: one centrality row per vector, zero-norm dangling
+        // singletons included (they hold base rank)
+        "knn_pagerank_ann"        -> nVecs,
         // E12b: widened probing is exhaustive at the verify corpora
         // and every label stratum holds ≥ k members — exactly k rows
         // per query
@@ -1804,6 +1836,45 @@ object SparkEntry {
        |           PARTITION BY b.vec_id ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
        |  FROM e a JOIN e b ON ${queryPred}a.vec_id <> b.vec_id)
        |WHERE rank <= 5""".stripMargin
+
+  /** E13's mirror: the same integral PageRank recurrence unrolled
+    * into `iters` chained CTE rounds over the exact k-NN graph (the
+    * knn_components `g` spelling) — no recursive CTE (aggregates in
+    * the recursive term are engine-dependent SQL), floor division on
+    * non-negative BIGINTs throughout (DuckDB `//` ≡ Spark `div`
+    * there), DuckDB's HUGEINT sums CAST back to BIGINT each round. */
+  private def pagerankSql(k: Int, iters: Int,
+                          dampN: Long, dampD: Long): String = {
+    val base = (dampD - dampN) * 1000000L / dampD
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.vec_id,
+         |         CAST($base + ($dampN * coalesce(s.acc, 0)) // $dampD
+         |              AS BIGINT) AS pr6
+         |  FROM n LEFT JOIN (
+         |    SELECT ed.n_id AS vid, sum(r.pr6 // ed.deg) AS acc
+         |    FROM ed JOIN r${i - 1} r ON r.vec_id = ed.q_id
+         |    GROUP BY 1) s ON s.vid = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])) > 0),
+       |g AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT b.vec_id AS q_id, a.vec_id AS n_id,
+       |           row_number() OVER (
+       |             PARTITION BY b.vec_id
+       |             ORDER BY round($COS, 6) DESC, a.vec_id) AS rank
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |  WHERE rank <= $k),
+       |ed AS (SELECT q_id, n_id,
+       |              count(*) OVER (PARTITION BY q_id) AS deg FROM g),
+       |n AS (SELECT vec_id FROM embeddings),
+       |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr6 FROM n),
+       |$rounds
+       |SELECT vec_id, CAST(pr6 AS DOUBLE) / 1e6 AS pagerank FROM r$iters"""
+      .stripMargin
+  }
 
   /** F28's mirror: the SAME greedy MMR selection unrolled into `kOut`
     * chained CTE steps (p_i = integer argmax over the remaining
@@ -2852,6 +2923,64 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
          |FROM f QUALIFY rank <= 20""".stripMargin,
 
+    // F32 mirror: the F27 fused-page CTEs verbatim, then the frozen
+    // linear model — q6 from the F2 score spelling, cos6 from E1's
+    // cosine spelling (self-cosine included; missing rows coalesce
+    // to 0 per the ltrRerank feature conventions), su in exact
+    // BIGINTs, one double at the end
+    "retrieval_ltr_rerank" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |        FROM topk),
+         |em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                              CAST(embedding AS DOUBLE[])) > 0),
+         |sem AS (SELECT doc_id, rank FROM (
+         |    SELECT a.vec_id AS doc_id,
+         |           row_number() OVER (ORDER BY round($COS, 6) DESC, a.vec_id)
+         |             AS rank
+         |    FROM em a JOIN em b ON b.vec_id = 0 AND a.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |u AS (SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM lex
+         |      UNION ALL
+         |      SELECT doc_id,
+         |        (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS s6
+         |      FROM sem),
+         |f AS (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6
+         |      FROM u GROUP BY 1),
+         |page AS (SELECT doc_id, s6 FROM (
+         |    SELECT doc_id, s6,
+         |           row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
+         |    FROM f) WHERE rank <= 20),
+         |qb AS (
+         |  SELECT doc_id, length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |qs AS (
+         |  SELECT doc_id, CAST(round((CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |    0.3 * least(1.0, wc / 120.0) +
+         |    0.3 * (stop_hits / wc) +
+         |    0.2 * (1.0 - digit_chars / n_chars_c) +
+         |    0.2 * (1.0 - punct_chars / n_chars_c)
+         |  ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS q6 FROM qb),
+         |cs AS (SELECT a.vec_id AS doc_id,
+         |         CAST(round(round($COS, 6) * 1e6, 0) AS BIGINT) AS cos6
+         |       FROM em a JOIN em b ON b.vec_id = 0),
+         |feat AS (SELECT p.doc_id,
+         |           2 * p.s6 + coalesce(q.q6, 0) + coalesce(c.cos6, 0) AS su
+         |         FROM page p LEFT JOIN qs q USING (doc_id)
+         |                     LEFT JOIN cs c USING (doc_id))
+         |SELECT doc_id, CAST(su AS DOUBLE) / 1e6 AS ltr_score,
+         |  row_number() OVER (ORDER BY su DESC, doc_id) AS rank
+         |FROM feat QUALIFY rank <= 10""".stripMargin,
+
     // F30 mirror: the SAME lex/ref/fused spellings as the F24/F27
     // mirrors, then the metric arithmetic — binary relevance via a
     // LEFT JOIN on the reference membership, the position discounts
@@ -3236,6 +3365,10 @@ object SparkEntry {
     // E10: the same spelling with every vector as a query
     "knn_graph" -> annExactTopkSql(queryPred = ""),
 
+    // E13 mirror: integral PageRank unrolled to 10 chained rounds
+    // over the exact-graph spelling (same g CTE as knn_components)
+    "knn_pagerank" -> pagerankSql(k = 5, iters = 10, dampN = 85, dampD = 100),
+
     // E12 mirror: the E1 spelling with the label-equality predicate
     // in the join (rank dense over the per-query filtered set)
     "ann_filtered_topk" ->
@@ -3538,6 +3671,36 @@ object SparkEntry {
          |                    doc_id NULLS FIRST) - 1 AS pos
          |  FROM documents)
          |SELECT doc_id, pos, pos % 8 AS shard FROM r""".stripMargin,
+
+    // F31 mirror: the F2 score CTE verbatim → scale-6 band → the F17
+    // window numbering ordered by (stage, hash, id)
+    "corpus_curriculum" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_chars_c,
+         |    len($TOKS) AS wc,
+         |    len(list_filter($TOKS,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+         |    0.3 * least(1.0, wc / 120.0) +
+         |    0.3 * (stop_hits / wc) +
+         |    0.2 * (1.0 - digit_chars / n_chars_c) +
+         |    0.2 * (1.0 - punct_chars / n_chars_c)
+         |  ELSE 0.0 END AS score FROM b),
+         |st AS (
+         |  SELECT doc_id,
+         |    3 - least(3, (CAST(round(score * 1000000, 0) AS BIGINT) * 4)
+         |                 // 1000000) AS stage
+         |  FROM s)
+         |SELECT doc_id, stage,
+         |       row_number() OVER (
+         |         ORDER BY stage NULLS FIRST,
+         |                  md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+         |                  doc_id NULLS FIRST) - 1 AS pos
+         |FROM st""".stripMargin,
 
     // F18 mirror: DuckDB range() is end-exclusive (≡ sequence(0, n−1))
     // and list_slice is (begin, end)-positional where Spark's slice is

@@ -317,14 +317,32 @@ object Corpus {
   def globalShuffle(docs: DataFrame, nShards: Int = 8,
                     partitions: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards=$nShards must be positive")
-    val spark = docs.sparkSession
+    val numbered = numberInRangeOrder(
+      docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("__hkey")),
+      sortKeys = Seq("__hkey", "doc_id"), keep = Seq("doc_id"),
+      partitions = partitions)
+    numbered.withColumn("shard", col("pos") % nShards)
+  }
+
+  /** The F17 scale core, shared with [[curriculum]]: distributed
+    * range-sort of `staged` on `sortKeys`, then TWO-PHASE global
+    * numbering (per-partition counts → driver exclusive scan in
+    * partition order → broadcast offsets → one partition-local
+    * `mapPartitions` counter). Output = the `keep` columns + a dense
+    * 0-based `pos` — bit-identical to the unpartitioned-window
+    * spelling the oracles keep, without the single-task collapse. */
+  private def numberInRangeOrder(staged: DataFrame, sortKeys: Seq[String],
+                                 keep: Seq[String],
+                                 partitions: Int): DataFrame = {
+    val spark = staged.sparkSession
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    val sortCols = sortKeys.map(col)
     val prepared = checkpointStaged(
-      docs.select(col("doc_id"),
-          md5(col("doc_id").cast("string")).as("__hkey"))
-        .repartitionByRange(nPart, col("__hkey"), col("doc_id"))
-        .sortWithinPartitions(col("__hkey"), col("doc_id"))
+      staged
+        .repartitionByRange(nPart, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
         .withColumn("__pid", spark_partition_id()),
       registry = shufflePins)
     val counts = prepared.groupBy(col("__pid"))
@@ -337,11 +355,10 @@ object Corpus {
       }.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val iDoc = prepared.schema.fieldIndex("doc_id")
+    val keepIdx = keep.map(prepared.schema.fieldIndex)
     val iPid = prepared.schema.fieldIndex("__pid")
-    val outSchema = StructType(Seq(prepared.schema(iDoc),
-      StructField("pos", LongType, nullable = false),
-      StructField("shard", LongType, nullable = false)))
+    val outSchema = StructType(keepIdx.map(prepared.schema(_)) :+
+      StructField("pos", LongType, nullable = false))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     prepared.mapPartitions { it =>
       val off = bc.value
@@ -350,9 +367,48 @@ object Corpus {
       it.map { r =>
         if (!init) { pos = off.getOrElse(r.getInt(iPid), 0L); init = true }
         val p = pos; pos += 1
-        Row(r.get(iDoc), p, p % nShards)
+        Row(keepIdx.map(r.get) :+ (p: Any): _*)
       }
     }
+  }
+
+  /** F31: CURRICULUM ordering — the quality-staged training order
+    * (curriculum learning, Bengio et al. ICML 2009: present easy
+    * examples first): every document gets a stage (0 = the
+    * highest-quality band, `nStages−1` = the lowest, from the F2
+    * quality score's scale-6 integer banded into `nStages` equal-width
+    * cuts) and one dense GLOBAL 0-based position ordered by
+    * (stage, md5(doc_id), doc_id) — within a stage the order is
+    * exactly F17's deterministic shuffle, so a trainer consuming
+    * positions 0..n−1 walks the corpus easy→hard with each band
+    * internally well-mixed. Replayable end to end: score, band, and
+    * hash are all deterministic functions of the row.
+    *
+    * Exactness: band = least(nStages−1, (score6·nStages) div 1e6) on
+    * the scale-6 score both engines round identically (the F2b
+    * histogram contract); the position is the same two-phase numbering
+    * as F17 ([[numberInRangeOrder]]) against the oracle's
+    * unpartitioned-window spelling. Scale shape: one quality scan
+    * (zero shuffle, F2), one distributed range sort on
+    * (stage, hash) — the same single total-order exchange F17 already
+    * pays; nothing here is new shuffle work beyond the sort that IS
+    * the deliverable. */
+  def curriculum(docs: DataFrame, nStages: Int = 4,
+                 partitions: Int = 0): DataFrame = {
+    require(nStages > 0 && nStages <= 1000,
+      s"nStages=$nStages out of [1, 1000]")
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("score") * lit(1000000.0)).cast("long").as("__score6"))
+      .withColumn("stage",
+        lit(nStages - 1).cast("long") -
+          least(lit(nStages - 1).cast("long"),
+            expr(s"(__score6 * $nStages) div 1000000")))
+      .select(col("doc_id"), col("stage"),
+        md5(col("doc_id").cast("string")).as("__hkey"))
+    numberInRangeOrder(scored,
+      sortKeys = Seq("stage", "__hkey", "doc_id"),
+      keep = Seq("doc_id", "stage"), partitions = partitions)
   }
 
   /** F18: overlapping token-window chunking — the embedding/RAG prep

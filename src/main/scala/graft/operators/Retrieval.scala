@@ -213,6 +213,180 @@ object Retrieval {
   /** The shared page pipeline; `vecs` is a prepared non-zero vector
     * frame (the [[graft.operators.Similarity.prepared]] shape) for
     * the MMR rerank's sim matrix. */
+  /** F32: second-stage LINEAR rerank of a fused retrieval page — the
+    * standard two-stage serving shape (candidate generation, then a
+    * calibrated learning-to-rank model over per-candidate features;
+    * linear feature combination is the classic LTR baseline — e.g.
+    * RankSVM's serving form, Joachims KDD 2002): rescore the hybrid
+    * page with
+    *
+    *   su = wRrf·rrf6 + wQ·q6 + wCos·cos6
+    *
+    * where rrf6 is the page's own scale-6 RRF score (recovered
+    * exactly — the [[page]] contract), q6 the F2 quality score's
+    * scale-6 integer, and cos6 the candidate's 6-dp cosine to the
+    * query vector in micro-units. Weights are the frozen integer
+    * model (retrieval quality ranks ABOVE lexical-only fusion for
+    * low-quality near-dup pages — the feature the RRF rank fusion
+    * cannot see); all arithmetic is exact longs, the reported score
+    * divides once at the end, rank ties break on doc_id — the DuckDB
+    * mirror hash-matches bit-for-bit.
+    *
+    * Feature conventions (shared with the mirror): a candidate with
+    * no document row (or an empty doc) contributes q6 = 0; a
+    * candidate with no embedding row or a zero-norm vector
+    * contributes cos6 = 0 (unknown semantics is evidence of nothing,
+    * not of dissimilarity — and never a NaN). The query doc itself,
+    * if it surfaces on the lexical list, scores its self-cosine like
+    * any other candidate.
+    *
+    * Scale shape: the page is ≤ kLex+kSem rows, so it BROADCASTS
+    * into the two feature joins — quality streams only the page's
+    * docs (broadcast hash join, corpus never shuffles), the cosine
+    * reads only the page's vectors; the final rank window sorts a
+    * bounded page, never a corpus. */
+  def ltrRerank(fusedPage: DataFrame, docs: DataFrame, emb: DataFrame,
+                queryVec: Long, kOut: Int = 10, wRrf: Long = 2,
+                wQ: Long = 1, wCos: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kOut > 0, s"kOut=$kOut must be positive")
+    val cand = fusedPage.select(lit(queryVec).as("q_id"), col("doc_id"),
+      round(col("rrf_score") * lit(1e6), 0).cast("long").as("rrf6"))
+    ltrFeatures(cand, docs, emb)
+      .select(col("doc_id"),
+        (lit(wRrf) * col("rrf6") + lit(wQ) * col("q6") +
+          lit(wCos) * col("cos6")).as("su"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("su").desc, col("doc_id")))
+          .cast("bigint"))
+      .filter(col("rank") <= kOut)
+      .select(col("doc_id"),
+        (col("su").cast("double") / lit(1e6)).as("ltr_score"), col("rank"))
+  }
+
+  /** The F32 FEATURE frame, multi-query — `(q_id, doc_id, rrf6)`
+    * candidates in, `(q_id, doc_id, rrf6, q6, cos6)` out, with the
+    * exact integral conventions [[ltrRerank]]'s scaladoc pins
+    * (missing doc → q6 = 0, missing/zero-norm vector → cos6 = 0,
+    * cosine measured against each candidate's OWN q_id vector).
+    * Shared by the serve-time rerank (one q_id) and the training
+    * sweep ([[trainLtrWeights]] — many queries, same spelling, so
+    * trained weights score exactly what the serve executes). The
+    * candidate frame is bounded page metadata (nQ·page rows) and
+    * BROADCASTS into every corpus-sized join. */
+  def ltrFeatures(cand: DataFrame, docs: DataFrame,
+                  emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromParts, dot}
+    val docIds = broadcast(cand.select(col("doc_id")).distinct())
+    val q6 = TextAnalysis.qualityScore(docs.join(docIds, Seq("doc_id")))
+      .select(col("doc_id"),
+        round(col("score") * lit(1000000.0)).cast("long").as("q6"))
+    val p = Similarity.preparedNonZeroFrame(emb)
+    val qv = p.join(broadcast(cand.select(col("q_id")).distinct()),
+        p("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
+    val cv = p.select(col("vec_id").as("doc_id"),
+      col("v").as("c_v"), col("n2").as("c_n2"))
+    val cos6 = broadcast(cand.select(col("q_id"), col("doc_id")))
+      .join(broadcast(qv), Seq("q_id"))
+      .join(cv, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(round(cosineFromParts(dot(col("q_v"), col("c_v")),
+          col("q_n2"), col("c_n2")), 6) * lit(1e6), 0)
+          .cast("long").as("cos6"))
+    cand
+      .join(q6, Seq("doc_id"), "left")
+      .join(cos6, Seq("q_id", "doc_id"), "left")
+      .select(col("q_id"), col("doc_id"), col("rrf6"),
+        coalesce(col("q6"), lit(0L)).as("q6"),
+        coalesce(col("cos6"), lit(0L)).as("cos6"))
+  }
+
+  /** TRAIN the F32 weights — exhaustive integer grid sweep maximizing
+    * mean nDCG@k over a labeled query set (the standard LTR fit,
+    * degree-bounded to the exact arithmetic the serve executes: with
+    * three features and integer weights, the whole model space is a
+    * small grid, and sweeping it exactly beats a gradient fit that
+    * lands on engine-dependent floats). For every (wRrf, wQ, wCos) in
+    * grid³ except the degenerate all-zeros: rank each query's
+    * candidates by (su desc, doc_id), score dcg6 against the query's
+    * reference membership with the SAME [[disc6]] literals the eval
+    * layer uses, ndcg6 per query as the house half-up integer
+    * quotient, total = Σ ndcg6 in exact longs; argmax with
+    * lexicographic (wRrf, wQ, wCos) tie-break — bit-reproducible
+    * everywhere. The feature frame and reference are collected
+    * through hard ceilings (training pages are bounded metadata —
+    * the mmrGreedy posture; this is a page-size × query-count frame,
+    * never a corpus). */
+  def trainLtrWeights(feats: DataFrame, ref: DataFrame, k: Int = 10,
+                      grid: Seq[Long] = Seq(0L, 1L, 2L, 4L))
+      : (Long, Long, Long) = {
+    require(k > 0, s"k=$k must be positive")
+    require(grid.nonEmpty && grid.forall(w => w >= 0 && w <= 1000000),
+      s"grid=$grid must be non-negative weights ≤ 1e6")
+    val ceiling = 1 << 20
+    val featRows = feats
+      .select(col("q_id"), col("doc_id"), col("rrf6"), col("q6"), col("cos6"))
+      .limit(ceiling + 1).collect()
+    require(featRows.length <= ceiling,
+      s"trainLtrWeights would collect more than $ceiling feature rows; " +
+        "page the training query set")
+    val refRows = ref.select(col("q_id"), col("doc_id"))
+      .limit(ceiling + 1).collect()
+    require(refRows.length <= ceiling,
+      s"trainLtrWeights would collect more than $ceiling reference rows")
+    val byQ = featRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    val refByQ = refRows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val disc = disc6(k)
+    val combos = for (wr <- grid; wq <- grid; wc <- grid
+                      if wr != 0 || wq != 0 || wc != 0)
+      yield (wr, wq, wc)
+    val best = combos.map { case (wr, wq, wc) =>
+      val total = byQ.iterator.map { case (q, cands) =>
+        val rel = refByQ.getOrElse(q, Set.empty)
+        if (rel.isEmpty) 0L
+        else {
+          val page = cands
+            .map { case (_, d, r6, q6, c6) =>
+              (d, wr * r6 + wq * q6 + wc * c6) }
+            .sortBy { case (d, su) => (-su, d) }.take(k)
+          val dcg6 = page.zipWithIndex.collect {
+            case ((d, _), i) if rel.contains(d) => disc(i) }.sum
+          val idcg6 = disc.take(math.min(k, rel.size)).sum
+          (2L * 1000000L * dcg6 + idcg6) / (2L * idcg6)
+        }
+      }.sum
+      ((wr, wq, wc), total)
+    }.minBy { case ((wr, wq, wc), total) => (-total, wr, wq, wc) }
+    best._1
+  }
+
+  /** Land the trained weights as the frozen model artifact (one row —
+    * the emb-stats/NB-model posture) and serve against them. */
+  def writeLtrModel(spark: SparkSession, table: String, path: String,
+                    weights: (Long, Long, Long)): Unit = {
+    import spark.implicits._
+    Seq(weights).toDF("w_rrf", "w_q", "w_cos")
+      .write.format("parquet").option("path", path)
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** [[ltrRerank]] against the FROZEN weights artifact — identical to
+    * the inline-weights call with the stored values (spec-pinned). */
+  def ltrRerankAgainst(spark: SparkSession, table: String,
+                       fusedPage: DataFrame, docs: DataFrame,
+                       emb: DataFrame, queryVec: Long,
+                       kOut: Int = 10): DataFrame = {
+    val w = spark.table(table).select(col("w_rrf"), col("w_q"), col("w_cos"))
+      .head()
+    ltrRerank(fusedPage, docs, emb, queryVec, kOut,
+      wRrf = w.getLong(0), wQ = w.getLong(1), wCos = w.getLong(2))
+  }
+
   private def page(spark: SparkSession, table: String, path: String,
                    vecs: DataFrame, queryVec: DataFrame,
                    cfg: ServeConfig): DataFrame = {

@@ -660,6 +660,95 @@ object Similarity {
         col("cluster_size"))
   }
 
+  /** E13: PageRank CENTRALITY over a k-NN graph — graph-based
+    * representativeness weighting for corpus curation (Page et al.
+    * 1999; centrality/diversity subset selection over similarity
+    * graphs is the standard graph-based data-pruning move — e.g.
+    * facility-location / prototype selection families): documents
+    * whose neighborhoods recursively point at them are corpus
+    * "prototypes" (up-weight for coverage-preserving sampling),
+    * low-rank periphery is near-singleton noise. The graph argument
+    * decides the cost contract exactly as [[knnComponents]]:
+    * [[knnGraph]] for the oracled exactness baseline, [[knnGraphAnn]]
+    * for the trained-list deploy path.
+    *
+    * Semantics (the exact integral formulation both engines share):
+    * every `emb` row is a node (zero-norm vectors too — they hold
+    * base rank as dangling singletons); ranks are per-node scale-6
+    * longs starting at 1e6 ("mass 1.0 per node", the un-normalized
+    * per-node formulation); `iters` synchronous rounds of
+    *
+    *   r'(v) = base + (dampN · Σ_{u→v} (r(u) div deg(u))) div dampD
+    *
+    * with damping dampN/dampD (default 85/100) and
+    * base = ((dampD−dampN)·1e6) div dampD. Floor division on
+    * non-negative longs agrees between Spark `div` and DuckDB `//`,
+    * so ten rounds stay bit-identical cross-engine — the mirror is
+    * the same recurrence unrolled into `iters` chained CTEs (the MMR
+    * oracle pattern). Dangling mass is NOT redistributed (the
+    * per-node formulation's documented convention: dangling nodes
+    * leak their damped mass, they never crash the sum) — ranks are
+    * relative centrality weights, not a probability simplex.
+    *
+    * Overflow headroom: Σ r ≤ n·1e6 and a single node's inflow is
+    * < Σ r, so pr6 < n·1e6 — at n = 5·10¹⁰ rows (the 100 TB corpus)
+    * that is 5·10¹⁶, and the dampN multiply tops out at 85× that:
+    * three orders of magnitude inside Long. Scale shape per round:
+    * one equi-join of the O(n·k) out-edge list (degree denormalized
+    * onto the edge once, up front) against the n-row rank frame on
+    * the source id, one partial-agg groupBy on the destination, one
+    * left join back to the node frame — no all-pairs anything, and
+    * the loop's lineage is cut every round ([[Dedup.clusters]]'
+    * checkpoint-pinned discipline, blocks freed as rounds die). */
+  def knnPagerank(emb: DataFrame, graph: DataFrame, iters: Int = 10,
+                  dampN: Long = 85, dampD: Long = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"iters=$iters out of [1, 50]: each round is a full shuffle pass")
+    require(dampD > 0 && dampN >= 0 && dampN <= dampD,
+      s"damping=$dampN/$dampD must be a rational in [0, 1]")
+    val sc = emb.sparkSession.sparkContext
+    val base = (dampD - dampN) * 1000000L / dampD
+    val nodes = emb.select(col("vec_id"))
+    // degree rides on the edge row: deg(u) is a property of the
+    // SOURCE, so one window pass denormalizes it and every round's
+    // join needs no second degree join
+    def pinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    val (edges, edgePins) = pinned(
+      graph.select(col("q_id"), col("n_id"))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("q_id")))))
+    var (ranks, rankPins) = pinned(
+      nodes.withColumn("pr6", lit(1000000L)))
+    try {
+      for (_ <- 1 to iters) {
+        val inflow = edges
+          .join(ranks.withColumnRenamed("vec_id", "src"),
+            col("q_id") === col("src"))
+          .select(col("n_id"), expr("pr6 div deg").as("c"))
+          .groupBy(col("n_id")).agg(sum(col("c")).as("acc"))
+        val next = nodes
+          .join(inflow, nodes("vec_id") === inflow("n_id"), "left")
+          .select(col("vec_id"),
+            (lit(base) +
+              expr(s"($dampN * coalesce(acc, 0L)) div $dampD")).as("pr6"))
+        val (pinnedNext, pins) = pinned(next)
+        rankPins.foreach(_.unpersist(blocking = false))
+        ranks = pinnedNext; rankPins = pins
+      }
+      // materialize the final frame BEFORE the edge blocks die
+      val out = ranks.select(col("vec_id"),
+        (col("pr6").cast("double") / lit(1e6)).as("pagerank"))
+      val (finalOut, _) = pinned(out)
+      finalOut
+    } finally {
+      edgePins.foreach(_.unpersist(blocking = false))
+      rankPins.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED
     * PAIR count (queries × corpus — the actual nested-loop cost), not
     * the corpus size; a hundred queries over a huge corpus is a fine

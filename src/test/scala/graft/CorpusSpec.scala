@@ -335,6 +335,42 @@ class CorpusSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("F31 curriculum: window-spelling parity, stages partition the quality bands easy-first") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    // multi-partition offsets for the same reason as the F17 spec
+    val out = Corpus.curriculum(corpus, nStages = 4, partitions = 5)
+      .orderBy("pos").collect().toSeq.map(_.toSeq)
+    val staged = graft.operators.TextAnalysis.qualityScore(corpus)
+      .select(col("doc_id"),
+        (lit(3L) - least(lit(3L),
+          expr("(CAST(round(score * 1000000.0) AS BIGINT) * 4) div 1000000")))
+          .as("stage"))
+    val win = staged.select(col("doc_id"), col("stage"),
+        (row_number().over(Window.orderBy(col("stage"),
+          md5(col("doc_id").cast("string")), col("doc_id"))) - 1)
+          .cast("long").as("pos"))
+      .orderBy("pos").collect().toSeq.map(_.toSeq)
+    assert(out === win)
+    // dense 0-based positions; stage is monotone along the order
+    assert(out.map(_(2)) === (0L until out.size.toLong).toSeq)
+    assert(out.map(_(1).asInstanceOf[Long]) ===
+      out.map(_(1).asInstanceOf[Long]).sorted)
+    // the corpus actually spans > 1 band (a one-band corpus would
+    // reduce this spec to F17 and prove nothing about staging)
+    assert(out.map(_(1)).distinct.size > 1)
+    // hand-pinned band edges: score 1.0 → stage 0, empty doc → last
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, ("the a of and to in is " * 20).trim), // high quality
+      (2L, "")                                    // score 0 → stage 3
+    ).toDF("doc_id", "text")
+    val t = Corpus.curriculum(tiny, nStages = 4)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    assert(t(2L) === 3L)
+    assert(t(1L) < t(2L))
+  }
+
   test("F18 chunkDocs: overlapping windows tile the token stream, short docs get one chunk") {
     val input = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens

@@ -256,6 +256,113 @@ class RetrievalServeSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")) }
   }
 
+  test("F32 ltrRerank: exact feature arithmetic, missing features coalesce to 0, quality can reorder the page") {
+    import spark.implicits._
+    val fused = TextAnalysis.rrfFuse(
+      TextAnalysis.bm25TopK(docs, terms, 20)
+        .select(col("doc_id"), col("rank")),
+      Similarity.bruteForceTopK(emb, col("vec_id") === 0, 20)
+        .select(col("n_id").as("doc_id"), col("rank")))
+    val out = Retrieval.ltrRerank(fused, docs, emb, queryVec = 0L)
+      .orderBy("rank").collect().toSeq
+    assert(out.size === 10)
+    // driver-side reference: recompute su for every page doc from
+    // independently collected feature frames
+    val rrf6 = fused.select(col("doc_id"),
+        round(col("rrf_score") * 1e6, 0).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val q6 = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("score") * lit(1000000.0)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val qRow = Similarity.bruteForceTopK(emb,
+        col("vec_id") === 0, Int.MaxValue - 1)
+    val cos6 = qRow.select(col("n_id"),
+        round(col("cos_sim") * lit(1e6), 0).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // self-cosine: doc 0 scores 1.0 against itself by convention
+    val want = rrf6.map { case (id, r6) =>
+      val c6 = if (id == 0L) 1000000L else cos6.getOrElse(id, 0L)
+      id -> (2L * r6 + q6.getOrElse(id, 0L) + c6)
+    }
+    val ranked = want.toSeq.sortBy { case (id, su) => (-su, id) }.take(10)
+    val got = out.map(r => (r.getLong(0),
+      math.round(r.getDouble(1) * 1e6)))
+    assert(got === ranked)
+    // ranks are dense 1..10
+    assert(out.map(_.getLong(2)) === (1L to 10L))
+    // a page doc with NO docs/embeddings row: features coalesce to 0
+    // (su = wRrf·rrf6 only), never a dropped row or a null score
+    val phantom = Seq((987654321L, 0.03, 1L), (0L, 0.02, 2L))
+      .toDF("doc_id", "rrf_score", "rank")
+    val ph = Retrieval.ltrRerank(phantom, docs, emb, queryVec = 0L, kOut = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(ph.size === 2)
+    val phRow = ph.find(_.getLong(0) == 987654321L).get
+    assert(math.round(phRow.getDouble(1) * 1e6) === 2L * 30000L)
+  }
+
+  test("F32 trainLtrWeights: sweep finds the discriminative feature; frozen artifact serves identically") {
+    import spark.implicits._
+    // two training queries where QUALITY is the only feature that
+    // separates relevant from irrelevant candidates: rrf6 anti-ranks
+    // the relevant docs, cosine is constant — any weight vector with
+    // wQ dominating wRrf reaches perfect nDCG, pure-rrf inverts it
+    val feats = Seq(
+      (100L, 1L, 30000L, 900000L, 500000L),
+      (100L, 2L, 32000L, 100000L, 500000L),
+      (100L, 3L, 31000L, 850000L, 500000L),
+      (200L, 4L, 20000L, 950000L, 500000L),
+      (200L, 5L, 26000L, 50000L, 500000L),
+      (200L, 6L, 24000L, 120000L, 500000L)
+    ).toDF("q_id", "doc_id", "rrf6", "q6", "cos6")
+    val ref = Seq((100L, 1L), (100L, 3L), (200L, 4L))
+      .toDF("q_id", "doc_id")
+    val (wr, wq, wc) = Retrieval.trainLtrWeights(feats, ref, k = 2)
+    // driver-re-derived expectation: the chosen combo must achieve
+    // the grid's maximum summed ndcg6 (and beat pure-rrf strictly)
+    def ndcgTotal(w: (Long, Long, Long)): Long = {
+      val disc = Retrieval.disc6(2)
+      val rel = Map(100L -> Set(1L, 3L), 200L -> Set(4L))
+      val rows = feats.as[(Long, Long, Long, Long, Long)].collect()
+      rows.groupBy(_._1).map { case (q, cs) =>
+        val page = cs.map { case (_, d, r6, q6v, c6) =>
+          (d, w._1 * r6 + w._2 * q6v + w._3 * c6) }
+          .sortBy { case (d, su) => (-su, d) }.take(2)
+        val dcg = page.zipWithIndex.collect {
+          case ((d, _), i) if rel(q).contains(d) => disc(i) }.sum
+        val idcg = disc.take(math.min(2, rel(q).size)).sum
+        (2L * 1000000L * dcg + idcg) / (2L * idcg)
+      }.sum
+    }
+    val grid = Seq(0L, 1L, 2L, 4L)
+    val all = for (a <- grid; b <- grid; c <- grid
+                   if a != 0 || b != 0 || c != 0) yield (a, b, c)
+    val maxTotal = all.map(ndcgTotal).max
+    assert(ndcgTotal((wr, wq, wc)) === maxTotal)
+    assert(ndcgTotal((wr, wq, wc)) > ndcgTotal((1L, 0L, 0L)))
+    assert(wq > 0)
+    // lexicographic tie-break: re-running is bit-identical
+    assert(Retrieval.trainLtrWeights(feats, ref, k = 2) === ((wr, wq, wc)))
+    // frozen artifact round-trip: rerank against the stored weights
+    // ≡ the inline-weights call
+    val wh = java.nio.file.Files.createTempDirectory("graft_ltr").toString
+    Retrieval.writeLtrModel(spark, "ltr_spec_model", s"$wh/m", (wr, wq, wc))
+    val fused = TextAnalysis.rrfFuse(
+      TextAnalysis.bm25TopK(docs, terms, 20)
+        .select(col("doc_id"), col("rank")),
+      Similarity.bruteForceTopK(emb, col("vec_id") === 0, 20)
+        .select(col("n_id").as("doc_id"), col("rank")))
+    val a = Retrieval.ltrRerankAgainst(spark, "ltr_spec_model",
+        fused, docs, emb, queryVec = 0L)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val b = Retrieval.ltrRerank(fused, docs, emb, queryVec = 0L,
+        wRrf = wr, wQ = wq, wCos = wc)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS ltr_spec_model")
+  }
+
   test("serve refuses a multi-row query frame") {
     val p = servePath
     assert(p.nonEmpty)

@@ -899,6 +899,83 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (v, lbl) => assert(lbl === find(v), s"vec $v") }
   }
 
+  /** Driver-side reference for E13's exact integral recurrence:
+    * the same floor-division arithmetic over a collected edge list. */
+  private def pagerankRef(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                          iters: Int, dampN: Long = 85,
+                          dampD: Long = 100): Map[Long, Long] = {
+    val base = (dampD - dampN) * 1000000L / dampD
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => acc(d) += r(s) / deg(s) }
+      r = nodes.map(v => v -> (base + dampN * acc(v) / dampD)).toMap
+    }
+    r
+  }
+
+  test("E13 knnPagerank: matches the driver-side integral recurrence on the real graph") {
+    val real = Tables.embeddings(spark, sfDir)
+    val g = Similarity.knnGraph(real, 5)
+    val pr = Similarity.knnPagerank(real, g)
+    val n = real.count()
+    // one row per vector — zero-norm dangling rows included
+    assert(pr.count() === n)
+    val edges = g.select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSeq
+    val nodes = real.select(col("vec_id")).as[Long].collect().toSeq
+    val want = pagerankRef(nodes, edges, iters = 10)
+    val got = pr.select(col("vec_id"),
+        round(col("pagerank") * 1e6).cast("long").as("pr6"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === nodes.size)
+    got.foreach { case (v, p) => assert(p === want(v), s"vec $v") }
+    // total mass never exceeds the initial n·1e6 (dangling mass only
+    // leaks, the damped inflow never mints)
+    assert(got.values.sum <= n * 1000000L)
+  }
+
+  test("E13 knnPagerank: fixed points — a 2-cycle holds mass 1.0, a dangling node holds base") {
+    // A↔B is a closed regular graph: r = base + 85·1e6/100 = 1e6
+    // every round; C has no edges: base after round 1
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("q_id", "n_id")
+    val out = Similarity.knnPagerank(v, g)
+      .select(col("vec_id"), col("pagerank"))
+      .as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.15))
+    // a pure sink accumulates: hub fed by two spokes outranks them
+    val g2 = Seq((1L, 3L), (2L, 3L)).toDF("q_id", "n_id")
+    val out2 = Similarity.knnPagerank(v, g2)
+      .select(col("vec_id"), col("pagerank"))
+      .as[(Long, Double)].collect().toMap
+    assert(out2(3L) > out2(1L) && out2(1L) === out2(2L) && out2(1L) === 0.15)
+    // knob validation is loud
+    intercept[IllegalArgumentException](
+      Similarity.knnPagerank(v, g, iters = 0))
+    intercept[IllegalArgumentException](
+      Similarity.knnPagerank(v, g, dampN = 101, dampD = 100))
+  }
+
+  test("E13b knnPagerank over the ANN graph: top-decile centrality agreement") {
+    val real = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnPagerank(real, Similarity.knnGraph(real, 5))
+      .select(col("vec_id"), col("pagerank")).as[(Long, Double)].collect()
+    val ann = Similarity.knnPagerank(real, Similarity.knnGraphAnn(real, 5))
+      .select(col("vec_id"), col("pagerank")).as[(Long, Double)].collect()
+    assert(ann.length === exact.length)
+    def topDecile(xs: Array[(Long, Double)]): Set[Long] =
+      xs.sortBy { case (id, p) => (-p, id) }
+        .take(math.max(1, xs.length / 10)).map(_._1).toSet
+    val (te, ta) = (topDecile(exact), topDecile(ann))
+    val agree = te.intersect(ta).size.toDouble / te.size
+    info(f"E13b top-decile agreement vs exact graph: $agree%.3f")
+    assert(agree >= 0.7, f"agreement $agree%.3f below spec floor 0.7")
+  }
+
   test("E12 filteredTopK: per-label restriction of E1, exact; E12b widened probe reproduces it") {
     val real = Tables.embeddings(spark, sfDir)
     val k = 5
