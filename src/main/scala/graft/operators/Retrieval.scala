@@ -277,24 +277,42 @@ object Retrieval {
   def ltrFeatures(cand: DataFrame, docs: DataFrame,
                   emb: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{cosineFromParts, dot}
-    val docIds = broadcast(cand.select(col("doc_id")).distinct())
+    val spark = cand.sparkSession
+    import spark.implicits._
+    // the candidate frame branches into FOUR reads below (doc ids,
+    // query ids, the cosine pair list, the final assembly) — left as
+    // lineage, the whole upstream page pipeline (BM25 chain + cosine
+    // ranking) would re-execute once per branch. It is bounded page
+    // metadata (nQ·page rows — the mmrGreedy posture), so collect it
+    // ONCE through a hard ceiling and re-enter as a local relation:
+    // the page pipeline runs exactly once, every branch reads rows
+    val ceiling = 1 << 20
+    val candRows = cand.select(col("q_id"), col("doc_id"), col("rrf6"))
+      .limit(ceiling + 1).collect()
+    require(candRows.length <= ceiling,
+      s"ltrFeatures would collect more than $ceiling candidate rows; " +
+        "page the query set or shrink the candidate pages")
+    val local = candRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("q_id", "doc_id", "rrf6")
+    val docIds = broadcast(local.select(col("doc_id")).distinct())
     val q6 = TextAnalysis.qualityScore(docs.join(docIds, Seq("doc_id")))
       .select(col("doc_id"),
         round(col("score") * lit(1000000.0)).cast("long").as("q6"))
     val p = Similarity.preparedNonZeroFrame(emb)
-    val qv = p.join(broadcast(cand.select(col("q_id")).distinct()),
+    val qv = p.join(broadcast(local.select(col("q_id")).distinct()),
         p("vec_id") === col("q_id"))
       .select(col("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
     val cv = p.select(col("vec_id").as("doc_id"),
       col("v").as("c_v"), col("n2").as("c_n2"))
-    val cos6 = broadcast(cand.select(col("q_id"), col("doc_id")))
+    val cos6 = broadcast(local.select(col("q_id"), col("doc_id")))
       .join(broadcast(qv), Seq("q_id"))
       .join(cv, Seq("doc_id"))
       .select(col("q_id"), col("doc_id"),
         round(round(cosineFromParts(dot(col("q_v"), col("c_v")),
           col("q_n2"), col("c_n2")), 6) * lit(1e6), 0)
           .cast("long").as("cos6"))
-    cand
+    local
       .join(q6, Seq("doc_id"), "left")
       .join(cos6, Seq("q_id", "doc_id"), "left")
       .select(col("q_id"), col("doc_id"), col("rrf6"),

@@ -709,42 +709,63 @@ object Similarity {
     val sc = emb.sparkSession.sparkContext
     val base = (dampD - dampN) * 1000000L / dampD
     val nodes = emb.select(col("vec_id"))
-    // degree rides on the edge row: deg(u) is a property of the
-    // SOURCE, so one window pass denormalizes it and every round's
-    // join needs no second degree join
     def pinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
       (out, (sc.getPersistentRDDs -- before).values.toSeq)
     }
+    // degree rides on the edge row: deg(u) is a property of the
+    // SOURCE, so one window pass denormalizes it and no round needs a
+    // second degree join. The recurrence only ever READS source
+    // ranks (every contributor u→v is a q_id), so the loop iterates
+    // over the SOURCE frame alone and the full node universe joins in
+    // exactly once at the end — round iters reads r_{iters−1}, which
+    // is source-complete by induction. Checkpoints land every third
+    // round (lineage stays shallow, the loop pays ⅓ of the eager
+    // materializations); superseded rank blocks are freed as they die.
     val (edges, edgePins) = pinned(
       graph.select(col("q_id"), col("n_id"))
         .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("q_id")))))
-    var (ranks, rankPins) = pinned(
-      nodes.withColumn("pr6", lit(1000000L)))
+    val src = edges.select(col("q_id").as("vec_id")).distinct()
+    // inflow edges that feed LATER rounds: destination is a source
+    val (e2, e2Pins) = pinned(
+      edges.join(src.withColumnRenamed("vec_id", "dst"),
+          col("n_id") === col("dst"))
+        .select(col("q_id"), col("n_id"), col("deg")))
+    def round(edgeFrame: DataFrame, targets: DataFrame,
+              ranks: DataFrame): DataFrame = {
+      val inflow = edgeFrame
+        .join(ranks.withColumnRenamed("vec_id", "__src"),
+          col("q_id") === col("__src"))
+        .select(col("n_id"), expr("pr6 div deg").as("c"))
+        .groupBy(col("n_id")).agg(sum(col("c")).as("acc"))
+      targets
+        .join(inflow, targets("vec_id") === inflow("n_id"), "left")
+        .select(targets("vec_id"),
+          (lit(base) +
+            expr(s"($dampN * coalesce(acc, 0L)) div $dampD")).as("pr6"))
+    }
+    var ranks = src.withColumn("pr6", lit(1000000L))
+    var rankPins = Seq.empty[org.apache.spark.rdd.RDD[_]]
     try {
-      for (_ <- 1 to iters) {
-        val inflow = edges
-          .join(ranks.withColumnRenamed("vec_id", "src"),
-            col("q_id") === col("src"))
-          .select(col("n_id"), expr("pr6 div deg").as("c"))
-          .groupBy(col("n_id")).agg(sum(col("c")).as("acc"))
-        val next = nodes
-          .join(inflow, nodes("vec_id") === inflow("n_id"), "left")
-          .select(col("vec_id"),
-            (lit(base) +
-              expr(s"($dampN * coalesce(acc, 0L)) div $dampD")).as("pr6"))
-        val (pinnedNext, pins) = pinned(next)
-        rankPins.foreach(_.unpersist(blocking = false))
-        ranks = pinnedNext; rankPins = pins
+      for (i <- 1 until iters) {
+        val next = round(e2, src, ranks)
+        if (i % 3 == 0) {
+          val (pinnedNext, pins) = pinned(next)
+          rankPins.foreach(_.unpersist(blocking = false))
+          ranks = pinnedNext; rankPins = pins
+        } else ranks = next
       }
-      // materialize the final frame BEFORE the edge blocks die
-      val out = ranks.select(col("vec_id"),
-        (col("pr6").cast("double") / lit(1e6)).as("pagerank"))
-      val (finalOut, _) = pinned(out)
+      // the one full-universe round: r_iters for EVERY node (zero-norm
+      // dangling rows included), materialized before the edge pins die
+      val (finalOut, _) = pinned(
+        round(edges, nodes, ranks)
+          .select(col("vec_id"),
+            (col("pr6").cast("double") / lit(1e6)).as("pagerank")))
       finalOut
     } finally {
       edgePins.foreach(_.unpersist(blocking = false))
+      e2Pins.foreach(_.unpersist(blocking = false))
       rankPins.foreach(_.unpersist(blocking = false))
     }
   }
