@@ -82,12 +82,18 @@ object CorpusPrepJob {
     * number a prep run should publish about its own index; at 100 TB
     * the panel stays a bounded sample (q·n work by declaration, the
     * auditFrac posture). */
+  /** `curriculumStages > 0` (r13) lands the shards in the F31
+    * CURRICULUM order instead of the F17 hash shuffle — the training
+    * schedule becomes a property of artifact 1 itself (easy→hard by
+    * quality band, balance and round-robin reconstruction untouched —
+    * see [[graft.sinks.ShardSink.writeShards]]). */
   def run(spark: SparkSession, docsDir: String, outDir: String,
           nShards: Int = 8, blocklist: Seq[String] = Seq("spam"),
           keepLang: String = "en", minQuality: Double = 0.45,
           budgetTokens: Int = 2048, buildIndex: Boolean = false,
           auditFrac: Double = 0.0, evalQueries: Int = 0,
-          evalK: Int = 10, evalNprobe: Int = 4): PrepResult = {
+          evalK: Int = 10, evalNprobe: Int = 4,
+          curriculumStages: Int = 0): PrepResult = {
     require(evalQueries <= 0 || buildIndex,
       "evalQueries needs buildIndex — the retrieval audit judges the landed index")
     val docs = Tables.documents(spark, docsDir)
@@ -115,7 +121,7 @@ object CorpusPrepJob {
     }
     val (shardRep, shardSec) = timed {
       ShardSink.writeShards(clean, s"$outDir/shards", nShards,
-        payload = Seq("lang", "text"))
+        payload = Seq("lang", "text"), curriculumStages = curriculumStages)
     }
     val (manifestRows, manifestSec) = timed {
       Corpus.packSequences(clean, "lang", budgetTokens)

@@ -689,6 +689,13 @@ object SparkEntry {
     "knn_pagerank_ann" -> ((s, d) =>
       Similarity.knnPagerank(emb(s, d), Similarity.knnGraphAnn(emb(s, d), 5))),
 
+    // E14: graph-ANN serve — batched beam search over the
+    // trained-list kNN graph (undirected adjacency, min-id entry,
+    // exact rescoring); rows-only: exact-count + recall gates
+    "ann_graph_topk" -> ((s, d) =>
+      Similarity.graphTopK(emb(s, d),
+        Similarity.knnGraphAnn(emb(s, d), 5), annIsQuery, 5)),
+
     // E7: JL sign random projection 64→16 — per-row scan-fused
     // expression, driver-computed ±1 literal matrix; fully oracled
     // (integer micro-unit sums, integer ÷√k rounding)
@@ -1034,6 +1041,15 @@ object SparkEntry {
     "corpus_curriculum" -> ((s, d) =>
       Corpus.curriculum(docs(s, d), nStages = 4)),
 
+    // F33: centrality-weighted sampling — the E13 consumer (keep
+    // probability = min(1, pagerank) under the deterministic md5
+    // coin); exact-graph pagerank feeds the weight so the whole
+    // chain is oracled
+    "corpus_centrality_sample" -> ((s, d) =>
+      Corpus.centralitySample(docs(s, d),
+        Similarity.knnPagerank(emb(s, d),
+          Similarity.knnGraph(emb(s, d), 5)))),
+
     // F18: overlapping token-window chunking (32-token windows,
     // 8-token overlap — small enough that verify docs multi-chunk)
     "corpus_chunk" -> ((s, d) =>
@@ -1252,6 +1268,9 @@ object SparkEntry {
         // E13b: one centrality row per vector, zero-norm dangling
         // singletons included (they hold base rank)
         "knn_pagerank_ann"        -> nVecs,
+        // E14: the beam search reaches ≥ k candidates per query at
+        // the verify corpora (the undirected graph is connected there)
+        "ann_graph_topk"          -> topk,
         // E12b: widened probing is exhaustive at the verify corpora
         // and every label stratum holds ≥ k members — exactly k rows
         // per query
@@ -1340,6 +1359,11 @@ object SparkEntry {
     // 1.00 / 0.994 at sf0.001 / sf0.01; floor 0.9× the smaller
     // (PERF.md round 9e)
     "knn_components_ann"      -> (("knn_components", 0.89)),
+    // E14: beam search over the trained-list graph — measured .88/.80
+    // at sf0.001/sf0.01 (beam=32, hops=6; BEAM drives recall on the
+    // isotropic verify corpora — 64 reaches .96/.94, hops saturate at
+    // 6 — E14 sweep, PERF.md r13). Floor 0.9× the smaller measured
+    "ann_graph_topk"          -> (("ann_bruteforce_topk", 0.72)),
     // E12b: the widened probe is exhaustive at the verify corpora
     // (probeN = nlist), so measured recall is 1.0 by construction;
     // floor 0.9 per the convention (a dataset regen that breaks the
@@ -1843,8 +1867,8 @@ object SparkEntry {
     * the recursive term are engine-dependent SQL), floor division on
     * non-negative BIGINTs throughout (DuckDB `//` ≡ Spark `div`
     * there), DuckDB's HUGEINT sums CAST back to BIGINT each round. */
-  private def pagerankSql(k: Int, iters: Int,
-                          dampN: Long, dampD: Long): String = {
+  private def pagerankCtes(k: Int, iters: Int,
+                           dampN: Long, dampD: Long): String = {
     val base = (dampD - dampN) * 1000000L / dampD
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
@@ -1856,7 +1880,7 @@ object SparkEntry {
          |    FROM ed JOIN r${i - 1} r ON r.vec_id = ed.q_id
          |    GROUP BY 1) s ON s.vid = n.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
        |                                  CAST(embedding AS DOUBLE[])) > 0),
        |g AS (
@@ -1871,10 +1895,14 @@ object SparkEntry {
        |              count(*) OVER (PARTITION BY q_id) AS deg FROM g),
        |n AS (SELECT vec_id FROM embeddings),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr6 FROM n),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pagerankSql(k: Int, iters: Int,
+                          dampN: Long, dampD: Long): String =
+    s"""WITH ${pagerankCtes(k, iters, dampN, dampD)}
        |SELECT vec_id, CAST(pr6 AS DOUBLE) / 1e6 AS pagerank FROM r$iters"""
       .stripMargin
-  }
 
   /** F28's mirror: the SAME greedy MMR selection unrolled into `kOut`
     * chained CTE steps (p_i = integer argmax over the remaining
@@ -3368,6 +3396,22 @@ object SparkEntry {
     // E13 mirror: integral PageRank unrolled to 10 chained rounds
     // over the exact-graph spelling (same g CTE as knn_components)
     "knn_pagerank" -> pagerankSql(k = 5, iters = 10, dampN = 85, dampD = 100),
+
+    // F33 mirror: the E13 CTE chain + the 8-hex md5 coin parsed the
+    // hex16Hug way, keep compare in HUGEINT (≡ Spark's DECIMAL(38,0))
+    "corpus_centrality_sample" ->
+      s"""WITH ${pagerankCtes(5, 10, 85, 100)},
+         |coin AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1,9), i ->
+         |    (strpos('0123456789abcdef',
+         |       substr(md5(CAST(doc_id AS VARCHAR) || ':cent'),
+         |              CAST(i AS INTEGER), 1)) - 1)::BIGINT *
+         |    (1::BIGINT << (4*(8 - CAST(i AS INTEGER)))))) AS HUGEINT) AS c32
+         |  FROM documents)
+         |SELECT c.doc_id, CAST(p.pr6 AS DOUBLE) / 1e6 AS pagerank
+         |FROM coin c JOIN r10 p ON p.vec_id = c.doc_id
+         |WHERE c.c32 * 1000000::HUGEINT <
+         |      CAST(p.pr6 AS HUGEINT) * 4294967296::HUGEINT""".stripMargin,
 
     // E12 mirror: the E1 spelling with the label-equality predicate
     // in the join (rank dense over the per-query filtered set)

@@ -320,6 +320,78 @@ object Retrieval {
         coalesce(col("cos6"), lit(0L)).as("cos6"))
   }
 
+  /** The F32 serve-time composition over FROZEN artifacts only — the
+    * production two-stage stack (candidate generation → LTR rerank)
+    * with the docs table never touched at serve time (the F29 r11
+    * contract): lexical and semantic candidates come from the two
+    * index artifacts exactly as [[serve]], and the rerank features
+    * come from (a) the page's own RRF score, (b) the QUALITY artifact
+    * ([[TextAnalysis.writeQualityStats]] — per-doc scale-6 quality
+    * landed at index time, the feature-store posture; the serve reads
+    * only the page's ≤ kLex+kSem rows through a pushed-down id
+    * filter), and (c) exact cosines against the written IVF lists
+    * ([[Similarity.readIndexVectors]] — same id-filtered bounded
+    * read). Feature conventions, arithmetic, and tie-breaks are
+    * [[ltrRerank]]'s verbatim (spec-pinned ≡ the self-contained
+    * catalog spelling when the artifacts were built from the same
+    * corpus); the page assembly is bounded driver metadata (the
+    * mmrGreedy posture). */
+  def serveLtr(spark: SparkSession, table: String, path: String,
+               queryVec: DataFrame, cfg: ServeConfig, wRrf: Long = 2,
+               wQ: Long = 1, wCos: Long = 1): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromParts, dot, norm2, toDoubleVec}
+    import spark.implicits._
+    graft.functions.VecExprs.register(spark)
+    require(cfg.terms.nonEmpty, "serveLtr needs at least one query term")
+    val lex = TextAnalysis.bm25TopKFromIndex(spark, table,
+      cfg.terms, cfg.kLex).select(col("doc_id"), col("rank"))
+    val sem = Similarity.ivfTopKFromIndex(spark, s"$path/ivf", queryVec,
+        cfg.kSem, nprobe = cfg.nprobe)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    val fused = TextAnalysis.rrfFuse(lex, sem, cfg.kRrf,
+      topK = cfg.kLex + cfg.kSem)
+    // the page is ≤ kLex+kSem rows — bounded driver metadata
+    val pageRows = fused.select(col("doc_id"),
+        round(col("rrf_score") * lit(1e6), 0).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = pageRows.map(_._1)
+    if (ids.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "ltr_score", "rank")
+    val q6 = spark.table(s"${table}_quality")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("q6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qRows = queryVec.limit(2)
+      .select(toDoubleVec(col("embedding")).as("q_v"))
+      .withColumn("q_n2", norm2(col("q_v"))).collect()
+    require(qRows.length == 1,
+      s"serveLtr answers exactly ONE query vector, got ${qRows.length} rows")
+    val qvDf = spark.createDataFrame(java.util.Arrays.asList(qRows(0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("q_n2",
+          org.apache.spark.sql.types.DoubleType))))
+    val cos6 = Similarity.readIndexVectors(spark, s"$path/ivf")
+      .filter(col("n2") > 0).filter(col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(qvDf))
+      .filter(col("q_n2") > 0)
+      .select(col("vec_id"),
+        round(round(cosineFromParts(dot(col("q_v"), col("v")),
+          col("q_n2"), col("n2")), 6) * lit(1e6), 0).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = pageRows
+      .map { case (d, r6) =>
+        (d, wRrf * r6 + wQ * q6.getOrElse(d, 0L) +
+          wCos * cos6.getOrElse(d, 0L)) }
+      .sortBy { case (d, su) => (-su, d) }.take(cfg.kOut)
+    ranked.zipWithIndex
+      .map { case ((d, su), i) => (d, su.toDouble / 1e6, (i + 1).toLong) }
+      .toSeq.toDF("doc_id", "ltr_score", "rank")
+  }
+
   /** TRAIN the F32 weights — exhaustive integer grid sweep maximizing
     * mean nDCG@k over a labeled query set (the standard LTR fit,
     * degree-bounded to the exact arithmetic the serve executes: with

@@ -770,6 +770,145 @@ object Similarity {
     }
   }
 
+  /** E14: GRAPH-based ANN serve — batch-query BEAM SEARCH over a
+    * k-NN graph (the HNSW/NSG serving family — Malkov & Yashunin
+    * 2016, Fu et al. VLDB 2019 — flattened to one layer and batched
+    * the Spark way): every query walks the graph simultaneously, so
+    * each hop is ONE distributed job — the bounded frontier joins the
+    * O(n·k) adjacency list and the discovered candidates rescore
+    * against the broadcast query vectors (exact 6-dp cosine, the E1
+    * spelling) — never a per-query driver loop over the corpus, never
+    * an all-pairs join. The graph argument decides the build contract
+    * exactly as [[knnComponents]] / [[knnPagerank]] ([[knnGraphAnn]]
+    * is the deploy builder); the adjacency is used UNDIRECTED
+    * (reverse edges double the escape routes from a bad entry — the
+    * NSG trick) and the entry point is the deterministic min node id,
+    * seeded with its neighborhood so an entry-node query can still
+    * expand past self-exclusion.
+    *
+    * Split of labor (the [[mmrGreedy]] posture): the beam STATE —
+    * per-query best-so-far sets — is bounded page metadata
+    * (≤ nQ·hops·beam·deg rows, ceiling-guarded), so it lives on the
+    * driver and each hop's frontier re-enters as a local relation;
+    * the corpus-sized work (adjacency expansion, vector rescoring)
+    * is one distributed job per hop whose collect is the hop's
+    * candidate page. An in-engine beam state would be hops×3 extra
+    * exchanges of a few thousand rows — pure scheduling latency for
+    * zero distribution win (measured 2× the whole serve). Already-
+    * scored (q, node) pairs are skipped driver-side, so a vector
+    * rescores at most once per query.
+    *
+    * Fixed `hops` rounds — monotone: the seen set only grows, so the
+    * final top-k can only improve with hops. Output is E1-shaped
+    * `(q_id, n_id, cos_sim, rank)`, self excluded, ranks dense 1..k
+    * (ties on n_id), deterministic end to end — re-runs are
+    * bit-identical. Recall gated against [[bruteForceTopK]] like
+    * every approximate serve. At index scale the vector lookup reads
+    * the written IVF lists instead of a raw table scan per hop —
+    * the [[readIndexVectors]] source slots into `emb` unchanged. */
+  def graphTopK(emb: DataFrame, graph: DataFrame, isQuery: Column,
+                k: Int, beam: Int = 32, hops: Int = 6): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(beam >= k && beam <= 1024,
+      s"beam=$beam must be in [k=$k, 1024] — the frontier is per-query metadata")
+    require(hops >= 1 && hops <= 32,
+      s"hops=$hops out of [1, 32]: each hop is a full adjacency join")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def pinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    val p = cachedAs("graphTopK_p", preparedNonZero(emb))
+    val q = p.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"))
+    val (adj, adjPins) = pinned(
+      graph.select(col("q_id").as("src"), col("n_id").as("dst"))
+        .union(graph.select(col("n_id").as("src"), col("q_id").as("dst")))
+        .distinct())
+    try {
+      // one distributed job: expand a LOCAL (q_id, node) frontier
+      // through the adjacency, score every newly discovered candidate
+      // against its query vector, collect the bounded page. seedOnly
+      // skips the expansion (the hop-0 scoring of the literal seed).
+      val stateCeiling = 16 << 20
+      def expandScored(frontier: Seq[(Long, Long)], seedOnly: Boolean,
+                       known: Seq[(Long, Long)]): Array[(Long, Long, Double)] = {
+        if (frontier.isEmpty) return Array.empty
+        val f = frontier.toDF("q_id", "node")
+        val expanded =
+          if (seedOnly) f
+          else broadcast(f).join(adj, f("node") === adj("src"))
+            .select(col("q_id"), col("dst").as("node")).distinct()
+        // (q, node) pairs already scored leave BEFORE the vector read
+        // (broadcast anti-join against the local known-pair relation —
+        // no exchange): a rescoring would reproduce the same cosine,
+        // so each vector is read at most once per query
+        val cand =
+          if (known.isEmpty) expanded
+          else expanded.join(broadcast(known.toDF("q_id", "node")),
+            Seq("q_id", "node"), "left_anti")
+        cand.join(broadcast(q), Seq("q_id"))
+          .join(p, cand("node") === p("vec_id"))
+          .filter(col("node") =!= col("q_id"))
+          .select(col("q_id"), col("node").as("n_id"),
+            round(cosineFromParts(dot(col("q_v"), col("v")),
+              col("q_n2"), col("n2")), 6).as("cos_sim"))
+          .limit(stateCeiling + 1)
+          .as[(Long, Long, Double)].collect()
+      }
+      // bounded driver collects: the query page and the entry seed
+      val qIds = q.select(col("q_id")).limit(4097).as[Long].collect()
+      require(qIds.length <= 4096,
+        s"graphTopK serves a bounded query PAGE, got > 4096 query vectors")
+      if (qIds.isEmpty)
+        return Seq.empty[(Long, Long, Double, Long)]
+          .toDF("q_id", "n_id", "cos_sim", "rank")
+      val entryRow = p.agg(min(col("vec_id"))).head()
+      if (entryRow.isNullAt(0))
+        return Seq.empty[(Long, Long, Double, Long)]
+          .toDF("q_id", "n_id", "cos_sim", "rank")
+      val entry = entryRow.getLong(0)
+      val seedNodes = (adj.filter(adj("src") === entry)
+        .select(col("dst")).as[Long].collect() :+ entry).distinct
+      // beam state: per query, every (node -> cosine) scored so far
+      val seen = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.Map[Long, Double]]()
+      def absorb(rows: Array[(Long, Long, Double)]): Unit = {
+        require(rows.length <= stateCeiling,
+          s"graphTopK beam state would exceed $stateCeiling rows; " +
+            "shrink beam/hops or page the query set")
+        rows.foreach { case (qi, ni, c) =>
+          seen.getOrElseUpdate(qi,
+            scala.collection.mutable.Map[Long, Double]()).update(ni, c) }
+      }
+      absorb(expandScored(
+        qIds.toSeq.flatMap(qi => seedNodes.map(n => (qi, n))),
+        seedOnly = true, known = Nil))
+      for (_ <- 1 to hops) {
+        val frontier = qIds.toSeq.flatMap { qi =>
+          seen.get(qi).toSeq.flatMap(_.toSeq
+            .sortBy { case (n, c) => (-c, n) }.take(beam)
+            .map { case (n, _) => (qi, n) })
+        }
+        val known = seen.toSeq.flatMap { case (qi, m) =>
+          m.keysIterator.map(n => (qi, n)) }
+        absorb(expandScored(frontier, seedOnly = false, known = known))
+      }
+      val out = qIds.toSeq.flatMap { qi =>
+        seen.get(qi).toSeq.flatMap(_.toSeq
+          .sortBy { case (n, c) => (-c, n) }.take(k).zipWithIndex
+          .map { case ((n, c), i) => (qi, n, c, (i + 1).toLong) })
+      }
+      out.toDF("q_id", "n_id", "cos_sim", "rank")
+    } finally {
+      adjPins.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Pair-count ceiling for E1: the guarded quantity is the SCORED
     * PAIR count (queries × corpus — the actual nested-loop cost), not
     * the corpus size; a hundred queries over a huge corpus is a fine

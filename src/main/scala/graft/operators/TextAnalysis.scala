@@ -677,6 +677,22 @@ object TextAnalysis {
     * The same freeze-the-trained-artifact shape as [[writeLmModel]] /
     * [[writeNbModel]]: the training corpus is scanned once at build
     * time and never again at serve time ([[bm25TopKFromIndex]]). */
+  /** Land the F2 quality score as a serve-time FEATURE artifact
+    * `(doc_id, q6)` — per-doc scale-6 integers, bucketed+sorted on
+    * doc_id so a page-serve's id filter reads ≤ page rows (the
+    * feature-store posture [[graft.operators.Retrieval.serveLtr]]
+    * consumes: quality is computed ONCE at index time, and the serve
+    * never touches the docs table — the F29 r11 contract extended to
+    * the rerank features). */
+  def writeQualityStats(docs: DataFrame, table: String, path: String,
+                        buckets: Int = 64): Unit =
+    qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("score") * lit(1000000.0)).cast("long").as("q6"))
+      .write.format("parquet").bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", path).mode("overwrite")
+      .saveAsTable(s"${table}_quality")
+
   def writeBm25Stats(docs: DataFrame, table: String, path: String,
                      buckets: Int = 64): Unit = {
     // three artifact builds = three scans of the corpus, deliberately

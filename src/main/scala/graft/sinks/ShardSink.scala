@@ -44,12 +44,26 @@ object ShardSink {
   }
 
   /** Write `docs` as `nShards` balanced ordered shards under `path`.
-    * `payload` names the columns to carry (doc_id always rides). */
+    * `payload` names the columns to carry (doc_id always rides).
+    *
+    * `curriculumStages > 0` swaps the F17 hash order for the F31
+    * CURRICULUM order ([[graft.operators.Corpus.curriculum]]): global
+    * positions run easy→hard by quality band (md5-mixed within each
+    * band), and since shard = pos % nShards stays round-robin, the
+    * balance-±1 guarantee is untouched and a data-loader reading the
+    * shards round-robin reconstructs the curriculum schedule exactly
+    * — the training order is a LANDED property of the shards, not a
+    * loader-side re-sort of 100 TB. */
   def writeShards(docs: DataFrame, path: String, nShards: Int = 8,
-                  payload: Seq[String] = Seq("text")): ShardReport = {
+                  payload: Seq[String] = Seq("text"),
+                  curriculumStages: Int = 0): ShardReport = {
     require(nShards > 0, s"nShards=$nShards must be positive")
     val spark = docs.sparkSession
-    val assign = Corpus.globalShuffle(docs, nShards)
+    val assign =
+      if (curriculumStages > 0)
+        Corpus.curriculum(docs, curriculumStages)
+          .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"))
+      else Corpus.globalShuffle(docs, nShards)
     docs.select(col("doc_id") +: payload.map(col): _*)
       .join(assign, Seq("doc_id"))
       .repartition(nShards, col("shard"))

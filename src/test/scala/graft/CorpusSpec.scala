@@ -371,6 +371,35 @@ class CorpusSpec extends SparkSpec {
     assert(t(1L) < t(2L))
   }
 
+  test("F33 centralitySample: exact coin law, weightless docs dropped, endpoints pinned") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pr = (Seq((1L, 1.0), (2L, 0.0)) ++ (3L to 150L).map(i => (i, 0.15)))
+      .toDF("vec_id", "pagerank")
+    val out = Corpus.centralitySample(docs, pr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(1L))      // p = 1.0: kept for every coin
+    assert(!out.contains(2L))     // p = 0: never kept
+    assert(out.forall(_ <= 150L)) // no weight → dropped, not defaulted
+    // the exact coin law, driver-recomputed: coin32·1e6 < pr6·2^32
+    def coin32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cent".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val want = (1L to 150L).filter { i =>
+      val pr6 = if (i == 1L) 1000000L else if (i == 2L) 0L else 150000L
+      BigInt(coin32(i)) * 1000000 < BigInt(pr6) * 4294967296L
+    }.toSet
+    assert(out === want)
+    // the 0.15 band keeps ~15% (the coin is uniform)
+    val frac = out.count(_ >= 3L).toDouble / 148
+    assert(frac > 0.05 && frac < 0.30, f"band keep rate $frac%.3f")
+    // surviving rows carry the weight back out
+    val row = Corpus.centralitySample(docs, pr)
+      .filter(col("doc_id") === 1L).select("pagerank").as[Double].head()
+    assert(row === 1.0)
+  }
+
   test("F18 chunkDocs: overlapping windows tile the token stream, short docs get one chunk") {
     val input = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens

@@ -363,6 +363,43 @@ class RetrievalServeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ltr_spec_model")
   }
 
+  test("F32 serveLtr: frozen-artifact two-stage page ≡ self-contained ltrRerank (exhaustive probing)") {
+    val p = servePath
+    TextAnalysis.writeQualityStats(docs, "serve_spec_bm25", s"$p/quality")
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val got = Retrieval.serveLtr(spark, "serve_spec_bm25", p, query, cfg)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    // the self-contained spelling over the same corpus: the fused
+    // page at the serve's own page size, then the catalog rerank
+    val fused = TextAnalysis.rrfFuse(
+      TextAnalysis.bm25TopK(docs, terms, cfg.kLex)
+        .select(col("doc_id"), col("rank")),
+      Similarity.bruteForceTopK(emb, col("vec_id") === 0, cfg.kSem)
+        .select(col("n_id").as("doc_id"), col("rank")),
+      cfg.kRrf, topK = cfg.kLex + cfg.kSem)
+    val want = Retrieval.ltrRerank(fused, docs, emb, queryVec = 0L,
+        kOut = cfg.kOut)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(got === want && got.size === cfg.kOut)
+    // a doc ABSENT from the quality artifact coalesces to q6 = 0 —
+    // the ltrRerank phantom convention, never an error: an empty
+    // artifact serves exactly the ltrRerank page over an empty docs
+    TextAnalysis.writeQualityStats(docs.filter(col("doc_id") < 0),
+      "serve_spec_bm25", s"$p/quality")
+    val sparse = Retrieval.serveLtr(spark, "serve_spec_bm25", p, query, cfg)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val wantSparse = Retrieval.ltrRerank(fused, docs.limit(0), emb,
+        queryVec = 0L, kOut = cfg.kOut)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(sparse === wantSparse && sparse.size === cfg.kOut)
+    // a MISSING quality artifact fails loudly (no silent zero-feature
+    // page from a typo'd table name)
+    intercept[Exception](
+      Retrieval.serveLtr(spark, "serve_spec_nosuch", p, query, cfg))
+    // restore the full artifact for any later consumer of servePath
+    TextAnalysis.writeQualityStats(docs, "serve_spec_bm25", s"$p/quality")
+  }
+
   test("serve refuses a multi-row query frame") {
     val p = servePath
     assert(p.nonEmpty)

@@ -976,6 +976,56 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.7, f"agreement $agree%.3f below spec floor 0.7")
   }
 
+  test("E14 graphTopK: beam search over the kNN graph — exact scores, monotone in hops, deterministic") {
+    val real = Tables.embeddings(spark, sfDir)
+    val isQ = col("vec_id") % 50 === 0
+    val k = 5
+    val g = Similarity.knnGraph(real, k)
+    val exact = Similarity.bruteForceTopK(real, isQ, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact.map { case (q, nn, c) => (q, nn) -> c }.toMap
+    val got = Similarity.graphTopK(real, g, isQ, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+    // exactly k ranked rows per query, never a self-edge
+    val nQ = exact.map(_._1).distinct.length
+    assert(got.length === nQ * k)
+    assert(got.forall { case (q, nn, _, _) => q != nn })
+    // every recovered true edge carries the IDENTICAL exact cosine
+    got.foreach { case (q, nn, c, _) =>
+      exactMap.get((q, nn)).foreach(t => assert(t === c, s"edge ($q,$nn)")) }
+    val recall = got.count { case (q, nn, _, _) =>
+      exactMap.contains((q, nn)) }.toDouble / exact.length
+    info(f"E14 recall vs brute force (exact graph, beam=32, hops=6): $recall%.3f")
+    assert(recall >= 0.7, f"recall $recall%.3f below spec floor 0.7")
+    // deterministic: a re-run is bit-identical
+    val again = Similarity.graphTopK(real, g, isQ, k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._4)).toSeq ===
+      got.sortBy(r => (r._1, r._4)).toSeq)
+    // monotone: more hops never lowers any query's best-k cosine sum
+    def massOf(hops: Int): Map[Long, Double] =
+      Similarity.graphTopK(real, g, isQ, k, hops = hops)
+        .groupBy("q_id").agg(sum("cos_sim").as("m"))
+        .as[(Long, Double)].collect().toMap
+    val (m2, m6) = (massOf(2), massOf(6))
+    m2.foreach { case (q, m) => assert(m6(q) >= m - 1e-9, s"query $q") }
+    // a planted zero vector never surfaces (excluded from p and graph)
+    val dim = real.select(size(col("embedding"))).as[Int].head()
+    val zero = spark.range(1).select(lit(999999L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(0).as("label"))
+    val z = Similarity.graphTopK(real.unionByName(zero), g, isQ, k)
+      .filter(col("n_id") === 999999L)
+    assert(z.count() === 0L)
+    // knob validation is loud
+    intercept[IllegalArgumentException](
+      Similarity.graphTopK(real, g, isQ, k, beam = k - 1))
+    intercept[IllegalArgumentException](
+      Similarity.graphTopK(real, g, isQ, k, hops = 0))
+  }
+
   test("E12 filteredTopK: per-label restriction of E1, exact; E12b widened probe reproduces it") {
     val real = Tables.embeddings(spark, sfDir)
     val k = 5

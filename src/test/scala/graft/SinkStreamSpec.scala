@@ -628,6 +628,33 @@ class SinkStreamSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  test("ShardSink curriculum shards: same balance/routing laws, order is the F31 schedule") {
+    import graft.sinks.ShardSink
+    val base = java.nio.file.Files.createTempDirectory("graft_cshards").toString
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val rep = ShardSink.writeShards(docs, s"$base/c", nShards = 8,
+      curriculumStages = 4)
+    // every shard-layout invariant of the hash flavor holds untouched
+    assert(rep.nShards === 8 && rep.rows === n && rep.files === 8L)
+    assert(rep.maxRows - rep.minRows <= 1L)
+    val back = spark.read.parquet(s"$base/c")
+    assert(back.filter(pmod(col("pos"), lit(8)) =!= col("shard")).count() === 0L)
+    assert(back.select("pos").as[Long].collect().toSet === (0L until n).toSet)
+    // the landed order IS the curriculum: pos agrees with F31 per doc
+    val sched = graft.operators.Corpus.curriculum(docs, nStages = 4)
+      .select(col("doc_id"), col("pos")).as[(Long, Long)].collect().toMap
+    val landed = back.select(col("doc_id"), col("pos"))
+      .as[(Long, Long)].collect()
+    landed.foreach { case (d, p) => assert(sched(d) === p, s"doc $d") }
+    // round-robin across shard files replays easy→hard: quality stage
+    // is monotone along the landed position order
+    val stages = graft.operators.Corpus.curriculum(docs, nStages = 4)
+      .select(col("pos"), col("stage")).as[(Long, Long)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(stages === stages.sorted)
+  }
+
   test("streamingLmScore scores each batch against the frozen model, zero state growth") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
