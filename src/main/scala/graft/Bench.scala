@@ -260,6 +260,10 @@ object Bench {
       // this is the serve-only attribution dual, the idx_ivf_serve_auto
       // pattern)
       val fidxPath = java.nio.file.Files.createTempDirectory("graft_bench_fidx").toString
+      // the LANDED kNN graph (r13): ann_graph_topk's catalog number
+      // pays the knnGraphAnn build per rep — this is its serve-only
+      // attribution dual (graph written once, beam search reads it)
+      val gPath = java.nio.file.Files.createTempDirectory("graft_bench_graph").toString
       try {
         S.writeIvfIndex(emb, ivfPath, nlist = 16)
         S.writeIvfPqIndex(emb, pqPath, nlist = 16)
@@ -314,6 +318,10 @@ object Bench {
         def servPage() = graft.operators.Retrieval.serve(spark,
           "bench_rsrv_bm25", rsrvPath,
           Tables.embeddings(spark, sfDir), rsrvQ, rsrvCfg)
+        S.knnGraphAnn(emb, 5).select("q_id", "n_id")
+          .write.mode("overwrite").parquet(s"$gPath/graph")
+        def servGraph() = S.graphTopK(emb,
+          spark.read.parquet(s"$gPath/graph"), SparkEntry.annIsQuery, 5)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
         timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
         timeNoop(() => servFiltered())
@@ -322,10 +330,11 @@ object Bench {
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
           "idx_filtered_serve" -> median((1 to reps).map(_ => timeNoop(() => servFiltered()))),
-          "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))))
+          "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))),
+          "idx_graph_serve" -> median((1 to reps).map(_ => timeNoop(() => servGraph()))))
       } finally {
         import org.apache.hadoop.fs.Path
-        Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath, fidxPath).foreach { p =>
+        Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath, fidxPath, gPath).foreach { p =>
           val hp = new Path(p)
           hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
         }

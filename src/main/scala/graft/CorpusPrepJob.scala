@@ -81,8 +81,9 @@ object CorpusPrepJob {
     * vs exact). This is the "how much recall does my nprobe give up"
     * number a prep run should publish about its own index; at 100 TB
     * the panel stays a bounded sample (q·n work by declaration, the
-    * auditFrac posture). */
-  /** `curriculumStages > 0` (r13) lands the shards in the F31
+    * auditFrac posture).
+    *
+    * `curriculumStages > 0` (r13) lands the shards in the F31
     * CURRICULUM order instead of the F17 hash shuffle — the training
     * schedule becomes a property of artifact 1 itself (easy→hard by
     * quality band, balance and round-robin reconstruction untouched —

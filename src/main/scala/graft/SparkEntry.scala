@@ -1047,7 +1047,7 @@ object SparkEntry {
     // chain is oracled
     "corpus_centrality_sample" -> ((s, d) =>
       Corpus.centralitySample(docs(s, d),
-        Similarity.knnPagerank(emb(s, d),
+        Similarity.knnPagerank6(emb(s, d),
           Similarity.knnGraph(emb(s, d), 5)))),
 
     // F18: overlapping token-window chunking (32-token windows,
@@ -1867,6 +1867,28 @@ object SparkEntry {
     * the recursive term are engine-dependent SQL), floor division on
     * non-negative BIGINTs throughout (DuckDB `//` ≡ Spark `div`
     * there), DuckDB's HUGEINT sums CAST back to BIGINT each round. */
+  /** The F2 quality score as a scale-6 CTE pair (`qb` features, `qs`
+    * (doc_id, q6)) — ONE spelling shared by every mirror that joins
+    * quality as a feature (F31 curriculum, F32 ltr rerank), so a
+    * future F2 weight/stop-list tweak cannot drift one of them
+    * silently (the bm25Ctes/pagerankCtes rationale). */
+  private def qualityQ6Ctes: String =
+    s"""qb AS (
+       |  SELECT doc_id, length(text) AS n_chars_c,
+       |    len($TOKS) AS wc,
+       |    len(list_filter($TOKS,
+       |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, CAST(round((CASE WHEN wc > 0 AND n_chars_c > 0 THEN
+       |    0.3 * least(1.0, wc / 120.0) +
+       |    0.3 * (stop_hits / wc) +
+       |    0.2 * (1.0 - digit_chars / n_chars_c) +
+       |    0.2 * (1.0 - punct_chars / n_chars_c)
+       |  ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS q6 FROM qb)""".stripMargin
+
   private def pagerankCtes(k: Int, iters: Int,
                            dampN: Long, dampD: Long): String = {
     val base = (dampD - dampN) * 1000000L / dampD
@@ -2983,21 +3005,7 @@ object SparkEntry {
          |    SELECT doc_id, s6,
          |           row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank
          |    FROM f) WHERE rank <= 20),
-         |qb AS (
-         |  SELECT doc_id, length(text) AS n_chars_c,
-         |    len($TOKS) AS wc,
-         |    len(list_filter($TOKS,
-         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
-         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
-         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
-         |  FROM documents),
-         |qs AS (
-         |  SELECT doc_id, CAST(round((CASE WHEN wc > 0 AND n_chars_c > 0 THEN
-         |    0.3 * least(1.0, wc / 120.0) +
-         |    0.3 * (stop_hits / wc) +
-         |    0.2 * (1.0 - digit_chars / n_chars_c) +
-         |    0.2 * (1.0 - punct_chars / n_chars_c)
-         |  ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS q6 FROM qb),
+         |$qualityQ6Ctes,
          |cs AS (SELECT a.vec_id AS doc_id,
          |         CAST(round(round($COS, 6) * 1e6, 0) AS BIGINT) AS cos6
          |       FROM em a JOIN em b ON b.vec_id = 0),
@@ -3719,26 +3727,11 @@ object SparkEntry {
     // F31 mirror: the F2 score CTE verbatim → scale-6 band → the F17
     // window numbering ordered by (stage, hash, id)
     "corpus_curriculum" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, length(text) AS n_chars_c,
-         |    len($TOKS) AS wc,
-         |    len(list_filter($TOKS,
-         |        x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
-         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
-         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_chars
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, CASE WHEN wc > 0 AND n_chars_c > 0 THEN
-         |    0.3 * least(1.0, wc / 120.0) +
-         |    0.3 * (stop_hits / wc) +
-         |    0.2 * (1.0 - digit_chars / n_chars_c) +
-         |    0.2 * (1.0 - punct_chars / n_chars_c)
-         |  ELSE 0.0 END AS score FROM b),
+      s"""WITH $qualityQ6Ctes,
          |st AS (
          |  SELECT doc_id,
-         |    3 - least(3, (CAST(round(score * 1000000, 0) AS BIGINT) * 4)
-         |                 // 1000000) AS stage
-         |  FROM s)
+         |    3 - least(3, (q6 * 4) // 1000000) AS stage
+         |  FROM qs)
          |SELECT doc_id, stage,
          |       row_number() OVER (
          |         ORDER BY stage NULLS FIRST,

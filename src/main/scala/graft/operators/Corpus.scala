@@ -372,6 +372,43 @@ object Corpus {
     }
   }
 
+  /** F33: CENTRALITY-weighted corpus sampling — the E13 consumer:
+    * keep each document with probability min(1, pagerank) under the
+    * house deterministic md5 coin (seedless, replayable — the F6/F12
+    * posture), so graph-central "prototype" documents survive and the
+    * near-singleton periphery thins to its damped base rate. This is
+    * the graph-weighted flavor of stratified sampling: the weight is
+    * [[Similarity.knnPagerank6]]'s scale-6 integral rank `(vec_id,
+    * pr6)` — the EXACT frame, not the double projection: pagerank
+    * doubles hold pr6 exactly only below 2⁵³, and a
+    * mass-concentrating graph at corpus scale exceeds that, so a
+    * double round-trip here could disagree with an exact-integer
+    * mirror by an ulp precisely on the rows near their coin cut.
+    *
+    * Exactness (both engines): coin32 = the first 8 hex chars of
+    * md5(doc_id || ":cent") as a 32-bit integer; keep iff
+    * coin32·1e6 < pr6·2³² in EXACT wide arithmetic (DECIMAL(38,0)
+    * here, HUGEINT in the mirror — pr6 is unbounded above 1e6 on
+    * mass-concentrating graphs, so 64-bit products can overflow at
+    * corpus scale; the ARI precedent).
+    * A doc with no pagerank row (no embedding) has no weight and is
+    * DROPPED — sampling by a weight you don't have is not a default.
+    * Scale shape: one equi-join on the id + a scan-fused filter —
+    * zero new shuffles beyond the join. */
+  def centralitySample(docs: DataFrame, pagerank6: DataFrame): DataFrame = {
+    val coin32 = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":cent"))), 1, 8), 16, 10)
+      .cast("decimal(38,0)")
+    docs.select(col("doc_id"))
+      .join(pagerank6.select(col("vec_id").as("doc_id"), col("pr6")),
+        Seq("doc_id"))
+      .filter(coin32 * lit(1000000L).cast("decimal(38,0)") <
+        col("pr6").cast("decimal(38,0)") *
+          lit(4294967296L).cast("decimal(38,0)"))
+      .select(col("doc_id"),
+        (col("pr6").cast("double") / lit(1e6)).as("pagerank"))
+  }
+
   /** F31: CURRICULUM ordering — the quality-staged training order
     * (curriculum learning, Bengio et al. ICML 2009: present easy
     * examples first): every document gets a stage (0 = the
@@ -393,41 +430,6 @@ object Corpus {
     * (stage, hash) — the same single total-order exchange F17 already
     * pays; nothing here is new shuffle work beyond the sort that IS
     * the deliverable. */
-  /** F33: CENTRALITY-weighted corpus sampling — the E13 consumer:
-    * keep each document with probability min(1, pagerank) under the
-    * house deterministic md5 coin (seedless, replayable — the F6/F12
-    * posture), so graph-central "prototype" documents survive and the
-    * near-singleton periphery thins to its damped base rate. This is
-    * the graph-weighted flavor of stratified sampling: the weight
-    * comes from [[Similarity.knnPagerank]]'s scale-6 integral rank
-    * instead of a per-stratum rate table.
-    *
-    * Exactness (both engines): coin32 = the first 8 hex chars of
-    * md5(doc_id || ":cent") as a 32-bit integer; keep iff
-    * coin32·1e6 < pr6·2³² in EXACT wide arithmetic (DECIMAL(38,0)
-    * here, HUGEINT in the mirror — pr6 is unbounded above 1e6 on
-    * mass-concentrating graphs, so 64-bit products can overflow at
-    * corpus scale; the ARI precedent). pr6 recovers exactly from the
-    * pagerank double (it IS a scale-6 integer by the E13 contract).
-    * A doc with no pagerank row (no embedding) has no weight and is
-    * DROPPED — sampling by a weight you don't have is not a default.
-    * Scale shape: one equi-join on the id + a scan-fused filter —
-    * zero new shuffles beyond the join. */
-  def centralitySample(docs: DataFrame, pagerank: DataFrame): DataFrame = {
-    val coin32 = conv(substring(md5(concat(
-      col("doc_id").cast("string"), lit(":cent"))), 1, 8), 16, 10)
-      .cast("decimal(38,0)")
-    docs.select(col("doc_id"))
-      .join(pagerank.select(col("vec_id").as("doc_id"),
-        round(col("pagerank") * lit(1000000.0)).cast("long").as("pr6")),
-        Seq("doc_id"))
-      .filter(coin32 * lit(1000000L).cast("decimal(38,0)") <
-        col("pr6").cast("decimal(38,0)") *
-          lit(4294967296L).cast("decimal(38,0)"))
-      .select(col("doc_id"),
-        (col("pr6").cast("double") / lit(1e6)).as("pagerank"))
-  }
-
   def curriculum(docs: DataFrame, nStages: Int = 4,
                  partitions: Int = 0): DataFrame = {
     require(nStages > 0 && nStages <= 1000,

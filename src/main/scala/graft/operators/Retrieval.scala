@@ -335,10 +335,25 @@ object Retrieval {
     * [[ltrRerank]]'s verbatim (spec-pinned ≡ the self-contained
     * catalog spelling when the artifacts were built from the same
     * corpus); the page assembly is bounded driver metadata (the
-    * mmrGreedy posture). */
+    * mmrGreedy posture).
+    *
+    * `modelTable` (when non-empty) points at the FROZEN weights
+    * artifact ([[writeLtrModel]]) and overrides the inline weights —
+    * the trained-serve composition: trainLtrWeights → writeLtrModel →
+    * serveLtr(modelTable = …). Left empty, the inline weights apply
+    * (the catalog/oracle spelling). A named-but-missing model table
+    * fails loudly — never a silent fall-back to defaults. */
   def serveLtr(spark: SparkSession, table: String, path: String,
                queryVec: DataFrame, cfg: ServeConfig, wRrf: Long = 2,
-               wQ: Long = 1, wCos: Long = 1): DataFrame = {
+               wQ: Long = 1, wCos: Long = 1,
+               modelTable: String = ""): DataFrame = {
+    val (w1, w2, w3) =
+      if (modelTable.isEmpty) (wRrf, wQ, wCos)
+      else {
+        val w = spark.table(modelTable)
+          .select(col("w_rrf"), col("w_q"), col("w_cos")).head()
+        (w.getLong(0), w.getLong(1), w.getLong(2))
+      }
     import graft.functions.VectorFunctions.{cosineFromParts, dot, norm2, toDoubleVec}
     import spark.implicits._
     graft.functions.VecExprs.register(spark)
@@ -384,8 +399,8 @@ object Retrieval {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ranked = pageRows
       .map { case (d, r6) =>
-        (d, wRrf * r6 + wQ * q6.getOrElse(d, 0L) +
-          wCos * cos6.getOrElse(d, 0L)) }
+        (d, w1 * r6 + w2 * q6.getOrElse(d, 0L) +
+          w3 * cos6.getOrElse(d, 0L)) }
       .sortBy { case (d, su) => (-su, d) }.take(cfg.kOut)
     ranked.zipWithIndex
       .map { case ((d, su), i) => (d, su.toDouble / 1e6, (i + 1).toLong) }

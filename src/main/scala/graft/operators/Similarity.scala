@@ -28,6 +28,20 @@ object Similarity {
   /** Drop every cache this object holds (end-of-job cleanup). */
   def releaseCaches(): Unit = liveCaches.release()
 
+  /** `localCheckpoint` + handles to the blocks it pinned — the
+    * [[Dedup]] checkpointPinned discipline (Dataset.unpersist cannot
+    * free checkpoint blocks; the getPersistentRDDs delta captures the
+    * new RDDs for an explicit release once a loop round is dead),
+    * shared by the iterative operators here ([[knnPagerank]],
+    * [[graphTopK]]). */
+  private def checkpointPinned(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs -- before).values.toSeq)
+  }
+
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
   def prepared(emb: DataFrame): DataFrame = {
@@ -701,19 +715,26 @@ object Similarity {
     * the loop's lineage is cut every round ([[Dedup.clusters]]'
     * checkpoint-pinned discipline, blocks freed as rounds die). */
   def knnPagerank(emb: DataFrame, graph: DataFrame, iters: Int = 10,
-                  dampN: Long = 85, dampD: Long = 100): DataFrame = {
+                  dampN: Long = 85, dampD: Long = 100): DataFrame =
+    knnPagerank6(emb, graph, iters, dampN, dampD)
+      .select(col("vec_id"),
+        (col("pr6").cast("double") / lit(1e6)).as("pagerank"))
+
+  /** [[knnPagerank]] exposing the EXACT scale-6 rank `(vec_id, pr6)`
+    * — the frame integer consumers ([[Corpus.centralitySample]]'s
+    * wide-arithmetic coin compare) must read: the double projection
+    * above holds pr6 exactly only below 2⁵³, and on a
+    * mass-concentrating graph at corpus scale pr6 can exceed that —
+    * a consumer that round-trips through the double would disagree
+    * with an exact-integer mirror by an ulp exactly there. */
+  def knnPagerank6(emb: DataFrame, graph: DataFrame, iters: Int = 10,
+                   dampN: Long = 85, dampD: Long = 100): DataFrame = {
     require(iters >= 1 && iters <= 50,
       s"iters=$iters out of [1, 50]: each round is a full shuffle pass")
     require(dampD > 0 && dampN >= 0 && dampN <= dampD,
       s"damping=$dampN/$dampD must be a rational in [0, 1]")
-    val sc = emb.sparkSession.sparkContext
     val base = (dampD - dampN) * 1000000L / dampD
     val nodes = emb.select(col("vec_id"))
-    def pinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
     // degree rides on the edge row: deg(u) is a property of the
     // SOURCE, so one window pass denormalizes it and no round needs a
     // second degree join. The recurrence only ever READS source
@@ -723,12 +744,16 @@ object Similarity {
     // is source-complete by induction. Checkpoints land every third
     // round (lineage stays shallow, the loop pays ⅓ of the eager
     // materializations); superseded rank blocks are freed as they die.
-    val (edges, edgePins) = pinned(
+    val (edges, edgePins) = checkpointPinned(
       graph.select(col("q_id"), col("n_id"))
         .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("q_id")))))
-    val src = edges.select(col("q_id").as("vec_id")).distinct()
+    // pinned: referenced as the target of every intermediate round —
+    // left as lineage, each materialization would re-run the distinct
+    // exchange over the O(n·k) edge list
+    val (src, srcPins) = checkpointPinned(
+      edges.select(col("q_id").as("vec_id")).distinct())
     // inflow edges that feed LATER rounds: destination is a source
-    val (e2, e2Pins) = pinned(
+    val (e2, e2Pins) = checkpointPinned(
       edges.join(src.withColumnRenamed("vec_id", "dst"),
           col("n_id") === col("dst"))
         .select(col("q_id"), col("n_id"), col("deg")))
@@ -751,20 +776,18 @@ object Similarity {
       for (i <- 1 until iters) {
         val next = round(e2, src, ranks)
         if (i % 3 == 0) {
-          val (pinnedNext, pins) = pinned(next)
+          val (pinnedNext, pins) = checkpointPinned(next)
           rankPins.foreach(_.unpersist(blocking = false))
           ranks = pinnedNext; rankPins = pins
         } else ranks = next
       }
       // the one full-universe round: r_iters for EVERY node (zero-norm
       // dangling rows included), materialized before the edge pins die
-      val (finalOut, _) = pinned(
-        round(edges, nodes, ranks)
-          .select(col("vec_id"),
-            (col("pr6").cast("double") / lit(1e6)).as("pagerank")))
+      val (finalOut, _) = checkpointPinned(round(edges, nodes, ranks))
       finalOut
     } finally {
       edgePins.foreach(_.unpersist(blocking = false))
+      srcPins.foreach(_.unpersist(blocking = false))
       e2Pins.foreach(_.unpersist(blocking = false))
       rankPins.foreach(_.unpersist(blocking = false))
     }
@@ -815,17 +838,11 @@ object Similarity {
       s"hops=$hops out of [1, 32]: each hop is a full adjacency join")
     val spark = emb.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
-    def pinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
     val p = cachedAs("graphTopK_p", preparedNonZero(emb))
     val q = p.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("n2").as("q_n2"))
-    val (adj, adjPins) = pinned(
+    val (adj, adjPins) = checkpointPinned(
       graph.select(col("q_id").as("src"), col("n_id").as("dst"))
         .union(graph.select(col("n_id").as("src"), col("q_id").as("dst")))
         .distinct())
@@ -877,8 +894,13 @@ object Similarity {
       // beam state: per query, every (node -> cosine) scored so far
       val seen = scala.collection.mutable.Map[Long,
         scala.collection.mutable.Map[Long, Double]]()
+      var seenTotal = 0L
+      // the ceiling bounds the CUMULATIVE state (seen never shrinks),
+      // which is also what the known-pair anti-join broadcasts each
+      // hop — a per-page check would let hops × pages blow past it
       def absorb(rows: Array[(Long, Long, Double)]): Unit = {
-        require(rows.length <= stateCeiling,
+        seenTotal += rows.length
+        require(seenTotal <= stateCeiling,
           s"graphTopK beam state would exceed $stateCeiling rows; " +
             "shrink beam/hops or page the query set")
         rows.foreach { case (qi, ni, c) =>

@@ -374,8 +374,8 @@ class CorpusSpec extends SparkSpec {
   test("F33 centralitySample: exact coin law, weightless docs dropped, endpoints pinned") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
-    val pr = (Seq((1L, 1.0), (2L, 0.0)) ++ (3L to 150L).map(i => (i, 0.15)))
-      .toDF("vec_id", "pagerank")
+    val pr = (Seq((1L, 1000000L), (2L, 0L)) ++ (3L to 150L).map(i => (i, 150000L)))
+      .toDF("vec_id", "pr6")
     val out = Corpus.centralitySample(docs, pr)
       .select("doc_id").as[Long].collect().toSet
     assert(out.contains(1L))      // p = 1.0: kept for every coin

@@ -398,6 +398,21 @@ class RetrievalServeSpec extends SparkSpec {
       Retrieval.serveLtr(spark, "serve_spec_nosuch", p, query, cfg))
     // restore the full artifact for any later consumer of servePath
     TextAnalysis.writeQualityStats(docs, "serve_spec_bm25", s"$p/quality")
+    // the FROZEN-model serve: modelTable overrides the inline weights
+    // with the stored ones — identical to passing them inline; a
+    // named-but-missing model fails loudly, never defaults
+    Retrieval.writeLtrModel(spark, "serve_ltr_model", s"$p/ltr",
+      (3L, 2L, 1L))
+    val fromModel = Retrieval.serveLtr(spark, "serve_spec_bm25", p,
+        query, cfg, modelTable = "serve_ltr_model")
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val inline = Retrieval.serveLtr(spark, "serve_spec_bm25", p,
+        query, cfg, wRrf = 3L, wQ = 2L, wCos = 1L)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(fromModel === inline && fromModel.nonEmpty)
+    intercept[Exception](Retrieval.serveLtr(spark, "serve_spec_bm25", p,
+      query, cfg, modelTable = "serve_ltr_model_nosuch"))
+    spark.sql("DROP TABLE IF EXISTS serve_ltr_model")
   }
 
   test("serve refuses a multi-row query frame") {
