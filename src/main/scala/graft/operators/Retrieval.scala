@@ -342,11 +342,22 @@ object Retrieval {
     * the trained-serve composition: trainLtrWeights → writeLtrModel →
     * serveLtr(modelTable = …). Left empty, the inline weights apply
     * (the catalog/oracle spelling). A named-but-missing model table
-    * fails loudly — never a silent fall-back to defaults. */
+    * fails loudly — never a silent fall-back to defaults.
+    *
+    * `qualityDelta` (when non-empty) names the live-ingest quality
+    * DELTA directory ([[graft.streaming.EventStream.streamingLtrServe]]
+    * lands one `ingest_batch=<id>` partition per micro-batch): the q6
+    * lookup unions it with the frozen artifact, so arrivals carry
+    * their REAL quality feature instead of coalescing to 0. A delta
+    * dir that does not exist yet reads as no deltas (the batch-0
+    * shape — nothing has ever been appended); duplicate (doc_id, q6)
+    * rows across base and deltas are harmless (q6 is a pure row
+    * function — every copy carries the identical value). */
   def serveLtr(spark: SparkSession, table: String, path: String,
                queryVec: DataFrame, cfg: ServeConfig, wRrf: Long = 2,
                wQ: Long = 1, wCos: Long = 1,
-               modelTable: String = ""): DataFrame = {
+               modelTable: String = "",
+               qualityDelta: String = ""): DataFrame = {
     val (w1, w2, w3) =
       if (modelTable.isEmpty) (wRrf, wQ, wCos)
       else {
@@ -373,9 +384,20 @@ object Retrieval {
     if (ids.isEmpty)
       return Seq.empty[(Long, Double, Long)]
         .toDF("doc_id", "ltr_score", "rank")
-    val q6 = spark.table(s"${table}_quality")
+    val qBase = spark.table(s"${table}_quality")
       .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("q6")).collect()
+      .select(col("doc_id"), col("q6"))
+    val qAll =
+      if (qualityDelta.isEmpty) qBase
+      else {
+        val dp = new org.apache.hadoop.fs.Path(qualityDelta)
+        if (!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
+          qBase
+        else qBase.unionByName(spark.read.parquet(qualityDelta)
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"), col("q6")))
+      }
+    val q6 = qAll.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val qRows = queryVec.limit(2)
       .select(toDoubleVec(col("embedding")).as("q_v"))

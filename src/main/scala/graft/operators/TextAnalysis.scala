@@ -686,12 +686,19 @@ object TextAnalysis {
     * the rerank features). */
   def writeQualityStats(docs: DataFrame, table: String, path: String,
                         buckets: Int = 64): Unit =
-    qualityScore(docs)
-      .select(col("doc_id"),
-        round(col("score") * lit(1000000.0)).cast("long").as("q6"))
+    qualityQ6(docs)
       .write.format("parquet").bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", path).mode("overwrite")
       .saveAsTable(s"${table}_quality")
+
+  /** The ONE projection of the F2 score to its serve-time feature row
+    * `(doc_id, q6)` — shared by the frozen artifact above and the
+    * streaming delta writer ([[graft.streaming.EventStream
+    * .streamingLtrServe]]), so the two spellings cannot drift. */
+  def qualityQ6(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("score") * lit(1000000.0)).cast("long").as("q6"))
 
   def writeBm25Stats(docs: DataFrame, table: String, path: String,
                      buckets: Int = 64): Unit = {

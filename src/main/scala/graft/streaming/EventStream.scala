@@ -627,6 +627,58 @@ object EventStream {
           batch.sparkSession, table, path, queryVec, cfg))
       }
 
+  /** F32 live: the TWO-STAGE serving loop over the hybrid ingest
+    * path (r13) — each micro-batch appends to the BM25/IVF legs
+    * ([[appendHybrid]], the one dual-append spelling) AND lands its
+    * quality feature rows as an `ingest_batch=<id>` DELTA partition
+    * (q6 is a pure row function — [[graft.operators.TextAnalysis
+    * .qualityQ6]], the one projection — so a crash-replayed batch
+    * overwrites its own partition with identical rows:
+    * replay-idempotent like both index legs), then EVERY standing
+    * query re-serves its LTR page from the frozen artifacts + deltas
+    * ([[graft.operators.Retrieval.serveLtr]] with `qualityDelta`,
+    * optionally the frozen weights via `modelTable`). `onPages`
+    * receives (batchId, all pages as ONE bounded local relation
+    * keyed by q_id) — pages are served once and collected (the
+    * streamingServeEval posture); arrivals surface with their REAL
+    * q6, not the phantom 0 a frozen-only lookup would give them. */
+  def streamingLtrServe(arrivals: DataFrame, table: String, path: String,
+                        queryVecs: DataFrame,
+                        cfg: graft.operators.Retrieval.ServeConfig,
+                        modelTable: String = "",
+                        onPages: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val qSchema = queryVecs.select(col("vec_id"), col("embedding")).schema
+    val qRows = queryVecs.select(col("vec_id"), col("embedding")).collect()
+    require(qRows.nonEmpty &&
+      qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "streamingLtrServe needs a non-empty panel of DISTINCT standing queries")
+    val deltaPath = s"$path/quality_delta"
+    arrivals.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        appendHybrid(batch, table, path, batchId)
+        graft.operators.TextAnalysis.qualityQ6(
+            dedupById(batch.select("doc_id", "text"), "doc_id"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(deltaPath)
+        val pageRows: Seq[(Long, Long, Double, Long)] =
+          qRows.toSeq.flatMap { q =>
+            graft.operators.Retrieval.serveLtr(spark, table, path,
+                spark.createDataFrame(java.util.Arrays.asList(q), qSchema),
+                cfg, modelTable = modelTable, qualityDelta = deltaPath)
+              .collect()
+              .map(r => (q.getLong(0), r.getLong(0), r.getDouble(1),
+                r.getLong(2)))
+          }
+        import spark.implicits._
+        onPages(batchId,
+          pageRows.toDF("q_id", "doc_id", "ltr_score", "rank"))
+      }
+  }
+
   /** The ONE spelling of the hybrid dual append ([[streamingHybridIngest]]
     * and [[streamingServeEval]] share it — r13 review: two copies of
     * the dedup + both-leg append prologue would silently drift):

@@ -453,6 +453,64 @@ class RetrievalServeSpec extends SparkSpec {
     assert(got.values.flatten.toSeq === direct && direct.size === cfg.kOut)
   }
 
+  test("F32 streamingLtrServe: per-batch pages ≡ direct serveLtr, arrivals carry real q6") {
+    import spark.implicits._
+    // isolated artifacts on HALF the corpus: batches append the rest
+    val p = java.nio.file.Files.createTempDirectory("graft_sltr").toString
+    val halfD = docs.filter(col("doc_id") % 2 === 0)
+    val halfE = emb.filter(col("vec_id") % 2 === 0)
+    Retrieval.buildArtifacts(halfD, halfE, "sltr_bm25", p, nlist = 8)
+    TextAnalysis.writeQualityStats(halfD, "sltr_bm25", s"$p/quality")
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select("doc_id", "text", "embedding")
+      .as[(Long, String, Array[Float])].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Float])]
+    val input = stream.toDS().toDF("doc_id", "text", "embedding")
+    val got = scala.collection.mutable.Map[Long, Seq[Seq[Any]]]()
+    val writer = graft.streaming.EventStream.streamingLtrServe(
+      input, "sltr_bm25", p, query, cfg,
+      onPages = (id, pages) => got(id) =
+        pages.orderBy("q_id", "rank").collect().toSeq.map(_.toSeq))
+    val q = writer.start()
+    try {
+      stream.addData(arrivals.take(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+      stream.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet === Set(0L, 1L))
+    // each batch's page ≡ a direct serveLtr over the post-append
+    // artifacts + delta (batch 1's page reflects ALL appends)
+    val directRows = Retrieval.serveLtr(spark, "sltr_bm25", p, query, cfg,
+        qualityDelta = s"$p/quality_delta")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val direct: Seq[Seq[Any]] =
+      directRows.map { case (d, sc, rk) => Seq[Any](0L, d, sc, rk) }
+    assert(got(1L) === direct && direct.size === cfg.kOut)
+    // arrivals carry their REAL q6: every batch-appended doc on the
+    // final page scores strictly above the frozen-only spelling
+    // whenever its q6 is nonzero (a frozen-only lookup gives it 0)
+    val frozenOnly = Retrieval.serveLtr(spark, "sltr_bm25", p, query, cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val deltaQ6 = spark.read.parquet(s"$p/quality_delta")
+      .select(col("doc_id"), col("q6")).as[(Long, Long)].collect().toMap
+    val appendedOnPage = directRows.collect {
+      case (d, sc, _) if deltaQ6.getOrElse(d, 0L) > 0 => (d, sc)
+    }
+    assert(appendedOnPage.nonEmpty,
+      "spec needs at least one appended doc on the served page")
+    appendedOnPage.foreach { case (d, sc) =>
+      frozenOnly.get(d).foreach(f => assert(sc > f, s"doc $d q6 missing")) }
+    Seq("_df", "_meta", "_post", "_quality").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS sltr_bm25$sfx"))
+  }
+
   test("streaming serve: micro-batch pages ≡ direct serve calls, batch-isolated") {
     import spark.implicits._
     val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
