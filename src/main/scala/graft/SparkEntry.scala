@@ -394,6 +394,11 @@ object SparkEntry {
         Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    // C10: TPC-H Q15 flavor — revenue view + exact-decimal global
+    // max; ties all surface; winner list broadcast into the dim
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.q15TopSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
+
     "q14_promo_revenue" -> ((s, d) =>
       Relational.q14PromoRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
 
@@ -2413,6 +2418,21 @@ object SparkEntry {
          |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          |GROUP BY c_nationkey
          |ORDER BY c_nationkey""".stripMargin,
+
+    // C10 mirror: the same revenue view, max joined back in exact
+    // DECIMAL (who ties is a decimal equality, never a double)
+    "q15_top_supplier" ->
+      s"""WITH r AS (
+         |  SELECT l_suppkey, sum($EP * $DISC1) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+         |  GROUP BY 1),
+         |m AS (SELECT max(total_rev) AS max_rev FROM r)
+         |SELECT s.s_suppkey, s.s_name,
+         |       CAST(r.total_rev AS DOUBLE) AS total_rev
+         |FROM r JOIN m ON r.total_rev = m.max_rev
+         |       JOIN supplier s ON s.s_suppkey = r.l_suppkey""".stripMargin,
 
     "q14_promo_revenue" ->
       s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'

@@ -114,6 +114,33 @@ object Relational {
         .as("promo_revenue_pct"))
   }
 
+  /** C10: TPC-H Q15 flavor (top supplier) — the revenue-view +
+    * global-scalar-max pattern: per-supplier discounted revenue over
+    * one ship-date quarter, then the supplier(s) whose revenue EQUALS
+    * the corpus-wide maximum (ties ALL surface — the Q15 contract).
+    * The per-supplier aggregate is one partial-agg exchange over the
+    * date-pruned lineitem scan; the max is a one-row aggregate hash-
+    * JOINED back on the revenue value itself (an equi-join — cheaper
+    * than even the q22 scalar-cross shape), and the tiny winner list
+    * is the hinted broadcast side into the supplier dim (supplier
+    * scales with SF — never the build side). The equality compare
+    * stays in EXACT DECIMAL — engines cannot disagree on who ties;
+    * the single double cast happens at the output edge. */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    broadcast(rev.join(broadcast(mx), col("total_rev") === col("max_rev")))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
   /** C6: TPC-H Q18 flavor (large-volume customers) — orders whose
     * lineitem quantity sum clears a threshold, joined back to the
     * customer. The having-filtered aggregate runs FIRST (partial agg

@@ -198,6 +198,50 @@ class GridRelationalSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("C10 q15: winners are exactly the max-revenue suppliers, ties all surface, no BNLJ") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val out = Relational.q15TopSupplier(
+        Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir))
+      .select("s_suppkey", "total_rev").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    // driver-side parity: recompute per-supplier revenue in BigDecimal
+    // and check the winner set is exactly the argmax set
+    val rows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(6,4)") -
+            col("l_discount").cast("decimal(6,4)"))).as("r"))
+      .as[(Long, java.math.BigDecimal)].collect()
+    val bySupp = rows.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).reduce(_.add(_)) }
+    val mx = bySupp.values.max(Ordering.by((b: java.math.BigDecimal) => b))
+    val winners = bySupp.collect {
+      case (k, v) if v.compareTo(mx) == 0 => k }.toSet
+    assert(out.map(_._1).toSet === winners)
+    out.foreach { case (_, r) => assert(r === mx.doubleValue()) }
+    // a forced revenue tie surfaces BOTH suppliers (the Q15 contract)
+    val li = Seq(
+      (1L, java.sql.Timestamp.valueOf("1998-02-01 00:00:00"), 100.0, 0.0),
+      (2L, java.sql.Timestamp.valueOf("1998-02-02 00:00:00"), 50.0, 0.0),
+      (2L, java.sql.Timestamp.valueOf("1998-02-03 00:00:00"), 50.0, 0.0),
+      (3L, java.sql.Timestamp.valueOf("1998-02-04 00:00:00"), 10.0, 0.0)
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("s_suppkey", "s_name")
+    val tied = Relational.q15TopSupplier(sup, li)
+      .select("s_suppkey").as[Long].collect().toSet
+    assert(tied === Set(1L, 2L))
+    // plan: no BNLJ anywhere — the scalar max joins back as an
+    // equi-join on the revenue value
+    val plan = Relational.q15TopSupplier(
+        Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)
