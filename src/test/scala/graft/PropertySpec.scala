@@ -220,6 +220,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("E13 knnPagerank equals the reference recurrence on random graphs; mass never mints") {
+    import graft.operators.Similarity
+    val graphs = for {
+      n <- Gen.choose(3, 25)
+      nE <- Gen.choose(1, 60)
+      es <- Gen.listOfN(nE,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n.toLong, es.filter { case (a, b) => a != b }.distinct)
+    forAll(graphs) { case (n, edges) =>
+      if (edges.nonEmpty) {
+        val emb = (0L until n).map(i => (i, Array(1.0f, 0.0f)))
+          .toDF("vec_id", "embedding")
+        val g = edges.toDF("q_id", "n_id")
+        val got = Similarity.knnPagerank(emb, g, iters = 4)
+          .select(col("vec_id"),
+            round(col("pagerank") * 1e6).cast("long"))
+          .as[(Long, Long)].collect().toMap
+        // driver reference: same floor-division recurrence
+        val deg = edges.groupBy(_._1).map { case (s, e) => s -> e.size.toLong }
+        var r = (0L until n).map(_ -> 1000000L).toMap
+        for (_ <- 1 to 4) {
+          val acc = scala.collection.mutable
+            .Map[Long, Long]().withDefaultValue(0L)
+          edges.foreach { case (s, d) => acc(d) += r(s) / deg(s) }
+          r = (0L until n).map(v => v -> (150000L + 85L * acc(v) / 100L)).toMap
+        }
+        assert(got === r)
+        // dangling mass leaks, never mints: Σ pr6 ≤ n·1e6
+        assert(got.values.sum <= n * 1000000L)
+      }
+    }
+  }
+
+  test("F31 curriculum positions are a bijection onto 0..n-1 for random corpora") {
+    val corpora = for {
+      n <- Gen.choose(2, 40)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 500L)).map(_.distinct)
+      txts <- Gen.listOfN(n, Gen.oneOf("", "the a of and to in is",
+        "xyzzy 12345 !!!", "alpha beta gamma delta common words here"))
+    } yield ids.zip(txts)
+    forAll(corpora) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val out = Corpus.curriculum(df, nStages = 3)
+        .select("doc_id", "stage", "pos")
+        .as[(Long, Long, Long)].collect()
+      // one row per doc, positions dense 0..n-1, stages in range and
+      // monotone along the position order
+      assert(out.length === rows.length)
+      assert(out.map(_._3).sorted.toSeq === (0L until rows.length.toLong))
+      assert(out.forall { case (_, s, _) => s >= 0 && s <= 2 })
+      val byPos = out.sortBy(_._3).map(_._2)
+      assert(byPos.toSeq === byPos.sorted.toSeq)
+    }
+  }
+
+  test("F33 centralitySample keep set is monotone in the weight (random corpora)") {
+    val gens = for {
+      n <- Gen.choose(2, 40)
+      prs <- Gen.listOfN(n, Gen.choose(0L, 2000000L))
+    } yield prs.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    forAll(gens) { rows =>
+      val docs = rows.map { case (i, _) => (i, s"t$i") }.toDF("doc_id", "text")
+      val keep = Corpus.centralitySample(docs,
+          rows.toDF("vec_id", "pr6"))
+        .select("doc_id").as[Long].collect().toSet
+      // doubling every weight only ever ADDS docs (the coin is fixed
+      // per doc — keep is monotone in pr6)
+      val keep2 = Corpus.centralitySample(docs,
+          rows.map { case (i, p) => (i, math.min(p * 2, 4000000L)) }
+            .toDF("vec_id", "pr6"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(keep.subsetOf(keep2))
+      // pr6 ≥ 2^32/1e6 ulp short of certainty: weight ≥ 1e6 ⇒ kept
+      rows.foreach { case (i, p) =>
+        if (p >= 1000000L) assert(keep.contains(i), s"doc $i p=$p") }
+    }
+  }
+
   test("F21 mergePass equals a reference greedy scan on random symbol runs") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(in: List[String], l: String, r: String): List[String] = in match {
