@@ -399,6 +399,11 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) =>
       Relational.q15TopSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
 
+    // C11: TPC-H Q17 flavor — correlated per-part avg joined back,
+    // cross-multiplied exact-decimal compare, one double at the edge
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Relational.q17SmallQtyRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+
     "q14_promo_revenue" -> ((s, d) =>
       Relational.q14PromoRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
 
@@ -2418,6 +2423,19 @@ object SparkEntry {
          |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          |GROUP BY c_nationkey
          |ORDER BY c_nationkey""".stripMargin,
+
+    // C11 mirror: the same grouped-avg join-back with the identical
+    // cross-multiplied decimal predicate
+    "q17_small_qty_revenue" ->
+      s"""WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#19'),
+         |li AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+         |              CAST(l_extendedprice AS DECIMAL(12,2)) AS ep
+         |       FROM lineitem JOIN bp ON p_partkey = l_partkey),
+         |st AS (SELECT l_partkey AS k, sum(q) AS sum_qty, count(*) AS cnt
+         |       FROM li GROUP BY 1)
+         |SELECT CAST(sum(ep) AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM li JOIN st ON st.k = li.l_partkey
+         |WHERE q * 5 * cnt < sum_qty""".stripMargin,
 
     // C10 mirror: the same revenue view, max joined back in exact
     // DECIMAL (who ties is a decimal equality, never a double)

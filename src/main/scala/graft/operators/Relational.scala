@@ -141,6 +141,32 @@ object Relational {
         col("total_rev").cast("double").as("total_rev"))
   }
 
+  /** C11: TPC-H Q17 flavor (small-quantity-order revenue) — the
+    * correlated per-group-aggregate shape: lineitems of one brand's
+    * parts whose quantity sits below 20% of THAT part's average
+    * quantity, reported as avg_yearly = Σ extendedprice / 7. The
+    * per-part average is a grouped aggregate JOINED BACK (one partial
+    * agg + one equi-join — never a correlated re-scan per row), the
+    * brand dim broadcast-prunes lineitem before anything else, and
+    * the 0.2·avg comparison is CROSS-MULTIPLIED into exact decimals —
+    * 5·qty·cnt < Σqty — so no division (and no engine-dependent
+    * rounding) appears anywhere in the predicate (the q22 posture).
+    * The one double division happens on the final scalar. */
+  def q17SmallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+                         brand: String = "Brand#19"): DataFrame = {
+    val li = lineitem.join(broadcast(
+        part.filter(col("p_brand") === brand).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), dec2("l_quantity").as("q"),
+        dec2("l_extendedprice").as("ep"))
+    val stats = li.groupBy(col("l_partkey").as("s_partkey"))
+      .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(stats, col("l_partkey") === col("s_partkey"))
+      .filter(col("q") * lit(5).cast("decimal(2,0)") * col("cnt") <
+        col("sum_qty"))
+      .agg((sum(col("ep")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
   /** C6: TPC-H Q18 flavor (large-volume customers) — orders whose
     * lineitem quantity sum clears a threshold, joined back to the
     * customer. The having-filtered aggregate runs FIRST (partial agg

@@ -242,6 +242,33 @@ class GridRelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("C11 q17: qualifying set matches a driver BigDecimal reference, both branches live") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val got = Relational.q17SmallQtyRevenue(
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+      .as[Double].head()
+    // driver-side reference: exact BigDecimal per-part stats and the
+    // same cross-multiplied predicate
+    val brandParts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#19")
+      .select("p_partkey").as[Long].collect().toSet
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(12,2)"),
+        col("l_extendedprice").cast("decimal(12,2)"))
+      .as[(Long, java.math.BigDecimal, java.math.BigDecimal)].collect()
+      .filter(r => brandParts.contains(r._1))
+    val byPart = rows.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.map(_._2).reduce(_.add(_)), xs.length.toLong)) }
+    val qual = rows.filter { case (k, q, _) =>
+      val (sq, c) = byPart(k)
+      q.multiply(java.math.BigDecimal.valueOf(5 * c)).compareTo(sq) < 0 }
+    assert(qual.nonEmpty && qual.length < rows.length) // both branches
+    val want = qual.map(_._3).reduce(_.add(_)).doubleValue() / 7.0
+    assert(got === want)
+  }
+
   test("C1 q1 on sf0.001 matches aggregate invariants") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.q1PricingSummary(li)
