@@ -593,6 +593,11 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))),
 
+    // D16: duplication PROFILE — the D8 cluster-size histogram (the
+    // "how duplicated is my corpus" audit), singleton mass included
+    "dedup_profile" -> ((s, d) =>
+      Dedup.dedupProfile(docs(s, d), Dedup.ngramJaccard(docs(s, d), 0.2))),
+
     // D11: verbatim token-run duplicates (ExactSubstr via winnowing);
     // guarantee: every shared run of ≥ k+w−1 = 23 tokens is caught
     "dedup_substring" -> ((s, d) =>
@@ -1898,6 +1903,44 @@ object SparkEntry {
        |    0.2 * (1.0 - digit_chars / n_chars_c) +
        |    0.2 * (1.0 - punct_chars / n_chars_c)
        |  ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS q6 FROM qb)""".stripMargin
+
+  /** The D8 transitive-closure labeling as a CTE chain ending in
+    * `lab (doc_id, cluster_id, cluster_size)` — ONE spelling shared
+    * by the dedup_cluster and dedup_profile mirrors (the
+    * bm25Ctes/pagerankCtes rationale). Callers prepend
+    * `WITH RECURSIVE`. */
+  private def clusterLabCtes: String =
+    s"""toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |         FROM walk GROUP BY 1),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |         CASE WHEN c.cluster_id IS NULL THEN 1
+       |              ELSE count(*) OVER (PARTITION BY c.cluster_id) END
+       |           AS cluster_size
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)""".stripMargin
 
   private def pagerankCtes(k: Int, iters: Int,
                            dampN: Long, dampD: Long): String = {
@@ -3272,36 +3315,17 @@ object SparkEntry {
     // reachability — DuckDB's WITH RECURSIVE plays the role of the
     // Spark side's propagation loop
     "dedup_cluster" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
-         |  FROM toks),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE inter / (sa.n + sb.n - inter) >= 0.2),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |walk(node, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-         |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-         |         FROM walk GROUP BY 1)
-         |SELECT d.doc_id,
-         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-         |       CASE WHEN c.cluster_id IS NULL THEN 1
-         |            ELSE count(*) OVER (PARTITION BY c.cluster_id) END
-         |         AS cluster_size
-         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterLabCtes
+         |SELECT doc_id, cluster_id, cluster_size FROM lab""".stripMargin,
+
+    // D16 mirror: the SAME D8 closure (shared clusterLabCtes — the
+    // two cannot drift) collapsed to the cluster-size histogram
+    "dedup_profile" ->
+      s"""WITH RECURSIVE $clusterLabCtes
+         |SELECT cluster_size,
+         |       count(DISTINCT cluster_id) AS n_clusters,
+         |       count(*) AS n_docs
+         |FROM lab GROUP BY 1""".stripMargin,
 
     // zero-norm rows are excluded on BOTH sides (list_dot_product of a
     // zero vector with itself is 0 → 0/0 cosine is NaN, which both

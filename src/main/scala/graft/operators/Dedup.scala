@@ -1545,6 +1545,22 @@ object Dedup {
     (out, pinned)
   }
 
+  /** D16: corpus DUPLICATION PROFILE — the D8 labeling collapsed to
+    * the cluster-size histogram `(cluster_size, n_clusters, n_docs)`:
+    * the "how duplicated is this corpus" audit a prep run publishes
+    * before choosing its dedup budget (singleton mass rides as the
+    * cluster_size = 1 row, so Σ n_docs is the corpus and the dedup
+    * ratio 1 − Σn_clusters/Σn_docs falls straight out). Scale shape
+    * beyond [[clusters]] itself: one partial-agg distinct on
+    * (cluster_size, cluster_id) + one tiny-key groupBy — nothing
+    * corpus-sized is new. Fully oracled via the shared D8 closure
+    * CTEs. */
+  def dedupProfile(docs: DataFrame, pairs: DataFrame): DataFrame =
+    clusters(docs, pairs)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
                saltBuckets: Int = 1): DataFrame = {
     val (edges, edgePins) = checkpointPinned(

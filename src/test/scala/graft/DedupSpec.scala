@@ -289,6 +289,19 @@ class DedupSpec extends SparkSpec {
       5L -> (5L, 2L), 6L -> (5L, 2L)))
   }
 
+  test("D16 dedupProfile: cluster-size histogram with singleton mass, totals conserve") {
+    // {1,2,3} one 3-cluster, {5,6} one 2-cluster, {4} a singleton
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupProfile(ds, pairs)
+      .select("cluster_size", "n_clusters", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 1L, 1L)))
+    // Σ n_docs = corpus; dedup ratio falls out: 1 − 3/6
+    assert(out.toSeq.map(_._3).sum === 6L)
+    assert(out.toSeq.map(_._2).sum === 3L)
+  }
+
   test("D8 clusters merges a long chain past several propagation rounds") {
     // a path graph 1-2-…-9: min label needs 8 hops to reach the end
     val n = 9L
