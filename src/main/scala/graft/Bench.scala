@@ -103,7 +103,7 @@ object Bench {
       // the whole bench run outside the per-entry handler
       val isoReps = sys.env.get("SPARK_GRAFT_ISO_REPS")
         .flatMap(_.toIntOption).getOrElse(7).max(3)
-      names.flatMap { name =>
+      val entryIso = names.flatMap { name =>
         SparkEntry.queries.get(name).flatMap { fn =>
           try {
             val times = (1 to isoReps).map { _ =>
@@ -117,6 +117,12 @@ object Bench {
           }
         }
       }.toMap
+      // pipeline_e2e joined r14 (r13 verdict #5): its rfields stage
+      // read 2.33→3.86 s across rounds and the variance-band claim
+      // needs a MEASURED isolated median, not an inference — the
+      // sub-phase medians ride along for attribution (a fresh
+      // synthetic run dir per block, same as the headline number)
+      entryIso ++ benchPipeline(spark, isoReps)
     }
     clearCaches()
     // median over the reps that SUCCEEDED; a query that failed every
@@ -260,9 +266,10 @@ object Bench {
       // this is the serve-only attribution dual, the idx_ivf_serve_auto
       // pattern)
       val fidxPath = java.nio.file.Files.createTempDirectory("graft_bench_fidx").toString
-      // the LANDED kNN graph (r13): ann_graph_topk's catalog number
-      // pays the knnGraphAnn build per rep — this is its serve-only
-      // attribution dual (graph written once, beam search reads it)
+      // the LANDED graph index (r13, upgraded r14): ann_graph_topk's
+      // catalog number pays the knnGraphAnn build per rep — this is
+      // its serve-only attribution dual, now from the full durable
+      // artifact (writeGraphIndex: pruned adjacency + ledger)
       val gPath = java.nio.file.Files.createTempDirectory("graft_bench_graph").toString
       try {
         S.writeIvfIndex(emb, ivfPath, nlist = 16)
@@ -318,19 +325,48 @@ object Bench {
         def servPage() = graft.operators.Retrieval.serve(spark,
           "bench_rsrv_bm25", rsrvPath,
           Tables.embeddings(spark, sfDir), rsrvQ, rsrvCfg)
-        S.knnGraphAnn(emb, 5).select("q_id", "n_id")
-          .write.mode("overwrite").parquet(s"$gPath/graph")
-        def servGraph() = S.graphTopK(emb,
-          spark.read.parquet(s"$gPath/graph"), SparkEntry.annIsQuery, 5)
+        // the DURABLE graph index (r14, closes r13 verdict #1): the
+        // full artifact land — pb-partitioned adjacency CARRYING its
+        // endpoint vectors, the vec/ point-lookup twin, frozen entry,
+        // commit ledger — and a serve that reads ONLY those artifacts
+        // (each hop = one pruned adjacency scan, never a corpus probe)
+        S.writeGraphIndex(emb, s"$gPath/gidx", k = 5)
+        // graph pruning audit, the IVF audit's dual: a one-node hop
+        // scan must read strictly fewer adj files than the index
+        // holds (skipped when ≤ 1 pb partition is populated)
+        val gAdj = spark.read.parquet(s"$gPath/gidx/adj")
+        val gEntry = spark.read.parquet(s"$gPath/gidx/meta")
+          .head().getAs[Long]("entry")
+        val gPopulated = gAdj.select("pb").distinct().count()
+        val gTotal = gAdj.inputFiles.length
+        val gRead = S.graphHopFiles(spark, s"$gPath/gidx", Seq(gEntry))
+        if (!(gRead.nonEmpty && (gPopulated <= 1 || gRead.length < gTotal)))
+          throw new PruningRegression(
+            s"graph serve did not prune: one-node hop read ${gRead.length} " +
+              s"of $gTotal adj files ($gPopulated pb partitions populated)")
+        System.err.println(
+          s"[bench] graph pruning audit: 1-node hop reads ${gRead.length}/$gTotal " +
+            s"adj files across $gPopulated populated pb partitions")
+        def servGraph() = S.graphTopKFromIndex(spark, s"$gPath/gidx",
+          queries, 5)
+        // the serve-only LTR dual (r13 verdict #6): the trained
+        // two-stage stack's standing per-page cost, from artifacts
+        // only — quality stats land next to the bm25/ivf pair
+        graft.operators.TextAnalysis.writeQualityStats(docs,
+          "bench_rsrv_bm25", s"$rsrvPath/quality")
+        def servLtr() = graft.operators.Retrieval.serveLtr(spark,
+          "bench_rsrv_bm25", rsrvPath, rsrvQ, rsrvCfg)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
         timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
-        timeNoop(() => servFiltered())
+        timeNoop(() => servFiltered()); timeNoop(() => servGraph())
+        timeNoop(() => servLtr())
         Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
           "idx_filtered_serve" -> median((1 to reps).map(_ => timeNoop(() => servFiltered()))),
           "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))),
+          "idx_ltr_serve" -> median((1 to reps).map(_ => timeNoop(() => servLtr()))),
           "idx_graph_serve" -> median((1 to reps).map(_ => timeNoop(() => servGraph()))))
       } finally {
         import org.apache.hadoop.fs.Path

@@ -28,7 +28,9 @@ import graft.sinks.ShardSink
   *      over a deterministic sample (r12, see [[run]]);
   *   6. (`evalQueries`) `<out>/eval/` — the retrieval-quality
   *      self-audit over the landed index (r13, the F30 dual of the
-  *      dedup audit, see [[run]]).
+  *      dedup audit, see [[run]]);
+  *   7. (`profile`) `<out>/profile/` — the D16 duplication profile
+  *      of the corpus entering near-dedup (r14, see [[run]]).
   *
   * Everything here is composition of catalog operators (each oracled
   * or spec'd on its own); this object only sequences them, times the
@@ -49,7 +51,9 @@ object CorpusPrepJob {
       audit: Option[(Long, Long, Long, Double, Double, Double)] = None,
       auditSec: Double = 0.0,
       serveEval: Option[(Long, Double)] = None,
-      evalSec: Double = 0.0)
+      evalSec: Double = 0.0,
+      profile: Option[(Long, Double)] = None,
+      profileSec: Double = 0.0)
 
   /** Run the prep against `docsDir`'s documents table, artifacts under
     * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
@@ -94,20 +98,24 @@ object CorpusPrepJob {
           budgetTokens: Int = 2048, buildIndex: Boolean = false,
           auditFrac: Double = 0.0, evalQueries: Int = 0,
           evalK: Int = 10, evalNprobe: Int = 4,
-          curriculumStages: Int = 0): PrepResult = {
+          curriculumStages: Int = 0, profile: Boolean = false): PrepResult = {
     require(evalQueries <= 0 || buildIndex,
       "evalQueries needs buildIndex — the retrieval audit judges the landed index")
     val docs = Tables.documents(spark, docsDir)
     val isBench = col("doc_id") % 97 === 0
+    // the near-dup stage's ONE parameterization — shared with the
+    // profile artifact below, so the published histogram describes
+    // exactly the duplication the funnel's dedup will collapse
+    val (dedupTau, dedupMaxDf) = (0.5, 10000L)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val ((ledger, clean), funnelSec) = timed {
+    val ((ledger, clean, nearIn), funnelSec) = timed {
       val stages = Corpus.funnelStages(docs, isBench, blocklist,
-        keepLang, minQuality, "lang", budgetTokens, tau = 0.5,
-        maxDf = 10000L, minShared = 3)
+        keepLang, minQuality, "lang", budgetTokens, tau = dedupTau,
+        maxDf = dedupMaxDf, minShared = 3)
       // ledger over the doc-count stages (pack is phase 3's artifact)
       val led = stages.init.zipWithIndex.map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"))
@@ -118,7 +126,8 @@ object CorpusPrepJob {
       val ledgerRows = spark.read.parquet(s"$outDir/ledger")
         .orderBy("stage_idx").collect()
         .map(r => (r.getString(1), r.getLong(2))).toSeq
-      (ledgerRows, stages.collectFirst { case ("decontam", df) => df }.get)
+      (ledgerRows, stages.collectFirst { case ("decontam", df) => df }.get,
+        stages.collectFirst { case ("exact_dedup", df) => df }.get)
     }
     val (shardRep, shardSec) = timed {
       ShardSink.writeShards(clean, s"$outDir/shards", nShards,
@@ -198,15 +207,37 @@ object CorpusPrepJob {
         Some((rows.length.toLong,
           rows.map(_.getAs[Double]("recall")).sum / rows.length))
       }
+    val (profileRows, profileSec) =
+      if (!profile) (None, 0.0)
+      else timed {
+        // the SEVENTH artifact (r14, VERDICT r13 #3): the D16
+        // duplication profile of the corpus ENTERING near-dedup
+        // (exact-dedup survivors), under the near-dup stage's own
+        // τ/df-cap — the cluster-size histogram a prep run publishes
+        // before choosing its dedup budget. The pair frame is
+        // re-derived here with the funnel's exact spelling (it is
+        // not cached — the audit runs opt-in, next to the funnel's
+        // one shingle pass)
+        graft.operators.Dedup.dedupProfile(nearIn,
+            graft.operators.Dedup.ngramJaccard(nearIn, dedupTau,
+              maxDf = dedupMaxDf))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/profile")
+        val rows = spark.read.parquet(s"$outDir/profile").collect()
+        val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+        val nClusters = rows.map(_.getAs[Long]("n_clusters")).sum
+        // 1 − Σclusters/Σdocs — the dedup ratio the scaladoc pins
+        Some((rows.length.toLong,
+          if (nDocs == 0L) 0.0 else 1.0 - nClusters.toDouble / nDocs))
+      }
     // the audit pins Dedup's slot caches (gram/signature tables,
     // sample-sized) — release them with the Corpus ones so a
     // long-lived session doing repeated preps doesn't hold them
-    if (auditFrac > 0.0) graft.operators.Dedup.releaseCaches()
+    if (auditFrac > 0.0 || profile) graft.operators.Dedup.releaseCaches()
     Corpus.releaseCaches()
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,
       funnelSec, shardSec, manifestSec, indexSec, audit, auditSec,
-      serveEval, evalSec)
+      serveEval, evalSec, profileRows, profileSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -217,7 +248,10 @@ object CorpusPrepJob {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     try {
       val r = run(spark, docsDir, outDir, nShards, buildIndex = true,
-        auditFrac = 0.25, evalQueries = 8)
+        auditFrac = 0.25, evalQueries = 8, profile = true)
+      r.profile.foreach { case (nBands, ratio) =>
+        println(f"[prep] profile: $nBands%d cluster-size bands, " +
+          f"dup ratio $ratio%.6f") }
       r.audit.foreach { case (tp, fp, fn, prec, rec, f1) =>
         println(f"[prep] audit: tp=$tp fp=$fp fn=$fn " +
           f"prec=$prec%.6f rec=$rec%.6f f1=$f1%.6f") }
@@ -241,6 +275,9 @@ object CorpusPrepJob {
         s""","eval_sec":${Jsons.num(r.evalSec, 3)}""" +
         r.serveEval.fold("")(e =>
           s""","eval_recall":${Jsons.num(e._2, 6)}""") +
+        s""","profile_sec":${Jsons.num(r.profileSec, 3)}""" +
+        r.profile.fold("")(p =>
+          s""","dup_ratio":${Jsons.num(p._2, 6)}""") +
         s""","out":"$outDir"}""")
     } finally spark.stop()
   }

@@ -433,6 +433,22 @@ object SparkEntry {
       Relational.q18LargeOrders(
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), 140)),
 
+    // C12 (r14): TPC-H Q13 shape — LEFT OUTER join (zero-order
+    // customers keep their row and land in the c_count = 0 bucket)
+    // + two-level aggregate; the priority NOT-LIKE is applied below
+    // the outer join, so discounted orders never shuffle
+    "q13_order_distribution" -> ((s, d) =>
+      Relational.q13OrderDistribution(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
+    // C13 (r14): TPC-H Q20 shape — the nested SEMI-JOIN chain (part
+    // name filter ⋉ fact aggregate ⋉ supplier ⋉ nation), exact
+    // decimal quantity threshold
+    "q20_potential_promotion" -> ((s, d) =>
+      Relational.q20PotentialPromotion(
+        Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), Tables.lineitem(s, d))),
+
     "ts_cumsum" -> ((s, d) =>
       Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -710,6 +726,20 @@ object SparkEntry {
     "ann_graph_topk" -> ((s, d) =>
       Similarity.graphTopK(emb(s, d),
         Similarity.knnGraphAnn(emb(s, d), 5), annIsQuery, 5)),
+
+    // E14b (r14): the SAME beam serve from the LANDED graph-index
+    // artifacts — adjacency rows carry their endpoint vectors, so a
+    // hop's vector read IS the pb-pruned adjacency scan (never a
+    // corpus-table probe; the r13 `weak`, closed). The entry pays
+    // the index WRITE too — an honest build+serve cost (the
+    // ann_ivf_filtered_indexed posture); idx_graph_serve is the
+    // serve-only bench dual
+    "ann_graph_topk_indexed" -> ((s, d) => {
+      val path = tempIndexDir("graft_gidx")
+      Similarity.writeGraphIndex(emb(s, d), path, k = 5)
+      Similarity.graphTopKFromIndex(s, path,
+        emb(s, d).filter(annIsQuery).select("vec_id", "embedding"), 5)
+    }),
 
     // E7: JL sign random projection 64→16 — per-row scan-fused
     // expression, driver-computed ±1 literal matrix; fully oracled
@@ -1065,6 +1095,16 @@ object SparkEntry {
         Similarity.knnPagerank6(emb(s, d),
           Similarity.knnGraph(emb(s, d), 5)))),
 
+    // F33b (r14): the DEPLOY composition — the identical coin-vs-pr6
+    // keep rule over the trained-list ANN graph's pagerank (the E13b
+    // graph; rows-only, kept-set agreement floor vs the exact flavor
+    // — recallKeyCols joins on doc_id alone, since the two graphs'
+    // pagerank VALUES differ by construction)
+    "corpus_centrality_sample_ann" -> ((s, d) =>
+      Corpus.centralitySample(docs(s, d),
+        Similarity.knnPagerank6(emb(s, d),
+          Similarity.knnGraphAnn(emb(s, d), 5)))),
+
     // F18: overlapping token-window chunking (32-token windows,
     // 8-token overlap — small enough that verify docs multi-chunk)
     "corpus_chunk" -> ((s, d) =>
@@ -1286,6 +1326,9 @@ object SparkEntry {
         // E14: the beam search reaches ≥ k candidates per query at
         // the verify corpora (the undirected graph is connected there)
         "ann_graph_topk"          -> topk,
+        // E14b: identical beam semantics from the landed index — the
+        // same ≥ k argument holds (spec-pinned ≡ the in-memory serve)
+        "ann_graph_topk_indexed"  -> topk,
         // E12b: widened probing is exhaustive at the verify corpora
         // and every label stratum holds ≥ k members — exactly k rows
         // per query
@@ -1329,6 +1372,15 @@ object SparkEntry {
     * lsh .62, multiprobe .96, pq .72, residual .46, semantic .786,
     * embedding-lsh 1.00), so a drop WITHOUT a dataset regeneration is
     * a real regression and the floors are the tripwire. */
+  /** Recall joins default to the exact baseline's leading TWO
+    * columns (the (id, id) edge/pair convention); entries here
+    * override the key WIDTH. F33b's agreement is over the kept doc
+    * SET — its second column is a pagerank VALUE that differs
+    * between the exact and ANN graphs by construction, so joining on
+    * it would read a correct kept set as ~0 recall. */
+  def recallKeyCols: Map[String, Int] = Map(
+    "corpus_centrality_sample_ann" -> 1)
+
   def recallChecks: Map[String, (String, Double)] = Map(
     "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
@@ -1379,6 +1431,16 @@ object SparkEntry {
     // isotropic verify corpora — 64 reaches .96/.94, hops saturate at
     // 6 — E14 sweep, PERF.md r13). Floor 0.9× the smaller measured
     "ann_graph_topk"          -> (("ann_bruteforce_topk", 0.72)),
+    // E14b: the landed-index serve is spec-pinned IDENTICAL to the
+    // in-memory E14 on the same graph, so its measured recall is the
+    // E14 number by construction; same floor
+    "ann_graph_topk_indexed"  -> (("ann_bruteforce_topk", 0.72)),
+    // F33b: kept-SET agreement vs the exact flavor, joined on doc_id
+    // alone (recallKeyCols = 1 — the two graphs' pagerank values
+    // differ by construction). Measured 0.971/0.983 at
+    // sf0.001/sf0.01 (the ANN graph's pagerank ranks the coin-cut
+    // band nearly identically); floor 0.9× the smaller measured
+    "corpus_centrality_sample_ann" -> (("corpus_centrality_sample", 0.87)),
     // E12b: the widened probe is exhaustive at the verify corpora
     // (probeN = nlist), so measured recall is 1.0 by construction;
     // floor 0.9 per the convention (a dataset regen that breaks the
@@ -2466,6 +2528,39 @@ object SparkEntry {
          |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          |GROUP BY c_nationkey
          |ORDER BY c_nationkey""".stripMargin,
+
+    // C12 mirror: the same below-the-join NOT LIKE + LEFT OUTER +
+    // count-of-counts (count(o_orderkey) skips null-extended rows in
+    // both engines, so zero-order customers land in the 0 bucket)
+    "q13_order_distribution" ->
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+         |      FROM customer LEFT OUTER JOIN orders
+         |        ON c_custkey = o_custkey
+         |       AND o_orderpriority NOT LIKE '%I%'
+         |      GROUP BY c_custkey)
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // C13 mirror: the same semi-join chain as correlated EXISTS/IN —
+    // the decimal sum + decimal literal compare on both sides
+    "q20_potential_promotion" ->
+      s"""SELECT s_name, s_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_3','NATION_7','NATION_11',
+         |                 'NATION_19','NATION_22')
+         |  AND EXISTS (
+         |    SELECT 1 FROM (
+         |      SELECT l_suppkey,
+         |             sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+         |      FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_partkey IN (SELECT p_partkey FROM part
+         |                          WHERE p_name LIKE '%widget%')
+         |      GROUP BY l_suppkey, l_partkey) t
+         |    WHERE t.l_suppkey = s_suppkey
+         |      AND t.q > CAST(30 AS DECIMAL(12,2)))
+         |ORDER BY s_name""".stripMargin,
 
     // C11 mirror: the same grouped-avg join-back with the identical
     // cross-multiplied decimal predicate

@@ -73,7 +73,11 @@ object Verify {
       // missing/unreadable approx output must be None (gate failure),
       // never a free 1.0 because the baseline happened to be empty
       val a = spark.read.parquet(s"$outDir/$approx")
-      val keys = e.columns.take(2).toSeq
+      // key width defaults to the (id, id) pair convention; entries
+      // whose agreement is keyed by a single id (a kept SET, not an
+      // edge set) declare it in recallKeyCols
+      val keys = e.columns
+        .take(SparkEntry.recallKeyCols.getOrElse(approx, 2)).toSeq
       val nExact = e.count()
       if (nExact == 0L) Some(1.0)
       else {

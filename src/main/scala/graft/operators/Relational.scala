@@ -316,6 +316,77 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** C12 (r14): customer order-count distribution — the TPC-H Q13
+    * shape (the one classic plan the block lacked: LEFT OUTER join +
+    * two-level aggregate), adapted to this schema's columns: orders
+    * whose priority matches `excludeLike` are discounted BEFORE the
+    * join (the o_comment NOT-LIKE of the original — pushed below the
+    * outer join, so discounted rows never shuffle), customers keep
+    * their row through the LEFT OUTER even with zero qualifying
+    * orders (count(o_orderkey) ignores the null-extended side — the
+    * zero bucket is REAL rows, visibly in the histogram), then the
+    * count-of-counts.
+    *
+    * Plan: filter + 2-column prune reach the orders scan; both sides
+    * shuffle once on custkey (no broadcast — customer is fact-sized
+    * at scale); level-2 groups on ≤ max-orders-per-customer keys.
+    * Exact by construction — two integer counts. */
+  def q13OrderDistribution(customer: DataFrame, orders: DataFrame,
+                           excludeLike: String = "%I%"): DataFrame = {
+    val kept = orders.filter(!col("o_orderpriority").like(excludeLike))
+      .select(col("o_custkey"), col("o_orderkey"))
+    customer.select(col("c_custkey"))
+      .join(kept, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** C13 (r14): potential-promotion suppliers — the TPC-H Q20 shape
+    * (the nested SEMI-JOIN chain), adapted to this schema (no
+    * partsupp: availability is re-read as "shipped heavily"):
+    * suppliers from the named nations who, since `cutoff`, shipped
+    * some name-filtered part with a per-(supplier, part) total
+    * quantity above `minQty`. Three nested quantifiers, each a
+    * LeftSemi equi-join — part filter semi-joins INTO the fact scan
+    * (broadcast — the name filter prunes parts before lineitem
+    * shuffles), the per-pair aggregate's qualifying supplier set
+    * semi-joins into supplier, the nation dim broadcasts. No
+    * NOT-EXISTS leg, no BNLJ anywhere.
+    *
+    * Exactness: the quantity total is an exact DECIMAL sum compared
+    * against a DECIMAL literal — no double anywhere in the
+    * predicate; output columns are raw dim values. */
+  def q20PotentialPromotion(nation: DataFrame, supplier: DataFrame,
+                            part: DataFrame, lineitem: DataFrame,
+                            namePattern: String = "%widget%",
+                            cutoff: String = "1996-01-01",
+                            minQty: Long = 30L,
+                            nations: Seq[String] = Seq(
+                              "NATION_3", "NATION_7", "NATION_11",
+                              "NATION_19", "NATION_22")): DataFrame = {
+    val pk = part.filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"))
+    val heavy = lineitem
+      .filter(col("l_shipdate") >= lit(cutoff).cast("timestamp"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2("l_quantity")).as("q"))
+      .filter(col("q") > lit(minQty).cast("decimal(12,2)"))
+      .select(col("l_suppkey")).distinct()
+    val n1 = nation.filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"))
+    supplier
+      .join(broadcast(n1), col("s_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

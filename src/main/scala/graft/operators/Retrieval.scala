@@ -386,7 +386,7 @@ object Retrieval {
         .toDF("doc_id", "ltr_score", "rank")
     val qBase = spark.table(s"${table}_quality")
       .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("q6"))
+      .select(col("doc_id"), col("q6"), lit(-1L).as("ib"))
     val qAll =
       if (qualityDelta.isEmpty) qBase
       else {
@@ -395,10 +395,19 @@ object Retrieval {
           qBase
         else qBase.unionByName(spark.read.parquet(qualityDelta)
           .filter(col("doc_id").isin(ids: _*))
-          .select(col("doc_id"), col("q6")))
+          .select(col("doc_id"), col("q6"),
+            col("ingest_batch").cast("long").as("ib")))
       }
+    // DETERMINISTIC fold, not last-wins over an unordered collect
+    // (r13 ADVICE): when base and deltas both carry a doc — e.g. a
+    // re-ingested doc whose text (and so q6) changed — the LATEST
+    // ingest batch's value wins, ties on the larger q6 (a replayed
+    // batch can only hold one q6 per doc, so the tiebreak is for
+    // defense, not a real ordering)
     val q6 = qAll.collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (d, rs) => d -> rs.maxBy(r => (r._3, r._2))._2 }
     val qRows = queryVec.limit(2)
       .select(toDoubleVec(col("embedding")).as("q_v"))
       .withColumn("q_n2", norm2(col("q_v"))).collect()

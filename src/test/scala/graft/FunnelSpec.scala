@@ -58,6 +58,35 @@ class FunnelSpec extends SparkSpec {
     assert(r2.audit === r3.audit)
   }
 
+  test("CorpusPrepJob profile: the D16 duplication profile lands as the seventh artifact ≡ the direct call (r13 verdict #3)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cppr").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 2, profile = true)
+    val landed = spark.read.parquet(s"$out/profile")
+      .orderBy("cluster_size").collect().toSeq.map(_.toSeq)
+    // re-derive the near-dedup INPUT (exact-dedup survivors) with the
+    // run's own funnel spelling, and profile it directly under the
+    // run's own τ/df-cap — the landed artifact must be THAT histogram
+    val stages = Corpus.funnelStages(Tables.documents(spark, sfDir),
+      col("doc_id") % 97 === 0, Seq("spam"), "en", 0.45, "lang", 2048,
+      tau = 0.5, maxDf = 10000L, minShared = 3)
+    val nearIn = stages.collectFirst { case ("exact_dedup", df) => df }.get
+    val direct = Dedup.dedupProfile(nearIn,
+        Dedup.ngramJaccard(nearIn, 0.5, maxDf = 10000L))
+      .orderBy("cluster_size").collect().toSeq.map(_.toSeq)
+    assert(landed === direct && landed.nonEmpty)
+    // the JSON-line report field: band count and the 1 − Σcl/Σdocs
+    // dedup ratio both re-derive from the landed artifact
+    val (bands, ratio) = r.profile.get
+    assert(bands === landed.size.toLong)
+    val nDocs = landed.map(_(2).asInstanceOf[Long]).sum
+    val nCl = landed.map(_(1).asInstanceOf[Long]).sum
+    assert(math.abs(ratio - (1.0 - nCl.toDouble / nDocs)) < 1e-12)
+    // singleton mass rides as cluster_size = 1, so the histogram
+    // totals the near-dedup input corpus
+    assert(nDocs === r.ledger.collectFirst {
+      case ("exact_dedup", n) => n }.get)
+  }
+
   test("CorpusPrepJob buildIndex: the landed serve index answers only from the clean corpus") {
     val out = java.nio.file.Files.createTempDirectory("graft_cpi").toString
     val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 4,

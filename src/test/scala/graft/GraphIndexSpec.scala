@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** E14 durable graph-serve index (r14, closes r13 VERDICT #1): the
+  * landed serve ≡ the in-memory beam search, the per-hop read is
+  * plan-proved O(frontier·deg) (partition-pruned, never a corpus
+  * probe), and the append/commit/compaction discipline matches the
+  * IVF/BM25 artifacts.
+  */
+class GraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_gidx_spec").toString
+
+  /** Deterministic PSEUDO-RANDOM synthetic corpus (hash-mixed dims,
+    * not a smooth curve: a smooth fixture builds a chain-shaped k-NN
+    * graph where removing one vertex — the beam search never expands
+    * THROUGH the query itself — disconnects its best neighbors, and
+    * the exhaustive-≡-brute-force argument below needs the graph to
+    * survive single-vertex removal). Deterministic, so reruns are
+    * bit-identical. */
+  private def mix64(x0: Long): Long = {
+    // splitmix64 — a real mixer: an LCG-style product-mod fixture
+    // leaves lattice structure that disconnects the k-NN graph
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def synth(n: Int, dim: Int = 8): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(dim) { j =>
+          (java.lang.Math.floorMod(mix64(i * 31L + j), 4096L) / 4096.0f
+            - 0.5f)
+        },
+        "c")
+    }.toDF("vec_id", "embedding", "label")
+
+  test("E14b serve-from-index ≡ in-memory graphTopK on the same graph (real corpus)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = Similarity.knnGraphAnn(emb, 5)
+    val inMem = Similarity.graphTopK(emb, g, SparkEntry.annIsQuery, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5, graph = Some(g))
+    val served = Similarity.graphTopKFromIndex(spark, path,
+        emb.filter(SparkEntry.annIsQuery).select("vec_id", "embedding"), 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(served === inMem && served.nonEmpty)
+  }
+
+  test("hop scan is pruned: O(frontier·deg) rows, partition filter on pb, fewer files than the index holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5)
+    val adj = spark.read.parquet(s"$path/adj")
+    val nodes = adj.select(col("src")).distinct()
+      .orderBy("src").limit(3).as[Long].collect().toSeq
+    val scan = Similarity.graphPointScan(spark, path, "adj", "src", "pb",
+      64, nodes, None)
+    // exactly the frontier nodes' adjacency rows — the O(frontier·deg)
+    // claim, counted
+    val want = adj.filter(col("src").isin(nodes: _*)).count()
+    assert(scan.count() === want && want > 0)
+    // the filter reaches the scan as a PARTITION filter on pb (the
+    // foldable-literal prune), not a post-scan residual only
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"pb partition filter missing from plan:\n$plan")
+    // and the scan READS strictly fewer files than the index holds
+    val read = scan.select(input_file_name()).distinct().count()
+    assert(read < adj.inputFiles.length,
+      s"pruned scan read $read of ${adj.inputFiles.length} adj files")
+    // the empty frontier reads nothing (and plans no scan error)
+    assert(Similarity.graphPointScan(spark, path, "adj", "src", "pb",
+      64, Nil, None).count() === 0L)
+  }
+
+  test("append ≡ rebuild ≡ brute force at exhaustive config; commit gating; replay idempotence") {
+    val all = synth(48)
+    val base = all.filter(col("vec_id") < 40)
+    val batch = all.filter(col("vec_id") >= 40)
+    val path = freshDir()
+    Similarity.writeGraphIndex(base, path, k = 6)
+    Similarity.appendToGraphIndex(batch, path, ingestBatch = 7L)
+    val isQ = col("vec_id") % 9 === 0
+    val queries = all.filter(isQ).select("vec_id", "embedding")
+    def serveEx(p: String) = Similarity.graphTopKFromIndex(spark, p,
+        queries, 6, beam = 64, hops = 16)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val appended = serveEx(path)
+    // exhaustive config (beam ≥ n, hops ≥ diameter) over a connected
+    // graph reaches every node, so the appended index must agree with
+    // exact brute force over the UNION corpus…
+    val brute = Similarity.bruteForceTopK(all, isQ, 6)
+      .select(col("q_id"), col("n_id"), col("cos_sim"),
+        col("rank").cast("bigint").as("rank")) // int window rank vs E14's long
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(appended === brute && appended.nonEmpty)
+    // …and with a full rebuild over the union
+    val rebuilt = freshDir()
+    Similarity.writeGraphIndex(all, rebuilt, k = 6)
+    assert(serveEx(rebuilt) === appended)
+    // REPLAY idempotence: re-landing the same ingest batch replaces
+    // its partitions — the serve is bit-identical, never doubled
+    Similarity.appendToGraphIndex(batch, path, ingestBatch = 7L)
+    assert(serveEx(path) === appended)
+    // COMMIT gating: with the batch's marker gone (the crash-before-
+    // commit state) the batch is invisible — the serve answers from
+    // base alone, not from half-landed files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/commits/ingest_batch=7")
+    assert(fs.delete(marker, false))
+    val baseOnlyIdx = freshDir()
+    Similarity.writeGraphIndex(base, baseOnlyIdx, k = 6)
+    val baseQ = base.filter(isQ).select("vec_id", "embedding")
+    def serveBase(p: String) = Similarity.graphTopKFromIndex(spark, p,
+        baseQ, 6, beam = 64, hops = 16)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(serveBase(path) === serveBase(baseOnlyIdx))
+    // restore the marker: the full index serves the union again
+    fs.create(marker, true).close()
+    assert(serveEx(path) === appended)
+  }
+
+  test("compaction folds committed batches into base; serve unchanged; ledger resets; -1 append refused") {
+    val all = synth(48)
+    val path = freshDir()
+    Similarity.writeGraphIndex(all.filter(col("vec_id") < 40), path, k = 6)
+    Similarity.appendToGraphIndex(all.filter(col("vec_id") >= 40), path,
+      ingestBatch = 3L)
+    val isQ = col("vec_id") % 9 === 0
+    val queries = all.filter(isQ).select("vec_id", "embedding")
+    def serve() = Similarity.graphTopKFromIndex(spark, path, queries, 6,
+        beam = 64, hops = 16)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val before = serve()
+    Similarity.compactGraphIndex(spark, path)
+    assert(serve() === before)
+    // every row folded into the base partition, both dirs
+    for (d <- Seq("adj", "vec"))
+      assert(spark.read.parquet(s"$path/$d")
+        .select(col("ingest_batch").cast("long")).distinct()
+        .as[Long].collect().toSeq === Seq(-1L))
+    // ledger reset to EMPTY (ledgered, no batch markers)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = new org.apache.hadoop.fs.Path(s"$path/commits")
+    assert(fs.exists(commits) && fs.listStatus(commits).isEmpty)
+    // appends keep working after compaction (fresh batch id), and the
+    // base id stays refused
+    intercept[IllegalArgumentException](
+      Similarity.appendToGraphIndex(all.limit(1), path, ingestBatch = -1L))
+    Similarity.appendToGraphIndex(synth(50).filter(col("vec_id") >= 48),
+      path, ingestBatch = 4L)
+    assert(serve().nonEmpty)
+  }
+
+  test("beam state ceiling is incremental: a hop cannot collect past the remaining budget") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.graphTopKFromIndex(spark, path,
+        emb.filter(SparkEntry.annIsQuery).select("vec_id", "embedding"),
+        5, stateCeiling = 8L)
+    }
+    assert(e.getMessage.contains("beam state would exceed"))
+  }
+}

@@ -537,4 +537,62 @@ class RetrievalServeSpec extends SparkSpec {
     }
     assert(got.values.flatten.toSeq === direct && direct.size === 2 * cfg.kOut)
   }
+
+  test("F32 trained composition: trainLtrWeights -> writeLtrModel -> serveLtr(modelTable) ≡ inline trained weights (r13 verdict #8)") {
+    val p = servePath
+    TextAnalysis.writeQualityStats(docs, "serve_spec_bm25", s"$p/quality")
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    // the TRAINING page: the same fused candidates the serve ranks,
+    // featurized by the shared ltrFeatures spelling
+    val fused = TextAnalysis.rrfFuse(
+      TextAnalysis.bm25TopK(docs, terms, cfg.kLex)
+        .select(col("doc_id"), col("rank")),
+      Similarity.bruteForceTopK(emb, col("vec_id") === 0, cfg.kSem)
+        .select(col("n_id").as("doc_id"), col("rank")),
+      cfg.kRrf, topK = cfg.kLex + cfg.kSem)
+    val cand = fused.select(lit(0L).as("q_id"), col("doc_id"),
+      round(col("rrf_score") * lit(1e6), 0).cast("long").as("rrf6"))
+    val feats = Retrieval.ltrFeatures(cand, docs, emb)
+    // deterministic labeled reference: the exact semantic top-5
+    val ref = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 5)
+      .select(lit(0L).as("q_id"), col("n_id").as("doc_id"))
+    val w = Retrieval.trainLtrWeights(feats, ref, k = cfg.kOut)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ltr_e2e").toString
+    Retrieval.writeLtrModel(spark, "ltr_e2e_model", s"$wh/m", w)
+    // the PRODUCTION composition end-to-end: serve against the frozen
+    // trained artifact ≡ the inline spelling with the trained weights
+    val fromModel = Retrieval.serveLtr(spark, "serve_spec_bm25", p,
+        query, cfg, modelTable = "ltr_e2e_model")
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    val inline = Retrieval.serveLtr(spark, "serve_spec_bm25", p,
+        query, cfg, wRrf = w._1, wQ = w._2, wCos = w._3)
+      .orderBy("rank").collect().toSeq.map(_.toSeq)
+    assert(fromModel === inline && fromModel.size === cfg.kOut)
+    spark.sql("DROP TABLE IF EXISTS ltr_e2e_model")
+  }
+
+  test("serveLtr q6 fold is deterministic: the latest ingest batch wins over earlier deltas (r13 ADVICE)") {
+    import spark.implicits._
+    val p = servePath
+    TextAnalysis.writeQualityStats(docs, "serve_spec_bm25", s"$p/quality")
+    val cfg = Retrieval.ServeConfig(terms, nprobe = 8)
+    val ids = docs.select(col("doc_id")).as[Long].collect().toSeq
+    val d1 = java.nio.file.Files.createTempDirectory("graft_qd1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_qd2").toString
+    // two conflicting re-ingests of EVERY doc: batch 0 says one
+    // quality, batch 1 another — the fold must take batch 1's value
+    // by the max-ingest-batch rule, never by collect order (the
+    // scores carry q6, so a wrong winner shifts every ltr_score)
+    ids.map(d => (d, 111111L, 0L)).toDF("doc_id", "q6", "ingest_batch")
+      .unionByName(
+        ids.map(d => (d, 654321L, 1L)).toDF("doc_id", "q6", "ingest_batch"))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(d1)
+    ids.map(d => (d, 654321L, 1L)).toDF("doc_id", "q6", "ingest_batch")
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(d2)
+    val both = Retrieval.serveLtr(spark, "serve_spec_bm25", p, query,
+      cfg, qualityDelta = d1).collect().toSeq.map(_.toSeq)
+    val latest = Retrieval.serveLtr(spark, "serve_spec_bm25", p, query,
+      cfg, qualityDelta = d2).collect().toSeq.map(_.toSeq)
+    assert(both === latest && both.nonEmpty)
+  }
 }
