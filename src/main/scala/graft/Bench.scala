@@ -91,6 +91,11 @@ object Bench {
     // entry, more of them, medianed — the number future rounds should
     // diff, carried as its own block so the headline totals stay
     // comparable with r1-r10 lines.
+    // toIntOption: a malformed env value degrades to the default
+    // like every other failure in this block, instead of killing
+    // the whole bench run outside the per-entry handler
+    val isoReps = sys.env.get("SPARK_GRAFT_ISO_REPS")
+      .flatMap(_.toIntOption).getOrElse(7).max(3)
     val driftIso = {
       // knn_* joined r13 (r12 verdict #3): the 8.78→10.54 s
       // knn_components_ann driver-run delta read as a regression while
@@ -98,12 +103,7 @@ object Bench {
       // variance-vs-code for the whole family round-over-round
       val names = Seq("dedup_ngram_jaccard", "dedup_survivors", "dedup_cluster",
         "knn_graph", "knn_graph_ann", "knn_components", "knn_components_ann")
-      // toIntOption: a malformed env value degrades to the default
-      // like every other failure in this block, instead of killing
-      // the whole bench run outside the per-entry handler
-      val isoReps = sys.env.get("SPARK_GRAFT_ISO_REPS")
-        .flatMap(_.toIntOption).getOrElse(7).max(3)
-      val entryIso = names.flatMap { name =>
+      names.flatMap { name =>
         SparkEntry.queries.get(name).flatMap { fn =>
           try {
             val times = (1 to isoReps).map { _ =>
@@ -117,12 +117,6 @@ object Bench {
           }
         }
       }.toMap
-      // pipeline_e2e joined r14 (r13 verdict #5): its rfields stage
-      // read 2.33→3.86 s across rounds and the variance-band claim
-      // needs a MEASURED isolated median, not an inference — the
-      // sub-phase medians ride along for attribution (a fresh
-      // synthetic run dir per block, same as the headline number)
-      entryIso ++ benchPipeline(spark, isoReps)
     }
     clearCaches()
     // median over the reps that SUCCEEDED; a query that failed every
@@ -134,6 +128,14 @@ object Bench {
       }.toMap ++
       benchIndexServes(spark, sfDir, reps) ++
       benchPipeline(spark, reps)
+    // pipeline_e2e isolated re-measure (r13 verdict #5: its rfields
+    // stage read 2.33→3.86 s across rounds and the variance-band
+    // claim needs a MEASURED isolated median) — run AFTER the
+    // headline pipeline reps: the JVM's first pipeline execution pays
+    // ~3× codec/JIT warmup (measured 15 s vs the 5 s warm headline),
+    // and the isolated block exists to attribute drift, not to price
+    // cold starts. Sub-phase medians ride along for attribution.
+    val isoAll = driftIso ++ benchPipeline(spark, isoReps)
     // The driver captures only the LAST 2000 log chars: the full
     // ~82-entry map is ≥2100 chars (names alone are 1300+), so a
     // whole-map line ALWAYS loses its head to the cut — r4–r6 each
@@ -155,7 +157,7 @@ object Bench {
       val qs = inline.sortBy(_._1)
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
         .mkString("{", ",", "}")
-      val iso = driftIso.toSeq.sortBy(_._1)
+      val iso = isoAll.toSeq.sortBy(_._1)
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +

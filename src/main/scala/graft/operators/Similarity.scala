@@ -996,6 +996,14 @@ object Similarity {
   private def graphPb(c: Column, buckets: Int): Column =
     pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
 
+  /** The graph index stores no labels, but its build/append kernels
+    * run through [[prepared]] (which selects one) — a label-less
+    * frame (the streaming ingest contract is (vec_id, embedding))
+    * rides through on a null instead of failing the analysis. */
+  private def withNullLabel(emb: DataFrame): DataFrame =
+    if (emb.columns.contains("label")) emb
+    else emb.withColumn("label", lit(null).cast("string"))
+
   /** Driver-side mirror of [[graphPb]] for building the prune set
     * from a LOCAL frontier without a Spark job: Catalyst's own
     * XxHash64 evaluated on the literal (bit-identical to the scan
@@ -1071,8 +1079,9 @@ object Similarity {
       s"buckets=$buckets out of [1, 4096]")
     val spark = emb.sparkSession
     import spark.implicits._
-    val p = preparedNonZero(emb)
-    val g = graph.getOrElse(knnGraphAnn(emb, k))
+    val embL = withNullLabel(emb)
+    val p = preparedNonZero(embL)
+    val g = graph.getOrElse(knnGraphAnn(embL, k))
     val und = g.select(col("q_id").as("src"), col("n_id").as("dst"))
       .union(g.select(col("n_id").as("src"), col("q_id").as("dst")))
       .distinct()
@@ -1228,7 +1237,8 @@ object Similarity {
     val meta = spark.read.parquet(s"$path/meta").head()
     val k = meta.getAs[Int]("k")
     val buckets = meta.getAs[Int]("p_buckets")
-    val batch = preparedNonZero(emb).cache()
+    val embL = withNullLabel(emb)
+    val batch = preparedNonZero(embL).cache()
     try {
       val n = batch.count()
       if (n == 0L) { writeCommitRecord(spark, path, ingestBatch); return }
@@ -1240,7 +1250,7 @@ object Similarity {
           emb.select(col("vec_id"), col("embedding")), k, beam, hops,
           excludeIngestBatch = Some(ingestBatch))
         .select(col("q_id"), col("n_id"), col("cos_sim"))
-      val within = knnGraph(emb, k)
+      val within = knnGraph(embL, k)
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("n_id"))

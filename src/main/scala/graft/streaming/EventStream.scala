@@ -536,6 +536,37 @@ object EventStream {
         Similarity.appendToIvfIndex(b, indexPath, ingestBatch = batchId)
       }
 
+  /** [[streamingAnnIngest]] for the GRAPH index (r14 — the E14b
+    * layout): each arrival batch of `(vec_id, embedding)` is served
+    * from the landed graph FIRST
+    * ([[graft.operators.Similarity.graphTopKFromIndex]], excluding
+    * this batch's own ingest partition — under crash-replay the
+    * batch's vectors are already attached, and without the exclusion
+    * every replayed query would match its own copy at cos 1.0
+    * rank 1), then ATTACHED via
+    * [[graft.operators.Similarity.appendToGraphIndex]] — the
+    * HNSW-insertion append whose dynamic partition overwrite keyed
+    * on the streaming batch id makes replay idempotent. foreachBatch
+    * processes batches SEQUENTIALLY — exactly the ordering the
+    * append's replay-recompute determinism documents. The index is
+    * the state store; nothing lives in executor memory. */
+  def streamingGraphIngest(emb: DataFrame, indexPath: String, k: Int,
+                           onNeighbors: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        // in-batch id dedup before serve and append — the
+        // streamingAnnIngest rationale (dynamic overwrite dedups
+        // whole-batch replays, not rows within one batch)
+        val b = dedupById(batch, "vec_id")
+        onNeighbors(batchId, Similarity.graphTopKFromIndex(spark,
+          indexPath, b.select("vec_id", "embedding"), k,
+          excludeIngestBatch = Some(batchId)))
+        Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId)
+      }
+
   /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout
     * (r11): micro-batches of `(vec_id, embedding, label)` are served
     * label-FILTERED from the written index

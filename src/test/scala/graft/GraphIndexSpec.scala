@@ -162,6 +162,43 @@ class GraphIndexSpec extends SparkSpec {
     assert(serve().nonEmpty)
   }
 
+  test("streaming graph ingest: arrivals attach per micro-batch (label-less contract), exhaustive serve ≡ brute force") {
+    val all = synth(48)
+    val path = freshDir()
+    Similarity.writeGraphIndex(all.filter(col("vec_id") < 40), path, k = 6)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val rows = all.filter(col("vec_id") >= 40)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val writer = graft.streaming.EventStream.streamingGraphIngest(
+      stream.toDS().toDF("vec_id", "embedding"), path, 6,
+      (id, page) => got(id) = page.count())
+    val q = writer.start()
+    try {
+      stream.addData(rows.take(4).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(4).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every batch saw a pre-attach page from the index it joined
+    assert(got.keySet === Set(0L, 1L) && got.values.forall(_ > 0L))
+    // the landed index now holds the union: exhaustive serve agrees
+    // with brute force over all 48 vectors (connected robust fixture)
+    val isQ = col("vec_id") % 9 === 0
+    val served = Similarity.graphTopKFromIndex(spark, path,
+        all.filter(isQ).select("vec_id", "embedding"), 6,
+        beam = 64, hops = 16)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(all, isQ, 6)
+      .select(col("q_id"), col("n_id"), col("cos_sim"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(served === brute)
+  }
+
   test("beam state ceiling is incremental: a hop cannot collect past the remaining budget") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = freshDir()
