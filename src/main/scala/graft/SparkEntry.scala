@@ -1372,15 +1372,6 @@ object SparkEntry {
     * lsh .62, multiprobe .96, pq .72, residual .46, semantic .786,
     * embedding-lsh 1.00), so a drop WITHOUT a dataset regeneration is
     * a real regression and the floors are the tripwire. */
-  /** Recall joins default to the exact baseline's leading TWO
-    * columns (the (id, id) edge/pair convention); entries here
-    * override the key WIDTH. F33b's agreement is over the kept doc
-    * SET — its second column is a pagerank VALUE that differs
-    * between the exact and ANN graphs by construction, so joining on
-    * it would read a correct kept set as ~0 recall. */
-  def recallKeyCols: Map[String, Int] = Map(
-    "corpus_centrality_sample_ann" -> 1)
-
   def recallChecks: Map[String, (String, Double)] = Map(
     "ann_lsh_topk"            -> (("ann_bruteforce_topk", 0.55)),
     "ann_lsh_multiprobe"      -> (("ann_bruteforce_topk", 0.86)),
@@ -1468,6 +1459,15 @@ object SparkEntry {
     // byte-identical videos share EVERY frame hash — the df cap can't
     // engage at verify scale, so exact pairs always surface
     "dedup_video_phash"        -> (("dedup_video_exact", 1.0)))
+
+  /** Recall joins default to the exact baseline's leading TWO
+    * columns (the (id, id) edge/pair convention); entries here
+    * override the key WIDTH. F33b's agreement is over the kept doc
+    * SET — its second column is a pagerank VALUE that differs
+    * between the exact and ANN graphs by construction, so joining on
+    * it would read a correct kept set as ~0 recall. */
+  def recallKeyCols: Map[String, Int] = Map(
+    "corpus_centrality_sample_ann" -> 1)
 
   // ---- DuckDB mirrors ---------------------------------------------------
 

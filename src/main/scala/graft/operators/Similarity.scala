@@ -839,7 +839,11 @@ object Similarity {
     * documented bounded-page posture with slack — a max page at max
     * beam over a dense graph (4096 · 32 · deg · hops) needs an
     * explicit larger ceiling, which is the caller declaring that
-    * driver budget. */
+    * driver budget. (DELIBERATE r14 tightening of r13's fixed
+    * 16M-row guard, per the r13 ADVICE: a workload between 4M and
+    * 16M cumulative pairs that ran before now needs the explicit
+    * parameter — the broadcast those rows become each hop is the
+    * cost being surfaced.) */
   def graphTopK(emb: DataFrame, graph: DataFrame, isQuery: Column,
                 k: Int, beam: Int = 32, hops: Int = 6,
                 stateCeiling: Long = 4L << 20): DataFrame = {
@@ -1030,15 +1034,34 @@ object Similarity {
     * pruning audit measure the very scan the serve plans. */
   private[graft] def graphPointScan(spark: org.apache.spark.sql.SparkSession,
       path: String, dir: String, keyCol: String, pbCol: String, buckets: Int,
-      ids: Seq[Long], excludeIngestBatch: Option[Long]): DataFrame = {
-    require(ids.size <= graphFrontierCeiling,
-      s"graph-index point scan got ${ids.size} ids (> $graphFrontierCeiling) " +
-        "— the frontier/lookup set must stay bounded driver metadata")
+      ids: Seq[Long], excludeIngestBatch: Option[Long]): DataFrame =
+    graphPointFilter(
+      graphCommittedRead(spark, path, dir, excludeIngestBatch),
+      keyCol, pbCol, buckets, ids)
+
+  /** The committed-batches relation under a graph-index dir — read
+    * ONCE per serve/append and re-filtered per hop
+    * ([[graphPointFilter]]): re-reading per hop would re-list the
+    * directory and re-read footers hops× per page for zero plan
+    * difference. */
+  private def graphCommittedRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, dir: String,
+      excludeIngestBatch: Option[Long]): DataFrame = {
     val base = spark.read.parquet(s"$path/$dir")
     val committed = committedBatches(spark, path).fold(base)(bs =>
       base.filter(col("ingest_batch").isin(bs: _*)))
-    val scan = excludeIngestBatch.fold(committed)(b =>
+    excludeIngestBatch.fold(committed)(b =>
       committed.filter(col("ingest_batch") =!= lit(b)))
+  }
+
+  /** The pruned point-lookup predicate over an already-read relation:
+    * pb IN (the ids' partition values, driver-mirrored foldables) +
+    * key IN (ids). */
+  private def graphPointFilter(scan: DataFrame, keyCol: String,
+      pbCol: String, buckets: Int, ids: Seq[Long]): DataFrame = {
+    require(ids.size <= graphFrontierCeiling,
+      s"graph-index point scan got ${ids.size} ids (> $graphFrontierCeiling) " +
+        "— the frontier/lookup set must stay bounded driver metadata")
     if (ids.isEmpty) scan.filter(lit(false))
     else {
       val pbs = ids.map(graphPbLocal(_, buckets)).distinct
@@ -1135,18 +1158,26 @@ object Similarity {
     val entryV = meta.getSeq[Double](meta.fieldIndex("entry_v"))
     val entryN2 = meta.getAs[Double]("entry_n2")
     val buckets = meta.getAs[Int]("p_buckets")
-    val q = preparedQueries(queries).filter(col("n2") > 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("n2").as("q_n2"))
-    val qIds = q.select(col("q_id")).limit(4097).as[Long].collect()
-    require(qIds.length <= 4096,
+    // the query page is bounded driver metadata — collect it ONCE and
+    // re-enter as a local relation: left as lineage, every hop's
+    // collect would re-evaluate the query SOURCE through the
+    // broadcast (for the catalog/bench callers a corpus-table scan,
+    // ~hops+2 times per serve — r14 review)
+    val qRows = preparedQueries(queries).filter(col("n2") > 0)
+      .select(col("vec_id"), col("v"), col("n2"))
+      .limit(4097).as[(Long, Seq[Double], Double)].collect()
+    require(qRows.length <= 4096,
       "graphTopKFromIndex serves a bounded query PAGE, got > 4096 query vectors")
-    if (qIds.isEmpty)
+    if (qRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("q_id", "n_id", "cos_sim", "rank")
+    val q = qRows.toSeq.toDF("q_id", "q_v", "q_n2")
+    val qIds = qRows.map(_._1)
+    // the adj relation READS once per serve; each hop re-filters it
+    // (same plan-level pruning, minus hops× directory re-listing)
+    val adjRel = graphCommittedRead(spark, path, "adj", excludeIngestBatch)
     def adjScan(nodes: Seq[Long]): DataFrame =
-      graphPointScan(spark, path, "adj", "src", "pb", buckets, nodes,
-        excludeIngestBatch)
+      graphPointFilter(adjRel, "src", "pb", buckets, nodes)
     def scorePage(cand: DataFrame, limitRows: Int): Array[(Long, Long, Double)] =
       cand.join(broadcast(q), Seq("q_id"))
         .filter(col("n_id") =!= col("q_id"))
@@ -1233,10 +1264,14 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     assertNoMaintenance(spark, path, "appendToGraphIndex")
-    adoptLegacyLedger(spark, path)
+    adoptLegacyLedger(spark, path, listsDir = "adj")
     val meta = spark.read.parquet(s"$path/meta").head()
     val k = meta.getAs[Int]("k")
     val buckets = meta.getAs[Int]("p_buckets")
+    // an index built with k > beam must stay appendable: the serve's
+    // frontier contract is beam ≥ k, so widen rather than refuse
+    // (r14 review — a k=33 index was un-appendable at the default)
+    val b0 = math.max(beam, k)
     val embL = withNullLabel(emb)
     val batch = preparedNonZero(embL).cache()
     try {
@@ -1247,7 +1282,7 @@ object Similarity {
           "vectors, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
       val fwd = graphTopKFromIndex(spark, path,
-          emb.select(col("vec_id"), col("embedding")), k, beam, hops,
+          emb.select(col("vec_id"), col("embedding")), k, b0, hops,
           excludeIngestBatch = Some(ingestBatch))
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val within = knnGraph(embL, k)
@@ -1784,12 +1819,18 @@ object Similarity {
     * before the ledger existed — ledgering only the new batch would
     * silently drop them from serves). One-time, append-path only:
     * serves never pay this. */
+  /** `listsDir` names the index's batch-partitioned data dir —
+    * "lists" for the IVF family, "adj" for the graph index (r14
+    * review: the hardcoded lists path made a ledger-less graph index
+    * permanently un-appendable — the adoption read a nonexistent
+    * directory). */
   private def adoptLegacyLedger(spark: org.apache.spark.sql.SparkSession,
-                                path: String): Unit = {
+                                path: String,
+                                listsDir: String = "lists"): Unit = {
     val (fs, dir) = commitsDir(spark, path)
     if (!fs.exists(dir)) {
       // cast: partition-value inference may type the column INT
-      val ids = spark.read.parquet(s"$path/lists")
+      val ids = spark.read.parquet(s"$path/$listsDir")
         .select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).filter(_ != -1L)
       // ATOMIC adoption (r12 review): build the full marker set in a

@@ -561,9 +561,11 @@ object EventStream {
         // streamingAnnIngest rationale (dynamic overwrite dedups
         // whole-batch replays, not rows within one batch)
         val b = dedupById(batch, "vec_id")
+        // beam widened to k so a k > 32 page is served, not refused
+        // (the appendToGraphIndex widening, r14 review)
         onNeighbors(batchId, Similarity.graphTopKFromIndex(spark,
           indexPath, b.select("vec_id", "embedding"), k,
-          excludeIngestBatch = Some(batchId)))
+          beam = math.max(32, k), excludeIngestBatch = Some(batchId)))
         Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId)
       }
 

@@ -199,6 +199,42 @@ class GraphIndexSpec extends SparkSpec {
     assert(served === brute)
   }
 
+  test("legacy-ledger adoption reads the graph layout; a wide-k index stays appendable (r14 review)") {
+    val all = synth(48)
+    val path = freshDir()
+    Similarity.writeGraphIndex(all.filter(col("vec_id") < 40), path, k = 6)
+    Similarity.appendToGraphIndex(
+      all.filter(col("vec_id") >= 40 && col("vec_id") < 44), path,
+      ingestBatch = 1L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the ledger vanishes (operator mishap / pre-ledger legacy state):
+    // the next append must adopt from adj/ — the graph layout, not
+    // the IVF `lists/` path — so batch 1 stays serve-visible
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits"), true))
+    Similarity.appendToGraphIndex(all.filter(col("vec_id") >= 44), path,
+      ingestBatch = 2L)
+    val isQ = col("vec_id") % 9 === 0
+    val served = Similarity.graphTopKFromIndex(spark, path,
+        all.filter(isQ).select("vec_id", "embedding"), 6,
+        beam = 64, hops = 16)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(all, isQ, 6)
+      .select(col("q_id"), col("n_id"), col("cos_sim"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(served === brute)
+    // an index whose graph k exceeds the default serve beam widens
+    // instead of refusing (append would otherwise be impossible)
+    val wide = freshDir()
+    Similarity.writeGraphIndex(all.filter(col("vec_id") < 44), wide, k = 33)
+    Similarity.appendToGraphIndex(all.filter(col("vec_id") >= 44), wide,
+      ingestBatch = 1L)
+    assert(Similarity.graphTopKFromIndex(spark, wide,
+      all.filter(isQ).select("vec_id", "embedding"), 5,
+      beam = 64, hops = 4).count() > 0L)
+  }
+
   test("beam state ceiling is incremental: a hop cannot collect past the remaining budget") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = freshDir()
