@@ -15,6 +15,15 @@ object GraphServeDrive {
       val n = S.graphTopKFromIndex(spark, s"$p/gidx", q, 5).count()
       println(f"[gsd] rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // FIXED 40-query page — the corpus-size-independence number: at
+    // 10× the corpus the full-page wall above grows with the PAGE
+    // (10× the queries), while this one isolates the per-hop read
+    val q40 = q.orderBy("vec_id").limit(40)
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val n = S.graphTopKFromIndex(spark, s"$p/gidx", q40, 5).count()
+      println(f"[gsd] fixed40 rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
