@@ -449,6 +449,29 @@ object SparkEntry {
         Tables.nation(s, d), Tables.supplier(s, d),
         Tables.part(s, d), Tables.lineitem(s, d))),
 
+    // C14 (r14): TPC-H Q6 shape — the pure scan-aggregate; every
+    // predicate pushed to the parquet scan, zero joins
+    "q6_forecast_revenue" -> ((s, d) =>
+      Relational.q6ForecastRevenue(Tables.lineitem(s, d))),
+
+    // C15 (r14): TPC-H Q4 shape — EXISTS quantifier (one LeftSemi
+    // with the lateness predicate inside the join) + tiny-key agg
+    "q4_order_priority" -> ((s, d) =>
+      Relational.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    // C16 (r14): TPC-H Q10 shape — fact aggregate, dims joined AFTER
+    // the group-by, deterministic exact-decimal top-20
+    "q10_returned_items" -> ((s, d) =>
+      Relational.q10ReturnedItems(
+        Tables.customer(s, d), Tables.nation(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    // C17 (r14): TPC-H Q12 shape — join + dual conditional aggregate
+    // in one grouped pass
+    "q12_priority_shipping" -> ((s, d) =>
+      Relational.q12PriorityShipping(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     "ts_cumsum" -> ((s, d) =>
       Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -2561,6 +2584,63 @@ object SparkEntry {
          |    WHERE t.l_suppkey = s_suppkey
          |      AND t.q > CAST(30 AS DECIMAL(12,2)))
          |ORDER BY s_name""".stripMargin,
+
+    // C14 mirror: identical decimal band + product/sum
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |                CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)
+         |         AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND CAST(l_discount AS DECIMAL(6,4))
+         |      BETWEEN CAST(0.05 AS DECIMAL(6,4))
+         |          AND CAST(0.07 AS DECIMAL(6,4))
+         |  AND l_quantity < 24""".stripMargin,
+
+    // C15 mirror: correlated EXISTS with the same lateness interval
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // C16 mirror: same aggregate-then-join with the exact-decimal
+    // (revenue DESC, custkey) cutoff
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+         |       CAST(rev AS DOUBLE) AS revenue
+         |FROM (SELECT o_custkey,
+         |             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |                 (CAST(1 AS DECIMAL(6,4)) -
+         |                  CAST(l_discount AS DECIMAL(6,4)))) AS rev
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |      WHERE l_returnflag = 'R'
+         |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |        AND o_orderdate <  TIMESTAMP '1996-04-01'
+         |      GROUP BY o_custkey)
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY rev DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    // C17 mirror: the same one-pass dual conditional counts
+    "q12_priority_shipping" ->
+      s"""SELECT l_linestatus,
+         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         |           THEN 1 ELSE 0 END) AS high_line_count,
+         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         |           THEN 0 ELSE 1 END) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin,
 
     // C11 mirror: the same grouped-avg join-back with the identical
     // cross-multiplied decimal predicate

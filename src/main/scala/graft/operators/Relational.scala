@@ -387,6 +387,105 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** C14 (r14): forecast-revenue — the TPC-H Q6 shape (the pure
+    * scan-aggregate: every predicate scan-fused and PUSHED to
+    * parquet, zero joins, one partial-agg exchange to a single row).
+    * Revenue = Σ extendedprice·discount over one ship-year at a
+    * discount band and a quantity cap — the "what would we have made
+    * without these discounts" classic. Exact: DECIMAL product/sum
+    * (2-dp price × 4-dp rate is exact at DECIMAL(18,6)), one double
+    * cast at the edge. */
+  def q6ForecastRevenue(lineitem: DataFrame, year: String = "1996",
+                        dMin: Double = 0.05, dMax: Double = 0.07,
+                        maxQty: Long = 24L): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp") &&
+        rate("l_discount") >= lit(dMin).cast("decimal(6,4)") &&
+        rate("l_discount") <= lit(dMax).cast("decimal(6,4)") &&
+        col("l_quantity") < maxQty)
+      .agg(sum(dec2("l_extendedprice") * rate("l_discount"))
+        .cast("double").as("revenue"))
+
+  /** C15 (r14): order-priority checking — the TPC-H Q4 shape (EXISTS
+    * quantifier + tiny-key aggregate), on this schema's dates: orders
+    * of one window that have at least one LATE line (shipped more
+    * than `lateDays` after the order date — the commit/receipt pair
+    * of the original, re-read on the available column), counted per
+    * priority. The quantifier is ONE LeftSemi equi-join on the order
+    * key with the lateness predicate inside the join condition —
+    * lineitem is projected to two columns before the shuffle, the
+    * final aggregate has ≤ 5 keys. Exact integer counts. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame,
+                      lo: String = "1996-01-01", hi: String = "1996-07-01",
+                      lateDays: Int = 30): DataFrame = {
+    val o = orders.filter(
+      col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+    val lk = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    o.join(lk, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** C16 (r14): returned-item reporting — the TPC-H Q10 shape (fact
+    * aggregate → dim join → deterministic top-k): per-customer
+    * revenue of RETURNED lines ('R') for orders in one quarter, the
+    * customer and nation dims joined AFTER the aggregate (the
+    * grouped frame is |customers|-sized, never the fact), top `k` by
+    * revenue with the customer key breaking ties — exact DECIMAL
+    * ordering, so the cutoff is deterministic cross-engine; one
+    * double cast at the output edge. Nation broadcasts; at scale
+    * customer and the grouped frame shuffle once on custkey. */
+  def q10ReturnedItems(customer: DataFrame, nation: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame,
+                       lo: String = "1996-01-01", hi: String = "1996-04-01",
+                       k: Int = 20): DataFrame = {
+    val rev = lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= lit(lo).cast("timestamp") &&
+            col("o_orderdate") < lit(hi).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .as("__rev"))
+    customer.join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("__rev").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("__rev").cast("double").as("revenue"))
+  }
+
+  /** C17 (r14): priority shipping — the TPC-H Q12 shape (join + dual
+    * CONDITIONAL aggregate), on this schema's columns: lines shipped
+    * in one year, per line status, split into high-priority
+    * (URGENT/HIGH orders) and low-priority line counts — the
+    * "critical orders on each status" pivot. One equi-join shuffle on
+    * the order key (orders projected to two columns), both counts in
+    * the SAME grouped pass (a two-pass spelling would re-shuffle the
+    * fact), ≤ |statuses| result keys. Exact integer counts. */
+  def q12PriorityShipping(orders: DataFrame, lineitem: DataFrame,
+                          year: String = "1996"): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

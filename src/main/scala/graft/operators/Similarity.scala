@@ -962,7 +962,14 @@ object Similarity {
           scala.collection.mutable.Map[Long, Double]()).update(ni, c) }
     }
     absorb(hop0(remainingCap))
-    for (_ <- 1 to hops) {
+    // EXACT early exit (r14): a hop that scores zero NEW pairs is a
+    // fixpoint — the frontier (top-beam of seen) and the known set
+    // are then unchanged, and expand is a deterministic function of
+    // both, so every remaining hop would return zero too. Results are
+    // bit-identical to running all `hops` rounds; only the dead scans
+    // are skipped (the verify corpora converge in ~3 of 6 hops).
+    var converged = false
+    for (_ <- 1 to hops if !converged) {
       val frontier = qIds.toSeq.flatMap { qi =>
         seen.get(qi).toSeq.flatMap(_.toSeq
           .sortBy { case (n, c) => (-c, n) }.take(beam)
@@ -970,7 +977,9 @@ object Similarity {
       }
       val known = seen.toSeq.flatMap { case (qi, m) =>
         m.keysIterator.map(n => (qi, n)) }
-      absorb(expand(frontier, known, remainingCap))
+      val page = expand(frontier, known, remainingCap)
+      absorb(page)
+      converged = page.isEmpty
     }
     val out = qIds.toSeq.flatMap { qi =>
       seen.get(qi).toSeq.flatMap(_.toSeq

@@ -279,4 +279,160 @@ class GridRelationalSpec extends SparkSpec {
     val bad = out.filter(abs(col("avg_qty") - col("sum_qty") / col("count_order")) > lit(1e-9)).count()
     assert(bad === 0)
   }
+
+  test("C12 q13: LEFT OUTER kept (zero bucket real), filter below the join, driver parity") {
+    val out = Relational.q13OrderDistribution(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // driver parity: per-customer qualifying-order counts by hand
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long")).as[Long].collect()
+    val perCust = Tables.orders(spark, sfDir)
+      .filter(!col("o_orderpriority").contains("I"))
+      .select(col("o_custkey").cast("long")).as[Long].collect()
+      .groupBy(identity).map { case (c, o) => c -> o.length.toLong }
+    val want = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (n, cs) => n -> cs.length.toLong }
+    val got = out.select(col("c_count"), col("custdist"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want && got.nonEmpty)
+    // every customer lands in exactly one bucket — the outer join
+    // dropped nobody (and the zero bucket is populated at this sf)
+    assert(got.values.sum === custs.length.toLong)
+    assert(got.contains(0L))
+  }
+
+  test("C13 q20: three LeftSemi equi-joins (no BNLJ), driver parity on the qualifying set") {
+    val out = Relational.q20PotentialPromotion(
+      Tables.nation(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir),
+      namePattern = "%a%", minQty = 20L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    // driver parity with plain collections
+    val pk = Tables.part(spark, sfDir).filter(col("p_name").contains("a"))
+      .select(col("p_partkey").cast("long")).as[Long].collect().toSet
+    val cut = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
+    val heavy = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_shipdate").cast("long"), col("l_quantity"))
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(r => r._3 >= cut && pk(r._2))
+      .groupBy(r => (r._1, r._2))
+      .collect { case ((sk, _), rs) if rs.map(r =>
+        BigDecimal(r._4).setScale(2)).sum > BigDecimal(20) => sk }
+      .toSet
+    val nk = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11",
+        "NATION_19", "NATION_22"))
+      .select(col("n_nationkey").cast("long")).as[Long].collect().toSet
+    val want = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"),
+        col("s_name")).as[(Long, Long, String)].collect()
+      .filter(r => nk(r._2) && heavy(r._1)).map(_._3).toSet
+    val got = out.select(col("s_name")).as[String].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("C14 q6: zero joins, predicates at the scan, BigDecimal parity") {
+    val out = Relational.q6ForecastRevenue(Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate").cast("long"), col("l_extendedprice"),
+        col("l_discount"), col("l_quantity"))
+      .as[(Long, Double, Double, Double)].collect()
+      .filter { case (sd, _, d, q) =>
+        sd >= lo && sd < hi && q < 24 &&
+          BigDecimal(d).setScale(4) >= BigDecimal("0.05") &&
+          BigDecimal(d).setScale(4) <= BigDecimal("0.07") }
+      .map { case (_, p, d, _) =>
+        BigDecimal(p).setScale(2) * BigDecimal(d).setScale(4) }
+      .sum
+    val got = out.as[Double].head()
+    assert(got === want.toDouble && got > 0.0)
+  }
+
+  test("C15 q4: EXISTS as one LeftSemi, driver parity on late-order counts") {
+    val out = Relational.q4OrderPriority(
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1996-07-01T00:00:00Z").getEpochSecond
+    val shipByOrder = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_shipdate").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val want = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_orderdate").cast("long"),
+        col("o_orderpriority")).as[(Long, Long, String)].collect()
+      .filter { case (ok, od, _) => od >= lo && od < hi &&
+        shipByOrder.getOrElse(ok, Array.empty[(Long, Long)])
+          .exists(_._2 > od + 30L * 86400L) }
+      .groupBy(_._3).map { case (p, os) => p -> os.length.toLong }
+    val got = out.as[(String, Long)].collect().toMap
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("C16 q10: top-k planned as TakeOrderedAndProject (no global sort), exact-decimal cutoff parity") {
+    val out = Relational.q10ReturnedItems(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    // the limit rides the order as a per-partition top-k + merge —
+    // never a full exchange-and-sort of the grouped frame
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1996-04-01T00:00:00Z").getEpochSecond
+    val ordWin = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("long")).as[(Long, Long, Long)].collect()
+      .filter(r => r._3 >= lo && r._3 < hi).map(r => r._1 -> r._2).toMap
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").cast("long"), col("l_extendedprice"),
+        col("l_discount")).as[(Long, Double, Double)].collect()
+      .flatMap { case (ok, p, d) => ordWin.get(ok).map(c => c ->
+        (BigDecimal(p).setScale(2) *
+          (BigDecimal(1).setScale(4) - BigDecimal(d).setScale(4)))) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val want = rev.toSeq.sortBy { case (c, r) => (-r, c) }.take(20)
+      .map { case (c, r) => (c, r.toDouble) }
+    val got = out.select(col("c_custkey").cast("long"), col("revenue"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want && got.size === 20)
+  }
+
+  test("C17 q12: one join, both conditional counts in one grouped pass, driver parity") {
+    val out = Relational.q12PriorityShipping(
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Join type: Inner".r.findAllIn(plan).size <= 1 &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
+    val prio = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
+      .as[(Long, String)].collect().toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_linestatus"),
+        col("l_shipdate").cast("long")).as[(Long, String, Long)].collect()
+      .filter(r => r._3 >= lo && r._3 < hi)
+      .groupBy(_._2).map { case (st, rs) =>
+        val high = rs.count(r =>
+          Set("1-URGENT", "2-HIGH")(prio(r._1)))
+        st -> ((high.toLong, (rs.length - high).toLong)) }
+    val got = out.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want && got.nonEmpty)
+  }
 }
