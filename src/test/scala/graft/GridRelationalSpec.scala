@@ -416,7 +416,12 @@ class GridRelationalSpec extends SparkSpec {
     val out = Relational.q12PriorityShipping(
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
     val plan = out.queryExecution.executedPlan.toString
-    assert("Join type: Inner".r.findAllIn(plan).size <= 1 &&
+    // count actual join NODES (tree strings print e.g.
+    // "SortMergeJoin [l_orderkey…], [o_orderkey…], Inner" — the
+    // "Join type:" form exists only in EXPLAIN FORMATTED, so a pin on
+    // it would be vacuous; r14 review)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 1 &&
       !plan.contains("BroadcastNestedLoop"), plan)
     val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
     val hi = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
