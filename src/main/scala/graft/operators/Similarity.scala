@@ -1231,6 +1231,43 @@ object Similarity {
       })
   }
 
+  /** [[graphTopKFromIndex]] over an UNBOUNDED query set — the paging
+    * loop the serve's 4096-query ceiling tells callers to write,
+    * provided once: the query frame is split into deterministic pages
+    * by a hash of vec_id (every page ≤ `pageSize`, enforced by the
+    * serve's own guard), each page served independently, results
+    * unioned. Per-query results are IDENTICAL to serving that query
+    * in any other page (the beam state is per-query; pages share
+    * nothing), so paging is pure admission control — spec-pinned ≡
+    * the one-page serve. Pages run sequentially: each is already one
+    * distributed job per hop, and the driver holds one page's beam
+    * state at a time (the whole point of the ceiling). Bounded by
+    * `maxPages` — a serve over millions of queries is a BATCH
+    * scoring job (use [[knnGraphAnn]] composition), not a paged
+    * online serve. */
+  def graphTopKFromIndexPaged(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, beam: Int = 32,
+      hops: Int = 6, excludeIngestBatch: Option[Long] = None,
+      stateCeiling: Long = 4L << 20, pageSize: Int = 4096,
+      maxPages: Int = 256): DataFrame = {
+    require(pageSize > 0 && pageSize <= 4096,
+      s"pageSize=$pageSize out of [1, 4096] — the serve's page ceiling")
+    require(maxPages > 0, s"maxPages=$maxPages must be positive")
+    // page count from ONE cheap count; hash-mod assignment keeps every
+    // page under pageSize in expectation — the per-page serve guard
+    // still enforces the hard ceiling (2x slack for hash skew)
+    val n = queries.count()
+    require(n <= maxPages.toLong * pageSize,
+      s"graphTopKFromIndexPaged got $n queries (> maxPages=$maxPages × " +
+        s"pageSize=$pageSize) — batch-score instead of paging an online serve")
+    val nPages = math.max(1L, (n + pageSize / 2 - 1) / (pageSize / 2))
+    (0L until nPages).map { pg =>
+      graphTopKFromIndex(spark, path,
+        queries.filter(pmod(xxhash64(col("vec_id")), lit(nPages)) === pg),
+        k, beam, hops, excludeIngestBatch, stateCeiling)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Pruning audit for the graph serve — the [[probedListFiles]]
     * dual: the `adj/` files a hop for `nodes` ACTUALLY reads (distinct
     * `input_file_name()` over the same [[graphPointScan]] the serve

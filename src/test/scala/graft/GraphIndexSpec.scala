@@ -235,6 +235,27 @@ class GraphIndexSpec extends SparkSpec {
       beam = 64, hops = 4).count() > 0L)
   }
 
+  test("paged serve ≡ one-page serve: paging is pure admission control") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5)
+    val qs = emb.filter(SparkEntry.annIsQuery).select("vec_id", "embedding")
+    val one = Similarity.graphTopKFromIndex(spark, path, qs, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    // tiny pages force a real multi-page split; per-query beam state
+    // is page-independent, so the union must be row-identical
+    val paged = Similarity.graphTopKFromIndexPaged(spark, path, qs, 5,
+        pageSize = 4)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(paged === one && paged.nonEmpty)
+    // the batch-scoring refusal: a query set past maxPages × pageSize
+    // is not an online page stream
+    val e = intercept[IllegalArgumentException](
+      Similarity.graphTopKFromIndexPaged(spark, path, emb
+        .select("vec_id", "embedding"), 5, pageSize = 1, maxPages = 2))
+    assert(e.getMessage.contains("batch-score"))
+  }
+
   test("beam state ceiling is incremental: a hop cannot collect past the remaining budget") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = freshDir()
