@@ -1234,9 +1234,13 @@ object Similarity {
   /** [[graphTopKFromIndex]] over an UNBOUNDED query set — the paging
     * loop the serve's 4096-query ceiling tells callers to write,
     * provided once: the query frame is split into deterministic pages
-    * by a hash of vec_id (every page ≤ `pageSize`, enforced by the
-    * serve's own guard), each page served independently, results
-    * unioned. Per-query results are IDENTICAL to serving that query
+    * by a hash of vec_id, each page served independently, results
+    * unioned. `pageSize` steers the EXPECTED split (the page count
+    * targets pageSize/2 queries per page, i.e. 2× slack for hash
+    * skew); the HARD per-page ceiling is the serve's own 4096 guard —
+    * a hash-skewed page may exceed pageSize (it still serves, under
+    * 4096), and skew beyond 4096 aborts via the serve's admission
+    * require. Per-query results are IDENTICAL to serving that query
     * in any other page (the beam state is per-query; pages share
     * nothing), so paging is pure admission control — spec-pinned ≡
     * the one-page serve. Pages run sequentially: each is already one
@@ -1255,12 +1259,15 @@ object Similarity {
     require(maxPages > 0, s"maxPages=$maxPages must be positive")
     // page count from ONE cheap count; hash-mod assignment keeps every
     // page under pageSize in expectation — the per-page serve guard
-    // still enforces the hard ceiling (2x slack for hash skew)
+    // still enforces the hard ceiling (2x slack for hash skew). The
+    // per-page target floors at 1 so the documented-legal pageSize=1
+    // doesn't zero the denominator (r14 ADVICE).
     val n = queries.count()
     require(n <= maxPages.toLong * pageSize,
       s"graphTopKFromIndexPaged got $n queries (> maxPages=$maxPages × " +
         s"pageSize=$pageSize) — batch-score instead of paging an online serve")
-    val nPages = math.max(1L, (n + pageSize / 2 - 1) / (pageSize / 2))
+    val perPage = math.max(1, pageSize / 2)
+    val nPages = math.max(1L, (n + perPage - 1) / perPage)
     (0L until nPages).map { pg =>
       graphTopKFromIndex(spark, path,
         queries.filter(pmod(xxhash64(col("vec_id")), lit(nPages)) === pg),
@@ -1300,10 +1307,17 @@ object Similarity {
     * before the next batch starts — what makes the dynamic-overwrite
     * recompute land the identical partition set). Arrival vec_ids are
     * new by the append contract (the BM25 doctrine). The batch's
-    * visibility is gated on its commit record, written LAST. */
+    * visibility is gated on its commit record, written LAST.
+    *
+    * `stateCeiling` is threaded to the serve that finds the arrivals'
+    * neighbors (r14 ADVICE): an append over a dense/large committed
+    * graph can legitimately need more cumulative beam state than the
+    * 4M default, and shrinking beam/hops instead would silently
+    * change which edges the append lands. */
   def appendToGraphIndex(emb: DataFrame, path: String,
                          ingestBatch: Long, beam: Int = 32,
-                         hops: Int = 6): Unit = {
+                         hops: Int = 6,
+                         stateCeiling: Long = 4L << 20): Unit = {
     require(ingestBatch != -1L,
       "ingest_batch -1 is reserved for the base/compacted graph — " +
         "an append keyed on it would overwrite base index data")
@@ -1329,7 +1343,8 @@ object Similarity {
           "larger arrivals into sequential batches")
       val fwd = graphTopKFromIndex(spark, path,
           emb.select(col("vec_id"), col("embedding")), k, b0, hops,
-          excludeIngestBatch = Some(ingestBatch))
+          excludeIngestBatch = Some(ingestBatch),
+          stateCeiling = stateCeiling)
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val within = knnGraph(embL, k)
         .select(col("q_id"), col("n_id"), col("cos_sim"))
@@ -1347,8 +1362,17 @@ object Similarity {
       val batchIds = batch.select(col("vec_id")).as[Long].collect().toSet
       val dstIds = und.select(col("dst")).distinct().as[Long].collect()
       val existIds = dstIds.filterNot(batchIds).toSeq
-      val dstVecs = graphPointScan(spark, path, "vec", "vec_id", "vb",
-          buckets, existIds, Some(ingestBatch))
+      // the distinct existing endpoints are bounded by batch·k, which
+      // for k ≥ 33 can exceed the point-scan frontier ceiling (2^17) —
+      // chunk the lookup into ≤-ceiling id pages over ONE committed
+      // read so a wide-k full-size batch appends instead of tripping
+      // the admission require (r14 ADVICE)
+      val vecRel = graphCommittedRead(spark, path, "vec", Some(ingestBatch))
+      val existVecs = existIds.grouped(graphFrontierCeiling)
+        .map(chunk => graphPointFilter(vecRel, "vec_id", "vb", buckets, chunk))
+        .reduceOption(_.unionByName(_))
+        .getOrElse(graphPointFilter(vecRel, "vec_id", "vb", buckets, Nil))
+      val dstVecs = existVecs
         .select(col("vec_id"), col("v"), col("n2"))
         .unionByName(batch.select(col("vec_id"), col("v"), col("n2")))
       und.join(dstVecs.select(col("vec_id").as("dst"),

@@ -549,9 +549,16 @@ object EventStream {
     * on the streaming batch id makes replay idempotent. foreachBatch
     * processes batches SEQUENTIALLY — exactly the ordering the
     * append's replay-recompute determinism documents. The index is
-    * the state store; nothing lives in executor memory. */
+    * the state store; nothing lives in executor memory.
+    *
+    * `stateCeiling` is threaded to BOTH serves (the neighbor report
+    * and the append's own attach search — r14 ADVICE): a dense/large
+    * committed graph can need more beam state than the 4M default,
+    * and the only other knob (shrinking beam/hops) would silently
+    * change the edges an ingest lands. */
   def streamingGraphIngest(emb: DataFrame, indexPath: String, k: Int,
-                           onNeighbors: (Long, DataFrame) => Unit)
+                           onNeighbors: (Long, DataFrame) => Unit,
+                           stateCeiling: Long = 4L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -565,8 +572,10 @@ object EventStream {
         // (the appendToGraphIndex widening, r14 review)
         onNeighbors(batchId, Similarity.graphTopKFromIndex(spark,
           indexPath, b.select("vec_id", "embedding"), k,
-          beam = math.max(32, k), excludeIngestBatch = Some(batchId)))
-        Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId)
+          beam = math.max(32, k), excludeIngestBatch = Some(batchId),
+          stateCeiling = stateCeiling))
+        Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId,
+          stateCeiling = stateCeiling)
       }
 
   /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout
