@@ -36,6 +36,20 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _kind(col: pd.Series) -> str:
+    """Coarse dtype kind used for the strict cross-engine check."""
+    t = pd.api.types
+    if t.is_bool_dtype(col):
+        return "bool"
+    if t.is_integer_dtype(col):
+        return "int"
+    if t.is_float_dtype(col):
+        return "float"
+    if t.is_datetime64_any_dtype(col):
+        return "ts"
+    return "obj"
+
+
 def cmp(name, spark_df, duck_df):
     s, d = norm(spark_df), norm(duck_df)
     if list(s.columns) != list(d.columns):
@@ -44,6 +58,17 @@ def cmp(name, spark_df, duck_df):
         return f"ROWS spark={len(s)} duck={len(d)}"
     for c in s.columns:
         a, b = s[c], d[c]
+        # Dtype-strict, like the driver's value hash: an int64 column on
+        # one engine vs a float64 on the other (e.g. an un-CAST DuckDB
+        # HUGEINT sum) is a FAIL even when the numeric values agree.
+        # norm() already folds all integer widths to int64, so a kind
+        # mismatch here is a genuine cross-engine logical-type drift
+        # that the oracle SQL must fix with an explicit CAST.
+        ka, kb = _kind(a), _kind(b)
+        if ka != kb:
+            return (f"DTYPE col={c} spark={a.dtype}({ka}) "
+                    f"duck={b.dtype}({kb}) — add an explicit CAST in the "
+                    f"oracle SQL (driver hash is dtype-sensitive)")
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa, bb = a.astype(float), b.astype(float)
             bad = ~((aa == bb) | (aa.isna() & bb.isna()))
