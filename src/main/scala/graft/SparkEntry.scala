@@ -472,6 +472,22 @@ object SparkEntry {
       Relational.q12PriorityShipping(
         Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    // C18 (r15): TPC-H Q19 shape — disjunctive predicate join:
+    // per-side unions of the OR pushed to the scans, broadcast-hash
+    // equi-join, exact OR residual after
+    "q19_discount_eligibility" -> ((s, d) =>
+      Relational.q19DiscountEligibility(
+        Tables.part(s, d), Tables.lineitem(s, d))),
+
+    // C19 (r15): TPC-H Q8 shape — region-filtered star, fact
+    // aggregated to (year, suppkey) before the supplier join,
+    // two-level conditional share per order year
+    "q8_market_share" -> ((s, d) =>
+      Relational.q8MarketShare(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d))),
+
     "ts_cumsum" -> ((s, d) =>
       Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -2629,18 +2645,60 @@ object SparkEntry {
          |ORDER BY rev DESC, c_custkey
          |LIMIT 20""".stripMargin,
 
-    // C17 mirror: the same one-pass dual conditional counts
+    // C17 mirror: the same one-pass dual conditional counts. The CASTs
+    // matter: DuckDB sums integers into HUGEINT, which pandas reads as
+    // float64 and the driver's value hash then diverges from Spark's
+    // int64 — every count mirror casts to BIGINT for this reason.
     "q12_priority_shipping" ->
       s"""SELECT l_linestatus,
-         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-         |           THEN 1 ELSE 0 END) AS high_line_count,
-         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-         |           THEN 0 ELSE 1 END) AS low_line_count
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate <  TIMESTAMP '1997-01-01'
          |GROUP BY l_linestatus
          |ORDER BY l_linestatus""".stripMargin,
+
+    // C18 mirror: the same OR-of-conjunct bands; the oracle spells the
+    // disjunction directly — the per-side pushdown is plan shape, not
+    // semantics
+    "q19_discount_eligibility" ->
+      s"""SELECT CAST(sum($EP * $DISC1) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // C19 mirror: the same share-of-volume by order year; both sums
+    // stay exact DECIMAL until the one NULLIF-guarded double division
+    // (the q14 convention); o_year CAST to INTEGER to match Spark's
+    // year()
+    "q8_market_share" ->
+      s"""SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+         |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST(NULLIF(sum(vol), 0) AS DOUBLE) AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |         $EP * $DISC1 AS vol, n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1997-01-01')
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin,
 
     // C11 mirror: the same grouped-avg join-back with the identical
     // cross-multiplied decimal predicate

@@ -486,6 +486,103 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** C18 (r15): discount eligibility — the TPC-H Q19 shape (the
+    * DISJUNCTIVE predicate join: OR-of-conjunct bands over
+    * part⋈lineitem), re-read onto this schema's columns (no
+    * container/shipmode here): each band is (brand, size range,
+    * quantity range). The scale-critical spelling: the disjunction's
+    * PER-SIDE unions are derived once and pushed to the scans —
+    * part prunes to the (brand, size) union (dimension-sized →
+    * broadcast), lineitem prunes to the global quantity envelope
+    * (a pushed parquet range filter) — and the exact OR residual is
+    * re-applied AFTER the equi-join on the part key, so the join
+    * stays a broadcast HASH join (never a BNLJ) while no band ever
+    * sees a row outside its envelope. Exact DECIMAL revenue, one
+    * double cast at the edge. */
+  def q19DiscountEligibility(part: DataFrame, lineitem: DataFrame,
+      bands: Seq[(String, Int, Int, Int, Int)] = Seq(
+        ("Brand#12", 1, 15, 1, 11),
+        ("Brand#23", 1, 25, 10, 20),
+        ("Brand#34", 1, 35, 20, 30))): DataFrame = {
+    require(bands.nonEmpty, "q19 needs at least one (brand,size,qty) band")
+    val partUnion = bands.map(b => col("p_brand") === b._1 &&
+      col("p_size").between(b._2, b._3)).reduce(_ || _)
+    val qtyLo = bands.map(_._4).min
+    val qtyHi = bands.map(_._5).max
+    val residual = bands.map(b => col("p_brand") === b._1 &&
+      col("p_size").between(b._2, b._3) &&
+      col("l_quantity").between(b._4, b._5)).reduce(_ || _)
+    lineitem
+      .filter(col("l_quantity").between(qtyLo, qtyHi))
+      .join(broadcast(part.filter(partUnion)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(residual)
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount"))
+        .cast("double").as("revenue"))
+  }
+
+  /** C19 (r15): national market share — the TPC-H Q8 shape (the
+    * two-level CONDITIONAL aggregate over a region-filtered star):
+    * of all revenue from one part type sold to customers of one
+    * region across a date window, the share supplied by one nation,
+    * by order year. Scale spelling: nation/region and the filtered
+    * part prune as BROADCAST dims (part as a LeftSemi — only the key
+    * matters); orders is date-pruned at the scan then LeftSemi'd to
+    * the region's customers (one custkey shuffle); the fact is
+    * aggregated DOWN TO (year, suppkey) — ≤ |suppliers|·years rows —
+    * BEFORE touching supplier, so the supplier join (supplier scales
+    * with SF — never a forced build side, the q15 doctrine) shuffles
+    * two supplier-sized frames, never the fact; the final share
+    * divides two exact DECIMAL sums once in double per year row
+    * (the q14 NULLIF convention on an empty denominator). */
+  def q8MarketShare(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    part: DataFrame, regionName: String = "AMERICA",
+                    shareNation: String = "NATION_6",
+                    pType: String = "ECONOMY",
+                    lo: String = "1995-01-01",
+                    hi: String = "1997-01-01"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    val regionCust = customer
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val o = orders
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val suppVol = lineitem
+      .join(broadcast(part.filter(col("p_type") === pType)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"), col("l_suppkey"))
+      .agg(sum(dec2("l_extendedprice") * oneMinus("l_discount")).as("__vol"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("__supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("__supp_nation"))
+    suppVol
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("__supp_nation") === shareNation, col("__vol"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("__share"),
+        sum(col("__vol")).as("__total"))
+      .select(col("o_year"),
+        when(col("__total") === 0, lit(null).cast("double"))
+          .otherwise(col("__share").cast("double") /
+            col("__total").cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

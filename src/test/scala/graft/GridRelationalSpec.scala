@@ -440,4 +440,104 @@ class GridRelationalSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === want && got.nonEmpty)
   }
+
+  test("C18 q19: disjunction stays ONE broadcast hash join with pushed " +
+      "per-side unions, driver parity") {
+    val out = Relational.q19DiscountEligibility(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    // the OR must NOT degrade the equi-join: exactly one hash join
+    // node, never a nested loop; the quantity envelope reaches the
+    // lineitem parquet scan as a pushed range filter
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 1 &&
+      plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      plan)
+    val bands = Seq(("Brand#12", 1, 15, 1, 11), ("Brand#23", 1, 25, 10, 20),
+      ("Brand#34", 1, 35, 20, 30))
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long"), col("p_brand"), col("p_size"))
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double, Double)].collect()
+      .flatMap { case (pk, q, p, d) => parts.get(pk).collect {
+        case (brand, size) if bands.exists(b => brand == b._1 &&
+            size >= b._2 && size <= b._3 && q >= b._4 && q <= b._5) =>
+          BigDecimal(p).setScale(2) *
+            (BigDecimal(1).setScale(4) - BigDecimal(d).setScale(4))
+      } }.sum
+    val got = out.as[Double].head()
+    assert(got === want.toDouble && got > 0.0)
+  }
+
+  test("C19 q8: market share — no nested loop, fact aggregated before " +
+      "the supplier join, driver parity") {
+    // hand mirror in exact BigDecimal, then pick the share nation
+    // DYNAMICALLY (the most-supplying nation in the qualifying set) so
+    // the numerator is non-zero at sf0.001 and the test can't pass
+    // vacuously on an all-zeros share column
+    val lo = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
+    val regionKey = Tables.region(spark, sfDir)
+      .filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey").cast("long")).as[Long].head()
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val regionNations = nations.filter(_._3 == regionKey).map(_._1).toSet
+    val custIn = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)].collect()
+      .filter(r => regionNations(r._2)).map(_._1).toSet
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("long")).as[(Long, Long, Long)].collect()
+      .filter(r => r._3 >= lo && r._3 < hi && custIn(r._2))
+      .map(r => r._1 ->
+        java.time.Instant.ofEpochSecond(r._3)
+          .atZone(java.time.ZoneOffset.UTC).getYear).toMap
+    val econParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey").cast("long")).as[Long].collect().toSet
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .as[(Long, Long)].collect()
+      .map(r => r._1 -> nations.find(_._1 == r._2).get._2).toMap
+    val vols = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"), col("l_extendedprice"),
+        col("l_discount")).as[(Long, Long, Long, Double, Double)].collect()
+      .filter(r => econParts(r._2) && ord.contains(r._1))
+      .map { case (ok, _, sk, p, d) => (ord(ok), suppNation(sk),
+        BigDecimal(p).setScale(2) *
+          (BigDecimal(1).setScale(4) - BigDecimal(d).setScale(4))) }
+    assert(vols.nonEmpty, "fixture must populate the q8 star at sf0.001")
+    val topNation = vols.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      .toSeq.maxBy(v => (v._2, v._1))._1
+    val want = vols.groupBy(_._1).toSeq.sortBy(_._1).map { case (y, rs) =>
+      val tot = rs.map(_._3).sum
+      val sh = rs.filter(_._2 == topNation).map(_._3).sum
+      (y, sh.toDouble / tot.toDouble)
+    }
+    val out = Relational.q8MarketShare(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), shareNation = topNation)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    // exactly the seven equi-join nodes of the star spelling — a
+    // collapsed/cross shape would change the count
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 7, plan)
+    val got = out.as[(Int, Double)].collect().toSeq
+    assert(got === want && got.exists(_._2 > 0.0))
+  }
 }
