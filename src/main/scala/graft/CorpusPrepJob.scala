@@ -53,7 +53,8 @@ object CorpusPrepJob {
       serveEval: Option[(Long, Double)] = None,
       evalSec: Double = 0.0,
       profile: Option[(Long, Double)] = None,
-      profileSec: Double = 0.0)
+      profileSec: Double = 0.0,
+      graph: Option[(Long, Long)] = None)
 
   /** Run the prep against `docsDir`'s documents table, artifacts under
     * `outDir`. Gate parameters mirror the `corpus_prep_e2e` catalog
@@ -66,6 +67,12 @@ object CorpusPrepJob {
     * so [[graft.operators.Retrieval.serve]] can answer queries
     * against exactly the corpus the shards hold (indexing pre-funnel
     * docs would serve junk the trainer never sees). */
+  /** `graphIndex = true` (requires `buildIndex`) adds the EIGHTH
+    * artifact (r15, VERDICT r14 #6): `<out>/index/graph` — the E14b
+    * graph-ANN serve index over the SURVIVORS' embeddings
+    * ([[graft.operators.Similarity.writeGraphIndex]]), so the
+    * graph-serve family (serve / append / compact / paged) answers
+    * from a prep run's artifacts alone. */
   /** `auditFrac > 0` adds the FIFTH artifact (r12): `<out>/audit/` —
     * the dedup-quality self-audit. Exact-Jaccard truth over 100 TB is
     * unaffordable, but over a deterministic md5-coin sample it is
@@ -98,9 +105,12 @@ object CorpusPrepJob {
           budgetTokens: Int = 2048, buildIndex: Boolean = false,
           auditFrac: Double = 0.0, evalQueries: Int = 0,
           evalK: Int = 10, evalNprobe: Int = 4,
-          curriculumStages: Int = 0, profile: Boolean = false): PrepResult = {
+          curriculumStages: Int = 0, profile: Boolean = false,
+          graphIndex: Boolean = false, graphK: Int = 5): PrepResult = {
     require(evalQueries <= 0 || buildIndex,
       "evalQueries needs buildIndex — the retrieval audit judges the landed index")
+    require(!graphIndex || buildIndex,
+      "graphIndex extends the index stage — it needs buildIndex")
     val docs = Tables.documents(spark, docsDir)
     val isBench = col("doc_id") % 97 === 0
     // the near-dup stage's ONE parameterization — shared with the
@@ -138,8 +148,8 @@ object CorpusPrepJob {
         .write.mode("overwrite").parquet(s"$outDir/manifest")
       spark.read.parquet(s"$outDir/manifest").count()
     }
-    val (_, indexSec) =
-      if (!buildIndex) ((), 0.0)
+    val (graphRep, indexSec) =
+      if (!buildIndex) (None, 0.0)
       else timed {
         graft.operators.TextAnalysis.writeBm25Stats(clean, "prep_bm25",
           s"$outDir/index/bm25")
@@ -150,6 +160,29 @@ object CorpusPrepJob {
             "left_semi")
         graft.operators.Similarity.writeIvfIndex(embClean,
           s"$outDir/index/ivf", nlist = 0)
+        // the EIGHTH artifact (r15, VERDICT r14 #6): the graph-ANN
+        // serve index (E14b) over the SAME survivor embeddings, so
+        // the whole graph-serve family (serve/append/compact/paged)
+        // is reachable from a prep run's artifacts alone —
+        // `<out>/index/graph`, spec-pinned ≡ a direct
+        // writeGraphIndex over the clean frame. The survivor set
+        // comes from the LANDED shards (row-identical to `clean` —
+        // spec-pinned 1:1), not the clean frame's lineage: the graph
+        // build self-joins its input several times, and each copy
+        // would re-embed the whole funnel plan (the tree string alone
+        // OOMs before any work runs)
+        if (!graphIndex) None
+        else {
+          val survivorEmb = Tables.embeddings(spark, docsDir)
+            .join(spark.read.parquet(s"$outDir/shards")
+                .select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          graft.operators.Similarity.writeGraphIndex(survivorEmb,
+            s"$outDir/index/graph", k = graphK)
+          val adj = spark.read.parquet(s"$outDir/index/graph/adj")
+          Some((spark.read.parquet(s"$outDir/index/graph/vec").count(),
+            adj.count()))
+        }
       }
     val (audit, auditSec) =
       if (auditFrac <= 0.0) (None, 0.0)
@@ -237,7 +270,7 @@ object CorpusPrepJob {
     PrepResult(ledger.headOption.map(_._2).getOrElse(0L),
       shardRep.rows, shardRep, manifestRows, ledger,
       funnelSec, shardSec, manifestSec, indexSec, audit, auditSec,
-      serveEval, evalSec, profileRows, profileSec)
+      serveEval, evalSec, profileRows, profileSec, graphRep)
   }
 
   def main(args: Array[String]): Unit = {
@@ -248,7 +281,10 @@ object CorpusPrepJob {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     try {
       val r = run(spark, docsDir, outDir, nShards, buildIndex = true,
-        auditFrac = 0.25, evalQueries = 8, profile = true)
+        auditFrac = 0.25, evalQueries = 8, profile = true,
+        graphIndex = true)
+      r.graph.foreach { case (nVec, nEdges) =>
+        println(f"[prep] graph index: $nVec%d vectors, $nEdges%d edges") }
       r.profile.foreach { case (nBands, ratio) =>
         println(f"[prep] profile: $nBands%d cluster-size bands, " +
           f"dup ratio $ratio%.6f") }
@@ -278,6 +314,8 @@ object CorpusPrepJob {
         s""","profile_sec":${Jsons.num(r.profileSec, 3)}""" +
         r.profile.fold("")(p =>
           s""","dup_ratio":${Jsons.num(p._2, 6)}""") +
+        r.graph.fold("")(g =>
+          s""","graph_vectors":${g._1},"graph_edges":${g._2}""") +
         s""","out":"$outDir"}""")
     } finally spark.stop()
   }

@@ -125,6 +125,58 @@ class FunnelSpec extends SparkSpec {
       page.forall(row => cleanIds.contains(row.getAs[Long]("doc_id"))))
   }
 
+  test("CorpusPrepJob graphIndex: the graph-ANN serve index lands as the eighth artifact ≡ the direct writeGraphIndex (r14 verdict #6)") {
+    val S = graft.operators.Similarity
+    val out = java.nio.file.Files.createTempDirectory("graft_cpg").toString
+    val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 2,
+      buildIndex = true, graphIndex = true, graphK = 5)
+    val cleanIds = spark.read.parquet(s"$out/shards")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // direct build over the SAME survivor frame — the landed artifact
+    // must be edge-identical (writeGraphIndex is deterministic). The
+    // survivors come from the landed shards via a semi-join, like the
+    // prep's own graph stage — a several-hundred-literal isin would
+    // re-embed in every self-join copy of the graph build's plan
+    val direct = java.nio.file.Files
+      .createTempDirectory("graft_cpg_direct").toString
+    S.writeGraphIndex(
+      Tables.embeddings(spark, sfDir)
+        .join(spark.read.parquet(s"$out/shards")
+            .select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+      direct, k = 5)
+    def edges(p: String) = spark.read.parquet(s"$p/adj")
+      .select("src", "dst").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val landed = edges(s"$out/index/graph")
+    assert(landed === edges(direct) && landed.nonEmpty)
+    // only survivors in the graph — a dropped doc in vec/ or adj/
+    // would let a serve hop resurface it
+    val vecIds = spark.read.parquet(s"$out/index/graph/vec")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds.subsetOf(cleanIds) &&
+      landed.forall(e => cleanIds(e._1) && cleanIds(e._2)))
+    // frozen entry agrees
+    assert(spark.read.parquet(s"$out/index/graph/meta").head()
+      .getAs[Long]("entry") ===
+      spark.read.parquet(s"$direct/meta").head().getAs[Long]("entry"))
+    // the report field re-derives from the landed artifact
+    assert(r.graph === Some((vecIds.size.toLong, landed.size.toLong)))
+    // and the serve family answers from the prep artifacts alone
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(cleanIds.toSeq.take(3).map(Long.box): _*))
+      .select("vec_id", "embedding")
+    val page = S.graphTopKFromIndex(spark, s"$out/index/graph", q, k = 3)
+      .collect()
+    assert(page.nonEmpty &&
+      page.forall(row => cleanIds.contains(row.getAs[Long]("n_id"))))
+    // graphIndex without buildIndex is a contract error, not a
+    // silently-empty index dir
+    intercept[IllegalArgumentException] {
+      CorpusPrepJob.run(spark, sfDir, out + "_x", graphIndex = true)
+    }
+  }
+
   test("CorpusPrepJob evalQueries: the retrieval self-audit artifact equals a direct grouped eval on the landed index") {
     val out = java.nio.file.Files.createTempDirectory("graft_cpe").toString
     val r = CorpusPrepJob.run(spark, sfDir, out, nShards = 2,
