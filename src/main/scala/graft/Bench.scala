@@ -28,6 +28,31 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** /proc/loadavg 1/5/15-min samples — the box-burst sentinel
+    * (r14 verdict #4): BENCH_r14 shipped pipeline_e2e 80.7 s against
+    * its own same-run isolated 14.1 s, and round-over-round totals
+    * were dominated by load luck with no way to prove it from the
+    * committed artifact. Sampled at start/mid/end and printed in the
+    * JSON line, so the next round's comparison can say "loaded run"
+    * from data instead of hand-waving. */
+  private def loadAvg(): Seq[Double] =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Catalog entries the bench SKIPS (they stay in Verify and the
+    * recall gate — this is a bench-cost decision, not a coverage cut;
+    * r14 verdict #7): the graph-serve family was paying THREE bench
+    * lines for one serve path — the in-memory anchor (full-corpus
+    * probe per hop BY DESIGN, the non-deploy recall baseline) and the
+    * indexed catalog entry (a full knnGraphAnn build + artifact land
+    * per rep). The benched graph numbers are now the attributable
+    * idx_graph_* block: build / serve / paged serve / streaming
+    * ingest, each costed separately. */
+  private val benchExclude: Set[String] =
+    Set("ann_graph_topk", "ann_graph_topk_indexed")
+
   /** noop-sink wall time of one plan — the same materialization rule
     * as the catalog loop (see Methodology). */
   private def timeNoop(fn: () => org.apache.spark.sql.DataFrame): Double = {
@@ -65,6 +90,7 @@ object Bench {
     // order makes every entry's number reproducible run-over-run
     def runAll(dir: String, record: Boolean): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(kv => SparkEntry.runOrderKey(kv._1))
+        .filterNot(kv => benchExclude(kv._1))
         .flatMap { case (name, fn) =>
         try Some(name -> timeNoop(() => fn(spark, dir)))
         catch { case scala.util.control.NonFatal(e) =>
@@ -72,6 +98,8 @@ object Bench {
           None
         }
       }.toMap
+
+    val loadStart = loadAvg()
 
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001"))
@@ -83,6 +111,7 @@ object Bench {
       runAll(sfDir, record = true)
     }
     clearCaches() // nor does the last rep donate to the serve bench
+    val loadMid = loadAvg()
 
     // the D3 family (ngram-jaccard lineage) swings ±26% between
     // identical-code runs on this box (PERF.md r10: same-day A/B) —
@@ -121,13 +150,15 @@ object Bench {
     clearCaches()
     // median over the reps that SUCCEEDED; a query that failed every
     // rep is absent from the line (stderr carries the failures)
+    val (pipeHead, pipeHeadReps) = benchPipeline(spark, reps)
+    clearCaches() // the pipeline donates nothing to the serve bench
     val results = SparkEntry.queries.keys
       .flatMap { name =>
         val ok = runs.flatMap(_.get(name))
         if (ok.isEmpty) None else Some(name -> median(ok))
       }.toMap ++
       benchIndexServes(spark, sfDir, reps) ++
-      benchPipeline(spark, reps)
+      pipeHead
     // pipeline_e2e isolated re-measure (r13 verdict #5: its rfields
     // stage read 2.33→3.86 s across rounds and the variance-band
     // claim needs a MEASURED isolated median) — run AFTER the
@@ -135,7 +166,19 @@ object Bench {
     // ~3× codec/JIT warmup (measured 15 s vs the 5 s warm headline),
     // and the isolated block exists to attribute drift, not to price
     // cold starts. Sub-phase medians ride along for attribution.
-    val isoAll = driftIso ++ benchPipeline(spark, isoReps)
+    val isoAll = driftIso ++ benchPipeline(spark, isoReps)._1
+    val loadEnd = loadAvg()
+    // per-rep catalog times + the headline pipeline's reps — the
+    // attribution record (r14 verdict #4): a burst that lands on two
+    // of three reps is visible in the committed artifact, not just in
+    // a local re-run's folklore
+    val repDetail: Map[String, Seq[Double]] =
+      (SparkEntry.queries.keys.flatMap { name =>
+        val ok = runs.flatMap(_.get(name))
+        if (ok.isEmpty) None else Some(name -> ok)
+      }.toMap) ++
+        (if (pipeHeadReps.nonEmpty) Map("pipeline_e2e" -> pipeHeadReps)
+         else Map.empty)
     // The driver captures only the LAST 2000 log chars: the full
     // ~82-entry map is ≥2100 chars (names alone are 1300+), so a
     // whole-map line ALWAYS loses its head to the cut — r4–r6 each
@@ -153,7 +196,18 @@ object Bench {
       if (results.nonEmpty)
         results.filterNot(_._1.startsWith("pipeline_e2e.")).values.sum
       else 0.0
-    def lineOf(inline: Seq[(String, Double)], omitted: Int): String = {
+    def loadJson: String = {
+      def arr(xs: Seq[Double]) =
+        xs.map(x => Jsons.num(x, 2)).mkString("[", ",", "]")
+      s""""load":{"start":${arr(loadStart)},"mid":${arr(loadMid)},""" +
+        s""""end":${arr(loadEnd)}}"""
+    }
+    def repsJson(names: Seq[String]): String =
+      names.sorted.flatMap(n => repDetail.get(n).map(ts =>
+          Jsons.str(n) + ":" + ts.map(ms3).mkString("[", ",", "]")))
+        .mkString("{", ",", "}")
+    def lineOf(inline: Seq[(String, Double)], omitted: Int,
+               repNames: Seq[String]): String = {
       val qs = inline.sortBy(_._1)
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
         .mkString("{", ",", "}")
@@ -161,21 +215,28 @@ object Bench {
         .map { case (k, v) => Jsons.str(k) + ":" + ms3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
-        s""""isolated":$iso,"omitted":$omitted,"full":"BENCH_FULL.json",""" +
+        s""""isolated":$iso,$loadJson,"rep_detail":${repsJson(repNames)},""" +
+        s""""omitted":$omitted,"full":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","reps":$reps}"""
     }
     val byCost = results.toSeq.sortBy(-_._2)
+    // the printed line carries per-rep arrays for the most expensive
+    // entries only (the ones a burst can dominate); the full detail
+    // ships in BENCH_FULL.json
+    val topRepNames = byCost.take(6).map(_._1)
     // largest prefix (by cost rank) whose rendered line fits the tail
     // window; 1900 leaves margin for sbt's own trailing output
     val keep = (byCost.length to 0 by -1)
-      .find(n => lineOf(byCost.take(n), byCost.length - n).length <= 1900)
+      .find(n =>
+        lineOf(byCost.take(n), byCost.length - n, topRepNames).length <= 1900)
       .getOrElse(0)
-    val line = lineOf(byCost.take(keep), byCost.length - keep)
+    val line = lineOf(byCost.take(keep), byCost.length - keep, topRepNames)
     // the COMPLETE map as its own committed file — a file written
     // whole can't lose entries to a log-tail cut, so this is the
     // canonical per-query record every round
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), lineOf(byCost, 0))
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      lineOf(byCost, 0, repDetail.keys.toSeq))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     println(line)
@@ -192,7 +253,8 @@ object Bench {
     * Grid generation is untimed (an offline fixture); each rep gets a
     * fresh outDir so rfield writes never collide. Environmental
     * failures log and skip, like the serve bench. */
-  private def benchPipeline(spark: SparkSession, reps: Int): Map[String, Double] =
+  private def benchPipeline(spark: SparkSession,
+                            reps: Int): (Map[String, Double], Seq[Double]) =
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
       try {
@@ -205,11 +267,13 @@ object Bench {
         // per-stage medians ride along as sub-entries: the e2e number
         // swings with host contention, and an attributable breakdown
         // (parse_diff vs rfields vs watermarks) is what separates a
-        // real regression from ambient load next round
+        // real regression from ambient load next round; the raw e2e
+        // rep times ride back to the caller for the rep_detail record
         val stageKeys = runs.flatMap(_._2.keys).distinct
-        Map("pipeline_e2e" -> median(runs.map(_._1))) ++
+        (Map("pipeline_e2e" -> median(runs.map(_._1))) ++
           stageKeys.map(k =>
-            s"pipeline_e2e.$k" -> median(runs.flatMap(_._2.get(k))))
+            s"pipeline_e2e.$k" -> median(runs.flatMap(_._2.get(k)))),
+          runs.map(_._1))
       } finally {
         import org.apache.hadoop.fs.Path
         val hp = new Path(dir)
@@ -218,7 +282,7 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
-        Map.empty
+        (Map.empty, Seq.empty)
     }
 
   /** A failed partition-pruning audit — thrown PAST the serve bench's
@@ -332,7 +396,13 @@ object Bench {
         // endpoint vectors, the vec/ point-lookup twin, frozen entry,
         // commit ledger — and a serve that reads ONLY those artifacts
         // (each hop = one pruned adjacency scan, never a corpus probe)
+        // build timed separately (r14 verdict #7): the graph family's
+        // bench cost is now attributable — idx_graph_build prices the
+        // offline artifact land ONCE (the catalog entry used to pay it
+        // per rep), idx_graph_serve prices the standing per-page cost
+        val tBuild0 = System.nanoTime()
         S.writeGraphIndex(emb, s"$gPath/gidx", k = 5)
+        val graphBuildSec = (System.nanoTime() - tBuild0) / 1e9
         // graph pruning audit, the IVF audit's dual: a one-node hop
         // scan must read strictly fewer adj files than the index
         // holds (skipped when ≤ 1 pb partition is populated)
@@ -358,18 +428,38 @@ object Bench {
           "bench_rsrv_bm25", s"$rsrvPath/quality")
         def servLtr() = graft.operators.Retrieval.serveLtr(spark,
           "bench_rsrv_bm25", rsrvPath, rsrvQ, rsrvCfg)
+        // the PAGED admission-control serve (r14 verdict #8): a
+        // 400-query set forced through ~4 hash pages (pageSize 200 →
+        // 100-query target per page) — the paging ceiling's standing
+        // cost gets a round-over-round number like every other index
+        // family, instead of living spec-only
+        val pagedQ = emb.select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(400)
+        def servPaged() = S.graphTopKFromIndexPaged(spark, s"$gPath/gidx",
+          pagedQ, 5, pageSize = 200, maxPages = 8)
         timeNoop(() => servIvf()); timeNoop(() => servPq()) // untimed warmup
         timeNoop(() => servIvfAuto()); timeNoop(() => servPage())
         timeNoop(() => servFiltered()); timeNoop(() => servGraph())
-        timeNoop(() => servLtr())
-        Map(
+        timeNoop(() => servLtr()); timeNoop(() => servPaged())
+        val servedMap = Map(
           "idx_ivf_serve" -> median((1 to reps).map(_ => timeNoop(() => servIvf()))),
           "idx_ivf_serve_auto" -> median((1 to reps).map(_ => timeNoop(() => servIvfAuto()))),
           "idx_ivfpq_serve" -> median((1 to reps).map(_ => timeNoop(() => servPq()))),
           "idx_filtered_serve" -> median((1 to reps).map(_ => timeNoop(() => servFiltered()))),
           "idx_retrieval_serve" -> median((1 to reps).map(_ => timeNoop(() => servPage()))),
           "idx_ltr_serve" -> median((1 to reps).map(_ => timeNoop(() => servLtr()))),
-          "idx_graph_serve" -> median((1 to reps).map(_ => timeNoop(() => servGraph()))))
+          "idx_graph_serve" -> median((1 to reps).map(_ => timeNoop(() => servGraph()))),
+          "idx_graph_serve_paged" -> median((1 to reps).map(_ => timeNoop(() => servPaged()))))
+        // streaming graph ingest LAST (r14 verdict #8): it mutates the
+        // index, so it must not run before the serve timings. One
+        // long-lived streaming query; each rep drains TWO 128-vector
+        // micro-batches of fresh ids (batch ids stay monotone across
+        // reps — replay-by-id semantics are never faked), the first
+        // rep is the untimed JIT warmup. The graph grows ~256 vectors
+        // per rep — noted, and two orders below the corpus size.
+        val ingestSec = benchGraphIngest(spark, s"$gPath/gidx", emb, reps)
+        servedMap ++ Map("idx_graph_build" -> graphBuildSec) ++
+          ingestSec.map("idx_graph_ingest" -> _)
       } finally {
         import org.apache.hadoop.fs.Path
         Seq(ivfPath, pqPath, ivfAutoPath, rsrvPath, fidxPath, gPath).foreach { p =>
@@ -387,5 +477,51 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] index-serve bench failed: ${e.getMessage}")
         Map.empty
+    }
+
+  /** One timed streaming-ingest number for the graph index (r14
+    * verdict #8): the [[graft.streaming.EventStream.streamingGraphIngest]]
+    * path — serve-then-attach per micro-batch against the LANDED
+    * index — exercised at bench scale. One streaming query stays up
+    * for all reps (batch ids must stay monotone — reusing a batch id
+    * across reps would exercise the replay-overwrite path, not an
+    * ingest); each rep drains TWO 128-vector batches of fresh ids and
+    * the first rep is the untimed warmup. Returns the median
+    * two-batch drain time, or None on an environmental failure
+    * (log-and-skip, like the rest of the serve bench). */
+  private def benchGraphIngest(spark: SparkSession, indexPath: String,
+                               emb: org.apache.spark.sql.DataFrame,
+                               reps: Int): Option[Double] =
+    try {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(256)
+        .as[(Long, Array[Float])].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val writer = graft.streaming.EventStream.streamingGraphIngest(
+        stream.toDS().toDF("vec_id", "embedding"), indexPath, 5,
+        (_, page) => { page.count(); () })
+      val q = writer.start()
+      try {
+        val times = (0 to reps).map { rep =>
+          // fresh ids per rep and per row — the append contract
+          val rows = base.zipWithIndex.map { case ((_, v), i) =>
+            (2000000000L + rep.toLong * 10000L + i, v) }.toSeq
+          val t0 = System.nanoTime()
+          stream.addData(rows.take(128))
+          q.processAllAvailable()
+          stream.addData(rows.drop(128))
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(median(times.drop(1)))
+      } finally q.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] graph ingest bench failed: ${e.getMessage}")
+        None
     }
 }
