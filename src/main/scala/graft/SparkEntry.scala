@@ -488,6 +488,13 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.part(s, d))),
 
+    // C20 (r15): ROLLUP / grouping-sets shape — detail + per-nation
+    // subtotal + grand total from ONE Expand+aggregate pass
+    "q_rollup_revenue" -> ((s, d) =>
+      Relational.qRollupRevenue(
+        Tables.customer(s, d), Tables.nation(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     "ts_cumsum" -> ((s, d) =>
       Timeseries.cumulative(ev(s, d), "user_id", "ts_us", "event_id", "value_dec")
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -2699,6 +2706,26 @@ object SparkEntry {
          |    AND o_orderdate <  TIMESTAMP '1997-01-01')
          |GROUP BY o_year
          |ORDER BY o_year""".stripMargin,
+
+    // C20 mirror: the same ROLLUP with the same sentinel labels;
+    // GROUPING(n_name, o_year) bit-encodes identically in both
+    // engines (first listed column = most significant bit)
+    "q_rollup_revenue" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(o_year, -1) AS o_year,
+         |  CAST(GROUPING(n_name, o_year) AS BIGINT) AS lvl,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |         $EP * $DISC1 AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1997-01-01')
+         |GROUP BY ROLLUP (n_name, o_year)
+         |ORDER BY lvl, nation, o_year""".stripMargin,
 
     // C11 mirror: the same grouped-avg join-back with the identical
     // cross-multiplied decimal predicate

@@ -583,6 +583,47 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** C20 (r15): revenue rollup — the GROUPING-SETS plan shape
+    * (ROLLUP over (nation, order year)) that no other C entry
+    * exercises: detail rows, per-nation subtotals, and the grand
+    * total from ONE aggregation pass — Spark plans the rollup as an
+    * Expand (each input row replicated once per grouping set with
+    * the collapsed keys nulled) feeding a SINGLE hash aggregate and
+    * one shuffle on the expanded keys; a per-level re-aggregation
+    * spelling would re-shuffle the fact once per level. Collapsed
+    * levels surface as COALESCE'd sentinel labels ('ALL' / -1), not
+    * NULLs — cross-engine NULL-in-key frames read back with
+    * engine-specific null dtypes and the sentinel keeps the driver
+    * hash byte-stable; `lvl` (grouping_id) disambiguates a real
+    * 'ALL' value from a rollup row. Exact DECIMAL sums (decimal
+    * addition is associative — subtotal rows are exactly the sums of
+    * their details), one double cast at the edge. */
+  def qRollupRevenue(customer: DataFrame, nation: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame,
+                     lo: String = "1995-01-01",
+                     hi: String = "1997-01-01"): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .select(col("l_orderkey"),
+        (dec2("l_extendedprice") * oneMinus("l_discount")).as("__rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        sum(col("__rev")).as("__sum"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        col("lvl"), col("__sum").cast("double").as("revenue"))
+      .orderBy(col("lvl"), col("nation"), col("o_year"))
+  }
+
   /** C4: top-k rows per group — rank window partitioned by the group
     * key (single shuffle on the partition key, no global sort).
     * Deterministic tie-break on the id column.

@@ -540,4 +540,60 @@ class GridRelationalSpec extends SparkSpec {
     val got = out.as[(Int, Double)].collect().toSeq
     assert(got === want && got.exists(_._2 > 0.0))
   }
+
+  test("C20 rollup: one Expand+aggregate pass (no per-level re-shuffle), " +
+      "subtotals exactly sum their details, driver parity") {
+    val out = Relational.qRollupRevenue(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    // the grouping sets come from ONE Expand feeding ONE hash
+    // aggregate chain — a per-level union spelling would multiply the
+    // fact joins (3 here) per level
+    assert(plan.contains("Expand"), plan)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 3 &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    val rows = out.as[(String, Int, Long, Double)].collect().toSeq
+    // exact-decimal internal sums: each nation subtotal equals the
+    // exact sum of its detail rows at the double edge, and the grand
+    // total equals the sum of subtotals
+    val details = rows.filter(_._3 == 0L)
+    val subs = rows.filter(_._3 == 1L)
+    val grand = rows.filter(_._3 == 3L)
+    assert(details.nonEmpty && subs.nonEmpty && grand.size == 1)
+    assert(rows.size === details.size + subs.size + 1)
+    // driver parity in BigDecimal (exact until the final double cast)
+    val lo = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("long")).as[(Long, Long, Long)].collect()
+      .filter(r => r._3 >= lo && r._3 < hi)
+      .map(r => r._1 -> ((nat(cust(r._2)),
+        java.time.Instant.ofEpochSecond(r._3)
+          .atZone(java.time.ZoneOffset.UTC).getYear))).toMap
+    val vols = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_extendedprice"),
+        col("l_discount")).as[(Long, Double, Double)].collect()
+      .flatMap { case (ok, p, d) => ord.get(ok).map { case (n, y) =>
+        (n, y, BigDecimal(p).setScale(2) *
+          (BigDecimal(1).setScale(4) - BigDecimal(d).setScale(4))) } }
+    def sums(key: ((String, Int, BigDecimal)) => (String, Int)) =
+      vols.groupBy(key).view
+        .mapValues(_.map(_._3).sum.toDouble).toMap
+    val wantDetail = sums(v => (v._1, v._2))
+    val wantSub = sums(v => (v._1, -1))
+    val wantGrand = vols.map(_._3).sum.toDouble
+    assert(details.map(r => (r._1, r._2) -> r._4).toMap === wantDetail)
+    assert(subs.map(r => (r._1, r._2) -> r._4).toMap ===
+      wantSub.map { case ((n, _), v) => (n, -1) -> v })
+    assert(grand.head === (("ALL", -1, 3L, wantGrand)))
+  }
 }
