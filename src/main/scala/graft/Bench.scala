@@ -20,12 +20,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     // true median: an even rep count must not systematically pick the
     // faster middle run (reps=2 would report the MINIMUM otherwise)
     if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** The one cache-release sweep both the bench loop and the variance
+    * drives use — shared so a cache added here is cleared EVERYWHERE
+    * that claims "caches cleared between reps" (r15 review: the drive
+    * had its own copy that had already drifted). */
+  private[graft] def clearAllCaches(spark: SparkSession): Unit = {
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.Similarity.releaseCaches()
+    graft.operators.Corpus.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
+    graft.operators.Bpe.clearCache()
+    spark.sharedState.cacheManager.clearCache()
   }
 
   /** /proc/loadavg 1/5/15-min samples — the box-burst sentinel
@@ -35,7 +48,7 @@ object Bench {
     * committed artifact. Sampled at start/mid/end and printed in the
     * JSON line, so the next round's comparison can say "loaded run"
     * from data instead of hand-waving. */
-  private def loadAvg(): Seq[Double] =
+  private[graft] def loadAvg(): Seq[Double] =
     try java.nio.file.Files
       .readString(java.nio.file.Paths.get("/proc/loadavg"))
       .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
@@ -70,14 +83,7 @@ object Bench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
 
-    def clearCaches(): Unit = {
-      graft.operators.Dedup.releaseCaches()
-      graft.operators.Similarity.releaseCaches()
-      graft.operators.Corpus.releaseCaches()
-      graft.operators.TextAnalysis.releaseCaches()
-      graft.operators.Bpe.clearCache()
-      spark.sharedState.cacheManager.clearCache()
-    }
+    def clearCaches(): Unit = clearAllCaches(spark)
 
     // a query that THROWS contributes no number: recording its
     // elapsed-to-failure would ship a phantom "speedup" into the
@@ -150,14 +156,22 @@ object Bench {
     clearCaches()
     // median over the reps that SUCCEEDED; a query that failed every
     // rep is absent from the line (stderr carries the failures)
+    // serve bench BEFORE the headline pipeline — the r14 measurement
+    // order, kept (r15 review): round-over-round pipeline_e2e numbers
+    // must compare like-for-like JVM/codec state, not a methodology
+    // drift
+    val idxServes = benchIndexServes(spark, sfDir, reps)
     val (pipeHead, pipeHeadReps) = benchPipeline(spark, reps)
-    clearCaches() // the pipeline donates nothing to the serve bench
-    val results = SparkEntry.queries.keys
-      .flatMap { name =>
+    // ONE per-name rep collection — results medians and the
+    // rep-detail record both derive from it
+    val catalogReps: Map[String, Seq[Double]] =
+      SparkEntry.queries.keys.flatMap { name =>
         val ok = runs.flatMap(_.get(name))
-        if (ok.isEmpty) None else Some(name -> median(ok))
-      }.toMap ++
-      benchIndexServes(spark, sfDir, reps) ++
+        if (ok.isEmpty) None else Some(name -> ok)
+      }.toMap
+    val results =
+      catalogReps.map { case (n, ok) => n -> median(ok) } ++
+      idxServes ++
       pipeHead
     // pipeline_e2e isolated re-measure (r13 verdict #5: its rfields
     // stage read 2.33→3.86 s across rounds and the variance-band
@@ -173,10 +187,7 @@ object Bench {
     // of three reps is visible in the committed artifact, not just in
     // a local re-run's folklore
     val repDetail: Map[String, Seq[Double]] =
-      (SparkEntry.queries.keys.flatMap { name =>
-        val ok = runs.flatMap(_.get(name))
-        if (ok.isEmpty) None else Some(name -> ok)
-      }.toMap) ++
+      catalogReps ++
         (if (pipeHeadReps.nonEmpty) Map("pipeline_e2e" -> pipeHeadReps)
          else Map.empty)
     // The driver captures only the LAST 2000 log chars: the full
@@ -221,9 +232,12 @@ object Bench {
     }
     val byCost = results.toSeq.sortBy(-_._2)
     // the printed line carries per-rep arrays for the most expensive
-    // entries only (the ones a burst can dominate); the full detail
-    // ships in BENCH_FULL.json
-    val topRepNames = byCost.take(6).map(_._1)
+    // entries WITH rep data only (idx_*/pipeline.* sub-entries have
+    // none — taking a raw top-6 could ship an empty rep_detail while
+    // a burst-dominated catalog entry just below the cut gets no
+    // record; r15 review); the full detail ships in BENCH_FULL.json
+    val topRepNames = byCost.filter(kv => repDetail.contains(kv._1))
+      .take(6).map(_._1)
     // largest prefix (by cost rank) whose rendered line fits the tail
     // window; 1900 leaves margin for sbt's own trailing output
     val keep = (byCost.length to 0 by -1)

@@ -1048,6 +1048,27 @@ object Similarity {
       graphCommittedRead(spark, path, dir, excludeIngestBatch),
       keyCol, pbCol, buckets, ids)
 
+  /** The `vec/` point lookup for an id set that may EXCEED the
+    * frontier ceiling (r14 ADVICE — [[appendToGraphIndex]]'s existing
+    * endpoints are bounded by batch·k, which passes 2^17 at k ≥ 33 on
+    * a full batch): the ids are chunked into ≤-ceiling pages, each
+    * page filtered over ONE committed read, results unioned. `chunk`
+    * is parameterized only so the multi-chunk assembly is spec-testable
+    * on a small index (GraphIndexSpec) — production callers take the
+    * ceiling default. */
+  private[graft] def chunkedVecLookup(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int, ids: Seq[Long],
+      excludeIngestBatch: Option[Long],
+      chunk: Int = graphFrontierCeiling): DataFrame = {
+    require(chunk > 0 && chunk <= graphFrontierCeiling,
+      s"chunk=$chunk out of (0, $graphFrontierCeiling]")
+    val vecRel = graphCommittedRead(spark, path, "vec", excludeIngestBatch)
+    ids.grouped(chunk)
+      .map(c => graphPointFilter(vecRel, "vec_id", "vb", buckets, c))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(graphPointFilter(vecRel, "vec_id", "vb", buckets, Nil))
+  }
+
   /** The committed-batches relation under a graph-index dir — read
     * ONCE per serve/append and re-filtered per hop
     * ([[graphPointFilter]]): re-reading per hop would re-list the
@@ -1261,13 +1282,19 @@ object Similarity {
     // page under pageSize in expectation — the per-page serve guard
     // still enforces the hard ceiling (2x slack for hash skew). The
     // per-page target floors at 1 so the documented-legal pageSize=1
-    // doesn't zero the denominator (r14 ADVICE).
+    // doesn't zero the denominator (r14 ADVICE), and the page count
+    // caps at maxPages so the driver never runs more sequential page
+    // jobs than the caller budgeted (r15 review: the 2x-slack target
+    // could otherwise split an admitted query set into up to
+    // 2·maxPages pages); at the cap the expected page is still
+    // ≤ pageSize because admission bounds n ≤ maxPages·pageSize.
     val n = queries.count()
     require(n <= maxPages.toLong * pageSize,
       s"graphTopKFromIndexPaged got $n queries (> maxPages=$maxPages × " +
         s"pageSize=$pageSize) — batch-score instead of paging an online serve")
     val perPage = math.max(1, pageSize / 2)
-    val nPages = math.max(1L, (n + perPage - 1) / perPage)
+    val nPages = math.min(maxPages.toLong,
+      math.max(1L, (n + perPage - 1) / perPage))
     (0L until nPages).map { pg =>
       graphTopKFromIndex(spark, path,
         queries.filter(pmod(xxhash64(col("vec_id")), lit(nPages)) === pg),
@@ -1367,12 +1394,8 @@ object Similarity {
       // chunk the lookup into ≤-ceiling id pages over ONE committed
       // read so a wide-k full-size batch appends instead of tripping
       // the admission require (r14 ADVICE)
-      val vecRel = graphCommittedRead(spark, path, "vec", Some(ingestBatch))
-      val existVecs = existIds.grouped(graphFrontierCeiling)
-        .map(chunk => graphPointFilter(vecRel, "vec_id", "vb", buckets, chunk))
-        .reduceOption(_.unionByName(_))
-        .getOrElse(graphPointFilter(vecRel, "vec_id", "vb", buckets, Nil))
-      val dstVecs = existVecs
+      val dstVecs = chunkedVecLookup(spark, path, buckets, existIds,
+          Some(ingestBatch))
         .select(col("vec_id"), col("v"), col("n2"))
         .unionByName(batch.select(col("vec_id"), col("v"), col("n2")))
       und.join(dstVecs.select(col("vec_id").as("dst"),

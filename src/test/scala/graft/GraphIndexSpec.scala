@@ -267,4 +267,40 @@ class GraphIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("beam state would exceed"))
   }
+
+  test("paged serve caps the page count at maxPages (r15 review) — results identical at the cap") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5)
+    val qs = emb.filter(SparkEntry.annIsQuery).select("vec_id", "embedding")
+    val n = qs.count()
+    val one = Similarity.graphTopKFromIndex(spark, path, qs, 5)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    // a config whose 2x-slack target would want MORE pages than
+    // maxPages (ceil(n/1) > 2 for any n > 2) while admission passes
+    // (n <= maxPages·pageSize): the split must run at most maxPages
+    // pages — pages larger than pageSize/2 but well under the serve's
+    // 4096 guard — and stay row-identical
+    assert(n > 2) // admission n <= maxPages·pageSize holds: 2·n >= n
+    val capped = Similarity.graphTopKFromIndexPaged(spark, path, qs, 5,
+        pageSize = n.toInt, maxPages = 2)
+      .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(capped === one && capped.nonEmpty)
+  }
+
+  test("chunked vec lookup: multi-chunk assembly ≡ one chunk (the wide-k append path, r15 review)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = freshDir()
+    Similarity.writeGraphIndex(emb, path, k = 5)
+    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(9)
+      .as[Long].collect().toSeq
+    assert(ids.size >= 5)
+    def look(chunk: Int) = Similarity.chunkedVecLookup(spark, path,
+        spark.read.parquet(s"$path/meta").head().getAs[Int]("p_buckets"),
+        ids, None, chunk = chunk)
+      .select(col("vec_id")).orderBy("vec_id").as[Long].collect().toSeq
+    // chunk=2 forces ceil(9/2)=5 unions — the exact assembly a
+    // full-size k>=33 append runs at the frontier ceiling
+    assert(look(2) === look(ids.size) && look(2) === ids)
+  }
 }

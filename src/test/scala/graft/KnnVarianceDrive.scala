@@ -9,25 +9,15 @@ package graft
   *
   * Method: warm JVM (one untimed rep), then N timed back-to-back reps
   * of ONLY the entry (the bench's isolated posture), caches cleared
-  * between reps, /proc/loadavg sampled before each rep. Prints one
-  * line per rep and a final JSON summary with median, min/max band,
-  * and the load range, for PERF.md's table.
+  * between reps via the bench's OWN sweep ([[Bench.clearAllCaches]] —
+  * a private copy here would drift), /proc/loadavg sampled before
+  * each rep ([[Bench.loadAvg]]). Prints one line per rep and a final
+  * JSON summary with median, min/max band, and the load range, for
+  * PERF.md's table.
   *
   * Usage: sbt "Test/runMain graft.KnnVarianceDrive [sfDir] [reps]"
   */
 object KnnVarianceDrive {
-  private def loadAvg1m(): Double =
-    try java.nio.file.Files
-      .readString(java.nio.file.Paths.get("/proc/loadavg"))
-      .trim.split("\\s+").head.toDouble
-    catch { case scala.util.control.NonFatal(_) => -1.0 }
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.length % 2 == 1) s(s.length / 2)
-    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(9).max(3)
@@ -35,23 +25,17 @@ object KnnVarianceDrive {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
     spark.sparkContext.setLogLevel("ERROR")
-    def clearCaches(): Unit = {
-      graft.operators.Dedup.releaseCaches()
-      graft.operators.Similarity.releaseCaches()
-      graft.operators.Corpus.releaseCaches()
-      graft.operators.TextAnalysis.releaseCaches()
-      spark.sharedState.cacheManager.clearCache()
-    }
+    def load1m(): Double = Bench.loadAvg().headOption.getOrElse(-1.0)
     try {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         // untimed JIT/codegen warmup — cold-JVM timings on this box
         // read 2-3× warm ones and would poison the band
-        clearCaches()
+        Bench.clearAllCaches(spark)
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val samples = (1 to reps).map { i =>
-          clearCaches()
-          val load = loadAvg1m()
+          Bench.clearAllCaches(spark)
+          val load = load1m()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -62,7 +46,7 @@ object KnnVarianceDrive {
         val loads = samples.map(_._2)
         println(s"""{"metric":"knn_variance","entry":"$name",""" +
           s""""sf":"$sfDir","reps":$reps,""" +
-          s""""median":${Jsons.num(median(secs), 3)},""" +
+          s""""median":${Jsons.num(Bench.median(secs), 3)},""" +
           s""""min":${Jsons.num(secs.min, 3)},""" +
           s""""max":${Jsons.num(secs.max, 3)},""" +
           s""""load1m_min":${Jsons.num(loads.min, 2)},""" +
