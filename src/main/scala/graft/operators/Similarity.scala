@@ -1340,11 +1340,25 @@ object Similarity {
     * neighbors (r14 ADVICE): an append over a dense/large committed
     * graph can legitimately need more cumulative beam state than the
     * 4M default, and shrinking beam/hops instead would silently
-    * change which edges the append lands. */
+    * change which edges the append lands.
+    *
+    * `precomputedNeighbors` (r15) lets a caller that ALREADY served
+    * this exact batch from the frozen graph hand that page in instead
+    * of paying a second multi-hop serve — the streamingGraphIngest
+    * case, where the neighbor report and the attach search are the
+    * same computation. Contract: it must be the output of
+    * [[graphTopKFromIndex]] over THIS batch's (vec_id, embedding)
+    * with k' ≥ the index's frozen k, beam ≥ max(beam, k), and the
+    * SAME excludeIngestBatch — the append re-truncates to the index k
+    * per arrival, so a wider page is fine and a narrower one would
+    * silently starve the edge candidates (spec-pinned ≡ the
+    * self-served append). */
   def appendToGraphIndex(emb: DataFrame, path: String,
                          ingestBatch: Long, beam: Int = 32,
                          hops: Int = 6,
-                         stateCeiling: Long = 4L << 20): Unit = {
+                         stateCeiling: Long = 4L << 20,
+                         precomputedNeighbors: Option[DataFrame] = None)
+      : Unit = {
     require(ingestBatch != -1L,
       "ingest_batch -1 is reserved for the base/compacted graph — " +
         "an append keyed on it would overwrite base index data")
@@ -1368,10 +1382,11 @@ object Similarity {
         s"appendToGraphIndex attaches a bounded batch (got $n nonzero " +
           "vectors, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
-      val fwd = graphTopKFromIndex(spark, path,
+      val fwd = precomputedNeighbors
+        .getOrElse(graphTopKFromIndex(spark, path,
           emb.select(col("vec_id"), col("embedding")), k, b0, hops,
           excludeIngestBatch = Some(ingestBatch),
-          stateCeiling = stateCeiling)
+          stateCeiling = stateCeiling))
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val within = knnGraph(embL, k)
         .select(col("q_id"), col("n_id"), col("cos_sim"))

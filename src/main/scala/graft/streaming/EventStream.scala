@@ -568,14 +568,25 @@ object EventStream {
         // streamingAnnIngest rationale (dynamic overwrite dedups
         // whole-batch replays, not rows within one batch)
         val b = dedupById(batch, "vec_id")
-        // beam widened to k so a k > 32 page is served, not refused
-        // (the appendToGraphIndex widening, r14 review)
-        onNeighbors(batchId, Similarity.graphTopKFromIndex(spark,
-          indexPath, b.select("vec_id", "embedding"), k,
-          beam = math.max(32, k), excludeIngestBatch = Some(batchId),
-          stateCeiling = stateCeiling))
-        Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId,
+        // ONE serve per batch (r15): the neighbor report and the
+        // append's attach search are the same frozen-graph beam
+        // search, so serve once at k widened to the index's frozen k
+        // (the append re-truncates to index k; the report truncates
+        // to the caller's k) and hand the page to the append — the
+        // pre-r15 spelling paid the multi-hop serve twice per batch.
+        // beam widened to kEff so a k > 32 page is served, not
+        // refused (the appendToGraphIndex widening, r14 review)
+        val metaK = spark.read.parquet(s"$indexPath/meta")
+          .head().getAs[Int]("k")
+        val kEff = math.max(k, metaK)
+        val page = Similarity.graphTopKFromIndex(spark,
+          indexPath, b.select("vec_id", "embedding"), kEff,
+          beam = math.max(32, kEff), excludeIngestBatch = Some(batchId),
           stateCeiling = stateCeiling)
+        onNeighbors(batchId,
+          page.filter(org.apache.spark.sql.functions.col("rank") <= k))
+        Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId,
+          stateCeiling = stateCeiling, precomputedNeighbors = Some(page))
       }
 
   /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout

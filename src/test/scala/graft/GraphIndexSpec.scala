@@ -288,6 +288,42 @@ class GraphIndexSpec extends SparkSpec {
     assert(capped === one && capped.nonEmpty)
   }
 
+  test("append with a precomputed neighbor page ≡ the self-served append (r15 — the one-serve-per-batch ingest)") {
+    val all = synth(48)
+    val base = all.filter(col("vec_id") < 40)
+    val arriv = all.filter(col("vec_id") >= 40)
+    val pA = freshDir(); val pB = freshDir()
+    Similarity.writeGraphIndex(base, pA, k = 6)
+    Similarity.writeGraphIndex(base, pB, k = 6)
+    // A: the append runs its own attach serve; B: the caller hands in
+    // the SAME serve's page (the streamingGraphIngest reuse) — the
+    // landed graphs must be edge-identical
+    Similarity.appendToGraphIndex(arriv, pA, ingestBatch = 7L)
+    val page = Similarity.graphTopKFromIndex(spark, pB,
+      arriv.select("vec_id", "embedding"), 6, beam = 32,
+      excludeIngestBatch = Some(7L))
+    Similarity.appendToGraphIndex(arriv, pB, ingestBatch = 7L,
+      precomputedNeighbors = Some(page))
+    def adj(p: String) = spark.read.parquet(s"$p/adj")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = adj(pA)
+    assert(a === adj(pB) && a.nonEmpty)
+    // and a WIDER page (kEff > index k — the stream-k > frozen-k
+    // case) still lands a legal append: the window re-truncates to
+    // the index k, serve stays green
+    val pC = freshDir()
+    Similarity.writeGraphIndex(base, pC, k = 6)
+    val wide = Similarity.graphTopKFromIndex(spark, pC,
+      arriv.select("vec_id", "embedding"), 9, beam = 32,
+      excludeIngestBatch = Some(7L))
+    Similarity.appendToGraphIndex(arriv, pC, ingestBatch = 7L,
+      precomputedNeighbors = Some(wide))
+    val served = Similarity.graphTopKFromIndex(spark, pC,
+      arriv.limit(1).select("vec_id", "embedding"), 6)
+    assert(served.count() > 0)
+  }
+
   test("chunked vec lookup: multi-chunk assembly ≡ one chunk (the wide-k append path, r15 review)") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = freshDir()
