@@ -503,7 +503,7 @@ object Bench {
     * the first rep is the untimed warmup. Returns the median
     * two-batch drain time, or None on an environmental failure
     * (log-and-skip, like the rest of the serve bench). */
-  private def benchGraphIngest(spark: SparkSession, indexPath: String,
+  private[graft] def benchGraphIngest(spark: SparkSession, indexPath: String,
                                emb: org.apache.spark.sql.DataFrame,
                                reps: Int): Option[Double] =
     try {

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Similarity
+
+/** r15: the graph-ingest CORPUS-SIZE-INDEPENDENCE drive — the ingest
+  * dual of GraphServeDrive's serve-flatness measurement. A
+  * streamingGraphIngest batch pays (a) one frozen-graph beam serve
+  * (pruned point lookups, O(frontier·deg) rows per hop), (b) an exact
+  * within-batch kNN (batch² — batch-sized), (c) two dynamic-overwrite
+  * partitioned writes and a commit record (batch-sized). None of
+  * those scales with the committed corpus, so the two-batch drain
+  * time should be ~FLAT from 2k to 20k vectors — this drive measures
+  * that claim with the bench's OWN ingest harness
+  * ([[Bench.benchGraphIngest]] — same MemoryStream drain, same
+  * warmup discipline), so the number is the bench line's number, not
+  * a re-spelling.
+  *
+  * Usage: sbt "Test/runMain graft.GraphIngestDrive [sf1Dir]"
+  */
+object GraphIngestDrive {
+  def main(args: Array[String]): Unit = {
+    val sf1 = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      for ((name, dir) <- Seq("sf0.1" -> "/root/testdata/sf0.1",
+                              "sf1" -> sf1)) {
+        val emb = Tables.embeddings(spark, dir)
+        val n = emb.count()
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_gingest").toString
+        try {
+          Similarity.writeGraphIndex(emb, s"$path/gidx", k = 5)
+          val load = Bench.loadAvg().headOption.getOrElse(-1.0)
+          val t = Bench.benchGraphIngest(spark, s"$path/gidx", emb,
+            reps = 3)
+          println(s"""{"metric":"graph_ingest_scale","corpus":"$name",""" +
+            s""""n_vectors":$n,"two_batch_median_sec":${
+              t.fold("null")(v => Jsons.num(v, 3))},""" +
+            s""""load1m":${Jsons.num(load, 2)}}""")
+        } finally {
+          import org.apache.hadoop.fs.Path
+          val hp = new Path(path)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(hp, true): Unit
+        }
+      }
+    } finally spark.stop()
+  }
+}
