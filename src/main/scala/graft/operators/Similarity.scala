@@ -1266,10 +1266,12 @@ object Similarity {
     * nothing), so paging is pure admission control — spec-pinned ≡
     * the one-page serve. Pages run sequentially: each is already one
     * distributed job per hop, and the driver holds one page's beam
-    * state at a time (the whole point of the ceiling). Bounded by
-    * `maxPages` — a serve over millions of queries is a BATCH
-    * scoring job (use [[knnGraphAnn]] composition), not a paged
-    * online serve. */
+    * state at a time (the whole point of the ceiling). Admission is
+    * `maxPages · pageSize/2` queries — with the 2×-slack target that
+    * is exactly what fits in `maxPages` pages, so the split never
+    * exceeds the caller's page budget; a serve over millions of
+    * queries is a BATCH scoring job (use [[knnGraphAnn]]
+    * composition), not a paged online serve. */
   def graphTopKFromIndexPaged(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, beam: Int = 32,
       hops: Int = 6, excludeIngestBatch: Option[Long] = None,
@@ -1282,19 +1284,21 @@ object Similarity {
     // page under pageSize in expectation — the per-page serve guard
     // still enforces the hard ceiling (2x slack for hash skew). The
     // per-page target floors at 1 so the documented-legal pageSize=1
-    // doesn't zero the denominator (r14 ADVICE), and the page count
-    // caps at maxPages so the driver never runs more sequential page
-    // jobs than the caller budgeted (r15 review: the 2x-slack target
-    // could otherwise split an admitted query set into up to
-    // 2·maxPages pages); at the cap the expected page is still
-    // ≤ pageSize because admission bounds n ≤ maxPages·pageSize.
+    // doesn't zero the denominator (r14 ADVICE). Admission bounds the
+    // query count by maxPages · pageSize/2 — NOT maxPages · pageSize:
+    // with the 2x-slack target that is exactly the set that fits in
+    // maxPages pages, so the split never exceeds the caller's page
+    // budget AND never gives up the skew headroom (r15 review, both
+    // passes: the raw product admitted sets that either ran 2·maxPages
+    // pages or, if capped, lost the slack and aborted on a skewed
+    // page at the serve's 4096 guard).
     val n = queries.count()
-    require(n <= maxPages.toLong * pageSize,
-      s"graphTopKFromIndexPaged got $n queries (> maxPages=$maxPages × " +
-        s"pageSize=$pageSize) — batch-score instead of paging an online serve")
     val perPage = math.max(1, pageSize / 2)
-    val nPages = math.min(maxPages.toLong,
-      math.max(1L, (n + perPage - 1) / perPage))
+    require(n <= maxPages.toLong * perPage,
+      s"graphTopKFromIndexPaged got $n queries (> maxPages=$maxPages × " +
+        s"pageSize/2=$perPage — the 2x-slack page budget) — raise " +
+        "maxPages/pageSize or batch-score instead of paging an online serve")
+    val nPages = math.max(1L, (n + perPage - 1) / perPage)
     (0L until nPages).map { pg =>
       graphTopKFromIndex(spark, path,
         queries.filter(pmod(xxhash64(col("vec_id")), lit(nPages)) === pg),
@@ -1382,6 +1386,27 @@ object Similarity {
         s"appendToGraphIndex attaches a bounded batch (got $n nonzero " +
           "vectors, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
+      val batchIds = batch.select(col("vec_id")).as[Long].collect().toSet
+      // validate a handed-in page against the checkable half of its
+      // contract (r15 review): the columns must be the serve's and
+      // its query set must be EXACTLY this batch's nonzero ids — a
+      // page served for a different batch would silently attach wrong
+      // edges. The exclusion and the page's k are the caller's replay
+      // obligation (truncation-at-k' is indistinguishable from a
+      // small graph's natural exhaustion, so they cannot be checked
+      // from the page alone — the scaladoc carries the contract).
+      precomputedNeighbors.foreach { page =>
+        require(Seq("q_id", "n_id", "cos_sim")
+            .forall(page.columns.contains),
+          s"precomputedNeighbors must be a graphTopKFromIndex page " +
+            s"(q_id, n_id, cos_sim) — got ${page.columns.mkString(",")}")
+        val pageQ = page.select(col("q_id")).distinct().as[Long]
+          .collect().toSet
+        require(pageQ == batchIds,
+          "precomputedNeighbors was served for a DIFFERENT query set " +
+            s"than this batch (${pageQ.size} page queries vs " +
+            s"${batchIds.size} nonzero batch vectors)")
+      }
       val fwd = precomputedNeighbors
         .getOrElse(graphTopKFromIndex(spark, path,
           emb.select(col("vec_id"), col("embedding")), k, b0, hops,
@@ -1401,7 +1426,6 @@ object Similarity {
       // endpoint vectors: batch members from the cached batch,
       // existing members via the bounded vec/ point lookup (the ids
       // are ≤ 2·batch·k driver metadata)
-      val batchIds = batch.select(col("vec_id")).as[Long].collect().toSet
       val dstIds = und.select(col("dst")).distinct().as[Long].collect()
       val existIds = dstIds.filterNot(batchIds).toSeq
       // the distinct existing endpoints are bounded by batch·k, which

@@ -559,7 +559,15 @@ object EventStream {
   def streamingGraphIngest(emb: DataFrame, indexPath: String, k: Int,
                            onNeighbors: (Long, DataFrame) => Unit,
                            stateCeiling: Long = 4L << 20)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the index's frozen k, read ONCE at stream construction (the
+    // index must exist before appends stream into it, and neither
+    // append nor compaction ever changes k) — a per-batch meta read
+    // would pay a listing + job on every micro-batch for a constant
+    // (r15 review)
+    val metaK = emb.sparkSession.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("k")
+    val kEff = math.max(k, metaK)
     emb.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -576,9 +584,6 @@ object EventStream {
         // pre-r15 spelling paid the multi-hop serve twice per batch.
         // beam widened to kEff so a k > 32 page is served, not
         // refused (the appendToGraphIndex widening, r14 review)
-        val metaK = spark.read.parquet(s"$indexPath/meta")
-          .head().getAs[Int]("k")
-        val kEff = math.max(k, metaK)
         val page = Similarity.graphTopKFromIndex(spark,
           indexPath, b.select("vec_id", "embedding"), kEff,
           beam = math.max(32, kEff), excludeIngestBatch = Some(batchId),
@@ -588,6 +593,7 @@ object EventStream {
         Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId,
           stateCeiling = stateCeiling, precomputedNeighbors = Some(page))
       }
+  }
 
   /** [[streamingAnnIngest]] for the LABEL-BUCKETED (E12) index layout
     * (r11): micro-batches of `(vec_id, embedding, label)` are served

@@ -268,24 +268,31 @@ class GraphIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("beam state would exceed"))
   }
 
-  test("paged serve caps the page count at maxPages (r15 review) — results identical at the cap") {
+  test("paged admission is the 2x-slack page budget: the split never exceeds maxPages, results identical (r15 review, both passes)") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = freshDir()
     Similarity.writeGraphIndex(emb, path, k = 5)
     val qs = emb.filter(SparkEntry.annIsQuery).select("vec_id", "embedding")
     val n = qs.count()
+    assert(n > 2)
     val one = Similarity.graphTopKFromIndex(spark, path, qs, 5)
       .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
-    // a config whose 2x-slack target would want MORE pages than
-    // maxPages (ceil(n/1) > 2 for any n > 2) while admission passes
-    // (n <= maxPages·pageSize): the split must run at most maxPages
-    // pages — pages larger than pageSize/2 but well under the serve's
-    // 4096 guard — and stay row-identical
-    assert(n > 2) // admission n <= maxPages·pageSize holds: 2·n >= n
-    val capped = Similarity.graphTopKFromIndexPaged(spark, path, qs, 5,
-        pageSize = n.toInt, maxPages = 2)
+    // tightest admissible budget: maxPages · pageSize/2 == n exactly
+    // (pageSize=2 → one-query target pages, maxPages=n) — the split
+    // runs AT the page budget with the full skew headroom intact and
+    // stays row-identical
+    val tight = Similarity.graphTopKFromIndexPaged(spark, path, qs, 5,
+        pageSize = 2, maxPages = n.toInt)
       .orderBy("q_id", "rank").collect().toSeq.map(_.toSeq)
-    assert(capped === one && capped.nonEmpty)
+    assert(tight === one && tight.nonEmpty)
+    // one query past the budget is an ADMISSION error (the pre-r15
+    // raw maxPages·pageSize admission either overran the page budget
+    // or — if capped — gave up the skew slack and could abort
+    // mid-serve on a skewed page)
+    val e = intercept[IllegalArgumentException](
+      Similarity.graphTopKFromIndexPaged(spark, path, qs, 5,
+        pageSize = 2, maxPages = n.toInt - 1))
+    assert(e.getMessage.contains("page budget"))
   }
 
   test("append with a precomputed neighbor page ≡ the self-served append (r15 — the one-serve-per-batch ingest)") {
@@ -322,6 +329,16 @@ class GraphIndexSpec extends SparkSpec {
     val served = Similarity.graphTopKFromIndex(spark, pC,
       arriv.limit(1).select("vec_id", "embedding"), 6)
     assert(served.count() > 0)
+    // a page served for a DIFFERENT query set is refused at admission
+    // (before any write) — the checkable half of the contract
+    val partial = Similarity.graphTopKFromIndex(spark, pC,
+      arriv.limit(2).select("vec_id", "embedding"), 6,
+      excludeIngestBatch = Some(8L))
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.appendToGraphIndex(arriv, pC, ingestBatch = 8L,
+        precomputedNeighbors = Some(partial))
+    }
+    assert(bad.getMessage.contains("DIFFERENT query set"))
   }
 
   test("chunked vec lookup: multi-chunk assembly ≡ one chunk (the wide-k append path, r15 review)") {

@@ -32,13 +32,19 @@ object GraphIngestDrive {
           .createTempDirectory("graft_gingest").toString
         try {
           Similarity.writeGraphIndex(emb, s"$path/gidx", k = 5)
-          val load = Bench.loadAvg().headOption.getOrElse(-1.0)
+          // load sampled BEFORE AND AFTER the multi-minute reps (r15
+          // review: a single pre-run sample cannot attribute a
+          // mid-run burst — the exact blindness the bench's own
+          // start/mid/end sampling exists to prevent)
+          val load0 = Bench.loadAvg().headOption.getOrElse(-1.0)
           val t = Bench.benchGraphIngest(spark, s"$path/gidx", emb,
             reps = 3)
+          val load1 = Bench.loadAvg().headOption.getOrElse(-1.0)
           println(s"""{"metric":"graph_ingest_scale","corpus":"$name",""" +
             s""""n_vectors":$n,"two_batch_median_sec":${
               t.fold("null")(v => Jsons.num(v, 3))},""" +
-            s""""load1m":${Jsons.num(load, 2)}}""")
+            s""""load1m_start":${Jsons.num(load0, 2)},""" +
+            s""""load1m_end":${Jsons.num(load1, 2)}}""")
         } finally {
           import org.apache.hadoop.fs.Path
           val hp = new Path(path)
