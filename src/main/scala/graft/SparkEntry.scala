@@ -787,6 +787,21 @@ object SparkEntry {
         emb(s, d).filter(annIsQuery).select("vec_id", "embedding"), 5)
     }),
 
+    // E14c (r16): the SAME landed-graph beam serve with hop-0 seeded
+    // from the coexisting IVF index instead of the frozen min-id
+    // entry — the diameter-unbound scale path (a frozen entry makes
+    // recall hops-bound at 100× corpus; per-query nearest-centroid
+    // seeds land hop-0 beside the answer). Pays both index writes —
+    // an honest build+serve cost; idx_graph_serve_seeded is the
+    // serve-only bench dual
+    "ann_graph_topk_seeded" -> ((s, d) => {
+      val path = tempIndexDir("graft_gidxs")
+      Similarity.writeGraphIndex(emb(s, d), s"$path/gidx", k = 5)
+      Similarity.writeIvfIndex(emb(s, d), s"$path/ivf", nlist = 0)
+      Similarity.graphTopKFromIndexSeeded(s, s"$path/gidx", s"$path/ivf",
+        emb(s, d).filter(annIsQuery).select("vec_id", "embedding"), 5)
+    }),
+
     // E7: JL sign random projection 64→16 — per-row scan-fused
     // expression, driver-computed ±1 literal matrix; fully oracled
     // (integer micro-unit sums, integer ÷√k rounding)
@@ -1375,6 +1390,9 @@ object SparkEntry {
         // E14b: identical beam semantics from the landed index — the
         // same ≥ k argument holds (spec-pinned ≡ the in-memory serve)
         "ann_graph_topk_indexed"  -> topk,
+        // E14c: same machinery from hop 1 on; hop 0 only ADDS seeds
+        // (frozen-entry fallback per query), so reach ≥ the E14b serve
+        "ann_graph_topk_seeded"   -> topk,
         // E12b: widened probing is exhaustive at the verify corpora
         // and every label stratum holds ≥ k members — exactly k rows
         // per query
@@ -1472,6 +1490,11 @@ object SparkEntry {
     // in-memory E14 on the same graph, so its measured recall is the
     // E14 number by construction; same floor
     "ann_graph_topk_indexed"  -> (("ann_bruteforce_topk", 0.72)),
+    // E14c: IVF-seeded hop-0 measured .94/.84 at sf0.001/sf0.01
+    // (r16 — vs the frozen entry's .88/.80 at the same beam=32/
+    // hops=6: per-query seeds start beside the answer instead of
+    // walking from one fixed node); floor 0.9× the smaller measured
+    "ann_graph_topk_seeded"   -> (("ann_bruteforce_topk", 0.75)),
     // F33b: kept-SET agreement vs the exact flavor, joined on doc_id
     // alone (recallKeyCols = 1 — the two graphs' pagerank values
     // differ by construction). Measured 0.971/0.983 at

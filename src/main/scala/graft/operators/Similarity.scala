@@ -1179,25 +1179,67 @@ object Similarity {
   def graphTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, beam: Int = 32,
       hops: Int = 6, excludeIngestBatch: Option[Long] = None,
-      stateCeiling: Long = 4L << 20): DataFrame = {
+      stateCeiling: Long = 4L << 20): DataFrame =
+    indexBeamServe(spark, path, queries, k, beam, hops,
+        excludeIngestBatch, stateCeiling, "graphTopKFromIndex") { ctx =>
+      import spark.implicits._
+      val entry = ctx.meta.getAs[Long]("entry")
+      val entryV = ctx.meta.getSeq[Double](ctx.meta.fieldIndex("entry_v"))
+      val entryN2 = ctx.meta.getAs[Double]("entry_n2")
+      // the entry's vector comes from meta, its neighborhood (with
+      // vectors) from the entry's own pruned scan; the seed×page
+      // cross is a broadcast hash join on a constant key — bounded
+      // (deg+1)·page rows, and never classified as a BNLJ plan
+      val seedVecs = ctx.adjScan(Seq(entry))
+        .select(col("dst").as("n_id"), col("dst_v"), col("dst_n2"))
+        .unionByName(Seq((entry, entryV, entryN2))
+          .toDF("n_id", "dst_v", "dst_n2"))
+        .dropDuplicates("n_id")
+      seedVecs.withColumn("__k", lit(1))
+        .join(broadcast(ctx.q.select(col("q_id")).withColumn("__k", lit(1))),
+          Seq("__k"))
+        .select(col("q_id"), col("n_id"), col("dst_v"), col("dst_n2"))
+    }
+
+  /** Context the serve core hands its hop-0 builder: the index `meta`
+    * row, the collected query page (ids + local frame), and the
+    * pruned adjacency scan. */
+  private final case class IndexServeCtx(
+      meta: org.apache.spark.sql.Row,
+      qRows: Array[(Long, Seq[Double], Double)],
+      q: DataFrame,
+      adjScan: Seq[Long] => DataFrame)
+
+  /** The ONE driver core behind the landed-graph serves
+    * ([[graphTopKFromIndex]]'s frozen min-id entry,
+    * [[graphTopKFromIndexSeeded]]'s IVF-seeded per-query frontier):
+    * meta read, bounded query-page collect, committed adj relation
+    * read ONCE, per-hop pruned scans, Catalyst-scored pages under the
+    * incremental state ceiling, dense-ranked top-k. The strategies
+    * differ ONLY in the hop-0 candidate frame `hop0Cand` builds —
+    * (q_id, n_id, dst_v, dst_n2) rows — so every later hop (and the
+    * specs pinning the machinery) exercises one engine, not two
+    * copies that could drift. */
+  private def indexBeamServe(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, beam: Int,
+      hops: Int, excludeIngestBatch: Option[Long], stateCeiling: Long,
+      op: String)(hop0Cand: IndexServeCtx => DataFrame): DataFrame = {
     requireBeamConfig(k, beam, hops, stateCeiling)
     import spark.implicits._
     graft.functions.VecExprs.register(spark)
     val meta = spark.read.parquet(s"$path/meta").head()
-    val entry = meta.getAs[Long]("entry")
-    val entryV = meta.getSeq[Double](meta.fieldIndex("entry_v"))
-    val entryN2 = meta.getAs[Double]("entry_n2")
     val buckets = meta.getAs[Int]("p_buckets")
     // the query page is bounded driver metadata — collect it ONCE and
     // re-enter as a local relation: left as lineage, every hop's
     // collect would re-evaluate the query SOURCE through the
     // broadcast (for the catalog/bench callers a corpus-table scan,
     // ~hops+2 times per serve — r14 review)
-    val qRows = preparedQueries(queries).filter(col("n2") > 0)
-      .select(col("vec_id"), col("v"), col("n2"))
-      .limit(4097).as[(Long, Seq[Double], Double)].collect()
+    val qRows = GraphStages.time("serve_qcollect")(
+      preparedQueries(queries).filter(col("n2") > 0)
+        .select(col("vec_id"), col("v"), col("n2"))
+        .limit(4097).as[(Long, Seq[Double], Double)].collect())
     require(qRows.length <= 4096,
-      "graphTopKFromIndex serves a bounded query PAGE, got > 4096 query vectors")
+      s"$op serves a bounded query PAGE, got > 4096 query vectors")
     if (qRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("q_id", "n_id", "cos_sim", "rank")
@@ -1216,25 +1258,12 @@ object Similarity {
             col("q_n2"), col("dst_n2")), 6).as("cos_sim"))
         .limit(limitRows)
         .as[(Long, Long, Double)].collect()
-    beamSearchDrive(spark, qIds, k, beam, hops, stateCeiling,
-      "graphTopKFromIndex",
-      hop0 = { lim =>
-        // the entry's vector comes from meta, its neighborhood (with
-        // vectors) from the entry's own pruned scan; the seed×page
-        // cross is a broadcast hash join on a constant key — bounded
-        // (deg+1)·page rows, and never classified as a BNLJ plan
-        val seedVecs = adjScan(Seq(entry))
-          .select(col("dst").as("n_id"), col("dst_v"), col("dst_n2"))
-          .unionByName(Seq((entry, entryV, entryN2))
-            .toDF("n_id", "dst_v", "dst_n2"))
-          .dropDuplicates("n_id")
-        scorePage(seedVecs.withColumn("__k", lit(1))
-          .join(broadcast(q.select(col("q_id")).withColumn("__k", lit(1))),
-            Seq("__k"))
-          .select(col("q_id"), col("n_id"), col("dst_v"), col("dst_n2")),
-          lim)
-      },
-      expand = { (frontier, known, lim) =>
+    beamSearchDrive(spark, qIds, k, beam, hops, stateCeiling, op,
+      hop0 = { lim => GraphStages.time("serve_hop0") {
+        scorePage(hop0Cand(IndexServeCtx(meta, qRows, q, adjScan)), lim)
+      } },
+      expand = { (frontier, known, lim) => GraphStages.time("serve_expand") {
+        GraphStages.count("serve_hop_n")
         if (frontier.isEmpty) Array.empty
         else {
           val f = frontier.toDF("q_id", "node")
@@ -1249,7 +1278,119 @@ object Similarity {
               Seq("q_id", "n_id"), "left_anti")
           scorePage(cand, lim)
         }
-      })
+      } })
+  }
+
+  /** [[graphTopKFromIndex]] with the hop-0 frontier seeded from the
+    * LANDED IVF index instead of the frozen min-id entry (r15 verdict
+    * #4 — the scale path): the frozen entry is diameter-bound — at
+    * 100× corpus the beam must walk the graph's whole diameter from
+    * one fixed node before recall saturates, so "hops=6 suffices"
+    * only holds at the committed corpus sizes. Seeding each query
+    * from its own region of the space makes hop-0 land beside the
+    * answer: the stored coarse quantizer assigns each query its
+    * `nprobe` nearest centroids (the exact [[probeAndPrune]]
+    * expression — one spelling), a pruned `lists/` read takes the
+    * first `seedsPerList` members of each probed list (deterministic:
+    * lowest vec_id), and those members become the query's OWN hop-0
+    * frontier. Both artifacts already coexist in a prep-run's output
+    * ([[graft.CorpusPrepJob]] lands the IVF index and the graph
+    * index side by side), so the composition costs no new build.
+    *
+    * Seed vectors are looked up in the GRAPH's own committed `vec/`
+    * (never taken from the IVF rows): a seed the graph doesn't hold
+    * as committed-and-not-excluded — an IVF list member from a newer
+    * ingest, or a member of the replay-excluded batch — silently
+    * drops out, so every hop-0 candidate respects the serve's replay
+    * posture (an excluded arrival must not match its own copy at
+    * cos 1.0). Queries left with NO live seed fall back to the frozen
+    * entry, so the serve never returns fewer results than the
+    * entry-seeded serve would. Scoring, beam machinery, pruning, and
+    * ceilings are [[indexBeamServe]]'s — identical to
+    * [[graphTopKFromIndex]] from hop 1 on. With beam/hops wide enough
+    * to exhaust the component this is bit-identical to the frozen
+    * serve (spec-pinned); at tight hops it reaches recall the frozen
+    * entry needs more hops to match (GraphSeedDrive, PERF.md). */
+  def graphTopKFromIndexSeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, ivfPath: String, queries: DataFrame, k: Int,
+      beam: Int = 32, hops: Int = 6, nprobe: Int = 2,
+      seedsPerList: Int = 8, excludeIngestBatch: Option[Long] = None,
+      stateCeiling: Long = 4L << 20): DataFrame = {
+    require(nprobe > 0 && nprobe <= 64, s"nprobe=$nprobe out of [1, 64]")
+    require(seedsPerList > 0 && seedsPerList <= 64,
+      s"seedsPerList=$seedsPerList out of [1, 64]")
+    indexBeamServe(spark, path, queries, k, beam, hops,
+        excludeIngestBatch, stateCeiling, "graphTopKFromIndexSeeded") { ctx =>
+      import spark.implicits._
+      val entry = ctx.meta.getAs[Long]("entry")
+      val entryV = ctx.meta.getSeq[Double](ctx.meta.fieldIndex("entry_v"))
+      val entryN2 = ctx.meta.getAs[Double]("entry_n2")
+      val buckets = ctx.meta.getAs[Int]("p_buckets")
+      // per-query probed centroids: the serve's own quantizer probe
+      // (probeList — argmax-dot, first-wins ties), on the already
+      // collected bounded query page re-entered as a local relation
+      val qLocal = ctx.qRows.toSeq.toDF("vec_id", "v", "n2")
+      val cents = readCentroids(spark, ivfPath)
+      val probed: Array[(Long, Int)] =
+        if (cents.isEmpty) Array.empty
+        else probeList(qLocal, lit(true), cents, nprobe)
+          .select(col("q_id"), col("c_id"))
+          .as[(Long, Int)].collect()
+      // seed members: first seedsPerList per probed list, from a
+      // c_id-pruned committed lists read — bounded by
+      // |probed lists|·seedsPerList driver rows
+      val probedCids = probed.map(_._2).distinct.toSeq
+      val seedsByList: Map[Int, Seq[Long]] =
+        if (probedCids.isEmpty) Map.empty
+        else {
+          val w = Window.partitionBy(col("c_id")).orderBy(col("vec_id"))
+          committedLists(spark, ivfPath, None)
+            .filter(col("c_id").isin(probedCids: _*))
+            .select(col("c_id"), col("vec_id"))
+            .withColumn("__r", row_number().over(w))
+            .filter(col("__r") <= seedsPerList)
+            .select(col("c_id"), col("vec_id"))
+            .as[(Int, Long)].collect().toSeq
+            .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        }
+      // live seeds only: vectors from the GRAPH's committed vec/ (the
+      // replay posture — see scaladoc); the lookup is one bounded
+      // point scan
+      val seedIds = seedsByList.valuesIterator.flatten.toSeq.distinct
+      val liveSeedVecs: Map[Long, (Seq[Double], Double)] =
+        chunkedVecLookup(spark, path, buckets, seedIds, excludeIngestBatch)
+          .select(col("vec_id"), col("v"), col("n2"))
+          .as[(Long, Seq[Double], Double)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      // per-query hop-0 pairs; a query with no live seed falls back
+      // to the frozen entry
+      val probedByQ: Map[Long, Array[Int]] =
+        probed.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2) }
+      val pairs: Seq[(Long, Long)] = ctx.qRows.toSeq.flatMap { case (qi, _, _) =>
+        val mine = probedByQ.getOrElse(qi, Array.empty[Int]).iterator
+          .flatMap(c => seedsByList.getOrElse(c, Nil))
+          .filter(liveSeedVecs.contains).toSeq.distinct
+        if (mine.isEmpty) Seq((qi, entry)) else mine.map(qi -> _)
+      }
+      val seedVecRows: Seq[(Long, Seq[Double], Double)] =
+        pairs.map(_._2).distinct.map { n =>
+          if (n == entry) (entry, entryV, entryN2)
+          else { val (v, n2) = liveSeedVecs(n); (n, v, n2) }
+        }
+      val pairsDf = pairs.toDF("q_id", "node")
+      val seedSelf = pairsDf
+        .join(broadcast(seedVecRows.toDF("node", "dst_v", "dst_n2")),
+          Seq("node"))
+        .select(col("q_id"), col("node").as("n_id"),
+          col("dst_v"), col("dst_n2"))
+      // ...plus each seed's committed neighborhood, like the frozen
+      // entry's hop 0 (one pruned scan over the distinct seed set)
+      val seedNbr = ctx.adjScan(pairs.map(_._2).distinct)
+        .join(broadcast(pairsDf), col("src") === col("node"))
+        .select(col("q_id"), col("dst").as("n_id"),
+          col("dst_v"), col("dst_n2"))
+      seedSelf.unionByName(seedNbr).dropDuplicates("q_id", "n_id")
+    }
   }
 
   /** [[graphTopKFromIndex]] over an UNBOUNDED query set — the paging
@@ -1271,7 +1412,19 @@ object Similarity {
     * is exactly what fits in `maxPages` pages, so the split never
     * exceeds the caller's page budget; a serve over millions of
     * queries is a BATCH scoring job (use [[knnGraphAnn]]
-    * composition), not a paged online serve. */
+    * composition), not a paged online serve.
+    *
+    * CHANGED in r15 (breaking, intentional): admission used to be
+    * `maxPages · pageSize` — callers sized against the old product
+    * must double `maxPages` (or `pageSize`) to admit the same query
+    * count; the halving is what guarantees the split both fits the
+    * page budget and keeps the 2× skew headroom, instead of
+    * discovering either failure as a runtime `require`. Note also
+    * that extreme hash skew past the 2× slack still aborts at the
+    * per-page 4096 guard mid-serve (after earlier pages ran) — by
+    * design: partial pages are never returned, and results are
+    * page-independent so a rerun with a bigger budget recomputes
+    * nothing wrong. */
   def graphTopKFromIndexPaged(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, beam: Int = 32,
       hops: Int = 6, excludeIngestBatch: Option[Long] = None,
@@ -1352,11 +1505,17 @@ object Similarity {
     * case, where the neighbor report and the attach search are the
     * same computation. Contract: it must be the output of
     * [[graphTopKFromIndex]] over THIS batch's (vec_id, embedding)
-    * with k' ≥ the index's frozen k, beam ≥ max(beam, k), and the
-    * SAME excludeIngestBatch — the append re-truncates to the index k
-    * per arrival, so a wider page is fine and a narrower one would
-    * silently starve the edge candidates (spec-pinned ≡ the
-    * self-served append). */
+    * with k' ≥ the index's frozen k, beam ≥ this append's own
+    * `max(beam, k)`, and the SAME excludeIngestBatch — the append
+    * re-truncates to the index k per arrival, so a wider page is fine
+    * and a narrower one would silently starve the edge candidates.
+    * Bit-identity with the self-served append ("spec-pinned ≡") holds
+    * when the page's (k', beam) EQUAL the self-serve's (index k,
+    * max(beam, k)) — a strictly wider beam can visit nodes the
+    * narrower search never reaches, landing edges that are still
+    * valid top-k but not byte-identical (r15 ADVICE;
+    * streamingGraphIngest threads one beam through both sides for
+    * exactly this reason). */
   def appendToGraphIndex(emb: DataFrame, path: String,
                          ingestBatch: Long, beam: Int = 32,
                          hops: Int = 6,
@@ -1380,38 +1539,54 @@ object Similarity {
     val embL = withNullLabel(emb)
     val batch = preparedNonZero(embL).cache()
     try {
-      val n = batch.count()
+      // GraphStages brackets (r15 verdict #3): non-overlapping stage
+      // attribution for the drive's per-batch cost table — one
+      // volatile read each when no capture is active
+      val n = GraphStages.time("app_admission")(batch.count())
       if (n == 0L) { writeCommitRecord(spark, path, ingestBatch); return }
       require(n <= 4096,
         s"appendToGraphIndex attaches a bounded batch (got $n nonzero " +
           "vectors, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
-      val batchIds = batch.select(col("vec_id")).as[Long].collect().toSet
+      val batchIds = GraphStages.time("app_admission")(
+        batch.select(col("vec_id")).as[Long].collect().toSet)
       // validate a handed-in page against the checkable half of its
       // contract (r15 review): the columns must be the serve's and
-      // its query set must be EXACTLY this batch's nonzero ids — a
-      // page served for a different batch would silently attach wrong
-      // edges. The exclusion and the page's k are the caller's replay
-      // obligation (truncation-at-k' is indistinguishable from a
-      // small graph's natural exhaustion, so they cannot be checked
-      // from the page alone — the scaladoc carries the contract).
+      // its query set must be CONTAINED in this batch's nonzero ids —
+      // a page carrying foreign ids was served for a different batch
+      // and would silently attach wrong edges. Containment, not
+      // equality (r15 ADVICE): a batch query can legitimately score
+      // ZERO rows (e.g. an arrival colliding with the frozen entry of
+      // a single-node graph, where the n_id =!= q_id filter drops the
+      // only candidate) and then appears in no page row — the
+      // self-serve would produce the same empty result for it, and
+      // its edges still come from the within-batch exact kNN below,
+      // so absence is indistinguishable from (and identical to) the
+      // self-served outcome. The exclusion and the page's k/beam are
+      // the caller's replay obligation (truncation-at-k' is
+      // indistinguishable from a small graph's natural exhaustion, so
+      // they cannot be checked from the page alone — the scaladoc
+      // carries the contract).
       precomputedNeighbors.foreach { page =>
-        require(Seq("q_id", "n_id", "cos_sim")
-            .forall(page.columns.contains),
-          s"precomputedNeighbors must be a graphTopKFromIndex page " +
-            s"(q_id, n_id, cos_sim) — got ${page.columns.mkString(",")}")
-        val pageQ = page.select(col("q_id")).distinct().as[Long]
-          .collect().toSet
-        require(pageQ == batchIds,
-          "precomputedNeighbors was served for a DIFFERENT query set " +
-            s"than this batch (${pageQ.size} page queries vs " +
-            s"${batchIds.size} nonzero batch vectors)")
+        GraphStages.time("app_admission") {
+          require(Seq("q_id", "n_id", "cos_sim")
+              .forall(page.columns.contains),
+            s"precomputedNeighbors must be a graphTopKFromIndex page " +
+              s"(q_id, n_id, cos_sim) — got ${page.columns.mkString(",")}")
+          val pageQ = page.select(col("q_id")).distinct().as[Long]
+            .collect().toSet
+          require(pageQ.subsetOf(batchIds),
+            "precomputedNeighbors was served for a DIFFERENT query set " +
+              s"than this batch (${(pageQ -- batchIds).size} page queries " +
+              s"not among the ${batchIds.size} nonzero batch vectors)")
+        }
       }
       val fwd = precomputedNeighbors
-        .getOrElse(graphTopKFromIndex(spark, path,
-          emb.select(col("vec_id"), col("embedding")), k, b0, hops,
-          excludeIngestBatch = Some(ingestBatch),
-          stateCeiling = stateCeiling))
+        .getOrElse(GraphStages.time("app_attach_serve")(
+          graphTopKFromIndex(spark, path,
+            emb.select(col("vec_id"), col("embedding")), k, b0, hops,
+            excludeIngestBatch = Some(ingestBatch),
+            stateCeiling = stateCeiling)))
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val within = knnGraph(embL, k)
         .select(col("q_id"), col("n_id"), col("cos_sim"))
@@ -1426,7 +1601,11 @@ object Similarity {
       // endpoint vectors: batch members from the cached batch,
       // existing members via the bounded vec/ point lookup (the ids
       // are ≤ 2·batch·k driver metadata)
-      val dstIds = und.select(col("dst")).distinct().as[Long].collect()
+      // this collect EXECUTES the edge computation (within-batch kNN +
+      // union + per-arrival top-k window + undirect/distinct) — the
+      // bracket prices that whole lineage, not just the collect
+      val dstIds = GraphStages.time("app_edges")(
+        und.select(col("dst")).distinct().as[Long].collect())
       val existIds = dstIds.filterNot(batchIds).toSeq
       // the distinct existing endpoints are bounded by batch·k, which
       // for k ≥ 33 can exceed the point-scan frontier ceiling (2^17) —
@@ -1437,24 +1616,27 @@ object Similarity {
           Some(ingestBatch))
         .select(col("vec_id"), col("v"), col("n2"))
         .unionByName(batch.select(col("vec_id"), col("v"), col("n2")))
-      und.join(dstVecs.select(col("vec_id").as("dst"),
-          col("v").as("dst_v"), col("n2").as("dst_n2")), Seq("dst"))
-        .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
-        .withColumn("pb", graphPb(col("src"), buckets))
-        .withColumn("ingest_batch", lit(ingestBatch))
-        .repartition(col("pb")).sortWithinPartitions(col("src"))
-        .write.partitionBy("pb", "ingest_batch")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$path/adj")
-      batch.select(col("vec_id"), col("v"), col("n2"))
-        .withColumn("vb", graphPb(col("vec_id"), buckets))
-        .withColumn("ingest_batch", lit(ingestBatch))
-        .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
-        .write.partitionBy("vb", "ingest_batch")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$path/vec")
+      GraphStages.time("app_adj_write")(
+        und.join(dstVecs.select(col("vec_id").as("dst"),
+            col("v").as("dst_v"), col("n2").as("dst_n2")), Seq("dst"))
+          .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
+          .withColumn("pb", graphPb(col("src"), buckets))
+          .withColumn("ingest_batch", lit(ingestBatch))
+          .repartition(col("pb")).sortWithinPartitions(col("src"))
+          .write.partitionBy("pb", "ingest_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$path/adj"))
+      GraphStages.time("app_vec_write")(
+        batch.select(col("vec_id"), col("v"), col("n2"))
+          .withColumn("vb", graphPb(col("vec_id"), buckets))
+          .withColumn("ingest_batch", lit(ingestBatch))
+          .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
+          .write.partitionBy("vb", "ingest_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$path/vec"))
       // commit record last — see appendToIvfIndex
-      writeCommitRecord(spark, path, ingestBatch)
+      GraphStages.time("app_commit")(
+        writeCommitRecord(spark, path, ingestBatch))
     } finally batch.unpersist(false): Unit
   }
 

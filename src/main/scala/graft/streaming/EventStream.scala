@@ -583,15 +583,25 @@ object EventStream {
         // to the caller's k) and hand the page to the append — the
         // pre-r15 spelling paid the multi-hop serve twice per batch.
         // beam widened to kEff so a k > 32 page is served, not
-        // refused (the appendToGraphIndex widening, r14 review)
-        val page = Similarity.graphTopKFromIndex(spark,
-          indexPath, b.select("vec_id", "embedding"), kEff,
-          beam = math.max(32, kEff), excludeIngestBatch = Some(batchId),
-          stateCeiling = stateCeiling)
-        onNeighbors(batchId,
-          page.filter(org.apache.spark.sql.functions.col("rank") <= k))
+        // refused (the appendToGraphIndex widening, r14 review); the
+        // SAME beam is passed to the append (r15 ADVICE: a caller k
+        // exceeding both 32 and the frozen k widened the page's beam
+        // past the append's default b0, so "≡ the self-served append"
+        // held only on top-k validity, not bit-identity — with the
+        // beam threaded through, the handed page IS what the append
+        // would have served itself)
+        val bServe = math.max(32, kEff)
+        val page = graft.operators.GraphStages.time("ing_serve")(
+          Similarity.graphTopKFromIndex(spark,
+            indexPath, b.select("vec_id", "embedding"), kEff,
+            beam = bServe, excludeIngestBatch = Some(batchId),
+            stateCeiling = stateCeiling))
+        graft.operators.GraphStages.time("ing_report")(
+          onNeighbors(batchId,
+            page.filter(org.apache.spark.sql.functions.col("rank") <= k)))
         Similarity.appendToGraphIndex(b, indexPath, ingestBatch = batchId,
-          stateCeiling = stateCeiling, precomputedNeighbors = Some(page))
+          beam = bServe, stateCeiling = stateCeiling,
+          precomputedNeighbors = Some(page))
       }
   }
 

@@ -37,12 +37,27 @@ object GraphIngestDrive {
           // mid-run burst — the exact blindness the bench's own
           // start/mid/end sampling exists to prevent)
           val load0 = Bench.loadAvg().headOption.getOrElse(-1.0)
-          val t = Bench.benchGraphIngest(spark, s"$path/gidx", emb,
-            reps = 3)
+          // per-stage capture (r15 verdict #3): the drive runs the
+          // bench's OWN harness under GraphStages, so the table is an
+          // attribution of the bench line's cost, not a re-spelling.
+          // 4 reps × 2 batches = 8 batches feed the capture; stages
+          // print as per-batch seconds (serve_* nest inside ing_serve
+          // — two levels, each internally non-overlapping)
+          val (t, stages) = graft.operators.GraphStages.capture(
+            Bench.benchGraphIngest(spark, s"$path/gidx", emb, reps = 3))
           val load1 = Bench.loadAvg().headOption.getOrElse(-1.0)
+          val nBatches = 8.0
+          // `_n`-suffixed entries are counts (avg per batch), the
+          // rest are seconds per batch
+          val stageJson = stages.toSeq.sortBy(_._1).map { case (k, v) =>
+            Jsons.str(k) + ":" + Jsons.num(v / nBatches, 3)
+          }.mkString("{", ",", "}")
           println(s"""{"metric":"graph_ingest_scale","corpus":"$name",""" +
             s""""n_vectors":$n,"two_batch_median_sec":${
-              t.fold("null")(v => Jsons.num(v, 3))},""" +
+              t.fold("null")(v => Jsons.num(v._1, 3))},""" +
+            s""""reps_sec":${t.fold("null")(_._2.map(Jsons.num(_, 3))
+              .mkString("[", ",", "]"))},""" +
+            s""""per_batch_stage_sec":$stageJson,""" +
             s""""load1m_start":${Jsons.num(load0, 2)},""" +
             s""""load1m_end":${Jsons.num(load1, 2)}}""")
         } finally {
