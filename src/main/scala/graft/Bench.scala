@@ -386,11 +386,16 @@ object Bench {
       // artifact (writeGraphIndex: pruned adjacency + ledger)
       val gPath = java.nio.file.Files.createTempDirectory("graft_bench_graph").toString
       try {
-        S.writeIvfIndex(emb, ivfPath, nlist = 16)
-        S.writeIvfPqIndex(emb, pqPath, nlist = 16)
-        S.writeIvfIndex(emb, ivfAutoPath, nlist = 0)
-        S.writeIvfIndex(emb, fidxPath, nlist = 0, trainIters = 5,
-          labelBuckets = 8)
+        // the four UNTIMED index builds are independent (disjoint
+        // dirs) — overlap them (r16, guide §2.6): pure bench-wall
+        // savings, no timed number is affected (every idx_* timing
+        // starts after this block and its own warmup serve)
+        graft.operators.Par.run(Seq(
+          () => S.writeIvfIndex(emb, ivfPath, nlist = 16),
+          () => S.writeIvfPqIndex(emb, pqPath, nlist = 16),
+          () => S.writeIvfIndex(emb, ivfAutoPath, nlist = 0),
+          () => S.writeIvfIndex(emb, fidxPath, nlist = 0, trainIters = 5,
+            labelBuckets = 8)))
         // pruning audit: one query probes nprobe=4 of 16 lists, so the
         // serve reads strictly fewer list files than the index holds
         // (measured post-pruning via input_file_name — inputFiles

@@ -151,15 +151,11 @@ object CorpusPrepJob {
     val (_, indexSec) =
       if (!buildIndex) ((), 0.0)
       else timed {
-        graft.operators.TextAnalysis.writeBm25Stats(clean, "prep_bm25",
-          s"$outDir/index/bm25")
         // survivors' embeddings only: the index must answer from
         // exactly the corpus the shards hold
         val embClean = Tables.embeddings(spark, docsDir)
           .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"),
             "left_semi")
-        graft.operators.Similarity.writeIvfIndex(embClean,
-          s"$outDir/index/ivf", nlist = 0)
         // the EIGHTH artifact (r15, VERDICT r14 #6): the graph-ANN
         // serve index (E14b) over the SAME survivor embeddings, so
         // the whole graph-serve family (serve/append/compact/paged)
@@ -170,15 +166,25 @@ object CorpusPrepJob {
         // spec-pinned 1:1), not the clean frame's lineage: the graph
         // build self-joins its input several times, and each copy
         // would re-embed the whole funnel plan (the tree string alone
-        // OOMs before any work runs)
-        if (graphIndex) {
-          val survivorEmb = Tables.embeddings(spark, docsDir)
-            .join(spark.read.parquet(s"$outDir/shards")
-                .select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "left_semi")
-          graft.operators.Similarity.writeGraphIndex(survivorEmb,
-            s"$outDir/index/graph", k = graphK)
-        }
+        // OOMs before any work runs).
+        // The three index lands are independent (disjoint dirs; the
+        // graph reads the ALREADY-LANDED shards) and run concurrently
+        // (r16, guide §2.6) — index_sec prices max(bm25, ivf, graph)
+        // plus pool overhead instead of their sum
+        graft.operators.Par.run(Seq[Option[() => Unit]](
+          Some(() => graft.operators.TextAnalysis.writeBm25Stats(clean,
+            "prep_bm25", s"$outDir/index/bm25")),
+          Some(() => graft.operators.Similarity.writeIvfIndex(embClean,
+            s"$outDir/index/ivf", nlist = 0)),
+          if (!graphIndex) None
+          else Some { () =>
+            val survivorEmb = Tables.embeddings(spark, docsDir)
+              .join(spark.read.parquet(s"$outDir/shards")
+                  .select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+            graft.operators.Similarity.writeGraphIndex(survivorEmb,
+              s"$outDir/index/graph", k = graphK)
+          }).flatten): Unit
       }
     // the report's (n_vectors, n_edges) counts read the landed
     // artifact back OUTSIDE the timed stage — they are bookkeeping,

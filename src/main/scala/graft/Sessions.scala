@@ -18,6 +18,20 @@ object Sessions {
           if (cpus.matches("[0-9]+")) cpus else "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r16: the engine's signature bounded-collect pattern —
+      // `limit(ceiling + 1).collect()` protecting driver metadata
+      // (beam-serve hop pages, MMR candidate frames, admission
+      // checks) — plans as CollectLimitExec, whose executeTake ramps
+      // 1 → ×scaleUpFactor partitions per pass. Those protective
+      // caps almost never BIND, so the ramp recomputes the scan in
+      // 2+ sequential sub-jobs for zero saved work (measured: each
+      // graph-serve hop paid it). A higher initial partition count
+      // makes pass 1 cover the whole scan for anything under this
+      // many partitions — one job per bounded collect. Env-tunable
+      // for clusters where genuinely-selective small LIMITs dominate
+      // (there the ramp is the right behavior — set it back to 1).
+      .config("spark.sql.limit.initialNumPartitions",
+        sys.env.getOrElse("SPARK_GRAFT_LIMIT_INIT_PARTS", "512"))
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -536,14 +536,22 @@ object SparkEntry {
     // hash mismatch here, not a silent drift)
     "eval_clustering_ari" -> ((s, d) => {
       val dd = docs(s, d)
-      val lex = Dedup.clusters(dd, Dedup.ngramJaccard(dd, 0.2))
-        .select(col("doc_id"), col("cluster_id"))
-      val sem = Dedup.clusters(dd,
-        Similarity.cosinePairsLsh(emb(s, d), 0.45, tables = 6,
-            probes = 2, occupancy = 128L)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        .select(col("doc_id"), col("cluster_id"))
-      Dedup.evalClustering(lex, sem)
+      // the two component legs are INDEPENDENT iterative loops (each
+      // clusters() call runs its label-propagation rounds eagerly at
+      // call time) — overlap them (r16, guide §2.6): each leg's
+      // rounds are small fixed-latency jobs, so the pair costs
+      // max(lex, sem) instead of their sum; checkpointPinned's
+      // registration lock makes the concurrent loops safe, and the
+      // resulting labelings — and the ARI — are identical
+      val legs = Par.run(Seq[() => DataFrame](
+        () => Dedup.clusters(dd, Dedup.ngramJaccard(dd, 0.2))
+          .select(col("doc_id"), col("cluster_id")),
+        () => Dedup.clusters(dd,
+          Similarity.cosinePairsLsh(emb(s, d), 0.45, tables = 6,
+              probes = 2, occupancy = 128L)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("doc_id"), col("cluster_id"))))
+      Dedup.evalClustering(legs(0), legs(1))
     }),
 
     // r12: the eval layer's PAIR flavor — precision/recall/F1 of the
@@ -796,8 +804,11 @@ object SparkEntry {
     // serve-only bench dual
     "ann_graph_topk_seeded" -> ((s, d) => {
       val path = tempIndexDir("graft_gidxs")
-      Similarity.writeGraphIndex(emb(s, d), s"$path/gidx", k = 5)
-      Similarity.writeIvfIndex(emb(s, d), s"$path/ivf", nlist = 0)
+      // the two builds are independent (disjoint dirs, same source
+      // table) — overlap them (r16, guide §2.6); identical artifacts
+      Par.run(Seq(
+        () => Similarity.writeGraphIndex(emb(s, d), s"$path/gidx", k = 5),
+        () => Similarity.writeIvfIndex(emb(s, d), s"$path/ivf", nlist = 0)))
       Similarity.graphTopKFromIndexSeeded(s, s"$path/gidx", s"$path/ivf",
         emb(s, d).filter(annIsQuery).select("vec_id", "embedding"), 5)
     }),

@@ -61,9 +61,15 @@ object Bpe {
   private def checkpointPinned(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    val pinned = (sc.getPersistentRDDs -- before).values.toSeq
+    // registration-only lock (r16, see Dedup.checkpointPinned):
+    // operators now legitimately run concurrently (Par), and the
+    // delta-capture reads global SparkContext state
+    val (out, pinned) = Par.checkpointRegistration.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val o = df.localCheckpoint(eager = false)
+      (o, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     (out, pinned)
   }
 

@@ -1533,15 +1533,31 @@ object Dedup {
     * "unpersists" each round's Dataset actually pins O(rounds) label
     * copies. The delta of `getPersistentRDDs` around the checkpoint
     * call captures the new RDD(s) for an explicit `RDD.unpersist`
-    * once the round is dead. (clusters() runs driver-sequentially, so
-    * the delta is ours; a concurrent persist caught in the window
-    * would only lose ITS cache, never correctness.) */
-  private def checkpointPinned(df: DataFrame)
+    * once the round is dead.
+    *
+    * r16: the registration window is serialized under
+    * [[Par.checkpointRegistration]] (registration only — no job runs
+    * under the lock), so CONCURRENT iterative loops can no longer
+    * cross-capture each other's pinned RDDs and later unpersist
+    * blocks a sibling still needs (fatal for locally-checkpointed
+    * RDDs — truncated lineage cannot recompute). `eager = false`
+    * additionally defers materialization to the caller's next action
+    * over the frame: a loop whose round already ends in an aggregate
+    * (clusters' convergence sum) fuses compute+persist+aggregate
+    * into ONE job instead of paying a separate materialization pass
+    * per round. The caller must run such an action before
+    * unpersisting anything the frame's lineage reads; `eager = true`
+    * keeps the old materialized-on-return contract. */
+  private def checkpointPinned(df: DataFrame, eager: Boolean = true)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    val pinned = (sc.getPersistentRDDs -- before).values.toSeq
+    val (out, pinned) = Par.checkpointRegistration.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val o = df.localCheckpoint(eager = false)
+      (o, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    if (eager)
+      out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     (out, pinned)
   }
 
@@ -1563,12 +1579,17 @@ object Dedup {
 
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25,
                saltBuckets: Int = 1): DataFrame = {
+    // lazy checkpoints (r16): the init labelSum below materializes
+    // edges AND labels in one job; each round's convergence sum
+    // materializes that round's checkpoint — compute+persist+sum
+    // fused, one job per round instead of two
     val (edges, edgePins) = checkpointPinned(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      eager = false)
     var (labels, labelPins) = checkpointPinned(
       edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+        .withColumn("cluster_id", col("doc_id")), eager = false)
     // decimal sum: overflow-safe for any id domain
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first() match {
@@ -1598,7 +1619,10 @@ object Dedup {
           col("p.cluster_id") === col("hop_id"), "left")
         .select(col("p.doc_id").as("doc_id"),
           least(col("p.cluster_id"), coalesce(col("hop_lbl"), col("p.cluster_id")))
-            .as("cluster_id")))
+            .as("cluster_id")), eager = false)
+      // this sum is the round's ONE materialization (the lazy
+      // checkpoint persists during it) — it must run before the
+      // previous round's blocks are unpersisted below
       val s = labelSum(next)
       // next is materialized — the previous round's checkpoint BLOCKS
       // (freed via the RDD handles; see checkpointPinned) are dead

@@ -60,10 +60,14 @@ object Retrieval {
     * at `path/bm25*`; the IVF index under `path/ivf`. */
   def buildArtifacts(docs: DataFrame, emb: DataFrame, table: String,
                      path: String, buckets: Int = 64,
-                     nlist: Int = 0): Unit = {
-    TextAnalysis.writeBm25Stats(docs, table, s"$path/bm25", buckets)
-    Similarity.writeIvfIndex(emb, s"$path/ivf", nlist)
-  }
+                     nlist: Int = 0): Unit =
+    // the two artifacts are independent (docs → bm25/, emb → ivf/) —
+    // build them concurrently (r16, guide §2.6): each build is a
+    // chain of small fixed-latency jobs, so the pair costs
+    // max(bm25, ivf) instead of their sum; identical artifacts land
+    Par.run(Seq(
+      () => TextAnalysis.writeBm25Stats(docs, table, s"$path/bm25", buckets),
+      () => Similarity.writeIvfIndex(emb, s"$path/ivf", nlist))): Unit
 
   /** Serve one query from the frozen artifacts: ranked, fused,
     * diversified page `(q_id, doc_id, rrf_score, mmr_score, rank)` —

@@ -37,9 +37,17 @@ object Similarity {
   private def checkpointPinned(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    // registration-only lock (r16, see Dedup.checkpointPinned): the
+    // delta-capture reads global SparkContext state, and operators
+    // now legitimately run concurrently (Par); materialization runs
+    // OUTSIDE the lock
+    val (out, pinned) = Par.checkpointRegistration.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val o = df.localCheckpoint(eager = false)
+      (o, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+    out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    (out, pinned)
   }
 
   /** Precompute the double vector + squared norm once per row —
@@ -1139,26 +1147,36 @@ object Similarity {
       .union(g.select(col("n_id").as("src"), col("q_id").as("dst")))
       .distinct()
     val pv = p.select(col("vec_id"), col("v"), col("n2"))
-    und.join(pv.select(col("vec_id").as("dst"), col("v").as("dst_v"),
-        col("n2").as("dst_n2")), Seq("dst"))
-      .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
-      .withColumn("pb", graphPb(col("src"), buckets))
-      .withColumn("ingest_batch", lit(-1L))
-      .repartition(col("pb")).sortWithinPartitions(col("src"))
-      .write.partitionBy("pb", "ingest_batch")
-      .mode("overwrite").parquet(s"$path/adj")
-    pv.withColumn("vb", graphPb(col("vec_id"), buckets))
-      .withColumn("ingest_batch", lit(-1L))
-      .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
-      .write.partitionBy("vb", "ingest_batch")
-      .mode("overwrite").parquet(s"$path/vec")
-    val entryRows = pv.orderBy(col("vec_id")).limit(1).collect()
-    require(entryRows.nonEmpty,
-      "writeGraphIndex: no nonzero vectors — nothing to serve")
-    val e = entryRows(0)
-    Seq((e.getLong(0), e.getSeq[Double](1), e.getDouble(2), k, buckets))
-      .toDF("entry", "entry_v", "entry_n2", "k", "p_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the three artifact lands are independent of each other (adj/
+    // from the graph lineage, vec/ and meta/ from the prepared frame
+    // alone, all disjoint dirs) — overlap them (r16, guide §2.6) so
+    // the vec/meta jobs back-fill the adjacency job's shuffle tail
+    // instead of queuing behind it; identical files land either way
+    Par.run(Seq(
+      () =>
+        und.join(pv.select(col("vec_id").as("dst"), col("v").as("dst_v"),
+            col("n2").as("dst_n2")), Seq("dst"))
+          .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
+          .withColumn("pb", graphPb(col("src"), buckets))
+          .withColumn("ingest_batch", lit(-1L))
+          .repartition(col("pb")).sortWithinPartitions(col("src"))
+          .write.partitionBy("pb", "ingest_batch")
+          .mode("overwrite").parquet(s"$path/adj"),
+      () =>
+        pv.withColumn("vb", graphPb(col("vec_id"), buckets))
+          .withColumn("ingest_batch", lit(-1L))
+          .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
+          .write.partitionBy("vb", "ingest_batch")
+          .mode("overwrite").parquet(s"$path/vec"),
+      () => {
+        val entryRows = pv.orderBy(col("vec_id")).limit(1).collect()
+        require(entryRows.nonEmpty,
+          "writeGraphIndex: no nonzero vectors — nothing to serve")
+        val e = entryRows(0)
+        Seq((e.getLong(0), e.getSeq[Double](1), e.getDouble(2), k, buckets))
+          .toDF("entry", "entry_v", "entry_n2", "k", "p_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      }))
     initCommitLedger(spark, path)
   }
 
@@ -1405,13 +1423,20 @@ object Similarity {
     * require. Per-query results are IDENTICAL to serving that query
     * in any other page (the beam state is per-query; pages share
     * nothing), so paging is pure admission control — spec-pinned ≡
-    * the one-page serve. Pages run sequentially: each is already one
-    * distributed job per hop, and the driver holds one page's beam
-    * state at a time (the whole point of the ceiling). Admission is
-    * `maxPages · pageSize/2` queries — with the 2×-slack target that
-    * is exactly what fits in `maxPages` pages, so the split never
-    * exceeds the caller's page budget; a serve over millions of
-    * queries is a BATCH scoring job (use [[knnGraphAnn]]
+    * the one-page serve. Pages run CONCURRENTLY, at most
+    * `pageParallelism` in flight (r16, guide §2.6): each page's hops
+    * are small sequential driver-launched jobs whose fixed scheduling
+    * latency — not executor work — dominates the paged serve's wall
+    * time, so overlapping pages back-fills that latency while every
+    * page keeps its own independent beam state and its own UNCHANGED
+    * `stateCeiling` (identical results and identical per-page abort
+    * behavior; the driver's concurrent footprint is bounded by
+    * pageParallelism × one page's ceiling instead of one page's —
+    * size pageParallelism down if the ceiling is raised). Admission
+    * is `maxPages · pageSize/2` queries — with the 2×-slack target
+    * that is exactly what fits in `maxPages` pages, so the split
+    * never exceeds the caller's page budget; a serve over millions
+    * of queries is a BATCH scoring job (use [[knnGraphAnn]]
     * composition), not a paged online serve.
     *
     * CHANGED in r15 (breaking, intentional): admission used to be
@@ -1429,10 +1454,13 @@ object Similarity {
       path: String, queries: DataFrame, k: Int, beam: Int = 32,
       hops: Int = 6, excludeIngestBatch: Option[Long] = None,
       stateCeiling: Long = 4L << 20, pageSize: Int = 4096,
-      maxPages: Int = 256): DataFrame = {
+      maxPages: Int = 256, pageParallelism: Int = 4): DataFrame = {
     require(pageSize > 0 && pageSize <= 4096,
       s"pageSize=$pageSize out of [1, 4096] — the serve's page ceiling")
     require(maxPages > 0, s"maxPages=$maxPages must be positive")
+    require(pageParallelism > 0 && pageParallelism <= 16,
+      s"pageParallelism=$pageParallelism out of [1, 16] — each in-flight " +
+        "page holds its own beam state on the driver")
     // page count from ONE cheap count; hash-mod assignment keeps every
     // page under pageSize in expectation — the per-page serve guard
     // still enforces the hard ceiling (2x slack for hash skew). The
@@ -1452,11 +1480,15 @@ object Similarity {
         s"pageSize/2=$perPage — the 2x-slack page budget) — raise " +
         "maxPages/pageSize or batch-score instead of paging an online serve")
     val nPages = math.max(1L, (n + perPage - 1) / perPage)
-    (0L until nPages).map { pg =>
+    // pages overlap (bounded pool, results re-assembled in page
+    // order — deterministic union); each page's serve is EAGER by
+    // construction (the beam drive collects per hop and returns a
+    // local relation), so the thunks really do run the work here
+    Par.run((0L until nPages).map { pg => () =>
       graphTopKFromIndex(spark, path,
         queries.filter(pmod(xxhash64(col("vec_id")), lit(nPages)) === pg),
         k, beam, hops, excludeIngestBatch, stateCeiling)
-    }.reduce(_.unionByName(_))
+    }, maxConcurrent = pageParallelism).reduce(_.unionByName(_))
   }
 
   /** Pruning audit for the graph serve — the [[probedListFiles]]
@@ -1541,15 +1573,21 @@ object Similarity {
     try {
       // GraphStages brackets (r15 verdict #3): non-overlapping stage
       // attribution for the drive's per-batch cost table — one
-      // volatile read each when no capture is active
-      val n = GraphStages.time("app_admission")(batch.count())
-      if (n == 0L) { writeCommitRecord(spark, path, ingestBatch); return }
+      // volatile read each when no capture is active.
+      // ONE bounded collect serves as count AND id set (r16: the
+      // separate count() paid a second fixed-latency job per batch
+      // for a number the id collect already yields); the limit makes
+      // the collect itself bounded, and length > 4096 reads as the
+      // same admission breach the count used to catch
+      val batchIds = GraphStages.time("app_admission")(
+        batch.select(col("vec_id")).limit(4097).as[Long].collect().toSet)
+      val n = batchIds.size
+      if (n == 0) { writeCommitRecord(spark, path, ingestBatch); return }
       require(n <= 4096,
-        s"appendToGraphIndex attaches a bounded batch (got $n nonzero " +
+        s"appendToGraphIndex attaches a bounded batch (got ${
+          if (n > 4096) "> 4096" else n.toString} nonzero " +
           "vectors, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
-      val batchIds = GraphStages.time("app_admission")(
-        batch.select(col("vec_id")).as[Long].collect().toSet)
       // validate a handed-in page against the checkable half of its
       // contract (r15 review): the columns must be the serve's and
       // its query set must be CONTAINED in this batch's nonzero ids —
@@ -1616,24 +1654,33 @@ object Similarity {
           Some(ingestBatch))
         .select(col("vec_id"), col("v"), col("n2"))
         .unionByName(batch.select(col("vec_id"), col("v"), col("n2")))
-      GraphStages.time("app_adj_write")(
-        und.join(dstVecs.select(col("vec_id").as("dst"),
-            col("v").as("dst_v"), col("n2").as("dst_n2")), Seq("dst"))
-          .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
-          .withColumn("pb", graphPb(col("src"), buckets))
-          .withColumn("ingest_batch", lit(ingestBatch))
-          .repartition(col("pb")).sortWithinPartitions(col("src"))
-          .write.partitionBy("pb", "ingest_batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$path/adj"))
-      GraphStages.time("app_vec_write")(
-        batch.select(col("vec_id"), col("v"), col("n2"))
-          .withColumn("vb", graphPb(col("vec_id"), buckets))
-          .withColumn("ingest_batch", lit(ingestBatch))
-          .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
-          .write.partitionBy("vb", "ingest_batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$path/vec"))
+      // the two landing writes are independent (disjoint dirs, adj/
+      // from the edge lineage, vec/ from the cached batch) — overlap
+      // them (r16, guide §2.6): the batch-sized jobs are fixed-latency
+      // bound, so the pair costs max(adj, vec) instead of their sum.
+      // Commit-record-last is unchanged — it still lands only after
+      // BOTH writes return. The GraphStages brackets now time two
+      // overlapping stages: their SUM can exceed the batch's wall
+      // share (each is its own thread's wall time).
+      Par.run(Seq(
+        () => GraphStages.time("app_adj_write")(
+          und.join(dstVecs.select(col("vec_id").as("dst"),
+              col("v").as("dst_v"), col("n2").as("dst_n2")), Seq("dst"))
+            .select(col("src"), col("dst"), col("dst_v"), col("dst_n2"))
+            .withColumn("pb", graphPb(col("src"), buckets))
+            .withColumn("ingest_batch", lit(ingestBatch))
+            .repartition(col("pb")).sortWithinPartitions(col("src"))
+            .write.partitionBy("pb", "ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$path/adj")),
+        () => GraphStages.time("app_vec_write")(
+          batch.select(col("vec_id"), col("v"), col("n2"))
+            .withColumn("vb", graphPb(col("vec_id"), buckets))
+            .withColumn("ingest_batch", lit(ingestBatch))
+            .repartition(col("vb")).sortWithinPartitions(col("vec_id"))
+            .write.partitionBy("vb", "ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$path/vec"))))
       // commit record last — see appendToIvfIndex
       GraphStages.time("app_commit")(
         writeCommitRecord(spark, path, ingestBatch))

@@ -705,19 +705,24 @@ object TextAnalysis {
     // three artifact builds = three scans of the corpus, deliberately
     // UNCACHED here: at index-build scale, persisting the tokenized
     // corpus trades three cheap parallel scans for a cluster-wide
-    // spill (contrast appendToBm25Index, whose batches are bounded)
+    // spill (contrast appendToBm25Index, whose batches are bounded).
+    // The three lands are independent (disjoint tables and dirs off
+    // one shared lineage) and run CONCURRENTLY (r16, guide §2.6):
+    // sequential, each scan paid its own scheduling + tail latency
+    // end-to-end; overlapped, the cluster pipelines the three scans
     val base = bm25DocStats(docs)
-    bm25DfCounts(base)
-      .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
-      .option("path", s"${path}_df").mode("overwrite")
-      .saveAsTable(s"${table}_df")
-    bm25Meta(base)
-      .write.format("parquet").option("path", s"${path}_meta")
-      .mode("overwrite").saveAsTable(s"${table}_meta")
-    bm25Postings(base)
-      .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
-      .option("path", s"${path}_post").mode("overwrite")
-      .saveAsTable(s"${table}_post")
+    Par.run(Seq(
+      () => bm25DfCounts(base)
+        .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", s"${path}_df").mode("overwrite")
+        .saveAsTable(s"${table}_df"),
+      () => bm25Meta(base)
+        .write.format("parquet").option("path", s"${path}_meta")
+        .mode("overwrite").saveAsTable(s"${table}_meta"),
+      () => bm25Postings(base)
+        .write.format("parquet").bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", s"${path}_post").mode("overwrite")
+        .saveAsTable(s"${table}_post"))): Unit
   }
 
   /** `(doc_id, toks, dl)` — the ONE tokenization every BM25 artifact
