@@ -32,6 +32,16 @@ object Sessions {
       // (there the ramp is the right behavior — set it back to 1).
       .config("spark.sql.limit.initialNumPartitions",
         sys.env.getOrElse("SPARK_GRAFT_LIMIT_INIT_PARTS", "512"))
+      // r16: let AQE re-plan the partitioning of CACHED intermediates
+      // — the engine caches small intermediate frames everywhere
+      // (CacheSlots), and with the default (false) every consumer of
+      // a cached frame inherits the cached plan's pre-AQE shuffle
+      // partition count instead of AQE-coalesced partitions (measured:
+      // knn_pagerank_ann over a cached graph ran 505 → 779 tasks when
+      // the graph cache pinned its partitioning). Scale-safe: this
+      // only re-enables the same AQE coalescing uncached plans get.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

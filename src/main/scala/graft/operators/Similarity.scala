@@ -609,9 +609,16 @@ object Similarity {
     val g0 = directed
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
-    (1 to refine).foldLeft(g0) { (g, i) =>
+    val refined = (1 to refine).foldLeft(g0) { (g, i) =>
       nnDescentRound(p0, cachedAs(s"knnGraphAnn_g$i", g), k)
     }
+    // cache the FINAL graph too (r16): every downstream composition
+    // reads it more than once in one plan — knnComponents' mutual
+    // self-join (2×), writeGraphIndex's undirect union (2×),
+    // graphTopK's adjacency union (2×) — and without this cache each
+    // read re-ran the refine round's candidate joins (only the
+    // round's INPUT was cached). One materialization, n·k rows.
+    cachedAs("knnGraphAnn_out", refined)
   }
 
   /** One NN-DESCENT refinement round (Dong et al., WWW '11 — the
@@ -672,6 +679,13 @@ object Similarity {
     * edge list on (q_id, n_id) — never quadratic regardless of which
     * builder fed it. */
   def knnComponents(emb: DataFrame, graph: DataFrame): DataFrame = {
+    // NOT cached here (r16, measured): the deploy builder
+    // (knnGraphAnn) already arrives as one cached frame, and caching
+    // the exact builder's edge list pins the cached subplan's
+    // pre-AQE partitioning (spark keeps a cached plan's output
+    // partitioning), exploding the downstream task count (84 → 515
+    // tasks measured at sf0.1) for a recompute that exchange reuse
+    // mostly deduplicates anyway.
     val g = graph.select(col("q_id"), col("n_id"))
     val mutual = g.as("a").join(g.as("b"),
         col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
