@@ -58,18 +58,22 @@ object Bpe {
   /** The localCheckpoint-with-explicit-pins pattern (see
     * Dedup.checkpointPinned's scaladoc for why Dataset.unpersist
     * cannot free checkpoint blocks). */
-  private def checkpointPinned(df: DataFrame)
+  private def checkpointPinned(df: DataFrame, eager: Boolean = true)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
     // registration-only lock (r16, see Dedup.checkpointPinned):
     // operators now legitimately run concurrently (Par), and the
-    // delta-capture reads global SparkContext state
+    // delta-capture reads global SparkContext state. `eager = false`
+    // defers materialization to the caller's next action over the
+    // frame (the train loop's pair-count collect) — the caller must
+    // run that action before unpersisting anything the frame reads.
     val (out, pinned) = Par.checkpointRegistration.synchronized {
       val before = sc.getPersistentRDDs.keySet
       val o = df.localCheckpoint(eager = false)
       (o, (sc.getPersistentRDDs -- before).values.toSeq)
     }
-    out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    if (eager)
+      out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     (out, pinned)
   }
 
@@ -193,16 +197,33 @@ object Bpe {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
     require(batchMerges > 0, s"batchMerges=$batchMerges must be positive")
     val spark = docs.sparkSession
-    var (words, pins) = checkpointPinned(wordTable(docs))
+    // LAZY round checkpoints (r16): each round's pair-count collect is
+    // the round's one materialization — compute+persist+snapshot fuse
+    // into one job instead of a separate eager pass per round (the
+    // loop was 2 driver jobs per round for <1 s of executor work —
+    // pure scheduling latency). The PREVIOUS round's blocks are
+    // unpersisted only AFTER the collect that materialized the next
+    // round's table (its lineage reads them), so at most three
+    // bounded word-table generations are pinned at once.
+    var (words, pins) = checkpointPinned(wordTable(docs), eager = false)
+    var prevPins: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
     var continue = true
+    // (r16, measured and deliberately NOT taken: disabling AQE for
+    // the loop halves the job count — 72 → 37 — but the tiny
+    // per-round shuffles then run at the static partition count,
+    // 103 → 1188 tasks, and the wall is unchanged; AQE's coalescing
+    // is also exactly what the loop needs at corpus scale.)
     while (merges.size < nMerges && continue) {
       val want = math.min(batchMerges, nMerges - merges.size)
       val m = math.max(64, 8 * want)
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("l"), col("r")).limit(m).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // `words` is materialized now — the round BEFORE it is dead
+      prevPins.foreach(_.unpersist(false))
+      prevPins = Nil
       rounds += 1
       if (top.isEmpty) continue = false
       else {
@@ -213,13 +234,13 @@ object Bpe {
             df.withColumn("syms", call_function(fn, col("syms")))
           }
         }
-        val (w2, p2) = checkpointPinned(next)
-        pins.foreach(_.unpersist(false))
+        val (w2, p2) = checkpointPinned(next, eager = false)
+        prevPins = pins
         words = w2
         pins = p2
       }
     }
-    pins.foreach(_.unpersist(false))
+    (prevPins ++ pins).foreach(_.unpersist(false))
     (merges.toArray, rounds)
   }
 
