@@ -30,8 +30,11 @@ object Sessions {
       // many partitions — one job per bounded collect. Env-tunable
       // for clusters where genuinely-selective small LIMITs dominate
       // (there the ramp is the right behavior — set it back to 1).
+      // (a malformed value degrades to the default, like
+      // SPARK_GRAFT_CPUS — never kills the session build)
       .config("spark.sql.limit.initialNumPartitions",
-        sys.env.getOrElse("SPARK_GRAFT_LIMIT_INIT_PARTS", "512"))
+        sys.env.get("SPARK_GRAFT_LIMIT_INIT_PARTS")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(512).toString)
       // r16: let AQE re-plan the partitioning of CACHED intermediates
       // — the engine caches small intermediate frames everywhere
       // (CacheSlots), and with the default (false) every consumer of

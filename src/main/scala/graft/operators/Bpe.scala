@@ -59,23 +59,12 @@ object Bpe {
     * Dedup.checkpointPinned's scaladoc for why Dataset.unpersist
     * cannot free checkpoint blocks). */
   private def checkpointPinned(df: DataFrame, eager: Boolean = true)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    // registration-only lock (r16, see Dedup.checkpointPinned):
-    // operators now legitimately run concurrently (Par), and the
-    // delta-capture reads global SparkContext state. `eager = false`
-    // defers materialization to the caller's next action over the
-    // frame (the train loop's pair-count collect) — the caller must
-    // run that action before unpersisting anything the frame reads.
-    val (out, pinned) = Par.checkpointRegistration.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      val o = df.localCheckpoint(eager = false)
-      (o, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
-    if (eager)
-      out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-    (out, pinned)
-  }
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+    // one shared implementation (r16 review) — locked registration,
+    // AQE stages materialized before the lock; the train loop uses
+    // the lazy flavor (materialization fuses with the next round's
+    // pair-count collect, which runs before old pins are freed)
+    Par.checkpointPinned(df, eager)
 
   /** The batched-round selection rule: from one canonical-sorted
     * pair-count snapshot, the longest prefix of picks PROVABLY equal

@@ -1535,31 +1535,14 @@ object Dedup {
     * call captures the new RDD(s) for an explicit `RDD.unpersist`
     * once the round is dead.
     *
-    * r16: the registration window is serialized under
-    * [[Par.checkpointRegistration]] (registration only — no job runs
-    * under the lock), so CONCURRENT iterative loops can no longer
-    * cross-capture each other's pinned RDDs and later unpersist
-    * blocks a sibling still needs (fatal for locally-checkpointed
-    * RDDs — truncated lineage cannot recompute). `eager = false`
-    * additionally defers materialization to the caller's next action
-    * over the frame: a loop whose round already ends in an aggregate
-    * (clusters' convergence sum) fuses compute+persist+aggregate
-    * into ONE job instead of paying a separate materialization pass
-    * per round. The caller must run such an action before
-    * unpersisting anything the frame's lineage reads; `eager = true`
-    * keeps the old materialized-on-return contract. */
+    * r16: ONE shared implementation, [[Par.checkpointPinned]] —
+    * locked registration (safe under the concurrency Par introduced),
+    * AQE stages materialized before the lock, and a lazy flavor whose
+    * materialization fuses with the caller's next action (clusters'
+    * convergence sum — one job per round instead of two). */
   private def checkpointPinned(df: DataFrame, eager: Boolean = true)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val (out, pinned) = Par.checkpointRegistration.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      val o = df.localCheckpoint(eager = false)
-      (o, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
-    if (eager)
-      out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-    (out, pinned)
-  }
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+    Par.checkpointPinned(df, eager)
 
   /** D16: corpus DUPLICATION PROFILE — the D8 labeling collapsed to
     * the cluster-size histogram `(cluster_size, n_clusters, n_docs)`:

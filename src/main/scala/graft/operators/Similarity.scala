@@ -35,20 +35,12 @@ object Similarity {
     * shared by the iterative operators here ([[knnPagerank]],
     * [[graphTopK]]). */
   private def checkpointPinned(df: DataFrame)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    // registration-only lock (r16, see Dedup.checkpointPinned): the
-    // delta-capture reads global SparkContext state, and operators
-    // now legitimately run concurrently (Par); materialization runs
-    // OUTSIDE the lock
-    val (out, pinned) = Par.checkpointRegistration.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      val o = df.localCheckpoint(eager = false)
-      (o, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
-    out.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-    (out, pinned)
-  }
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+    // one shared implementation (r16 review) — locked registration,
+    // AQE stages materialized before the lock, eager here (the
+    // pagerank/graphTopK loops unpersist superseded pins immediately,
+    // which requires the new frame materialized on return)
+    Par.checkpointPinned(df)
 
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
@@ -1591,17 +1583,21 @@ object Similarity {
       // ONE bounded collect serves as count AND id set (r16: the
       // separate count() paid a second fixed-latency job per batch
       // for a number the id collect already yields); the limit makes
-      // the collect itself bounded, and length > 4096 reads as the
-      // same admission breach the count used to catch
-      val batchIds = GraphStages.time("app_admission")(
-        batch.select(col("vec_id")).limit(4097).as[Long].collect().toSet)
-      val n = batchIds.size
-      if (n == 0) { writeCommitRecord(spark, path, ingestBatch); return }
-      require(n <= 4096,
-        s"appendToGraphIndex attaches a bounded batch (got ${
-          if (n > 4096) "> 4096" else n.toString} nonzero " +
-          "vectors, ceiling 4096 — the serve-page posture); split " +
+      // the collect itself bounded. The ceiling checks the ROW count
+      // (the array length, exactly what count() measured — r16
+      // review: a toSet size would let a duplicate-carrying oversized
+      // batch slip the ceiling AND truncate the id set the page
+      // validation and endpoint split below key on), and ≤ 4096 rows
+      // through limit(4097) means the collect saw EVERY row, so the
+      // id set is complete.
+      val idRows = GraphStages.time("app_admission")(
+        batch.select(col("vec_id")).limit(4097).as[Long].collect())
+      if (idRows.isEmpty) { writeCommitRecord(spark, path, ingestBatch); return }
+      require(idRows.length <= 4096,
+        "appendToGraphIndex attaches a bounded batch (got > 4096 nonzero " +
+          "vector rows, ceiling 4096 — the serve-page posture); split " +
           "larger arrivals into sequential batches")
+      val batchIds = idRows.toSet
       // validate a handed-in page against the checkable half of its
       // contract (r15 review): the columns must be the serve's and
       // its query set must be CONTAINED in this batch's nonzero ids —
