@@ -82,6 +82,12 @@ object Bench {
     // every timed query pay Janino recompilation
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       extra = Map("spark.sql.codegen.cache.maxEntries" -> "5000"))
+    // deterministic per-entry cost counters (r16 verdict #2): jobs/
+    // tasks/exec_s/shuffle_mb land in BENCH_FULL.json next to the wall
+    // medians — the load-insensitive record that adjudicates sub-5s
+    // wall swings. The record brackets sit OUTSIDE the t0/t1 walls
+    // (see BenchCounters), so no timed number pays for them.
+    val counters = new BenchCounters(spark.sparkContext)
 
     def clearCaches(): Unit = clearAllCaches(spark)
 
@@ -98,7 +104,9 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(kv => SparkEntry.runOrderKey(kv._1))
         .filterNot(kv => benchExclude(kv._1))
         .flatMap { case (name, fn) =>
-        try Some(name -> timeNoop(() => fn(spark, dir)))
+        try Some(name -> (
+          if (record) counters.record(name)(timeNoop(() => fn(spark, dir)))
+          else timeNoop(() => fn(spark, dir))))
         catch { case scala.util.control.NonFatal(e) =>
           if (record) System.err.println(s"[bench] $name FAILED, no entry: ${e.getMessage}")
           None
@@ -166,9 +174,9 @@ object Bench {
     // order, kept (r15 review): round-over-round pipeline_e2e numbers
     // must compare like-for-like JVM/codec state, not a methodology
     // drift
-    val (idxServes, idxReps) = benchIndexServes(spark, sfDir, reps)
+    val (idxServes, idxReps) = benchIndexServes(spark, sfDir, reps, counters)
     val loadPostIdx = loadAvg()
-    val (pipeHead, pipeHeadReps) = benchPipeline(spark, reps)
+    val (pipeHead, pipeHeadReps) = benchPipeline(spark, reps, Some(counters))
     val loadPostPipe = loadAvg()
     // ONE per-name rep collection — results medians and the
     // rep-detail record both derive from it
@@ -188,7 +196,7 @@ object Bench {
     // ~3× codec/JIT warmup (measured 15 s vs the 5 s warm headline),
     // and the isolated block exists to attribute drift, not to price
     // cold starts. Sub-phase medians ride along for attribution.
-    val (pipeIso, pipeIsoReps) = benchPipeline(spark, isoReps)
+    val (pipeIso, pipeIsoReps) = benchPipeline(spark, isoReps, None)
     val isoAll = driftIso ++ pipeIso
     val loadEnd = loadAvg()
     // per-rep catalog times + the headline pipeline's + idx_* reps —
@@ -253,9 +261,16 @@ object Bench {
       val isoDetailJson =
         if (full) s""""iso_detail":${repsJson(isoDetail, isoDetail.keys.toSeq)},"""
         else ""
+      // per-entry deterministic counters, full (committed) file only —
+      // the printed line's budget is spent on the wall medians
+      val countersJson =
+        if (full) s""""counters":${counters.all.toSeq.sortBy(_._1)
+          .map { case (k, v) => Jsons.str(k) + ":" + v.json }
+          .mkString("{", ",", "}")},"""
+        else ""
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
         s""""isolated":$iso,$loadJson,"rep_detail":${repsJson(repDetail, repNames)},""" +
-        isoDetailJson +
+        isoDetailJson + countersJson +
         s""""omitted":$omitted,"full":"BENCH_FULL.json",""" +
         s""""sf":"$sfDir","reps":$reps}"""
     }
@@ -301,16 +316,20 @@ object Bench {
     * Grid generation is untimed (an offline fixture); each rep gets a
     * fresh outDir so rfield writes never collide. Environmental
     * failures log and skip, like the serve bench. */
-  private def benchPipeline(spark: SparkSession,
-                            reps: Int): (Map[String, Double], Seq[Double]) =
+  private def benchPipeline(spark: SparkSession, reps: Int,
+                            counters: Option[BenchCounters])
+      : (Map[String, Double], Seq[Double]) =
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
       try {
         Pipeline.generateSyntheticRun(dir, ny = 100, nx = 100, nt = 240)
-        val runs = (1 to reps).map { i =>
+        def oneRep(i: Int): (Double, Map[String, Double]) = {
           val t0 = System.nanoTime()
           val r = Pipeline.run(spark, dir, s"$dir/out_$i")
           ((System.nanoTime() - t0) / 1e9, r.stageSeconds)
+        }
+        val runs = (1 to reps).map { i =>
+          counters.fold(oneRep(i))(_.record("pipeline_e2e")(oneRep(i)))
         }
         // per-stage medians ride along as sub-entries: the e2e number
         // swings with host contention, and an attributable breakdown
@@ -355,7 +374,8 @@ object Bench {
     * exit — "pruning enforced at bench scale" must be a hard claim,
     * not an advisory log line. */
   private def benchIndexServes(spark: SparkSession, sfDir: String,
-                               reps: Int): (Map[String, Double], Map[String, Seq[Double]]) =
+                               reps: Int, counters: BenchCounters)
+      : (Map[String, Double], Map[String, Seq[Double]]) =
     try {
       import org.apache.spark.sql.functions.{col, exists, lit}
       val S = graft.operators.Similarity
@@ -461,9 +481,11 @@ object Bench {
         // writeGraphIndex is mode-overwrite throughout, so rebuilding
         // in place is the production rebuild path, not a bench trick
         val graphBuildReps = (1 to 3).map { _ =>
-          val tBuild0 = System.nanoTime()
-          S.writeGraphIndex(emb, s"$gPath/gidx", k = 5)
-          (System.nanoTime() - tBuild0) / 1e9
+          counters.record("idx_graph_build") {
+            val tBuild0 = System.nanoTime()
+            S.writeGraphIndex(emb, s"$gPath/gidx", k = 5)
+            (System.nanoTime() - tBuild0) / 1e9
+          }
         }
         val graphBuildSec = median(graphBuildReps.drop(1))
         // graph pruning audit, the IVF audit's dual: a one-node hop
@@ -513,16 +535,19 @@ object Bench {
         // per-rep arrays kept for every serve line (r15 verdict #1:
         // the idx_* block had no rep record, so its oddest numbers
         // were attributable only by builder folklore)
+        def timedReps(name: String,
+                      f: () => org.apache.spark.sql.DataFrame): Seq[Double] =
+          (1 to reps).map(_ => counters.record(name)(timeNoop(f)))
         val servedReps: Map[String, Seq[Double]] = Map(
-          "idx_ivf_serve" -> (1 to reps).map(_ => timeNoop(() => servIvf())),
-          "idx_ivf_serve_auto" -> (1 to reps).map(_ => timeNoop(() => servIvfAuto())),
-          "idx_ivfpq_serve" -> (1 to reps).map(_ => timeNoop(() => servPq())),
-          "idx_filtered_serve" -> (1 to reps).map(_ => timeNoop(() => servFiltered())),
-          "idx_retrieval_serve" -> (1 to reps).map(_ => timeNoop(() => servPage())),
-          "idx_ltr_serve" -> (1 to reps).map(_ => timeNoop(() => servLtr())),
-          "idx_graph_serve" -> (1 to reps).map(_ => timeNoop(() => servGraph())),
-          "idx_graph_serve_paged" -> (1 to reps).map(_ => timeNoop(() => servPaged())),
-          "idx_graph_serve_seeded" -> (1 to reps).map(_ => timeNoop(() => servSeeded())))
+          "idx_ivf_serve" -> timedReps("idx_ivf_serve", () => servIvf()),
+          "idx_ivf_serve_auto" -> timedReps("idx_ivf_serve_auto", () => servIvfAuto()),
+          "idx_ivfpq_serve" -> timedReps("idx_ivfpq_serve", () => servPq()),
+          "idx_filtered_serve" -> timedReps("idx_filtered_serve", () => servFiltered()),
+          "idx_retrieval_serve" -> timedReps("idx_retrieval_serve", () => servPage()),
+          "idx_ltr_serve" -> timedReps("idx_ltr_serve", () => servLtr()),
+          "idx_graph_serve" -> timedReps("idx_graph_serve", () => servGraph()),
+          "idx_graph_serve_paged" -> timedReps("idx_graph_serve_paged", () => servPaged()),
+          "idx_graph_serve_seeded" -> timedReps("idx_graph_serve_seeded", () => servSeeded()))
         val servedMap = servedReps.map { case (n, ts) => n -> median(ts) }
         // streaming graph ingest LAST (r14 verdict #8): it mutates the
         // index, so it must not run before the serve timings. One
@@ -531,7 +556,8 @@ object Bench {
         // reps — replay-by-id semantics are never faked), the first
         // rep is the untimed JIT warmup. The graph grows ~256 vectors
         // per rep — noted, and two orders below the corpus size.
-        val ingest = benchGraphIngest(spark, s"$gPath/gidx", emb, reps)
+        val ingest = benchGraphIngest(spark, s"$gPath/gidx", emb, reps,
+          Some(counters))
         (servedMap ++ Map("idx_graph_build" -> graphBuildSec) ++
            ingest.map { case (m, _) => "idx_graph_ingest" -> m },
          servedReps ++ Map("idx_graph_build" -> graphBuildReps) ++
@@ -569,7 +595,9 @@ object Bench {
     * of the serve bench). */
   private[graft] def benchGraphIngest(spark: SparkSession, indexPath: String,
                                emb: org.apache.spark.sql.DataFrame,
-                               reps: Int): Option[(Double, Seq[Double])] =
+                               reps: Int,
+                               counters: Option[BenchCounters] = None)
+      : Option[(Double, Seq[Double])] =
     try {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
@@ -588,12 +616,15 @@ object Bench {
           // fresh ids per rep and per row — the append contract
           val rows = base.zipWithIndex.map { case ((_, v), i) =>
             (2000000000L + rep.toLong * 10000L + i, v) }.toSeq
-          val t0 = System.nanoTime()
-          stream.addData(rows.take(128))
-          q.processAllAvailable()
-          stream.addData(rows.drop(128))
-          q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
+          def drain(): Double = {
+            val t0 = System.nanoTime()
+            stream.addData(rows.take(128))
+            q.processAllAvailable()
+            stream.addData(rows.drop(128))
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          counters.fold(drain())(_.record("idx_graph_ingest")(drain()))
         }
         Some((median(times.drop(1)), times))
       } finally q.stop()
