@@ -1066,10 +1066,13 @@ object SparkEntry {
     // hashes. ONE grouped call, never a driver loop over queries
     "eval_grouped_metrics" -> ((s, d) => {
       val dd = docs(s, d)
-      val cand = GroupedEvalQueries.map { case (q, ts) =>
-        TextAnalysis.bm25TopK(dd, ts, 20)
-          .select(lit(q).as("system"), col("doc_id"), col("rank"))
-      }.reduce(_.unionByName(_))
+      // ONE stats aggregate for all three term sets (r17 — bm25TopK
+      // per set paid three eager stats jobs over the same cached
+      // tokenization); per-set pages identical (spec-pinned)
+      val cand = TextAnalysis.bm25TopKMulti(dd, GroupedEvalQueries, 20)
+        .map { case (q, df) =>
+          df.select(lit(q).as("system"), col("doc_id"), col("rank"))
+        }.reduce(_.unionByName(_))
       val toks = dd.select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       val ref = GroupedEvalQueries.map { case (q, ts) =>

@@ -596,11 +596,27 @@ object TextAnalysis {
     * exact decimal sum in term order. Ties rank by doc_id. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    bm25TopKMulti(docs, Seq(("q", terms)), k).head._2
+  }
+
+  /** [[bm25TopK]] over SEVERAL term sets at once (r17, guide §2.4 —
+    * the r16 verdict's ask #5): N and T are term-set independent and
+    * the per-term dfs for the UNION of the sets' terms come out of
+    * ONE stats aggregate instead of |sets| eager jobs; each set then
+    * ranks through the shared [[bm25Rank]] tail. Per-set results are
+    * IDENTICAL to calling [[bm25TopK]] per set (spec-pinned: the df
+    * each term reads is the same sum, so the idf rounding and the
+    * scoring tail see identical inputs). */
+  def bm25TopKMulti(docs: DataFrame, sets: Seq[(String, Seq[String])],
+                    k: Int): Seq[(String, DataFrame)] = {
+    require(sets.nonEmpty, "bm25TopKMulti needs at least one term set")
+    sets.foreach { case (q, ts) =>
+      require(ts.nonEmpty, s"bm25TopKMulti: term set '$q' is empty") }
     require(k > 0, s"k=$k must be positive")
     // cached (r16): every call pays an eager stats aggregate AND the
     // ranking scan over the tokenized corpus, and the eval entries
-    // call this three times over the same docs in one query — the
-    // slot tokenizes once instead of 2×calls. This is the
+    // rank three term sets over the same docs in one query — the
+    // slot tokenizes once instead of 2×sets. This is the
     // SELF-CONTAINED catalog flavor (the deploy path at index scale
     // is bm25TopKFromIndex, which reads frozen artifacts and never
     // tokenizes the corpus), so the cache is bounded by the corpora
@@ -608,19 +624,24 @@ object TextAnalysis {
     val base = liveCaches("bm25TopK_base", docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", coalesce(size(col("toks")), lit(0)).cast("long")))
+    val allTerms = sets.flatMap(_._2).distinct
     val statsRow = base.agg(count(lit(1)).as("n"),
       (coalesce(sum(col("dl")), lit(0L)).as("t") +:
-        terms.map(t => coalesce(
+        allTerms.map(t => coalesce(
           sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)),
           lit(0L)))): _*).head()
     val n = statsRow.getLong(0)
     val t = statsRow.getLong(1)
     require(t > 0L, "bm25TopK: corpus has no tokens (avgdl undefined)")
-    val idf4 = terms.indices.map { i =>
-      val df = statsRow.getLong(2 + i)
-      math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4)
+    val dfOf: Map[String, Long] = allTerms.zipWithIndex
+      .map { case (tm, i) => tm -> statsRow.getLong(2 + i) }.toMap
+    sets.map { case (q, ts) =>
+      val idf4 = ts.map { tm =>
+        val df = dfOf(tm)
+        math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4)
+      }
+      q -> bm25Rank(base, ts, idf4, n, t, k)
     }
-    bm25Rank(base, terms, idf4, n, t, k)
   }
 
   /** The shared BM25 scoring tail: `base` is `(doc_id, toks, dl)`,

@@ -321,6 +321,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(df, Seq("spark", "rare"), 2).count() === 2L)
   }
 
+  test("bm25TopKMulti: per-set pages identical to per-set bm25TopK (r17)") {
+    // overlapping and disjoint sets over a real corpus slice — the
+    // fused stats aggregate must reproduce every per-set ranking
+    // bit-identically (same df sums → same idf rounding → same tail)
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    val sets = Seq(
+      "a" -> Seq("spark", "window"),
+      "b" -> Seq("merge", "dup", "spark"),
+      "c" -> Seq("zzqq_oov", "window"))
+    val multi = TextAnalysis.bm25TopKMulti(corpus, sets, 20)
+    assert(multi.map(_._1) === sets.map(_._1))
+    for (((q, got), (_, ts)) <- multi.zip(sets)) {
+      val want = TextAnalysis.bm25TopK(corpus, ts, 20)
+        .collect().toSeq.map(_.toSeq)
+      assert(got.collect().toSeq.map(_.toSeq) === want,
+        s"set '$q' diverged from the per-set serve")
+    }
+  }
+
   test("F24 deploy flow: frozen stats reproduce self-ranking; OOV term gets maximal idf") {
     import graft.operators.TextAnalysis
     val wh = java.nio.file.Files.createTempDirectory("graft_bm25").toString
