@@ -35,6 +35,24 @@ object Sessions {
       .config("spark.sql.limit.initialNumPartitions",
         sys.env.get("SPARK_GRAFT_LIMIT_INIT_PARTS")
           .flatMap(_.toIntOption).filter(_ > 0).getOrElse(512).toString)
+      // r17: every LOCAL relation in this engine is bounded driver
+      // metadata BY DOCTRINE (beam frontiers, known-pair sets, query
+      // pages, admission sets — all ≤ 4096 rows or ceiling-guarded),
+      // but LocalTableScanExec parallelizes its rows over
+      // defaultParallelism when executed as an RDD — and Spark 4's
+      // AQE broadcast-stage build executes exactly that RDD, so every
+      // broadcast of a local frame paid a defaultParallelism-task job
+      // (measured: a 6-hop graph serve ran 919 tasks / 45 exec-s, of
+      // which ~580 tasks were 32-way parallelize of <100 KB local
+      // data; at parallelism 1 the same serve runs 108 tasks /
+      // 2.3 exec-s, identical results). One partition is the right
+      // shape for ≤4096-row relations on ANY cluster size — shipping
+      // bounded metadata through hundreds of scheduler slots is pure
+      // overhead. Env-tunable for an engine reusing these sessions
+      // with genuinely large local collections (not this catalog).
+      .config("spark.sql.leafNodeDefaultParallelism",
+        sys.env.get("SPARK_GRAFT_LEAF_PAR")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1).toString)
       // r16: let AQE re-plan the partitioning of CACHED intermediates
       // — the engine caches small intermediate frames everywhere
       // (CacheSlots), and with the default (false) every consumer of

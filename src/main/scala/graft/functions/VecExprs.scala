@@ -998,6 +998,23 @@ object VecExprs {
     withTempFunction(spark, "graft_nearest_cents",
       args => NearestCentroids(args(0), centroids, n))(build)
 
+  /** Driver-side evaluation of [[NearestCentroids]] on ONE bounded
+    * local vector — the SAME expression instance evaluated on a
+    * literal (the Similarity.graphPbLocal posture: a driver mirror by
+    * construction, not a re-spelling that could drift in dot order or
+    * tie-breaks). Lets a serve whose query page is already driver
+    * metadata assign probes without paying a Spark job (r17). */
+  def nearestCentroidsLocal(v: Seq[Double],
+                            centroids: Array[Array[Double]],
+                            n: Int): Array[Int] =
+    NearestCentroids(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, ArrayType(DoubleType, containsNull = false)),
+        centroids, n)
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray()
+
   def withPqEncode[A](spark: SparkSession,
                       codebook: Array[Array[Array[Double]]])
                      (build: String => A): A =

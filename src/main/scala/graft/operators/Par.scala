@@ -78,6 +78,25 @@ private[graft] object Par {
     (out, pinned)
   }
 
+  /** Start ONE independent action now, join it later — the two-phase
+    * overlap [[run]] cannot express (the caller has other driver work
+    * to do between start and join; r17, guide §2.6). The returned
+    * joiner rethrows the thunk's failure unwrapped, like [[run]].
+    * Same independence contract: the thunk must not read state the
+    * caller writes before joining. */
+  private[graft] def async[A](thunk: () => A): () => A = {
+    val task = new java.util.concurrent.FutureTask(
+      new java.util.concurrent.Callable[A] { def call(): A = thunk() })
+    val th = new Thread(task, "graft-par-async")
+    th.setDaemon(true)
+    th.start()
+    () => try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
   def run[A](thunks: Seq[() => A], maxConcurrent: Int = 4): Seq[A] = {
     require(maxConcurrent > 0, s"maxConcurrent=$maxConcurrent must be positive")
     if (thunks.lengthCompare(2) < 0) return thunks.map(_())

@@ -34,13 +34,15 @@ object Similarity {
     * new RDDs for an explicit release once a loop round is dead),
     * shared by the iterative operators here ([[knnPagerank]],
     * [[graphTopK]]). */
-  private def checkpointPinned(df: DataFrame)
+  private def checkpointPinned(df: DataFrame, eager: Boolean = true)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
     // one shared implementation (r16 review) — locked registration,
-    // AQE stages materialized before the lock, eager here (the
-    // pagerank/graphTopK loops unpersist superseded pins immediately,
-    // which requires the new frame materialized on return)
-    Par.checkpointPinned(df)
+    // AQE stages materialized before the lock. Eager by default (a
+    // loop that unpersists superseded pins immediately requires the
+    // new frame materialized on return); the pagerank loop passes
+    // eager=false and defers every unpersist to its finally (r17 —
+    // the M2 fusion).
+    Par.checkpointPinned(df, eager)
 
   /** Precompute the double vector + squared norm once per row —
     * amortized across every pair the row participates in. */
@@ -755,9 +757,11 @@ object Similarity {
     // ranks (every contributor u→v is a q_id), so the loop iterates
     // over the SOURCE frame alone and the full node universe joins in
     // exactly once at the end — round iters reads r_{iters−1}, which
-    // is source-complete by induction. Checkpoints land every third
-    // round (lineage stays shallow, the loop pays ⅓ of the eager
-    // materializations); superseded rank blocks are freed as they die.
+    // is source-complete by induction. LAZY checkpoints land every
+    // third round (lineage stays shallow for Catalyst; blocks
+    // materialize inside the final round's one job — r17, the M2
+    // fusion); pinned generations are freed together once the final
+    // output is materialized.
     val (edges, edgePins) = checkpointPinned(
       graph.select(col("q_id"), col("n_id"))
         .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("q_id")))))
@@ -790,9 +794,21 @@ object Similarity {
       for (i <- 1 until iters) {
         val next = round(e2, src, ranks)
         if (i % 3 == 0) {
-          val (pinnedNext, pins) = checkpointPinned(next)
-          rankPins.foreach(_.unpersist(blocking = false))
-          ranks = pinnedNext; rankPins = pins
+          // LAZY pin (r17 — the Dedup.clusters/Bpe M2 fusion applied
+          // to the rank loop, r16 verdict #6): the pin still truncates
+          // the LOGICAL plan every third round (Catalyst never plans
+          // more than 3 rounds deep), but block materialization defers
+          // to the final full-universe round's ONE job, which persists
+          // the marked generations as it computes through them —
+          // the per-pin result-pass jobs disappear, executor work is
+          // identical. Superseded pins are therefore freed in the
+          // finally, not per-generation (an unpersist before the final
+          // job runs would strip blocks its lineage still reads); at
+          // most ⌊iters/3⌋ bounded (vec_id, pr6) generations stay
+          // pinned — rank frames, far under the edge pin this loop
+          // already holds.
+          val (pinnedNext, pins) = checkpointPinned(next, eager = false)
+          ranks = pinnedNext; rankPins ++= pins
         } else ranks = next
       }
       // the one full-universe round: r_iters for EVERY node (zero-norm
@@ -1212,26 +1228,28 @@ object Similarity {
       val entryN2 = ctx.meta.getAs[Double]("entry_n2")
       // the entry's vector comes from meta, its neighborhood (with
       // vectors) from the entry's own pruned scan; the seed×page
-      // cross is a broadcast hash join on a constant key — bounded
-      // (deg+1)·page rows, and never classified as a BNLJ plan
+      // cross is an explode of the bounded query-id LITERAL (r17 —
+      // the old constant-key broadcast join paid a broadcast-build
+      // job per serve; a ≤4096-long array literal fans out inside
+      // the scan's own codegen span): identical (q, seed) multiset.
+      // No dedup here (r17): duplicate n_ids carry identical vectors
+      // and the serve core's scorePage dedups the NARROW scored rows —
+      // a dropDuplicates over rows still carrying dst_v would plan as
+      // a wide-row SortAggregate (see scorePage)
       val seedVecs = ctx.adjScan(Seq(entry))
         .select(col("dst").as("n_id"), col("dst_v"), col("dst_n2"))
         .unionByName(Seq((entry, entryV, entryN2))
           .toDF("n_id", "dst_v", "dst_n2"))
-        .dropDuplicates("n_id")
-      seedVecs.withColumn("__k", lit(1))
-        .join(broadcast(ctx.q.select(col("q_id")).withColumn("__k", lit(1))),
-          Seq("__k"))
-        .select(col("q_id"), col("n_id"), col("dst_v"), col("dst_n2"))
+      seedVecs
+        .select(explode(typedlit(ctx.qRows.map(_._1).toSeq)).as("q_id"),
+          col("n_id"), col("dst_v"), col("dst_n2"))
     }
 
   /** Context the serve core hands its hop-0 builder: the index `meta`
-    * row, the collected query page (ids + local frame), and the
-    * pruned adjacency scan. */
+    * row, the collected query page, and the pruned adjacency scan. */
   private final case class IndexServeCtx(
       meta: org.apache.spark.sql.Row,
       qRows: Array[(Long, Seq[Double], Double)],
-      q: DataFrame,
       adjScan: Seq[Long] => DataFrame)
 
   /** The ONE driver core behind the landed-graph serves
@@ -1251,8 +1269,15 @@ object Similarity {
     requireBeamConfig(k, beam, hops, stateCeiling)
     import spark.implicits._
     graft.functions.VecExprs.register(spark)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val buckets = meta.getAs[Int]("p_buckets")
+    // startup reads are mutually independent (meta head, the commits
+    // ledger + adj listing, the bounded query-page collect) and each
+    // is a fixed-latency driver action — overlap them (r17, guide
+    // §2.6); the joins below preserve the old failure order (meta
+    // joined before the empty-page return, adj only consumed when a
+    // page exists — exactly when the sequential spelling read it)
+    val metaJoin = Par.async(() => spark.read.parquet(s"$path/meta").head())
+    val adjJoin = Par.async(() =>
+      graphCommittedRead(spark, path, "adj", excludeIngestBatch))
     // the query page is bounded driver metadata — collect it ONCE and
     // re-enter as a local relation: left as lineage, every hop's
     // collect would re-evaluate the query SOURCE through the
@@ -1264,45 +1289,90 @@ object Similarity {
         .limit(4097).as[(Long, Seq[Double], Double)].collect())
     require(qRows.length <= 4096,
       s"$op serves a bounded query PAGE, got > 4096 query vectors")
+    val meta = metaJoin()
+    val buckets = meta.getAs[Int]("p_buckets")
     if (qRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("q_id", "n_id", "cos_sim", "rank")
-    val q = qRows.toSeq.toDF("q_id", "q_v", "q_n2")
     val qIds = qRows.map(_._1)
     // the adj relation READS once per serve; each hop re-filters it
     // (same plan-level pruning, minus hops× directory re-listing)
-    val adjRel = graphCommittedRead(spark, path, "adj", excludeIngestBatch)
+    val adjRel = adjJoin()
     def adjScan(nodes: Seq[Long]): DataFrame =
       graphPointFilter(adjRel, "src", "pb", buckets, nodes)
+    // Per-hop shape (r17, guide §2.3/§2.4/§4 — r16 verdict #1). Two
+    // structural rewrites, results bit-identical:
+    //
+    //  (a) score FIRST, dedup the NARROW (q_id, n_id, cos_sim) rows
+    //      after: the old per-hop dropDuplicates ran over rows still
+    //      CARRYING dst_v — an array-typed first() buffer
+    //      disqualifies HashAggregate, so every hop paid Sort + a
+    //      wide-vector Exchange + Sort (SortAggregate,
+    //      plans/r17/idx_graph_serve_hop_before.txt; ~45 executor-
+    //      seconds and 33 shuffle-MB per 128-query serve). Scoring
+    //      map-side keeps the pre-exchange pipeline in one codegen
+    //      span and the exchange carries 24-byte rows. Pages are
+    //      identical: duplicate (q_id, n_id) candidates carry the
+    //      same dst_v by construction, so the same cos_sim, and
+    //      dedup/anti-join/score commute on identical-valued rows
+    //      (the limit still caps the DEDUPED page, so ceiling
+    //      accounting and convergence see exactly what they saw).
+    //
+    //  (b) the hop's three LOCAL relations (frontier, known pairs,
+    //      query page) ride as codegen REFERENCE OBJECTS
+    //      (ServeExprs) instead of broadcast joins: under Spark 4's
+    //      AQE every broadcast build is its own stage job, so a
+    //      6-hop serve paid ~18 fixed-latency jobs shipping driver
+    //      metadata back to the driver's own executors. Explode of
+    //      the frontier multimap ≡ the inner equi-join (empty array
+    //      = dropped row); !PairKnown ≡ the left-anti join on
+    //      non-null keys; VecForKey/N2ForKey feed the UNCHANGED
+    //      cosine expression the same doubles the broadcast rows
+    //      carried.
+    val qTable = graft.functions.ServeExprs.VecTable(qRows.toSeq)
+    graft.functions.VecExprs.withTempFunction(spark, "graft_qvec",
+        args => graft.functions.ServeExprs.VecForKey(args(0), qTable)) { qvFn =>
+    graft.functions.VecExprs.withTempFunction(spark, "graft_qn2",
+        args => graft.functions.ServeExprs.N2ForKey(args(0), qTable)) { qnFn =>
     def scorePage(cand: DataFrame, limitRows: Int): Array[(Long, Long, Double)] =
-      cand.join(broadcast(q), Seq("q_id"))
-        .filter(col("n_id") =!= col("q_id"))
+      cand.filter(col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"),
-          round(cosineFromParts(dot(col("q_v"), col("dst_v")),
-            col("q_n2"), col("dst_n2")), 6).as("cos_sim"))
+          round(cosineFromParts(
+            dot(call_function(qvFn, col("q_id")), col("dst_v")),
+            call_function(qnFn, col("q_id")), col("dst_n2")), 6)
+            .as("cos_sim"))
+        .dropDuplicates("q_id", "n_id")
         .limit(limitRows)
         .as[(Long, Long, Double)].collect()
     beamSearchDrive(spark, qIds, k, beam, hops, stateCeiling, op,
       hop0 = { lim => GraphStages.time("serve_hop0") {
-        scorePage(hop0Cand(IndexServeCtx(meta, qRows, q, adjScan)), lim)
+        scorePage(hop0Cand(IndexServeCtx(meta, qRows, adjScan)), lim)
       } },
       expand = { (frontier, known, lim) => GraphStages.time("serve_expand") {
         GraphStages.count("serve_hop_n")
         if (frontier.isEmpty) Array.empty
         else {
-          val f = frontier.toDF("q_id", "node")
-          val cand0 = adjScan(frontier.map(_._2).distinct)
-            .join(broadcast(f), col("src") === col("node"))
-            .select(col("q_id"), col("dst").as("n_id"),
-              col("dst_v"), col("dst_n2"))
-            .dropDuplicates("q_id", "n_id")
-          val cand =
-            if (known.isEmpty) cand0
-            else cand0.join(broadcast(known.toDF("q_id", "n_id")),
-              Seq("q_id", "n_id"), "left_anti")
-          scorePage(cand, lim)
+          val ft = graft.functions.ServeExprs.LongsTable.byKey(frontier)
+          graft.functions.VecExprs.withTempFunction(spark, "graft_frontier",
+              args => graft.functions.ServeExprs.LongsForKey(args(0), ft)) { fFn =>
+            val cand0 = adjScan(frontier.map(_._2).distinct)
+              .select(explode(call_function(fFn, col("src"))).as("q_id"),
+                col("dst").as("n_id"), col("dst_v"), col("dst_n2"))
+            val cand =
+              if (known.isEmpty) cand0
+              else {
+                val ks = graft.functions.ServeExprs.LongPairSet(known)
+                graft.functions.VecExprs.withTempFunction(spark, "graft_known",
+                    args => graft.functions.ServeExprs.PairKnown(
+                      args(0), args(1), ks)) { kFn =>
+                  cand0.filter(!call_function(kFn, col("q_id"), col("n_id")))
+                }
+              }
+            scorePage(cand, lim)
+          }
         }
       } })
+    }}
   }
 
   /** [[graphTopKFromIndex]] with the hop-0 frontier seeded from the
@@ -1343,6 +1413,10 @@ object Similarity {
     require(nprobe > 0 && nprobe <= 64, s"nprobe=$nprobe out of [1, 64]")
     require(seedsPerList > 0 && seedsPerList <= 64,
       s"seedsPerList=$seedsPerList out of [1, 64]")
+    // the centroid read is independent of the serve core's own
+    // startup (meta read, query-page collect, adj listing) — start it
+    // now, join inside hop-0 (r17, guide §2.6)
+    val centsJoin = Par.async(() => readCentroids(spark, ivfPath))
     indexBeamServe(spark, path, queries, k, beam, hops,
         excludeIngestBatch, stateCeiling, "graphTopKFromIndexSeeded") { ctx =>
       import spark.implicits._
@@ -1350,16 +1424,22 @@ object Similarity {
       val entryV = ctx.meta.getSeq[Double](ctx.meta.fieldIndex("entry_v"))
       val entryN2 = ctx.meta.getAs[Double]("entry_n2")
       val buckets = ctx.meta.getAs[Int]("p_buckets")
-      // per-query probed centroids: the serve's own quantizer probe
-      // (probeList — argmax-dot, first-wins ties), on the already
-      // collected bounded query page re-entered as a local relation
-      val qLocal = ctx.qRows.toSeq.toDF("vec_id", "v", "n2")
-      val cents = readCentroids(spark, ivfPath)
+      // per-query probed centroids DRIVER-SIDE (r17, r16 verdict #4):
+      // the query page (ctx.qRows) and the centroid matrix are both
+      // bounded driver data already, so the old probeList Spark job
+      // paid one fixed-latency job per serve for |page|·nlist dots of
+      // local arithmetic. The assignment evaluates the EXACT
+      // NearestCentroids expression on each query vector (same class,
+      // same insertion top-n, first-wins ties — the graphPbLocal
+      // posture: a driver mirror by construction, never a
+      // re-spelling), so probe results are bit-identical.
+      val cents = centsJoin()
       val probed: Array[(Long, Int)] =
         if (cents.isEmpty) Array.empty
-        else probeList(qLocal, lit(true), cents, nprobe)
-          .select(col("q_id"), col("c_id"))
-          .as[(Long, Int)].collect()
+        else ctx.qRows.flatMap { case (qi, v, _) =>
+          graft.functions.VecExprs.nearestCentroidsLocal(v, cents, nprobe)
+            .map(qi -> _)
+        }
       // seed members: first seedsPerList per probed list, from a
       // c_id-pruned committed lists read — bounded by
       // |probed lists|·seedsPerList driver rows
@@ -1396,24 +1476,34 @@ object Similarity {
           .filter(liveSeedVecs.contains).toSeq.distinct
         if (mine.isEmpty) Seq((qi, entry)) else mine.map(qi -> _)
       }
-      val seedVecRows: Seq[(Long, Seq[Double], Double)] =
+      // seed self-rows are pure driver data — construct the local
+      // relation directly (r17: the old spelling joined two local
+      // frames through a broadcast, paying a broadcast-build job for
+      // a map lookup the driver can do in place)
+      val seedVecOf: Map[Long, (Seq[Double], Double)] =
         pairs.map(_._2).distinct.map { n =>
-          if (n == entry) (entry, entryV, entryN2)
-          else { val (v, n2) = liveSeedVecs(n); (n, v, n2) }
-        }
-      val pairsDf = pairs.toDF("q_id", "node")
-      val seedSelf = pairsDf
-        .join(broadcast(seedVecRows.toDF("node", "dst_v", "dst_n2")),
-          Seq("node"))
-        .select(col("q_id"), col("node").as("n_id"),
-          col("dst_v"), col("dst_n2"))
+          if (n == entry) entry -> ((entryV, entryN2))
+          else n -> liveSeedVecs(n)
+        }.toMap
+      val seedSelf = pairs.map { case (qi, n) =>
+          val (v, n2) = seedVecOf(n); (qi, n, v, n2)
+        }.toDF("q_id", "n_id", "dst_v", "dst_n2")
       // ...plus each seed's committed neighborhood, like the frozen
-      // entry's hop 0 (one pruned scan over the distinct seed set)
-      val seedNbr = ctx.adjScan(pairs.map(_._2).distinct)
-        .join(broadcast(pairsDf), col("src") === col("node"))
-        .select(col("q_id"), col("dst").as("n_id"),
-          col("dst_v"), col("dst_n2"))
-      seedSelf.unionByName(seedNbr).dropDuplicates("q_id", "n_id")
+      // entry's hop 0 (one pruned scan over the distinct seed set);
+      // the (seed → queries) attach is the ServeExprs explode — the
+      // frontier-join spelling of the serve core, not a broadcast
+      // (r17). No dedup here: a node reachable both as a seed and as
+      // a seed's neighbor carries the same vector through either
+      // branch (vec/ and adj rows land from the one prepared frame),
+      // and the serve core's scorePage dedups the narrow scored rows.
+      val nbrTable = graft.functions.ServeExprs.LongsTable.byKey(pairs)
+      graft.functions.VecExprs.withTempFunction(spark, "graft_seed_qids",
+          args => graft.functions.ServeExprs.LongsForKey(args(0), nbrTable)) { fn =>
+        val seedNbr = ctx.adjScan(pairs.map(_._2).distinct)
+          .select(explode(call_function(fn, col("src"))).as("q_id"),
+            col("dst").as("n_id"), col("dst_v"), col("dst_n2"))
+        seedSelf.unionByName(seedNbr)
+      }
     }
   }
 
@@ -1567,13 +1657,11 @@ object Similarity {
     import spark.implicits._
     assertNoMaintenance(spark, path, "appendToGraphIndex")
     adoptLegacyLedger(spark, path, listsDir = "adj")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val k = meta.getAs[Int]("k")
-    val buckets = meta.getAs[Int]("p_buckets")
-    // an index built with k > beam must stay appendable: the serve's
-    // frontier contract is beam ≥ k, so widen rather than refuse
-    // (r14 review — a k=33 index was un-appendable at the default)
-    val b0 = math.max(beam, k)
+    // the meta head and the page-validation collect below are
+    // independent of the admission collect — overlap the three
+    // fixed-latency actions (r17, guide §2.6); joins preserve the
+    // sequential failure order (meta consumed right after admission)
+    val metaJoin = Par.async(() => spark.read.parquet(s"$path/meta").head())
     val embL = withNullLabel(emb)
     val batch = preparedNonZero(embL).cache()
     try {
@@ -1590,8 +1678,30 @@ object Similarity {
       // validation and endpoint split below key on), and ≤ 4096 rows
       // through limit(4097) means the collect saw EVERY row, so the
       // id set is complete.
+      // the validation collect over a handed-in page only READS the
+      // page — start it beside the admission collect, check subset
+      // containment once both are in hand
+      val pageQJoin = precomputedNeighbors.map { page =>
+        Par.async(() => {
+          require(Seq("q_id", "n_id", "cos_sim")
+              .forall(page.columns.contains),
+            s"precomputedNeighbors must be a graphTopKFromIndex page " +
+              s"(q_id, n_id, cos_sim) — got ${page.columns.mkString(",")}")
+          page.select(col("q_id")).distinct().as[Long].collect().toSet
+        })
+      }
       val idRows = GraphStages.time("app_admission")(
         batch.select(col("vec_id")).limit(4097).as[Long].collect())
+      // meta joined before the empty-batch return: an append into a
+      // missing/corrupt index must still throw, not commit (the
+      // sequential spelling's order)
+      val meta = metaJoin()
+      val k = meta.getAs[Int]("k")
+      val buckets = meta.getAs[Int]("p_buckets")
+      // an index built with k > beam must stay appendable: the serve's
+      // frontier contract is beam ≥ k, so widen rather than refuse
+      // (r14 review — a k=33 index was un-appendable at the default)
+      val b0 = math.max(beam, k)
       if (idRows.isEmpty) { writeCommitRecord(spark, path, ingestBatch); return }
       require(idRows.length <= 4096,
         "appendToGraphIndex attaches a bounded batch (got > 4096 nonzero " +
@@ -1615,14 +1725,9 @@ object Similarity {
       // indistinguishable from a small graph's natural exhaustion, so
       // they cannot be checked from the page alone — the scaladoc
       // carries the contract).
-      precomputedNeighbors.foreach { page =>
+      pageQJoin.foreach { join =>
         GraphStages.time("app_admission") {
-          require(Seq("q_id", "n_id", "cos_sim")
-              .forall(page.columns.contains),
-            s"precomputedNeighbors must be a graphTopKFromIndex page " +
-              s"(q_id, n_id, cos_sim) — got ${page.columns.mkString(",")}")
-          val pageQ = page.select(col("q_id")).distinct().as[Long]
-            .collect().toSet
+          val pageQ = join()
           require(pageQ.subsetOf(batchIds),
             "precomputedNeighbors was served for a DIFFERENT query set " +
               s"than this batch (${(pageQ -- batchIds).size} page queries " +

@@ -35,6 +35,30 @@ class VecExprsSpec extends SparkSpec {
     assert(ok === (1.0f.toDouble * 3.0f.toDouble + 2.0f.toDouble * 4.0f.toDouble))
   }
 
+  test("nearestCentroidsLocal ≡ the distributed NearestCentroids expression (r17)") {
+    // the seeded graph serve assigns probes driver-side with this
+    // mirror — it must be bit-identical to the expression the IVF
+    // serves plan, including dot order, insertion top-n and
+    // first-wins ties (two equal-dot centroids below)
+    val cents = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 1.0, 0.0), // duplicate of c1 — tie, earlier index wins
+      Array(0.6, 0.64, 0.48), Array(-1.0, 0.0, 0.0))
+    val vecs = Seq(
+      Seq(0.3, 0.9, 0.1), Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0),
+      Seq(-0.5, 0.5, 0.1), Seq(0.577, 0.577, 0.577))
+    for (n <- Seq(1, 2, 3)) {
+      val dist = VecExprs.withNearestCentroids(spark, cents, n) { fn =>
+        vecs.map(Tuple1(_)).toDF("v")
+          .select(call_function(fn, col("v")))
+          .as[Seq[Int]].collect().toSeq
+      }
+      val local = vecs.map(v =>
+        VecExprs.nearestCentroidsLocal(v, cents, n).toSeq)
+      assert(local === dist, s"driver mirror drifted at n=$n")
+    }
+  }
+
   test("graft_dot on empty arrays is 0, null array is null") {
     val df = Seq((Some(Array.empty[Double]), Some(Array.empty[Double])),
                  (None, Some(Array(1.0)))).toDF("a", "b")
