@@ -2162,24 +2162,37 @@ object Similarity {
     val cents = if (trainIters > 0)
       trainCentroidsPrepared(p, cents0, trainIters, 1e-4) else cents0
     import spark.implicits._
-    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("c_id", "c_v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // base corpus is ingest batch −1; appendToIvfIndex adds later
     // batches under their own ingest_batch= subpartitions (one
     // consistent partition depth for the whole directory)
     val assigned = ivfAssignPrepared(p, cents)
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("c_id"),
         lit(-1L).as("ingest_batch"))
-    if (labelBuckets > 0) {
-      val nLabels = p.agg(countDistinct(col("label"))).first().getLong(0)
-      Seq((labelBuckets, nLabels)).toDF("label_buckets", "n_labels")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      assigned.withColumn("lbl", labelBucket(col("label"), labelBuckets))
-        .write.partitionBy("c_id", "lbl", "ingest_batch")
-        .mode("overwrite").parquet(s"$path/lists")
-    } else
-      assigned.write.partitionBy("c_id", "ingest_batch")
-        .mode("overwrite").parquet(s"$path/lists")
+    // the artifact lands are independent of each other (centroids
+    // from the trained matrix alone, meta from a label count over p,
+    // lists from the assignment — disjoint dirs) — overlap them
+    // (r17, guide §2.6, the writeGraphIndex posture); identical
+    // files land either way, ledger init still strictly last
+    val landCentroids = () =>
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("c_id", "c_v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    if (labelBuckets > 0)
+      Par.run(Seq(
+        landCentroids,
+        () => {
+          val nLabels = p.agg(countDistinct(col("label"))).first().getLong(0)
+          Seq((labelBuckets, nLabels)).toDF("label_buckets", "n_labels")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        },
+        () => assigned.withColumn("lbl", labelBucket(col("label"), labelBuckets))
+          .write.partitionBy("c_id", "lbl", "ingest_batch")
+          .mode("overwrite").parquet(s"$path/lists")))
+    else
+      Par.run(Seq(
+        landCentroids,
+        () => assigned.write.partitionBy("c_id", "ingest_batch")
+          .mode("overwrite").parquet(s"$path/lists")))
     // an EMPTY ledger dir marks a ledgered index from birth — absent
     // means pre-ledger legacy (see committedBatches)
     initCommitLedger(spark, path)
